@@ -1,0 +1,150 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+Everything here is a pure Spark SQL expression (whole-stage codegen,
+no Python UDFs), deliberately built from primitives that exist in BOTH
+Spark and DuckDB (md5, regexp ops, array lambdas) so the driver's
+DuckDB oracle can replicate results bit-for-bit.
+
+Design note for 100 TB: these are per-row narrow transformations — no
+shuffle, fully pipelined into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Stopword lists for the n-gram/stopword language-ID heuristic.  Small
+# on purpose: they are compiled into the expression (no broadcast
+# needed); a production list would ship as a broadcast map.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ein", "zu", "den", "nicht", "ist", "mit"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "una", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "dans", "pour"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"),
+}
+# Deterministic tie-break order (first wins on equal score).
+LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+PUNCT_CLASS = "[.,!?;:]"  # explicit set: identical regex semantics in both engines
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish subword proxy: count alternating letter-runs, digit-runs
+    and single punctuation marks — the standard pre-tokenizer regex shape."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters in the explicit punctuation set."""
+    n = F.length(text)
+    p = n - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords (quality signal)."""
+    words = list(LANG_STOPWORDS[lang])
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    # NB: the lambda must take exactly one arg — F.filter treats a
+    # two-arg lambda (even with defaults) as the (element, index) form.
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts."""
+    toks = tokens(text)
+    return {
+        lang: _stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language with deterministic first-wins tie-break over
+    LANG_ORDER; 'und' when no stopword hits at all."""
+    scores = lang_scores(text)
+    chain = None
+    for i, lang in enumerate(LANG_ORDER):
+        cond = None
+        for j, other in enumerate(LANG_ORDER):
+            if other == lang:
+                continue
+            # strictly greater than earlier-in-order langs, >= later ones
+            c = scores[lang] > scores[other] if j < i else scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    best = chain.otherwise(F.lit("und"))
+    total = None
+    for lang in LANG_ORDER:
+        total = scores[lang] if total is None else total + scores[lang]
+    return F.when(total == 0, F.lit("und")).otherwise(best)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    reasonable mean word length. Weights are arbitrary but fixed."""
+    n = F.length(text)
+    tc = token_count(text)
+    mean_wl = F.when(tc == 0, F.lit(0.0)).otherwise(
+        (n - tc + 1).cast("double") / tc.cast("double")
+    )
+    len_ok = F.when((n >= 100) & (n <= 20000), F.lit(1.0)).otherwise(
+        F.when(n >= 20, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    punct_ok = F.when(punct_ratio(text) <= 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
+    wl_ok = F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((0.4 * len_ok + 0.3 * punct_ok + 0.3 * wl_ok), 4)
+
+
+def md5_hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex digits of md5.
+
+    md5 exists in both Spark and DuckDB, so oracle SQL can reproduce the
+    exact value:   CAST(('0x' || substr(md5(x),1,15)) AS BIGINT).
+    Hot paths that do not need oracle parity should use xxhash64.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: 60-bit hash of whitespace-normalized,
+    lowercased text (the rolling-hash use case collapsed to one stable
+    content hash; near-dup detection uses shingles/minhash instead)."""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return md5_hash60(normalized)
+
+
+def word_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct word k-gram shingles (space-joined) — the input to
+    minhash / jaccard near-dup. JVM-side: sequence + transform + slice."""
+    toks = tokens(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    # Shorter-than-k docs: single shingle of the whole text.
+    return F.array_distinct(
+        F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+    )
