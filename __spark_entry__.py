@@ -563,15 +563,20 @@ def _sql_langid_query() -> str:
 
 
 def _sql_minhash_lsh(num_hashes: int, bands: int, shingle_k: int, thr: float) -> str:
+    from zinger_spark.operators.dedup import MINHASH_P30, MINHASH_P31, minhash_coeffs
+
     rpb = num_hashes // bands
+    perms = ", ".join(
+        f"list_min(list_transform(bases, h -> ({a}*h + {b}) % {MINHASH_P31}))"
+        for a, b in minhash_coeffs(num_hashes)
+    )
     return f"""
     WITH {_sql_shingle_ctes(shingle_k)},
-    sigs AS (
+    based AS (
       SELECT doc_id, shingles,
-             list_transform(generate_series(0, {num_hashes - 1}),
-               i -> list_min(list_transform(shingles,
-                     s -> {_sql_md5h("i::VARCHAR || ':' || s")}))) AS sig
+             list_transform(shingles, s -> {_sql_md5h("s")} % {MINHASH_P30}) AS bases
       FROM sh),
+    sigs AS (SELECT doc_id, shingles, [{perms}] AS sig FROM based),
     banded AS (
       SELECT doc_id, b.band AS band,
              array_to_string(sig[b.band*{rpb}+1 : b.band*{rpb}+{rpb}], ',') AS band_key

@@ -45,19 +45,50 @@ def dedup_exact(
     )
 
 
-def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """k minhash values: min over shingles of h_i(s), where
-    h_i(s) = 60-bit md5 hash of "<i>:<s>". One nested higher-order
-    expression, fully codegen'd; no explode, no shuffle."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: md5_hash60(F.concat(i.cast("string"), F.lit(":"), s)),
-            )
-        ),
-    )
+# Affine permutation family h_i(x) = (a_i*x + b_i) mod P31 over base
+# hashes reduced mod P30, so products stay < 2^60 (safe in both Spark's
+# wrapping int64 and DuckDB's checked BIGINT). Constants from a fixed
+# LCG seed — embedded in both the Spark plan and the oracle SQL.
+MINHASH_P30 = 1073741789  # largest prime < 2^30
+MINHASH_P31 = 2147483647  # 2^31 - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    state = 88172645463325252
+    out = []
+    for _ in range(num_hashes):
+        # xorshift64 steps, deterministic
+        state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+        state ^= state >> 7
+        state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+        a = (state % (MINHASH_P30 - 1)) + 1
+        state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+        state ^= state >> 7
+        state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+        b = state % MINHASH_P31
+        out.append((a, b))
+    return out
+
+
+def base_hashes(shingles: Column) -> Column:
+    """One 60-bit md5 hash per shingle, reduced mod P30. Project this as
+    its own column before fanning out to k permutations — otherwise each
+    permutation re-inlines (and recomputes) the md5s."""
+    return F.transform(shingles, lambda s: md5_hash60(s) % MINHASH_P30)
+
+
+def _minhash_signature(bases: Column, num_hashes: int) -> Column:
+    """k minhash values: min over base hashes of (a_i*h+b_i) mod P31.
+    One nested higher-order expression, fully codegen'd; no explode,
+    no shuffle."""
+    coeffs = minhash_coeffs(num_hashes)
+
+    def _perm_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(bases, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P31)
+        )
+
+    return F.array(*[_perm_min(a, b) for a, b in coeffs])
 
 
 def minhash_signatures(
@@ -69,8 +100,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """id -> minhash signature (array<bigint> of length num_hashes)."""
     sh = word_shingles(F.col(text_col), shingle_k).alias("__sh")
-    return df.select(F.col(id_col), sh).select(
-        id_col, _minhash_signature(F.col("__sh"), num_hashes).alias("signature")
+    return (
+        df.select(F.col(id_col), sh)
+        .select(id_col, base_hashes(F.col("__sh")).alias("__bases"))
+        .select(id_col, _minhash_signature(F.col("__bases"), num_hashes).alias("signature"))
     )
 
 
@@ -94,11 +127,14 @@ def minhash_lsh_pairs(
     the join (skew guard).
     """
     rows_per_band = num_hashes // bands
-    sigs = df.select(
+    # Shingle-only projection reused by the verify joins (no md5 there —
+    # the signature subtree would otherwise be recomputed per join input).
+    sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("shingles"),
-    ).select(
-        "id", "shingles", _minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    )
+    sigs = sh.select("id", base_hashes(F.col("shingles")).alias("__bases")).select(
+        "id", _minhash_signature(F.col("__bases"), num_hashes).alias("sig")
     )
     banded = sigs.select(
         "id",
@@ -133,7 +169,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = sigs.select("id", "shingles")
     verified = (
         cand.join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a")), "a")
         .join(sh.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b")), "b")
