@@ -1,0 +1,259 @@
+"""End-to-end incremental CDC ETL: the reference's 4-batch invoices demo
+(ztests/etl-demo.yaml goldens, demo/batch-*.zson data, demo/invoices.yaml
+transform) replayed against our pool + planner.
+
+Assertions mirror the golden Staging-pool contents after each batch,
+including done markers, sequential output offsets, and the idempotent
+re-run ("nothing new found to ETL")."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from zinger_spark.etl.config import Route, Rule, Transform
+from zinger_spark.etl.planner import EtlPipeline, explain
+from zinger_spark.sources.pool import Pool
+
+AFTER_INV = T.StructType(
+    [
+        T.StructField("ID", T.LongType()),
+        T.StructField("customer", T.StringType()),
+        T.StructField("item", T.StringType()),
+    ]
+)
+AFTER_IS = T.StructType(
+    [
+        T.StructField("ID", T.LongType()),
+        T.StructField("InvoiceID", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def envelope_schema(after: T.StructType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                "kafka",
+                T.StructType(
+                    [
+                        T.StructField("topic", T.StringType()),
+                        T.StructField("partition", T.LongType()),
+                        T.StructField("offset", T.LongType()),
+                    ]
+                ),
+            ),
+            T.StructField("key", T.StructType([T.StructField("ID", T.LongType())])),
+            T.StructField(
+                "value",
+                T.StructType(
+                    [
+                        T.StructField("op", T.StringType()),
+                        T.StructField("before", after),
+                        T.StructField("after", after),
+                    ]
+                ),
+            ),
+            T.StructField("_type", T.StringType()),
+        ]
+    )
+
+
+def inv(offset, id_, customer, item, op):
+    return (
+        ("Invoices", 0, offset),
+        (id_,),
+        (op, None, (id_, customer, item)),
+        "data",
+    )
+
+
+def ist(offset, id_, invoice_id, status, op):
+    return (
+        ("InvoiceStatus", 0, offset),
+        (id_,),
+        (op, None, (id_, invoice_id, status)),
+        "data",
+    )
+
+
+BATCHES = [
+    # demo/batch-1.zson
+    (
+        [inv(1, 100, "Alice", "taco", "r"), inv(2, 101, "Bob", "burrito", "r")],
+        [ist(1, 80, 101, "pending", "r"), ist(2, 32, 100, "pending", "r")],
+    ),
+    # demo/batch-2.zson
+    (
+        [inv(3, 102, "Charlie", "enchilada", "c"), inv(4, 103, "Dan", "beans", "c")],
+        [ist(3, 77, 102, "pending", "c")],
+    ),
+    # demo/batch-3.zson
+    ([], [ist(4, 192, 103, "pending", "c"), ist(5, 32, 100, "closed", "u")]),
+    # demo/batch-4.zson
+    (
+        [],
+        [
+            ist(6, 192, 103, "collections", "u"),
+            ist(7, 77, 102, "paid", "u"),
+            ist(8, 80, 101, "paid", "u"),
+        ],
+    ),
+]
+
+# Golden Staging contents per batch (ztests/etl-demo.yaml), flattened to
+# (topic, offset, _type, key.ID, value.ID, customer, item, invoice_status).
+D1 = {
+    ("NewInvoices", 0, "data", 100, 100, "Alice", "taco", "pending"),
+    ("NewInvoices", 1, "data", 101, 101, "Bob", "burrito", "pending"),
+    ("Invoices", 1, "done", None, None, None, None, None),
+    ("Invoices", 2, "done", None, None, None, None, None),
+    ("InvoiceStatus", 1, "done", None, None, None, None, None),
+    ("InvoiceStatus", 2, "done", None, None, None, None, None),
+}
+D2 = D1 | {
+    ("NewInvoices", 2, "data", 102, 102, "Charlie", "enchilada", "pending"),
+    ("Invoices", 3, "done", None, None, None, None, None),
+    ("InvoiceStatus", 3, "done", None, None, None, None, None),
+}
+D3 = D2 | {
+    ("NewInvoices", 3, "data", 103, 103, "Dan", "beans", "pending"),
+    ("NewInvoices", 4, "data", 100, 100, None, None, "closed"),
+    ("Invoices", 4, "done", None, None, None, None, None),
+    ("InvoiceStatus", 4, "done", None, None, None, None, None),
+    ("InvoiceStatus", 5, "done", None, None, None, None, None),
+}
+D4 = D3 | {
+    ("NewInvoices", 5, "data", 103, 103, None, None, "collections"),
+    ("NewInvoices", 6, "data", 102, 102, None, None, "paid"),
+    ("NewInvoices", 7, "data", 101, 101, None, None, "paid"),
+    ("InvoiceStatus", 6, "done", None, None, None, None, None),
+    ("InvoiceStatus", 7, "done", None, None, None, None, None),
+    ("InvoiceStatus", 8, "done", None, None, None, None, None),
+}
+GOLDENS = [D1, D2, D3, D4]
+ETLD = [4, 2, 4, 6]  # "ETL'd n records" per batch
+
+
+def make_transform() -> Transform:
+    """demo/invoices.yaml with the zed blocks as Spark SQL (the shaper
+    contract: in/left/right -> out)."""
+    return Transform(
+        inputs=[Route("Invoices", "Raw"), Route("InvoiceStatus", "Raw")],
+        output=Route("NewInvoices", "Staging"),
+        etls=[
+            Rule(
+                type="denorm",
+                where="value.op IN ('c', 'r')",
+                left="Invoices",
+                right="InvoiceStatus",
+                join_on="left.value.after.ID=right.value.after.InvoiceID",
+                out="NewInvoices",
+                zed="""named_struct(
+                    'key', `left`.key,
+                    'value', named_struct(
+                        'ID', `left`.value.after.ID,
+                        'customer', `left`.value.after.customer,
+                        'item', `left`.value.after.item,
+                        'invoice_status', `right`.value.after.status))""",
+            ),
+            Rule(
+                type="stateless",
+                where="value.op = 'u'",
+                in_topic="InvoiceStatus",
+                out="NewInvoices",
+                zed="""named_struct(
+                    'key', named_struct('ID', `in`.value.after.InvoiceID),
+                    'value', named_struct(
+                        'ID', `in`.value.after.InvoiceID,
+                        'invoice_status', `in`.value.after.status))""",
+            ),
+            Rule(
+                type="stateless",
+                where="value.op = 'u'",
+                in_topic="Invoices",
+                out="NewInvoices",
+                zed="named_struct('key', `in`.key, 'value', `in`.value.after)",
+            ),
+            Rule(
+                type="stateless",
+                where="value.op = 'd'",
+                in_topic="Invoices",
+                out="NewInvoices",
+                zed="""named_struct('key', `in`.key,
+                       'value', cast(null as typeof(`in`.value.before)))""",
+            ),
+        ],
+    )
+
+
+def staging_flat(pool: Pool) -> set[tuple]:
+    rows = pool.df().collect()
+    out = set()
+    for r in rows:
+        d = r.asDict(recursive=True)
+        out.add(
+            (
+                d["kafka"]["topic"],
+                d["kafka"]["offset"],
+                d["_type"],
+                (d.get("key") or {}).get("ID"),
+                (d.get("value") or {}).get("ID"),
+                (d.get("value") or {}).get("customer"),
+                (d.get("value") or {}).get("item"),
+                (d.get("value") or {}).get("invoice_status"),
+            )
+        )
+    return out
+
+
+@pytest.fixture()
+def pools(spark, tmp_path):
+    raw = Pool.create(spark, str(tmp_path / "Raw"))
+    staging = Pool.create(spark, str(tmp_path / "Staging"))
+    return {"Raw": raw, "Staging": staging}
+
+
+def test_etl_demo_four_batches(spark, pools):
+    transform = make_transform()
+    pipeline = EtlPipeline(spark, transform, lambda name: pools[name])
+    for i, (invoices, statuses) in enumerate(BATCHES):
+        # load each topic's rows with its own schema (heterogeneous pool)
+        if invoices:
+            pools["Raw"].load_batch(
+                spark.createDataFrame(invoices, envelope_schema(AFTER_INV))
+            )
+        if statuses:
+            pools["Raw"].load_batch(
+                spark.createDataFrame(statuses, envelope_schema(AFTER_IS))
+            )
+        n = pipeline.run()
+        assert n == ETLD[i], f"batch {i + 1}: ETL'd {n}, want {ETLD[i]}"
+        assert staging_flat(pools["Staging"]) == GOLDENS[i], f"batch {i + 1} contents"
+
+
+def test_etl_idempotent_rerun(spark, pools):
+    transform = make_transform()
+    pipeline = EtlPipeline(spark, transform, lambda name: pools[name])
+    for invoices, statuses in BATCHES:
+        if invoices:
+            pools["Raw"].load_batch(
+                spark.createDataFrame(invoices, envelope_schema(AFTER_INV))
+            )
+        if statuses:
+            pools["Raw"].load_batch(
+                spark.createDataFrame(statuses, envelope_schema(AFTER_IS))
+            )
+    assert pipeline.run() > 0
+    # Re-run with nothing new: anti-join must drop everything.
+    assert pipeline.run() == 0
+    assert staging_flat(pools["Staging"]) == GOLDENS[3]
+
+
+def test_explain_golden():
+    text = explain(make_transform())
+    assert "output topic: NewInvoices" in text
+    assert "ANTI JOIN done('Invoices')" in text
+    assert "case 0: denorm" in text
+    assert "sort kafka.offset" in text

@@ -1,0 +1,146 @@
+"""Transform YAML config + route planning/validation.
+
+Schema and constraints replicate etl/yaml.go:9-29 and etl/routes.go of
+the reference: every topic maps to exactly one pool, and every output
+of a given input topic must land in the same pool (so one cursor query
+per pool answers the anti-join, etl/build.go:9-18).
+
+The ``zed`` block of each rule is a *Spark SQL expression* producing
+the ``out`` struct (the reference's shaper contract, README.md:303-315:
+stateless rules see ``in``, denorm rules see ``left``/``right``).  A
+``typeof(<path>)`` pseudo-function is resolved at plan time against the
+input schema (demo/invoices.yaml's typed-null tombstone:
+``cast(null, typeof(in.value.before))``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import yaml
+
+
+class ConfigError(Exception):
+    pass
+
+
+@dataclass
+class Route:
+    topic: str
+    pool: str
+
+
+@dataclass
+class Rule:
+    type: str  # 'stateless' | 'denorm'
+    out: str
+    zed: str
+    where: str = ""
+    in_topic: str = ""
+    left: str = ""
+    right: str = ""
+    join_on: str = ""  # "left.<path>=right.<path>"
+
+
+@dataclass
+class Transform:
+    inputs: list[Route]
+    output: Route
+    etls: list[Rule]
+    routes: "Routes" = field(init=False)
+
+    def __post_init__(self):
+        self.routes = _plan_routes(self)
+
+
+class Routes:
+    """topic->pool map + input/output topic graph (etl/routes.go:7-28)."""
+
+    def __init__(self, pools: dict[str, str]):
+        self.pools = pools
+        self.inputs: dict[str, list[str]] = {}   # input -> output topics
+        self.outputs: dict[str, list[str]] = {}  # output -> input topics
+
+    def lookup_pool(self, topic: str) -> str:
+        return self.pools[topic]
+
+    def output_topics(self) -> list[str]:
+        return list(self.outputs)
+
+    def inputs_of(self, output: str) -> list[str]:
+        return self.outputs.get(output, [])
+
+    def enter(self, input_topic: str, output_topic: str) -> None:
+        """etl/routes.go:53-73, incl. the same-pool constraint."""
+        for t in (input_topic, output_topic):
+            if t not in self.pools:
+                raise ConfigError(f"topic {t!r} has unknown pool")
+        outs = self.outputs.setdefault(output_topic, [])
+        if input_topic not in outs:
+            outs.append(input_topic)
+        ins = self.inputs.setdefault(input_topic, [])
+        if output_topic not in ins:
+            if ins and self.pools[ins[0]] != self.pools[output_topic]:
+                raise ConfigError(
+                    f"input topic {input_topic!r} routed to multiple pools "
+                    f"({self.pools[ins[0]]!r} and {self.pools[output_topic]!r})"
+                )
+            ins.append(output_topic)
+
+
+def _plan_routes(t: Transform) -> Routes:
+    pools: dict[str, str] = {}
+    for route in [*t.inputs, t.output]:
+        if route.topic in pools and pools[route.topic] != route.pool:
+            raise ConfigError(
+                f"route for topic {route.topic!r} points to multiple pools"
+            )
+        pools[route.topic] = route.pool
+    routes = Routes(pools)
+    for etl in t.etls:
+        if etl.type == "denorm":
+            if not etl.left or not etl.right:
+                raise ConfigError(
+                    "both 'left' and 'right' topics must be specified for denorm ETL"
+                )
+            if etl.in_topic:
+                raise ConfigError("'in' topic cannot be specified for denorm ETL")
+            routes.enter(etl.left, etl.out)
+            routes.enter(etl.right, etl.out)
+        elif etl.type == "stateless":
+            if not etl.in_topic:
+                raise ConfigError("'in' topic must be specified for stateless ETL")
+            if etl.left or etl.right:
+                raise ConfigError(
+                    "'left' or 'right' topic cannot be specified for stateless ETL"
+                )
+            routes.enter(etl.in_topic, etl.out)
+        else:
+            raise ConfigError(f"unknown ETL type: {etl.type!r}")
+    return routes
+
+
+def load_transform(path: str) -> Transform:
+    """Load a transform YAML (etl/yaml.go:31-45)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return transform_from_dict(raw)
+
+
+def transform_from_dict(raw: dict) -> Transform:
+    inputs = [Route(d["topic"], d["pool"]) for d in raw.get("inputs", [])]
+    output = Route(raw["output"]["topic"], raw["output"]["pool"])
+    etls = [
+        Rule(
+            type=d.get("type", ""),
+            out=d.get("out", ""),
+            zed=d.get("zed", ""),
+            where=d.get("where", ""),
+            in_topic=d.get("in", ""),
+            left=d.get("left", ""),
+            right=d.get("right", ""),
+            join_on=d.get("join-on", ""),
+        )
+        for d in raw.get("transforms", [])
+    ]
+    return Transform(inputs=inputs, output=output, etls=etls)

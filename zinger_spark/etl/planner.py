@@ -1,0 +1,309 @@
+"""ETL planner: Transform config -> DataFrame pipeline -> atomic commit.
+
+The reference compiles Zed query text per output topic
+(etl/build.go:67-109) and post-processes results in Go
+(etl/pipeline.go:92-164).  Here the whole thing is ONE Catalyst plan:
+
+    per-input-topic anti-join prelude      (etl/build.go:111-137)
+    -> first-match switch over rules       (etl/build.go:92-107)
+         stateless: {in:this} -> user expr -> out.kafka:=in.kafka
+                    (etl/build.go:163-185)
+         denorm:    {left:this} x {right:this} inner join -> user expr
+                    -> out.kafka:=left.kafka (etl/build.go:187-216)
+    -> fuse-union of branches + trailing sort kafka.offset
+    -> per-topic sequential offset assignment (etl/pipeline.go:127-164)
+    -> single atomic commit of data + done markers (etl/pipeline.go:92-125)
+
+User ``zed`` blocks are Spark SQL expressions over the ``in`` /
+``left`` / ``right`` struct columns producing the ``out`` struct — the
+reference's shaper contract (README.md:303-315) with Zed replaced by
+Spark SQL.  A ``typeof(<path>)`` pseudo-function resolves to the
+field's DDL at plan time (typed-null tombstones, demo/invoices.yaml).
+
+Scale: the anti-join right side is the done-marker set of the
+incremental window (small -> broadcast); the offset assignment is one
+window shuffle on the output topic key — the same per-topic
+serialization point the reference has, but parallel across topics.
+The full-pool scans become range scans once cursor records land
+(design.md:117-128; see issue noted at etl/build.go:9-18).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+
+from ..datamodel import TYPE_DATA, TYPE_DONE, fuse
+from .config import ConfigError, Rule, Transform
+
+_ORIG_OFFSET = "__orig_offset"
+_ORIG_TOPIC = "__orig_topic"
+
+
+# ---------------------------------------------------------------------------
+# typeof() resolution
+
+
+def _lookup_type(schema: T.StructType, path: list[str]) -> T.DataType:
+    cur: T.DataType = schema
+    for part in path:
+        if not isinstance(cur, T.StructType):
+            raise ConfigError(f"typeof path {'.'.join(path)}: {part} is not a struct")
+        match = next((f for f in cur.fields if f.name == part), None)
+        if match is None:
+            raise ConfigError(f"typeof path {'.'.join(path)}: no field {part!r}")
+        cur = match.dataType
+    return cur
+
+
+def resolve_typeof(expr: str, schema: T.StructType) -> str:
+    """Replace typeof(<path>) with the field's DDL type string."""
+
+    def _sub(m: re.Match) -> str:
+        path = [p for p in m.group(1).replace("`", "").strip().split(".") if p]
+        return _lookup_type(schema, path).simpleString()
+
+    return re.sub(r"typeof\(([^)]*)\)", _sub, expr)
+
+
+# ---------------------------------------------------------------------------
+# plan builder
+
+
+def _where(rule: Rule) -> Column:
+    return F.expr(rule.where) if rule.where else F.lit(True)
+
+
+def _case_predicate(rule: Rule) -> Column:
+    """The switch-case predicate (etl/build.go:92-107): stateless cases
+    add the input-topic equality; denorm cases filter topics inside."""
+    pred = _where(rule)
+    if rule.type == "stateless":
+        pred = pred & (F.col("kafka.topic") == rule.in_topic)
+    return pred
+
+
+def _done_of(kafka_col: str) -> list[Column]:
+    return [
+        F.struct(
+            F.col(f"{kafka_col}.topic").alias("topic"),
+            F.lit(None).cast("long").alias("partition"),
+            F.col(f"{kafka_col}.offset").alias("offset"),
+        ).alias("kafka"),
+        F.lit(TYPE_DONE).alias("_type"),
+    ]
+
+
+class EtlPipeline:
+    """One runnable ETL (single output topic, like the reference —
+    etl/pipeline.go:66-68 panics on multiple)."""
+
+    def __init__(self, spark: SparkSession, transform: Transform, open_pool):
+        """``open_pool(name) -> Pool`` keeps this module storage-agnostic."""
+        self.spark = spark
+        self.transform = transform
+        outputs = transform.routes.output_topics()
+        if len(outputs) != 1:
+            raise ConfigError(f"exactly one output topic supported, got {outputs}")
+        self.output_topic = outputs[0]
+        self.output_pool = open_pool(transform.output.pool)
+        self.input_pools = {}
+        for route in transform.inputs:
+            if route.pool not in self.input_pools:
+                self.input_pools[route.pool] = open_pool(route.pool)
+
+    # -- plan ---------------------------------------------------------------
+
+    def _fresh_inputs(self) -> DataFrame | None:
+        """Anti-join prelude: per input topic, drop records whose offset
+        is already marked done in the output pool (etl/build.go:111-137)."""
+        routes = self.transform.routes
+        legs = []
+        for topic in routes.inputs_of(self.output_topic):
+            pool = self.input_pools[routes.lookup_pool(topic)]
+            if pool.is_empty():
+                continue
+            raw = pool.df().filter(
+                (F.col("kafka.topic") == topic) & (F.col("_type") == TYPE_DATA)
+            )
+            if not self.output_pool.is_empty():
+                done = self.output_pool.df().filter(
+                    (F.col("_type") == TYPE_DONE) & (F.col("kafka.topic") == topic)
+                )
+                raw = raw.join(
+                    F.broadcast(
+                        done.select(
+                            F.col("kafka.topic").alias("__d_topic"),
+                            F.col("kafka.offset").alias("__d_offset"),
+                        )
+                    ),
+                    (F.col("kafka.topic") == F.col("__d_topic"))
+                    & (F.col("kafka.offset") == F.col("__d_offset")),
+                    "left_anti",
+                )
+            legs.append(raw)
+        if not legs:
+            return None
+        return fuse(*legs)
+
+    def _apply_stateless(self, subset: DataFrame, rule: Rule):
+        wrapped = subset.select(F.struct("*").alias("in"))
+        zed = resolve_typeof(rule.zed.strip(), wrapped.schema)
+        out = wrapped.select(
+            F.expr(zed).alias("out"), F.col("in.kafka").alias("__in_kafka")
+        )
+        data = out.select(
+            F.col("out.*"),
+            F.struct(
+                F.lit(rule.out).alias("topic"),
+                F.lit(None).cast("long").alias("partition"),
+                F.col("__in_kafka.offset").alias("offset"),
+            ).alias("kafka"),
+            F.lit(TYPE_DATA).alias("_type"),
+            F.col("__in_kafka.offset").alias(_ORIG_OFFSET),
+            F.col("__in_kafka.topic").alias(_ORIG_TOPIC),
+        )
+        markers = subset.select(*_done_of("kafka"))
+        # "ETL'd n records" counts data rows + marker rows, matching the
+        # reference's batch.Values() (1 data + 1 done per input record).
+        return data, markers, 2 * subset.count()
+
+    def _apply_denorm(self, subset: DataFrame, rule: Rule):
+        if "=" not in rule.join_on:
+            raise ConfigError(
+                f"join-on syntax error: {rule.join_on!r}"
+                if rule.join_on
+                else "no join-on expression provided in denorm rule"
+            )
+        left_key, right_key = (s.strip() for s in rule.join_on.split("=", 1))
+        left = subset.filter(F.col("kafka.topic") == rule.left).select(
+            F.struct("*").alias("left")
+        )
+        right = subset.filter(F.col("kafka.topic") == rule.right).select(
+            F.struct("*").alias("right")
+        )
+        joined = left.join(
+            right, F.expr(f"`left`.{_strip(left_key)} = `right`.{_strip(right_key)}"), "inner"
+        )
+        zed = resolve_typeof(rule.zed.strip(), joined.schema)
+        out = joined.select(
+            F.expr(zed).alias("out"),
+            F.col("left.kafka").alias("__l_kafka"),
+            F.col("right.kafka").alias("__r_kafka"),
+        )
+        data = out.select(
+            F.col("out.*"),
+            F.struct(
+                F.lit(rule.out).alias("topic"),
+                F.lit(None).cast("long").alias("partition"),
+                F.col("__l_kafka.offset").alias("offset"),
+            ).alias("kafka"),
+            F.lit(TYPE_DATA).alias("_type"),
+            F.col("__l_kafka.offset").alias(_ORIG_OFFSET),
+            F.col("__l_kafka.topic").alias(_ORIG_TOPIC),
+        )
+        markers = fuse(
+            out.select(*_done_of("__l_kafka")),
+            out.select(*_done_of("__r_kafka")),
+        )
+        # 1 data row + 1 {left,right} marker-pair row per joined pair.
+        return data, markers, 2 * joined.count()
+
+    def build(self) -> tuple[DataFrame | None, DataFrame | None, int]:
+        """Returns (data rows with assigned offsets, done markers, n)."""
+        fresh = self._fresh_inputs()
+        if fresh is None:
+            return None, None, 0
+        remaining = fresh
+        prior: Column | None = None
+        data_parts, marker_parts, n = [], [], 0
+        for rule in self.transform.etls:
+            pred = _case_predicate(rule)
+            cond = pred if prior is None else pred & ~prior
+            subset = remaining.filter(cond)
+            if rule.type == "stateless":
+                d, m, c = self._apply_stateless(subset, rule)
+            else:
+                d, m, c = self._apply_denorm(subset, rule)
+            data_parts.append(d)
+            marker_parts.append(m)
+            n += c
+            masked = F.coalesce(pred, F.lit(False))
+            prior = masked if prior is None else (prior | masked)
+        if n == 0:
+            return None, None, 0
+        data = fuse(*data_parts)
+        markers = fuse(*marker_parts)
+        data = self._assign_offsets(data)
+        return data, markers, n
+
+    def _assign_offsets(self, data: DataFrame) -> DataFrame:
+        """Sequential per-output-topic offsets continuing from the pool's
+        high-water mark (etl/pipeline.go:127-164), ordered by original
+        input offset (the trailing `sort kafka.offset`, etl/build.go:107)."""
+        base = self.output_pool.next_producer_offsets()
+        w = Window.partitionBy("kafka.topic").orderBy(_ORIG_OFFSET, _ORIG_TOPIC)
+        if base:
+            bmap = F.create_map(
+                *[x for kv in base.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+            )
+            start = F.coalesce(bmap.getItem(F.col("kafka.topic")), F.lit(0))
+        else:
+            start = F.lit(0)
+        return (
+            data.withColumn(
+                "kafka",
+                F.col("kafka").withField(
+                    "offset", (start + F.row_number().over(w) - 1).cast("long")
+                ),
+            )
+            .drop(_ORIG_OFFSET, _ORIG_TOPIC)
+        )
+
+    # -- run ----------------------------------------------------------------
+
+    def run(self) -> int:
+        """Build, then atomically commit data + markers together
+        (etl/pipeline.go:92-125). Returns the ETL'd record count
+        (0 = nothing new found to ETL, cmd/zync/etl/command.go:88-90)."""
+        data, markers, n = self.build()
+        if n == 0:
+            return 0
+        batch = fuse(data, markers)
+        self.output_pool.load_batch(batch)
+        return n
+
+
+def _strip(path: str) -> str:
+    return path.replace("`", "").split(".", 1)[1] if path.split(".", 1)[0] in ("left", "right") else path
+
+
+def explain(transform: Transform) -> str:
+    """Deterministic plan text (the `zync etl -zed` analog,
+    cmd/zync/etl/command.go:64-71) for golden tests."""
+    lines = [f"output topic: {transform.output.topic} (pool {transform.output.pool})"]
+    routes = transform.routes
+    for topic in routes.inputs_of(transform.output.topic):
+        lines.append(
+            f"from pool {routes.lookup_pool(topic)}: topic=={topic!r}"
+            f" ANTI JOIN done({topic!r}) ON kafka.offset"
+        )
+    lines.append("switch (first match):")
+    for i, rule in enumerate(transform.etls):
+        head = f"  case {i}: {rule.type}"
+        if rule.where:
+            head += f" where ({rule.where})"
+        lines.append(head)
+        if rule.type == "stateless":
+            lines.append(f"    in: {rule.in_topic}")
+        else:
+            lines.append(f"    left: {rule.left} right: {rule.right} on {rule.join_on}")
+        zed = " ".join(rule.zed.split())
+        lines.append(f"    out := {zed}")
+        lines.append(f"    + done marker(s)")
+        lines.append(f"    -> kafka.topic := {rule.out!r}")
+    lines.append("| sort kafka.offset; assign per-topic sequential offsets")
+    lines.append("| atomic commit (data + markers)")
+    return "\n".join(lines)

