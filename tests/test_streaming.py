@@ -1,0 +1,154 @@
+"""Streaming-path tests without a broker: the envelope/decode transform
+over Kafka-source-shaped data, resume-offset computation, the ingest
+foreachBatch commit loop (via a file-source stream), and the to-kafka
+sync loop."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zinger_spark.codecs import connect_json as cj
+from zinger_spark.sources.pool import Pool
+from zinger_spark.streaming import from_kafka as fk
+from zinger_spark.streaming import to_kafka as tk
+
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_rows(spark, rows):
+    return spark.createDataFrame(rows, KAFKA_SOURCE_SCHEMA)
+
+
+def connect_wire(payload: dict, schema: dict) -> bytes:
+    return json.dumps({"schema": schema, "payload": payload}).encode()
+
+
+VALUE_SCHEMA = {
+    "type": "struct",
+    "optional": True,
+    "fields": [
+        {"type": "int64", "optional": True, "field": "a"},
+        {"type": "string", "optional": True, "field": "s"},
+    ],
+}
+
+
+def test_envelope_stream_decodes_connect_json(spark):
+    """A2: kafka rows -> {kafka,key,value,_type} with Connect-JSON value."""
+    rows = [
+        (None, connect_wire({"a": 1, "s": "x"}, VALUE_SCHEMA), "T", 0, 7, None, 0),
+        (None, connect_wire({"a": 2, "s": None}, VALUE_SCHEMA), "T", 0, 8, None, 0),
+    ]
+    df = kafka_rows(spark, rows)
+    env = fk.envelope_stream(
+        df, value_decoder=lambda c: cj.decode(c.cast("string"), VALUE_SCHEMA)
+    )
+    got = sorted(
+        (r["kafka"]["topic"], r["kafka"]["offset"], r["value"]["a"], r["value"]["s"])
+        for r in env.collect()
+    )
+    assert got == [("T", 7, 1, "x"), ("T", 8, 2, None)]
+    assert env.schema["_type"].dataType == T.StringType()
+
+
+def test_starting_offsets_from_pool(spark, tmp_path):
+    """A9: resume from max stored offset + 1; -2 (earliest) when unseen."""
+    pool = Pool.create(spark, str(tmp_path / "p"))
+    env_schema = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint>, _type string"
+    )
+    pool.load_batch(
+        spark.createDataFrame(
+            [(("T", 0, 41), None, (1,), "data"), (("T", 0, 42), None, (2,), "data")],
+            env_schema,
+        )
+    )
+    offs = fk.starting_offsets_from_pool(pool, ["T", "U"])
+    assert offs == {"T": {"0": 43}, "U": {"0": -2}}
+
+
+def test_monotonic_guard(spark):
+    env_schema = "kafka struct<topic:string,partition:bigint,offset:bigint>"
+    batch = spark.createDataFrame([(("T", 0, 5),)], env_schema)
+    fk.monotonic_guard(batch, {"T": 5})  # equal is fine
+    with pytest.raises(RuntimeError, match="received offset 5 < saved offset 6"):
+        fk.monotonic_guard(batch, {"T": 6})
+
+
+def test_ingest_stream_commits_to_pool(spark, tmp_path):
+    """The foreachBatch commit loop driven by a file-source stream
+    (stands in for the Kafka source; same micro-batch semantics)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "batch1.json").write_text(
+        '{"topic":"T","partition":0,"offset":1,"a":10}\n'
+        '{"topic":"T","partition":0,"offset":2,"a":20}\n'
+    )
+    schema = T.StructType.fromDDL("topic string, partition int, offset bigint, a bigint")
+    stream = spark.readStream.schema(schema).json(str(src))
+    env = stream.select(
+        F.struct(
+            F.col("topic"),
+            F.col("partition").cast("long").alias("partition"),
+            F.col("offset"),
+        ).alias("kafka"),
+        F.lit(None).cast("string").alias("key"),
+        F.struct(F.col("a")).alias("value"),
+        F.lit("data").alias("_type"),
+    )
+    pool = Pool.create(spark, str(tmp_path / "pool"))
+    q = fk.run_ingest(env, pool, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(60)
+    got = sorted(
+        (r["kafka"]["offset"], r["value"]["a"]) for r in pool.df().collect()
+    )
+    assert got == [(1, 10), (2, 20)]
+    assert pool.next_consumer_offset("T") == 3
+
+
+def test_to_kafka_sync_loop(spark, tmp_path):
+    """A15: drain the pool in ordered batches from the high-water mark."""
+    pool = Pool.create(spark, str(tmp_path / "p"))
+    env_schema = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint>, _type string"
+    )
+    rows = [(("T", 0, i), None, (i * 10,), "data") for i in range(10)]
+    pool.load_batch(spark.createDataFrame(rows, env_schema))
+    produced = []
+
+    def produce(df):
+        produced.extend(
+            (r["kafka"]["offset"], r["value"]["a"]) for r in df.collect()
+        )
+
+    n = tk.sync_batches(pool, "T", start_offset=4, produce=produce, batch_size=3)
+    assert n == 6
+    assert produced == [(i, i * 10) for i in range(4, 10)]  # ordered, from hwm
+
+
+def test_kafka_sink_projection(spark):
+    env_schema = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint>, _type string"
+    )
+    df = spark.createDataFrame([(("T", 0, 1), "k1", (5,), "data")], env_schema)
+    value_dt = T.StructType.fromDDL("a bigint")
+    out = tk.kafka_sink_projection(
+        df,
+        value_encoder=lambda d: cj.encode(F.col("value"), value_dt),
+        key_encoder=lambda d: F.col("key"),
+    )
+    assert out.columns == ["key", "value", "topic"]
+    row = out.collect()[0]
+    assert row["topic"] == "T"
+    assert json.loads(row["value"])["payload"] == {"a": 5}

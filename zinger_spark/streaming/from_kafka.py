@@ -1,0 +1,134 @@
+"""from-kafka: Kafka -> pool streaming ingest.
+
+Reference flow (cmd/zync/from-kafka/command.go:33-294, SURVEY §3.1):
+resume offsets from the pool -> consume -> decode (Avro/Connect-JSON)
+-> envelope-wrap -> buffer -> atomic commit at thresh/interval.
+
+Spark mapping: ``readStream.format("kafka")`` with
+``startingOffsets`` computed from the pool (restart-from-max, A9),
+envelope projection, then ``foreachBatch`` committing each micro-batch
+atomically; trigger interval == the reference's ``-interval`` (5 s
+default), ``maxOffsetsPerTrigger`` == ``-thresh`` (1,048,576 default).
+
+The envelope/decode stage is a pure DataFrame transform over the Kafka
+source's fixed schema (key binary, value binary, topic, partition,
+offset, ...), so it is unit-testable without a broker.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..datamodel import TYPE_DATA
+from ..sources.pool import Pool
+
+DEFAULT_THRESH = 1_048_576  # records/commit (command.go:79)
+DEFAULT_INTERVAL = "5 seconds"  # max commit latency (command.go:81-82)
+
+
+def kafka_source(
+    spark: SparkSession,
+    brokers: str,
+    topics: list[str],
+    starting_offsets: dict[str, dict[str, int]] | str = "earliest",
+    max_offsets_per_trigger: int = DEFAULT_THRESH,
+) -> DataFrame:
+    """The Kafka readStream (A1). Partition 0 only is the reference's
+    total-order constraint (fifo/consumer.go:59-63); Spark preserves
+    per-partition order, and single-partition topics match it exactly."""
+    if not isinstance(starting_offsets, str):
+        starting_offsets = json.dumps(starting_offsets)
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        .load()
+    )
+
+
+def starting_offsets_from_pool(pool: Pool, topics: list[str]) -> dict:
+    """Resume point per topic: max stored offset + 1 (A9,
+    fifo/lake.go:62-82; run per topic like command.go:155-184).
+    -2 = earliest for topics never seen (Kafka convention, also the
+    reference's consume -offset default, cmd/zync/consume/command.go:57)."""
+    out: dict[str, dict[str, int]] = {}
+    for topic in topics:
+        nxt = pool.next_consumer_offset(topic) if not pool.is_empty() else 0
+        out[topic] = {"0": nxt if nxt > 0 else -2}
+    return out
+
+
+def envelope_stream(
+    kafka_df: DataFrame,
+    value_decoder: Callable[[Column], Column],
+    key_decoder: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """Kafka source rows -> envelope records (A2, fifo/consumer.go:117-148):
+    {kafka:{topic,partition,offset}, key, value, _type='data'}.
+
+    ``value_decoder``/``key_decoder`` map the raw binary/string column to
+    a typed struct — plug in codecs.connect_json.decode or
+    codecs.avro.from_avro_body∘unframe."""
+    key_col = (
+        key_decoder(F.col("key")) if key_decoder is not None else F.lit(None).cast("string")
+    )
+    return kafka_df.select(
+        F.struct(
+            F.col("topic").cast("string").alias("topic"),
+            F.col("partition").cast("long").alias("partition"),
+            F.col("offset").cast("long").alias("offset"),
+        ).alias("kafka"),
+        key_col.alias("key"),
+        value_decoder(F.col("value")).alias("value"),
+        F.lit(TYPE_DATA).alias("_type"),
+    )
+
+
+def monotonic_guard(batch: DataFrame, saved: dict[str, int]) -> None:
+    """Offset-regression detector (A3, fifo/consumer.go:118-122): raise
+    if a batch contains an offset below the saved watermark per topic."""
+    rows = (
+        batch.groupBy(F.col("kafka.topic").alias("topic"))
+        .agg(F.min("kafka.offset").alias("mn"))
+        .collect()
+    )
+    for r in rows:
+        if r["topic"] in saved and r["mn"] < saved[r["topic"]]:
+            raise RuntimeError(
+                f"topic {r['topic']}: received offset {r['mn']} < "
+                f"saved offset {saved[r['topic']]}"
+            )
+
+
+def run_ingest(
+    enveloped: DataFrame,
+    pool: Pool,
+    checkpoint: str,
+    interval: str | None = DEFAULT_INTERVAL,
+    available_now: bool = False,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+):
+    """The load loop (A13/A16): each micro-batch optionally shaped
+    (the -shaper hook, fifo/lake.go:94-106) then committed atomically.
+    Checkpoint + pool-derived start offsets give the reference's
+    restart-from-max semantics (README.md:140-156)."""
+
+    def _commit(batch: DataFrame, _batch_id: int) -> None:
+        if transform is not None:
+            batch = transform(batch)
+        if not batch.isEmpty():
+            pool.load_batch(batch)
+
+    writer = enveloped.writeStream.foreachBatch(_commit).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif interval:
+        writer = writer.trigger(processingTime=interval)
+    return writer.start()

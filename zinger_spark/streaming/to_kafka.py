@@ -1,0 +1,98 @@
+"""to-kafka: pool -> Kafka egress.
+
+Reference flow (fifo/to.go:29-53, SURVEY §3.3): producer high-water
+mark -> repeated ReadBatch(200) from the pool, encode, produce, until
+drained (sync-point).
+
+Spark mapping: batch mode mirrors the loop with ordered limit-batches;
+continuous mode (the reference's stated future direction,
+README.md:175-177) is a file-source readStream over the pool's commit
+dirs -> Kafka sink.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..sources.pool import Pool
+
+BATCH_SIZE = 200  # records per ReadBatch (fifo/to.go:29)
+
+
+def kafka_sink_projection(
+    df: DataFrame,
+    value_encoder: Callable[[DataFrame], Column],
+    key_encoder: Callable[[DataFrame], Column] | None = None,
+    topic: str | None = None,
+) -> DataFrame:
+    """Project envelope records into the Kafka sink contract
+    (key, value[, topic]) — A5. Encoders produce string or binary
+    columns (codecs.connect_json.encode / codecs.avro.frame∘to_avro)."""
+    cols = []
+    if key_encoder is not None:
+        cols.append(key_encoder(df).alias("key"))
+    cols.append(value_encoder(df).alias("value"))
+    if topic is not None:
+        cols.append(F.lit(topic).alias("topic"))
+    else:
+        cols.append(F.col("kafka.topic").alias("topic"))
+    return df.select(*cols)
+
+
+def sync_batches(
+    pool: Pool,
+    topic: str,
+    start_offset: int,
+    produce: Callable[[DataFrame], None],
+    batch_size: int = BATCH_SIZE,
+    transform=None,
+) -> int:
+    """The To.Sync loop (fifo/to.go:31-53): read ordered batches from
+    the pool starting at the producer high-water mark and hand each to
+    ``produce`` until drained. Returns records produced.
+
+    ``produce`` is the broker boundary: df.write.format("kafka") in
+    production; a collector in tests."""
+    total = 0
+    offset = start_offset
+    while True:
+        batch = pool.read_batch(topic, offset, batch_size, transform=transform)
+        rows = batch.count()
+        if rows == 0:
+            return total
+        produce(batch)
+        total += rows
+        # next offset = max offset in batch + 1 (ordered, monotonic)
+        offset = (
+            batch.agg(F.max("kafka.offset").alias("mx")).collect()[0]["mx"] + 1
+        )
+
+
+def continuous_sink(
+    spark: SparkSession,
+    pool: Pool,
+    schema,
+    checkpoint: str,
+    sink_builder: Callable[[DataFrame], DataFrame],
+    brokers: str | None = None,
+    available_now: bool = False,
+):
+    """Continuous pool->Kafka: readStream over the pool's commit dirs
+    (file source tracks new files = new commits), project via
+    ``sink_builder``, write to Kafka (or return the writer for tests)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mergeSchema", "true")
+        .parquet(f"{pool.path}/commit-*")
+    )
+    out = sink_builder(stream)
+    writer = out.writeStream.option("checkpointLocation", checkpoint)
+    if brokers:
+        writer = writer.format("kafka").option("kafka.bootstrap.servers", brokers)
+    else:
+        writer = writer.format("memory").queryName("to_kafka_test")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
