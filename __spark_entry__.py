@@ -429,6 +429,183 @@ def _q_quality(spark, sf):
     )
 
 
+# --- batch 2: map-literal lookup, explode, sessionize, as-of join,
+# --- more TPC-H, pivot/rollup/window ---------------------------------------
+
+
+def _q_const_map_lookup(spark, sf):
+    """const |{...}| map literal + subscript lookup (demo/etl.zed's
+    customerIDs/menuIDs) — compiled into the plan, no join."""
+    ev = _events(spark, sf)
+    codes = F.create_map(
+        F.lit("click"), F.lit(1), F.lit("view"), F.lit(2), F.lit("purchase"), F.lit(3),
+        F.lit("signup"), F.lit(4), F.lit("error"), F.lit(5),
+    )
+    return ev.select(
+        "event_id", codes.getItem(F.col("event_type")).cast("int").alias("type_code")
+    )
+
+
+def _q_explode_tokens(spark, sf):
+    """explode (design.md:176-177) over document tokens; top token counts."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(F.explode(ztext.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+def _q_sessionize(spark, sf):
+    """Sessionization: new session when the per-user gap > 30 min
+    (lag + cumulative sum windows)."""
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    with_flag = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_id = with_flag.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return with_id.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+def _q_asof_join(spark, sf):
+    """As-of join: each purchase joined to the user's most recent prior
+    (or simultaneous) view event."""
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    out = zrel.as_of_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["view_id"], tie_break=None,
+    )
+    return out.select("event_id", "user_id", F.col("right_view_id").alias("view_id"))
+
+
+def _q_tpch_q6(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+def _q_tpch_q10(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01"))
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def _q_tpch_q14(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    part = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def _q_tpch_q18(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 212)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+def _q_pivot_counts(spark, sf):
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+def _q_distinct_users(spark, sf):
+    ev = _events(spark, sf)
+    return ev.groupBy(F.col("event_type").alias("topic")).agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def _q_rollup_counts(spark, sf):
+    ev = _events(spark, sf)
+    return (
+        ev.rollup(F.col("event_type").alias("topic"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_running_sum(spark, sf):
+    ev = _events(spark, sf).filter(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("running_value")
+    )
+
+
 _QUERY_VEC_DIM = 64
 
 
@@ -477,7 +654,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q18": _q_tpch_q18,
         "time_rollup": _q_time_rollup,
+        "const_map_lookup": _q_const_map_lookup,
+        "explode_tokens": _q_explode_tokens,
+        "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
+        "pivot_counts": _q_pivot_counts,
+        "distinct_users": _q_distinct_users,
+        "rollup_counts": _q_rollup_counts,
+        "running_sum": _q_running_sum,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -799,6 +988,109 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type AS topic, count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.04
+              AND l_quantity < 24
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1995-07-01'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "tpch_q14": """
+            SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP '1995-09-01'
+              AND l_shipdate < TIMESTAMP '1995-10-01'
+        """,
+        "tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(big.sum_qty, 2) AS sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 212) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "const_map_lookup": """
+            SELECT event_id,
+                   CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                        WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+                        WHEN 'error' THEN 5 END::INT AS type_code
+            FROM events
+        """,
+        "explode_tokens": r"""
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, event_id,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(event_id) AS first_event
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "asof_join": """
+            SELECT p.event_id, p.user_id, v.view_id
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT event_id AS view_id, user_id, ts FROM events
+                            WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "pivot_counts": """
+            SELECT (user_id % 10) AS user_bucket,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'view') AS view,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'error') AS error
+            FROM events GROUP BY 1
+        """,
+        "distinct_users": """
+            SELECT event_type AS topic, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "rollup_counts": """
+            SELECT event_type AS topic, count(*) AS n
+            FROM events GROUP BY ROLLUP (event_type)
+        """,
+        "running_sum": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_value
+            FROM events WHERE user_id < 5
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies,

@@ -101,6 +101,60 @@ def tail1(df: DataFrame, key: str) -> DataFrame:
     return df.orderBy(F.col(key).desc()).limit(1)
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """As-of (backward, inclusive) join: for each left row, attach the
+    most recent right row with right_ts <= left_ts, per key.
+
+    Spark has no native as-of join; the scalable construction is the
+    union-and-carry-forward trick: tag both sides, sort by (key, ts,
+    side) with right rows first on ties, and carry the last non-null
+    right payload forward with a running window.  ONE shuffle on the
+    key — no range cross-join, no per-group pandas; works at any key
+    cardinality and scales with the union size.
+    """
+    lcols = [F.col(c) for c in on]
+    l_tag = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_cols) + ">"
+        ).alias("__r"),
+    )
+    r_tag = right.select(
+        *lcols,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+    )
+    order = [F.col("__ts"), F.col("__side")]
+    if tie_break:
+        order.append(F.coalesce(F.col(f"__l.{tie_break}"), F.col(f"__r.{tie_break}")))
+    w = (
+        Window.partitionBy(*[F.col(c) for c in on])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        F.col("__l.*"),
+        *[F.col(f"__match.{c}").alias(f"right_{c}") for c in right_cols],
+    )
+    return out
+
+
 def top1_per_group(
     df: DataFrame,
     group: Sequence[str],
