@@ -1,0 +1,69 @@
+"""Multimodal plumbing tests: schema, metadata, Arrow batch flow, and
+the stub-vs-real gating. The decode itself is a deterministic fake (no
+media libs in this container); everything around it is real Spark."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from zinger_spark import multimodal as mm
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [(i, f"blob-{i}".encode() * 10) for i in range(20)]
+    return spark.createDataFrame(rows, "id bigint, payload binary")
+
+
+def test_attach_meta(media_df):
+    out = mm.attach_meta(media_df, "payload", "image", "png")
+    row = out.filter(F.col("id") == 3).collect()[0]["media_meta"]
+    assert row["modality"] == "image" and row["format"] == "png"
+    assert row["n_bytes"] == len(b"blob-3" * 10)
+    assert row["content_hash"] == hashlib.md5(b"blob-3" * 10).hexdigest()
+    assert row["width"] is None  # not decoded yet
+
+
+def test_extract_image_features_fake(media_df):
+    feats = mm.extract_image_features(media_df, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    # deterministic: same payload -> same features regardless of partitioning
+    by_hash = {r["content_hash"]: r for r in rows}
+    expect_hash = hashlib.md5(b"blob-7" * 10).hexdigest()
+    r = by_hash[expect_hash]
+    assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+    assert len(r["features"]) == 8
+    repart = mm.extract_image_features(media_df.repartition(7), fake=True)
+    assert {x["content_hash"]: tuple(x["features"]) for x in repart.collect()} == {
+        k: tuple(v["features"]) for k, v in by_hash.items()
+    }
+
+
+def test_extract_without_lib_raises(media_df):
+    feats = mm.extract_image_features(media_df, fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        feats.collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [((None, None, None, None, None, None, 3500),)],
+        "media_meta struct<modality:string,format:string,n_bytes:bigint,"
+        "content_hash:string,width:int,height:int,duration_ms:bigint>",
+    )
+    out = mm.frame_sample_plan(df, every_ms=1000)
+    assert [r["frame_ts_ms"] for r in out.collect()] == [0, 1000, 2000, 3000]
+
+
+def test_metadata_only_scan_prunes_payload(spark, tmp_path, media_df):
+    """Metadata queries must not read payload bytes: check the parquet
+    scan's ReadSchema excludes the payload column."""
+    p = str(tmp_path / "media")
+    mm.attach_meta(media_df, "payload", "image", "png").write.parquet(p)
+    scan = spark.read.parquet(p).select("media_meta.n_bytes")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan.split("ReadSchema:")[1]
