@@ -46,7 +46,7 @@ class PoolError(Exception):
 class Pool:
     """An ordered pool backed by parquet commit dirs under ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, expected_key: str = POOL_KEY):
         self.spark = spark
         self.path = path
         meta_path = os.path.join(path, _META)
@@ -54,10 +54,11 @@ class Pool:
             raise PoolError(f"{path}: not a pool (missing {_META})")
         meta = json.load(open(meta_path))
         # Pool-key validation, as in fifo/lake.go:36-39: refuse pools
-        # whose key is not kafka.offset ascending.
-        if meta.get("key") != POOL_KEY or meta.get("order", "asc") != "asc":
+        # whose key differs from the expected one (kafka.offset asc for
+        # zync pools; seqno asc for the design.md txn-bundle pools).
+        if meta.get("key") != expected_key or meta.get("order", "asc") != "asc":
             raise PoolError(
-                f"pool {path} does not have kafka.offset asc pool key"
+                f"pool {path} does not have {expected_key} asc pool key"
             )
         self.meta = meta
 
@@ -65,12 +66,12 @@ class Pool:
 
     @staticmethod
     def create(spark: SparkSession, path: str, key: str = POOL_KEY, order: str = "asc") -> "Pool":
-        if key != POOL_KEY or order != "asc":
-            raise PoolError(f"pool key must be {POOL_KEY} asc (got {key} {order})")
+        if order != "asc":
+            raise PoolError(f"pool order must be asc (got {order})")
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, _META), "w") as f:
             json.dump({"key": key, "order": order}, f)
-        return Pool(spark, path)
+        return Pool(spark, path, expected_key=key)
 
     # -- read ---------------------------------------------------------------
 
