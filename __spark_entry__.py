@@ -628,6 +628,19 @@ def _q_ann_lsh(spark, sf):
     return out.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
+def _q_ann_ivf(spark, sf):
+    """IVF ANN: centroids = embeddings of vec_id < 8 (deterministic
+    stand-in for offline k-means), probe the 2 nearest cells."""
+    emb = _t(spark, sf, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    out = zsim.ivf_topk(emb, cents, _query_vec(), k=20, n_probe=2)
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    return out.select("vec_id", F.row_number().over(w).alias("rank"))
+
+
 def _q_embedding_dups(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return zsim.embedding_dup_pairs(emb, threshold=0.9, dims=(0, 1, 2, 3))
@@ -677,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_dup_pairs": _q_embedding_dups,
     }
 
@@ -1155,6 +1169,34 @@ def oracle_sql() -> dict[str, str]:
             ),
             ranked AS (
               SELECT vec_id, round({cos}, 8) AS score FROM scored
+              ORDER BY score DESC, vec_id LIMIT 20
+            )
+            SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+            FROM ranked
+        """,
+        "ann_ivf_topk": f"""
+            WITH cents AS (
+              SELECT vec_id AS cell, embedding::DOUBLE[] AS c
+              FROM embeddings WHERE vec_id < 8
+            ),
+            probe AS (
+              SELECT cell FROM (
+                SELECT cell, {_sql_cosine("c", f"({qvec})")} AS s FROM cents
+              ) ORDER BY s DESC, cell LIMIT 2
+            ),
+            pairs AS (
+              SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cell,
+                     {_sql_cosine("c.c", "(e.embedding::DOUBLE[])")} AS s,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {_sql_cosine("c.c", "(e.embedding::DOUBLE[])")} DESC, c.cell) AS rn
+              FROM embeddings e CROSS JOIN cents c
+            ),
+            assigned AS (
+              SELECT vec_id, v, cell AS ivf_cell FROM pairs WHERE rn = 1
+            ),
+            ranked AS (
+              SELECT vec_id, round({_sql_cosine("v", f"({qvec})")}, 8) AS score
+              FROM assigned WHERE ivf_cell IN (SELECT cell FROM probe)
               ORDER BY score DESC, vec_id LIMIT 20
             )
             SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rank

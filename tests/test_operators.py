@@ -1,0 +1,174 @@
+"""Unit tests for datamodel.fuse and the relational/dedup/text operators
+not already covered by the oracle harness or the e2e suites."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zinger_spark.datamodel import fuse, fuse_type
+from zinger_spark.functions import text as ztext
+from zinger_spark.operators import dedup as zdedup
+from zinger_spark.operators.relational import anti_join, as_of_join, switch_route
+
+
+# ---------------------------------------------------------------------------
+# fuse
+
+
+def test_fuse_disjoint_columns(spark):
+    """{a:1},{b:2},{c:3} in one stream (ztests/from-kafka.yaml)."""
+    d1 = spark.createDataFrame([(1,)], "a bigint")
+    d2 = spark.createDataFrame([(2.5,)], "b double")
+    d3 = spark.createDataFrame([("x",)], "c string")
+    out = fuse(d1, d2, d3)
+    assert out.columns == ["a", "b", "c"]
+    rows = sorted(out.collect(), key=lambda r: str(r))
+    assert len(rows) == 3 and out.count() == 3
+
+
+def test_fuse_numeric_widening(spark):
+    """int vs long -> long; int vs double -> double (the reference's
+    lossy ladder, zavro/schema.go:145-172)."""
+    d1 = spark.createDataFrame([(1,)], "x int")
+    d2 = spark.createDataFrame([(2,)], "x bigint")
+    assert dict(fuse(d1, d2).dtypes)["x"] == "bigint"
+    d3 = spark.createDataFrame([(2.5,)], "x double")
+    assert dict(fuse(d1, d3).dtypes)["x"] == "double"
+
+
+def test_fuse_nested_struct_merge(spark):
+    """Struct fields union recursively; missing fields become null,
+    null parents stay null (not structs of nulls)."""
+    d1 = spark.createDataFrame([((1, "a"),)], "v struct<id:bigint,name:string>")
+    d2 = spark.createDataFrame([((2, True),)], "v struct<id:bigint,flag:boolean>")
+    out = fuse(d1, d2)
+    assert dict(out.dtypes)["v"] == "struct<id:bigint,name:string,flag:boolean>"
+    rows = {r["v"]["id"]: r["v"] for r in out.collect()}
+    assert rows[1]["name"] == "a" and rows[1]["flag"] is None
+    assert rows[2]["name"] is None and rows[2]["flag"] is True
+    d3 = spark.createDataFrame([(None,)], "v struct<id:bigint,name:string>")
+    fused = fuse(d3, d2)
+    null_row = [r for r in fused.collect() if r["v"] is None or r["v"]["id"] is None]
+    assert any(r["v"] is None for r in fused.collect())
+
+
+def test_fuse_type_incompatible_scalars():
+    assert fuse_type(T.StringType(), T.LongType()) == T.StringType()
+    assert fuse_type(T.NullType(), T.LongType()) == T.LongType()
+
+
+# ---------------------------------------------------------------------------
+# relational
+
+
+def test_anti_join_null_safe(spark):
+    """Null keys must not leak through the anti-join (eqNullSafe)."""
+    raw = spark.createDataFrame(
+        [(("T", 1),), (("T", None),), (("U", 2),)],
+        "kafka struct<topic:string,offset:bigint>",
+    )
+    done = spark.createDataFrame(
+        [(("T", None),)], "kafka struct<topic:string,offset:bigint>"
+    )
+    out = anti_join(raw, done)
+    assert sorted((r["kafka"]["topic"], r["kafka"]["offset"]) for r in out.collect()) == [
+        ("T", 1),
+        ("U", 2),
+    ]
+
+
+def test_switch_first_match(spark):
+    """A record matching several cases lands only in the FIRST
+    (etl/build.go switch semantics)."""
+    df = spark.createDataFrame([(1, "ab"), (2, "a"), (3, "b"), (4, "c")], "id bigint, s string")
+    outs = switch_route(
+        df,
+        [
+            (F.col("s").contains("a"), lambda d: d.select("id", F.lit("A").alias("c"))),
+            (F.col("s").contains("b"), lambda d: d.select("id", F.lit("B").alias("c"))),
+            (None, lambda d: d.select("id", F.lit("D").alias("c"))),
+        ],
+    )
+    got = dict(r[0:2] for df_ in outs for r in df_.collect())
+    assert got == {1: "A", 2: "A", 3: "B", 4: "D"}
+
+
+def test_as_of_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102)], "k bigint, ts bigint, lid bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 900), (1, 15, 901), (2, 6, 902)], "k bigint, ts bigint, rid bigint"
+    )
+    out = as_of_join(left, right, on=["k"], left_ts="ts", right_ts="ts", right_cols=["rid"])
+    got = {r["lid"]: r["right_rid"] for r in out.collect()}
+    # ts=10 matches ts=10 (inclusive); ts=20 takes latest (15); ts=5 has none
+    assert got == {100: 900, 101: 901, 102: None}
+
+
+# ---------------------------------------------------------------------------
+# dedup / text
+
+
+def test_dedup_exact_groups_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in zdedup.dedup_exact(df).collect()}
+    # whitespace + case normalization collapses 1 and 2
+    assert set(out) == {1, 3}
+    assert out[1]["n_copies"] == 2 and out[3]["n_copies"] == 1
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")],
+        "doc_id bigint, text string",
+    )
+    sigs = {r["doc_id"]: tuple(r["signature"]) for r in
+            zdedup.minhash_signatures(df, num_hashes=8).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    pairs = zdedup.minhash_lsh_pairs(df, num_hashes=8, bands=4, jaccard_threshold=0.9)
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs.collect()] == [(1, 2)]
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different words entirely unrelated content here now")],
+        "doc_id bigint, text string",
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in zdedup.simhash(df, bits=32).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
+
+
+def test_lang_id_stopword_langs(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is happy"),
+         (2, "der hund und die katze sind nicht da"),
+         (3, "xyzzy plugh qwerty")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", ztext.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    out = df.select(ztext.word_shingles(F.col("text"), k=5).alias("sh")).collect()[0]["sh"]
+    assert out == ["a b c"]  # shorter than k -> whole text as one shingle
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world ")], "doc_id bigint, text string"
+    )
+    fps = [r["fp"] for r in df.select(ztext.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]

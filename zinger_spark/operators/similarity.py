@@ -70,6 +70,57 @@ def lsh_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF cell).
+
+    ``centroids`` come from an offline k-means (or, deterministically,
+    a fixed sample); they are plan-time literals, so assignment is a
+    narrow argmax over k cosine expressions — no shuffle, no UDF.
+    At scale the table is written partitioned by ``ivf_cell`` so probes
+    scan only their cell's files.
+    """
+    best_cell, best_score = None, None
+    for i, c in enumerate(centroids):
+        score = cosine(F.col(vec_col), _query_lit(c))
+        if best_cell is None:
+            best_cell, best_score = F.lit(i), score
+        else:
+            cond = score > best_score
+            best_cell = F.when(cond, F.lit(i)).otherwise(best_cell)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return df.withColumn("ivf_cell", best_cell.cast("int"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: rank centroids by similarity to the query,
+    search the ``n_probe`` nearest cells only."""
+    sims = [
+        (i, sum(float(a) * float(b) for a, b in zip(c, query_vec))
+         / ((sum(float(a) ** 2 for a in c) ** 0.5)
+            * (sum(float(b) ** 2 for b in query_vec) ** 0.5)))
+        for i, c in enumerate(centroids)
+    ]
+    probe = [i for i, _ in sorted(sims, key=lambda t: (-t[1], t[0]))[:n_probe]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    q = _query_lit(query_vec)
+    scored = assigned.filter(F.col("ivf_cell").isin(probe)).select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 8).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,
