@@ -46,6 +46,9 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = entrymod.queries()
+    # Warm up the JVM/session (first action pays ~3-5s of startup that
+    # has nothing to do with the measured query).
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

