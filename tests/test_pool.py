@@ -1,0 +1,76 @@
+"""Pool layer tests: atomic commits, schema merge, offsets, and the
+partitioned (100 TB) layout incl. partition pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zinger_spark.sources.pool import Pool, PoolError
+
+
+def env_rows(topic, offsets):
+    return [((topic, 0, o), None, (o * 10,), "data") for o in offsets]
+
+
+def _schema():
+    return T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint>, _type string"
+    )
+
+
+def test_atomic_commit_and_merge(spark, tmp_path):
+    pool = Pool.create(spark, str(tmp_path / "p"))
+    pool.load_batch(spark.createDataFrame(env_rows("T", [0, 1]), _schema()))
+    # second commit with an extra nested field: mergeSchema unions
+    wider = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint,b:string>, _type string"
+    )
+    pool.load_batch(
+        spark.createDataFrame([(("T", 0, 2), None, (30, "x"), "data")], wider)
+    )
+    df = pool.df()
+    assert df.count() == 3
+    assert "b" in df.schema["value"].dataType.fieldNames()
+    assert pool.next_consumer_offset("T") == 3
+    assert pool.next_producer_offsets() == {"T": 3}
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    pool = Pool.create(spark, str(tmp_path / "pp"), partition_by_topic=True)
+    pool.load_batch(
+        spark.createDataFrame(env_rows("A", [0, 1]) + env_rows("B", [0]), _schema())
+    )
+    df = pool.df()
+    # same logical schema as unpartitioned pools
+    assert set(df.columns) == {"kafka", "key", "value", "_type"}
+    assert df.count() == 3
+    # topic filter prunes to one hive partition
+    plan = (
+        df.filter(F.col("kafka.topic") == "A")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert df.filter(F.col("kafka.topic") == "A").count() == 2
+    # the scan's file listing is restricted to the _topic=A directory
+    assert "_topic=B" not in plan
+
+
+def test_empty_pool_and_bad_key(spark, tmp_path):
+    pool = Pool.create(spark, str(tmp_path / "e"))
+    assert pool.is_empty()
+    assert pool.next_consumer_offset("T") == 0
+    assert pool.next_producer_offsets() == {}
+    with pytest.raises(PoolError):
+        pool.df()
+    with pytest.raises(PoolError, match="pool order must be asc"):
+        Pool.create(spark, str(tmp_path / "bad"), order="desc")
+
+
+def test_read_batch_ordered(spark, tmp_path):
+    pool = Pool.create(spark, str(tmp_path / "rb"))
+    pool.load_batch(spark.createDataFrame(env_rows("T", [5, 3, 9, 7, 1]), _schema()))
+    out = [r["kafka"]["offset"] for r in pool.read_batch("T", 3, 3).collect()]
+    assert out == [3, 5, 7]

@@ -65,12 +65,21 @@ class Pool:
     # -- lifecycle ----------------------------------------------------------
 
     @staticmethod
-    def create(spark: SparkSession, path: str, key: str = POOL_KEY, order: str = "asc") -> "Pool":
+    def create(
+        spark: SparkSession,
+        path: str,
+        key: str = POOL_KEY,
+        order: str = "asc",
+        partition_by_topic: bool = False,
+    ) -> "Pool":
+        """``partition_by_topic`` is the 100-TB layout (SCALE.md):
+        commits are hive-partitioned on kafka.topic so topic filters
+        prune directories before any file is opened."""
         if order != "asc":
             raise PoolError(f"pool order must be asc (got {order})")
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, _META), "w") as f:
-            json.dump({"key": key, "order": order}, f)
+            json.dump({"key": key, "order": order, "partitioned": partition_by_topic}, f)
         return Pool(spark, path, expected_key=key)
 
     # -- read ---------------------------------------------------------------
@@ -90,7 +99,12 @@ class Pool:
         dirs = self._commit_dirs()
         if not dirs:
             raise PoolError(f"pool {self.path} is empty")
-        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        reader = self.spark.read.option("mergeSchema", "true")
+        if self.meta.get("partitioned"):
+            # hive-partitioned layout: sort within-partition by offset,
+            # expose the same logical schema (drop the partition column)
+            return reader.option("basePath", self.path).parquet(*dirs).drop("_topic")
+        return reader.parquet(*dirs)
 
     def query(self, fn) -> DataFrame:
         """Run a DataFrame transform over the pool (Lake.Query analog,
@@ -105,7 +119,13 @@ class Pool:
         commit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         final = os.path.join(self.path, f"commit-{commit_id}")
         tmp = os.path.join(self.path, f".tmp-{commit_id}")
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if self.meta.get("partitioned"):
+            df = df.withColumn("_topic", F.col("kafka.topic")).sortWithinPartitions(
+                "kafka.offset"
+            )
+            writer = df.write.mode("overwrite").partitionBy("_topic")
+        writer.parquet(tmp)
         # drop spark's _SUCCESS etc? keep; parquet reader ignores non-parquet
         os.rename(tmp, final)
         return commit_id
