@@ -43,6 +43,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
+
+def _dsum(expr, digits=2):
+    """Order-independent exact sum for decimal-valued doubles: the data
+    carries <=4 decimals, so summing as decimal(18,4) is exact in both
+    Spark and DuckDB regardless of partial-aggregation order (a plain
+    double sum can land either side of a .xx5 rounding boundary
+    depending on accumulation order)."""
+    return F.round(F.sum(expr.cast("decimal(18,4)")), digits).cast("double")
+
+
+def _davg(expr, digits=4):
+    return F.round(
+        F.sum(expr.cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)), digits
+    )
+
 # ---------------------------------------------------------------------------
 # flagship: the zync ingest+ETL shape — envelope wrap -> anti-join dedup
 # against done markers -> per-topic sequential offset assignment
@@ -240,7 +255,7 @@ def _q_grouped_agg(spark, sf):
         F.round(F.max("value"), 2).alias("max_value"),
         F.count(F.lit(1)).alias("n"),
         F.max(F.col("value") > 100).alias("any_big"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _dsum(F.col("value")).alias("sum_value"),
     )
 
 
@@ -290,22 +305,20 @@ def _q_tpch_q1(spark, sf):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
             F.round(
                 F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
+                    (F.col("l_extendedprice")
+                     * (1 - F.col("l_discount"))
+                     * (1 + F.col("l_tax"))).cast("decimal(18,6)")
                 ),
                 2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            ).cast("double").alias("sum_charge"),
+            _davg(F.col("l_quantity")).alias("avg_qty"),
+            _davg(F.col("l_extendedprice")).alias("avg_price"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -319,11 +332,7 @@ def _q_tpch_q3(spark, sf):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -352,11 +361,7 @@ def _q_tpch_q5(spark, sf):
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -365,7 +370,7 @@ def _q_time_rollup(spark, sf):
     return ev.groupBy(
         F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.col("event_type").alias("topic"),
-    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    ).agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("value")).alias("sum_value"))
 
 
 # --- LLM-pipeline operators -------------------------------------------------
@@ -502,7 +507,7 @@ def _q_tpch_q6(spark, sf):
         & (F.col("l_discount") >= 0.02)
         & (F.col("l_discount") <= 0.04)
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
 
 
 def _q_tpch_q10(spark, sf):
@@ -518,11 +523,7 @@ def _q_tpch_q10(spark, sf):
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -540,8 +541,11 @@ def _q_tpch_q14(spark, sf):
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), rev)
+                    .otherwise(F.lit(0.0)).cast("decimal(18,4)")
+                ).cast("double")
+                / F.sum(rev.cast("decimal(18,4)")).cast("double"),
                 4,
             ).alias("promo_revenue")
         )
@@ -554,7 +558,7 @@ def _q_tpch_q18(spark, sf):
     cust = _t(spark, sf, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"))
         .filter(F.col("sum_qty") > 212)
     )
     return (
@@ -567,6 +571,72 @@ def _q_tpch_q18(spark, sf):
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
             F.round("o_totalprice", 2).alias("o_totalprice"),
             F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+def _q_tpch_q4(spark, sf):
+    """Order-priority checking: EXISTS semi-join."""
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01"))
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-01-01"))
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q_tpch_q7(spark, sf):
+    """Volume shipping: customer-nation x supplier-nation pairs."""
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    n1 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q_tpch_q13(spark, sf):
+    """Customer order-count distribution (left outer + double groupBy)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(~F.col("o_orderpriority").startswith("3"))
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def _q_tpch_q17(spark, sf):
+    """Small-quantity-order revenue: per-part average join-back."""
+    li = _t(spark, sf, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.8).alias("thresh")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("thresh"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0, 2)
+            .alias("avg_yearly")
         )
     )
 
@@ -667,8 +737,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q4": _q_tpch_q4,
         "tpch_q6": _q_tpch_q6,
+        "tpch_q7": _q_tpch_q7,
         "tpch_q10": _q_tpch_q10,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q17": _q_tpch_q17,
         "tpch_q14": _q_tpch_q14,
         "tpch_q18": _q_tpch_q18,
         "time_rollup": _q_time_rollup,
@@ -939,7 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_agg": """
             SELECT event_type AS topic, round(max(value), 2) AS max_value,
                    count(*) AS n, bool_or(value > 100) AS any_big,
-                   round(sum(value), 2) AS sum_value
+                   CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
             FROM events GROUP BY event_type
         """,
         "collect_bundle": """
@@ -964,13 +1038,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -978,7 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q3": """
             SELECT l_orderkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
                    strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
             FROM customer, orders, lineitem
             WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -990,7 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q5": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
             FROM customer, orders, lineitem, supplier, nation, region
             WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
               AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1000,20 +1074,61 @@ def oracle_sql() -> dict[str, str]:
         """,
         "time_rollup": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-                   event_type AS topic, count(*) AS n, round(sum(value), 2) AS sum_value
+                   event_type AS topic, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "tpch_q6": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1995-01-01'
               AND l_shipdate < TIMESTAMP '1996-01-01'
               AND l_discount BETWEEN 0.02 AND 0.04
               AND l_quantity < 24
         """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1995-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > TIMESTAMP '1995-01-01')
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE n1.n_name <> n2.n_name
+            GROUP BY 1, 2
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '3%'
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "tpch_q17": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+            FROM lineitem l
+            JOIN (SELECT l_partkey AS pk, 0.8 * avg(l_quantity) AS thresh
+                  FROM lineitem GROUP BY l_partkey) t
+              ON l.l_partkey = t.pk
+            WHERE l.l_quantity < t.thresh
+        """,
         "tpch_q10": """
             SELECT c_custkey, c_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
             FROM customer, orders, lineitem, nation
             WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
               AND o_orderdate >= TIMESTAMP '1995-01-01'
@@ -1023,9 +1138,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, c_custkey LIMIT 20
         """,
         "tpch_q14": """
-            SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                         THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-                   / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+            SELECT round(100.0::DOUBLE
+                   * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))  AS DOUBLE), 4) AS promo_revenue
             FROM lineitem, part
             WHERE l_partkey = p_partkey
               AND l_shipdate >= TIMESTAMP '1995-09-01'
@@ -1037,9 +1153,10 @@ def oracle_sql() -> dict[str, str]:
                    round(o_totalprice, 2) AS o_totalprice,
                    round(big.sum_qty, 2) AS sum_qty
             FROM orders
-            JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+            JOIN (SELECT l_orderkey,
+                         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
                   FROM lineitem GROUP BY l_orderkey
-                  HAVING sum(l_quantity) > 212) big
+                  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 212) big
               ON o_orderkey = big.l_orderkey
             JOIN customer ON o_custkey = c_custkey
         """,
