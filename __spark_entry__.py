@@ -676,6 +676,28 @@ def _q_running_sum(spark, sf):
     )
 
 
+def _q_percentiles(spark, sf):
+    """Exact interpolated percentiles (both engines: continuous
+    quantile over sorted doubles)."""
+    ev = _events(spark, sf)
+    return ev.groupBy(F.col("event_type").alias("topic")).agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+def _q_unpivot(spark, sf):
+    """Unpivot via stack: wide per-topic stats -> (topic, metric, v) rows."""
+    ev = _events(spark, sf)
+    wide = ev.groupBy(F.col("event_type").alias("topic")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.max("value"), 2).alias("mx"),
+    )
+    return wide.selectExpr(
+        "topic", "stack(2, 'n', n, 'mx', mx) AS (metric, v)"
+    )
+
+
 _QUERY_VEC_DIM = 64
 
 
@@ -754,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": _q_distinct_users,
         "rollup_counts": _q_rollup_counts,
         "running_sum": _q_running_sum,
+        "percentiles": _q_percentiles,
+        "unpivot_stack": _q_unpivot,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1215,6 +1239,22 @@ def oracle_sql() -> dict[str, str]:
         "rollup_counts": """
             SELECT event_type AS topic, count(*) AS n
             FROM events GROUP BY ROLLUP (event_type)
+        """,
+        "percentiles": """
+            SELECT event_type AS topic,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95
+            FROM events GROUP BY event_type
+        """,
+        "unpivot_stack": """
+            WITH wide AS (
+              SELECT event_type AS topic, count(*)::DOUBLE AS n,
+                     round(max(value), 2) AS mx
+              FROM events GROUP BY event_type
+            )
+            SELECT topic, 'n' AS metric, n AS v FROM wide
+            UNION ALL
+            SELECT topic, 'mx' AS metric, mx AS v FROM wide
         """,
         "running_sum": """
             SELECT user_id, event_id,

@@ -24,9 +24,13 @@ HEADLINE = [
     "switch_route",
     "top1_per_group",
     "offset_assign",
+    "asof_join",
+    "sessionize",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q7",
+    "tpch_q17",
     "time_rollup",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -34,8 +38,10 @@ HEADLINE = [
     "simhash",
     "lang_id",
     "quality_score",
+    "token_counts",
     "ann_brute_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 
