@@ -74,3 +74,17 @@ def test_read_batch_ordered(spark, tmp_path):
     pool.load_batch(spark.createDataFrame(env_rows("T", [5, 3, 9, 7, 1]), _schema()))
     out = [r["kafka"]["offset"] for r in pool.read_batch("T", 3, 3).collect()]
     assert out == [3, 5, 7]
+
+
+def test_compact_preserves_contents(spark, tmp_path):
+    pool = Pool.create(spark, str(tmp_path / "c"))
+    for batch in ([0, 1], [2], [3, 4]):
+        pool.load_batch(spark.createDataFrame(env_rows("T", batch), _schema()))
+    before = sorted(r["kafka"]["offset"] for r in pool.df().collect())
+    assert pool.compact() == 3
+    import os
+    commits = [d for d in os.listdir(pool.path) if d.startswith("commit-")]
+    assert len(commits) == 1
+    after = sorted(r["kafka"]["offset"] for r in pool.df().collect())
+    assert after == before == [0, 1, 2, 3, 4]
+    assert pool.next_consumer_offset("T") == 5

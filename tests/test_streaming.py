@@ -152,3 +152,30 @@ def test_kafka_sink_projection(spark):
     row = out.collect()[0]
     assert row["topic"] == "T"
     assert json.loads(row["value"])["payload"] == {"a": 5}
+
+
+def test_continuous_sink_streams_new_commits(spark, tmp_path):
+    """Continuous pool->Kafka mode (README.md:175-177): the file-source
+    stream picks up new pool commits; sink projection feeds the broker
+    (memory sink here)."""
+    pool = Pool.create(spark, str(tmp_path / "cs"))
+    env_schema = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint>, _type string"
+    )
+    pool.load_batch(
+        spark.createDataFrame([(("T", 0, i), None, (i,), "data") for i in range(3)], env_schema)
+    )
+
+    def sink(df):
+        return tk.kafka_sink_projection(
+            df, value_encoder=lambda d: cj.encode(F.col("value"), T.StructType.fromDDL("a bigint"))
+        )
+
+    q = tk.continuous_sink(
+        spark, pool, env_schema, str(tmp_path / "ck"), sink, available_now=True
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from to_kafka_test").collect()
+    assert len(rows) == 3
+    assert {json.loads(r["value"])["payload"]["a"] for r in rows} == {0, 1, 2}

@@ -168,5 +168,32 @@ class Pool:
             .select(F.col("kafka.topic").alias("topic"), F.col("kafka.offset").alias("offset"))
         )
 
+    def compact(self) -> int:
+        """Merge all commit dirs into one (the Delta OPTIMIZE analog).
+
+        Many small commits are the expected write pattern (one per
+        micro-batch); reads pay per-file open cost and the driver pays
+        listing cost. Compaction rewrites the pool as a single sorted
+        commit and atomically swaps it in; concurrent readers keep
+        seeing the old commits until the swap. Returns commits merged.
+        """
+        dirs = self._commit_dirs()
+        if len(dirs) <= 1:
+            return len(dirs)
+        snapshot = self.df().sortWithinPartitions("kafka.offset")
+        commit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        tmp = os.path.join(self.path, f".tmp-{commit_id}")
+        writer = snapshot.write.mode("overwrite")
+        if self.meta.get("partitioned"):
+            writer = snapshot.withColumn(
+                "_topic", F.col("kafka.topic")
+            ).write.mode("overwrite").partitionBy("_topic")
+        writer.parquet(tmp)
+        final = os.path.join(self.path, f"commit-{commit_id}")
+        os.rename(tmp, final)
+        for d in dirs:
+            shutil.rmtree(d)
+        return len(dirs)
+
     def delete(self) -> None:
         shutil.rmtree(self.path)
