@@ -36,10 +36,9 @@ def brute_force_topk(
     """Exact top-k by cosine. orderBy+limit compiles to a per-partition
     top-k + single merge (TakeOrderedAndProject) — the right plan at any
     corpus size. Ties broken by id for determinism."""
-    q = _query_lit(query_vec)
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), 8).alias("score"),
+        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 8).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -58,14 +57,14 @@ def lsh_topk(
     written partitioned/clustered by bucket, this prunes the scan to
     one bucket (the IVF-style scale path)."""
     qbits = "".join("1" if float(query_vec[d]) >= 0 else "0" for d in dims)
-    q = _query_lit(query_vec)
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     ).filter(F.col("bucket") == qbits)
     scored = bucketed.select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 8).alias("score")
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 8).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -83,16 +82,21 @@ def ivf_assign(
     At scale the table is written partitioned by ``ivf_cell`` so probes
     scan only their cell's files.
     """
-    best_cell, best_score = None, None
-    for i, c in enumerate(centroids):
-        score = cosine(F.col(vec_col), _query_lit(c))
-        if best_cell is None:
-            best_cell, best_score = F.lit(i), score
-        else:
-            cond = score > best_score
-            best_cell = F.when(cond, F.lit(i)).otherwise(best_cell)
-            best_score = F.when(cond, score).otherwise(best_score)
-    return df.withColumn("ivf_cell", best_cell.cast("int"))
+    # Argmax via greatest() over (score, -i) structs: struct comparison
+    # is lexicographic, so ties pick the smaller centroid index. Each
+    # cosine expression is referenced exactly ONCE — a when-chain would
+    # duplicate subtrees exponentially (and Catalyst's CollapseProject
+    # re-inlines named columns, so projecting scores first doesn't help).
+    best = F.greatest(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), _query_lit(c)).alias("s"),
+                F.lit(-i).alias("negi"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("ivf_cell", (-best.getField("negi")).cast("int"))
 
 
 def ivf_topk(
@@ -114,9 +118,9 @@ def ivf_topk(
     ]
     probe = [i for i, _ in sorted(sims, key=lambda t: (-t[1], t[0]))[:n_probe]]
     assigned = ivf_assign(df, centroids, vec_col)
-    q = _query_lit(query_vec)
     scored = assigned.filter(F.col("ivf_cell").isin(probe)).select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 8).alias("score")
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 8).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
