@@ -15,7 +15,6 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from zinger_spark import datamodel as dm
 from zinger_spark.functions import text as ztext
-from zinger_spark.functions import vector as zvec
 from zinger_spark.operators import dedup as zdedup
 from zinger_spark.operators import offsets as zoff
 from zinger_spark.operators import relational as zrel
