@@ -640,6 +640,23 @@ def _q_tpch_q17(spark, sf):
     )
 
 
+def _q_tpch_q19(spark, sf):
+    """Discounted revenue under disjunctive brand/size/qty predicates
+    (constant folding + OR-pushdown showcase)."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 21))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size") <= 50) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+    )
+    return j.filter(cond).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _q_pivot_counts(spark, sf):
     ev = _events(spark, sf)
     return (
@@ -764,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": _q_tpch_q10,
         "tpch_q13": _q_tpch_q13,
         "tpch_q17": _q_tpch_q17,
+        "tpch_q19": _q_tpch_q19,
         "tpch_q14": _q_tpch_q14,
         "tpch_q18": _q_tpch_q18,
         "time_rollup": _q_time_rollup,
@@ -1182,6 +1200,14 @@ def oracle_sql() -> dict[str, str]:
                   HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 212) big
               ON o_orderkey = big.l_orderkey
             JOIN customer ON o_custkey = c_custkey
+        """,
+        "tpch_q19": """
+            SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+                   count(*) AS n
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 21)
+               OR (p_brand = 'Brand#23' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#34' AND p_size <= 50 AND l_quantity BETWEEN 20 AND 40)
         """,
         "const_map_lookup": """
             SELECT event_id,

@@ -252,8 +252,10 @@ def test_etl_idempotent_rerun(spark, pools):
 
 
 def test_explain_golden():
-    text = explain(make_transform())
-    assert "output topic: NewInvoices" in text
-    assert "ANTI JOIN done('Invoices')" in text
-    assert "case 0: denorm" in text
-    assert "sort kafka.offset" in text
+    """Exact generated-plan golden — the `zync etl -zed` analog
+    (ztests/etl-zed.yaml compares the full generated query text)."""
+    import pathlib
+
+    text = explain(make_transform()) + "\n"
+    golden = pathlib.Path(__file__).parent / "golden" / "etl_explain.txt"
+    assert text == golden.read_text()
