@@ -483,8 +483,17 @@ def _q_sessionize(spark, sf):
 
 def _q_asof_join(spark, sf):
     """As-of join: each purchase joined to the user's most recent prior
-    (or simultaneous) view event."""
-    ev = _events(spark, sf)
+    (or simultaneous) view event.
+
+    Joins on the RAW nanosecond value (events.ts is TIMESTAMP(NANOS),
+    read as bigint) so the `>=` comparison is bit-identical to DuckDB's
+    native ns comparison — µs truncation would both flip boundary cases
+    and manufacture ties the carry-forward window can't break."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    if dict(ev.dtypes).get("ts") != "bigint":  # pre-converted input
+        ev = ev.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -750,8 +759,12 @@ def _q_ann_ivf(spark, sf):
 
 
 def _q_embedding_dups(spark, sf):
+    # 0.40 is calibrated to the synthetic corpus: random 64-dim vectors
+    # top out near cosine 0.51, so 0.9 matches nothing (vacuous check);
+    # 0.40 yields ~a dozen pairs at every SF with >5e-4 margin to the
+    # nearest score, so the oracle comparison is boundary-stable.
     emb = _t(spark, sf, "embeddings")
-    return zsim.embedding_dup_pairs(emb, threshold=0.9, dims=(0, 1, 2, 3))
+    return zsim.embedding_dup_pairs(emb, threshold=0.40, dims=(0, 1, 2, 3))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1229,11 +1242,15 @@ def oracle_sql() -> dict[str, str]:
                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              -- order by the µs-truncated instant (+ unique event_id) so the
+              -- window order is bit-identical to Spark's, which reads the
+              -- TIMESTAMP(NANOS) column as ns-long and truncates to µs;
+              -- ordering by the raw ns ts can permute rows that tie at µs.
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
             ),
             sess AS (
               SELECT user_id, event_id,
-                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
               FROM flagged
             )
@@ -1392,6 +1409,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l.id AS a, r.id AS b
             FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
-            WHERE {_sql_cosine("l.v", "r.v")} >= 0.9
+            WHERE {_sql_cosine("l.v", "r.v")} >= 0.40
         """,
     }
