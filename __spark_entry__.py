@@ -927,13 +927,21 @@ def _sql_minhash_lsh(num_hashes: int, bands: int, shingle_k: int, thr: float) ->
     """
 
 
-def _sql_ngram_jaccard(shingle_k: int, thr: float) -> str:
+def _sql_ngram_jaccard(shingle_k: int, thr: float, max_df: int = 1000) -> str:
+    # `blocked` mirrors the Spark side's max_df hot-shingle cap: shingles
+    # shared by more than max_df docs are excluded from candidate
+    # generation (only); jaccard is still computed on full shingle sets.
     return f"""
     WITH {_sql_shingle_ctes(shingle_k)},
     exploded AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh),
+    blocked AS (
+      SELECT id, s FROM (
+        SELECT id, s, count(*) OVER (PARTITION BY s) AS w FROM exploded
+      ) WHERE w <= {max_df}
+    ),
     cand AS (
       SELECT DISTINCT l.id AS a, r.id AS b
-      FROM exploded l JOIN exploded r ON l.s = r.s AND l.id < r.id
+      FROM blocked l JOIN blocked r ON l.s = r.s AND l.id < r.id
     )
     SELECT c.a AS doc_a, c.b AS doc_b,
            round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE

@@ -251,6 +251,34 @@ def test_etl_idempotent_rerun(spark, pools):
     assert staging_flat(pools["Staging"]) == GOLDENS[3]
 
 
+def test_run_is_single_execution(spark, pools, monkeypatch):
+    """run() must not issue driver-side count() actions: the ETL'd-n
+    count rides on an Observation collected during the commit write,
+    so one run = one execution of the anti-join/denorm plan."""
+    import pyspark.sql
+
+    transform = make_transform()
+    pipeline = EtlPipeline(spark, transform, lambda name: pools[name])
+    invoices, statuses = BATCHES[0]
+    if invoices:
+        pools["Raw"].load_batch(
+            spark.createDataFrame(invoices, envelope_schema(AFTER_INV))
+        )
+    if statuses:
+        pools["Raw"].load_batch(
+            spark.createDataFrame(statuses, envelope_schema(AFTER_IS))
+        )
+
+    def _no_count(self):
+        raise AssertionError("DataFrame.count() called during EtlPipeline.run()")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "count", _no_count)
+    n = pipeline.run()
+    monkeypatch.undo()
+    assert n == ETLD[0]
+    assert staging_flat(pools["Staging"]) == GOLDENS[0]
+
+
 def test_explain_golden():
     """Exact generated-plan golden — the `zync etl -zed` analog
     (ztests/etl-zed.yaml compares the full generated query text)."""

@@ -135,6 +135,30 @@ def test_minhash_identical_docs_same_signature(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in pairs.collect()] == [(1, 2)]
 
 
+def test_ngram_jaccard_max_df_caps_stop_phrase(spark):
+    """A shingle shared by every doc (boilerplate stop-phrase) must not
+    generate candidates when its document frequency exceeds max_df, but
+    jaccard for pairs found via rare shingles stays EXACT (computed on
+    the full shingle sets, stop-phrase included)."""
+    stop = "call now to subscribe"  # one 4-gram shared by ALL docs
+    rows = [(i, f"{stop} unique{i} filler{i}") for i in range(1, 9)]
+    # docs 101/102 also share their entire tail -> true near-dup pair
+    rows += [(101, f"{stop} alpha beta gamma"), (102, f"{stop} alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = zdedup.ngram_jaccard_pairs(df, shingle_k=4, threshold=0.2, max_df=5)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    # only the rare-shingle pair survives; its jaccard is exact (all 4
+    # shingles shared, incl. the capped stop-phrase one) = 1.0
+    assert set(got) == {(101, 102)}
+    assert got[(101, 102)] == 1.0
+
+    # sanity: without the cap the stop-phrase makes every doc pair a
+    # candidate (45 pairs meet threshold 0 via >=1 shared shingle)
+    uncapped = zdedup.ngram_jaccard_pairs(df, shingle_k=4, threshold=0.0, max_df=10**9)
+    assert uncapped.count() == 45
+
+
 def test_simhash_similar_docs_close(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog"),

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from ..datamodel import TYPE_DATA, TYPE_DONE, fuse
@@ -166,9 +166,7 @@ class EtlPipeline:
             F.col("__in_kafka.topic").alias(_ORIG_TOPIC),
         )
         markers = subset.select(*_done_of("kafka"))
-        # "ETL'd n records" counts data rows + marker rows, matching the
-        # reference's batch.Values() (1 data + 1 done per input record).
-        return data, markers, 2 * subset.count()
+        return data, markers
 
     def _apply_denorm(self, subset: DataFrame, rule: Rule):
         if "=" not in rule.join_on:
@@ -208,36 +206,32 @@ class EtlPipeline:
             out.select(*_done_of("__l_kafka")),
             out.select(*_done_of("__r_kafka")),
         )
-        # 1 data row + 1 {left,right} marker-pair row per joined pair.
-        return data, markers, 2 * joined.count()
+        return data, markers
 
-    def build(self) -> tuple[DataFrame | None, DataFrame | None, int]:
-        """Returns (data rows with assigned offsets, done markers, n)."""
+    def build(self) -> tuple[DataFrame | None, DataFrame | None]:
+        """Returns (data rows with assigned offsets, done markers)."""
         fresh = self._fresh_inputs()
         if fresh is None:
-            return None, None, 0
+            return None, None
         remaining = fresh
         prior: Column | None = None
-        data_parts, marker_parts, n = [], [], 0
+        data_parts, marker_parts = [], []
         for rule in self.transform.etls:
             pred = _case_predicate(rule)
             cond = pred if prior is None else pred & ~prior
             subset = remaining.filter(cond)
             if rule.type == "stateless":
-                d, m, c = self._apply_stateless(subset, rule)
+                d, m = self._apply_stateless(subset, rule)
             else:
-                d, m, c = self._apply_denorm(subset, rule)
+                d, m = self._apply_denorm(subset, rule)
             data_parts.append(d)
             marker_parts.append(m)
-            n += c
             masked = F.coalesce(pred, F.lit(False))
             prior = masked if prior is None else (prior | masked)
-        if n == 0:
-            return None, None, 0
         data = fuse(*data_parts)
         markers = fuse(*marker_parts)
         data = self._assign_offsets(data)
-        return data, markers, n
+        return data, markers
 
     def _assign_offsets(self, data: DataFrame) -> DataFrame:
         """Sequential per-output-topic offsets continuing from the pool's
@@ -267,12 +261,28 @@ class EtlPipeline:
     def run(self) -> int:
         """Build, then atomically commit data + markers together
         (etl/pipeline.go:92-125). Returns the ETL'd record count
-        (0 = nothing new found to ETL, cmd/zync/etl/command.go:88-90)."""
-        data, markers, n = self.build()
-        if n == 0:
+        (0 = nothing new found to ETL, cmd/zync/etl/command.go:88-90).
+
+        The count rides on an ``Observation`` attached to the data
+        branch, collected during the commit write itself — one run is
+        ONE execution of the plan (no pre-count actions; per-rule
+        ``count()`` calls used to re-run the anti-join prelude and
+        denorm joins once per rule before the write).  The reference's
+        "ETL'd n" counts 1 data row + 1 done marker (stateless) or
+        marker-pair (denorm) per output row, i.e. n = 2 * data rows.
+        """
+        data, markers = self.build()
+        if data is None:
             return 0
-        batch = fuse(data, markers)
-        self.output_pool.load_batch(batch)
+        obs = Observation()
+        batch = fuse(data.observe(obs, F.count(F.lit(1)).alias("rows")), markers)
+        commit_id = self.output_pool.load_batch(batch)
+        n = 2 * int(obs.get["rows"])
+        if n == 0:
+            # nothing matched: retract the empty commit so repeated
+            # polls don't litter the pool (reference never commits an
+            # empty batch either, etl/pipeline.go:92-99)
+            self.output_pool.drop_commit(commit_id)
         return n
 
 

@@ -269,28 +269,48 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.5,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs, blocked by shared shingle.
 
-    Explode distinct shingles -> self-join on shingle -> distinct pairs
-    -> exact jaccard. Equivalent output to minhash_lsh at threshold with
-    recall 1.0; the blocking join is the scale lever (only docs sharing
-    >=1 shingle ever meet)."""
+    Explode distinct shingles -> DF-capped self-join on shingle ->
+    distinct candidate pairs -> exact jaccard over the FULL shingle
+    sets. ``max_df`` is the hot-bucket guard (same role as
+    ``max_bucket`` in minhash_lsh_pairs): a shingle shared by M docs
+    yields M^2 blocking-join rows, so one boilerplate phrase in a
+    skewed corpus is quadratic — shingles with document frequency
+    above the cap are excluded from CANDIDATE GENERATION only.
+    Verification still counts every shared shingle, so jaccard values
+    stay exact; the only loss is recall for pairs whose overlap is
+    exclusively ultra-common shingles (which near-always means
+    boilerplate, not duplication)."""
     # Block on a 64-bit hash of the shingle, not the string: ~8 bytes vs
     # ~50 through the shuffle. Shingles are distinct per doc, so the
-    # self-join emits exactly one row per shared shingle; counting rows
-    # per pair gives |A ∩ B| directly and |A ∪ B| = |A| + |B| - |A ∩ B| —
-    # no array-valued join at all. (A 64-bit collision between two
-    # shingles of the same doc pair could perturb one count; probability
-    # ~2^-64 per pair — ignored.)
+    # self-join emits exactly one row per shared shingle. (A 64-bit
+    # collision between two shingles of the same doc pair could perturb
+    # one count; probability ~2^-64 per pair — ignored.)
     exploded = exploded_shingles(df, text_col, id_col, shingle_k).select(
         "id", F.xxhash64("s").alias("h")
     )
-    shared = (
-        exploded.alias("l")
-        .join(exploded.alias("r"), "h")
+    blocked = exploded.withColumn(
+        "__w", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("__w") <= max_df)
+    cand = (
+        blocked.alias("l")
+        .join(blocked.alias("r"), "h")
         .filter(F.col("l.id") < F.col("r.id"))
-        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    # Exact |A ∩ B| from the UNCAPPED shingle sets, restricted to the
+    # candidates (the minhash verify-stage shape, see minhash_lsh_pairs).
+    shared = (
+        cand.join(exploded.select(F.col("id").alias("a"), "h"), "a")
+        .join(
+            exploded.select(F.col("id").alias("__bid"), F.col("h").alias("hb")),
+            (F.col("b") == F.col("__bid")) & (F.col("h") == F.col("hb")),
+        )
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"))

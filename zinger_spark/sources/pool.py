@@ -130,6 +130,14 @@ class Pool:
         os.rename(tmp, final)
         return commit_id
 
+    def drop_commit(self, commit_id: str) -> None:
+        """Retract a just-written commit (used to take back an empty
+        ETL batch).  Only safe for the most recent commit written by
+        this process — not a general rollback."""
+        d = os.path.join(self.path, f"commit-{commit_id}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
     # -- offset bookkeeping (A9-A11) ----------------------------------------
 
     def next_consumer_offset(self, topic: str) -> int:
