@@ -1,0 +1,135 @@
+"""Broker-free tests for the topic admin (A23), the to-kafka resume
+contract, and the `produce` encode projection.
+
+The broker boundary is the TopicAdmin interface / the `produce`
+callable; everything here runs against in-process fakes, the same seam
+the reference's ztests use (they script kafka via a mock driver)."""
+
+import json
+
+import pytest
+
+from zinger_spark.cli import consume_starting_offsets, main, resolve_start_offset
+from zinger_spark.codecs import connect_json as cj
+from zinger_spark.kafka_admin import FakeTopicAdmin, TopicAdminError, TopicExists
+from zinger_spark.streaming.to_kafka import produce_projection, sync_batches
+
+
+# ---------------------------------------------------------------------------
+# A23: CreateMissingTopics semantics (fifo/admin.go:12-31)
+
+
+def test_create_missing_topics_ignores_existing():
+    admin = FakeTopicAdmin()
+    admin.create_topic("have", partitions=3)
+    created = admin.create_missing_topics(["have", "need1", "need2"], partitions=2)
+    assert created == ["need1", "need2"]
+    # existing topic untouched (create ignored, not replaced)
+    assert admin.topics["have"]["partitions"] == 3
+    assert admin.topics["need1"]["partitions"] == 2
+
+
+def test_create_topic_raises_on_duplicate_direct_create():
+    admin = FakeTopicAdmin()
+    admin.create_topic("t")
+    with pytest.raises(TopicExists):
+        admin.create_topic("t")
+
+
+def test_watermarks_and_head_offset():
+    admin = FakeTopicAdmin()
+    admin.create_topic("t")
+    admin.advance("t", 7)
+    assert admin.watermarks("t") == (0, 7)
+    assert admin.head_offset("t") == 7  # Producer.HeadOffset analog
+    with pytest.raises(TopicAdminError):
+        admin.watermarks("missing")
+
+
+# ---------------------------------------------------------------------------
+# to-kafka resume: destination head offset, not pool-side max
+# (fifo/to.go:31-33; ADVICE r1)
+
+
+def test_resolve_start_offset_resume_uses_destination_head():
+    admin = FakeTopicAdmin()
+    admin.advance("out", 5)
+    assert resolve_start_offset(True, None, "out", admin) == 5
+    assert resolve_start_offset(False, None, "out", admin) == 0
+    assert resolve_start_offset(True, 42, "out", admin) == 42  # explicit wins
+    with pytest.raises(SystemExit):
+        resolve_start_offset(True, None, "out", None)
+
+
+def test_sync_batches_resume_skips_already_produced(spark, tmp_path):
+    """End-to-end resume semantics: rows 0..4 already in the topic
+    (admin end offset 5) -> sync produces exactly rows 5..9."""
+    from zinger_spark.sources.pool import Pool
+
+    pool = Pool.create(spark, str(tmp_path / "p"))
+    rows = [
+        {"kafka": {"topic": "out", "partition": 0, "offset": i}, "v": i}
+        for i in range(10)
+    ]
+    pool.load_batch(
+        spark.createDataFrame(
+            rows, "kafka struct<topic:string,partition:long,offset:long>, v long"
+        )
+    )
+    admin = FakeTopicAdmin()
+    admin.advance("out", 5)
+    got = []
+
+    def produce(df):
+        got.extend(r["kafka"]["offset"] for r in df.collect())
+
+    start = resolve_start_offset(True, None, "out", admin)
+    n = sync_batches(pool, "out", start, produce, batch_size=3)
+    assert n == 5
+    assert got == [5, 6, 7, 8, 9]
+
+
+# ---------------------------------------------------------------------------
+# consume -offset flag mapping (cmd/zync/consume/command.go:56-57)
+
+
+def test_consume_starting_offsets_mapping():
+    assert consume_starting_offsets("t", -2) == "earliest"
+    assert consume_starting_offsets("t", -1) == "latest"
+    assert json.loads(consume_starting_offsets("t", 7)) == {"t": {"0": 7}}
+    with pytest.raises(SystemExit):
+        consume_starting_offsets("t", -3)
+
+
+# ---------------------------------------------------------------------------
+# produce: encode projection (fifo/producer.go:82-99) without a broker
+
+
+def test_produce_projection_value_and_key(spark):
+    df = spark.createDataFrame(
+        [(("k1",), ("a", 1)), (("k2",), ("b", 2))],
+        "key struct<id:string>, value struct<s:string,n:long>",
+    )
+    out = produce_projection(df, cj.encode).collect()
+    vals = [json.loads(r["value"]) for r in out]
+    assert [v["payload"] for v in vals] == [{"s": "a", "n": 1}, {"s": "b", "n": 2}]
+    keys = [json.loads(r["key"]) for r in out]
+    assert [k["payload"] for k in keys] == [{"id": "k1"}, {"id": "k2"}]
+
+
+def test_produce_projection_whole_record_fallback(spark):
+    """No `value` field -> the whole record is the value, key is null
+    (producer.go:83-86: val = rec when Deref('value') is nil)."""
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    out = produce_projection(df, cj.encode).collect()
+    assert out[0]["key"] is None
+    assert json.loads(out[0]["value"])["payload"] == {"a": 1, "b": "x"}
+
+
+def test_cli_produce_no_inputs_errors():
+    assert main(["produce", "--brokers", "b:9092", "--topic", "t"]) == 1
+
+
+def test_cli_version(capsys):
+    assert main(["version"]) == 0
+    assert capsys.readouterr().out.strip()

@@ -83,8 +83,20 @@ def test_compact_preserves_contents(spark, tmp_path):
     before = sorted(r["kafka"]["offset"] for r in pool.df().collect())
     assert pool.compact() == 3
     import os
-    commits = [d for d in os.listdir(pool.path) if d.startswith("commit-")]
-    assert len(commits) == 1
+    # manifest points at the single merged commit; the pre-compact dirs
+    # stay on disk (readers-safe swap) until vacuum's grace lapses
+    assert len(pool._commit_dirs()) == 1
+    on_disk = [d for d in os.listdir(pool.path) if d.startswith("commit-")]
+    assert len(on_disk) == 4
     after = sorted(r["kafka"]["offset"] for r in pool.df().collect())
     assert after == before == [0, 1, 2, 3, 4]
     assert pool.next_consumer_offset("T") == 5
+    # within grace: nothing reclaimed; after grace: stale dirs go
+    assert pool.vacuum(grace_seconds=3600) == 0
+    assert pool.vacuum(grace_seconds=0) == 3
+    on_disk = [d for d in os.listdir(pool.path) if d.startswith("commit-")]
+    assert len(on_disk) == 1
+    assert sorted(r["kafka"]["offset"] for r in pool.df().collect()) == before
+    # post-compact appends keep flowing through the manifest
+    pool.load_batch(spark.createDataFrame(env_rows("T", [5]), _schema()))
+    assert pool.next_consumer_offset("T") == 6

@@ -23,6 +23,8 @@ import sys
 
 from .session import get_spark
 
+__version__ = "0.2.0"
+
 
 def _spark(args):
     return get_spark(f"zync-{args.cmd}")
@@ -60,7 +62,22 @@ def cmd_create_pool(args) -> int:
 
 def cmd_info(args) -> int:
     """Watermarks. With --pool: offset range stored per topic (local).
-    With --brokers: Kafka low/high via admin API (A4)."""
+    With --brokers: Kafka low/high via the admin client (A4,
+    fifo/consumer.go:184-196)."""
+    if args.brokers:
+        from .kafka_admin import TopicAdminError, open_admin
+
+        admin = open_admin(args.brokers)
+        if admin is None:
+            print("no Kafka client library available for --brokers mode", file=sys.stderr)
+            return 1
+        try:
+            low, high = admin.watermarks(args.topic)
+        except TopicAdminError as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        print(json.dumps({"topic": args.topic, "low": low, "high": high}))
+        return 0
     if args.pool:
         from pyspark.sql import functions as F
 
@@ -108,6 +125,14 @@ def cmd_from_kafka(args) -> int:
     spark = _spark(args)
     pool = Pool(spark, f"{args.lake}/{args.pool}")
     topics = args.topics.split(",")
+    if args.kafka_replicas > 0:
+        # cmd/zync/from-kafka/command.go:187-191: auto-create the
+        # consumed topics when -kafkareplicas > 0
+        from .kafka_admin import open_admin
+
+        admin = open_admin(args.brokers)
+        if admin is not None:
+            admin.create_missing_topics(topics, replication=args.kafka_replicas)
     offsets = fk.starting_offsets_from_pool(pool, topics)
     src = fk.kafka_source(spark, args.brokers, topics, offsets, args.thresh)
     schema = json.load(open(args.value_schema)) if args.value_schema else None
@@ -128,15 +153,41 @@ def cmd_from_kafka(args) -> int:
     return 0
 
 
+def resolve_start_offset(resume: bool, start_offset: int | None, topic: str, admin) -> int:
+    """To.Sync's resume point (fifo/to.go:31-33): the DESTINATION
+    topic's head offset, not anything pool-side — pool offsets equal
+    destination-topic offsets by the sync contract (fifo/to.go:11-13),
+    so producing resumes exactly where the topic ends.  An explicit
+    --start-offset overrides; without --resume we start from 0 (full
+    re-produce, the reference's behavior for a fresh topic)."""
+    if start_offset is not None:
+        return start_offset
+    if not resume:
+        return 0
+    if admin is None:
+        raise SystemExit(
+            "--resume needs the destination topic's head offset: provide "
+            "--start-offset or run with a reachable broker + Kafka client library"
+        )
+    return admin.head_offset(topic)
+
+
 def cmd_to_kafka(args) -> int:
     from pyspark.sql import functions as F
 
     from .codecs import connect_json as cj
+    from .kafka_admin import open_admin
     from .sources.pool import Pool
     from .streaming import to_kafka as tk
 
     spark = _spark(args)
     pool = Pool(spark, f"{args.lake}/{args.pool}")
+    admin = open_admin(args.brokers)
+    if args.topic_partitions > 0 and admin is not None:
+        # cmd/zync/to-kafka/command.go:90-94
+        admin.create_missing_topics(
+            [args.topic], partitions=args.topic_partitions, replication=args.replication
+        )
 
     def produce(df):
         value_dt = df.schema["value"].dataType
@@ -150,28 +201,95 @@ def cmd_to_kafka(args) -> int:
             .save()
         )
 
-    start = pool.next_consumer_offset(args.topic) if args.resume else 0
+    start = resolve_start_offset(args.resume, args.start_offset, args.topic, admin)
     n = tk.sync_batches(pool, args.topic, start, produce, batch_size=args.batch_size)
     print(f"produced {n} records")
     return 0
 
 
+def cmd_produce(args) -> int:
+    """files -> Kafka (cmd/zync/produce/command.go:20-81): plain copy,
+    no sync bookkeeping ("no effort is made to provide synchronization",
+    command.go:25-28).  Input files are parquet or JSON-lines; each
+    record's key/value are codec-encoded per the producer contract
+    (fifo/producer.go:82-99) and written with the Kafka batch sink
+    (auto-topic-creation enabled, command.go:68)."""
+    from .codecs import connect_json as cj
+    from .streaming.to_kafka import produce_projection
+
+    if not args.files:
+        print("no inputs provided", file=sys.stderr)  # command.go:52-54
+        return 1
+    if args.format != "json":
+        print(f"unsupported -format {args.format!r} (avro needs a registry)", file=sys.stderr)
+        return 1
+    spark = _spark(args)
+    reader = spark.read
+    if all(f.endswith(".parquet") for f in args.files):
+        df = reader.parquet(*args.files)
+    else:
+        df = reader.json(*args.files)
+    out = produce_projection(df, cj.encode)
+    (
+        out.write.format("kafka")
+        .option("kafka.bootstrap.servers", args.brokers)
+        .option("topic", args.topic)
+        .option("kafka.allow.auto.create.topics", "true")
+        .save()
+    )
+    print(f"messages produced to topic {args.topic!r}")
+    return 0
+
+
+def consume_starting_offsets(topic: str, offset: int) -> str:
+    """Map the reference's -offset flag (cmd/zync/consume/command.go:57)
+    to the Kafka source's startingOffsets: -2 earliest, -1 latest, else
+    a concrete partition-0 offset (single-partition total-order model,
+    fifo/consumer.go:59-63)."""
+    if offset == -2:
+        return "earliest"
+    if offset == -1:
+        return "latest"
+    if offset < 0:
+        raise SystemExit(f"invalid -offset {offset} (-2 earliest, -1 latest, or >= 0)")
+    return json.dumps({topic: {"0": offset}})
+
+
 def cmd_consume(args) -> int:
-    from .streaming import from_kafka as fk
+    import time
 
     spark = _spark(args)
-    df = (
-        spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", args.brokers)
-        .option("subscribe", args.topic)
-        .option("startingOffsets", "earliest")
-        .load()
-    )
-    for r in df.select(
-        "topic", "partition", "offset", df.value.cast("string").alias("value")
-    ).collect():
-        print(json.dumps(r.asDict()))
-    return 0
+
+    def _read(starting: str):
+        return (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", args.brokers)
+            .option("subscribe", args.topic)
+            .option("startingOffsets", starting)
+            .load()
+        )
+
+    starting = consume_starting_offsets(args.topic, args.offset)
+    deadline = time.monotonic() + args.timeout if args.timeout else None
+    last_next = None
+    while True:
+        df = _read(starting)
+        mx = None
+        # toLocalIterator streams one partition at a time to the driver —
+        # an unbounded topic never materializes in driver memory.
+        for r in df.select(
+            "topic", "partition", "offset", df.value.cast("string").alias("value")
+        ).toLocalIterator():
+            print(json.dumps(r.asDict()))
+            mx = r["offset"] if mx is None else max(mx, r["offset"])
+        if mx is not None:
+            last_next = mx + 1
+        # Reference semantics (command.go:34-37): at the head, block for
+        # more data; exit when the timeout lapses with nothing new.
+        if deadline is None or time.monotonic() >= deadline:
+            return 0
+        starting = json.dumps({args.topic: {"0": last_next}}) if last_next is not None else starting
+        time.sleep(min(1.0, max(0.0, deadline - time.monotonic())))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -191,6 +309,7 @@ def main(argv: list[str] | None = None) -> int:
     info.add_argument("--pool")
     info.add_argument("--lake", default=".")
     info.add_argument("--brokers")
+    info.add_argument("--topic", help="topic to probe in --brokers mode")
 
     ls = sub.add_parser("ls", help="list schema-registry subjects")
     ls.add_argument("--registry", required=True)
@@ -204,6 +323,11 @@ def main(argv: list[str] | None = None) -> int:
     fkp.add_argument("--thresh", type=int, default=1_048_576)
     fkp.add_argument("--interval", default="5 seconds")
     fkp.add_argument("--exitafter", action="store_true", help="drain then exit")
+    fkp.add_argument(
+        "--kafka-replicas", type=int, default=0,
+        help="create missing topics with this replication (0 = don't; "
+        "the -kafkareplicas flag, cmd/zync/from-kafka/command.go:187-191)",
+    )
 
     tkp = sub.add_parser("to-kafka")
     tkp.add_argument("--brokers", required=True)
@@ -211,11 +335,32 @@ def main(argv: list[str] | None = None) -> int:
     tkp.add_argument("--pool", required=True)
     tkp.add_argument("--lake", default=".")
     tkp.add_argument("--batch-size", type=int, default=200)
-    tkp.add_argument("--resume", action="store_true")
+    tkp.add_argument("--resume", action="store_true",
+                     help="resume at the destination topic's head offset")
+    tkp.add_argument("--start-offset", type=int, default=None,
+                     help="explicit resume offset (overrides --resume)")
+    tkp.add_argument("--topic-partitions", type=int, default=0,
+                     help="create the topic with this many partitions "
+                     "(0 = don't; cmd/zync/to-kafka/command.go:90-94)")
+    tkp.add_argument("--replication", type=int, default=1)
 
     cons = sub.add_parser("consume")
     cons.add_argument("--brokers", required=True)
     cons.add_argument("--topic", required=True)
+    cons.add_argument("--offset", type=int, default=-2,
+                      help="-2 earliest, -1 latest, or a concrete offset "
+                      "(cmd/zync/consume/command.go:57)")
+    cons.add_argument("--timeout", type=float, default=None,
+                      help="seconds to keep polling at the head before "
+                      "exiting (cmd/zync/consume/command.go:56)")
+
+    prod = sub.add_parser("produce", help="produce files into a Kafka topic")
+    prod.add_argument("files", nargs="*")
+    prod.add_argument("--brokers", required=True)
+    prod.add_argument("--topic", required=True)
+    prod.add_argument("--format", default="json", choices=["json", "avro"])
+
+    ver = sub.add_parser("version")
 
     args = p.parse_args(argv)
     handler = {
@@ -226,6 +371,8 @@ def main(argv: list[str] | None = None) -> int:
         "from-kafka": cmd_from_kafka,
         "to-kafka": cmd_to_kafka,
         "consume": cmd_consume,
+        "produce": cmd_produce,
+        "version": lambda a: (print(__version__), 0)[1],
     }[args.cmd]
     return handler(args)
 

@@ -131,6 +131,21 @@ def _wire_cast(col: Column, dt: T.DataType) -> tuple[Column, T.DataType]:
             F.transform(col, lambda x: _wire_cast(x, dt.elementType)[0]),
             T.ArrayType(elem_t, True),
         )
+    if isinstance(dt, T.MapType):
+        # mirror the ArrayType handling for both sides of the map so a
+        # temporal key/value is declared int64/int32 AND serialized as
+        # one (to_json would otherwise emit ISO-8601 strings while the
+        # schema said int64 — schema/payload disagreement)
+        _, key_t = _wire_cast(F.lit(None), dt.keyType)
+        _, val_t = _wire_cast(F.lit(None), dt.valueType)
+        if key_t == dt.keyType and val_t == dt.valueType:
+            return col, dt
+        out = col
+        if key_t != dt.keyType:
+            out = F.transform_keys(out, lambda k, v: _wire_cast(k, dt.keyType)[0])
+        if val_t != dt.valueType:
+            out = F.transform_values(out, lambda k, v: _wire_cast(v, dt.valueType)[0])
+        return out, T.MapType(key_t, val_t, True)
     return col, dt
 
 
@@ -141,9 +156,15 @@ def encode(col: Column, dt: T.DataType, name: str | None = None) -> Column:
     matching connectjson.go:127-128)."""
     wired, wire_dt = _wire_cast(col, dt)
     schema_json = json.dumps(connect_schema_of(wire_dt, name=name), separators=(",", ":"))
-    payload = F.to_json(wired) if isinstance(wire_dt, (T.StructType, T.ArrayType, T.MapType)) else F.to_json(F.struct(wired.alias("v")))
-    if not isinstance(wire_dt, (T.StructType, T.ArrayType, T.MapType)):
-        payload = F.get_json_object(payload, "$.v")
+    if isinstance(wire_dt, (T.StructType, T.ArrayType, T.MapType)):
+        payload = F.to_json(wired)
+    else:
+        # Scalar payload (schema-less string topics etc.): serialize via
+        # a one-element array and strip the brackets, which keeps JSON
+        # quoting/escaping intact — get_json_object would return strings
+        # UNQUOTED and corrupt the envelope ({"payload":hello}).
+        arr = F.to_json(F.array(wired))
+        payload = arr.substr(F.lit(2), F.length(arr) - 2)
     return F.concat(
         F.lit('{"schema":' + schema_json + ',"payload":'),
         F.coalesce(payload, F.lit("null")),
@@ -159,7 +180,14 @@ def decode(col: Column, connect_schema: dict | str) -> Column:
         connect_schema = json.loads(connect_schema)
     dt = spark_type_of(connect_schema)
     payload = F.get_json_object(col, "$.payload")
-    return F.from_json(payload, dt)
+    if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+        return F.from_json(payload, dt)
+    # Scalar top-level payload: get_json_object already unquotes string
+    # scalars; bytes ride base64 (connectjson.go:288-294), numbers/bools
+    # cast from their literal text.
+    if isinstance(dt, T.BinaryType):
+        return F.unbase64(payload)
+    return payload.cast(dt)
 
 
 def schema_of_message(message: str) -> dict:

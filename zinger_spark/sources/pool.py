@@ -84,7 +84,30 @@ class Pool:
 
     # -- read ---------------------------------------------------------------
 
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_manifest.json")
+
+    def _live_commits(self) -> list[str] | None:
+        """Commit names listed in the manifest, or None when the pool
+        predates manifests (then directory listing is the truth)."""
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)["commits"]
+        except FileNotFoundError:
+            return None
+
+    def _write_manifest(self, commits: list[str]) -> None:
+        """Atomic manifest swap (tmp + rename), single-writer like the
+        reference's sync processes."""
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"commits": commits}, f)
+        os.replace(tmp, self._manifest_path())
+
     def _commit_dirs(self) -> list[str]:
+        live = self._live_commits()
+        if live is not None:
+            return [os.path.join(self.path, d) for d in sorted(live)]
         return sorted(
             os.path.join(self.path, d)
             for d in os.listdir(self.path)
@@ -128,12 +151,18 @@ class Pool:
         writer.parquet(tmp)
         # drop spark's _SUCCESS etc? keep; parquet reader ignores non-parquet
         os.rename(tmp, final)
+        live = self._live_commits()
+        if live is not None:
+            self._write_manifest(live + [f"commit-{commit_id}"])
         return commit_id
 
     def drop_commit(self, commit_id: str) -> None:
         """Retract a just-written commit (used to take back an empty
         ETL batch).  Only safe for the most recent commit written by
         this process — not a general rollback."""
+        live = self._live_commits()
+        if live is not None:
+            self._write_manifest([c for c in live if c != f"commit-{commit_id}"])
         d = os.path.join(self.path, f"commit-{commit_id}")
         if os.path.isdir(d):
             shutil.rmtree(d)
@@ -181,9 +210,12 @@ class Pool:
 
         Many small commits are the expected write pattern (one per
         micro-batch); reads pay per-file open cost and the driver pays
-        listing cost. Compaction rewrites the pool as a single sorted
-        commit and atomically swaps it in; concurrent readers keep
-        seeing the old commits until the swap. Returns commits merged.
+        listing cost. Compaction rewrites the pool as one sorted commit
+        and atomically swaps the MANIFEST to it — the old commit dirs
+        stay on disk so concurrent readers mid-scan (who listed files
+        before the swap) never hit vanished parquet files.  ``vacuum``
+        reclaims them after a grace window (the Delta log + VACUUM
+        pattern). Returns commits merged.
         """
         dirs = self._commit_dirs()
         if len(dirs) <= 1:
@@ -199,9 +231,31 @@ class Pool:
         writer.parquet(tmp)
         final = os.path.join(self.path, f"commit-{commit_id}")
         os.rename(tmp, final)
-        for d in dirs:
-            shutil.rmtree(d)
+        self._write_manifest([f"commit-{commit_id}"])
         return len(dirs)
+
+    def vacuum(self, grace_seconds: float = 3600.0) -> int:
+        """Delete commit dirs no longer in the manifest whose mtime is
+        older than ``grace_seconds`` (long enough for any in-flight
+        reader to finish). No-op for manifest-less pools. Returns the
+        number of dirs removed."""
+        live = self._live_commits()
+        if live is None:
+            return 0
+        keep = set(live)
+        removed = 0
+        cutoff = time.time() - grace_seconds
+        for d in os.listdir(self.path):
+            full = os.path.join(self.path, d)
+            if (
+                d.startswith("commit-")
+                and d not in keep
+                and os.path.isdir(full)
+                and os.path.getmtime(full) < cutoff
+            ):
+                shutil.rmtree(full)
+                removed += 1
+        return removed
 
     def delete(self) -> None:
         shutil.rmtree(self.path)

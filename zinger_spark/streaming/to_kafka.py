@@ -41,6 +41,29 @@ def kafka_sink_projection(
     return df.select(*cols)
 
 
+def produce_projection(df: DataFrame, encode) -> DataFrame:
+    """The `zync produce` record contract (fifo/producer.go:82-99):
+    key = record's ``key`` field (missing -> null), value = record's
+    ``value`` field if present else the WHOLE record; both run through
+    the same codec ``encode(col, datatype) -> Column``.
+
+    Broker-free by construction: returns the (key, value) frame the
+    Kafka batch writer sends — tests collect it, cmd_produce writes it.
+    """
+    if "value" in df.columns:
+        val_col, val_dt = F.col("value"), df.schema["value"].dataType
+    else:
+        val_col = F.struct(*[F.col(c) for c in df.columns])
+        val_dt = df.select(val_col.alias("v")).schema["v"].dataType
+    cols = []
+    if "key" in df.columns:
+        cols.append(encode(F.col("key"), df.schema["key"].dataType).alias("key"))
+    else:
+        cols.append(F.lit(None).cast("string").alias("key"))
+    cols.append(encode(val_col, val_dt).alias("value"))
+    return df.select(*cols)
+
+
 def sync_batches(
     pool: Pool,
     topic: str,
