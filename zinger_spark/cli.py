@@ -135,12 +135,26 @@ def cmd_from_kafka(args) -> int:
             admin.create_missing_topics(topics, replication=args.kafka_replicas)
     offsets = fk.starting_offsets_from_pool(pool, topics)
     src = fk.kafka_source(spark, args.brokers, topics, offsets, args.thresh)
-    schema = json.load(open(args.value_schema)) if args.value_schema else None
-    decoder = (
-        (lambda c: cj.decode(c.cast("string"), schema))
-        if schema
-        else (lambda c: c.cast("string"))
-    )
+    transform = None
+    if args.format == "avro":
+        # Mixed-schema Avro topic: keep the framed bytes through the
+        # envelope, then decode per wire schema ID inside each
+        # micro-batch (zavro/decoder.go:54-72 semantics).
+        from .codecs.avro import SchemaRegistry, decode_by_schema_id
+
+        if not args.registry:
+            print("--format avro requires --registry", file=sys.stderr)
+            return 1
+        registry = SchemaRegistry(args.registry)
+        decoder = lambda c: c  # noqa: E731 - binary passthrough
+        transform = lambda batch: decode_by_schema_id(batch, "value", registry)  # noqa: E731
+    else:
+        schema = json.load(open(args.value_schema)) if args.value_schema else None
+        decoder = (
+            (lambda c: cj.decode(c.cast("string"), schema))
+            if schema
+            else (lambda c: c.cast("string"))
+        )
     env = fk.envelope_stream(src, value_decoder=decoder)
     q = fk.run_ingest(
         env,
@@ -148,6 +162,7 @@ def cmd_from_kafka(args) -> int:
         checkpoint=f"{args.lake}/.checkpoints/{args.pool}",
         interval=args.interval,
         available_now=args.exitafter,
+        transform=transform,
     )
     q.awaitTermination()
     return 0
@@ -320,6 +335,9 @@ def main(argv: list[str] | None = None) -> int:
     fkp.add_argument("--pool", required=True)
     fkp.add_argument("--lake", default=".")
     fkp.add_argument("--value-schema", help="Connect schema JSON file")
+    fkp.add_argument("--format", default="json", choices=["json", "avro"],
+                     help="value codec (cli/flags.go:30)")
+    fkp.add_argument("--registry", help="schema registry URL (avro format)")
     fkp.add_argument("--thresh", type=int, default=1_048_576)
     fkp.add_argument("--interval", default="5 seconds")
     fkp.add_argument("--exitafter", action="store_true", help="drain then exit")

@@ -23,8 +23,14 @@ import json
 import struct
 import urllib.request
 
+import pandas as pd
 from pyspark.sql import Column, functions as F
 from pyspark.sql import types as T
+
+# NOTE: pandas must be a MODULE-level import: the pandas-UDF type hints
+# below are strings (future annotations) that pyspark resolves against
+# the module globals — a function-local `import pandas as pd` leaves
+# 'pd.DataFrame' unresolvable and the UDF definition fails.
 
 MAGIC = b"\x00"
 DEFAULT_NAMESPACE = "io.zinger.spark"  # reference default: cli/flags.go:30-32
@@ -165,25 +171,104 @@ def subject_of(dt: T.StructType, namespace: str = DEFAULT_NAMESPACE) -> str:
 
 
 # ---------------------------------------------------------------------------
-# body codec (gated on spark-avro availability)
+# body codec: JVM spark-avro when the connector jar is loaded, else an
+# Arrow-batched pandas UDF over the pure-Python codec (codecs.avro_py) —
+# ~10-100x slower than the JVM path but correct everywhere; the probe
+# runs once per process.
+
+_SPARK_AVRO_OK: bool | None = None
+
+
+def spark_avro_usable() -> bool:
+    global _SPARK_AVRO_OK
+    if _SPARK_AVRO_OK is None:
+        try:
+            from pyspark.sql import SparkSession
+            from pyspark.sql.avro.functions import to_avro
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                return False  # don't cache a session-less probe
+            spark.range(1).select(
+                to_avro(F.struct(F.lit(1).alias("a")))
+            ).collect()
+            _SPARK_AVRO_OK = True
+        except Exception:  # noqa: BLE001 - AVRO_NOT_LOADED and friends
+            _SPARK_AVRO_OK = False
+    return _SPARK_AVRO_OK
+
+
+def _sanitize_row(row: dict, dt: T.StructType) -> dict:
+    """pandas NaN -> None for non-float fields (pandas nulls numeric
+    columns with NaN; Avro unions need real None)."""
+    out = {}
+    for f in dt.fields:
+        v = row.get(f.name)
+        if (
+            v is not None
+            and not isinstance(f.dataType, (T.FloatType, T.DoubleType))
+            and isinstance(v, float)
+            and v != v
+        ):
+            v = None
+        if isinstance(f.dataType, T.StructType) and isinstance(v, dict):
+            v = _sanitize_row(v, f.dataType)
+        out[f.name] = v
+    return out
 
 
 def to_avro_body(col: Column, dt: T.DataType, namespace: str = DEFAULT_NAMESPACE) -> Column:
-    try:
+    """Struct column -> Avro body bytes (zavro/encoder.go:59-66 minus
+    the wire header, which ``frame`` adds)."""
+    schema = avro_schema_of(dt, namespace)
+    if spark_avro_usable():
         from pyspark.sql.avro.functions import to_avro
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError("spark-avro not available in this deployment") from e
-    return to_avro(col, json.dumps(avro_schema_of(dt, namespace)))
+
+        return to_avro(col, json.dumps(schema))
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    from . import avro_py  # noqa: PLC0415
+
+    @pandas_udf("binary")
+    def _enc(s: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            [
+                avro_py.encode_value(schema, _sanitize_row(r, dt))
+                for r in s.to_dict("records")
+            ]
+        )
+
+    return _enc(col)
 
 
 def from_avro_body(col: Column, avro_schema: dict | str) -> Column:
-    try:
+    """Avro body bytes -> typed struct column (zavro/decoder.go:85-221)."""
+    if isinstance(avro_schema, str):
+        avro_schema = json.loads(avro_schema)
+    if spark_avro_usable():
         from pyspark.sql.avro.functions import from_avro
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError("spark-avro not available in this deployment") from e
-    if not isinstance(avro_schema, str):
-        avro_schema = json.dumps(avro_schema)
-    return from_avro(col, avro_schema)
+
+        return from_avro(col, json.dumps(avro_schema))
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    from . import avro_py  # noqa: PLC0415
+
+    dt = spark_type_of_avro(avro_schema)
+    names = [f.name for f in dt.fields]
+
+    @pandas_udf(dt)
+    def _dec(s: pd.Series) -> pd.DataFrame:
+        vals = [
+            None if b is None else avro_py.decode_value(avro_schema, bytes(b))
+            for b in s
+        ]
+        return pd.DataFrame(
+            [({} if v is None else v) for v in vals], columns=names
+        )
+
+    return _dec(col)
 
 
 # ---------------------------------------------------------------------------
@@ -225,3 +310,68 @@ class SchemaRegistry:
 
     def subjects(self) -> list[str]:
         return self._get("/subjects")
+
+
+class FakeSchemaRegistry:
+    """In-process registry double with the same surface as
+    SchemaRegistry — the broker-free seam for Avro-path tests (the
+    reference's ztests mock their registry the same way)."""
+
+    def __init__(self):
+        self._by_id: dict[int, dict] = {}
+        self._subjects: dict[str, int] = {}
+        self._next = 1
+
+    def schema_by_id(self, schema_id: int) -> dict:
+        return self._by_id[schema_id]
+
+    def register(self, subject: str, schema: dict) -> int:
+        key = json.dumps(schema, sort_keys=True)
+        for sid, s in self._by_id.items():
+            if json.dumps(s, sort_keys=True) == key:
+                self._subjects[subject] = sid
+                return sid
+        sid = self._next
+        self._next += 1
+        self._by_id[sid] = schema
+        self._subjects[subject] = sid
+        return sid
+
+    def subjects(self) -> list[str]:
+        return sorted(self._subjects)
+
+
+# ---------------------------------------------------------------------------
+# mixed-schema topics: decode per registry ID (SURVEY §1.1 strategy (b))
+
+
+def decode_by_schema_id(df, value_col: str, registry, namespace: str = DEFAULT_NAMESPACE):
+    """Decode a batch whose ``value_col`` holds Confluent-framed Avro
+    messages of MULTIPLE schemas: group rows by the wire schema ID,
+    decode each group against its registry schema, fuse the legs
+    (zavro/decoder.go:19,54-72 — the per-ID schema cache — combined
+    with the fuse-union the heterogeneous-topic golden expects).
+
+    The distinct-ID probe is a tiny driver action (one row per schema
+    version present in the batch — a handful); each leg is a filtered
+    scan + one decode column, so the whole thing stays one fused plan
+    per schema with no per-row Python beyond the body codec itself.
+    """
+    from ..datamodel import fuse  # noqa: PLC0415 - avoid import cycle
+
+    sid_col = wire_schema_id(F.col(value_col))
+    ids = sorted(
+        r["sid"] for r in df.select(sid_col.alias("sid")).distinct().collect()
+    )
+    legs = []
+    for sid in ids:
+        schema = registry.schema_by_id(sid)
+        body = unframe(F.col(value_col))
+        legs.append(
+            df.filter(sid_col == sid).withColumn(
+                value_col, from_avro_body(body, schema)
+            )
+        )
+    if not legs:
+        return df.limit(0)
+    return fuse(*legs)
