@@ -666,6 +666,150 @@ def _q_tpch_q19(spark, sf):
     )
 
 
+def _q_tpch_q8(spark, sf):
+    """Q8 national market share (adapted: p_type='ECONOMY', NATION_1's
+    share of AMERICA-region consumption; testdata has no partsupp).
+    Shape: 6-way join + year bucket + conditional-ratio aggregate."""
+    part = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31"))
+    )
+    li = _t(spark, sf, "lineitem")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", vol)
+                    .otherwise(F.lit(0))
+                    .cast("decimal(18,4)")
+                ).cast("double")
+                / F.sum(vol.cast("decimal(18,4)")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def _q_tpch_q12(spark, sf):
+    """Q12 shipping-mode priority counts (adapted: testdata lineitem has
+    no l_shipmode/l_commitdate/l_receiptdate — grouped by l_returnflag
+    over a shipdate year instead). Shape: join + conditional counts."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def _q_tpch_q15(spark, sf):
+    """Q15 top supplier: quarterly revenue per supplier, keep the
+    supplier(s) matching the MAX revenue (scalar subquery shape)."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _t(spark, sf, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _q_tpch_q21(spark, sf):
+    """Q21 waiting-supplier shape (adapted: 'returned' via
+    l_returnflag='R' instead of receipt-past-commit dates): suppliers in
+    NATION_2 whose R-lines sit in finalized multi-supplier orders where
+    NO other supplier also returned. Shape: semi-join EXISTS + anti-join
+    NOT EXISTS with non-equi conditions."""
+    nation = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_2")
+    supp = _t(spark, sf, "supplier")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf, "lineitem")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(  # EXISTS: another supplier in the same order
+            l2, (l1.l_orderkey == F.col("o2")) & (l1.l_suppkey != F.col("s2")), "left_semi"
+        ).join(  # NOT EXISTS: no other supplier ALSO returned
+            l3, (l1.l_orderkey == F.col("o3")) & (l1.l_suppkey != F.col("s3")), "left_anti"
+        )
+    )
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+def _q_tpch_q22(spark, sf):
+    """Q22 global-sales-opportunity shape (adapted: nation-key buckets
+    stand in for phone country codes, and 'inactive' means no URGENT
+    orders — every synthetic customer has SOME order, so the original
+    no-orders predicate would be vacuously empty): rich-but-inactive
+    customers = acctbal above the positive-balance average of the
+    nation group AND no urgent orders (scalar AVG subquery + anti
+    join)."""
+    nations = [1, 6, 11, 16, 21]
+    cust = _t(spark, sf, "customer").filter(F.col("c_nationkey").isin(nations))
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 def _q_pivot_counts(spark, sf):
     ev = _events(spark, sf)
     return (
@@ -797,6 +941,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": _q_tpch_q19,
         "tpch_q14": _q_tpch_q14,
         "tpch_q18": _q_tpch_q18,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
         "time_rollup": _q_time_rollup,
         "const_map_lookup": _q_const_map_lookup,
         "explode_tokens": _q_explode_tokens,
@@ -1229,6 +1378,86 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#12' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 21)
                OR (p_brand = 'Brand#23' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 30)
                OR (p_brand = 'Brand#34' AND p_size <= 50 AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "tpch_q8": """
+            SELECT strftime(o_orderdate, '%Y') AS o_year,
+                   round(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_1'
+                             THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                             AS DECIMAL(18,4))) AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+              AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+            GROUP BY 1
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        "tpch_q21": """
+            SELECT s_name, count(*) AS numwait
+            FROM lineitem l1
+            JOIN orders ON l1.l_orderkey = o_orderkey
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+              AND n_name = 'NATION_2'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "tpch_q22": """
+            WITH pool AS (
+              SELECT * FROM customer WHERE c_nationkey IN (1, 6, 11, 16, 21)
+            ),
+            avg_bal AS (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                     / count(*) AS avg_bal
+              FROM pool WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey AS cntry, count(*) AS numcust,
+                   CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
+            FROM pool, avg_bal
+            WHERE c_acctbal > avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
         """,
         "const_map_lookup": """
             SELECT event_id,
