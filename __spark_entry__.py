@@ -889,6 +889,16 @@ def _q_ann_lsh(spark, sf):
     return out.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
+def _q_ann_lsh_multiprobe(spark, sf):
+    """Multi-probe LSH: the query bucket + the 2 next-likeliest buckets
+    (flip the dimension nearest its sign boundary first) — recovers
+    recall lost to neighbors split across a sign boundary."""
+    emb = _t(spark, sf, "embeddings")
+    out = zsim.lsh_topk(emb, _query_vec(), k=20, dims=(0, 1, 2, 3), n_probe=3)
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    return out.select("vec_id", F.row_number().over(w).alias("rank"))
+
+
 def _q_ann_ivf(spark, sf):
     """IVF ANN: centroids = embeddings of vec_id < 8 (deterministic
     stand-in for offline k-means), probe the 2 nearest cells."""
@@ -967,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_dup_pairs": _q_embedding_dups,
     }
@@ -1602,6 +1613,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, embedding::DOUBLE[] AS v, {qvec} AS q FROM embeddings
               WHERE {_sql_sign_bucket("(embedding::DOUBLE[])", 4)} =
                     {_sql_sign_bucket(f"({qvec})", 4)}
+            ),
+            ranked AS (
+              SELECT vec_id, round({cos}, 8) AS score FROM scored
+              ORDER BY score DESC, vec_id LIMIT 20
+            )
+            SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+            FROM ranked
+        """,
+        "ann_lsh_multiprobe": f"""
+            WITH scored AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v, {qvec} AS q FROM embeddings
+              WHERE {_sql_sign_bucket("(embedding::DOUBLE[])", 4)} IN (
+                {", ".join(f"'{b}'" for b in zsim.probe_buckets(_query_vec(), (0, 1, 2, 3), 3))}
+              )
             ),
             ranked AS (
               SELECT vec_id, round({cos}, 8) AS score FROM scored

@@ -172,6 +172,33 @@ def test_simhash_similar_docs_close(spark):
     assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
 
 
+def test_lsh_multiprobe_recall_not_worse(spark):
+    """Multi-probe widens the candidate set monotonically: probing more
+    buckets can only add rows, so recall vs brute force is >= the
+    single-probe recall, and the probe list starts with the query's own
+    bucket."""
+    import random
+
+    from zinger_spark.operators import similarity as zsim
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = [0.1, -0.05, 0.9, -0.8, 0.3, 0.2, -0.4, 0.6]
+    dims = (0, 1, 2, 3)
+
+    probes = zsim.probe_buckets(q, dims, 16)
+    assert probes[0] == "1010"  # own bucket first (signs of q[0..3])
+    assert len(set(probes)) == len(probes) == 16  # all 2^4, no dupes
+
+    truth = {r["vec_id"] for r in zsim.brute_force_topk(df, q, k=10).collect()}
+    single = {r["vec_id"] for r in zsim.lsh_topk(df, q, k=10, dims=dims).collect()}
+    multi = {r["vec_id"] for r in zsim.lsh_topk(df, q, k=10, dims=dims, n_probe=4).collect()}
+    all_probe = {r["vec_id"] for r in zsim.lsh_topk(df, q, k=10, dims=dims, n_probe=16).collect()}
+    assert len(multi & truth) >= len(single & truth)
+    assert all_probe == truth  # probing every bucket == exact
+
+
 def test_lang_id_stopword_langs(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the mat and it is happy"),

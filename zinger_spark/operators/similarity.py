@@ -43,6 +43,31 @@ def brute_force_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def probe_buckets(
+    query_vec: Sequence[float], dims: tuple[int, ...], n_probe: int = 1
+) -> list[str]:
+    """Deterministic multi-probe sequence: the query's own sign bucket,
+    then buckets at Hamming distance 1 ordered by how close the flipped
+    dimension's value sits to the sign boundary (|v| ascending — the
+    standard multi-probe heuristic: the nearest boundaries are the
+    likeliest to have split true neighbors), then distance-2 pairs in
+    the same order, until n_probe buckets are listed."""
+    import itertools
+
+    qbits = ["1" if float(query_vec[d]) >= 0 else "0" for d in dims]
+    order = sorted(range(len(dims)), key=lambda i: (abs(float(query_vec[dims[i]])), i))
+    probes = []
+    for dist in range(len(dims) + 1):
+        for combo in itertools.combinations(order, dist):
+            bits = list(qbits)
+            for i in combo:
+                bits[i] = "0" if bits[i] == "1" else "1"
+            probes.append("".join(bits))
+            if len(probes) >= n_probe:
+                return probes
+    return probes
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -50,18 +75,22 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dims: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7),
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's sign-LSH bucket.
+    """Approximate top-k: search the query's sign-LSH bucket, plus the
+    ``n_probe - 1`` next-likeliest buckets (multi-probe — recovers the
+    recall lost to neighbors split across a sign boundary at the cost
+    of scanning proportionally more buckets).
 
     The bucket predicate is a plain column filter — when the table is
     written partitioned/clustered by bucket, this prunes the scan to
-    one bucket (the IVF-style scale path)."""
-    qbits = "".join("1" if float(query_vec[d]) >= 0 else "0" for d in dims)
+    n_probe buckets (the IVF-style scale path)."""
+    probes = probe_buckets(query_vec, dims, n_probe)
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
-    ).filter(F.col("bucket") == qbits)
+    ).filter(F.col("bucket").isin(probes))
     scored = bucketed.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 8).alias("score"),
