@@ -81,6 +81,23 @@ def main() -> int:
     p = plan_of(qs["tpch_q1"](spark, sf))
     check("tpch_q1", "partial_sum" in p, "map-side partial aggregation")
 
+    # 8) round-2 queries: hash joins only (the single BNLJ allowed is
+    #    q22's deliberate 1-row scalar-subquery broadcast)
+    for q in ("tpch_q8", "tpch_q12", "tpch_q15", "tpch_q21"):
+        p = plan_of(qs[q](spark, sf))
+        check(q, "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+              "equi-joins only (hash-based)")
+    p = plan_of(qs["tpch_q8"](spark, sf))
+    check("tpch_q8", "BroadcastHashJoin" in p, "small dims broadcast in 6-way join")
+    p = plan_of(qs["tpch_q22"](spark, sf))
+    check("tpch_q22", "CartesianProduct" not in p, "scalar subquery via 1-row broadcast")
+    p = plan_of(qs["tpch_q21"](spark, sf))
+    check("tpch_q21", "LeftSemi" in p and "LeftAnti" in p,
+          "EXISTS/NOT EXISTS compile to semi/anti joins")
+    p = plan_of(qs["ann_lsh_multiprobe"](spark, sf))
+    check("ann_lsh_multiprobe", "CartesianProduct" not in p and "TakeOrderedAndProject" in p,
+          "multi-probe = bucket IN-filter + per-partition top-k")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0

@@ -213,6 +213,16 @@ class EtlPipeline:
         fresh = self._fresh_inputs()
         if fresh is None:
             return None, None
+        # Every rule's data AND marker branch re-derives from this one
+        # incremental window; without a persist Spark recomputes the
+        # anti-join prelude once per branch inside the commit write
+        # (2 x rules executions). The window is one batch (bounded by
+        # the incremental semantics), so MEMORY_AND_DISK is safe at any
+        # corpus size; run() unpersists after the commit.
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        fresh = fresh.persist(StorageLevel.MEMORY_AND_DISK)
+        self._persisted = fresh
         remaining = fresh
         prior: Column | None = None
         data_parts, marker_parts = [], []
@@ -274,10 +284,16 @@ class EtlPipeline:
         data, markers = self.build()
         if data is None:
             return 0
-        obs = Observation()
-        batch = fuse(data.observe(obs, F.count(F.lit(1)).alias("rows")), markers)
-        commit_id = self.output_pool.load_batch(batch)
-        n = 2 * int(obs.get["rows"])
+        try:
+            obs = Observation()
+            batch = fuse(data.observe(obs, F.count(F.lit(1)).alias("rows")), markers)
+            commit_id = self.output_pool.load_batch(batch)
+            n = 2 * int(obs.get["rows"])
+        finally:
+            persisted = getattr(self, "_persisted", None)
+            if persisted is not None:
+                persisted.unpersist()
+                self._persisted = None
         if n == 0:
             # nothing matched: retract the empty commit so repeated
             # polls don't litter the pool (reference never commits an
