@@ -85,3 +85,64 @@ def test_connect_json_value_roundtrip(spark, rows):
     sch = json.loads(enc.collect()[0]["j"])["schema"]
     dec = enc.select(cj.decode(F.col("j"), sch).alias("v")).select("v.*")
     assert sorted(map(tuple, dec.collect())) == sorted(map(tuple, df.collect()))
+
+
+# -- avro_py binary codec laws -----------------------------------------------
+
+_avro_prims = st.sampled_from(["int", "long", "float", "double", "boolean", "string", "bytes"])
+
+
+def _avro_value_for(schema):
+    if isinstance(schema, list):  # [null, T]
+        branch = [s for s in schema if s != "null"][0]
+        return st.one_of(st.none(), _avro_value_for(branch))
+    if isinstance(schema, dict):
+        if schema["type"] == "record":
+            return st.fixed_dictionaries(
+                {f["name"]: _avro_value_for(f["type"]) for f in schema["fields"]}
+            )
+        if schema["type"] == "array":
+            return st.lists(_avro_value_for(schema["items"]), max_size=4)
+        if schema["type"] == "map":
+            return st.dictionaries(
+                st.text(max_size=6), _avro_value_for(schema["values"]), max_size=4
+            )
+    return {
+        "int": st.integers(-(2**31), 2**31 - 1),
+        "long": st.integers(-(2**63), 2**63 - 1),
+        "float": st.floats(width=32, allow_nan=False),
+        "double": st.floats(allow_nan=False),
+        "boolean": st.booleans(),
+        "string": st.text(max_size=12),
+        "bytes": st.binary(max_size=12),
+    }[schema]
+
+
+_avro_schemas = st.recursive(
+    _avro_prims,
+    lambda sub: st.one_of(
+        st.lists(
+            st.tuples(st.from_regex(r"[a-z][a-z0-9_]{0,7}", fullmatch=True),
+                      sub.map(lambda s: ["null", s])),
+            min_size=1, max_size=4, unique_by=lambda t: t[0],
+        ).map(lambda fs: {
+            "type": "record", "name": "r",
+            "fields": [{"name": n, "type": t} for n, t in fs],
+        }),
+        sub.map(lambda s: {"type": "array", "items": s}),
+        sub.map(lambda s: {"type": "map", "values": s}),
+    ),
+    max_leaves=6,
+)
+
+
+@given(data=st.data(), schema=_avro_schemas)
+@settings(**SETTINGS)
+def test_avro_py_roundtrip_any_schema(data, schema):
+    """decode(encode(v)) == v for arbitrary schema/value pairs in the
+    zync dialect (all-optional records, [null,T] unions)."""
+    from zinger_spark.codecs import avro_py
+
+    value = data.draw(_avro_value_for(schema))
+    back = avro_py.decode_value(schema, avro_py.encode_value(schema, value))
+    assert back == value
