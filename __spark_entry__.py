@@ -810,6 +810,70 @@ def _q_tpch_q22(spark, sf):
     )
 
 
+def _events_ns(spark, sf):
+    """events with ts kept as the RAW ns bigint (no µs truncation) so
+    cross-engine comparisons are bit-exact (same trick as asof_join)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    if dict(ev.dtypes).get("ts") != "bigint":
+        ev = ev.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+    return ev
+
+
+def _q_funnel_counts(spark, sf):
+    """Conversion funnel view -> click -> purchase: per user, the first
+    view, the first click AFTER that view, the first purchase after
+    that click (classic product-analytics staged-min composition — two
+    conditional-agg passes, one shuffle each on user_id)."""
+    ev = _events_ns(spark, sf)
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    first_click = (
+        clicks.join(first_view, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    first_purch = (
+        purchases.join(first_click, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purch"))
+    )
+    return (
+        first_view.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(first_click.agg(F.count(F.lit(1)).alias("n_click")))
+        .join(first_purch.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+def _q_retention_cohorts(spark, sf):
+    """Daily retention cohorts: cohort = user's first active day,
+    n_users = distinct users active k days later (the training-corpus
+    freshness/engagement slice; two shuffles — user cohort, then
+    (cohort, offset) count-distinct)."""
+    ev = _events_ns(spark, sf)
+    # integer division on the raw ns value — float division of an
+    # ~1.6e18 ns epoch exceeds double's 53-bit mantissa and can flip a
+    # day boundary by up to ~128 ns vs the oracle's exact // division
+    days = ev.select("user_id", F.expr("ts div 86400000000000").alias("day"))
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_day"),
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def _q_pivot_counts(spark, sf):
     ev = _events(spark, sf)
     return (
@@ -951,6 +1015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": _q_tpch_q19,
         "tpch_q14": _q_tpch_q14,
         "tpch_q18": _q_tpch_q18,
+        "funnel_counts": _q_funnel_counts,
+        "retention_cohorts": _q_retention_cohorts,
         "tpch_q8": _q_tpch_q8,
         "tpch_q12": _q_tpch_q12,
         "tpch_q15": _q_tpch_q15,
@@ -1389,6 +1455,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#12' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 21)
                OR (p_brand = 'Brand#23' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 30)
                OR (p_brand = 'Brand#34' AND p_size <= 50 AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "funnel_counts": """
+            WITH fv AS (
+              SELECT user_id, min(ts) AS t_view FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            fc AS (
+              SELECT e.user_id, min(e.ts) AS t_click
+              FROM events e JOIN fv ON e.user_id = fv.user_id
+              WHERE e.event_type = 'click' AND e.ts >= fv.t_view
+              GROUP BY e.user_id
+            ),
+            fp AS (
+              SELECT e.user_id, min(e.ts) AS t_purch
+              FROM events e JOIN fc ON e.user_id = fc.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= fc.t_click
+              GROUP BY e.user_id
+            )
+            SELECT (SELECT count(*) FROM fv) AS n_view,
+                   (SELECT count(*) FROM fc) AS n_click,
+                   (SELECT count(*) FROM fp) AS n_purchase
+        """,
+        "retention_cohorts": """
+            WITH days AS (
+              SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+            ),
+            cohort AS (
+              SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+            )
+            SELECT cohort_day, d.day - c.cohort_day AS day_offset,
+                   count(DISTINCT d.user_id) AS n_users
+            FROM days d JOIN cohort c ON d.user_id = c.user_id
+            GROUP BY 1, 2
         """,
         "tpch_q8": """
             SELECT strftime(o_orderdate, '%Y') AS o_year,

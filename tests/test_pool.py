@@ -58,6 +58,28 @@ def test_partitioned_layout_prunes(spark, tmp_path):
     assert "_topic=B" not in plan
 
 
+def test_partitioned_pool_prunes_by_topic(spark, tmp_path):
+    """df(topic=...) applies the restriction to the PARTITION column
+    (_topic) before dropping it — a filter on the nested kafka.topic
+    alone cannot reach partition pruning. The scan must carry a
+    PartitionFilters entry on _topic."""
+    pool = Pool.create(spark, str(tmp_path / "ppp"), partition_by_topic=True)
+    pool.load_batch(
+        spark.createDataFrame(env_rows("A", [0, 1]) + env_rows("B", [0, 1, 2]), _schema())
+    )
+    scoped = pool.df(topic="A")
+    assert scoped.count() == 2
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_topic" in plan.split("PartitionFilters")[-1]
+    # read_batch rides the same pruned path
+    out = [r["kafka"]["offset"] for r in pool.read_batch("B", 1, 5).collect()]
+    assert out == [1, 2]
+    # unpartitioned pools accept the same call (plain filter)
+    flat = Pool.create(spark, str(tmp_path / "flat"))
+    flat.load_batch(spark.createDataFrame(env_rows("A", [0]) + env_rows("B", [7]), _schema()))
+    assert [r["kafka"]["offset"] for r in flat.df(topic="B").collect()] == [7]
+
+
 def test_empty_pool_and_bad_key(spark, tmp_path):
     pool = Pool.create(spark, str(tmp_path / "e"))
     assert pool.is_empty()

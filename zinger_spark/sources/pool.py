@@ -117,17 +117,29 @@ class Pool:
     def is_empty(self) -> bool:
         return not self._commit_dirs()
 
-    def df(self) -> DataFrame:
-        """The whole pool as a DataFrame (schema-merged across commits)."""
+    def df(self, topic: str | None = None) -> DataFrame:
+        """The whole pool as a DataFrame (schema-merged across commits).
+
+        ``topic`` matters for partitioned pools: the hive partition
+        column is ``_topic`` (a copy of kafka.topic), and a filter on
+        the NESTED kafka.topic never reaches partition pruning — so the
+        topic restriction must be applied to ``_topic`` BEFORE the
+        column is dropped. With it, a topic-scoped read lists only that
+        topic's directories (PartitionFilters in the scan, verified by
+        test_partitioned_pool_prunes_by_topic)."""
         dirs = self._commit_dirs()
         if not dirs:
             raise PoolError(f"pool {self.path} is empty")
         reader = self.spark.read.option("mergeSchema", "true")
         if self.meta.get("partitioned"):
-            # hive-partitioned layout: sort within-partition by offset,
-            # expose the same logical schema (drop the partition column)
-            return reader.option("basePath", self.path).parquet(*dirs).drop("_topic")
-        return reader.parquet(*dirs)
+            out = reader.option("basePath", self.path).parquet(*dirs)
+            if topic is not None:
+                out = out.filter(F.col("_topic") == topic)
+            return out.drop("_topic")
+        out = reader.parquet(*dirs)
+        if topic is not None:
+            out = out.filter(F.col("kafka.topic") == topic)
+        return out
 
     def query(self, fn) -> DataFrame:
         """Run a DataFrame transform over the pool (Lake.Query analog,
@@ -194,8 +206,9 @@ class Pool:
         return {r["topic"]: int(r["offset"]) + 1 for r in rows if r["topic"] is not None}
 
     def read_batch(self, topic: str, offset: int, size: int, transform=None) -> DataFrame:
-        """Ordered batch scan (fifo/lake.go:84-92)."""
-        return _ordered_batch(self.df(), topic, offset, size, transform=transform)
+        """Ordered batch scan (fifo/lake.go:84-92). Topic-scoped read so
+        partitioned pools prune to the topic's directories."""
+        return _ordered_batch(self.df(topic=topic), topic, offset, size, transform=transform)
 
     def done_offsets(self, topic: str) -> DataFrame:
         """done-marker offsets for a topic (the anti-join right side)."""
