@@ -810,6 +810,41 @@ def _q_tpch_q22(spark, sf):
     )
 
 
+def _q_cube_counts(spark, sf):
+    """CUBE aggregation: all grouping-set combinations of (event_type,
+    user bucket) in one pass (map-side partial agg + single shuffle —
+    Spark expands grouping sets without re-reading the input)."""
+    # project the bucket FIRST: grouping() must reference the exact cube
+    # expression, and an inline alias inside cube() is not resolvable
+    # from agg() (GROUPING_COLUMN_MISMATCH)
+    ev = _events(spark, sf).withColumn("bucket", F.col("user_id") % 5)
+    return (
+        ev.cube("event_type", "bucket")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("bucket").cast("int").alias("g_bucket"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "bucket", "g_type", "g_bucket", "n")
+    )
+
+
+def _q_ntile_deciles(spark, sf):
+    """NTILE decile assignment over a total order + per-decile stats
+    (per-user spend ranking — single window then re-aggregate)."""
+    ev = _events(spark, sf)
+    spend = ev.groupBy("user_id").agg(_dsum(F.col("value")).alias("spend"))
+    w = Window.orderBy(F.col("spend").desc(), F.col("user_id"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            _dsum(F.col("spend")).alias("total_spend"),
+        )
+    )
+
+
 def _events_ns(spark, sf):
     """events with ts kept as the RAW ns bigint (no µs truncation) so
     cross-engine comparisons are bit-exact (same trick as asof_join)."""
@@ -1017,6 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": _q_tpch_q18,
         "funnel_counts": _q_funnel_counts,
         "retention_cohorts": _q_retention_cohorts,
+        "cube_counts": _q_cube_counts,
+        "ntile_deciles": _q_ntile_deciles,
         "tpch_q8": _q_tpch_q8,
         "tpch_q12": _q_tpch_q12,
         "tpch_q15": _q_tpch_q15,
@@ -1455,6 +1492,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#12' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 21)
                OR (p_brand = 'Brand#23' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 30)
                OR (p_brand = 'Brand#34' AND p_size <= 50 AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "cube_counts": """
+            SELECT event_type, user_id % 5 AS bucket,
+                   CASE WHEN GROUPING(event_type) THEN 1 ELSE 0 END AS g_type,
+                   CASE WHEN GROUPING(user_id % 5) THEN 1 ELSE 0 END AS g_bucket,
+                   count(*) AS n
+            FROM events
+            GROUP BY CUBE (event_type, user_id % 5)
+        """,
+        "ntile_deciles": """
+            WITH spend AS (
+              SELECT user_id,
+                     CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS spend
+              FROM events GROUP BY user_id
+            ),
+            ranked AS (
+              SELECT user_id, spend,
+                     ntile(10) OVER (ORDER BY spend DESC, user_id) AS decile
+              FROM spend
+            )
+            SELECT decile, count(*) AS n_users,
+                   CAST(round(sum(CAST(spend AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_spend
+            FROM ranked GROUP BY decile
         """,
         "funnel_counts": """
             WITH fv AS (

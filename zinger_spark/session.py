@@ -43,6 +43,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for pandas UDF paths (minhash, multimodal stubs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # zstd beats snappy ~1.3-1.5x on storage at similar scan speed —
+        # at 100 TB that is tens of TB of parquet; pools inherit it.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
