@@ -107,3 +107,23 @@ def test_salted_agg_matches_plain(spark):
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx")
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_matches_plain(spark):
+    """salted_join == plain join on a skewed key distribution (90% of
+    big rows share one key), for inner and left, incl. unmatched left
+    rows."""
+    from zinger_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(0 if i % 10 else i % 7, i) for i in range(2000)], "k bigint, v bigint"
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(5)], "k bigint, name string")
+    for how in ("inner", "left"):
+        got = salted_join(big, small, ["k"], how=how, salt=8)
+        want = big.join(small, ["k"], how)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), how
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(big, small, ["k"], how="right")
