@@ -67,3 +67,40 @@ def test_metadata_only_scan_prunes_payload(spark, tmp_path, media_df):
     scan = spark.read.parquet(p).select("media_meta.n_bytes")
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan.split("ReadSchema:")[1]
+
+
+def test_resize_images_fake(media_df):
+    out = mm.resize_images(media_df, (224, 224), fake=True)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["width"] == 224 and r["height"] == 224 for r in rows)
+    # payload volume tracks the target resolution; deterministic per input
+    assert all(len(r["payload"]) == (224 * 224) // 64 for r in rows)
+    again = {r["content_hash"]: bytes(r["payload"])
+             for r in mm.resize_images(media_df.repartition(5), (224, 224), fake=True).collect()}
+    assert {r["content_hash"]: bytes(r["payload"]) for r in rows} == again
+
+
+def test_resize_without_lib_raises(media_df):
+    with pytest.raises(Exception, match="NotImplementedError|image resize"):
+        mm.resize_images(media_df, (64, 64), fake=False).collect()
+
+
+def test_audio_chunk_plan_and_features(spark):
+    df = spark.createDataFrame(
+        [(("audio", "wav", 10, "h1", None, None, 12_500),),
+         (("audio", "wav", 10, "h2", None, None, 3_000),)],
+        "media_meta struct<modality:string,format:string,n_bytes:bigint,"
+        "content_hash:string,width:int,height:int,duration_ms:bigint>",
+    )
+    plan = mm.audio_chunk_plan(df, chunk_ms=5000)
+    got = sorted((r["content_hash"], r["chunk_idx"]) for r in plan.collect())
+    # 12.5s -> 3 chunks; 3s -> 1 chunk
+    assert got == [("h1", 0), ("h1", 1), ("h1", 2), ("h2", 0)]
+    feats = mm.extract_audio_features(plan, fake=True).collect()
+    assert len(feats) == 4
+    assert all(len(r["features"]) == 13 and 0 <= r["rms"] <= 1 for r in feats)
+    # deterministic per (hash, chunk)
+    by_key = {(r["content_hash"], r["chunk_idx"]): tuple(r["features"]) for r in feats}
+    feats2 = mm.extract_audio_features(plan.repartition(3), fake=True).collect()
+    assert {(r["content_hash"], r["chunk_idx"]): tuple(r["features"]) for r in feats2} == by_key

@@ -118,6 +118,122 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload", fake: bo
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_image_batches(target: tuple[int, int], fake: bool = False):
+    """mapInPandas kernel: payload -> resized payload (binary in, binary
+    out — the transcode shape; Arrow carries bytes both ways so nothing
+    is serialized row-at-a-time through Python objects). With a real
+    image lib the body is PIL resize + re-encode; the deterministic
+    stub derives a pseudo-payload from (content hash, target) so tests
+    can assert size/stability without PIL."""
+
+    w, h = target
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL, not present in this "
+                    "container; pass fake=True for the deterministic stub"
+                )
+            rows = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                digest = hashlib.md5(raw + f"{w}x{h}".encode()).digest()
+                # stub payload: hash-seeded bytes, length ~ w*h/64 so
+                # byte volume tracks the requested resolution
+                size = max(16, (w * h) // 64)
+                fake_bytes = (digest * (size // len(digest) + 1))[:size]
+                rows.append(
+                    {
+                        "content_hash": hashlib.md5(raw).hexdigest(),
+                        "payload": fake_bytes,
+                        "width": w,
+                        "height": h,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return _kernel
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int],
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Distributed resize/transcode over a binary column."""
+    return df.select(F.col(payload_col).alias("payload")).mapInPandas(
+        resize_image_batches(target, fake=fake), RESIZED_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def audio_chunk_plan(df: DataFrame, chunk_ms: int = 5000) -> DataFrame:
+    """Audio chunking *plan*: explode fixed-length chunk indices per
+    clip (same scale shape as frame_sample_plan — decode parallelism =
+    chunks, not clips)."""
+    n_chunks = F.greatest(
+        F.ceil(F.col("media_meta.duration_ms") / F.lit(chunk_ms)).cast("int"), F.lit(1)
+    )
+    return df.select(
+        "media_meta",
+        F.col("media_meta.content_hash").alias("content_hash"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+
+
+def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Per-chunk feature extraction over an exploded chunk plan
+    ((content_hash, chunk_idx) rows). Stubbed like the image path: a
+    real deployment decodes the chunk's samples (librosa/ffmpeg) and
+    emits MFCC-ish features; the stub derives them from
+    (content_hash, chunk_idx) so plumbing is testable."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decode requires librosa/ffmpeg, not present in "
+                    "this container; pass fake=True for the stub"
+                )
+            rows = []
+            for ch, idx in zip(pdf["content_hash"], pdf["chunk_idx"]):
+                digest = hashlib.md5(f"{ch}:{idx}".encode()).digest()
+                rows.append(
+                    {
+                        "content_hash": ch,
+                        "chunk_idx": int(idx),
+                        "rms": round(digest[0] / 255.0, 6),
+                        "features": [round(b / 255.0, 6) for b in digest[:13]],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
+
+    return df.select("content_hash", "chunk_idx").mapInPandas(
+        _kernel, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explode target timestamps per clip so
     each (clip, ts) decode lands on its own task — the shape that scales
