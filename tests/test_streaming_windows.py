@@ -127,3 +127,51 @@ def test_salted_join_matches_plain(spark):
 
     with _pytest.raises(ValueError):
         salted_join(big, small, ["k"], how="right")
+
+
+def test_streaming_sessionize_gap_and_timeout(spark, tmp_path):
+    """Both close paths: a later in-stream event past the gap closes a
+    session inline ("gap"); the watermark passing last+gap with no new
+    event fires the EventTimeTimeout ("timeout"). maxFilesPerTrigger=1
+    forces one micro-batch per file so the watermark advances between
+    them."""
+    import time
+
+    src = tmp_path / "sessrc"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"user_id":1,"ts":"2024-01-01T10:00:00Z","value":1.0}\n'
+        '{"user_id":1,"ts":"2024-01-01T10:10:00Z","value":1.0}\n'
+        '{"user_id":2,"ts":"2024-01-01T10:05:00Z","value":1.0}\n'
+    )
+    time.sleep(0.05)
+    (src / "b.json").write_text('{"user_id":1,"ts":"2024-01-01T13:00:00Z","value":1.0}\n')
+    time.sleep(0.05)
+    (src / "c.json").write_text('{"user_id":3,"ts":"2024-01-01T13:30:00Z","value":1.0}\n')
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = zw.streaming_sessionize(stream, gap="30 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessq")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sessckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["user_id"], r["closed_by"]): (r["start_ms"], r["end_ms"], r["n_events"])
+        for r in spark.sql("select * from sessq").collect()
+    }
+    h10 = 1704103200000  # 2024-01-01T10:00:00Z in epoch ms
+    # user 1: first session closed by the 13:00 event arriving past the gap
+    assert rows[(1, "gap")] == (h10, h10 + 10 * 60_000, 2)
+    # user 2: closed by event-time timeout once the watermark passed 10:35
+    assert rows[(2, "timeout")] == (h10 + 5 * 60_000, h10 + 5 * 60_000, 1)
+    # users 1 (13:00) and 3 (13:30): sessions still open -> not emitted
+    assert len(rows) == 2

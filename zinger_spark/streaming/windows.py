@@ -69,6 +69,92 @@ def streaming_dedup(df: DataFrame, keys: list[str], ts_col: str, watermark: str 
     return df.dropDuplicates(keys)
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id BIGINT, start_ms BIGINT, end_ms BIGINT, n_events BIGINT, closed_by STRING"
+)
+
+
+def _sessionize_kernel(gap_ms: int):
+    def kernel(key, pdfs, state):
+        import pandas as pd
+
+        out = []
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap with no new events: the
+            # session is definitively over — emit and drop the state
+            start, last, n = state.get
+            state.remove()
+            out.append(
+                {"user_id": key[0], "start_ms": start, "end_ms": last,
+                 "n_events": n, "closed_by": "timeout"}
+            )
+        else:
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start = last = None
+                n = 0
+            ts = []
+            for pdf in pdfs:
+                ts.extend(int(v) // 1_000_000 for v in pdf["ts"].astype("int64"))
+            for t in sorted(ts):
+                if last is None:
+                    start = last = t
+                    n = 1
+                elif t - last > gap_ms:
+                    out.append(
+                        {"user_id": key[0], "start_ms": start, "end_ms": last,
+                         "n_events": n, "closed_by": "gap"}
+                    )
+                    start = last = t
+                    n = 1
+                else:
+                    last = max(last, t)
+                    n += 1
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(last + gap_ms)
+        yield pd.DataFrame(
+            out, columns=["user_id", "start_ms", "end_ms", "n_events", "closed_by"]
+        )
+
+    return kernel
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Custom stateful sessionizer with EVENT-TIME TIMEOUT: sessions
+    close either when a later event arrives past the gap ("gap") or
+    when the watermark passes last_ts + gap with no event at all
+    ("timeout" — the case session_window's emit also waits for, but
+    here with explicit per-key state you can attach arbitrary session
+    payload). State is one (start, last, n) tuple per active key —
+    bounded by active users, not events; the watermark bounds how long
+    a key stays resident. The streaming analog of the batch sessionize
+    oracle query."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    parts = gap.split()
+    unit_ms = {"minute": 60_000, "minutes": 60_000, "second": 1000,
+               "seconds": 1000, "hour": 3_600_000, "hours": 3_600_000}
+    gap_ms = int(parts[0]) * unit_ms[parts[1]]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            _sessionize_kernel(gap_ms),
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType="start_ms BIGINT, last_ms BIGINT, n BIGINT",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 RUNNING_STATE_SCHEMA = "user_id BIGINT, n BIGINT, total DOUBLE"
 RUNNING_OUT_SCHEMA = "user_id BIGINT, n BIGINT, total DOUBLE"
 
