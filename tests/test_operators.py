@@ -223,3 +223,23 @@ def test_fingerprint_whitespace_invariant(spark):
     )
     fps = [r["fp"] for r in df.select(ztext.fingerprint(F.col("text")).alias("fp")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_ivf_assign_numpy_matches_expression_path(spark):
+    """The numpy production path and the oracle-parity expression path
+    assign every vector to the same IVF cell (ties -> smaller index on
+    both)."""
+    import random
+
+    from zinger_spark.operators import similarity as zsim
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(6)]
+    expr_cells = {r["vec_id"]: r["ivf_cell"] for r in zsim.ivf_assign(df, cents).collect()}
+    np_cells = {r["vec_id"]: r["ivf_cell"]
+                for r in zsim.ivf_assign_numpy(df, cents).collect()}
+    # float64 matmul vs sequential fold can differ in the last ulp; on
+    # random data scores are well-separated, so cells must agree exactly
+    assert np_cells == expr_cells

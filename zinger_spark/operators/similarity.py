@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd  # module-level: string type hints in pandas UDFs
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.vector import as_double, cosine, sign_bucket
@@ -126,6 +127,36 @@ def ivf_assign(
         ]
     )
     return df.withColumn("ivf_cell", (-best.getField("negi")).cast("int"))
+
+
+def ivf_assign_numpy(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production-path IVF assignment: one Arrow-batched pandas UDF
+    doing the (n x d) @ (d x k) argmax in numpy — one matmul per batch
+    instead of k interpreted cosine expressions per row (the expression
+    path keeps bit-exact DuckDB-oracle parity; this one is the
+    throughput choice for index builds, ~10x on wide centroids).
+    Ties pick the smaller centroid index, same as ivf_assign."""
+    import numpy as np  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    cent = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def _assign(s: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        scores = (mat / norms) @ cent_unit.T
+        # argmax takes the FIRST maximum -> smaller index on ties,
+        # matching greatest() over (score, -i) structs
+        return pd.Series(np.argmax(scores, axis=1).astype("int32"))
+
+    return df.withColumn("ivf_cell", _assign(F.col(vec_col)))
 
 
 def ivf_topk(
