@@ -489,11 +489,7 @@ def _q_asof_join(spark, sf):
     read as bigint) so the `>=` comparison is bit-identical to DuckDB's
     native ns comparison — µs truncation would both flip boundary cases
     and manufacture ties the carry-forward window can't break."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = spark.read.parquet(f"{sf}/events.parquet")
-    if dict(ev.dtypes).get("ts") != "bigint":  # pre-converted input
-        ev = ev.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+    ev = _events_ns(spark, sf)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )

@@ -119,7 +119,10 @@ def test_sync_once_single_pass(spark, tmp_path):
 
 def test_consume_starting_offsets_mapping():
     assert consume_starting_offsets("t", -2) == "earliest"
-    assert consume_starting_offsets("t", -1) == "latest"
+    # -1 (latest) also reads from earliest: Spark batch Kafka reads
+    # reject startingOffsets=latest, so cmd_consume discovers the head
+    # with a suppressed first pass instead
+    assert consume_starting_offsets("t", -1) == "earliest"
     assert json.loads(consume_starting_offsets("t", 7)) == {"t": {"0": 7}}
     with pytest.raises(SystemExit):
         consume_starting_offsets("t", -3)
@@ -152,6 +155,31 @@ def test_produce_projection_whole_record_fallback(spark):
 
 def test_cli_produce_no_inputs_errors():
     assert main(["produce", "--brokers", "b:9092", "--topic", "t"]) == 1
+
+
+def test_cli_produce_mixed_inputs_rejected():
+    """parquet + JSON in one produce would read the parquet bytes as
+    corrupt JSON rows and push garbage to the topic — refused up front."""
+    assert main(["produce", "a.parquet", "b.jsonl",
+                 "--brokers", "b:9092", "--topic", "t"]) == 1
+
+
+def test_cli_info_brokers_requires_topic(capsys):
+    assert main(["info", "--brokers", "b:9092"]) == 1
+    assert "--topic" in capsys.readouterr().err
+
+
+def test_streaming_sessionize_gap_validation(spark):
+    from zinger_spark.streaming.windows import streaming_sessionize
+
+    df = spark.createDataFrame([], "user_id bigint, ts timestamp")
+    with pytest.raises(ValueError, match="gap"):
+        streaming_sessionize(df, gap="1 month")
+    with pytest.raises(ValueError, match="positive"):
+        streaming_sessionize(df, gap="0 minutes")
+    # generous unit spellings parse
+    streaming_sessionize(df, gap="1 day")
+    streaming_sessionize(df, gap="500 ms")
 
 
 def test_cli_version(capsys):

@@ -311,11 +311,32 @@ def test_avro_mixed_schema_topic_decode(spark):
         (0, wire(sid_a, reg.schema_by_id(sid_a), {"id": 1, "name": "x"})),
         (1, wire(sid_b, reg.schema_by_id(sid_b), {"id": 2, "score": 0.5})),
         (2, wire(sid_a, reg.schema_by_id(sid_a), {"id": 3, "name": "y"})),
+        (3, None),  # tombstone (compacted-topic delete marker)
     ]
     df = spark.createDataFrame(rows, "offset long, value binary")
     out = decode_by_schema_id(df, "value", reg)
-    got = {r["offset"]: r["value"].asDict() for r in out.collect()}
+    got = {r["offset"]: (r["value"].asDict() if r["value"] is not None else None)
+           for r in out.collect()}
     # fused schema carries the union of fields; absent ones are null
     assert got[0] == {"id": 1, "name": "x", "score": None}
     assert got[1] == {"id": 2, "name": None, "score": 0.5}
     assert got[2] == {"id": 3, "name": "y", "score": None}
+    # the tombstone survives as a null-valued row, not a crash/drop
+    assert 3 in got and got[3] is None
+
+
+def test_avro_body_null_timestamp_roundtrip(spark):
+    """Null temporal fields ride the [null,T] union: pandas hands the
+    fallback encoder NaT, which must become a real Avro null (not an
+    int(NaN) crash)."""
+    dt = T.StructType.fromDDL("a bigint, t timestamp")
+    df = spark.createDataFrame(
+        [(1, "2022-02-10 13:49:34.812"), (2, None)], "a bigint, t string"
+    ).select("a", F.col("t").cast("timestamp").alias("t"))
+    enc = df.select(zavro.to_avro_body(F.struct("a", "t"), dt).alias("body"))
+    dec = enc.select(
+        zavro.from_avro_body(F.col("body"), zavro.avro_schema_of(dt)).alias("v")
+    ).select("v.*")
+    got = {r["a"]: r["t"] for r in dec.collect()}
+    assert got[2] is None
+    assert str(got[1]).startswith("2022-02-10 13:49:34.812")

@@ -113,7 +113,15 @@ def test_compact_preserves_contents(spark, tmp_path):
     after = sorted(r["kafka"]["offset"] for r in pool.df().collect())
     assert after == before == [0, 1, 2, 3, 4]
     assert pool.next_consumer_offset("T") == 5
-    # within grace: nothing reclaimed; after grace: stale dirs go
+    # within grace: nothing reclaimed — even when the commit DIRS are
+    # old, because grace runs from ORPHANING time (manifest swap), not
+    # the write mtime (backdate the dirs to prove it)
+    import time as _time
+
+    for d in on_disk:
+        full = f"{pool.path}/{d}"
+        _time_ago = _time.time() - 7200
+        os.utime(full, (_time_ago, _time_ago))
     assert pool.vacuum(grace_seconds=3600) == 0
     assert pool.vacuum(grace_seconds=0) == 3
     on_disk = [d for d in os.listdir(pool.path) if d.startswith("commit-")]

@@ -67,6 +67,9 @@ def cmd_info(args) -> int:
     if args.brokers:
         from .kafka_admin import TopicAdminError, open_admin
 
+        if not args.topic:
+            print("--brokers mode requires --topic", file=sys.stderr)
+            return 1
         admin = open_admin(args.brokers)
         if admin is None:
             print("no Kafka client library available for --brokers mode", file=sys.stderr)
@@ -238,9 +241,15 @@ def cmd_produce(args) -> int:
     if args.format != "json":
         print(f"unsupported -format {args.format!r} (avro needs a registry)", file=sys.stderr)
         return 1
+    parquet = [f for f in args.files if f.endswith(".parquet")]
+    if parquet and len(parquet) != len(args.files):
+        # a mixed list silently read as all-JSON would push parquet
+        # bytes to the topic as _corrupt_record garbage — refuse
+        print("cannot mix parquet and JSON inputs in one produce", file=sys.stderr)
+        return 1
     spark = _spark(args)
     reader = spark.read
-    if all(f.endswith(".parquet") for f in args.files):
+    if parquet:
         df = reader.parquet(*args.files)
     else:
         df = reader.json(*args.files)
@@ -258,13 +267,13 @@ def cmd_produce(args) -> int:
 
 def consume_starting_offsets(topic: str, offset: int) -> str:
     """Map the reference's -offset flag (cmd/zync/consume/command.go:57)
-    to the Kafka source's startingOffsets: -2 earliest, -1 latest, else
-    a concrete partition-0 offset (single-partition total-order model,
-    fifo/consumer.go:59-63)."""
-    if offset == -2:
+    to the Kafka source's startingOffsets: -2 earliest, else a concrete
+    partition-0 offset (single-partition total-order model,
+    fifo/consumer.go:59-63).  -1 ("latest") is handled by cmd_consume
+    itself — Spark's BATCH Kafka reads reject startingOffsets=latest,
+    so the head position is discovered with a suppressed first read."""
+    if offset in (-1, -2):
         return "earliest"
-    if offset == -1:
-        return "latest"
     if offset < 0:
         raise SystemExit(f"invalid -offset {offset} (-2 earliest, -1 latest, or >= 0)")
     return json.dumps({topic: {"0": offset}})
@@ -287,6 +296,11 @@ def cmd_consume(args) -> int:
     starting = consume_starting_offsets(args.topic, args.offset)
     deadline = time.monotonic() + args.timeout if args.timeout else None
     last_next = None
+    # -1 = latest: print nothing already in the topic, only what arrives
+    # while polling. Spark batch Kafka reads reject 'latest', so the
+    # first pass reads from earliest with output suppressed, purely to
+    # learn the head offset.
+    suppress_output = args.offset == -1
     while True:
         df = _read(starting)
         mx = None
@@ -295,10 +309,12 @@ def cmd_consume(args) -> int:
         for r in df.select(
             "topic", "partition", "offset", df.value.cast("string").alias("value")
         ).toLocalIterator():
-            print(json.dumps(r.asDict()))
+            if not suppress_output:
+                print(json.dumps(r.asDict()))
             mx = r["offset"] if mx is None else max(mx, r["offset"])
         if mx is not None:
             last_next = mx + 1
+        suppress_output = False
         # Reference semantics (command.go:34-37): at the head, block for
         # more data; exit when the timeout lapses with nothing new.
         if deadline is None or time.monotonic() >= deadline:

@@ -199,16 +199,20 @@ def spark_avro_usable() -> bool:
 
 
 def _sanitize_row(row: dict, dt: T.StructType) -> dict:
-    """pandas NaN -> None for non-float fields (pandas nulls numeric
-    columns with NaN; Avro unions need real None)."""
+    """pandas null sentinels -> None: NaN in non-float columns (pandas
+    nulls numerics with NaN) and NaT in temporal columns — both are
+    self-unequal scalars, which is the test used (container types are
+    skipped: lists/dicts never take the sentinel forms)."""
     out = {}
     for f in dt.fields:
         v = row.get(f.name)
         if (
             v is not None
-            and not isinstance(f.dataType, (T.FloatType, T.DoubleType))
-            and isinstance(v, float)
-            and v != v
+            and not isinstance(
+                f.dataType,
+                (T.FloatType, T.DoubleType, T.ArrayType, T.MapType, T.StructType),
+            )
+            and v != v  # NaN or NaT
         ):
             v = None
         if isinstance(f.dataType, T.StructType) and isinstance(v, dict):
@@ -361,17 +365,26 @@ def decode_by_schema_id(df, value_col: str, registry, namespace: str = DEFAULT_N
 
     sid_col = wire_schema_id(F.col(value_col))
     ids = sorted(
-        r["sid"] for r in df.select(sid_col.alias("sid")).distinct().collect()
+        r["sid"]
+        for r in df.filter(F.col(value_col).isNotNull())
+        .select(sid_col.alias("sid"))
+        .distinct()
+        .collect()
     )
     legs = []
     for sid in ids:
         schema = registry.schema_by_id(sid)
         body = unframe(F.col(value_col))
         legs.append(
-            df.filter(sid_col == sid).withColumn(
+            df.filter(F.col(value_col).isNotNull() & (sid_col == sid)).withColumn(
                 value_col, from_avro_body(body, schema)
             )
         )
-    if not legs:
-        return df.limit(0)
+    # Tombstones (compacted-topic deletes, value=NULL) carry no schema
+    # ID; keep them as null-valued rows so the delete marker survives
+    # into the pool (fuse widens struct<> into the union schema).
+    tombstones = df.filter(F.col(value_col).isNull()).withColumn(
+        value_col, F.lit(None).cast(T.StructType([]))
+    )
+    legs.append(tombstones)
     return fuse(*legs)

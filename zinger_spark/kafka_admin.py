@@ -168,5 +168,8 @@ def open_admin(brokers: str | None) -> TopicAdmin | None:
         return None
     try:
         return KafkaTopicAdmin(brokers)
-    except TopicAdminError:
+    except Exception:  # noqa: BLE001 - missing lib, unreachable broker,
+        # client-library constructor errors (e.g. NoBrokersAvailable):
+        # open_admin is best-effort; callers that REQUIRE an admin
+        # (resolve_start_offset --resume) raise their own clear error
         return None

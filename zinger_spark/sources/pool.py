@@ -87,21 +87,27 @@ class Pool:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, "_manifest.json")
 
-    def _live_commits(self) -> list[str] | None:
-        """Commit names listed in the manifest, or None when the pool
-        predates manifests (then directory listing is the truth)."""
+    def _read_manifest(self) -> dict | None:
         try:
             with open(self._manifest_path()) as f:
-                return json.load(f)["commits"]
+                return json.load(f)
         except FileNotFoundError:
             return None
 
-    def _write_manifest(self, commits: list[str]) -> None:
+    def _live_commits(self) -> list[str] | None:
+        """Commit names listed in the manifest, or None when the pool
+        predates manifests (then directory listing is the truth)."""
+        m = self._read_manifest()
+        return None if m is None else m["commits"]
+
+    def _write_manifest(self, commits: list[str], orphaned: dict[str, float] | None = None) -> None:
         """Atomic manifest swap (tmp + rename), single-writer like the
-        reference's sync processes."""
+        reference's sync processes. ``orphaned`` records WHEN each
+        no-longer-live commit left the manifest — vacuum's grace clock
+        starts there, not at the dir's (much older) write mtime."""
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"commits": commits}, f)
+            json.dump({"commits": commits, "orphaned": orphaned or {}}, f)
         os.replace(tmp, self._manifest_path())
 
     def _commit_dirs(self) -> list[str]:
@@ -163,18 +169,23 @@ class Pool:
         writer.parquet(tmp)
         # drop spark's _SUCCESS etc? keep; parquet reader ignores non-parquet
         os.rename(tmp, final)
-        live = self._live_commits()
-        if live is not None:
-            self._write_manifest(live + [f"commit-{commit_id}"])
+        m = self._read_manifest()
+        if m is not None:
+            self._write_manifest(
+                m["commits"] + [f"commit-{commit_id}"], m.get("orphaned")
+            )
         return commit_id
 
     def drop_commit(self, commit_id: str) -> None:
         """Retract a just-written commit (used to take back an empty
         ETL batch).  Only safe for the most recent commit written by
         this process — not a general rollback."""
-        live = self._live_commits()
-        if live is not None:
-            self._write_manifest([c for c in live if c != f"commit-{commit_id}"])
+        m = self._read_manifest()
+        if m is not None:
+            self._write_manifest(
+                [c for c in m["commits"] if c != f"commit-{commit_id}"],
+                m.get("orphaned"),
+            )
         d = os.path.join(self.path, f"commit-{commit_id}")
         if os.path.isdir(d):
             shutil.rmtree(d)
@@ -233,6 +244,15 @@ class Pool:
         dirs = self._commit_dirs()
         if len(dirs) <= 1:
             return len(dirs)
+        old_names = [os.path.basename(d) for d in dirs]
+        if self._read_manifest() is None:
+            # Bootstrap the manifest to the CURRENT commit set BEFORE
+            # the new dir appears: from here on the manifest (not
+            # directory listing) is the truth, so the rename below can
+            # never double-count — a crash in any window leaves either
+            # the old list (new dir invisible, orphaned on disk) or the
+            # swapped list, both consistent.
+            self._write_manifest(old_names)
         snapshot = self.df().sortWithinPartitions("kafka.offset")
         commit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         tmp = os.path.join(self.path, f".tmp-{commit_id}")
@@ -244,30 +264,41 @@ class Pool:
         writer.parquet(tmp)
         final = os.path.join(self.path, f"commit-{commit_id}")
         os.rename(tmp, final)
-        self._write_manifest([f"commit-{commit_id}"])
+        now = time.time()
+        prior = (self._read_manifest() or {}).get("orphaned", {})
+        self._write_manifest(
+            [f"commit-{commit_id}"], {**prior, **{n: now for n in old_names}}
+        )
         return len(dirs)
 
     def vacuum(self, grace_seconds: float = 3600.0) -> int:
-        """Delete commit dirs no longer in the manifest whose mtime is
-        older than ``grace_seconds`` (long enough for any in-flight
-        reader to finish). No-op for manifest-less pools. Returns the
-        number of dirs removed."""
-        live = self._live_commits()
-        if live is None:
+        """Delete commit dirs that left the manifest more than
+        ``grace_seconds`` ago (grace measured from ORPHANING time, not
+        the dir's write mtime — a 2-hour-old commit compacted away one
+        second ago is still protected). Dirs on disk but absent from
+        both the live list and the orphan record were never visible to
+        manifest readers (crashed half-writes); those fall back to the
+        mtime clock. No-op for manifest-less pools. Returns dirs
+        removed."""
+        m = self._read_manifest()
+        if m is None:
             return 0
-        keep = set(live)
+        keep = set(m["commits"])
+        orphaned = m.get("orphaned", {})
         removed = 0
-        cutoff = time.time() - grace_seconds
+        now = time.time()
+        remaining_orphans = dict(orphaned)
         for d in os.listdir(self.path):
             full = os.path.join(self.path, d)
-            if (
-                d.startswith("commit-")
-                and d not in keep
-                and os.path.isdir(full)
-                and os.path.getmtime(full) < cutoff
-            ):
+            if not (d.startswith("commit-") and d not in keep and os.path.isdir(full)):
+                continue
+            since = orphaned.get(d, os.path.getmtime(full))
+            if now - since >= grace_seconds:
                 shutil.rmtree(full)
+                remaining_orphans.pop(d, None)
                 removed += 1
+        if removed:
+            self._write_manifest(m["commits"], remaining_orphans)
         return removed
 
     def delete(self) -> None:

@@ -138,10 +138,24 @@ def streaming_sessionize(
     oracle query."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    unit_ms = {
+        "millisecond": 1, "milliseconds": 1, "ms": 1,
+        "second": 1000, "seconds": 1000, "sec": 1000, "secs": 1000, "s": 1000,
+        "minute": 60_000, "minutes": 60_000, "min": 60_000, "mins": 60_000, "m": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000, "h": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000, "d": 86_400_000,
+        "week": 604_800_000, "weeks": 604_800_000,
+    }
     parts = gap.split()
-    unit_ms = {"minute": 60_000, "minutes": 60_000, "second": 1000,
-               "seconds": 1000, "hour": 3_600_000, "hours": 3_600_000}
-    gap_ms = int(parts[0]) * unit_ms[parts[1]]
+    if len(parts) != 2 or not parts[0].lstrip("-").isdigit() or parts[1].lower() not in unit_ms:
+        raise ValueError(
+            f"gap {gap!r}: expected '<n> <unit>' with unit in "
+            f"{sorted(set(unit_ms))} (interval arithmetic here is fixed-"
+            "length ms; calendar units like 'month' are not meaningful)"
+        )
+    gap_ms = int(parts[0]) * unit_ms[parts[1].lower()]
+    if gap_ms <= 0:
+        raise ValueError(f"gap {gap!r} must be positive")
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(key)
