@@ -179,3 +179,51 @@ def test_continuous_sink_streams_new_commits(spark, tmp_path):
     rows = spark.sql("select * from to_kafka_test").collect()
     assert len(rows) == 3
     assert {json.loads(r["value"])["payload"]["a"] for r in rows} == {0, 1, 2}
+
+
+def test_avro_ingest_chain_mixed_schemas(spark, tmp_path):
+    """The cmd_from_kafka --format avro wiring end-to-end, broker-free:
+    kafka-shaped rows with Confluent-framed Avro values of TWO schemas
+    plus a tombstone -> envelope (binary passthrough) -> per-schema-ID
+    decode inside the batch transform -> atomic pool commit -> read
+    back fused."""
+    import struct as _s
+
+    from zinger_spark.codecs import avro_py
+    from zinger_spark.codecs.avro import (
+        FakeSchemaRegistry,
+        avro_schema_of,
+        decode_by_schema_id,
+        subject_of,
+    )
+
+    dt_a = T.StructType.fromDDL("id bigint, name string")
+    dt_b = T.StructType.fromDDL("id bigint, score double")
+    reg = FakeSchemaRegistry()
+    sid_a = reg.register(subject_of(dt_a), avro_schema_of(dt_a))
+    sid_b = reg.register(subject_of(dt_b), avro_schema_of(dt_b))
+
+    def wire(sid, dt, val):
+        return b"\x00" + _s.pack(">I", sid) + avro_py.encode_value(
+            avro_schema_of(dt), val
+        )
+
+    rows = [
+        (None, wire(sid_a, dt_a, {"id": 1, "name": "x"}), "T", 0, 0, None, 0),
+        (None, wire(sid_b, dt_b, {"id": 2, "score": 1.5}), "T", 0, 1, None, 0),
+        (None, None, "T", 0, 2, None, 0),  # tombstone
+    ]
+    batch = kafka_rows(spark, rows)
+    env = fk.envelope_stream(batch, value_decoder=lambda c: c)  # keep framed bytes
+    decoded = decode_by_schema_id(env, "value", reg)
+
+    pool = Pool.create(spark, str(tmp_path / "avropool"))
+    pool.load_batch(decoded)
+    got = {
+        r["kafka"]["offset"]: (None if r["value"] is None else r["value"].asDict())
+        for r in pool.df().collect()
+    }
+    assert got[0] == {"id": 1, "name": "x", "score": None}
+    assert got[1] == {"id": 2, "name": None, "score": 1.5}
+    assert got[2] is None
+    assert pool.next_consumer_offset("T") == 3
