@@ -806,6 +806,42 @@ def _q_tpch_q22(spark, sf):
     )
 
 
+def _q_fuzzy_prefix_pairs(spark, sf):
+    """Fuzzy near-key matching via edit distance: doc pairs from the
+    same source whose normalized 16-char prefixes are within
+    levenshtein <= 4. The block key (source) bounds the self-join —
+    the fuzzy-dedup primitive for noisy titles/keys in a training
+    corpus (levenshtein on a short prefix, never on full text)."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.substring(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), 1, 16).alias("pfx"),
+    )
+    left = docs.select(F.col("doc_id").alias("a"), "source", F.col("pfx").alias("pa"))
+    right = docs.select(F.col("doc_id").alias("b"), "source", F.col("pfx").alias("pb"))
+    return (
+        left.join(right, "source")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("dist", F.levenshtein(F.col("pa"), F.col("pb")))
+        .filter(F.col("dist") <= 4)
+        .select("a", "b", "dist")
+    )
+
+
+def _q_percent_rank(spark, sf):
+    """percent_rank + cume_dist over per-user event counts (rank-based
+    normalization — the feature-scaling shape)."""
+    ev = _events(spark, sf)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n"), F.col("user_id"))
+    return counts.select(
+        "user_id",
+        "n",
+        F.round(F.percent_rank().over(w), 8).alias("pr"),
+        F.round(F.cume_dist().over(w), 8).alias("cd"),
+    )
+
+
 def _q_cube_counts(spark, sf):
     """CUBE aggregation: all grouping-set combinations of (event_type,
     user bucket) in one pass (map-side partial agg + single shuffle —
@@ -1050,6 +1086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "cube_counts": _q_cube_counts,
         "ntile_deciles": _q_ntile_deciles,
+        "fuzzy_prefix_pairs": _q_fuzzy_prefix_pairs,
+        "percent_rank_dist": _q_percent_rank,
         "tpch_q8": _q_tpch_q8,
         "tpch_q12": _q_tpch_q12,
         "tpch_q15": _q_tpch_q15,
@@ -1488,6 +1526,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#12' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 21)
                OR (p_brand = 'Brand#23' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 30)
                OR (p_brand = 'Brand#34' AND p_size <= 50 AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "fuzzy_prefix_pairs": r"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 16) AS pfx
+              FROM documents
+            )
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   levenshtein(l.pfx, r.pfx) AS dist
+            FROM d l JOIN d r ON l.source = r.source AND l.doc_id < r.doc_id
+            WHERE levenshtein(l.pfx, r.pfx) <= 4
+        """,
+        "percent_rank_dist": """
+            SELECT user_id, count(*) AS n,
+                   round(percent_rank() OVER (ORDER BY count(*), user_id), 8) AS pr,
+                   round(cume_dist() OVER (ORDER BY count(*), user_id), 8) AS cd
+            FROM events GROUP BY user_id
         """,
         "cube_counts": """
             SELECT event_type, user_id % 5 AS bucket,
