@@ -243,3 +243,47 @@ def test_ivf_assign_numpy_matches_expression_path(spark):
     # float64 matmul vs sequential fold can differ in the last ulp; on
     # random data scores are well-separated, so cells must agree exactly
     assert np_cells == expr_cells
+
+
+def test_edit_distance_join_matches_brute_force(spark):
+    # Corpus with planted typos (substitution, deletion, insertion,
+    # transposition), plus keys shorter than k+1 chars to exercise the
+    # empty-segment path.
+    words = [
+        "spark structured", "spark structered", "spork structured",
+        "sparkstructured", "spark  structured", "catalyst optimizer",
+        "catalyst optimiser", "cattalyst optimizer", "tungsten engine",
+        "tungsten enginee", "shuffle service", "shuffle servce",
+        "ab", "ba", "abc", "", "x", "completely different key",
+    ]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    for k in (1, 2, 3):
+        got = {
+            (r.a, r.b, r.dist)
+            for r in zdedup.edit_distance_join(df, "key", "doc_id", k).collect()
+        }
+        left = df.selectExpr("doc_id a", "key ka")
+        right = df.selectExpr("doc_id b", "key kb")
+        want = {
+            (r.a, r.b, r.dist)
+            for r in left.crossJoin(right)
+            .filter("a < b")
+            .selectExpr("a", "b", "levenshtein(ka, kb) dist")
+            .filter(f"dist <= {k}")
+            .collect()
+        }
+        assert got == want, f"k={k}: {got ^ want}"
+
+
+def test_edit_distance_join_block_col(spark):
+    # Same key in different blocks must NOT pair when block_col is set.
+    rows = [(1, "hello", "en"), (2, "hullo", "en"), (3, "hello", "de")]
+    df = spark.createDataFrame(rows, "doc_id long, key string, lang string")
+    got = {
+        (r.a, r.b)
+        for r in zdedup.edit_distance_join(
+            df, "key", "doc_id", 1, block_col="lang"
+        ).collect()
+    }
+    assert got == {(1, 2)}

@@ -325,3 +325,103 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs within levenshtein ``max_dist``, via pigeonhole
+    segment blocking (the PassJoin family — Li/Deng/Feng, ICDE'11,
+    public literature) instead of a coarse blocking key.
+
+    Why: a blocking-key self-join (e.g. ``fuzzy_prefix_pairs``
+    blocking on ``source``) is quadratic inside each block — fatal
+    when the block key has low cardinality over a 100 TB corpus.
+    Segment blocking is recall-complete with NO coarse key at all:
+    split each key into ``k+1`` segments (k = max_dist); if
+    ed(a, b) <= k then at most k segments are touched by an edit, so
+    by pigeonhole at least one segment of ``a`` survives verbatim in
+    ``b``, shifted by at most k positions (net insertions/deletions
+    before it). So every true pair shares an exact (key_length,
+    seg_idx, seg_text) bucket between a's segments and b's probe
+    substrings — an equi-join, shuffled by segment text, never a
+    block-wide cross product.
+
+    Cost per row: k+1 segment rows; probe rows bounded by
+    (2k+1 lengths) x (k+1 segs) x (<=2k+1 shifts) — linear in n with
+    a k^3 constant, so keep keys SHORT (normalized prefixes, titles,
+    codes — same contract as fuzzy_prefix_pairs / the reference's
+    short-key joins). ``block_col`` (optional) further ANDs an exact
+    block key into the bucket, e.g. a language or source column.
+
+    Candidates are verified with exact ``levenshtein`` so the output
+    is precision-exact; segment blocking only bounds candidate
+    generation. Returns (a, b, dist) with a < b.
+    """
+    k = int(max_dist)
+    k1 = k + 1
+    blk = [block_col] if block_col else []
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(key_col).alias("__key"),
+        F.length(key_col).alias("__len"),
+        *blk,
+    )
+    # Segment i of a length-L key: chars [i*L div k1, (i+1)*L div k1).
+    seg_expr = F.expr(
+        f"""transform(sequence(0, {k}), i -> struct(
+              i AS idx,
+              substring(__key, (i * __len) div {k1} + 1,
+                        ((i + 1) * __len) div {k1} - (i * __len) div {k1}) AS seg))"""
+    )
+    segs = base.select(
+        F.col("__id").alias("a"),
+        F.col("__key").alias("ka"),
+        F.col("__len").alias("la"),
+        *blk,
+        F.explode(seg_expr).alias("s"),
+    ).select("a", "ka", "la", *blk, F.col("s.idx").alias("idx"), F.col("s.seg").alias("seg"))
+    # Probes: for every plausible partner length l (|l - L| <= k) and
+    # segment idx, every substring of THIS key with segment-i-of-l's
+    # length, starting within +-k of segment i's home position.
+    # sequence() reverses when hi < lo, so guard with an empty array.
+    probe_expr = F.expr(
+        f"""flatten(transform(sequence(greatest(__len - {k}, 0), __len + {k}), l ->
+              flatten(transform(sequence(0, {k}), i ->
+                CASE WHEN least((i * l) div {k1} + {k},
+                              __len - (((i + 1) * l) div {k1} - (i * l) div {k1}))
+                        >= greatest((i * l) div {k1} - {k}, 0)
+                THEN transform(
+                    sequence(greatest((i * l) div {k1} - {k}, 0),
+                             least((i * l) div {k1} + {k},
+                                   __len - (((i + 1) * l) div {k1} - (i * l) div {k1}))),
+                    p -> struct(l AS l, i AS idx,
+                                substring(__key, p + 1,
+                                          ((i + 1) * l) div {k1} - (i * l) div {k1}) AS seg))
+                ELSE array() END))))"""
+    )
+    probes = base.select(
+        F.col("__id").alias("b"),
+        F.col("__key").alias("kb"),
+        *blk,
+        F.explode(probe_expr).alias("p"),
+    ).select(
+        "b", "kb", *blk,
+        F.col("p.l").alias("la"), F.col("p.idx").alias("idx"), F.col("p.seg").alias("seg"),
+    )
+    join_keys = ["la", "idx", "seg", *blk]
+    cand = (
+        segs.join(probes, join_keys)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ka", "kb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("ka", "kb"))
+        .filter(F.col("dist") <= k)
+        .select("a", "b", "dist")
+    )
