@@ -842,6 +842,93 @@ def _q_percent_rank(spark, sf):
     )
 
 
+def _q_stratified_sample(spark, sf):
+    """Deterministic proportional stratified sampling: downsample every
+    source to ~15 docs by hashing the doc id — the source-rebalancing
+    step of a training-data mix. Per-source sizes are a tiny broadcast
+    join (20 rows at any corpus scale); the keep/drop decision is a
+    pure per-row hash comparison, so the sample is reproducible across
+    runs and engines (no RNG)."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    h = ztext.md5_hash60(F.col("doc_id").cast("string"))
+    return (
+        docs.join(F.broadcast(sizes), "source")
+        .filter((h % 10000).cast("double") < F.least(F.lit(1.0), F.lit(15.0) / F.col("n")) * 10000)
+        .select("doc_id", "source")
+    )
+
+
+def _q_pack_sequences(spark, sf):
+    """Token-offset sequence packing: concatenate docs per source in
+    deterministic (doc_id) order and chop at a 2048-token context
+    budget — the assignment step of pretraining sequence packing.
+    A per-source running sum (partitioned window, no global sort)
+    gives each doc its start offset; pack_id = start div budget."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "source", ztext.bpe_ish_token_count(F.col("text")).cast("long").alias("tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    start = (F.sum("tok").over(w) - F.col("tok")).alias("start_off")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("tok").alias("tok_count"),
+        start,
+        F.expr("(sum(tok) over (partition by source order by doc_id rows unbounded preceding) - tok) div 2048").alias("pack_id"),
+    )
+
+
+def _q_contamination(spark, sf):
+    """Benchmark-contamination check: word-3-gram overlap between a
+    held-out 'benchmark' slice (doc_id % 40 == 0) and the training
+    corpus. Shingle-explode both sides, equi-join on the shingle
+    (hash it at scale), count shared n-grams per (corpus doc,
+    benchmark doc); >= 3 shared trigrams flags a leak. The join is
+    blocked by shingle text — never a doc-level cross product."""
+    sh = (
+        _t(spark, sf, "documents")
+        .select("doc_id", F.explode(ztext.word_shingles(F.col("text"), 3)).alias("s"))
+    )
+    bench = sh.filter(F.col("doc_id") % 40 == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    corpus = sh.filter(F.col("doc_id") % 40 != 0)
+    return (
+        corpus.join(bench, "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+
+
+def _q_tfidf_top_terms(spark, sf):
+    """Top-3 tf-idf terms per source (corpus summarization / domain
+    tagging). tf = term occurrences within the source; idf over the
+    20 sources. Token explode -> one (source, token) shuffle ->
+    broadcast of per-token source counts -> per-source top-k via
+    row_number (partitioned window)."""
+    toks = (
+        _t(spark, sf, "documents")
+        .select("source", F.explode(ztext.tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    n_src = toks.select("source").distinct().count()
+    tf = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("t").agg(F.countDistinct("source").alias("df"))
+    scored = tf.join(F.broadcast(df_), "t").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_src)) / F.col("df")), 6)
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("t"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", F.col("t").alias("term"), "tf", "df", "tfidf", "rk")
+    )
+
+
 def _q_cube_counts(spark, sf):
     """CUBE aggregation: all grouping-set combinations of (event_type,
     user bucket) in one pass (map-side partial agg + single shuffle —
@@ -1088,6 +1175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": _q_ntile_deciles,
         "fuzzy_prefix_pairs": _q_fuzzy_prefix_pairs,
         "percent_rank_dist": _q_percent_rank,
+        "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
+        "contamination": _q_contamination,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "tpch_q8": _q_tpch_q8,
         "tpch_q12": _q_tpch_q12,
         "tpch_q15": _q_tpch_q15,
@@ -1543,6 +1634,51 @@ def oracle_sql() -> dict[str, str]:
                    round(percent_rank() OVER (ORDER BY count(*), user_id), 8) AS pr,
                    round(cume_dist() OVER (ORDER BY count(*), user_id), 8) AS cd
             FROM events GROUP BY user_id
+        """,
+        "stratified_sample": f"""
+            WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN sizes USING (source)
+            WHERE ({_sql_md5h("CAST(d.doc_id AS VARCHAR)")} % 10000)::DOUBLE
+                  < least(1.0, 15.0 / n) * 10000
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1))::BIGINT AS tok
+              FROM documents
+            )
+            SELECT doc_id, source, tok AS tok_count,
+                   sum(tok) OVER w - tok AS start_off,
+                   (sum(tok) OVER w - tok) // 2048 AS pack_id
+            FROM t
+            WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        """,
+        "contamination": f"""
+            WITH {_sql_shingle_ctes(3)},
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+            SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS shared
+            FROM ex c JOIN ex b ON c.s = b.s
+            WHERE b.doc_id % 40 = 0 AND c.doc_id % 40 != 0
+            GROUP BY c.doc_id, b.doc_id
+            HAVING count(*) >= 3
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+              SELECT source, unnest({_sql_tokens("text")}) AS t FROM documents
+            ), tk AS (SELECT * FROM toks WHERE t != ''),
+            tf AS (SELECT source, t, count(*) AS tf FROM tk GROUP BY source, t),
+            dfreq AS (SELECT t, count(DISTINCT source) AS df FROM tk GROUP BY t),
+            nsrc AS (SELECT count(DISTINCT source) AS n FROM tk),
+            scored AS (
+              SELECT tf.source, tf.t, tf.tf, dfreq.df,
+                     round(tf.tf * ln(nsrc.n::DOUBLE / dfreq.df), 6) AS tfidf
+              FROM tf JOIN dfreq USING (t) CROSS JOIN nsrc
+            )
+            SELECT source, t AS term, tf, df, tfidf, rk FROM (
+              SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, t) AS rk
+              FROM scored
+            ) WHERE rk <= 3
         """,
         "cube_counts": """
             SELECT event_type, user_id % 5 AS bucket,
