@@ -98,6 +98,21 @@ def main() -> int:
     check("ann_lsh_multiprobe", "CartesianProduct" not in p and "TakeOrderedAndProject" in p,
           "multi-probe = bucket IN-filter + per-partition top-k")
 
+    # 9) curation queries: broadcasts where claimed, no cross products,
+    #    partitioned windows (no single-partition global sort).
+    p = plan_of(qs["stratified_sample"](spark, sf))
+    check("stratified_sample", "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+          "per-source sizes broadcast")
+    p = plan_of(qs["tfidf_top_terms"](spark, sf))
+    check("tfidf_top_terms", "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+          "document-frequency side broadcast")
+    p = plan_of(qs["pack_sequences"](spark, sf))
+    check("pack_sequences", "Window" in p and "hashpartitioning(source" in p,
+          "running sum is a window partitioned by source (no global sort)")
+    for q in ("contamination", "fuzzy_prefix_pairs"):
+        p = plan_of(qs[q](spark, sf))
+        check(q, "CartesianProduct" not in p, "candidates via equi-join, not cross join")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0
