@@ -175,3 +175,71 @@ def test_streaming_sessionize_gap_and_timeout(spark, tmp_path):
     assert rows[(2, "timeout")] == (h10 + 5 * 60_000, h10 + 5 * 60_000, 1)
     # users 1 (13:00) and 3 (13:30): sessions still open -> not emitted
     assert len(rows) == 2
+
+
+IMPRESSIONS_JSON = (
+    '{"ad_id":1,"lts":"2024-01-01T10:00:00Z"}\n'
+    '{"ad_id":2,"lts":"2024-01-01T10:10:00Z"}\n'
+    '{"ad_id":3,"lts":"2024-01-01T10:00:00Z"}\n'
+)
+CLICKS_JSON = (
+    '{"ad_id":1,"rts":"2024-01-01T10:05:00Z"}\n'   # within 30m -> match
+    '{"ad_id":2,"rts":"2024-01-01T11:30:00Z"}\n'   # 80m later -> no match
+    '{"ad_id":9,"rts":"2024-01-01T10:06:00Z"}\n'   # unknown ad -> no match
+)
+
+
+def test_stream_stream_join_inner(spark, tmp_path):
+    imp_dir = tmp_path / "imp"
+    clk_dir = tmp_path / "clk"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    (imp_dir / "a.json").write_text(IMPRESSIONS_JSON)
+    (clk_dir / "a.json").write_text(CLICKS_JSON)
+    imp = spark.readStream.schema("ad_id bigint, lts timestamp").json(str(imp_dir))
+    clk = spark.readStream.schema("ad_id bigint, rts timestamp").json(str(clk_dir))
+    out = zw.stream_stream_join(imp, clk, "ad_id", "lts", "rts", within="30 minutes")
+    q = (
+        out.select(imp["ad_id"], "lts", "rts")
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [(r.ad_id,) for r in spark.sql("select * from ssj").collect()]
+    assert rows == [(1,)]
+
+
+def test_stream_stream_join_batch_parity(spark):
+    # Same operator on batch frames: leftOuter keeps unmatched left rows.
+    imp = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:10:00")],
+        "ad_id bigint, lts string",
+    ).withColumn("lts", F.to_timestamp("lts"))
+    clk = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00"), (2, "2024-01-01 11:30:00")],
+        "ad_id bigint, rts string",
+    ).withColumn("rts", F.to_timestamp("rts"))
+    out = zw.stream_stream_join(imp, clk, "ad_id", "lts", "rts", how="leftOuter")
+    got = {(r[0], r.rts is not None) for r in out.select(imp["ad_id"], "rts").collect()}
+    assert got == {(1, True), (2, False)}
+
+
+def test_stream_static_enrich(spark, tmp_path, stream_src):
+    dim = spark.createDataFrame([(1, "gold"), (2, "free")], "user_id bigint, tier string")
+    stream = spark.readStream.schema(SCHEMA).json(stream_src)
+    out = zw.stream_static_enrich(stream, dim, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    tiers = {(r.user_id, r.tier) for r in spark.sql("select * from enrich").collect()}
+    assert tiers == {(1, "gold"), (2, "free")}

@@ -201,3 +201,47 @@ def running_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join with an event-time interval
+    condition (the impressions-to-clicks attribution shape).
+
+    Both inputs get a watermark and the join carries a time-range
+    constraint (``left_ts <= right_ts <= left_ts + within``), so the
+    state store can evict rows once the watermark passes
+    ``ts + watermark + within`` — without the range constraint a
+    stream-stream join buffers both sides FOREVER, which is the
+    classic unbounded-state bug at 100 TB/day ingest. Works on batch
+    DataFrames too (same plan minus state), which is how the parity
+    test checks values. ``how`` may be inner / leftOuter / fullOuter
+    (outer rows emit only after the watermark passes their window).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {within}"))
+    )
+    return lw.join(rw, cond, how)
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, key: str, how: str = "left"
+) -> DataFrame:
+    """Enrich a stream with a static dimension via broadcast join —
+    per micro-batch the dim is re-resolved, so slowly-changing lookup
+    tables refresh on each trigger without restarting the query. The
+    broadcast keeps the join shuffle-free on the (unbounded) stream
+    side."""
+    return stream.join(F.broadcast(dim), key, how)
