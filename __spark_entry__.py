@@ -842,6 +842,22 @@ def _q_percent_rank(spark, sf):
     )
 
 
+def _q_dedup_clusters(spark, sf):
+    """Transitive dedup clusters: connected components over the fuzzy
+    prefix-pair graph (a~b, b~c collapse to one cluster even when a~c
+    was never emitted). Iterative min-label propagation — each round a
+    distributed join + groupBy min, rounds = component diameter (tiny
+    for dup blobs). cluster_id = smallest reachable doc_id; the
+    canonical-doc selection step of near-dup removal."""
+    from zinger_spark.operators.graph import connected_components
+
+    edges = _q_fuzzy_prefix_pairs(spark, sf).select("a", "b")
+    verts = _t(spark, sf, "documents").select(F.col("doc_id").alias("id"))
+    return connected_components(verts, edges, "id", "a", "b").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def _q_stratified_sample(spark, sf):
     """Deterministic proportional stratified sampling: downsample every
     source to ~15 docs by hashing the doc id — the source-rebalancing
@@ -1176,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_prefix_pairs": _q_fuzzy_prefix_pairs,
         "percent_rank_dist": _q_percent_rank,
         "stratified_sample": _q_stratified_sample,
+        "dedup_clusters": _q_dedup_clusters,
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1634,6 +1651,26 @@ def oracle_sql() -> dict[str, str]:
                    round(percent_rank() OVER (ORDER BY count(*), user_id), 8) AS pr,
                    round(cume_dist() OVER (ORDER BY count(*), user_id), 8) AS cd
             FROM events GROUP BY user_id
+        """,
+        "dedup_clusters": r"""
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id, source,
+                     substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 16) AS pfx
+              FROM documents
+            ),
+            pairs AS (
+              SELECT l.doc_id AS a, r.doc_id AS b
+              FROM d l JOIN d r ON l.source = r.source AND l.doc_id < r.doc_id
+              WHERE levenshtein(l.pfx, r.pfx) <= 4
+            ),
+            edges AS (SELECT a AS s, b AS t FROM pairs UNION SELECT b, a FROM pairs),
+            reach AS (
+              SELECT doc_id AS v, doc_id AS l FROM documents
+              UNION
+              SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.v
+            )
+            SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
         """,
         "stratified_sample": f"""
             WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY source)

@@ -287,3 +287,26 @@ def test_edit_distance_join_block_col(spark):
         ).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_connected_components(spark):
+    from zinger_spark.operators.graph import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    # chain 1-2-3-4-5 (diameter 4), pair 6-7, singleton 8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "a long, b long"
+    )
+    got = {(r.id, r.cluster_id) for r in connected_components(verts, edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 6), (7, 6), (8, 8)}
+
+
+def test_connected_components_non_convergence_raises(spark):
+    from zinger_spark.operators.graph import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        connected_components(verts, edges, max_iter=1)
