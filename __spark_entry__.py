@@ -842,6 +842,49 @@ def _q_percent_rank(spark, sf):
     )
 
 
+def _q_knn_join(spark, sf):
+    """Batched exact k-NN join: top-3 neighbors for every query row
+    (vec_id % 97 == 0) — broadcast the query batch, score corpus rows
+    in place, per-query top-k window. Rank-only output (no float
+    column in the comparison)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return zsim.knn_join(emb, queries, k=3)
+
+
+def _q_sliding_window_counts(spark, sf):
+    """Trailing-hour event count per user at every event (RANGE frame
+    over event-time microseconds — the batch replica of a sliding
+    streaming window; partitioned by user, so no global sort)."""
+    ev = _events(spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3599999999, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_hour")
+    )
+
+
+def _q_zscore_anomalies(spark, sf):
+    """Per-event-type z-score outliers (|z| >= 2.5): broadcast the
+    20-row per-type mean/stddev back onto the stream — the metric
+    anomaly-detection shape."""
+    ev = _events(spark, sf)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4))
+        .filter(F.abs(F.col("z")) >= 2.5)
+        .select("event_id", "event_type", "z")
+    )
+
+
 def _q_dedup_clusters(spark, sf):
     """Transitive dedup clusters: connected components over the fuzzy
     prefix-pair graph (a~b, b~c collapse to one cluster even when a~c
@@ -1193,6 +1236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent_rank_dist": _q_percent_rank,
         "stratified_sample": _q_stratified_sample,
         "dedup_clusters": _q_dedup_clusters,
+        "knn_join": _q_knn_join,
+        "sliding_window_counts": _q_sliding_window_counts,
+        "zscore_anomalies": _q_zscore_anomalies,
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1651,6 +1697,38 @@ def oracle_sql() -> dict[str, str]:
                    round(percent_rank() OVER (ORDER BY count(*), user_id), 8) AS pr,
                    round(cume_dist() OVER (ORDER BY count(*), user_id), 8) AS cd
             FROM events GROUP BY user_id
+        """,
+        "knn_join": f"""
+            WITH q AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id % 97 = 0
+            ),
+            s AS (
+              SELECT q.qid, e.vec_id,
+                     round({_sql_cosine("(e.embedding::DOUBLE[])", "q.qv")}, 8) AS score
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id != q.qid
+            )
+            SELECT qid, vec_id, rk FROM (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+              FROM s
+            ) WHERE rk <= 3
+        """,
+        "sliding_window_counts": """
+            SELECT event_id, user_id,
+                   count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS n_hour
+            FROM events
+        """,
+        "zscore_anomalies": """
+            WITH stats AS (
+              SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+              FROM events GROUP BY event_type
+            )
+            SELECT event_id, e.event_type, round((value - mu) / sigma, 4) AS z
+            FROM events e JOIN stats USING (event_type)
+            WHERE abs(round((value - mu) / sigma, 4)) >= 2.5
         """,
         "dedup_clusters": r"""
             WITH RECURSIVE

@@ -212,3 +212,45 @@ def embedding_dup_pairs(
         .filter(F.col("score") >= threshold)
         .select("a", "b")
     )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id: str = "qid",
+    q_vec: str = "qvec",
+) -> DataFrame:
+    """Batched exact k-NN join: top-k corpus neighbors for EVERY query
+    row (the retrieval-eval / hard-negative-mining shape), not just one
+    query vector like brute_force_topk.
+
+    The query side is broadcast (requirement: it fits an executor —
+    thousands of probes, not millions), so the corpus never shuffles
+    for scoring; the only shuffle is the per-query top-k window over
+    scored rows. At extreme corpus x query products, swap the window
+    for a two-phase top-k (local top-k per partition, then global) or
+    route through lsh_topk/ivf_topk per query bucket. Self-pairs are
+    excluded. Returns (q_id, id_col, rk) — ranks only, no float
+    column, so oracle comparison never touches score precision.
+    """
+    scored = corpus.alias("c").join(
+        F.broadcast(queries.alias("q")),
+        F.col(f"c.{id_col}") != F.col(f"q.{q_id}"),
+    ).select(
+        F.col(f"q.{q_id}").alias(q_id),
+        F.col(f"c.{id_col}").alias(id_col),
+        F.round(
+            cosine(as_double(F.col(f"c.{vec_col}")), as_double(F.col(f"q.{q_vec}"))), 8
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(q_id, id_col, "rk")
+    )
