@@ -885,6 +885,23 @@ def _q_zscore_anomalies(spark, sf):
     )
 
 
+def _q_quality_quantile_filter(spark, sf):
+    """Keep the top-40% quality docs WITHIN each source (quantile
+    filtering with per-source fairness — a flat global threshold would
+    empty low-quality sources entirely). Rank-based: percent_rank over
+    the deterministic quality score, so the keep/drop boundary is an
+    exact rational, not a float comparison."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "source", ztext.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("quality"), F.col("doc_id"))
+    return (
+        docs.withColumn("pr", F.round(F.percent_rank().over(w), 8))
+        .filter(F.col("pr") >= 0.6)
+        .select("doc_id", "source", "quality", "pr")
+    )
+
+
 def _q_dedup_clusters(spark, sf):
     """Transitive dedup clusters: connected components over the fuzzy
     prefix-pair graph (a~b, b~c collapse to one cluster even when a~c
@@ -1237,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "dedup_clusters": _q_dedup_clusters,
         "knn_join": _q_knn_join,
+        "quality_quantile_filter": _q_quality_quantile_filter,
         "sliding_window_counts": _q_sliding_window_counts,
         "zscore_anomalies": _q_zscore_anomalies,
         "pack_sequences": _q_pack_sequences,
@@ -1697,6 +1715,34 @@ def oracle_sql() -> dict[str, str]:
                    round(percent_rank() OVER (ORDER BY count(*), user_id), 8) AS pr,
                    round(cume_dist() OVER (ORDER BY count(*), user_id), 8) AS cd
             FROM events GROUP BY user_id
+        """,
+        "quality_quantile_filter": f"""
+            WITH base AS (
+              SELECT doc_id, source, length(text) AS n,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tc,
+                     (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE AS np,
+                     len(list_filter({_sql_tokens('text')},
+                         t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))::DOUBLE AS sw
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id, source,
+                   round(0.4::DOUBLE * (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                                     WHEN n >= 20 THEN 0.5 ELSE 0.0 END)::DOUBLE
+                       + 0.3::DOUBLE * (CASE WHEN (CASE WHEN n = 0 THEN 0.0 ELSE np / n END) <= 0.1
+                                     THEN 1.0 ELSE 0.0 END)::DOUBLE
+                       + 0.3::DOUBLE * (CASE WHEN tc > 0
+                                      AND ((n - tc + 1)::DOUBLE / tc) >= 2.0
+                                      AND ((n - tc + 1)::DOUBLE / tc) <= 12.0
+                                     THEN 1.0 ELSE 0.0 END)::DOUBLE, 4) AS quality
+              FROM base
+            )
+            SELECT doc_id, source, quality, pr FROM (
+              SELECT doc_id, source, quality,
+                     round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 8) AS pr
+              FROM q
+            ) WHERE pr >= 0.6
         """,
         "knn_join": f"""
             WITH q AS (
