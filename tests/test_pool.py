@@ -130,3 +130,18 @@ def test_compact_preserves_contents(spark, tmp_path):
     # post-compact appends keep flowing through the manifest
     pool.load_batch(spark.createDataFrame(env_rows("T", [5]), _schema()))
     assert pool.next_consumer_offset("T") == 6
+
+
+def test_time_travel_as_of(spark, tmp_path):
+    pool = Pool.create(spark, str(tmp_path / "tt"))
+    c1 = pool.load_batch(spark.createDataFrame(env_rows("T", [0, 1]), _schema()))
+    c2 = pool.load_batch(spark.createDataFrame(env_rows("T", [2]), _schema()))
+    c3 = pool.load_batch(spark.createDataFrame(env_rows("T", [3, 4]), _schema()))
+    assert pool.df().count() == 5
+    assert pool.df(as_of=c1).count() == 2
+    assert pool.df(as_of=c2).count() == 3
+    assert pool.df(as_of=c3).count() == 5
+    # offsets visible at c2 stop at 2
+    assert pool.df(as_of=c2).agg(F.max("kafka.offset")).first()[0] == 2
+    with pytest.raises(PoolError):
+        pool.df(as_of="0000000000000-deadbeef")

@@ -146,3 +146,32 @@ def test_avro_py_roundtrip_any_schema(data, schema):
     value = data.draw(_avro_value_for(schema))
     back = avro_py.decode_value(schema, avro_py.encode_value(schema, value))
     assert back == value
+
+
+# -- PassJoin segment blocking == brute-force levenshtein --------------------
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    words=st.lists(st.text(alphabet="ab ", max_size=9), min_size=2, max_size=14),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_edit_distance_join_equals_brute_force(spark, words, k):
+    from zinger_spark.operators.dedup import edit_distance_join
+
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    got = {
+        (r.a, r.b, r.dist)
+        for r in edit_distance_join(df, "key", "doc_id", k).collect()
+    }
+    want = {
+        (r.a, r.b, r.dist)
+        for r in df.selectExpr("doc_id a", "key ka")
+        .crossJoin(df.selectExpr("doc_id b", "key kb"))
+        .filter("a < b")
+        .selectExpr("a", "b", "levenshtein(ka, kb) dist")
+        .filter(f"dist <= {k}")
+        .collect()
+    }
+    assert got == want

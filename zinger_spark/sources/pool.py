@@ -123,7 +123,7 @@ class Pool:
     def is_empty(self) -> bool:
         return not self._commit_dirs()
 
-    def df(self, topic: str | None = None) -> DataFrame:
+    def df(self, topic: str | None = None, as_of: str | None = None) -> DataFrame:
         """The whole pool as a DataFrame (schema-merged across commits).
 
         ``topic`` matters for partitioned pools: the hive partition
@@ -132,8 +132,22 @@ class Pool:
         topic restriction must be applied to ``_topic`` BEFORE the
         column is dropped. With it, a topic-scoped read lists only that
         topic's directories (PartitionFilters in the scan, verified by
-        test_partitioned_pool_prunes_by_topic)."""
+        test_partitioned_pool_prunes_by_topic).
+
+        ``as_of`` is time travel (the Delta ``versionAsOf`` analog):
+        pass a commit id previously returned by ``load_batch`` and the
+        read sees only commits up to and including it — commit ids are
+        millisecond-prefixed, so lexicographic order IS commit order.
+        Commits orphaned by ``compact()`` leave the manifest and age
+        out via ``vacuum(grace)``, so time travel reaches exactly the
+        commits vacuum hasn't reclaimed (same contract as Delta
+        VACUUM limiting its time travel)."""
         dirs = self._commit_dirs()
+        if as_of is not None:
+            cut = f"commit-{as_of}"
+            dirs = [d for d in dirs if os.path.basename(d) <= cut]
+            if not dirs:
+                raise PoolError(f"pool {self.path}: no commits at or before {as_of}")
         if not dirs:
             raise PoolError(f"pool {self.path} is empty")
         reader = self.spark.read.option("mergeSchema", "true")
