@@ -310,3 +310,24 @@ def test_connected_components_non_convergence_raises(spark):
 
     with _pytest.raises(RuntimeError):
         connected_components(verts, edges, max_iter=1)
+
+
+def test_knn_two_phase_matches_single_phase(spark):
+    from zinger_spark.operators.similarity import knn_join, knn_join_two_phase
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q_rows = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") % 17 == 0).collect()
+    ]
+    queries = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in q_rows],
+        "qid long, qvec array<double>",
+    )
+    single = {(r.qid, r.vec_id, r.rk) for r in knn_join(emb, queries, k=5).collect()}
+    two = {
+        (r.qid, r.vec_id, r.rk)
+        for r in knn_join_two_phase(emb, q_rows, k=5).collect()
+    }
+    assert single == two

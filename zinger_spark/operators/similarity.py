@@ -254,3 +254,69 @@ def knn_join(
         .filter(F.col("rk") <= k)
         .select(q_id, id_col, "rk")
     )
+
+
+def knn_join_two_phase(
+    corpus: DataFrame,
+    queries_rows: Sequence[tuple],
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Production-path batched k-NN: per-PARTITION top-k in numpy
+    (one (n_batch x d) @ (d x n_q) matmul per Arrow batch, NO shuffle
+    of scored rows), then a final window over only k x n_partitions
+    x n_queries survivors. The single-phase ``knn_join`` shuffles every
+    scored row into per-query partitions — fine up to millions of
+    rows, but at corpus x query scale the shuffle IS the job; here the
+    shuffle input shrinks by ~corpus_rows / (k x n_partitions).
+
+    ``queries_rows``: [(qid, vector), ...] — collected query batch
+    (same broadcast-sized contract as knn_join). Self-pairs excluded.
+    Returns (qid, id_col, rk). Scores use float64 matmul, which is not
+    bit-identical to the oracle's sequential fold — use knn_join where
+    hash-exact parity matters (parity asserted on separated data by
+    test_knn_two_phase_matches_single_phase).
+    """
+    import numpy as np  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    qids = [int(q) for q, _ in queries_rows]
+    qmat = np.asarray([[float(x) for x in v] for _, v in queries_rows], dtype=np.float64)
+    qunit = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    n_q = len(qids)
+    kk = int(k)
+
+    def _local_topk(batches):
+        for pdf in batches:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(mat) == 0:
+                continue
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            scores = (mat / norms) @ qunit.T  # (n_batch, n_q)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_id, out_s = [], [], []
+            for j in range(n_q):
+                col = scores[:, j].copy()
+                col[ids == qids[j]] = -np.inf  # exclude self
+                take = min(kk, len(col))
+                # partial select then exact order by (-score, id)
+                cand = np.argpartition(-col, take - 1)[:take] if take < len(col) else np.arange(len(col))
+                cand = cand[np.lexsort((ids[cand], -col[cand]))][:take]
+                out_q.extend([qids[j]] * len(cand))
+                out_id.extend(ids[cand].tolist())
+                out_s.extend(np.round(col[cand], 8).tolist())
+            yield pd.DataFrame({"qid": out_q, id_col: out_id, "score": out_s})
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        _local_topk, schema=f"qid long, {id_col} long, score double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= kk)
+        .select("qid", id_col, "rk")
+    )
