@@ -112,6 +112,17 @@ def main() -> int:
     for q in ("contamination", "fuzzy_prefix_pairs"):
         p = plan_of(qs[q](spark, sf))
         check(q, "CartesianProduct" not in p, "candidates via equi-join, not cross join")
+    p = plan_of(qs["zscore_anomalies"](spark, sf))
+    check("zscore_anomalies", "BroadcastHashJoin" in p, "per-type stats broadcast")
+    p = plan_of(qs["sliding_window_counts"](spark, sf))
+    check("sliding_window_counts", "hashpartitioning(user_id" in p,
+          "RANGE window partitioned by user (no global sort)")
+    p = plan_of(qs["knn_join"](spark, sf))
+    check("knn_join", "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p,
+          "query batch broadcast (intended BNLJ), corpus never shuffles for scoring")
+    p = plan_of(qs["quality_quantile_filter"](spark, sf))
+    check("quality_quantile_filter", "hashpartitioning(source" in p,
+          "percent_rank window partitioned by source")
 
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
