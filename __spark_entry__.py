@@ -809,22 +809,20 @@ def _q_tpch_q22(spark, sf):
 def _q_fuzzy_prefix_pairs(spark, sf):
     """Fuzzy near-key matching via edit distance: doc pairs from the
     same source whose normalized 16-char prefixes are within
-    levenshtein <= 4. The block key (source) bounds the self-join —
-    the fuzzy-dedup primitive for noisy titles/keys in a training
-    corpus (levenshtein on a short prefix, never on full text)."""
+    levenshtein <= 4 (the fuzzy-dedup primitive for noisy titles/keys —
+    levenshtein on a short prefix, never on full text). Runs through
+    the PassJoin segment-blocked join, which is recall-complete and
+    precision-exact, so the output is identical to a naive per-source
+    self-join (what the oracle computes) — but candidates come from an
+    equi-join on segments, never a block-wide cross product, so a
+    low-cardinality source column can't go quadratic."""
     docs = _t(spark, sf, "documents").select(
         "doc_id",
         "source",
         F.substring(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), 1, 16).alias("pfx"),
     )
-    left = docs.select(F.col("doc_id").alias("a"), "source", F.col("pfx").alias("pa"))
-    right = docs.select(F.col("doc_id").alias("b"), "source", F.col("pfx").alias("pb"))
-    return (
-        left.join(right, "source")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("dist", F.levenshtein(F.col("pa"), F.col("pb")))
-        .filter(F.col("dist") <= 4)
-        .select("a", "b", "dist")
+    return zdedup.edit_distance_join(
+        docs, key_col="pfx", id_col="doc_id", max_dist=4, block_col="source"
     )
 
 
