@@ -1214,7 +1214,41 @@ def _q_embedding_dups(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
+    # per round.  Keys that were never checked (or were red) in the prior
+    # round MUST sit inside that window; previously-green keys rotate to
+    # the tail.  Round 3 window = the 22 keys with only r1 evidence, the
+    # two r2 reds (pack_sequences, tpch_q12 — HUGEINT oracle casts fixed),
+    # and this round's new queries.
     return {
+        # -- r2-unchecked (r1-green or never-checked) -----------------
+        "sessionize": _q_sessionize,
+        "embedding_dup_pairs": _q_embedding_dups,
+        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
+        "explode_tokens": _q_explode_tokens,
+        "asof_join": _q_asof_join,
+        "pivot_counts": _q_pivot_counts,
+        "distinct_users": _q_distinct_users,
+        "rollup_counts": _q_rollup_counts,
+        "running_sum": _q_running_sum,
+        "percentiles": _q_percentiles,
+        "unpivot_stack": _q_unpivot,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "doc_fingerprint": _q_fingerprint,
+        "token_counts": _q_token_counts,
+        "lang_id": _q_langid,
+        "quality_score": _q_quality,
+        "ann_brute_topk": _q_ann_brute,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        # -- r2 reds, oracles fixed (sum cast to BIGINT) --------------
+        "pack_sequences": _q_pack_sequences,
+        "tpch_q12": _q_tpch_q12,
+        # -- new in round 3 -------------------------------------------
+        # -- r2-green rotation (fills the rest of the 50-key window) --
         "envelope_wrap": _q_envelope,
         "filter_predicates": _q_filter,
         "resume_offset": _q_resume_offset,
@@ -1255,38 +1289,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantile_filter": _q_quality_quantile_filter,
         "sliding_window_counts": _q_sliding_window_counts,
         "zscore_anomalies": _q_zscore_anomalies,
-        "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "tpch_q8": _q_tpch_q8,
-        "tpch_q12": _q_tpch_q12,
         "tpch_q15": _q_tpch_q15,
         "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
         "time_rollup": _q_time_rollup,
         "const_map_lookup": _q_const_map_lookup,
-        "explode_tokens": _q_explode_tokens,
-        "sessionize": _q_sessionize,
-        "asof_join": _q_asof_join,
-        "pivot_counts": _q_pivot_counts,
-        "distinct_users": _q_distinct_users,
-        "rollup_counts": _q_rollup_counts,
-        "running_sum": _q_running_sum,
-        "percentiles": _q_percentiles,
-        "unpivot_stack": _q_unpivot,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_minhash_lsh,
-        "dedup_ngram_jaccard": _q_ngram_jaccard,
-        "simhash": _q_simhash,
-        "doc_fingerprint": _q_fingerprint,
-        "token_counts": _q_token_counts,
-        "lang_id": _q_langid,
-        "quality_score": _q_quality,
-        "ann_brute_topk": _q_ann_brute,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
-        "ann_ivf_topk": _q_ann_ivf,
-        "embedding_dup_pairs": _q_embedding_dups,
     }
 
 
@@ -1808,8 +1818,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, source, tok AS tok_count,
-                   sum(tok) OVER w - tok AS start_off,
-                   (sum(tok) OVER w - tok) // 2048 AS pack_id
+                   CAST(sum(tok) OVER w - tok AS BIGINT) AS start_off,
+                   CAST((sum(tok) OVER w - tok) // 2048 AS BIGINT) AS pack_id
             FROM t
             WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         """,
@@ -1916,10 +1926,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q12": """
             SELECT l_returnflag,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -2003,8 +2013,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             sess AS (
               SELECT user_id, event_id,
-                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
               FROM flagged
             )
             SELECT user_id, session_id, count(*) AS n_events,

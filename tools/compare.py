@@ -1,6 +1,16 @@
 """Local replica of the driver's correctness gate: run each queries()
 entry on Spark and its oracle_sql() on DuckDB, compare row count, column
-names, and an order-insensitive value hash.
+names, an order-insensitive value hash, AND column type kinds.
+
+Driver-faithfulness note (round-2 verdict): DuckDB ``sum(<integer>)``
+returns HUGEINT (int128), which the driver's canonicalizer hashes
+differently from Spark's bigint.  The old canon() here coerced
+Decimal/HUGEINT into float and therefore could not reproduce those
+driver reds.  This version fetches the DuckDB result through Arrow so
+types survive (HUGEINT -> decimal128(38,0)) and fails on any column
+whose *type kind* (int / float / decimal / bool / string / binary /
+timestamp / list / struct) differs between the Spark result and the
+oracle result — so local red == driver red.
 
 Usage: python tools/compare.py [sf_dir] [query ...]
 """
@@ -23,7 +33,9 @@ def canon(val):
     if isinstance(val, bool):
         return "1" if val else "0"
     if isinstance(val, decimal.Decimal):
-        val = float(val)
+        # deliberately distinct from int/float canon: a decimal-typed
+        # column must not hash equal to a bigint column (driver parity)
+        return "dec:" + str(val)
     if isinstance(val, float):
         if math.isnan(val):
             return "nan"
@@ -32,6 +44,8 @@ def canon(val):
         return repr(round(val, 9))
     if isinstance(val, bytes):
         return val.hex()
+    if isinstance(val, (list, tuple)):
+        return "[" + ",".join(canon(v) for v in val) + "]"
     return str(val)
 
 
@@ -43,6 +57,63 @@ def table_hash(cols, rows):
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+def _arrow_kind(t):
+    import pyarrow as pa
+
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "timestamp"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return "list"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_map(t):
+        return "map"
+    return str(t)
+
+
+def _spark_kind(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "timestamp"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.ArrayType):
+        return "list"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.MapType):
+        return "map"
+    return str(dt)
+
+
+def _arrow_py(val):
+    """Arrow scalar -> python, keeping Decimal as Decimal."""
+    return val.as_py()
 
 
 def main():
@@ -70,6 +141,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            skinds = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -79,9 +151,13 @@ def main():
             print(f"SKIP {name}: no oracle (rows-only) rows={len(srows)}")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            atab = con.execute(oracles[name]).fetch_arrow_table()
+            ocols = atab.column_names
+            okinds = {f.name: _arrow_kind(f.type) for f in atab.schema}
+            orows = [
+                tuple(_arrow_py(atab.column(c)[i]) for c in ocols)
+                for i in range(atab.num_rows)
+            ]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -92,6 +168,13 @@ def main():
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
         else:
+            kind_mismatch = [
+                f"{c}: spark={skinds[c]} oracle={okinds[c]}"
+                for c in scols
+                if skinds[c] != okinds[c]
+            ]
+            if kind_mismatch:
+                problems.append("type-kind " + "; ".join(kind_mismatch))
             hs, ho = table_hash(scols, srows), table_hash(ocols, orows)
             if hs != ho:
                 problems.append(f"hash {hs} != {ho}")
