@@ -716,8 +716,10 @@ def _q_tpch_q12(spark, sf):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_returnflag")
         .agg(
+            # exact complement of the oracle CASE: a NULL priority must
+            # count as low (when(~high) would yield NULL-neither)
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
     )
 

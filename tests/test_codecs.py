@@ -340,3 +340,36 @@ def test_avro_body_null_timestamp_roundtrip(spark):
     got = {r["a"]: r["t"] for r in dec.collect()}
     assert got[2] is None
     assert str(got[1]).startswith("2022-02-10 13:49:34.812")
+
+
+def test_avro_body_null_double_roundtrip(spark):
+    """A NULL double rides the [null,T] union in the fallback codec too:
+    pandas hands the encoder NaN (its null sentinel for float columns),
+    which must encode the null branch — matching the JVM to_avro path —
+    not a NaN payload."""
+    dt = T.StructType.fromDDL("a bigint, x double")
+    df = spark.createDataFrame([(1, 2.5), (2, None)], dt)
+    enc = df.select(zavro.to_avro_body(F.struct("a", "x"), dt).alias("body"))
+    dec = enc.select(
+        zavro.from_avro_body(F.col("body"), zavro.avro_schema_of(dt)).alias("v")
+    ).select("v.*")
+    got = {r["a"]: r["x"] for r in dec.collect()}
+    assert got[1] == 2.5
+    assert got[2] is None  # not NaN
+
+
+def test_avro_null_body_decodes_to_null_struct(spark):
+    """A NULL body (e.g. a compacted-topic tombstone) must decode to a
+    NULL struct, not a struct of all-null fields — matching from_avro."""
+    dt = T.StructType.fromDDL("a bigint, s string")
+    schema = zavro.avro_schema_of(dt)
+    from zinger_spark.codecs import avro_py
+
+    body = avro_py.encode_value(schema, {"a": 7, "s": "x"})
+    df = spark.createDataFrame([(0, body), (1, None)], "off long, body binary")
+    out = df.select(
+        "off", zavro.from_avro_body(F.col("body"), schema).alias("v")
+    ).collect()
+    got = {r["off"]: r["v"] for r in out}
+    assert got[0] is not None and got[0]["a"] == 7 and got[0]["s"] == "x"
+    assert got[1] is None  # whole struct NULL, not Row(a=None, s=None)

@@ -331,3 +331,19 @@ def test_knn_two_phase_matches_single_phase(spark):
         for r in knn_join_two_phase(emb, q_rows, k=5).collect()
     }
     assert single == two
+
+
+def test_knn_two_phase_no_self_pair_leak(spark):
+    """A query with fewer than k non-self candidates must not emit its
+    self-pair (regression: the old -inf sentinel could survive the
+    partition top-k and surface as a rank<=k neighbor)."""
+    from zinger_spark.operators.similarity import knn_join_two_phase
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    got = knn_join_two_phase(corpus, [(1, [1.0, 0.0])], k=5).collect()
+    assert all(r.vec_id != 1 for r in got)
+    assert {r.vec_id for r in got} == {2, 3}
+    assert sorted(r.rk for r in got) == [1, 2]

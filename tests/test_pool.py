@@ -145,3 +145,22 @@ def test_time_travel_as_of(spark, tmp_path):
     assert pool.df(as_of=c2).agg(F.max("kafka.offset")).first()[0] == 2
     with pytest.raises(PoolError):
         pool.df(as_of="0000000000000-deadbeef")
+
+
+def test_vacuum_reclaims_tmp_dirs(spark, tmp_path):
+    """'.tmp-*' leftovers from a write that crashed between the Spark
+    write and os.rename are never manifest-referenced; vacuum reclaims
+    them on the mtime clock alongside orphaned commits."""
+    import os
+
+    pool = Pool.create(spark, str(tmp_path / "vt"))
+    pool.load_batch(spark.createDataFrame(env_rows("T", [0, 1]), _schema()))
+    junk = os.path.join(pool.path, ".tmp-crashed-write")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-0.parquet"), "wb") as f:
+        f.write(b"partial")
+    assert pool.vacuum(grace_seconds=3600) == 0  # inside grace: protected
+    assert os.path.isdir(junk)
+    assert pool.vacuum(grace_seconds=0) == 1
+    assert not os.path.exists(junk)
+    assert pool.df().count() == 2  # live commit untouched

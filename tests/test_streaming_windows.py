@@ -243,3 +243,86 @@ def test_stream_static_enrich(spark, tmp_path, stream_src):
     q.awaitTermination(120)
     tiers = {(r.user_id, r.tier) for r in spark.sql("select * from enrich").collect()}
     assert tiers == {(1, "gold"), (2, "free")}
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState, driving the sessionize
+    kernel directly (the watermark-clamp path is hard to reach through a
+    real query deterministically)."""
+
+    def __init__(self, watermark_ms, existing=None, timed_out=False):
+        self._wm = watermark_ms
+        self._state = existing
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._state is not None
+
+    @property
+    def get(self):
+        if self._state is None:
+            raise ValueError("no state")
+        return self._state
+
+    def update(self, v):
+        self._state = v
+
+    def remove(self):
+        self._state = None
+        self.removed = True
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ts):
+        if ts <= self._wm:
+            raise ValueError(
+                f"timeout {ts} must be > watermark {self._wm}"  # Spark's rule
+            )
+        self.timeout_set = ts
+
+
+def _run_kernel(gap_ms, state, ts_us_lists):
+    import pandas as pd
+
+    kernel = zw._sessionize_kernel(gap_ms)
+    pdfs = [pd.DataFrame({"ts": pd.Series(ts, dtype="int64") * 1000})
+            for ts in ts_us_lists]  # kernel reads int64 ns / 1e6 -> ms
+    out = list(kernel((1,), pdfs, state))
+    return pd.concat(out) if out else None
+
+
+def test_sessionize_kernel_emits_when_behind_watermark():
+    """Events whose session already expired relative to the watermark
+    must be emitted immediately, not registered as an (illegal) timeout
+    at or before the watermark."""
+    gap = 30 * 60 * 1000
+    wm = 10_000_000_000
+    state = _FakeGroupState(watermark_ms=wm)
+    old = wm - gap - 5_000  # last + gap == wm - 5s <= wm
+    out = _run_kernel(gap, state, [[old * 1000, (old - 60_000) * 1000]])
+    assert state.removed and state.timeout_set is None
+    assert len(out) == 1 and out.iloc[0]["closed_by"] == "timeout"
+    assert out.iloc[0]["n_events"] == 2 and out.iloc[0]["end_ms"] == old
+
+
+def test_sessionize_kernel_clamps_timeout_above_watermark():
+    """last + gap barely behind the watermark edge -> timeout clamps to
+    watermark + 1 rather than raising."""
+    gap = 30 * 60 * 1000
+    wm = 10_000_000_000
+    state = _FakeGroupState(watermark_ms=wm)
+    last = wm - gap + 1  # last + gap == wm + 1 > wm: keep, clamp applies
+    _run_kernel(gap, state, [[last * 1000]])
+    assert not state.removed
+    assert state.timeout_set == wm + 1
+
+
+def test_sessionize_kernel_normal_timeout_unclamped():
+    gap = 30 * 60 * 1000
+    state = _FakeGroupState(watermark_ms=1_000)
+    _run_kernel(gap, state, [[5_000_000 * 1000]])
+    assert state.timeout_set == 5_000_000 + gap

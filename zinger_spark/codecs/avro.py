@@ -199,18 +199,19 @@ def spark_avro_usable() -> bool:
 
 
 def _sanitize_row(row: dict, dt: T.StructType) -> dict:
-    """pandas null sentinels -> None: NaN in non-float columns (pandas
-    nulls numerics with NaN) and NaT in temporal columns — both are
-    self-unequal scalars, which is the test used (container types are
-    skipped: lists/dicts never take the sentinel forms)."""
+    """pandas null sentinels -> None: NaN in numeric columns (pandas
+    nulls numerics with NaN, float/double included — a true-NaN payload
+    is indistinguishable from a null there, and the JVM to_avro path
+    encodes the null union branch) and NaT in temporal columns — both
+    are self-unequal scalars, which is the test used (container types
+    are skipped: lists/dicts never take the sentinel forms)."""
     out = {}
     for f in dt.fields:
         v = row.get(f.name)
         if (
             v is not None
             and not isinstance(
-                f.dataType,
-                (T.FloatType, T.DoubleType, T.ArrayType, T.MapType, T.StructType),
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
             )
             and v != v  # NaN or NaT
         ):
@@ -272,7 +273,10 @@ def from_avro_body(col: Column, avro_schema: dict | str) -> Column:
             [({} if v is None else v) for v in vals], columns=names
         )
 
-    return _dec(col)
+    # a NULL body must decode to a NULL struct (as the JVM from_avro
+    # does), not a struct of all-null fields — pandas DataFrames can't
+    # express a null struct row, so gate the UDF with a when()
+    return F.when(col.isNotNull(), _dec(col))
 
 
 # ---------------------------------------------------------------------------

@@ -300,14 +300,19 @@ def knn_join_two_phase(
             ids = pdf[id_col].to_numpy()
             out_q, out_id, out_s = [], [], []
             for j in range(n_q):
-                col = scores[:, j].copy()
-                col[ids == qids[j]] = -np.inf  # exclude self
+                keep = ids != qids[j]  # drop self-pairs outright: a -inf
+                # sentinel could survive the partition top-k when a query
+                # has < k non-self candidates and leak into the output
+                col = scores[keep, j]
+                cids = ids[keep]
+                if len(col) == 0:
+                    continue
                 take = min(kk, len(col))
                 # partial select then exact order by (-score, id)
                 cand = np.argpartition(-col, take - 1)[:take] if take < len(col) else np.arange(len(col))
-                cand = cand[np.lexsort((ids[cand], -col[cand]))][:take]
+                cand = cand[np.lexsort((cids[cand], -col[cand]))][:take]
                 out_q.extend([qids[j]] * len(cand))
-                out_id.extend(ids[cand].tolist())
+                out_id.extend(cids[cand].tolist())
                 out_s.extend(np.round(col[cand], 8).tolist())
             yield pd.DataFrame({"qid": out_q, id_col: out_id, "score": out_s})
 

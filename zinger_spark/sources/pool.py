@@ -294,13 +294,25 @@ class Pool:
         manifest readers (crashed half-writes); those fall back to the
         mtime clock. No-op for manifest-less pools. Returns dirs
         removed."""
-        m = self._read_manifest()
-        if m is None:
-            return 0
-        keep = set(m["commits"])
-        orphaned = m.get("orphaned", {})
         removed = 0
         now = time.time()
+        # '.tmp-*' dirs are writes that crashed between the Spark write
+        # and os.rename — never referenced by the manifest or visible to
+        # any reader (manifest-less pools list only commit-* dirs), so
+        # reclaim them on the mtime clock in every pool mode.
+        for d in os.listdir(self.path):
+            full = os.path.join(self.path, d)
+            if not (d.startswith(".tmp-") and os.path.isdir(full)):
+                continue
+            if now - os.path.getmtime(full) >= grace_seconds:
+                shutil.rmtree(full)
+                removed += 1
+        m = self._read_manifest()
+        if m is None:
+            return removed
+        keep = set(m["commits"])
+        orphaned = m.get("orphaned", {})
+        orphan_removed = 0
         remaining_orphans = dict(orphaned)
         for d in os.listdir(self.path):
             full = os.path.join(self.path, d)
@@ -310,10 +322,10 @@ class Pool:
             if now - since >= grace_seconds:
                 shutil.rmtree(full)
                 remaining_orphans.pop(d, None)
-                removed += 1
-        if removed:
+                orphan_removed += 1
+        if orphan_removed:
             self._write_manifest(m["commits"], remaining_orphans)
-        return removed
+        return removed + orphan_removed
 
     def delete(self) -> None:
         shutil.rmtree(self.path)

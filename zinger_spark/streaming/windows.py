@@ -111,8 +111,24 @@ def _sessionize_kernel(gap_ms: int):
                 else:
                     last = max(last, t)
                     n += 1
-            state.update((start, last, n))
-            state.setTimeoutTimestamp(last + gap_ms)
+            # Spark requires an event-time timeout strictly greater than
+            # the current watermark: a batch whose events for this key
+            # are all older than watermark - gap would otherwise raise.
+            # If the watermark already passed last + gap the session is
+            # definitively over — emit it now instead of registering an
+            # unreachable timeout.
+            wm = state.getCurrentWatermarkMs()
+            if last is None:
+                pass  # no events and no prior state: nothing to track
+            elif last + gap_ms <= wm:
+                state.remove()
+                out.append(
+                    {"user_id": key[0], "start_ms": start, "end_ms": last,
+                     "n_events": n, "closed_by": "timeout"}
+                )
+            else:
+                state.update((start, last, n))
+                state.setTimeoutTimestamp(max(last + gap_ms, wm + 1))
         yield pd.DataFrame(
             out, columns=["user_id", "start_ms", "end_ms", "n_events", "closed_by"]
         )
