@@ -939,21 +939,20 @@ def _q_pack_sequences(spark, sf):
     """Token-offset sequence packing: concatenate docs per source in
     deterministic (doc_id) order and chop at a 2048-token context
     budget — the assignment step of pretraining sequence packing.
-    A per-source running sum (partitioned window, no global sort)
-    gives each doc its start offset; pack_id = start div budget."""
+    Two-level distributed prefix sum (operators/packing.py): range
+    partitions carry contiguous slices, local cumsums compose with
+    broadcast per-partition offsets — parallelism scales with
+    partitions, not with the 20 sources (a naive per-source window
+    funnels each source's whole token stream through one task)."""
+    from zinger_spark.operators.packing import pack_offsets
+
     docs = _t(spark, sf, "documents").select(
         "doc_id", "source", ztext.bpe_ish_token_count(F.col("text")).cast("long").alias("tok")
     )
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    start = (F.sum("tok").over(w) - F.col("tok")).alias("start_off")
-    return docs.select(
-        "doc_id",
-        "source",
-        F.col("tok").alias("tok_count"),
-        start,
-        F.expr("(sum(tok) over (partition by source order by doc_id rows unbounded preceding) - tok) div 2048").alias("pack_id"),
+    return pack_offsets(
+        docs, group_col="source", order_col="doc_id", weight_col="tok", budget=2048
+    ).select(
+        "doc_id", "source", F.col("tok").alias("tok_count"), "start_off", "pack_id"
     )
 
 

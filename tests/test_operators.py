@@ -347,3 +347,27 @@ def test_knn_two_phase_no_self_pair_leak(spark):
     assert all(r.vec_id != 1 for r in got)
     assert {r.vec_id for r in got} == {2, 3}
     assert sorted(r.rk for r in got) == [1, 2]
+
+
+def test_pack_offsets_matches_naive_window(spark):
+    """Two-level prefix sum == the naive per-group cumsum window, with
+    groups forced to span several range partitions."""
+    from pyspark.sql import Window
+
+    from zinger_spark.operators.packing import pack_offsets, prefix_sum
+
+    rows = [(g, i, (i * 7 + ord(g)) % 50 + 1) for g in ("a", "b", "c") for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, ord long, w long")
+    w = Window.partitionBy("grp").orderBy("ord").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = df.select(
+        "grp", "ord", (F.sum("w").over(w) - F.col("w")).alias("start")
+    )
+    fast = prefix_sum(df, "grp", "ord", "w", out_col="start", num_partitions=8)
+    assert {(r.grp, r.ord, r.start) for r in naive.collect()} == {
+        (r.grp, r.ord, r.start) for r in fast.select("grp", "ord", "start").collect()
+    }
+    packed = pack_offsets(df, "grp", "ord", "w", budget=100, num_partitions=8)
+    for r in packed.collect():
+        assert r.pack_id == r.start_off // 100

@@ -107,8 +107,11 @@ def main() -> int:
     check("tfidf_top_terms", "BroadcastHashJoin" in p and "CartesianProduct" not in p,
           "document-frequency side broadcast")
     p = plan_of(qs["pack_sequences"](spark, sf))
-    check("pack_sequences", "Window" in p and "hashpartitioning(source" in p,
-          "running sum is a window partitioned by source (no global sort)")
+    check("pack_sequences", "hashpartitioning(_pid" in p,
+          "cumsum window keyed by (partition, source) — no per-source "
+          "single-task window on the corpus")
+    check("pack_sequences", "BroadcastHashJoin" in p,
+          "cross-partition offsets joined back via broadcast")
     for q in ("contamination", "fuzzy_prefix_pairs"):
         p = plan_of(qs[q](spark, sf))
         check(q, "CartesianProduct" not in p, "candidates via equi-join, not cross join")

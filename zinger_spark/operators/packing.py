@@ -1,0 +1,115 @@
+"""Scalable sequence packing: per-group running token offsets via a
+two-level (distributed) prefix sum.
+
+The naive formulation — ``sum(weight) OVER (PARTITION BY group ORDER BY
+order)`` — is correct but its parallelism is capped at the number of
+groups: one training-data *source* = one Spark task, so a 100 TB corpus
+with 20 sources saturates 20 cores no matter the cluster size.
+
+``pack_offsets`` keeps the exact same semantics with parallelism equal
+to the number of *partitions*:
+
+1. range-repartition on (group, order) so every partition holds a
+   contiguous, sorted slice of each group (Spark's RangePartitioner
+   samples boundaries; equal keys never split);
+2. local prefix sum within (partition, group) — the window keys include
+   the partition id, so no partition processes more than its own slice;
+3. per-(partition, group) totals form a TINY side table (≤ partitions +
+   groups rows, since a group spans only adjacent range partitions); a
+   window over THAT table turns totals into cross-partition offsets;
+4. broadcast-join the offsets back and add.
+
+Step 3's window is per-group again, but over ~#partitions rows, not the
+corpus. The result is invariant to the sampled partition boundaries:
+offset(partition, group) + local_cumsum is an exact decomposition of
+the global cumsum.
+
+Packing semantics follow the greedy offset chop used by pretraining
+pipelines: ``start_off`` is the token offset of the doc within its
+group's concatenated stream, ``pack_id = start_off div budget``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefix_sum(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive per-group prefix sum of ``weight_col`` in ``order_col``
+    order, computed with a two-level decomposition so parallelism scales
+    with partitions rather than groups. Output adds ``out_col`` (bigint);
+    all input columns pass through."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    ranged = df.repartitionByRange(
+        num_partitions, F.col(group_col), F.col(order_col)
+    ).withColumn("_pid", F.spark_partition_id())
+
+    w_local = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(
+        "_local_end", F.sum(F.col(weight_col).cast("long")).over(w_local)
+    )
+
+    # tiny: one row per (partition, group) pair; a group covers only
+    # adjacent range partitions, so this is <= num_partitions + n_groups
+    partials = local.groupBy("_pid", group_col).agg(
+        F.max("_local_end").alias("_part_total")
+    )
+    w_prior = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        "_pid",
+        group_col,
+        F.coalesce(F.sum("_part_total").over(w_prior), F.lit(0)).alias("_grp_off"),
+    )
+
+    return (
+        local.join(F.broadcast(offsets), ["_pid", group_col])
+        .withColumn(
+            out_col,
+            (F.col("_grp_off") + F.col("_local_end") - F.col(weight_col)).cast("long"),
+        )
+        .drop("_pid", "_local_end", "_grp_off")
+    )
+
+
+def pack_offsets(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    start_col: str = "start_off",
+    pack_col: str = "pack_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy offset-chop sequence packing: concatenate rows per group in
+    ``order_col`` order and cut packs every ``budget`` tokens.  Adds
+    ``start_col`` (the row's first token offset in its group stream) and
+    ``pack_col`` (= start div budget)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    out = prefix_sum(
+        df, group_col, order_col, weight_col,
+        out_col=start_col, num_partitions=num_partitions,
+    )
+    return out.withColumn(
+        pack_col, F.floor(F.col(start_col) / F.lit(budget)).cast("long")
+    )
