@@ -890,7 +890,13 @@ def _q_quality_quantile_filter(spark, sf):
     filtering with per-source fairness — a flat global threshold would
     empty low-quality sources entirely). Rank-based: percent_rank over
     the deterministic quality score, so the keep/drop boundary is an
-    exact rational, not a float comparison."""
+    exact rational, not a float comparison.
+
+    This rank-exact form is the ORACLE-PARITY variant (each source
+    flows through one window task). The 100x path is
+    operators/quantiles.group_quantile_filter(mode="approx"): a
+    map-side-combined per-source approx_percentile threshold broadcast
+    back as a per-row filter — no window; audited in explain_audit."""
     docs = _t(spark, sf, "documents").select(
         "doc_id", "source", ztext.quality_score(F.col("text")).alias("quality")
     )
@@ -905,17 +911,19 @@ def _q_quality_quantile_filter(spark, sf):
 def _q_dedup_clusters(spark, sf):
     """Transitive dedup clusters: connected components over the fuzzy
     prefix-pair graph (a~b, b~c collapse to one cluster even when a~c
-    was never emitted). Iterative min-label propagation — each round a
-    distributed join + groupBy min, rounds = component diameter (tiny
-    for dup blobs). cluster_id = smallest reachable doc_id; the
-    canonical-doc selection step of near-dup removal."""
+    was never emitted). Alternating large-star/small-star (Kiveris et
+    al., SoCC'14, operators/graph.py): O(log^2 n) rounds regardless of
+    component diameter — min-label propagation (rounds = diameter)
+    remains available via algorithm="propagation" for the dense-blob
+    case. cluster_id = smallest reachable doc_id; the canonical-doc
+    selection step of near-dup removal."""
     from zinger_spark.operators.graph import connected_components
 
     edges = _q_fuzzy_prefix_pairs(spark, sf).select("a", "b")
     verts = _t(spark, sf, "documents").select(F.col("doc_id").alias("id"))
-    return connected_components(verts, edges, "id", "a", "b").withColumnRenamed(
-        "id", "doc_id"
-    )
+    return connected_components(
+        verts, edges, "id", "a", "b", algorithm="star"
+    ).withColumnRenamed("id", "doc_id")
 
 
 def _q_stratified_sample(spark, sf):
@@ -1025,7 +1033,13 @@ def _q_cube_counts(spark, sf):
 
 def _q_ntile_deciles(spark, sf):
     """NTILE decile assignment over a total order + per-decile stats
-    (per-user spend ranking — single window then re-aggregate)."""
+    (per-user spend ranking — single window then re-aggregate).
+
+    ntile() over an unpartitioned window is the oracle-parity form (one
+    reducer sorts all users). The 100x path is
+    operators/quantiles.bucket_by_quantiles(mode="approx"): broadcast
+    approx decile cut points + a per-row boundary scan — no global
+    window; audited in explain_audit."""
     ev = _events(spark, sf)
     spend = ev.groupBy("user_id").agg(_dsum(F.col("value")).alias("spend"))
     w = Window.orderBy(F.col("spend").desc(), F.col("user_id"))

@@ -371,3 +371,85 @@ def test_pack_offsets_matches_naive_window(spark):
     packed = pack_offsets(df, "grp", "ord", "w", budget=100, num_partitions=8)
     for r in packed.collect():
         assert r.pack_id == r.start_off // 100
+
+
+def test_star_cc_matches_propagation_on_random_graphs(spark):
+    """Large-star/small-star labels == min-label propagation labels on
+    seeded random graphs (including isolated vertices)."""
+    import random
+
+    from zinger_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (7, 41, 1337):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+        ]
+        verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edf = spark.createDataFrame(edges, "a long, b long").filter("a != b")
+        want = {
+            (r.id, r.cluster_id)
+            for r in connected_components(verts, edf, max_iter=40).collect()
+        }
+        got = {
+            (r.id, r.cluster_id)
+            for r in connected_components_star(verts, edf).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
+def test_star_cc_long_chain_converges_fast(spark):
+    """A 200-node path (diameter 199) — propagation would need 199
+    rounds; the star alternation contracts it within a dozen."""
+    from zinger_spark.operators.graph import connected_components
+
+    n = 200
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    got = connected_components(verts, edges, max_iter=12, algorithm="star")
+    assert {(r.id, r.cluster_id) for r in got.collect()} == {
+        (i, 0) for i in range(n)
+    }
+
+
+def test_group_quantile_filter_approx_close_to_exact(spark):
+    from zinger_spark.operators.quantiles import group_quantile_filter
+
+    rows = [("s%d" % (i % 4), i, float((i * 37) % 1000) / 10.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, score double")
+    exact = group_quantile_filter(df, "source", "score", 0.6, mode="exact")
+    approx = group_quantile_filter(df, "source", "score", 0.6, mode="approx",
+                                   accuracy=100_000)
+    e = {(r.source, r.doc_id) for r in exact.collect()}
+    a = {(r.source, r.doc_id) for r in approx.collect()}
+    # boundary ties may differ; everything strictly above the cut agrees
+    assert len(e.symmetric_difference(a)) <= 0.02 * len(e)
+    # keep="bottom" is the complement up to boundary ties
+    bot = group_quantile_filter(df, "source", "score", 0.6, mode="approx",
+                                accuracy=100_000, keep="bottom")
+    assert bot.count() + approx.count() >= df.count()
+
+
+def test_bucket_by_quantiles_matches_ntile_within_epsilon(spark):
+    from zinger_spark.operators.quantiles import bucket_by_quantiles
+
+    rows = [(i, float((i * 131) % 5000)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    exact = bucket_by_quantiles(df, "score", 10, mode="exact")
+    approx = bucket_by_quantiles(df, "score", 10, mode="approx", accuracy=100_000)
+    em = {r.id: r.bucket for r in exact.collect()}
+    am = {r.id: r.bucket for r in approx.collect()}
+    off = [i for i in em if abs(em[i] - am[i]) > 1]
+    assert not off
+    # populations near-equal: each decile within 2% of n/10
+    from collections import Counter
+
+    pops = Counter(am.values())
+    assert set(pops) == set(range(1, 11))
+    assert all(abs(c - 500) <= 10 for c in pops.values())

@@ -123,6 +123,23 @@ def main() -> int:
     p = plan_of(qs["knn_join"](spark, sf))
     check("knn_join", "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p,
           "query batch broadcast (intended BNLJ), corpus never shuffles for scoring")
+    # scale paths for the rank-window queries: no window, broadcast-only
+    from zinger_spark.functions import text as ztext
+    from zinger_spark.operators.quantiles import (
+        bucket_by_quantiles,
+        group_quantile_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source", ztext.quality_score(F.col("text")).alias("quality")
+    )
+    p = plan_of(group_quantile_filter(docs, "source", "quality", 0.6))
+    check("quality_quantile_scale", "Window" not in p and "BroadcastHashJoin" in p,
+          "approx path: per-source threshold broadcast, no per-source window")
+    p = plan_of(bucket_by_quantiles(docs, "quality", 10))
+    check("ntile_scale", "Window" not in p and "Broadcast" in p,
+          "approx deciles: broadcast cut points, no single-reducer window")
+
     p = plan_of(qs["quality_quantile_filter"](spark, sf))
     check("quality_quantile_filter", "hashpartitioning(source" in p,
           "percent_rank window partitioned by source")
