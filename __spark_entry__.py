@@ -1228,6 +1228,61 @@ def _q_embedding_dups(spark, sf):
     return zsim.embedding_dup_pairs(emb, threshold=0.40, dims=(0, 1, 2, 3))
 
 
+def _q_deterministic_shuffle(spark, sf):
+    """Deterministic global training shuffle: every doc gets a stable
+    position in a pseudo-random total order (md5 of doc_id) — the
+    epoch-shuffle step of a pretraining data loader, reproducible
+    across runs and engines (no RNG). Computed WITHOUT the naive
+    row_number() over an unpartitioned window (one reducer sorts the
+    whole corpus): the two-level prefix sum (operators/packing.py)
+    over weight=1 with a composite (hash, doc_id) order key yields
+    rank = exclusive cumsum of ones with parallelism = #partitions."""
+    from zinger_spark.operators.packing import prefix_sum
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        ztext.md5_hash60(F.col("doc_id").cast("string")).alias("h"),
+        F.lit(1).cast("long").alias("one"),
+        F.lit(1).alias("g"),
+    )
+    return prefix_sum(
+        docs, "g", ["h", "doc_id"], "one", out_col="shuffle_pos"
+    ).select("doc_id", "shuffle_pos")
+
+
+def _q_dedup_keep_canonical(spark, sf):
+    """End-to-end near-dup removal: connected components over the
+    fuzzy-pair graph (star algorithm), then keep only each cluster's
+    canonical (minimum-id) doc — the actual corpus a dedup pass ships
+    to training. Cluster labels come back as (doc_id = cluster_id)
+    rows; singletons are their own canonical doc."""
+    clusters = _q_dedup_clusters(spark, sf)
+    keep = clusters.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return docs.join(keep, "doc_id")
+
+
+def _q_embedding_centroids(spark, sf):
+    """Per-label mean embedding (the centroid table an IVF index or a
+    class-balance monitor needs), as (label, dim, centroid) rows.
+    posexplode + groupBy(label, dim) is one partial-aggregated shuffle
+    keyed by 640 (label, dim) pairs; sums run in decimal(30,15) so the
+    result is order-independent and hash-exact across engines (double
+    partial-agg order would flip low bits)."""
+    emb = _t(spark, sf, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("double").cast("decimal(30,15)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that were never checked (or were red) in the prior
@@ -1236,6 +1291,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # two r2 reds (pack_sequences, tpch_q12 — HUGEINT oracle casts fixed),
     # and this round's new queries.
     return {
+        # -- new in r3 (need first-window evidence) -------------------
+        "deterministic_shuffle": _q_deterministic_shuffle,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
+        "embedding_centroids": _q_embedding_centroids,
         # -- r2-unchecked (r1-green or never-checked) -----------------
         "sessionize": _q_sessionize,
         "embedding_dup_pairs": _q_embedding_dups,
@@ -1818,6 +1877,44 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.v
             )
             SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
+        """,
+        "deterministic_shuffle": f"""
+            WITH h AS (
+              SELECT doc_id, {_sql_md5h("CAST(doc_id AS VARCHAR)")} AS h FROM documents
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_pos
+            FROM h
+        """,
+        "dedup_keep_canonical": r"""
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id, source,
+                     substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 16) AS pfx
+              FROM documents
+            ),
+            pairs AS (
+              SELECT l.doc_id AS a, r.doc_id AS b
+              FROM d l JOIN d r ON l.source = r.source AND l.doc_id < r.doc_id
+              WHERE levenshtein(l.pfx, r.pfx) <= 4
+            ),
+            edges AS (SELECT a AS s, b AS t FROM pairs UNION SELECT b, a FROM pairs),
+            reach AS (
+              SELECT doc_id AS v, doc_id AS l FROM documents
+              UNION
+              SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.v
+            ),
+            lab AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v)
+            SELECT doc.doc_id, doc.source, doc.n_chars
+            FROM documents doc JOIN lab USING (doc_id)
+            WHERE lab.cluster_id = lab.doc_id
+        """,
+        "embedding_centroids": """
+            SELECT label, CAST(g.dim AS INT) AS dim,
+                   round(CAST(sum(CAST(CAST(embedding[g.dim + 1] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+                         / count(*), 6) AS centroid
+            FROM embeddings CROSS JOIN generate_series(0, 63) AS g(dim)
+            GROUP BY label, g.dim
         """,
         "stratified_sample": f"""
             WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY source)

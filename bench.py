@@ -6,6 +6,13 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed as a count-style action (collect on the already
 small results) after a warm-up of the input file listing; timings are
 per-query wall seconds.
+
+Variance discipline: single cold runs on a shared box swing 1.2-2.6x
+(observed 28-74 s for the same binary back-to-back), so each query is
+run $SPARK_GRAFT_BENCH_REPS times (default 3) and the PER-QUERY MEDIAN
+is reported; the JSON discloses reps/agg so rounds stay comparable
+(round-1/2 files were single cold runs — expect the median to sit at
+or below them purely from noise removal).
 """
 
 from __future__ import annotations
@@ -55,14 +62,25 @@ def main() -> None:
     # Warm up the JVM/session (first action pays ~3-5s of startup that
     # has nothing to do with the measured query).
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    n_rows: dict[str, int] = {}
+    for rep in range(reps):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n_rows[name] = df.count()
+            samples[name].append(time.time() - t0)
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        s = sorted(samples[name])
+        timings[name] = round(s[len(s) // 2], 3)
+        print(
+            f"# {name}: {timings[name]}s median of {[round(x, 3) for x in s]} "
+            f"({n_rows[name]} rows)",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -71,6 +89,8 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "reps": reps,
+                "agg": "per_query_median",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -112,6 +112,9 @@ def main() -> int:
           "single-task window on the corpus")
     check("pack_sequences", "BroadcastHashJoin" in p,
           "cross-partition offsets joined back via broadcast")
+    p = plan_of(qs["deterministic_shuffle"](spark, sf))
+    check("deterministic_shuffle", "hashpartitioning(_pid" in p,
+          "global rank via two-level prefix sum — no one-reducer row_number window")
     for q in ("contamination", "fuzzy_prefix_pairs"):
         p = plan_of(qs[q](spark, sf))
         check(q, "CartesianProduct" not in p, "candidates via equi-join, not cross join")

@@ -38,26 +38,28 @@ from pyspark.sql import functions as F
 def prefix_sum(
     df: DataFrame,
     group_col: str,
-    order_col: str,
+    order_col: str | list[str],
     weight_col: str,
     out_col: str = "prefix_sum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exclusive per-group prefix sum of ``weight_col`` in ``order_col``
-    order, computed with a two-level decomposition so parallelism scales
+    order (a column name or list of names for a composite sort key),
+    computed with a two-level decomposition so parallelism scales
     with partitions rather than groups. Output adds ``out_col`` (bigint);
     all input columns pass through."""
     spark = df.sparkSession
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
     ranged = df.repartitionByRange(
-        num_partitions, F.col(group_col), F.col(order_col)
+        num_partitions, F.col(group_col), *[F.col(c) for c in order_cols]
     ).withColumn("_pid", F.spark_partition_id())
 
     w_local = (
         Window.partitionBy("_pid", group_col)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged.withColumn(
