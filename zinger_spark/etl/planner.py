@@ -20,16 +20,29 @@ reference's shaper contract (README.md:303-315) with Zed replaced by
 Spark SQL.  A ``typeof(<path>)`` pseudo-function resolves to the
 field's DDL at plan time (typed-null tombstones, demo/invoices.yaml).
 
-Scale: the anti-join right side is the done-marker set of the
-incremental window (small -> broadcast); the offset assignment is one
-window shuffle on the output topic key — the same per-topic
-serialization point the reference has, but parallel across topics.
-The full-pool scans become range scans once cursor records land
-(design.md:117-128; see issue noted at etl/build.go:9-18).
+Scale: every scan is cursor-bounded.  A per-(output-topic, input-topic)
+low-water cursor — the max offset below which EVERY input record is
+already marked done — is persisted in an atomic sidecar under the
+output pool and advanced after every run.  Both the raw input scan and
+the done-marker scan carry ``kafka.offset > cursor``, which reaches the
+parquet scan as a pushed filter (file skipping on offset min/max), so
+steady-state cost is O(new window), not O(pool) — this implements the
+incremental model the reference documents but never built
+(etl/build.go:9-18 "brute force", design.md:117-128 cursor records;
+ours lives in a sidecar file, not pool rows, because data/done rows are
+the pool's public golden contract).  The anti-join right side is the
+done markers ABOVE the cursor (bounded by the in-flight window); no
+broadcast hint is forced — AQE picks broadcast vs shuffle-hash from the
+actual size, so a backfill can't OOM the executors.  The offset
+assignment is one window shuffle on the output topic key — the same
+per-topic serialization point the reference has, but parallel across
+topics.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import re
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window, functions as F
@@ -114,33 +127,103 @@ class EtlPipeline:
             if route.pool not in self.input_pools:
                 self.input_pools[route.pool] = open_pool(route.pool)
 
+    # -- cursor bookkeeping --------------------------------------------------
+
+    def _cursor_path(self) -> str:
+        return os.path.join(self.output_pool.path, "_etl_cursors.json")
+
+    def _read_cursors(self) -> dict[str, int]:
+        """{input topic: low-water offset} for this output topic.  Every
+        offset <= cursor is already done; -1 (absent) = nothing done."""
+        try:
+            with open(self._cursor_path()) as f:
+                return json.load(f).get(self.output_topic, {})
+        except FileNotFoundError:
+            return {}
+
+    def _write_cursors(self, cursors: dict[str, int]) -> None:
+        """Atomic sidecar swap (tmp + rename), like the pool manifest."""
+        try:
+            with open(self._cursor_path()) as f:
+                allc = json.load(f)
+        except FileNotFoundError:
+            allc = {}
+        allc[self.output_topic] = cursors
+        tmp = self._cursor_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(allc, f)
+        os.replace(tmp, self._cursor_path())
+
+    def _advance_cursors(self) -> None:
+        """Advance each topic's cursor to the max CONTIGUOUS done offset.
+
+        first gap g = min candidate not in done, over candidates
+        {cursor+1} + {done.offset+1}; new cursor = g - 1.  Distributed
+        (one bounded equi-join per topic, the done side already pruned
+        to offset > cursor), no sorted driver-side walk.  Lagging is
+        always safe: rows above the cursor still pass the anti-join, so
+        a crash between commit and sidecar write self-heals on the next
+        run instead of rescanning forever.
+        """
+        if self.output_pool.is_empty():
+            return
+        cursors = dict(self._read_cursors())
+        changed = False
+        for topic in self.transform.routes.inputs_of(self.output_topic):
+            cur = cursors.get(topic, -1)
+            done = (
+                self.output_pool.df(topic=topic)
+                .filter((F.col("_type") == TYPE_DONE) & (F.col("kafka.offset") > cur))
+                .select(F.col("kafka.offset").alias("__o"))
+            )
+            cand = done.select((F.col("__o") + 1).alias("__c")).unionAll(
+                self.spark.range(cur + 1, cur + 2).select(F.col("id").alias("__c"))
+            )
+            row = (
+                cand.join(done, cand["__c"] == done["__o"], "left_anti")
+                .agg(F.min("__c").alias("g"))
+                .collect()[0]
+            )
+            new_cur = int(row["g"]) - 1
+            if new_cur > cur:
+                cursors[topic] = new_cur
+                changed = True
+        if changed:
+            self._write_cursors(cursors)
+
     # -- plan ---------------------------------------------------------------
 
     def _fresh_inputs(self) -> DataFrame | None:
-        """Anti-join prelude: per input topic, drop records whose offset
-        is already marked done in the output pool (etl/build.go:111-137)."""
+        """Cursor-bounded anti-join prelude: per input topic, scan only
+        offsets above the low-water cursor, then drop records whose
+        offset is already marked done in the output pool
+        (etl/build.go:111-137; incremental model per design.md:80-85).
+
+        Both sides carry ``kafka.offset > cursor`` so the parquet scans
+        file-skip on offset min/max stats; the done side is the bounded
+        in-flight window, and AQE (no forced hint) chooses broadcast vs
+        shuffle-hash by its actual size.
+        """
         routes = self.transform.routes
+        cursors = self._read_cursors()
         legs = []
         for topic in routes.inputs_of(self.output_topic):
             pool = self.input_pools[routes.lookup_pool(topic)]
             if pool.is_empty():
                 continue
-            raw = pool.df().filter(
-                (F.col("kafka.topic") == topic) & (F.col("_type") == TYPE_DATA)
-            )
+            cur = cursors.get(topic, -1)
+            raw = pool.df(topic=topic).filter(F.col("_type") == TYPE_DATA)
+            if cur >= 0:
+                raw = raw.filter(F.col("kafka.offset") > cur)
             if not self.output_pool.is_empty():
-                done = self.output_pool.df().filter(
-                    (F.col("_type") == TYPE_DONE) & (F.col("kafka.topic") == topic)
+                done = self.output_pool.df(topic=topic).filter(
+                    F.col("_type") == TYPE_DONE
                 )
+                if cur >= 0:
+                    done = done.filter(F.col("kafka.offset") > cur)
                 raw = raw.join(
-                    F.broadcast(
-                        done.select(
-                            F.col("kafka.topic").alias("__d_topic"),
-                            F.col("kafka.offset").alias("__d_offset"),
-                        )
-                    ),
-                    (F.col("kafka.topic") == F.col("__d_topic"))
-                    & (F.col("kafka.offset") == F.col("__d_offset")),
+                    done.select(F.col("kafka.offset").alias("__d_offset")),
+                    F.col("kafka.offset") == F.col("__d_offset"),
                     "left_anti",
                 )
             legs.append(raw)
@@ -283,6 +366,7 @@ class EtlPipeline:
         """
         data, markers = self.build()
         if data is None:
+            self._advance_cursors()
             return 0
         try:
             obs = Observation()
@@ -299,6 +383,9 @@ class EtlPipeline:
             # polls don't litter the pool (reference never commits an
             # empty batch either, etl/pipeline.go:92-99)
             self.output_pool.drop_commit(commit_id)
+        # Advance the low-water cursors AFTER the commit is durable (and
+        # after a retraction): the next run's scans start above them.
+        self._advance_cursors()
         return n
 
 
@@ -314,7 +401,8 @@ def explain(transform: Transform) -> str:
     for topic in routes.inputs_of(transform.output.topic):
         lines.append(
             f"from pool {routes.lookup_pool(topic)}: topic=={topic!r}"
-            f" ANTI JOIN done({topic!r}) ON kafka.offset"
+            f" offset>cursor ANTI JOIN done({topic!r}, offset>cursor)"
+            f" ON kafka.offset"
         )
     lines.append("switch (first match):")
     for i, rule in enumerate(transform.etls):

@@ -191,24 +191,70 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dims: tuple[int, ...] = (0, 1, 2, 3),
+    max_bucket: int = 1000,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold).
 
     Candidates come from an equi-join on the sign-LSH bucket, never a
-    cross join. Note the recall caveat: true near-dups split across a
-    sign boundary are missed — standard multi-probe mitigates; kept
-    single-probe here for determinism."""
+    cross join.  ``max_bucket`` is the hot-bucket skew guard (same role
+    as in dedup.minhash_lsh_pairs): a degenerate embedding cluster —
+    near-zero vectors, dead model dims — can put a large fraction of
+    the corpus in one sign bucket, and an uncapped self-join there is
+    M^2; buckets wider than the cap are dropped before the join (at
+    scale, also raise len(dims) so buckets stay narrow).
+
+    ``multiprobe=True`` additionally pairs vectors whose buckets differ
+    in exactly one sign bit (each row emits its home bucket plus the
+    len(dims) one-bit flips; home x variant equi-join), recovering
+    near-dups split across one sign boundary at ~len(dims)x candidate
+    cost.  Off by default for oracle determinism.
+    """
     b = df.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    b = b.withColumn(
+        "__w", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    ).filter(F.col("__w") <= max_bucket)
     left = b.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
-    right = b.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+    if multiprobe:
+        # right side explodes to home + Hamming-distance-1 buckets; the
+        # home x home pairs come out once (probe == bucket) and the
+        # cross-boundary pairs once per flipped bit -> distinct below.
+        nbits = len(dims)
+        variants = F.array(
+            F.col("bucket"),
+            *[
+                F.concat(
+                    F.substring("bucket", 1, i),
+                    F.when(
+                        F.substring("bucket", i + 1, 1) == "1", F.lit("0")
+                    ).otherwise(F.lit("1")),
+                    F.substring("bucket", i + 2, nbits - i - 1),
+                )
+                for i in range(nbits)
+            ],
+        )
+        right = b.select(
+            F.col("id").alias("b"),
+            F.col("v").alias("vb"),
+            F.explode(variants).alias("bucket"),
+        )
+        cand = (
+            left.join(right, "bucket")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "va", "b", "vb")
+            .distinct()
+        )
+    else:
+        right = b.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+        cand = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
     return (
-        left.join(right, "bucket")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        cand.withColumn("score", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("score") >= threshold)
         .select("a", "b")
     )
