@@ -33,12 +33,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     reader rejects; read nanos as long (runtime conf) and convert to a
     microsecond timestamp (the reference's own time resolution ladder —
-    ns→µs division, zavro/microtime.go:15,42)."""
+    ns→µs division, zavro/microtime.go:15,42).
+
+    Spark 4.x additionally reads parquet timestamp[us] without the
+    UTC-adjust flag as TIMESTAMP_NTZ (inferTimestampNTZ default), which
+    ``unix_micros``/window RANGE frames reject.  Disable the inference
+    for reads we issue AND defensively cast NTZ→TIMESTAMP for sessions
+    the driver built before we could set the conf — the session tz is
+    pinned to UTC first, so the cast is value-preserving."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    t = dict(ev.dtypes).get("ts")
+    if t == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif t == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
@@ -1055,11 +1066,17 @@ def _q_ntile_deciles(spark, sf):
 
 def _events_ns(spark, sf):
     """events with ts kept as the RAW ns bigint (no µs truncation) so
-    cross-engine comparisons are bit-exact (same trick as asof_join)."""
+    cross-engine comparisons are bit-exact (same trick as asof_join).
+    NTZ handling mirrors ``_events`` (Spark 4.x reads timestamp[us]
+    parquet as TIMESTAMP_NTZ, which unix_micros rejects)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ev = spark.read.parquet(f"{sf}/events.parquet")
-    if dict(ev.dtypes).get("ts") != "bigint":
+    t = dict(ev.dtypes).get("ts")
+    if t != "bigint":
+        if t == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
         ev = ev.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
     return ev
 
@@ -1287,26 +1304,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that were never checked (or were red) in the prior
     # round MUST sit inside that window; previously-green keys rotate to
-    # the tail.  Round 3 window = the 22 keys with only r1 evidence, the
-    # two r2 reds (pack_sequences, tpch_q12 — HUGEINT oracle casts fixed),
-    # and this round's new queries.
+    # the tail.  Round 5 window = the five r4 NTZ reds, then EVERY other
+    # key that reads through the `_events`/`_events_ns` helpers (the
+    # helper changed this round — NTZ cast — so all of them must
+    # re-verify), then the keys whose last green is r2, then new-in-r5.
     return {
-        # -- new in r3 (need first-window evidence) -------------------
-        "deterministic_shuffle": _q_deterministic_shuffle,
-        "dedup_keep_canonical": _q_dedup_keep_canonical,
-        "embedding_centroids": _q_embedding_centroids,
-        # -- r2-unchecked (r1-green or never-checked) -----------------
+        # -- r4 reds + latent NTZ reds (lead the window) --------------
         "sessionize": _q_sessionize,
-        "embedding_dup_pairs": _q_embedding_dups,
-        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
-        "explode_tokens": _q_explode_tokens,
         "asof_join": _q_asof_join,
+        "sliding_window_counts": _q_sliding_window_counts,
+        "funnel_counts": _q_funnel_counts,
+        "retention_cohorts": _q_retention_cohorts,
+        # -- all other _events/_events_ns readers (helper changed r5) --
+        "envelope_wrap": _q_envelope,
+        "filter_predicates": _q_filter,
+        "resume_offset": _q_resume_offset,
+        "producer_offsets": _q_producer_offsets,
+        "read_batch": _q_read_batch,
+        "tail1": _q_tail1,
+        "switch_route": _q_switch,
+        "fork_union": _q_fork_union,
+        "fuse_hetero": _q_fuse,
+        "grouped_agg": _q_grouped_agg,
+        "collect_bundle": _q_collect_bundle,
+        "offset_assign": _q_offset_assign,
+        "cut_yield_cast": _q_cut_yield,
         "pivot_counts": _q_pivot_counts,
         "distinct_users": _q_distinct_users,
         "rollup_counts": _q_rollup_counts,
         "running_sum": _q_running_sum,
         "percentiles": _q_percentiles,
         "unpivot_stack": _q_unpivot,
+        "cube_counts": _q_cube_counts,
+        "ntile_deciles": _q_ntile_deciles,
+        "percent_rank_dist": _q_percent_rank,
+        "zscore_anomalies": _q_zscore_anomalies,
+        "time_rollup": _q_time_rollup,
+        "const_map_lookup": _q_const_map_lookup,
+        # -- stale evidence (last green r2) ---------------------------
+        "fuzzy_prefix_pairs": _q_fuzzy_prefix_pairs,
+        "stratified_sample": _q_stratified_sample,
+        "dedup_clusters": _q_dedup_clusters,
+        "knn_join": _q_knn_join,
+        "quality_quantile_filter": _q_quality_quantile_filter,
+        "contamination": _q_contamination,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        # -- oldest tpch evidence (r3) --------------------------------
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q18": _q_tpch_q18,
+        # ---- tail: r4-green, code unchanged since -------------------
+        "deterministic_shuffle": _q_deterministic_shuffle,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
+        "embedding_centroids": _q_embedding_centroids,
+        "embedding_dup_pairs": _q_embedding_dups,
+        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
+        "explode_tokens": _q_explode_tokens,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1318,27 +1377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
-        # -- r2 reds, oracles fixed (sum cast to BIGINT) --------------
         "pack_sequences": _q_pack_sequences,
         "tpch_q12": _q_tpch_q12,
-        # -- new in round 3 -------------------------------------------
-        # -- r2-green rotation (fills the rest of the 50-key window) --
-        "envelope_wrap": _q_envelope,
-        "filter_predicates": _q_filter,
-        "resume_offset": _q_resume_offset,
-        "producer_offsets": _q_producer_offsets,
-        "read_batch": _q_read_batch,
-        "tail1": _q_tail1,
         "anti_join_done": _q_anti_join,
         "denorm_join": _q_denorm_join,
-        "switch_route": _q_switch,
-        "fork_union": _q_fork_union,
-        "fuse_hetero": _q_fuse,
         "top1_per_group": _q_top1_per_group,
-        "grouped_agg": _q_grouped_agg,
-        "collect_bundle": _q_collect_bundle,
-        "offset_assign": _q_offset_assign,
-        "cut_yield_cast": _q_cut_yield,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
@@ -1346,31 +1389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _q_tpch_q6,
         "tpch_q7": _q_tpch_q7,
         "tpch_q10": _q_tpch_q10,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q18": _q_tpch_q18,
-        "funnel_counts": _q_funnel_counts,
-        "retention_cohorts": _q_retention_cohorts,
-        "cube_counts": _q_cube_counts,
-        "ntile_deciles": _q_ntile_deciles,
-        "fuzzy_prefix_pairs": _q_fuzzy_prefix_pairs,
-        "percent_rank_dist": _q_percent_rank,
-        "stratified_sample": _q_stratified_sample,
-        "dedup_clusters": _q_dedup_clusters,
-        "knn_join": _q_knn_join,
-        "quality_quantile_filter": _q_quality_quantile_filter,
-        "sliding_window_counts": _q_sliding_window_counts,
-        "zscore_anomalies": _q_zscore_anomalies,
-        "contamination": _q_contamination,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q21": _q_tpch_q21,
-        "tpch_q22": _q_tpch_q22,
-        "time_rollup": _q_time_rollup,
-        "const_map_lookup": _q_const_map_lookup,
     }
 
 

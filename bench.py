@@ -65,20 +65,31 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     n_rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
     for rep in range(reps):
         for name in HEADLINE:
+            if name in errors:
+                continue  # a query that raised once stays excluded
             fn = qs[name]
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            n_rows[name] = df.count()
-            samples[name].append(time.time() - t0)
+            # Failure isolation: one raising query must never zero the
+            # round's perf evidence — record the error and keep going.
+            try:
+                df = fn(spark, sf_dir)
+                n_rows[name] = df.count()
+                samples[name].append(time.time() - t0)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if not samples[name]:
+            continue
         s = sorted(samples[name])
         timings[name] = round(s[len(s) // 2], 3)
         print(
             f"# {name}: {timings[name]}s median of {[round(x, 3) for x in s]} "
-            f"({n_rows[name]} rows)",
+            f"min={s[0]:.3f} max={s[-1]:.3f} ({n_rows[name]} rows)",
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 3)
@@ -92,6 +103,13 @@ def main() -> None:
                 "reps": reps,
                 "agg": "per_query_median",
                 "queries": timings,
+                "query_min": {
+                    n: round(min(s), 3) for n, s in samples.items() if s
+                },
+                "query_max": {
+                    n: round(max(s), 3) for n, s in samples.items() if s
+                },
+                "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

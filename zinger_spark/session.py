@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Deterministic timestamp semantics and DuckDB-oracle parity.
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4.x reads parquet timestamp[us] without the UTC-adjust
+        # flag as TIMESTAMP_NTZ, which unix_micros/time windows reject;
+        # keep reads on the LTZ (TIMESTAMP) path — with a UTC session tz
+        # the values are identical.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Arrow for pandas UDF paths (minhash, multimodal stubs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # zstd beats snappy ~1.3-1.5x on storage at similar scan speed —
