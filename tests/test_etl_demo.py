@@ -287,3 +287,132 @@ def test_explain_golden():
     text = explain(make_transform()) + "\n"
     golden = pathlib.Path(__file__).parent / "golden" / "etl_explain.txt"
     assert text == golden.read_text()
+
+
+def test_cursor_sidecar_advances_and_is_lag_safe(spark, pools):
+    """The cursor sidecar must advance after a run, live in a
+    per-output-topic file, and be purely an optimization: deleting it
+    (crash between commit and sidecar write) must not change results."""
+    import os
+
+    transform = make_transform()
+    pipeline = EtlPipeline(spark, transform, lambda name: pools[name])
+    invoices, statuses = BATCHES[0]
+    pools["Raw"].load_batch(
+        spark.createDataFrame(invoices, envelope_schema(AFTER_INV))
+    )
+    pools["Raw"].load_batch(
+        spark.createDataFrame(statuses, envelope_schema(AFTER_IS))
+    )
+    assert pipeline.run() == ETLD[0]
+    assert pipeline._read_cursors() == {"Invoices": 2, "InvoiceStatus": 2}
+    sidecar_file = os.path.join(
+        pools["Staging"].path, pipeline._cursor_sidecar()
+    )
+    assert os.path.exists(sidecar_file)
+    assert pipeline.output_topic in pipeline._cursor_sidecar()
+
+    # simulate the crash: commit durable, sidecar lost
+    os.remove(sidecar_file)
+    assert pipeline._read_cursors() == {}
+    assert pipeline.run() == 0  # anti-join still drops everything
+    assert staging_flat(pools["Staging"]) == GOLDENS[0]
+    # and the no-op run re-derived the same cursors
+    assert pipeline._read_cursors() == {"Invoices": 2, "InvoiceStatus": 2}
+
+
+def test_cursor_advances_past_offset_gaps(spark, pools):
+    """Kafka broker offsets are not dense (transactional control
+    records, compaction).  With data at offsets 1, 5, 40 all done, the
+    cursor must land at 40 — a done-offset density walk would freeze
+    at 1 and silently degrade scans back to O(pool)."""
+    transform = make_transform()
+    pipeline = EtlPipeline(spark, transform, lambda name: pools[name])
+    rows = [
+        inv(1, 100, "Alice", "taco", "u"),
+        inv(5, 101, "Bob", "burrito", "u"),
+        inv(40, 102, "Charlie", "enchilada", "u"),
+    ]
+    statuses = [ist(2, 80, 101, "paid", "u"), ist(7, 81, 102, "paid", "u")]
+    pools["Raw"].load_batch(spark.createDataFrame(rows, envelope_schema(AFTER_INV)))
+    pools["Raw"].load_batch(
+        spark.createDataFrame(statuses, envelope_schema(AFTER_IS))
+    )
+    assert pipeline.run() > 0
+    cursors = pipeline._read_cursors()
+    assert cursors["Invoices"] == 40
+    assert cursors["InvoiceStatus"] == 7
+    assert pipeline.cursor_lag() == {}
+
+
+def test_unmatched_record_pins_cursor_and_lag_reports_it(spark, pools):
+    """A record matching no rule gets no done marker, so it pins the
+    cursor below itself; everything above is rescanned each run (same
+    as the reference's every-run rescan).  cursor_lag() exposes the
+    pinned width so a deployment can alert on it."""
+    transform = make_transform()
+    pipeline = EtlPipeline(spark, transform, lambda name: pools[name])
+    rows = [
+        inv(1, 100, "Alice", "taco", "u"),
+        inv(2, 101, "Bob", "burrito", "x"),  # matches no rule: pins
+        inv(3, 102, "Charlie", "enchilada", "u"),
+    ]
+    pools["Raw"].load_batch(spark.createDataFrame(rows, envelope_schema(AFTER_INV)))
+    pools["Raw"].load_batch(
+        spark.createDataFrame(
+            [ist(1, 80, 101, "paid", "u")], envelope_schema(AFTER_IS)
+        )
+    )
+    first = pipeline.run()
+    assert first > 0
+    assert pipeline._read_cursors()["Invoices"] == 1
+    # offset 3 is done but sits above the pinned cursor -> lag 1
+    assert pipeline.cursor_lag() == {"Invoices": 1}
+    # pinned rescan is idempotent
+    before = staging_flat(pools["Staging"])
+    assert pipeline.run() == 0
+    assert staging_flat(pools["Staging"]) == before
+    assert pipeline._read_cursors()["Invoices"] == 1
+
+
+def test_concurrent_etl_drivers_serialize(spark, pools):
+    """Two ETL drivers racing one output pool: the writer lock makes
+    the loser wait for the winner's commit, so it sees the fresh done
+    markers and ETLs nothing — exactly one commit per offset window,
+    never duplicate outputs (the serialization the reference gets from
+    the Zed lake service, fifo/lake.go:58-60)."""
+    import threading
+
+    from zinger_spark.sources.pool import Pool
+
+    transform = make_transform()
+    invoices, statuses = BATCHES[0]
+    pools["Raw"].load_batch(
+        spark.createDataFrame(invoices, envelope_schema(AFTER_INV))
+    )
+    pools["Raw"].load_batch(
+        spark.createDataFrame(statuses, envelope_schema(AFTER_IS))
+    )
+
+    results: dict[str, int] = {}
+    errs = []
+
+    def drive(name: str):
+        try:
+            # each driver opens its OWN pool handles (as two processes
+            # would) so serialization rides on the file lock, not the
+            # in-process RLock
+            own = {p: Pool(spark, pools[p].path) for p in pools}
+            pipe = EtlPipeline(spark, transform, lambda n: own[n])
+            results[name] = pipe.run()
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=drive, args=(n,)) for n in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert sorted(results.values()) == [0, ETLD[0]]
+    assert staging_flat(pools["Staging"]) == GOLDENS[0]

@@ -453,3 +453,45 @@ def test_bucket_by_quantiles_matches_ntile_within_epsilon(spark):
     pops = Counter(am.values())
     assert set(pops) == set(range(1, 11))
     assert all(abs(c - 500) <= 10 for c in pops.values())
+
+
+def test_embedding_dup_hot_bucket_refines_not_drops(spark):
+    """A dup-dense cluster wider than max_bucket must still yield its
+    near-dup pairs: the cap refines the hot bucket with extra sign
+    bits instead of dropping it wholesale (round-4 advice: with only
+    2**len(dims) buckets a blanket drop is a silent recall collapse)."""
+    from zinger_spark.operators import similarity as zsim
+
+    # 30 vectors, all in sign bucket "11" on dims (0, 1); they split on
+    # dim 2's sign into two internally-identical sub-clusters.
+    rows = []
+    for i in range(30):
+        sub = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [1.0, 1.0, sub, 0.1, 0.2, 0.3, 0.4, 0.5]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    uncapped = zsim.embedding_dup_pairs(
+        df, threshold=0.999, dims=(0, 1), max_bucket=None
+    )
+    capped = zsim.embedding_dup_pairs(
+        df, threshold=0.999, dims=(0, 1), max_bucket=20, refine_bits=1
+    )
+    n_un = uncapped.count()
+    n_cap = capped.count()
+    # identical-vector pairs within each 15-member sub-cluster: 2*C(15,2)
+    assert n_un == 2 * 15 * 7
+    # refinement on dim 2 splits the hot bucket into the two sub-clusters
+    # (each of width 15 <= cap) and keeps ALL their true pairs.
+    assert n_cap == n_un
+
+
+def test_hot_bucket_report_flags_wide_bucket(spark):
+    from zinger_spark.operators import similarity as zsim
+
+    rows = [(i, [1.0, 1.0, 0.5, 0.5]) for i in range(25)]
+    rows += [(100 + i, [-1.0, 1.0, 0.5, 0.5]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    rep = zsim.hot_bucket_report(df, dims=(0, 1), max_bucket=10).collect()
+    by_bucket = {r.bucket: (r.n, r.over_cap) for r in rep}
+    assert by_bucket["11"] == (25, True)
+    assert by_bucket["01"] == (3, False)

@@ -164,3 +164,72 @@ def test_vacuum_reclaims_tmp_dirs(spark, tmp_path):
     assert pool.vacuum(grace_seconds=0) == 1
     assert not os.path.exists(junk)
     assert pool.df().count() == 2  # live commit untouched
+
+
+def test_writer_lock_prevents_manifest_lost_update(spark, tmp_path):
+    """Two writers appending commits concurrently must both land in the
+    manifest: without the writer lock the read-modify-write interleaves
+    and one commit silently vanishes from the live list."""
+    import threading
+
+    from zinger_spark.sources.pool import Pool
+
+    pool = Pool.create(spark, str(tmp_path / "race"))
+    pool._write_manifest([])  # opt in to manifest mode (compact does this)
+    df = spark.range(3).selectExpr(
+        "named_struct('topic', 'T', 'partition', 0L, 'offset', id) AS kafka",
+        "'data' AS _type",
+    )
+    errs = []
+
+    def writer():
+        try:
+            # separate Pool handle per writer: contend on the FILE lock,
+            # as two driver processes would
+            own = Pool(spark, pool.path)
+            for _ in range(4):
+                own.load_batch(df)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    manifest = pool._read_manifest()
+    assert len(manifest["commits"]) == 8
+    assert pool.df().count() == 8 * 3
+
+
+def test_writer_lock_reentrant_and_times_out(spark, tmp_path):
+    from zinger_spark.sources.pool import Pool, PoolError
+
+    pool = Pool.create(spark, str(tmp_path / "lk"))
+    with pool.writer_lock():
+        with pool.writer_lock():  # reentrant: no self-deadlock
+            pass
+        other = Pool(spark, pool.path)
+        with pytest.raises(PoolError, match="writer-lock timeout"):
+            with other.writer_lock(timeout=0.3):
+                pass
+    # released on exit: a fresh handle can take it
+    with Pool(spark, pool.path).writer_lock(timeout=1.0):
+        pass
+
+
+def test_writer_lock_breaks_stale_lock(spark, tmp_path):
+    import os
+    import time as _time
+
+    from zinger_spark.sources.pool import Pool
+
+    pool = Pool.create(spark, str(tmp_path / "stale"))
+    lock = pool._file_lock_path()
+    with open(lock, "w") as f:
+        f.write("{}")
+    old = _time.time() - 3600
+    os.utime(lock, (old, old))
+    with pool.writer_lock(timeout=1.0, stale=60.0):  # breaks the dead lock
+        pass

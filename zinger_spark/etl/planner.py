@@ -41,8 +41,6 @@ topics.
 
 from __future__ import annotations
 
-import json
-import os
 import re
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window, functions as F
@@ -129,67 +127,149 @@ class EtlPipeline:
 
     # -- cursor bookkeeping --------------------------------------------------
 
-    def _cursor_path(self) -> str:
-        return os.path.join(self.output_pool.path, "_etl_cursors.json")
+    def _cursor_sidecar(self) -> str:
+        # One sidecar file PER OUTPUT TOPIC: two pipelines driving
+        # different output topics on the same pool (the documented
+        # parallel-across-topics deployment) never read-modify-write
+        # each other's cursor state.
+        return f"_etl_cursors_{self.output_topic}.json"
 
     def _read_cursors(self) -> dict[str, int]:
         """{input topic: low-water offset} for this output topic.  Every
         offset <= cursor is already done; -1 (absent) = nothing done."""
-        try:
-            with open(self._cursor_path()) as f:
-                return json.load(f).get(self.output_topic, {})
-        except FileNotFoundError:
-            return {}
+        obj = self.output_pool.read_sidecar(self._cursor_sidecar())
+        if obj is None:
+            # pre-r5 shared sidecar, keyed by output topic — migrate on read
+            legacy = self.output_pool.read_sidecar("_etl_cursors.json")
+            obj = (legacy or {}).get(self.output_topic)
+        return obj or {}
 
     def _write_cursors(self, cursors: dict[str, int]) -> None:
-        """Atomic sidecar swap (tmp + rename), like the pool manifest."""
-        try:
-            with open(self._cursor_path()) as f:
-                allc = json.load(f)
-        except FileNotFoundError:
-            allc = {}
-        allc[self.output_topic] = cursors
-        tmp = self._cursor_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(allc, f)
-        os.replace(tmp, self._cursor_path())
+        self.output_pool.write_sidecar(self._cursor_sidecar(), cursors)
+
+    def _cursor_frontier(self) -> DataFrame | None:
+        """Per input topic, the gap-tolerant low-water candidates as ONE
+        DataFrame: ``mx`` = max input DATA offset above the cursor, ``g``
+        = min input data offset above the cursor that lacks a done
+        marker (null when everything seen is done)."""
+        cursors = self._read_cursors()
+        routes = self.transform.routes
+        data_legs, done_legs = [], []
+        for topic in routes.inputs_of(self.output_topic):
+            pool = self.input_pools[routes.lookup_pool(topic)]
+            if pool.is_empty():
+                continue
+            cur = cursors.get(topic, -1)
+            data_legs.append(
+                pool.df(topic=topic)
+                .filter((F.col("_type") == TYPE_DATA) & (F.col("kafka.offset") > cur))
+                .select(
+                    F.col("kafka.topic").alias("__t"),
+                    F.col("kafka.offset").alias("__o"),
+                )
+            )
+            done_legs.append(
+                self.output_pool.df(topic=topic)
+                .filter((F.col("_type") == TYPE_DONE) & (F.col("kafka.offset") > cur))
+                .select(
+                    F.col("kafka.topic").alias("__t"),
+                    F.col("kafka.offset").alias("__d"),
+                )
+            )
+        if not data_legs:
+            return None
+        data_all = data_legs[0]
+        for leg in data_legs[1:]:
+            data_all = data_all.unionAll(leg)
+        done_all = done_legs[0]
+        for leg in done_legs[1:]:
+            done_all = done_all.unionAll(leg)
+        pending = data_all.join(
+            done_all,
+            (data_all["__t"] == done_all["__t"]) & (data_all["__o"] == done_all["__d"]),
+            "left_anti",
+        )
+        mx = data_all.groupBy("__t").agg(F.max("__o").alias("mx"))
+        firsts = pending.groupBy("__t").agg(F.min("__o").alias("g"))
+        return mx.join(firsts, "__t", "left")
 
     def _advance_cursors(self) -> None:
-        """Advance each topic's cursor to the max CONTIGUOUS done offset.
+        """Advance each input topic's cursor to the low-water mark over
+        ACTUAL INPUT DATA offsets: (min data offset above the cursor
+        lacking a done marker) - 1, or the max data offset when all of
+        them are done.  Kafka broker offsets are NOT dense (transaction
+        control records and log compaction leave permanent gaps), so a
+        done-offset density walk would freeze below the first gap;
+        anchoring on the data offsets advances straight past gaps.
 
-        first gap g = min candidate not in done, over candidates
-        {cursor+1} + {done.offset+1}; new cursor = g - 1.  Distributed
-        (one bounded equi-join per topic, the done side already pruned
-        to offset > cursor), no sorted driver-side walk.  Lagging is
-        always safe: rows above the cursor still pass the anti-join, so
-        a crash between commit and sidecar write self-heals on the next
-        run instead of rescanning forever.
+        Records that match no rule — and denorm rows whose join partner
+        never arrived — get no done marker, so they PIN the cursor and
+        everything above them is rescanned each run (same rescan the
+        reference does every run for all unmatched input,
+        etl/build.go:9-18; ``cursor_lag`` measures the pinned width).
+
+        ONE Spark job for all topics (union of bounded per-topic legs,
+        two grouped aggs, single collect) — not a job per topic.
+        Lagging is always safe: rows above the cursor still pass the
+        anti-join, so a crash between commit and sidecar write
+        self-heals on the next run.
         """
         if self.output_pool.is_empty():
             return
+        frontier = self._cursor_frontier()
+        if frontier is None:
+            return
         cursors = dict(self._read_cursors())
         changed = False
-        for topic in self.transform.routes.inputs_of(self.output_topic):
+        for row in frontier.collect():
+            topic = row["__t"]
             cur = cursors.get(topic, -1)
-            done = (
-                self.output_pool.df(topic=topic)
-                .filter((F.col("_type") == TYPE_DONE) & (F.col("kafka.offset") > cur))
-                .select(F.col("kafka.offset").alias("__o"))
-            )
-            cand = done.select((F.col("__o") + 1).alias("__c")).unionAll(
-                self.spark.range(cur + 1, cur + 2).select(F.col("id").alias("__c"))
-            )
-            row = (
-                cand.join(done, cand["__c"] == done["__o"], "left_anti")
-                .agg(F.min("__c").alias("g"))
-                .collect()[0]
-            )
-            new_cur = int(row["g"]) - 1
+            new_cur = int(row["mx"]) if row["g"] is None else int(row["g"]) - 1
             if new_cur > cur:
                 cursors[topic] = new_cur
                 changed = True
         if changed:
             self._write_cursors(cursors)
+
+    def cursor_lag(self) -> dict[str, int]:
+        """Per input topic: how many already-done data offsets sit above
+        the cursor (the width a pinned cursor forces every run to
+        rescan and re-drop).  0 everywhere = cursors are tight."""
+        if self.output_pool.is_empty():
+            return {}
+        cursors = self._read_cursors()
+        routes = self.transform.routes
+        lags: dict[str, int] = {}
+        legs = []
+        for topic in routes.inputs_of(self.output_topic):
+            pool = self.input_pools[routes.lookup_pool(topic)]
+            if pool.is_empty():
+                continue
+            cur = cursors.get(topic, -1)
+            data = (
+                pool.df(topic=topic)
+                .filter((F.col("_type") == TYPE_DATA) & (F.col("kafka.offset") > cur))
+                .select(
+                    F.col("kafka.topic").alias("__t"),
+                    F.col("kafka.offset").alias("__o"),
+                )
+            )
+            done = (
+                self.output_pool.df(topic=topic)
+                .filter((F.col("_type") == TYPE_DONE) & (F.col("kafka.offset") > cur))
+                .select(F.col("kafka.offset").alias("__d"))
+            )
+            legs.append(
+                data.join(done, data["__o"] == done["__d"], "left_semi")
+            )
+        if not legs:
+            return {}
+        allx = legs[0]
+        for leg in legs[1:]:
+            allx = allx.unionAll(leg)
+        for row in allx.groupBy("__t").agg(F.count(F.lit(1)).alias("n")).collect():
+            lags[row["__t"]] = int(row["n"])
+        return lags
 
     # -- plan ---------------------------------------------------------------
 
@@ -363,7 +443,19 @@ class EtlPipeline:
         denorm joins once per rule before the write).  The reference's
         "ETL'd n" counts 1 data row + 1 done marker (stateless) or
         marker-pair (denorm) per output row, i.e. n = 2 * data rows.
+
+        The whole run holds the output pool's writer lock: two drivers
+        racing one output topic otherwise BOTH pass the anti-join
+        against the same done set and commit duplicate outputs for the
+        same input offsets (the reference gets this serialization from
+        the Zed lake service, fifo/lake.go:58-60).  The loser blocks
+        until the winner's commit is durable, then its own run sees the
+        fresh done markers and ETLs nothing.
         """
+        with self.output_pool.writer_lock():
+            return self._run_locked()
+
+    def _run_locked(self) -> int:
         data, markers = self.build()
         if data is None:
             self._advance_cursors()

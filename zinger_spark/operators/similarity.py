@@ -191,24 +191,33 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dims: tuple[int, ...] = (0, 1, 2, 3),
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
+    refine_bits: int = 8,
     multiprobe: bool = False,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold).
 
     Candidates come from an equi-join on the sign-LSH bucket, never a
-    cross join.  ``max_bucket`` is the hot-bucket skew guard (same role
-    as in dedup.minhash_lsh_pairs): a degenerate embedding cluster —
-    near-zero vectors, dead model dims — can put a large fraction of
-    the corpus in one sign bucket, and an uncapped self-join there is
-    M^2; buckets wider than the cap are dropped before the join (at
-    scale, also raise len(dims) so buckets stay narrow).
+    cross join.  ``max_bucket`` is the opt-in hot-bucket skew guard: a
+    degenerate embedding cluster — near-zero vectors, dead model dims —
+    can put a large fraction of the corpus in one sign bucket, and an
+    uncapped self-join there is M^2.  With only 2**len(dims) possible
+    buckets a blanket drop would silently lose most true pairs on any
+    large corpus, so over-cap buckets are instead REFINED with
+    ``refine_bits`` additional sign dimensions (bucket granularity
+    x 2**refine_bits inside the hot bucket only); recall then degrades
+    the same graceful way as the base LSH (pairs split across a
+    refinement sign boundary), never to zero.  A bucket still over the
+    cap after refinement is genuinely degenerate (>= max_bucket vectors
+    agreeing on len(dims)+refine_bits sign bits) and is dropped — use
+    ``hot_bucket_report`` to measure what a cap would drop before
+    enabling it.
 
     ``multiprobe=True`` additionally pairs vectors whose buckets differ
-    in exactly one sign bit (each row emits its home bucket plus the
-    len(dims) one-bit flips; home x variant equi-join), recovering
-    near-dups split across one sign boundary at ~len(dims)x candidate
-    cost.  Off by default for oracle determinism.
+    in exactly one of the first len(dims) sign bits (each row emits its
+    home bucket plus the one-bit flips; home x variant equi-join),
+    recovering near-dups split across one sign boundary at ~len(dims)x
+    candidate cost.  Off by default for oracle determinism.
     """
     b = df.select(
         F.col(id_col).alias("id"),
@@ -217,14 +226,30 @@ def embedding_dup_pairs(
     )
     from pyspark.sql import Window  # noqa: PLC0415
 
-    b = b.withColumn(
-        "__w", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-    ).filter(F.col("__w") <= max_bucket)
+    if max_bucket is not None:
+        extra = tuple(
+            range(max(dims) + 1, max(dims) + 1 + refine_bits)
+        )
+        w = Window.partitionBy("bucket")
+        b = (
+            b.withColumn("__w", F.count(F.lit(1)).over(w))
+            .withColumn(
+                "bucket",
+                F.when(F.col("__w") <= max_bucket, F.col("bucket")).otherwise(
+                    F.concat(F.col("bucket"), sign_bucket(F.col("v"), extra))
+                ),
+            )
+            .drop("__w")
+        )
+        b = b.withColumn(
+            "__w", F.count(F.lit(1)).over(w)
+        ).filter(F.col("__w") <= max_bucket).drop("__w")
     left = b.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
     if multiprobe:
         # right side explodes to home + Hamming-distance-1 buckets; the
         # home x home pairs come out once (probe == bucket) and the
         # cross-boundary pairs once per flipped bit -> distinct below.
+        # substring-to-end keeps any refinement suffix intact.
         nbits = len(dims)
         variants = F.array(
             F.col("bucket"),
@@ -234,7 +259,7 @@ def embedding_dup_pairs(
                     F.when(
                         F.substring("bucket", i + 1, 1) == "1", F.lit("0")
                     ).otherwise(F.lit("1")),
-                    F.substring("bucket", i + 2, nbits - i - 1),
+                    F.expr(f"substring(bucket, {i + 2})"),
                 )
                 for i in range(nbits)
             ],
@@ -257,6 +282,25 @@ def embedding_dup_pairs(
         cand.withColumn("score", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("score") >= threshold)
         .select("a", "b")
+    )
+
+
+def hot_bucket_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (0, 1, 2, 3),
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Per-bucket width for ``embedding_dup_pairs``'s sign-LSH keys,
+    flagged against ``max_bucket`` — run this BEFORE enabling the cap
+    to see exactly which buckets (and how many rows) a cap would send
+    to refinement.  One partial-aggregated shuffle on the bucket key."""
+    return (
+        df.select(sign_bucket(F.col(vec_col), dims).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("over_cap", F.col("n") > max_bucket)
+        .orderBy(F.col("n").desc(), F.col("bucket"))
     )
 
 

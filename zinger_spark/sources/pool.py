@@ -24,9 +24,11 @@ pools keep flat files.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -61,6 +63,8 @@ class Pool:
                 f"pool {path} does not have {expected_key} asc pool key"
             )
         self.meta = meta
+        self._local_lock = threading.RLock()
+        self._lock_depth = 0
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -123,6 +127,100 @@ class Pool:
     def is_empty(self) -> bool:
         return not self._commit_dirs()
 
+    # -- writer lock --------------------------------------------------------
+
+    @contextlib.contextmanager
+    def writer_lock(self, timeout: float = 120.0, stale: float | None = None):
+        """Serialize pool writers across threads AND processes.
+
+        The reference inherits single-commit atomicity from the Zed lake
+        service (fifo/lake.go:58-60); a filesystem pool has no service,
+        so writers contend on an O_CREAT|O_EXCL lock file — exactly one
+        creator wins, everyone else polls until ``timeout``.  Reentrant
+        within a Pool instance (RLock + depth counter), so ``load_batch``
+        inside an already-locked ETL run does not self-deadlock.
+
+        ``stale`` (seconds) optionally breaks a lock whose mtime is that
+        old — for operators recovering from a crashed writer.  Default
+        None: never break a lock automatically, because a long Spark job
+        legitimately holds it for minutes and breaking it would re-open
+        the duplicate-commit race this exists to close.
+
+        An object-storage backend overrides this with its native
+        conditional-put (S3 If-None-Match, GCS if-generation-match).
+        """
+        if not self._local_lock.acquire(timeout=timeout):
+            raise PoolError(f"pool {self.path}: writer-lock timeout ({timeout}s)")
+        try:
+            if self._lock_depth == 0:
+                self._acquire_file_lock(timeout, stale)
+            self._lock_depth += 1
+            try:
+                yield
+            finally:
+                self._lock_depth -= 1
+                if self._lock_depth == 0:
+                    self._release_file_lock()
+        finally:
+            self._local_lock.release()
+
+    def _file_lock_path(self) -> str:
+        return os.path.join(self.path, "_writer.lock")
+
+    def _acquire_file_lock(self, timeout: float, stale: float | None) -> None:
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(
+                    self._file_lock_path(), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.write(
+                    fd,
+                    json.dumps({"pid": os.getpid(), "ts": time.time()}).encode(),
+                )
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(self._file_lock_path()).st_mtime
+                    if stale is not None and age > stale:
+                        os.remove(self._file_lock_path())
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise PoolError(
+                        f"pool {self.path}: writer-lock timeout ({timeout}s); "
+                        f"remove {self._file_lock_path()} if the holder crashed"
+                    )
+                time.sleep(0.05)
+
+    def _release_file_lock(self) -> None:
+        try:
+            os.remove(self._file_lock_path())
+        except FileNotFoundError:
+            pass
+
+    # -- sidecars -----------------------------------------------------------
+
+    def read_sidecar(self, name: str) -> dict | None:
+        """Small JSON sidecar stored next to the commits (ETL cursors
+        etc.).  ALL sidecar IO goes through this pair so an
+        object-storage Pool backend only overrides two methods — the
+        planner never touches ``pool.path`` with raw file IO."""
+        try:
+            with open(os.path.join(self.path, name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def write_sidecar(self, name: str, obj: dict) -> None:
+        """Atomic swap (tmp + rename), same pattern as the manifest."""
+        tmp = os.path.join(self.path, f".{name}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, os.path.join(self.path, name))
+
     def df(self, topic: str | None = None, as_of: str | None = None) -> DataFrame:
         """The whole pool as a DataFrame (schema-merged across commits).
 
@@ -182,27 +280,34 @@ class Pool:
             writer = df.write.mode("overwrite").partitionBy("_topic")
         writer.parquet(tmp)
         # drop spark's _SUCCESS etc? keep; parquet reader ignores non-parquet
-        os.rename(tmp, final)
-        m = self._read_manifest()
-        if m is not None:
-            self._write_manifest(
-                m["commits"] + [f"commit-{commit_id}"], m.get("orphaned")
-            )
+        # Data write happens unlocked (it is slow and conflict-free: the
+        # tmp dir is writer-unique); only the rename + manifest
+        # read-modify-write is the critical section — without the lock
+        # two concurrent load_batch calls can each read the same
+        # manifest and one commit silently vanishes from the list.
+        with self.writer_lock():
+            os.rename(tmp, final)
+            m = self._read_manifest()
+            if m is not None:
+                self._write_manifest(
+                    m["commits"] + [f"commit-{commit_id}"], m.get("orphaned")
+                )
         return commit_id
 
     def drop_commit(self, commit_id: str) -> None:
         """Retract a just-written commit (used to take back an empty
         ETL batch).  Only safe for the most recent commit written by
         this process — not a general rollback."""
-        m = self._read_manifest()
-        if m is not None:
-            self._write_manifest(
-                [c for c in m["commits"] if c != f"commit-{commit_id}"],
-                m.get("orphaned"),
-            )
-        d = os.path.join(self.path, f"commit-{commit_id}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+        with self.writer_lock():
+            m = self._read_manifest()
+            if m is not None:
+                self._write_manifest(
+                    [c for c in m["commits"] if c != f"commit-{commit_id}"],
+                    m.get("orphaned"),
+                )
+            d = os.path.join(self.path, f"commit-{commit_id}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
 
     # -- offset bookkeeping (A9-A11) ----------------------------------------
 
@@ -254,7 +359,16 @@ class Pool:
         before the swap) never hit vanished parquet files.  ``vacuum``
         reclaims them after a grace window (the Delta log + VACUUM
         pattern). Returns commits merged.
+
+        Holds the writer lock for the WHOLE operation: a load_batch
+        landing between the dir snapshot and the manifest swap would
+        otherwise be silently orphaned (its commit never in the new
+        manifest) — lost data, not just a lost listing.
         """
+        with self.writer_lock():
+            return self._compact_locked()
+
+    def _compact_locked(self) -> int:
         dirs = self._commit_dirs()
         if len(dirs) <= 1:
             return len(dirs)
@@ -307,25 +421,28 @@ class Pool:
             if now - os.path.getmtime(full) >= grace_seconds:
                 shutil.rmtree(full)
                 removed += 1
-        m = self._read_manifest()
-        if m is None:
-            return removed
-        keep = set(m["commits"])
-        orphaned = m.get("orphaned", {})
-        orphan_removed = 0
-        remaining_orphans = dict(orphaned)
-        for d in os.listdir(self.path):
-            full = os.path.join(self.path, d)
-            if not (d.startswith("commit-") and d not in keep and os.path.isdir(full)):
-                continue
-            since = orphaned.get(d, os.path.getmtime(full))
-            if now - since >= grace_seconds:
-                shutil.rmtree(full)
-                remaining_orphans.pop(d, None)
-                orphan_removed += 1
-        if orphan_removed:
-            self._write_manifest(m["commits"], remaining_orphans)
-        return removed + orphan_removed
+        with self.writer_lock():
+            m = self._read_manifest()
+            if m is None:
+                return removed
+            keep = set(m["commits"])
+            orphaned = m.get("orphaned", {})
+            orphan_removed = 0
+            remaining_orphans = dict(orphaned)
+            for d in os.listdir(self.path):
+                full = os.path.join(self.path, d)
+                if not (
+                    d.startswith("commit-") and d not in keep and os.path.isdir(full)
+                ):
+                    continue
+                since = orphaned.get(d, os.path.getmtime(full))
+                if now - since >= grace_seconds:
+                    shutil.rmtree(full)
+                    remaining_orphans.pop(d, None)
+                    orphan_removed += 1
+            if orphan_removed:
+                self._write_manifest(m["commits"], remaining_orphans)
+            return removed + orphan_removed
 
     def delete(self) -> None:
         shutil.rmtree(self.path)
