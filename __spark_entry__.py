@@ -1245,6 +1245,18 @@ def _q_embedding_dups(spark, sf):
     return zsim.embedding_dup_pairs(emb, threshold=0.40, dims=(0, 1, 2, 3))
 
 
+def _q_embedding_dups_multiprobe(spark, sf):
+    """multiprobe=True additionally pairs vectors whose sign-LSH
+    buckets differ in exactly one bit — recovering near-dups split
+    across a single sign boundary; the oracle enumerates all pairs at
+    bucket Hamming distance <= 1 (exactly the multi-probe candidate
+    set) above the same calibrated threshold."""
+    emb = _t(spark, sf, "embeddings")
+    return zsim.embedding_dup_pairs(
+        emb, threshold=0.40, dims=(0, 1, 2, 3), multiprobe=True
+    )
+
+
 def _q_deterministic_shuffle(spark, sf):
     """Deterministic global training shuffle: every doc gets a stable
     position in a pseudo-random total order (md5 of doc_id) — the
@@ -1349,6 +1361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantile_filter": _q_quality_quantile_filter,
         "contamination": _q_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        # -- new in r5 ------------------------------------------------
+        "embedding_dup_pairs_multiprobe": _q_embedding_dups_multiprobe,
         # -- oldest tpch evidence (r3) --------------------------------
         "tpch_q8": _q_tpch_q8,
         "tpch_q15": _q_tpch_q15,
@@ -2317,5 +2331,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.id AS a, r.id AS b
             FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
             WHERE {_sql_cosine("l.v", "r.v")} >= 0.40
+        """,
+        "embedding_dup_pairs_multiprobe": f"""
+            WITH b AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                     {_sql_sign_bucket("(embedding::DOUBLE[])", 4)} AS bucket
+              FROM embeddings
+            )
+            SELECT l.id AS a, r.id AS b
+            FROM b l JOIN b r ON l.id < r.id
+            WHERE ({" + ".join(
+                f"(CASE WHEN substr(l.bucket,{i},1) = substr(r.bucket,{i},1)"
+                " THEN 0 ELSE 1 END)"
+                for i in range(1, 5)
+            )}) <= 1
+              AND {_sql_cosine("l.v", "r.v")} >= 0.40
         """,
     }

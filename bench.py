@@ -49,7 +49,79 @@ HEADLINE = [
     "ann_brute_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "embedding_dup_pairs_multiprobe",
 ]
+
+
+def etl_incremental_bench(spark) -> dict:
+    """Micro-bench for the cursor-bounded incremental ETL scan: grow a
+    pool commit-by-commit (each run leaves done markers + an advanced
+    cursor), then time one incremental run WITH the cursor sidecar vs
+    one with the sidecar deleted (full-pool rescan + anti-join against
+    every done marker).  The cursor path should win and the gap widens
+    linearly with pool history."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from zinger_spark.etl.config import Route, Rule, Transform
+    from zinger_spark.etl.planner import EtlPipeline
+    from zinger_spark.sources.pool import Pool
+
+    base = _tempfile.mkdtemp(prefix="bench_etl_")
+    try:
+        raw = Pool.create(spark, f"{base}/Raw")
+        staging = Pool.create(spark, f"{base}/Staging")
+        pools = {"Raw": raw, "Staging": staging}
+        transform = Transform(
+            inputs=[Route("T", "Raw")],
+            output=Route("OUT", "Staging"),
+            etls=[
+                Rule(
+                    type="stateless",
+                    where="value.v >= 0",
+                    in_topic="T",
+                    out="OUT",
+                    zed="named_struct('key', `in`.key, 'value', `in`.value)",
+                )
+            ],
+        )
+        pipe = EtlPipeline(spark, transform, lambda n: pools[n])
+        rows_per = 20_000
+        n_history = 10
+
+        def grow(c: int) -> None:
+            lo = c * rows_per
+            raw.load_batch(
+                spark.range(lo, lo + rows_per).selectExpr(
+                    "named_struct('topic', 'T', 'partition', CAST(0 AS BIGINT),"
+                    " 'offset', id) AS kafka",
+                    "named_struct('ID', id) AS key",
+                    "named_struct('v', id * 2) AS value",
+                    "'data' AS _type",
+                )
+            )
+
+        for c in range(n_history):
+            grow(c)
+            pipe.run()
+        grow(n_history)
+        t0 = time.time()
+        assert pipe.run() == 2 * rows_per
+        t_on = time.time() - t0
+        _os.remove(_os.path.join(staging.path, pipe._cursor_sidecar()))
+        grow(n_history + 1)
+        t0 = time.time()
+        assert pipe.run() == 2 * rows_per
+        t_off = time.time() - t0
+        return {
+            "cursor_on_sec": round(t_on, 3),
+            "cursor_off_sec": round(t_off, 3),
+            "history_commits": n_history + 1,
+            "rows_per_commit": rows_per,
+        }
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
 
 
 def main() -> None:
@@ -93,6 +165,12 @@ def main() -> None:
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 3)
+    try:
+        etl_inc = etl_incremental_bench(spark)
+        print(f"# etl_incremental: {etl_inc}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        etl_inc = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+        print(f"# etl_incremental: ERROR {etl_inc['err']}", file=sys.stderr)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -110,6 +188,7 @@ def main() -> None:
                     n: round(max(s), 3) for n, s in samples.items() if s
                 },
                 "errors": errors,
+                "etl_incremental": etl_inc,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

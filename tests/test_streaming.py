@@ -227,3 +227,86 @@ def test_avro_ingest_chain_mixed_schemas(spark, tmp_path):
     assert got[1] == {"id": 2, "name": None, "score": 1.5}
     assert got[2] is None
     assert pool.next_consumer_offset("T") == 3
+
+
+def test_to_kafka_streaming_replays_etl_demo(spark, tmp_path):
+    """Continuous to-kafka over the ETL demo's output pool: start the
+    stream after batch 1, keep running the ETL for batches 2-4, and the
+    file-source stream must produce every new NewInvoices data record
+    (and no done markers) as commits land — the reference's stated
+    continuous direction (README.md:175-177) with the resume contract
+    of the batch loop (start_offset = producer high-water mark)."""
+    import test_etl_demo as demo
+
+    from zinger_spark.etl.planner import EtlPipeline
+
+    pools = {
+        "Raw": Pool.create(spark, str(tmp_path / "Raw")),
+        "Staging": Pool.create(spark, str(tmp_path / "Staging")),
+    }
+    pipeline = EtlPipeline(spark, demo.make_transform(), lambda n: pools[n])
+
+    def load(i):
+        invoices, statuses = demo.BATCHES[i]
+        if invoices:
+            pools["Raw"].load_batch(
+                spark.createDataFrame(
+                    invoices, demo.envelope_schema(demo.AFTER_INV)
+                )
+            )
+        if statuses:
+            pools["Raw"].load_batch(
+                spark.createDataFrame(
+                    statuses, demo.envelope_schema(demo.AFTER_IS)
+                )
+            )
+
+    load(0)
+    assert pipeline.run() == demo.ETLD[0]
+
+    # widened staging schema (batches 2-4 add/miss nested value fields)
+    staging_schema = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key struct<ID:bigint>, "
+        "value struct<ID:bigint,customer:string,item:string,invoice_status:string>, "
+        "_type string"
+    )
+    value_dt = staging_schema["value"].dataType
+
+    def sink(df):
+        return tk.kafka_sink_projection(
+            df, value_encoder=lambda d: cj.encode(F.col("value"), value_dt)
+        )
+
+    # resume contract: pretend offsets < 1 were already produced
+    q = tk.continuous_sink(
+        spark,
+        pools["Staging"],
+        staging_schema,
+        str(tmp_path / "ck"),
+        sink,
+        topic="NewInvoices",
+        start_offset=1,
+        query_name="to_kafka_etl_demo",
+    )
+    try:
+        q.processAllAvailable()
+        n0 = spark.sql("select * from to_kafka_etl_demo").count()
+        assert n0 == 1  # batch 1 made offsets 0,1; hwm skips offset 0
+
+        for i in (1, 2, 3):
+            load(i)
+            assert pipeline.run() == demo.ETLD[i]
+            q.processAllAvailable()
+
+        rows = spark.sql("select * from to_kafka_etl_demo").collect()
+    finally:
+        q.stop()
+    # golden D4 has NewInvoices data offsets 0..7; stream saw 1..7
+    assert len(rows) == 7
+    assert all(r["topic"] == "NewInvoices" for r in rows)
+    payloads = [json.loads(r["value"])["payload"] for r in rows]
+    assert {p["ID"] for p in payloads} == {100, 101, 102, 103}
+    assert sorted(
+        p["invoice_status"] for p in payloads
+    ) == ["closed", "collections", "paid", "paid", "pending", "pending", "pending"]

@@ -69,7 +69,12 @@ def main() -> int:
           "small done set broadcast in left-anti join")
 
     # 6) LSH/minhash plans have no cartesian product
-    for q in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "embedding_dup_pairs"):
+    for q in (
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "embedding_dup_pairs",
+        "embedding_dup_pairs_multiprobe",
+    ):
         p = plan_of(qs[q](spark, sf))
         check(q, "CartesianProduct" not in p, "candidates via equi-join, not cross join")
 

@@ -133,21 +133,44 @@ def continuous_sink(
     sink_builder: Callable[[DataFrame], DataFrame],
     brokers: str | None = None,
     available_now: bool = False,
+    topic: str | None = None,
+    start_offset: int = 0,
+    max_files_per_trigger: int | None = None,
+    query_name: str = "to_kafka_test",
 ):
-    """Continuous pool->Kafka: readStream over the pool's commit dirs
-    (file source tracks new files = new commits), project via
-    ``sink_builder``, write to Kafka (or return the writer for tests)."""
-    stream = (
-        spark.readStream.schema(schema)
-        .option("mergeSchema", "true")
-        .parquet(f"{pool.path}/commit-*")
-    )
+    """Continuous pool->Kafka (the reference's stated future direction,
+    README.md:175-177): a file-source readStream over the pool's commit
+    dirs — each new atomic commit is a new set of files, discovered and
+    produced as a micro-batch — projected via ``sink_builder`` into the
+    Kafka sink contract.
+
+    Resume contract, matching the batch loop (fifo/to.go:29-53):
+    bootstrap with ``start_offset`` = the producer high-water mark
+    probed from the broker (kafka_admin), so already-produced records
+    are skipped; from then on the streaming CHECKPOINT tracks which
+    commit files were produced, surviving restarts without re-probing.
+    ``topic`` restricts to one output topic's data records (done/cursor
+    markers share the pool and must not reach the broker).
+
+    ``max_files_per_trigger`` bounds a micro-batch during bulk catch-up
+    (a year-old pool is thousands of commit files; unbounded, the first
+    trigger would try to produce all of it in one transaction)."""
+    reader = spark.readStream.schema(schema).option("mergeSchema", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(f"{pool.path}/commit-*")
+    if topic is not None:
+        stream = stream.filter(F.col("kafka.topic") == topic)
+        if "_type" in stream.columns:
+            stream = stream.filter(F.col("_type") == "data")
+    if start_offset:
+        stream = stream.filter(F.col("kafka.offset") >= start_offset)
     out = sink_builder(stream)
     writer = out.writeStream.option("checkpointLocation", checkpoint)
     if brokers:
         writer = writer.format("kafka").option("kafka.bootstrap.servers", brokers)
     else:
-        writer = writer.format("memory").queryName("to_kafka_test")
+        writer = writer.format("memory").queryName(query_name)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
