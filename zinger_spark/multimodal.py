@@ -10,12 +10,15 @@ The engine-side contract (real and tested):
     bounded executor memory; metadata-only queries never touch payload
     bytes thanks to parquet column pruning
 
-The actual media decode (PIL/ffmpeg/librosa) is NOT available in this
-container, so the decode kernels are STUBBED: ``decode_image`` raises
-NotImplementedError unless ``fake=True``, in which case a deterministic
-fake decoder (seeded by the content hash) produces plausible
-dimensions/frames so the Spark-side plumbing — schema, batch shape,
-partition flow — is fully exercised in tests.
+Decode tiers:
+  - PNG images and PCM WAV audio decode FOR REAL on every executor via
+    the pure-stdlib codecs in ``codecs/media.py`` (zlib/struct/wave +
+    numpy — no PIL/librosa needed).
+  - JPEG/MP3/video decode requires PIL/ffmpeg, which this container
+    lacks: those payloads raise NotImplementedError unless ``fake=True``
+    routes them to a deterministic stub (seeded by the content hash) so
+    the Spark-side plumbing — schema, batch shape, partition flow — is
+    still fully exercised in tests.
 """
 
 from __future__ import annotations
@@ -26,6 +29,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
+
+from .codecs import media as _media
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -83,23 +88,38 @@ def decode_image_batches(fake: bool = False):
     """mapInPandas kernel: (id, payload) batches -> IMAGE_FEATURES rows.
 
     Arrow moves the binary column in bulk; each pandas batch is decoded
-    in-process. With a real image lib, swap _fake_decode for
-    PIL.Image.open(BytesIO(payload)).
+    in-process.  PNG payloads decode FOR REAL (pure-stdlib codec,
+    codecs/media.py); other formats need PIL/ffmpeg and fall back to
+    the deterministic stub only when ``fake=True``.
     """
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/ffmpeg, not present in this "
-                    "container; pass fake=True for the deterministic stub"
-                )
             rows = []
             for payload in pdf["payload"]:
-                d = _fake_decode(bytes(payload))
+                raw = bytes(payload)
+                if _media.is_png(raw):
+                    d = _media.decode_png(raw)
+                    rows.append(
+                        {
+                            "content_hash": hashlib.md5(raw).hexdigest(),
+                            "width": d["width"],
+                            "height": d["height"],
+                            "mean_luma": d["mean_luma"],
+                            "features": d["features"],
+                        }
+                    )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "non-PNG image decode requires PIL/ffmpeg, not "
+                        "present in this container; pass fake=True for the "
+                        "deterministic stub"
+                    )
+                d = _fake_decode(raw)
                 rows.append(
                     {
-                        "content_hash": hashlib.md5(bytes(payload)).hexdigest(),
+                        "content_hash": hashlib.md5(raw).hexdigest(),
                         "width": d["width"],
                         "height": d["height"],
                         "mean_luma": d["mean_luma"],
@@ -131,23 +151,36 @@ RESIZED_SCHEMA = T.StructType(
 def resize_image_batches(target: tuple[int, int], fake: bool = False):
     """mapInPandas kernel: payload -> resized payload (binary in, binary
     out — the transcode shape; Arrow carries bytes both ways so nothing
-    is serialized row-at-a-time through Python objects). With a real
-    image lib the body is PIL resize + re-encode; the deterministic
-    stub derives a pseudo-payload from (content hash, target) so tests
-    can assert size/stability without PIL."""
+    is serialized row-at-a-time through Python objects).
+
+    PNG payloads run a REAL nearest-neighbor resize + PNG re-encode
+    (pure-stdlib codec); other formats need PIL and use the
+    deterministic stub only when ``fake=True``."""
 
     w, h = target
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires PIL, not present in this "
-                    "container; pass fake=True for the deterministic stub"
-                )
             rows = []
             for payload in pdf["payload"]:
                 raw = bytes(payload)
+                if _media.is_png(raw):
+                    d = _media.decode_png(raw)
+                    resized = _media.resize_nearest(d["pixels"], (w, h))
+                    rows.append(
+                        {
+                            "content_hash": hashlib.md5(raw).hexdigest(),
+                            "payload": _media.encode_png(resized),
+                            "width": w,
+                            "height": h,
+                        }
+                    )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "non-PNG image resize requires PIL, not present in "
+                        "this container; pass fake=True for the stub"
+                    )
                 digest = hashlib.md5(raw + f"{w}x{h}".encode()).digest()
                 # stub payload: hash-seeded bytes, length ~ w*h/64 so
                 # byte volume tracks the requested resolution
@@ -191,47 +224,79 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 def audio_chunk_plan(df: DataFrame, chunk_ms: int = 5000) -> DataFrame:
     """Audio chunking *plan*: explode fixed-length chunk indices per
     clip (same scale shape as frame_sample_plan — decode parallelism =
-    chunks, not clips)."""
+    chunks, not clips).  A ``payload`` column, when present, rides
+    along so the real WAV decode can slice the chunk's samples."""
     n_chunks = F.greatest(
         F.ceil(F.col("media_meta.duration_ms") / F.lit(chunk_ms)).cast("int"), F.lit(1)
     )
-    return df.select(
-        "media_meta",
+    cols = [
+        F.col("media_meta"),
         F.col("media_meta.content_hash").alias("content_hash"),
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
-    )
+    ]
+    if "payload" in df.columns:
+        cols.append(F.col("payload"))
+    return df.select(*cols)
 
 
-def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Per-chunk feature extraction over an exploded chunk plan
-    ((content_hash, chunk_idx) rows). Stubbed like the image path: a
-    real deployment decodes the chunk's samples (librosa/ffmpeg) and
-    emits MFCC-ish features; the stub derives them from
-    (content_hash, chunk_idx) so plumbing is testable."""
+def extract_audio_features(
+    df: DataFrame, fake: bool = False, chunk_ms: int = 5000
+) -> DataFrame:
+    """Per-chunk feature extraction over an exploded chunk plan.
+
+    With a ``payload`` column present, PCM WAV payloads decode FOR REAL
+    (pure-stdlib codec) and each chunk's features (rms, mean |x|, peak,
+    zero-crossing rate, amplitude histogram — a 13-dim MFCC-shaped
+    vector) come from the chunk's actual samples; the per-batch decode
+    is cached by content hash so a clip exploded into N chunks in one
+    Arrow batch decodes once.  Non-WAV audio needs librosa/ffmpeg and
+    uses the hash-seeded stub only when ``fake=True``."""
+
+    has_payload = "payload" in df.columns
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio decode requires librosa/ffmpeg, not present in "
-                    "this container; pass fake=True for the stub"
-                )
             rows = []
-            for ch, idx in zip(pdf["content_hash"], pdf["chunk_idx"]):
+            cache: dict[str, dict] = {}
+            for i in range(len(pdf)):
+                ch = pdf["content_hash"].iloc[i]
+                idx = int(pdf["chunk_idx"].iloc[i])
+                if has_payload:
+                    raw = bytes(pdf["payload"].iloc[i])
+                    if _media.is_wav(raw):
+                        if ch not in cache:
+                            cache[ch] = _media.decode_wav(raw)
+                        d = cache[ch]
+                        feats = _media.wav_chunk_features(
+                            d["samples"], d["sample_rate"], chunk_ms, idx
+                        )
+                        rows.append(
+                            {
+                                "content_hash": ch,
+                                "chunk_idx": idx,
+                                "rms": feats["rms"],
+                                "features": feats["features"],
+                            }
+                        )
+                        continue
+                if not fake:
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires librosa/ffmpeg, not "
+                        "present in this container; pass fake=True for the stub"
+                    )
                 digest = hashlib.md5(f"{ch}:{idx}".encode()).digest()
                 rows.append(
                     {
                         "content_hash": ch,
-                        "chunk_idx": int(idx),
+                        "chunk_idx": idx,
                         "rms": round(digest[0] / 255.0, 6),
                         "features": [round(b / 255.0, 6) for b in digest[:13]],
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
 
-    return df.select("content_hash", "chunk_idx").mapInPandas(
-        _kernel, AUDIO_FEATURES_SCHEMA
-    )
+    cols = ["content_hash", "chunk_idx"] + (["payload"] if has_payload else [])
+    return df.select(*cols).mapInPandas(_kernel, AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
