@@ -394,15 +394,16 @@ def _q_dedup_exact(spark, sf):
 def _q_minhash_lsh(spark, sf):
     docs = _t(spark, sf, "documents")
     return zdedup.minhash_lsh_pairs(
-        docs, num_hashes=16, bands=4, shingle_k=5, jaccard_threshold=0.4
+        docs, num_hashes=16, bands=4, shingle_k=5, jaccard_threshold=0.4,
+        parallelism=32,
     ).select("doc_a", "doc_b")
 
 
 def _q_ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents")
-    return zdedup.ngram_jaccard_pairs(docs, shingle_k=8, threshold=0.4).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    return zdedup.ngram_jaccard_pairs(
+        docs, shingle_k=8, threshold=0.4, parallelism=32
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 def _q_simhash(spark, sf):
@@ -1242,7 +1243,9 @@ def _q_embedding_dups(spark, sf):
     # 0.40 yields ~a dozen pairs at every SF with >5e-4 margin to the
     # nearest score, so the oracle comparison is boundary-stable.
     emb = _t(spark, sf, "embeddings")
-    return zsim.embedding_dup_pairs(emb, threshold=0.40, dims=(0, 1, 2, 3))
+    return zsim.embedding_dup_pairs(
+        emb, threshold=0.40, dims=(0, 1, 2, 3), parallelism=32
+    )
 
 
 def _q_embedding_dups_multiprobe(spark, sf):
@@ -1253,7 +1256,7 @@ def _q_embedding_dups_multiprobe(spark, sf):
     set) above the same calibrated threshold."""
     emb = _t(spark, sf, "embeddings")
     return zsim.embedding_dup_pairs(
-        emb, threshold=0.40, dims=(0, 1, 2, 3), multiprobe=True
+        emb, threshold=0.40, dims=(0, 1, 2, 3), multiprobe=True, parallelism=32
     )
 
 
@@ -1309,6 +1312,67 @@ def _q_embedding_centroids(spark, sf):
                 6,
             ).alias("centroid")
         )
+    )
+
+
+def _q_doc_chunks(spark, sf):
+    """Sliding-window document chunking (64-token windows, stride 48):
+    the long-document training-prep step.  Explode sets downstream
+    parallelism = chunks; the chunk fingerprint hash-verifies the
+    actual chunk text against the oracle."""
+    docs = _t(spark, sf, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(ztext.chunk_spans(F.col("text"), 64, 48)).alias("c")
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start_tok").alias("start_tok"),
+        ztext.md5_hash60(F.col("c.chunk")).alias("chunk_fp"),
+    )
+
+
+def _q_pii_scrub(spark, sf):
+    """PII scrubbing (emails -> <EMAIL>, URLs -> <URL>, phone-shaped
+    digit runs -> <PHONE>) with per-type counts.  The synthetic corpus
+    carries no PII, so deterministic patterns are injected per doc_id
+    residue on BOTH engines before scrubbing — the oracle hash covers
+    the scrubbed text via its fingerprint."""
+    docs = _t(spark, sf, "documents")
+    inject = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" reach user"), F.col("doc_id"), F.lit("@example.com")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit(" see https://example.com/d/"), F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit(" call +1 (555) 010-"), F.col("doc_id") % 10000),
+        )
+        .otherwise(F.lit("")),
+    )
+    aug = docs.select("doc_id", inject.alias("aug"))
+    return aug.select(
+        "doc_id",
+        ztext.count_matches(F.col("aug"), ztext.EMAIL_RE).alias("n_email"),
+        ztext.count_matches(F.col("aug"), ztext.URL_RE).alias("n_url"),
+        ztext.count_matches(F.col("aug"), ztext.PHONE_RE).alias("n_phone"),
+        ztext.md5_hash60(ztext.scrub_pii(F.col("aug"))).alias("scrub_fp"),
+    )
+
+
+def _q_repetition_flags(spark, sf):
+    """Repetition quality signals: 1 - distinct/total token ratio and
+    the top token's frequency share (boilerplate/spam filters)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        ztext.repetition_ratio(F.col("text")).alias("rep_ratio"),
+        ztext.top_token_ratio(F.col("text")).alias("top_ratio"),
     )
 
 
@@ -1537,6 +1601,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         # -- new in r5 ------------------------------------------------
         "embedding_dup_pairs_multiprobe": _q_embedding_dups_multiprobe,
+        "doc_chunks": _q_doc_chunks,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_flags": _q_repetition_flags,
+        # -- code paths changed in r5 (perf: parallelism knob, norm
+        #    precompute, hot-bucket refinement) — must re-verify -------
+        "embedding_dup_pairs": _q_embedding_dups,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
         "tpch_q2": _q_tpch_q2,
         "tpch_q9": _q_tpch_q9,
         "tpch_q11": _q_tpch_q11,
@@ -1556,12 +1628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_shuffle": _q_deterministic_shuffle,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
         "embedding_centroids": _q_embedding_centroids,
-        "embedding_dup_pairs": _q_embedding_dups,
         "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "explode_tokens": _q_explode_tokens,
         "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_minhash_lsh,
-        "dedup_ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
@@ -2525,6 +2594,69 @@ def oracle_sql() -> dict[str, str]:
                 for i in range(1, 5)
             )}) <= 1
               AND {_sql_cosine("l.v", "r.v")} >= 0.40
+        """,
+        "doc_chunks": f"""
+            WITH tokd AS (
+              SELECT doc_id, {_sql_tokens("text")} AS toks FROM documents
+            ),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM tokd),
+            idx AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0,
+                       CASE WHEN n <= 64 THEN 0
+                            ELSE CAST(ceil((n - 64) / 48.0) AS INTEGER) END
+                     )) AS ci
+              FROM n
+            )
+            SELECT doc_id,
+                   CAST(ci AS INTEGER) AS chunk_idx,
+                   CAST(ci * 48 AS INTEGER) AS start_tok,
+                   {_sql_md5h(
+                       "array_to_string(list_slice(toks, ci*48 + 1, ci*48 + 64), ' ')"
+                   )} AS chunk_fp
+            FROM idx
+        """,
+        "pii_scrub": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 4 = 0
+                         THEN ' reach user' || doc_id || '@example.com'
+                       WHEN doc_id % 4 = 1
+                         THEN ' see https://example.com/d/' || doc_id
+                       WHEN doc_id % 4 = 2
+                         THEN ' call +1 (555) 010-' || (doc_id % 10000)
+                       ELSE '' END AS aug
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(aug, '{ztext.EMAIL_RE}')) AS INTEGER)
+                     AS n_email,
+                   CAST(len(regexp_extract_all(aug, '{ztext.URL_RE}')) AS INTEGER)
+                     AS n_url,
+                   CAST(len(regexp_extract_all(aug, '{ztext.PHONE_RE}')) AS INTEGER)
+                     AS n_phone,
+                   {_sql_md5h(
+                       "regexp_replace(regexp_replace(regexp_replace(aug, "
+                       f"'{ztext.EMAIL_RE}', '<EMAIL>', 'g'), "
+                       f"'{ztext.URL_RE}', '<URL>', 'g'), "
+                       f"'{ztext.PHONE_RE}', '<PHONE>', 'g')"
+                   )} AS scrub_fp
+            FROM aug
+        """,
+        "repetition_flags": f"""
+            WITH tokd AS (
+              SELECT doc_id, {_sql_tokens("text")} AS toks FROM documents
+            ),
+            t AS (SELECT doc_id, unnest(toks) AS tok FROM tokd),
+            c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+            m AS (SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot,
+                         count(*) AS nd
+                  FROM c GROUP BY 1)
+            SELECT doc_id,
+                   round(1.0 - nd / CAST(tot AS DOUBLE), 6) AS rep_ratio,
+                   round(mx / CAST(tot AS DOUBLE), 6) AS top_ratio
+            FROM m
         """,
         "tpch_q2": """
             WITH ps AS (

@@ -495,3 +495,63 @@ def test_hot_bucket_report_flags_wide_bucket(spark):
     by_bucket = {r.bucket: (r.n, r.over_cap) for r in rep}
     assert by_bucket["11"] == (25, True)
     assert by_bucket["01"] == (3, False)
+
+
+def test_chunk_spans_windows_and_stride(spark):
+    from zinger_spark.functions import text as zt
+
+    txt = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, txt), (2, "a b")], "id int, text string")
+    rows = (
+        df.select("id", F.explode(zt.chunk_spans(F.col("text"), 4, 3)).alias("c"))
+        .select("id", "c.chunk_idx", "c.start_tok", "c.chunk")
+        .collect()
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1: 10 tokens, window 4, stride 3 -> ceil((10-4)/3)+1 = 3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["start_tok"] for r in c1] == [0, 3, 6]
+    assert c1[0]["chunk"] == "w0 w1 w2 w3"
+    assert c1[2]["chunk"] == "w6 w7 w8 w9"  # final window clipped to n
+    # doc 2: shorter than one window -> single chunk, whole text
+    assert [r["chunk"] for r in by_doc[2]] == ["a b"]
+
+
+def test_scrub_pii_replaces_and_counts(spark):
+    from zinger_spark.functions import text as zt
+
+    txt = (
+        "mail bob.smith+x@corp.example.org or see "
+        "https://ex.com/a?b=1 or call +1 (555) 010-1234 ok"
+    )
+    df = spark.createDataFrame([(txt,)], "text string")
+    row = df.select(
+        zt.scrub_pii(F.col("text")).alias("s"),
+        zt.count_matches(F.col("text"), zt.EMAIL_RE).alias("ne"),
+        zt.count_matches(F.col("text"), zt.URL_RE).alias("nu"),
+        zt.count_matches(F.col("text"), zt.PHONE_RE).alias("np"),
+    ).collect()[0]
+    assert row["s"] == "mail <EMAIL> or see <URL> or call <PHONE> ok"
+    assert (row["ne"], row["nu"], row["np"]) == (1, 1, 1)
+
+
+def test_repetition_ratios(spark):
+    from zinger_spark.functions import text as zt
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a b"), (3, "x x x x")],
+        "id int, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            zt.repetition_ratio(F.col("text")).alias("rep"),
+            zt.top_token_ratio(F.col("text")).alias("top"),
+        ).collect()
+    }
+    assert rows[1]["rep"] == 0.0 and rows[1]["top"] == 0.25
+    assert rows[2]["rep"] == 0.5 and rows[2]["top"] == 0.75
+    assert rows[3]["rep"] == 0.75 and rows[3]["top"] == 1.0

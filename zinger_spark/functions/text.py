@@ -148,3 +148,85 @@ def word_shingles(text: Column, k: int = 5) -> Column:
     return F.array_distinct(
         F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(grams)
     )
+
+
+# ---------------------------------------------------------------------------
+# chunking / scrubbing / repetition (r5)
+
+def chunk_spans(text: Column, chunk_tokens: int = 64, stride: int = 48) -> Column:
+    """Sliding token-window chunking: array of (chunk_idx, start_tok,
+    chunk) structs, window ``chunk_tokens`` wide advancing by ``stride``
+    (overlap = chunk_tokens - stride, the long-document training prep).
+    Pure JVM array ops (sequence + slice + concat_ws), no shuffle; at
+    100 TB this pipelines into the scan and the downstream explode sets
+    parallelism = chunks."""
+    toks = tokens(text)
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        (F.ceil((n - F.lit(chunk_tokens)).cast("double") / F.lit(stride))).cast("int")
+        + 1
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (i * stride).cast("int").alias("start_tok"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)).alias(
+                "chunk"
+            ),
+        ),
+    )
+
+
+# Conservative ASCII patterns, valid under BOTH Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^ \\t\\n]+"
+PHONE_RE = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+
+def count_matches(text: Column, pattern: str) -> Column:
+    """Occurrences of a regex in text (JVM-side regexp_count)."""
+    return F.regexp_count(text, F.lit(pattern))
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails, then URLs, then phone-shaped digit runs with
+    typed placeholder tokens — the pre-training privacy scrub pass.
+    Order matters (emails contain dots that the URL pattern must not
+    eat; phone last so it cannot fire inside an address)."""
+    scrubbed = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, URL_RE, "<URL>")
+    return F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+
+
+def repetition_ratio(text: Column) -> Column:
+    """1 - distinct/total tokens: near 0 = diverse text, near 1 =
+    degenerate repetition (the boilerplate/spam filter signal)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(
+            1.0 - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+            6,
+        )
+    )
+
+
+def top_token_ratio(text: Column) -> Column:
+    """Frequency share of the most common token — the complementary
+    repetition signal (a doc can have many distinct tokens yet be 50%
+    one word).  aggregate over the distinct set, counting occurrences
+    in the full list; O(distinct * n) per row but JVM-side and
+    shuffle-free."""
+    toks = tokens(text)
+    n = F.size(toks)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        )
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(top.cast("double") / n.cast("double"), 6)
+    )

@@ -141,6 +141,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 1000,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, with exact-jaccard
     verification of candidates.
@@ -149,8 +150,13 @@ def minhash_lsh_pairs(
     -> self equi-join on (band, band_key) (shuffle partitions by bucket)
     -> distinct candidate pairs -> join back shingle sets -> exact
     jaccard filter. ``max_bucket`` drops degenerate mega-buckets before
-    the join (skew guard).
+    the join (skew guard). ``parallelism`` hash-repartitions the input
+    on id first: the shingle explode + per-shingle md5 is the dominant
+    cost and is otherwise pinned to the input's file-partition count (1
+    for a small local parquet).
     """
+    if parallelism and parallelism > 1:
+        df = df.repartition(parallelism, F.col(id_col))
     rows_per_band = num_hashes // bands
     coeffs = minhash_coeffs(num_hashes)
     # One exploded-shingle pass feeds everything: md5 base hashes for the
@@ -270,6 +276,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     max_df: int = 1000,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs, blocked by shared shingle.
 
@@ -289,6 +296,8 @@ def ngram_jaccard_pairs(
     # self-join emits exactly one row per shared shingle. (A 64-bit
     # collision between two shingles of the same doc pair could perturb
     # one count; probability ~2^-64 per pair — ignored.)
+    if parallelism and parallelism > 1:
+        df = df.repartition(parallelism, F.col(id_col))
     exploded = exploded_shingles(df, text_col, id_col, shingle_k).select(
         "id", F.xxhash64("s").alias("h")
     )

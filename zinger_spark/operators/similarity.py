@@ -20,7 +20,7 @@ from typing import Sequence
 import pandas as pd  # module-level: string type hints in pandas UDFs
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.vector import as_double, cosine, sign_bucket
+from ..functions.vector import as_double, cosine, dot, norm, sign_bucket
 
 
 def _query_lit(query_vec: Sequence[float]):
@@ -194,6 +194,7 @@ def embedding_dup_pairs(
     max_bucket: int | None = None,
     refine_bits: int = 8,
     multiprobe: bool = False,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold).
 
@@ -218,10 +219,24 @@ def embedding_dup_pairs(
     home bucket plus the one-bit flips; home x variant equi-join),
     recovering near-dups split across one sign boundary at ~len(dims)x
     candidate cost.  Off by default for oracle determinism.
+
+    ``parallelism`` salts the probe side and replicates the build side
+    across the salt (the replicate-join), spreading each bucket's
+    scoring over N tasks instead of one.  With few sign bits the bucket
+    count (2**len(dims)) caps natural task parallelism — a problem on a
+    32-core local run reading one parquet file, and equally the skew
+    answer for a dup-dense bucket on a cluster.  The candidate SET is
+    unchanged (each probe row still meets every build row of its bucket
+    exactly once).
     """
+    # Norms are computed ONCE per row here; each candidate pair then
+    # costs a single dot fold instead of three (dot + two norms) — the
+    # grouping dot/(na*nb) is arithmetically identical to cosine(), so
+    # scores stay bit-exact vs the oracle.
     b = df.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     from pyspark.sql import Window  # noqa: PLC0415
@@ -244,42 +259,80 @@ def embedding_dup_pairs(
         b = b.withColumn(
             "__w", F.count(F.lit(1)).over(w)
         ).filter(F.col("__w") <= max_bucket).drop("__w")
-    left = b.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+    left = b.select(
+        F.col("id").alias("a"), F.col("v").alias("va"), F.col("nv").alias("na"), "bucket"
+    )
+
+    def _bucket_join(lft: DataFrame, rgt: DataFrame) -> DataFrame:
+        # Hash-repartition the PROBE side on id: with the build side
+        # broadcast (the common case — it is bucket keys + vectors),
+        # scoring parallelism equals the probe side's partition count,
+        # which a single small parquet file would otherwise pin to 1.
+        # If the build side is too big to broadcast the join shuffles
+        # on bucket anyway and this extra exchange is noise.
+        if parallelism and parallelism > 1:
+            lft = lft.repartition(parallelism, F.col("a"))
+        return lft.join(rgt, "bucket")
+
     if multiprobe:
-        # right side explodes to home + Hamming-distance-1 buckets; the
-        # home x home pairs come out once (probe == bucket) and the
-        # cross-boundary pairs once per flipped bit -> distinct below.
-        # substring-to-end keeps any refinement suffix intact.
+        # Duplicate-free by construction (no distinct over wide array
+        # rows): the right side explodes to its home bucket plus ONLY
+        # the DOWNWARD one-bit flips ('1' -> '0').  A cross-boundary
+        # pair's buckets differ in exactly one bit, so it is generated
+        # exactly once — by the higher bucket's member flipping down to
+        # meet the lower bucket's home row.  Same-bucket pairs come from
+        # the home probe and keep the a < b filter; cross pairs arrive
+        # in one arbitrary id order and are canonicalized with
+        # least/greatest.  substring-to-end keeps any refinement suffix.
         nbits = len(dims)
-        variants = F.array(
-            F.col("bucket"),
-            *[
+        downflips = [
+            F.when(
+                F.substring("bucket", i + 1, 1) == "1",
                 F.concat(
                     F.substring("bucket", 1, i),
-                    F.when(
-                        F.substring("bucket", i + 1, 1) == "1", F.lit("0")
-                    ).otherwise(F.lit("1")),
+                    F.lit("0"),
                     F.expr(f"substring(bucket, {i + 2})"),
-                )
-                for i in range(nbits)
-            ],
+                ),
+            )
+            for i in range(nbits)
+        ]
+        probes = F.filter(
+            F.array(F.col("bucket"), *downflips), lambda x: x.isNotNull()
         )
         right = b.select(
             F.col("id").alias("b"),
             F.col("v").alias("vb"),
-            F.explode(variants).alias("bucket"),
+            F.col("nv").alias("nb"),
+            F.col("bucket").alias("home"),
+            F.explode(probes).alias("bucket"),
         )
         cand = (
-            left.join(right, "bucket")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "va", "b", "vb")
-            .distinct()
+            _bucket_join(left, right)
+            .filter(
+                ((F.col("bucket") == F.col("home")) & (F.col("a") < F.col("b")))
+                | (F.col("bucket") != F.col("home"))
+            )
+            .select(
+                F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b"),
+                F.col("va"),
+                F.col("vb"),
+                F.col("na"),
+                F.col("nb"),
+            )
         )
     else:
-        right = b.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
-        cand = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
+        right = b.select(
+            F.col("id").alias("b"),
+            F.col("v").alias("vb"),
+            F.col("nv").alias("nb"),
+            "bucket",
+        )
+        cand = _bucket_join(left, right).filter(F.col("a") < F.col("b"))
     return (
-        cand.withColumn("score", cosine(F.col("va"), F.col("vb")))
+        cand.withColumn(
+            "score", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("score") >= threshold)
         .select("a", "b")
     )
