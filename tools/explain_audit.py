@@ -152,6 +152,26 @@ def main() -> int:
     check("quality_quantile_filter", "hashpartitioning(source" in p,
           "percent_rank window partitioned by source")
 
+    # 10) r5 additions: narrow text ops stay shuffle-free; adapted
+    #     tpch queries broadcast their dims; no cross products.
+    for q in ("doc_chunks", "pii_scrub", "repetition_flags"):
+        p = plan_of(qs[q](spark, sf))
+        check(q, "CartesianProduct" not in p, "no cross product")
+    for q in ("pii_scrub",):
+        p = plan_of(qs[q](spark, sf))
+        check(q, "Exchange" not in p, "pure per-row expression — zero shuffles")
+    for q in ("tpch_q2", "tpch_q9", "tpch_q16", "tpch_q20"):
+        p = plan_of(qs[q](spark, sf))
+        check(q, "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+              "dimension sides broadcast, no cross join")
+    p = plan_of(qs["tpch_q11"](spark, sf))
+    check("tpch_q11", "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p,
+          "scalar total via 1-row broadcast")
+    p = plan_of(qs["embedding_dup_pairs_multiprobe"](spark, sf))
+    check("embedding_dup_pairs_multiprobe", "HashAggregate" not in p.split("Join")[0]
+          or "Distinct" not in p,
+          "duplicate-free probe generation — no distinct over candidates")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0
