@@ -999,6 +999,70 @@ def _q_contamination(spark, sf):
     )
 
 
+def _q_contamination_exact(spark, sf):
+    """Verbatim-substring contamination: flag corpus docs containing a
+    benchmark doc's exact probe string (its first 6 tokens) anywhere in
+    their text — the complementary leak mode to n-gram overlap (catches
+    copy-paste with *different* surrounding text, which trigram-count
+    thresholds can miss).  The probe set is tiny (one short string per
+    benchmark doc), so it BROADCASTS and the scan stays a single pass
+    over the corpus; the contains() filter runs inside codegen.  This
+    is an intended broadcast nested loop — corpus x small-probe-set,
+    never corpus x corpus."""
+    docs = _t(spark, sf, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    probes = (
+        docs.filter(F.col("doc_id") % 40 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 6)).alias("probe"),
+        )
+        .filter(F.length("probe") > 0)
+    )
+    corpus = docs.filter(F.col("doc_id") % 40 != 0).select(
+        "doc_id", norm.alias("norm")
+    )
+    return (
+        corpus.join(
+            F.broadcast(probes), F.expr("contains(norm, probe)"), "inner"
+        )
+        .select("doc_id", "bench_id")
+    )
+
+
+def _q_quantize_embeddings(spark, sf):
+    """Symmetric int8 embedding quantization: per-vector scale =
+    max|x| / 127, values mapped by floor(x/scale + 0.5) (explicit
+    half-up on the shifted value — identical in Spark and DuckDB,
+    unlike engine round()).  The storage-scale path: 4x smaller vectors
+    for ANN candidate generation, with the fp32 originals kept for
+    re-ranking.  Output checksums the quantized codes."""
+    emb = _t(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.when(F.col("__scale") == 0, F.lit(0.0)).otherwise(
+            F.floor(x / F.col("__scale") + F.lit(0.5))
+        ).cast("long"),
+    )
+    out = (
+        emb.withColumn("__scale", scale)
+        .withColumn("__q", q)
+        .select(
+            "vec_id",
+            F.round(F.col("__scale"), 8).alias("scale"),
+            F.aggregate(
+                F.col("__q"), F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("code_sum"),
+            F.array_max(F.col("__q")).alias("code_max"),
+            F.array_min(F.col("__q")).alias("code_min"),
+        )
+    )
+    return out
+
+
 def _q_tfidf_top_terms(spark, sf):
     """Top-3 tf-idf terms per source (corpus summarization / domain
     tagging). tf = term occurrences within the source; idf over the
@@ -1598,12 +1662,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "quality_quantile_filter": _q_quality_quantile_filter,
         "contamination": _q_contamination,
-        "tfidf_top_terms": _q_tfidf_top_terms,
         # -- new in r5 ------------------------------------------------
         "embedding_dup_pairs_multiprobe": _q_embedding_dups_multiprobe,
         "doc_chunks": _q_doc_chunks,
         "pii_scrub": _q_pii_scrub,
         "repetition_flags": _q_repetition_flags,
+        "contamination_exact": _q_contamination_exact,
+        "quantize_embeddings": _q_quantize_embeddings,
         # -- code paths changed in r5 (perf: parallelism knob, norm
         #    precompute, hot-bucket refinement) — must re-verify -------
         "embedding_dup_pairs": _q_embedding_dups,
@@ -1632,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_tokens": _q_explode_tokens,
         "dedup_exact": _q_dedup_exact,
         "simhash": _q_simhash,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "doc_fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
         "lang_id": _q_langid,
@@ -2657,6 +2723,44 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - nd / CAST(tot AS DOUBLE), 6) AS rep_ratio,
                    round(mx / CAST(tot AS DOUBLE), 6) AS top_ratio
             FROM m
+        """,
+        "contamination_exact": f"""
+            WITH normd AS (
+              SELECT doc_id, {_SQL_NORM_TEXT} AS norm FROM documents
+            ),
+            probes AS (
+              SELECT doc_id AS bench_id,
+                     array_to_string(
+                       list_slice(regexp_split_to_array(norm, ' '), 1, 6), ' '
+                     ) AS probe
+              FROM normd WHERE doc_id % 40 = 0
+            )
+            SELECT c.doc_id, p.bench_id
+            FROM normd c
+            JOIN probes p
+              ON contains(c.norm, p.probe)
+            WHERE c.doc_id % 40 <> 0 AND length(p.probe) > 0
+        """,
+        "quantize_embeddings": """
+            WITH s AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     list_max(list_transform(embedding::DOUBLE[],
+                                             x -> abs(x))) / 127.0 AS scale
+              FROM embeddings
+            ),
+            q AS (
+              SELECT vec_id, scale,
+                     list_transform(v, x -> CAST(
+                       CASE WHEN scale = 0 THEN 0.0
+                            ELSE floor(x / scale + 0.5) END AS BIGINT)) AS qv
+              FROM s
+            )
+            SELECT vec_id,
+                   CAST(round(scale, 8) AS DOUBLE) AS scale,
+                   CAST(list_aggregate(qv, 'sum') AS BIGINT) AS code_sum,
+                   CAST(list_max(qv) AS BIGINT) AS code_max,
+                   CAST(list_min(qv) AS BIGINT) AS code_min
+            FROM q
         """,
         "tpch_q2": """
             WITH ps AS (

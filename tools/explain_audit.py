@@ -171,6 +171,13 @@ def main() -> int:
     check("embedding_dup_pairs_multiprobe", "HashAggregate" not in p.split("Join")[0]
           or "Distinct" not in p,
           "duplicate-free probe generation — no distinct over candidates")
+    p = plan_of(qs["contamination_exact"](spark, sf))
+    check("contamination_exact",
+          "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p,
+          "probe set broadcast (intended BNLJ), corpus scanned once")
+    p = plan_of(qs["quantize_embeddings"](spark, sf))
+    check("quantize_embeddings", "Exchange" not in p,
+          "pure per-row quantization — zero shuffles")
 
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
