@@ -37,8 +37,15 @@ def test_entry_runs(spark):
 
 def test_oracle_keys_subset_of_queries():
     qs = set(entrymod.queries())
-    extra = set(entrymod.oracle_sql()) - qs
+    oracles = set(entrymod.oracle_sql())
+    extra = oracles - qs
     assert not extra, f"oracle_sql keys without queries(): {sorted(extra)}"
+    # every registry key currently has a hash-exact oracle; if a future
+    # op is genuinely non-SQL-expressible, list it here explicitly
+    # instead of silently downgrading to the rows-only check
+    allowed_rows_only: set[str] = set()
+    missing = qs - oracles - allowed_rows_only
+    assert not missing, f"queries() keys without an oracle: {sorted(missing)}"
 
 
 def test_events_helpers_survive_ntz_session(spark):
