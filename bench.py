@@ -50,6 +50,12 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_dup_pairs_multiprobe",
+    "doc_chunks",
+    "pii_scrub",
+    "repetition_flags",
+    "quantize_embeddings",
+    "tpch_q2",
+    "tpch_q9",
 ]
 
 

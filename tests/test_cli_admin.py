@@ -185,3 +185,30 @@ def test_streaming_sessionize_gap_validation(spark):
 def test_cli_version(capsys):
     assert main(["version"]) == 0
     assert capsys.readouterr().out.strip()
+
+
+def test_cli_to_kafka_continuous_flags_parse(monkeypatch):
+    """--continuous/--checkpoint/--max-files-per-trigger reach the
+    handler; the handler itself is stubbed (no broker here)."""
+    from zinger_spark import cli as climod
+
+    seen = {}
+
+    def fake_handler(args):
+        seen.update(
+            continuous=args.continuous,
+            checkpoint=args.checkpoint,
+            mft=args.max_files_per_trigger,
+        )
+        return 0
+
+    monkeypatch.setattr(climod, "cmd_to_kafka", fake_handler)
+    rc = climod.main(
+        [
+            "to-kafka", "--brokers", "b:9092", "--topic", "T",
+            "--pool", "P", "--continuous",
+            "--checkpoint", "/tmp/ck", "--max-files-per-trigger", "7",
+        ]
+    )
+    assert rc == 0
+    assert seen == {"continuous": True, "checkpoint": "/tmp/ck", "mft": 7}

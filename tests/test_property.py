@@ -175,3 +175,89 @@ def test_edit_distance_join_equals_brute_force(spark, words, k):
         .collect()
     }
     assert got == want
+
+
+# -- r5 text-op properties ----------------------------------------------------
+
+_words = st.lists(
+    st.from_regex(r"[a-z]{1,6}", fullmatch=True), min_size=1, max_size=60
+)
+
+
+@given(words=_words, ck=st.integers(2, 8), stride=st.integers(1, 8))
+@settings(**SETTINGS)
+def test_chunk_spans_cover_all_tokens_in_order(spark, words, ck, stride):
+    """Invariants: chunk 0 starts at token 0; starts advance by exactly
+    `stride`; every token is covered; with stride >= window the
+    re-concatenation of non-overlapping chunks equals the text."""
+    from zinger_spark.functions import text as zt
+
+    stride = min(stride, ck)  # overlap requires stride <= window
+    txt = " ".join(words)
+    df = spark.createDataFrame([(txt,)], "text string")
+    chunks = sorted(
+        (
+            r["c"]["chunk_idx"],
+            r["c"]["start_tok"],
+            r["c"]["chunk"],
+        )
+        for r in df.select(
+            F.explode(zt.chunk_spans(F.col("text"), ck, stride)).alias("c")
+        ).collect()
+    )
+    assert chunks[0][:2] == (0, 0)
+    assert [c[0] for c in chunks] == list(range(len(chunks)))
+    assert all(c[1] == c[0] * stride for c in chunks)
+    # coverage: the last chunk must reach the final token
+    n = len(words)
+    last_start = chunks[-1][1]
+    assert last_start + ck >= n
+    # every chunk equals the corresponding token slice
+    for _, start, chunk in chunks:
+        assert chunk == " ".join(words[start : start + ck])
+    if stride == ck:
+        assert " ".join(c[2] for c in chunks) == txt
+
+
+@given(
+    parts=st.lists(
+        st.one_of(
+            st.from_regex(r"[a-z]{1,8}", fullmatch=True),
+            st.sampled_from(
+                [
+                    "bob@x.org",
+                    "a.b-c+d@mail.example.co",
+                    "https://ex.com/p?q=1",
+                    "http://x.io/a",
+                    "+1 (555) 010-1234",
+                    "5551234567",
+                ]
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_scrub_pii_idempotent_and_clean(spark, parts):
+    """scrub is idempotent (placeholders contain no scrubbable
+    patterns) and the output never matches any PII pattern."""
+    from zinger_spark.functions import text as zt
+
+    txt = " ".join(parts)
+    df = spark.createDataFrame([(txt,)], "text string")
+    row = df.select(
+        zt.scrub_pii(F.col("text")).alias("once"),
+        zt.scrub_pii(zt.scrub_pii(F.col("text"))).alias("twice"),
+    ).collect()[0]
+    assert row["once"] == row["twice"]
+    again = (
+        spark.createDataFrame([(row["once"],)], "text string")
+        .select(
+            zt.count_matches(F.col("text"), zt.EMAIL_RE).alias("e"),
+            zt.count_matches(F.col("text"), zt.URL_RE).alias("u"),
+            zt.count_matches(F.col("text"), zt.PHONE_RE).alias("p"),
+        )
+        .collect()[0]
+    )
+    assert (again["e"], again["u"], again["p"]) == (0, 0, 0)

@@ -220,6 +220,29 @@ def cmd_to_kafka(args) -> int:
         )
 
     start = resolve_start_offset(args.resume, args.start_offset, args.topic, admin)
+    if getattr(args, "continuous", False):
+        # Continuous mode (reference's stated future direction,
+        # README.md:175-177): file-source stream over the pool's commit
+        # dirs -> Kafka sink, resume carried by the checkpoint.
+        schema = pool.df().schema
+        q = tk.continuous_sink(
+            spark,
+            pool,
+            schema,
+            args.checkpoint or f"{args.lake}/.to_kafka_ck_{args.topic}",
+            lambda df: tk.kafka_sink_projection(
+                df,
+                value_encoder=lambda d: cj.encode(
+                    F.col("value"), schema["value"].dataType
+                ),
+            ),
+            brokers=args.brokers,
+            topic=args.topic,
+            start_offset=start,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q.awaitTermination()
+        return 0
     n = tk.sync_batches(pool, args.topic, start, produce, batch_size=args.batch_size)
     print(f"produced {n} records")
     return 0
@@ -377,6 +400,13 @@ def main(argv: list[str] | None = None) -> int:
                      help="create the topic with this many partitions "
                      "(0 = don't; cmd/zync/to-kafka/command.go:90-94)")
     tkp.add_argument("--replication", type=int, default=1)
+    tkp.add_argument("--continuous", action="store_true",
+                     help="run as a readStream over the pool's commits "
+                     "instead of the batch sync loop (README.md:175-177)")
+    tkp.add_argument("--checkpoint", default=None,
+                     help="streaming checkpoint dir for --continuous")
+    tkp.add_argument("--max-files-per-trigger", type=int, default=None,
+                     help="bound catch-up micro-batches in --continuous")
 
     cons = sub.add_parser("consume")
     cons.add_argument("--brokers", required=True)
