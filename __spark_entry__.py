@@ -1464,15 +1464,13 @@ def _q_tpch_q2(spark, sf):
         F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
         F.col("pk") == F.col("p_partkey"),
     )
-    minc = j.groupBy(F.col("p_partkey").alias("mpk")).agg(
-        F.min("cost").alias("min_cost")
-    )
+    # correlated min as a window over p_partkey: ONE pass over the join
+    # graph and one shuffle, instead of a grouped-agg + join-back that
+    # computes the join twice
+    w = Window.partitionBy("p_partkey")
     return (
-        j.join(
-            minc,
-            (F.col("p_partkey") == F.col("mpk"))
-            & (F.col("cost") == F.col("min_cost")),
-        )
+        j.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),
             "s_name",
