@@ -416,3 +416,38 @@ def test_concurrent_etl_drivers_serialize(spark, pools):
     assert not errs
     assert sorted(results.values()) == [0, ETLD[0]]
     assert staging_flat(pools["Staging"]) == GOLDENS[0]
+
+
+def test_etl_run_stream_processes_batches_continuously(spark, pools, tmp_path):
+    """Continuous ETL: the commit-arrival trigger stream drives
+    incremental run()s; loading later demo batches while the stream is
+    live must converge the staging pool to the same golden as the
+    batch driver, with the idempotent no-op runs in between."""
+    transform = make_transform()
+    pipeline = EtlPipeline(spark, transform, lambda name: pools[name])
+    counts = []
+
+    def load(i):
+        invoices, statuses = BATCHES[i]
+        if invoices:
+            pools["Raw"].load_batch(
+                spark.createDataFrame(invoices, envelope_schema(AFTER_INV))
+            )
+        if statuses:
+            pools["Raw"].load_batch(
+                spark.createDataFrame(statuses, envelope_schema(AFTER_IS))
+            )
+
+    load(0)
+    q = pipeline.run_stream(str(tmp_path / "etl_ck"), on_batch=counts.append)
+    try:
+        q.processAllAvailable()
+        assert staging_flat(pools["Staging"]) == GOLDENS[0]
+        for i in (1, 2, 3):
+            load(i)
+            q.processAllAvailable()
+            assert staging_flat(pools["Staging"]) == GOLDENS[i], f"batch {i + 1}"
+    finally:
+        q.stop()
+    # every record ETL'd exactly once across however many triggers fired
+    assert sum(counts) == sum(ETLD)

@@ -271,6 +271,61 @@ class EtlPipeline:
             lags[row["__t"]] = int(row["n"])
         return lags
 
+    # -- continuous mode -----------------------------------------------------
+
+    def run_stream(
+        self,
+        checkpoint: str,
+        available_now: bool = False,
+        on_batch=None,
+    ):
+        """Continuous ETL: a file-source readStream over the INPUT
+        pools' commit dirs acts as the commit-arrival trigger; each
+        micro-batch invokes one incremental ``run()`` (which re-plans
+        from the pools themselves — cursor-bounded, anti-joined,
+        idempotent, serialized by the writer lock).  The streamed rows
+        are only the wake-up signal, so restarts and checkpoint loss
+        are harmless: an extra run() finds nothing new and commits
+        nothing.  This completes the continuous chain — streaming
+        ingest (from_kafka.run_ingest) -> streaming ETL (here) ->
+        streaming egress (to_kafka.continuous_sink).
+
+        ``on_batch(n)`` (optional) receives each run's ETL'd count.
+        """
+        pools = {self.input_pools[p].path for p in self.input_pools}
+        # one glob per distinct input pool; the file source tracks new
+        # commit files under each
+        paths = sorted(pools)
+        schema = None
+        for route in self.transform.inputs:
+            pool = self.input_pools[route.pool]
+            if not pool.is_empty():
+                schema = pool.df().schema
+                break
+        if schema is None:
+            from ..sources.pool import PoolError  # noqa: PLC0415
+
+            raise PoolError(
+                "run_stream needs at least one non-empty input pool to "
+                "infer the trigger stream's schema"
+            )
+        stream = self.spark.readStream.schema(schema).option(
+            "mergeSchema", "true"
+        ).parquet(*[f"{p}/commit-*" for p in paths])
+
+        def _on_batch(_batch: DataFrame, _bid: int) -> None:
+            n = self.run()
+            if on_batch is not None:
+                on_batch(n)
+
+        writer = (
+            stream.writeStream.foreachBatch(_on_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     # -- plan ---------------------------------------------------------------
 
     def _fresh_inputs(self) -> DataFrame | None:
