@@ -212,3 +212,18 @@ def test_cli_to_kafka_continuous_flags_parse(monkeypatch):
     )
     assert rc == 0
     assert seen == {"continuous": True, "checkpoint": "/tmp/ck", "mft": 7}
+
+
+def test_cli_etl_continuous_flags_parse(monkeypatch):
+    from zinger_spark import cli as climod
+
+    seen = {}
+
+    def fake_handler(args):
+        seen.update(continuous=args.continuous, checkpoint=args.checkpoint)
+        return 0
+
+    monkeypatch.setattr(climod, "cmd_etl", fake_handler)
+    rc = climod.main(["etl", "t.yaml", "--continuous", "--checkpoint", "/tmp/ck"])
+    assert rc == 0
+    assert seen == {"continuous": True, "checkpoint": "/tmp/ck"}

@@ -44,6 +44,13 @@ def cmd_etl(args) -> int:
     pipeline = EtlPipeline(
         spark, transform, lambda name: Pool(spark, f"{args.lake}/{name}")
     )
+    if getattr(args, "continuous", False):
+        q = pipeline.run_stream(
+            args.checkpoint or f"{args.lake}/.etl_ck_{pipeline.output_topic}",
+            on_batch=lambda n: print(f"ETL'd {n} record{'s' if n != 1 else ''}"),
+        )
+        q.awaitTermination()
+        return 0
     n = pipeline.run()
     if n == 0:
         print("nothing new found to ETL")  # cmd/zync/etl/command.go:88-90
@@ -354,6 +361,11 @@ def main(argv: list[str] | None = None) -> int:
     etl.add_argument("config")
     etl.add_argument("--lake", default=".", help="directory holding pools")
     etl.add_argument("--explain", action="store_true", help="print plan, don't run")
+    etl.add_argument("--continuous", action="store_true",
+                     help="keep running: one incremental run per new "
+                     "input-pool commit (EtlPipeline.run_stream)")
+    etl.add_argument("--checkpoint", default=None,
+                     help="streaming checkpoint dir for --continuous")
 
     cp = sub.add_parser("create-pool")
     cp.add_argument("name")
