@@ -23,6 +23,18 @@ pytestmark = pytest.mark.skipif(
 _KEYS = sorted(entrymod.queries().keys())
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _driver_like_ntz(spark):
+    """Run this whole module with Spark 4's NTZ inference ON, like the
+    DRIVER's vanilla session (our get_spark turns it off) — so a query
+    that only works when session.py pre-set the conf fails HERE, not in
+    the driver's correctness gate (the r4 failure mode)."""
+    old = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    yield
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", old)
+
+
 @pytest.mark.parametrize("key", _KEYS)
 def test_registry_query_runs(spark, key):
     df = entrymod.queries()[key](spark, SF_DIR)
