@@ -999,6 +999,26 @@ def _q_contamination(spark, sf):
     )
 
 
+def _q_session_window_stats(spark, sf):
+    """Spark-native session windows (F.session_window — the engine
+    primitive behind streaming sessionization) over events: per
+    (user, session) span + count.  Boundary semantics verified: an
+    event exactly gap-late still merges, so the oracle's
+    gaps-and-islands split uses strictly-greater.  window end = last
+    event + gap (probed)."""
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("sess_start_us"),
+            F.unix_micros("w.end").alias("sess_end_us"),
+            "n_events",
+        )
+    )
+
+
 def _q_contamination_exact(spark, sf):
     """Verbatim-substring contamination: flag corpus docs containing a
     benchmark doc's exact probe string (its first 6 tokens) anywhere in
@@ -1659,7 +1679,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "knn_join": _q_knn_join,
         "quality_quantile_filter": _q_quality_quantile_filter,
-        "contamination": _q_contamination,
         # -- new in r5 ------------------------------------------------
         "embedding_dup_pairs_multiprobe": _q_embedding_dups_multiprobe,
         "doc_chunks": _q_doc_chunks,
@@ -1667,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_flags": _q_repetition_flags,
         "contamination_exact": _q_contamination_exact,
         "quantize_embeddings": _q_quantize_embeddings,
+        "session_window_stats": _q_session_window_stats,
         # -- code paths changed in r5 (perf: parallelism knob, norm
         #    precompute, hot-bucket refinement) — must re-verify -------
         "embedding_dup_pairs": _q_embedding_dups,
@@ -1696,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "simhash": _q_simhash,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "contamination": _q_contamination,
         "doc_fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
         "lang_id": _q_langid,
@@ -2721,6 +2742,28 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - nd / CAST(tot AS DOUBLE), 6) AS rep_ratio,
                    round(mx / CAST(tot AS DOUBLE), 6) AS top_ratio
             FROM m
+        """,
+        "session_window_stats": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged
+            )
+            SELECT user_id,
+                   min(epoch_us(ts)) AS sess_start_us,
+                   max(epoch_us(ts)) + 30*60*1000000 AS sess_end_us,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
         """,
         "contamination_exact": f"""
             WITH normd AS (
