@@ -190,3 +190,49 @@ def test_non_png_without_fake_raises_in_kernel():
     jpegish = pd.DataFrame({"payload": [b"\xff\xd8\xff\xe0 not a png"]})
     with pytest.raises(NotImplementedError, match="PIL"):
         list(kernel(iter([jpegish])))
+
+
+def test_decode_png_mixed_filters_per_row():
+    """Adaptive encoders pick a different filter per scanline; decode
+    must handle an arbitrary interleaving (incl. the vectorized Sub
+    path against sequential Paeth/Average neighbors)."""
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    h, w, c = px.shape
+    stride = w * c
+    flat = px.reshape(h, stride).astype(np.int32)
+    ftypes = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        line = flat[y]
+        ftype = ftypes[y]
+        out.append(ftype)
+        for x in range(stride):
+            a = int(line[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if ftype == 0:
+                v = line[x]
+            elif ftype == 1:
+                v = line[x] - a
+            elif ftype == 2:
+                v = line[x] - b
+            elif ftype == 3:
+                v = line[x] - ((a + b) >> 1)
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                v = line[x] - pr
+            out.append(v & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        media.PNG_SIG
+        + media._chunk(b"IHDR", ihdr)
+        + media._chunk(b"IDAT", zlib.compress(bytes(out)))
+        + media._chunk(b"IEND", b"")
+    )
+    d = media.decode_png(data)
+    assert np.array_equal(d["pixels"], px)

@@ -54,10 +54,16 @@ def _unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
         pos += stride
         if f == 0:
             cur = line
-        elif f == 1:  # Sub
-            cur = line
-            for x in range(bpp, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif f == 1:  # Sub: per-channel prefix sum (mod-256 distributes
+            # over addition, so cumsum-then-truncate equals the
+            # sequential reconstruction); vectorized because adaptive
+            # encoders emit Sub constantly on photographic rows
+            cur = (
+                line.reshape(width, bpp)
+                .cumsum(axis=0, dtype=np.uint64)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
         elif f == 2:  # Up (u8 addition wraps mod 256, exactly the spec)
             cur = line + prev
         elif f == 3:  # Average
