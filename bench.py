@@ -56,6 +56,8 @@ HEADLINE = [
     "quantize_embeddings",
     "tpch_q2",
     "tpch_q9",
+    "session_window_stats",
+    "contamination_exact",
 ]
 
 

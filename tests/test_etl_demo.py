@@ -451,3 +451,51 @@ def test_etl_run_stream_processes_batches_continuously(spark, pools, tmp_path):
         q.stop()
     # every record ETL'd exactly once across however many triggers fired
     assert sum(counts) == sum(ETLD)
+
+
+def test_cli_etl_cursor_lag_prints_metric(spark, pools, tmp_path, capsys, monkeypatch):
+    import yaml
+
+    from zinger_spark import cli as climod
+
+    rows = [
+        inv(1, 100, "Alice", "taco", "u"),
+        inv(2, 101, "Bob", "burrito", "x"),  # pins the cursor
+        inv(3, 102, "Charlie", "enchilada", "u"),
+    ]
+    pools["Raw"].load_batch(spark.createDataFrame(rows, envelope_schema(AFTER_INV)))
+    pools["Raw"].load_batch(
+        spark.createDataFrame(
+            [ist(1, 80, 101, "paid", "u")], envelope_schema(AFTER_IS)
+        )
+    )
+    pipeline = EtlPipeline(spark, make_transform(), lambda n: pools[n])
+    assert pipeline.run() > 0
+
+    cfg = tmp_path / "t.yaml"
+    cfg.write_text(
+        yaml.safe_dump(
+            {
+                "inputs": [
+                    {"topic": "Invoices", "pool": "Raw"},
+                    {"topic": "InvoiceStatus", "pool": "Raw"},
+                ],
+                "output": {"topic": "NewInvoices", "pool": "Staging"},
+                "transforms": [
+                    {
+                        "type": "stateless",
+                        "where": "value.op = 'u'",
+                        "in": "Invoices",
+                        "out": "NewInvoices",
+                        "zed": "named_struct('key', `in`.key, 'value', `in`.value.after)",
+                    }
+                ],
+            }
+        )
+    )
+    lake = pools["Raw"].path.rsplit("/", 1)[0]
+    monkeypatch.setattr(climod, "_spark", lambda a: spark)
+    rc = climod.main(["etl", str(cfg), "--lake", lake, "--cursor-lag"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Invoices\t1" in out

@@ -44,6 +44,11 @@ def cmd_etl(args) -> int:
     pipeline = EtlPipeline(
         spark, transform, lambda name: Pool(spark, f"{args.lake}/{name}")
     )
+    if getattr(args, "cursor_lag", False):
+        # operational metric: width of the pinned rescan per input topic
+        for topic, lag in sorted(pipeline.cursor_lag().items()):
+            print(f"{topic}\t{lag}")
+        return 0
     if getattr(args, "continuous", False):
         q = pipeline.run_stream(
             args.checkpoint or f"{args.lake}/.etl_ck_{pipeline.output_topic}",
@@ -366,6 +371,8 @@ def main(argv: list[str] | None = None) -> int:
                      "input-pool commit (EtlPipeline.run_stream)")
     etl.add_argument("--checkpoint", default=None,
                      help="streaming checkpoint dir for --continuous")
+    etl.add_argument("--cursor-lag", action="store_true",
+                     help="print per-topic pinned-rescan width and exit")
 
     cp = sub.add_parser("create-pool")
     cp.add_argument("name")
