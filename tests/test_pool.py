@@ -233,3 +233,27 @@ def test_writer_lock_breaks_stale_lock(spark, tmp_path):
     os.utime(lock, (old, old))
     with pool.writer_lock(timeout=1.0, stale=60.0):  # breaks the dead lock
         pass
+
+
+def test_cli_compact_and_vacuum_pool(spark, tmp_path, capsys, monkeypatch):
+    from zinger_spark import cli as climod
+    from zinger_spark.sources.pool import Pool
+
+    pool = Pool.create(spark, str(tmp_path / "P"))
+    df = spark.range(3).selectExpr(
+        "named_struct('topic', 'T', 'partition', 0L, 'offset', id) AS kafka",
+        "'data' AS _type",
+    )
+    for _ in range(3):
+        pool.load_batch(df)
+    monkeypatch.setattr(climod, "_spark", lambda a: spark)
+    rc = climod.main(["compact-pool", "P", "--lake", str(tmp_path)])
+    assert rc == 0
+    assert "compacted 3 commits" in capsys.readouterr().out
+    assert pool.df().count() == 9  # rows preserved across the swap
+    rc = climod.main(
+        ["vacuum-pool", "P", "--lake", str(tmp_path), "--grace-seconds", "0"]
+    )
+    assert rc == 0
+    assert "removed 3 dirs" in capsys.readouterr().out
+    assert pool.df().count() == 9

@@ -72,6 +72,28 @@ def cmd_create_pool(args) -> int:
     return 0
 
 
+def cmd_compact_pool(args) -> int:
+    """Merge a pool's commit dirs into one sorted commit (the OPTIMIZE
+    analog); old dirs stay for in-flight readers until vacuum."""
+    from .sources.pool import Pool
+
+    pool = Pool(_spark(args), f"{args.lake}/{args.name}")
+    n = pool.compact()
+    print(f"pool: {args.name} compacted {n} commit{'s' if n != 1 else ''}")
+    return 0
+
+
+def cmd_vacuum_pool(args) -> int:
+    """Reclaim commit dirs orphaned by compaction after the grace
+    window (the VACUUM analog; bounds time travel)."""
+    from .sources.pool import Pool
+
+    pool = Pool(_spark(args), f"{args.lake}/{args.name}")
+    n = pool.vacuum(grace_seconds=args.grace_seconds)
+    print(f"pool: {args.name} removed {n} dir{'s' if n != 1 else ''}")
+    return 0
+
+
 def cmd_info(args) -> int:
     """Watermarks. With --pool: offset range stored per topic (local).
     With --brokers: Kafka low/high via the admin client (A4,
@@ -378,6 +400,15 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("name")
     cp.add_argument("--lake", default=".")
 
+    cpp = sub.add_parser("compact-pool", help="merge commit dirs (OPTIMIZE analog)")
+    cpp.add_argument("name")
+    cpp.add_argument("--lake", default=".")
+
+    vp = sub.add_parser("vacuum-pool", help="reclaim orphaned commit dirs")
+    vp.add_argument("name")
+    vp.add_argument("--lake", default=".")
+    vp.add_argument("--grace-seconds", type=float, default=3600.0)
+
     info = sub.add_parser("info", help="watermarks per topic")
     info.add_argument("--pool")
     info.add_argument("--lake", default=".")
@@ -449,6 +480,8 @@ def main(argv: list[str] | None = None) -> int:
     handler = {
         "etl": cmd_etl,
         "create-pool": cmd_create_pool,
+        "compact-pool": cmd_compact_pool,
+        "vacuum-pool": cmd_vacuum_pool,
         "info": cmd_info,
         "ls": cmd_ls,
         "from-kafka": cmd_from_kafka,
