@@ -999,6 +999,30 @@ def _q_contamination(spark, sf):
     )
 
 
+def _q_token_rarity(spark, sf):
+    """Document rarity score: mean document-frequency of a doc's
+    distinct tokens (low = rare vocabulary, high = boilerplate) — the
+    common/rare-token quality filter.  Two partial-aggregated shuffles
+    (token DF, then per-doc mean over a token-keyed join); the mean is
+    an exact long sum / long count so no float accumulation order can
+    diverge between engines."""
+    docs = _t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(ztext.tokens(F.col("text")))).alias("t")
+    )
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tok.join(dfreq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum("df").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_df"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+        )
+    )
+
+
 def _q_session_window_stats(spark, sf):
     """Spark-native session windows (F.session_window — the engine
     primitive behind streaming sessionization) over events: per
@@ -1678,7 +1702,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "dedup_clusters": _q_dedup_clusters,
         "knn_join": _q_knn_join,
-        "quality_quantile_filter": _q_quality_quantile_filter,
         # -- new in r5 ------------------------------------------------
         "embedding_dup_pairs_multiprobe": _q_embedding_dups_multiprobe,
         "doc_chunks": _q_doc_chunks,
@@ -1687,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_exact": _q_contamination_exact,
         "quantize_embeddings": _q_quantize_embeddings,
         "session_window_stats": _q_session_window_stats,
+        "token_rarity": _q_token_rarity,
         # -- code paths changed in r5 (perf: parallelism knob, norm
         #    precompute, hot-bucket refinement) — must re-verify -------
         "embedding_dup_pairs": _q_embedding_dups,
@@ -1717,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "contamination": _q_contamination,
+        "quality_quantile_filter": _q_quality_quantile_filter,
         "doc_fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
         "lang_id": _q_langid,
@@ -2742,6 +2767,18 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - nd / CAST(tot AS DOUBLE), 6) AS rep_ratio,
                    round(mx / CAST(tot AS DOUBLE), 6) AS top_ratio
             FROM m
+        """,
+        "token_rarity": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(list_distinct({_sql_tokens("text")})) AS t
+              FROM documents
+            ),
+            dfreq AS (SELECT t, count(*) AS df FROM tok GROUP BY 1)
+            SELECT doc_id,
+                   round(sum(df) / CAST(count(*) AS DOUBLE), 6) AS mean_df,
+                   count(*) AS n_distinct_tokens
+            FROM tok JOIN dfreq USING (t)
+            GROUP BY doc_id
         """,
         "session_window_stats": """
             WITH flagged AS (
