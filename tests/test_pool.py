@@ -69,8 +69,11 @@ def test_partitioned_pool_prunes_by_topic(spark, tmp_path):
     )
     scoped = pool.df(topic="A")
     assert scoped.count() == 2
-    plan = scoped._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "_topic" in plan.split("PartitionFilters")[-1]
+    # topic pruning is PATH-LEVEL (stronger than a partition filter):
+    # the scan's file listing contains only the topic's directories
+    files = scoped.inputFiles()
+    assert files and all("_topic=A" in f for f in files)
+    assert not any("_topic=B" in f for f in files)
     # read_batch rides the same pruned path
     out = [r["kafka"]["offset"] for r in pool.read_batch("B", 1, 5).collect()]
     assert out == [1, 2]

@@ -178,6 +178,9 @@ def main() -> int:
     p = plan_of(qs["quantize_embeddings"](spark, sf))
     check("quantize_embeddings", "Exchange" not in p,
           "pure per-row quantization — zero shuffles")
+    p = plan_of(qs["token_rarity"](spark, sf))
+    check("token_rarity", "CartesianProduct" not in p,
+          "token-keyed equi-join, partial-aggregated")
 
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()

@@ -250,14 +250,43 @@ class Pool:
             raise PoolError(f"pool {self.path} is empty")
         reader = self.spark.read.option("mergeSchema", "true")
         if self.meta.get("partitioned"):
-            out = reader.option("basePath", self.path).parquet(*dirs)
+            # Partition discovery cannot span multiple commit dirs with
+            # one basePath (the commit-N path fragment is not key=value:
+            # CONFLICTING_DIRECTORY_STRUCTURES).  Topic-scoped reads —
+            # the hot path — list the topic's `_topic=T` subdirs
+            # DIRECTLY, which is stronger than a partition filter: only
+            # that topic's directories are ever opened.  Full reads go
+            # per-commit (discovery works inside one commit) and fuse.
             if topic is not None:
-                out = out.filter(F.col("_topic") == topic)
-            return out.drop("_topic")
+                tdirs = [
+                    os.path.join(d, f"_topic={topic}")
+                    for d in dirs
+                    if os.path.isdir(os.path.join(d, f"_topic={topic}"))
+                ]
+                if tdirs:
+                    return reader.parquet(*tdirs)
+                # topic absent in every commit: empty frame, pool schema
+                return self._fused_partitioned(dirs).filter(
+                    F.col("kafka.topic") == topic
+                )
+            return self._fused_partitioned(dirs)
         out = reader.parquet(*dirs)
         if topic is not None:
             out = out.filter(F.col("kafka.topic") == topic)
         return out
+
+    def _fused_partitioned(self, dirs: list[str]) -> DataFrame:
+        """Full read of a partitioned pool: one scan per commit dir
+        (partition discovery is valid inside a commit), schema-fused.
+        O(commits) scan nodes — run ``compact()`` periodically; the
+        planner's reads are topic-scoped and never take this path."""
+        from ..datamodel import fuse  # noqa: PLC0415
+
+        parts = [
+            self.spark.read.option("mergeSchema", "true").parquet(d).drop("_topic")
+            for d in dirs
+        ]
+        return parts[0] if len(parts) == 1 else fuse(*parts)
 
     def query(self, fn) -> DataFrame:
         """Run a DataFrame transform over the pool (Lake.Query analog,
