@@ -292,10 +292,17 @@ class EtlPipeline:
 
         ``on_batch(n)`` (optional) receives each run's ETL'd count.
         """
-        pools = {self.input_pools[p].path for p in self.input_pools}
         # one glob per distinct input pool; the file source tracks new
-        # commit files under each
-        paths = sorted(pools)
+        # commit files under each (partitioned pools nest one level
+        # deeper, so their glob reaches the _topic dirs)
+        globs = sorted(
+            {
+                f"{pool.path}/commit-*/_topic=*"
+                if pool.meta.get("partitioned")
+                else f"{pool.path}/commit-*"
+                for pool in self.input_pools.values()
+            }
+        )
         schema = None
         for route in self.transform.inputs:
             pool = self.input_pools[route.pool]
@@ -311,7 +318,7 @@ class EtlPipeline:
             )
         stream = self.spark.readStream.schema(schema).option(
             "mergeSchema", "true"
-        ).parquet(*[f"{p}/commit-*" for p in paths])
+        ).parquet(*globs)
 
         def _on_batch(_batch: DataFrame, _bid: int) -> None:
             n = self.run()
