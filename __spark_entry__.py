@@ -1351,8 +1351,11 @@ def _q_embedding_dups(spark, sf):
     # 0.40 yields ~a dozen pairs at every SF with >5e-4 margin to the
     # nearest score, so the oracle comparison is boundary-stable.
     emb = _t(spark, sf, "embeddings")
+    # max_bucket=None = the exhaustive oracle-parity form (the SQL
+    # oracle enumerates every same-bucket pair); production callers get
+    # the finite default with refine-then-drop (similarity.py).
     return zsim.embedding_dup_pairs(
-        emb, threshold=0.40, dims=(0, 1, 2, 3), parallelism=32
+        emb, threshold=0.40, dims=(0, 1, 2, 3), parallelism=32, max_bucket=None
     )
 
 
@@ -1364,7 +1367,8 @@ def _q_embedding_dups_multiprobe(spark, sf):
     set) above the same calibrated threshold."""
     emb = _t(spark, sf, "embeddings")
     return zsim.embedding_dup_pairs(
-        emb, threshold=0.40, dims=(0, 1, 2, 3), multiprobe=True, parallelism=32
+        emb, threshold=0.40, dims=(0, 1, 2, 3), multiprobe=True, parallelism=32,
+        max_bucket=None,
     )
 
 

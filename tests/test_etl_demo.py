@@ -342,7 +342,8 @@ def test_cursor_advances_past_offset_gaps(spark, pools):
     cursors = pipeline._read_cursors()
     assert cursors["Invoices"] == 40
     assert cursors["InvoiceStatus"] == 7
-    assert pipeline.cursor_lag() == {}
+    # explicit zeros: tight cursors print as 0, not silence (ADVICE r5)
+    assert pipeline.cursor_lag() == {"Invoices": 0, "InvoiceStatus": 0}
 
 
 def test_unmatched_record_pins_cursor_and_lag_reports_it(spark, pools):
@@ -366,8 +367,9 @@ def test_unmatched_record_pins_cursor_and_lag_reports_it(spark, pools):
     first = pipeline.run()
     assert first > 0
     assert pipeline._read_cursors()["Invoices"] == 1
-    # offset 3 is done but sits above the pinned cursor -> lag 1
-    assert pipeline.cursor_lag() == {"Invoices": 1}
+    # offset 3 is done but sits above the pinned cursor -> lag 1;
+    # the tight InvoiceStatus cursor reports an explicit 0
+    assert pipeline.cursor_lag() == {"Invoices": 1, "InvoiceStatus": 0}
     # pinned rescan is idempotent
     before = staging_flat(pools["Staging"])
     assert pipeline.run() == 0

@@ -238,6 +238,42 @@ def test_writer_lock_breaks_stale_lock(spark, tmp_path):
         pass
 
 
+def test_stale_lock_break_does_not_steal_fresh_lock(spark, tmp_path):
+    """TOCTOU guard (ADVICE r5): waiter B judged the old lock stale,
+    but between its stat and its break a racing waiter A already broke
+    it and created a FRESH lock.  B's break must leave A's lock alone
+    (inode identity check after the rename-aside), not delete it and
+    reopen the two-holders race."""
+    import os
+    import time as _time
+
+    from zinger_spark.sources.pool import Pool
+
+    pool = Pool.create(spark, str(tmp_path / "toctou"))
+    lock = pool._file_lock_path()
+    with open(lock, "w") as f:
+        f.write("{}")
+    old = _time.time() - 3600
+    os.utime(lock, (old, old))
+    judged = os.stat(lock)  # B's stale verdict on the OLD lock
+    # racer A breaks it and takes the lock (fresh file, new inode)
+    os.remove(lock)
+    with open(lock, "w") as f:
+        f.write('{"pid": 1}')
+    fresh = os.stat(lock)
+    # identity = (inode, mtime_ns): ext4 recycles the inode for the
+    # next create, so mtime is what distinguishes fresh from stale
+    assert (fresh.st_ino, fresh.st_mtime_ns) != (judged.st_ino, judged.st_mtime_ns)
+    pool._break_stale_lock(judged)  # B acts on its stale verdict
+    # A's fresh lock survived, byte-identical
+    assert os.stat(lock).st_mtime_ns == fresh.st_mtime_ns
+    assert open(lock).read() == '{"pid": 1}'
+    # and when the verdict IS still accurate, the break removes it
+    os.utime(lock, (old, old))
+    pool._break_stale_lock(os.stat(lock))
+    assert not os.path.exists(lock)
+
+
 def test_cli_compact_and_vacuum_pool(spark, tmp_path, capsys, monkeypatch):
     from zinger_spark import cli as climod
     from zinger_spark.sources.pool import Pool

@@ -115,6 +115,76 @@ def test_ingest_stream_commits_to_pool(spark, tmp_path):
     assert pool.next_consumer_offset("T") == 3
 
 
+def test_ingest_commit_idempotent_on_replay(spark, tmp_path):
+    """Crash-replay exactly-once: a micro-batch re-delivered with the
+    same (or lower) batch id — the foreachBatch replay after a crash
+    between load_batch and checkpoint advance — commits nothing the
+    second time.  Reference contract: resume-from-max + single writer
+    (README.md:140-156); ours is the txnAppId/txnVersion sidecar."""
+    pool = Pool.create(spark, str(tmp_path / "pool"))
+    env_schema = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint>, _type string"
+    )
+    b0 = spark.createDataFrame([(("T", 0, 0), None, (10,), "data")], env_schema)
+    b1 = spark.createDataFrame([(("T", 0, 1), None, (20,), "data")], env_schema)
+
+    assert fk.commit_batch(pool, b0, 0, "app") is True
+    # crash before checkpoint advance -> the SAME batch id replays
+    assert fk.commit_batch(pool, b0, 0, "app") is False
+    # a stale lower id (checkpoint rolled back manually) is also skipped
+    assert fk.commit_batch(pool, b1, 1, "app") is True
+    assert fk.commit_batch(pool, b0, 0, "app") is False
+    got = sorted(r["kafka"]["offset"] for r in pool.df().collect())
+    assert got == [0, 1]  # zero duplicate offsets
+    # a DIFFERENT logical stream has its own version sequence
+    b2 = spark.createDataFrame([(("U", 0, 0), None, (30,), "data")], env_schema)
+    assert fk.commit_batch(pool, b2, 0, "other-app") is True
+    assert pool.df().count() == 3
+
+
+def test_ingest_stream_restart_no_duplicates(spark, tmp_path):
+    """End-to-end replay: run the same availableNow ingest twice with a
+    FRESH checkpoint the second time (the worst case — the stream
+    source replays everything).  The sidecar must not dedup that
+    (different app_id per checkpoint would re-commit), so this pins the
+    per-checkpoint app_id derivation: same checkpoint dir -> same
+    app_id -> replayed ids skipped even if the checkpoint state itself
+    was wiped after batch ids were recorded."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b.json").write_text('{"topic":"T","partition":0,"offset":1,"a":10}\n')
+    schema = T.StructType.fromDDL("topic string, partition int, offset bigint, a bigint")
+
+    def stream():
+        s = spark.readStream.schema(schema).json(str(src))
+        return s.select(
+            F.struct(
+                F.col("topic"),
+                F.col("partition").cast("long").alias("partition"),
+                F.col("offset"),
+            ).alias("kafka"),
+            F.lit(None).cast("string").alias("key"),
+            F.struct(F.col("a")).alias("value"),
+            F.lit("data").alias("_type"),
+        )
+
+    pool = Pool.create(spark, str(tmp_path / "pool"))
+    ckpt = str(tmp_path / "ckpt")
+    q = fk.run_ingest(stream(), pool, ckpt, available_now=True)
+    q.awaitTermination(60)
+    assert pool.df().count() == 1
+    # wipe the checkpoint: the restarted stream replays batch 0 from
+    # scratch; the pool sidecar (keyed by the checkpoint-derived
+    # app_id) must swallow it.
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q = fk.run_ingest(stream(), pool, ckpt, available_now=True)
+    q.awaitTermination(60)
+    assert pool.df().count() == 1  # no duplicate rows
+
+
 def test_to_kafka_sync_loop(spark, tmp_path):
     """A15: drain the pool in ordered batches from the high-water mark."""
     pool = Pool.create(spark, str(tmp_path / "p"))
@@ -172,11 +242,12 @@ def test_continuous_sink_streams_new_commits(spark, tmp_path):
             df, value_encoder=lambda d: cj.encode(F.col("value"), T.StructType.fromDDL("a bigint"))
         )
 
+    tk._MEMORY_SINKS.pop("to_kafka_test", None)
     q = tk.continuous_sink(
         spark, pool, env_schema, str(tmp_path / "ck"), sink, available_now=True
     )
     q.awaitTermination(120)
-    rows = spark.sql("select * from to_kafka_test").collect()
+    rows = tk.memory_sink_rows("to_kafka_test")
     assert len(rows) == 3
     assert {json.loads(r["value"])["payload"]["a"] for r in rows} == {0, 1, 2}
 
@@ -279,6 +350,7 @@ def test_to_kafka_streaming_replays_etl_demo(spark, tmp_path):
         )
 
     # resume contract: pretend offsets < 1 were already produced
+    tk._MEMORY_SINKS.pop("to_kafka_etl_demo", None)
     q = tk.continuous_sink(
         spark,
         pools["Staging"],
@@ -291,7 +363,7 @@ def test_to_kafka_streaming_replays_etl_demo(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        n0 = spark.sql("select * from to_kafka_etl_demo").count()
+        n0 = len(tk.memory_sink_rows("to_kafka_etl_demo"))
         assert n0 == 1  # batch 1 made offsets 0,1; hwm skips offset 0
 
         for i in (1, 2, 3):
@@ -299,7 +371,7 @@ def test_to_kafka_streaming_replays_etl_demo(spark, tmp_path):
             assert pipeline.run() == demo.ETLD[i]
             q.processAllAvailable()
 
-        rows = spark.sql("select * from to_kafka_etl_demo").collect()
+        rows = tk.memory_sink_rows("to_kafka_etl_demo")
     finally:
         q.stop()
     # golden D4 has NewInvoices data offsets 0..7; stream saw 1..7
@@ -333,6 +405,7 @@ def test_continuous_sink_partitioned_pool(spark, tmp_path):
             ),
         )
 
+    tk._MEMORY_SINKS.pop("to_kafka_part_test", None)
     q = tk.continuous_sink(
         spark,
         pool,
@@ -344,5 +417,64 @@ def test_continuous_sink_partitioned_pool(spark, tmp_path):
         query_name="to_kafka_part_test",
     )
     q.awaitTermination(120)
-    rows_out = spark.sql("select * from to_kafka_part_test").collect()
+    rows_out = tk.memory_sink_rows("to_kafka_part_test")
     assert {json.loads(r["value"])["payload"]["a"] for r in rows_out} == {0, 1, 2}
+
+
+def test_continuous_sink_survives_compact(spark, tmp_path):
+    """compact() rewrites every live row into a brand-new commit dir;
+    the file-source checkpoint sees only new files, so without the
+    produced-offset watermark a live or restarted continuous sink would
+    re-produce the whole pool as broker duplicates (ADVICE r5).  With
+    the watermark, the compacted dir replays zero rows and only
+    genuinely new offsets flow."""
+    pool = Pool.create(spark, str(tmp_path / "cv"))
+    env_schema = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint>, _type string"
+    )
+
+    def load(offs):
+        pool.load_batch(
+            spark.createDataFrame(
+                [(("T", 0, i), None, (i,), "data") for i in offs], env_schema
+            )
+        )
+
+    def sink(df):
+        return tk.kafka_sink_projection(
+            df,
+            value_encoder=lambda d: cj.encode(
+                F.col("value"), T.StructType.fromDDL("a bigint")
+            ),
+        )
+
+    load([0, 1])
+    load([2])
+    name = "to_kafka_compact_test"
+    tk._MEMORY_SINKS.pop(name, None)
+    ck = str(tmp_path / "ck")
+    q = tk.continuous_sink(
+        spark, pool, env_schema, ck, sink, topic="T", query_name=name
+    )
+    try:
+        q.processAllAvailable()
+        assert len(tk.memory_sink_rows(name)) == 3
+        # compact mid-stream: 2 commits -> 1 new dir with the same rows
+        assert pool.compact() == 2
+        load([3])  # one genuinely new record after the compact
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    offs = sorted(
+        json.loads(r["value"])["payload"]["a"] for r in tk.memory_sink_rows(name)
+    )
+    assert offs == [0, 1, 2, 3]  # compacted rows NOT re-produced
+    # restart with the same checkpoint after another compact: still quiet
+    assert pool.compact() == 2
+    q = tk.continuous_sink(
+        spark, pool, env_schema, ck, sink, topic="T", available_now=True,
+        query_name=name,
+    )
+    q.awaitTermination(120)
+    assert len(tk.memory_sink_rows(name)) == 4

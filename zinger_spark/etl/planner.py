@@ -234,7 +234,9 @@ class EtlPipeline:
     def cursor_lag(self) -> dict[str, int]:
         """Per input topic: how many already-done data offsets sit above
         the cursor (the width a pinned cursor forces every run to
-        rescan and re-drop).  0 everywhere = cursors are tight."""
+        rescan and re-drop).  Every non-empty input topic gets an entry
+        — an explicit 0 means "cursor is tight", distinguishable from a
+        misrouted or empty topic (which is absent)."""
         if self.output_pool.is_empty():
             return {}
         cursors = self._read_cursors()
@@ -245,6 +247,7 @@ class EtlPipeline:
             pool = self.input_pools[routes.lookup_pool(topic)]
             if pool.is_empty():
                 continue
+            lags[topic] = 0
             cur = cursors.get(topic, -1)
             data = (
                 pool.df(topic=topic)
@@ -263,7 +266,7 @@ class EtlPipeline:
                 data.join(done, data["__o"] == done["__d"], "left_semi")
             )
         if not legs:
-            return {}
+            return lags
         allx = legs[0]
         for leg in legs[1:]:
             allx = allx.unionAll(leg)

@@ -191,7 +191,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dims: tuple[int, ...] = (0, 1, 2, 3),
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
     refine_bits: int = 8,
     multiprobe: bool = False,
     parallelism: int | None = None,
@@ -199,7 +199,8 @@ def embedding_dup_pairs(
     """Near-duplicate vector pairs (cosine >= threshold).
 
     Candidates come from an equi-join on the sign-LSH bucket, never a
-    cross join.  ``max_bucket`` is the opt-in hot-bucket skew guard: a
+    cross join.  ``max_bucket`` (finite by DEFAULT — pass None for the
+    exhaustive oracle-parity form) is the hot-bucket skew guard: a
     degenerate embedding cluster — near-zero vectors, dead model dims —
     can put a large fraction of the corpus in one sign bucket, and an
     uncapped self-join there is M^2.  With only 2**len(dims) possible

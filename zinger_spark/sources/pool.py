@@ -63,6 +63,7 @@ class Pool:
                 f"pool {path} does not have {expected_key} asc pool key"
             )
         self.meta = meta
+        self.lock_timeout = self.DEFAULT_LOCK_TIMEOUT
         self._local_lock = threading.RLock()
         self._lock_depth = 0
 
@@ -129,16 +130,26 @@ class Pool:
 
     # -- writer lock --------------------------------------------------------
 
+    #: Default writer-lock acquire timeout.  Generous on purpose: an
+    #: ETL run or compact() legitimately HOLDS the lock across a whole
+    #: Spark job (minutes at scale), and a contending writer — e.g. a
+    #: streaming ingest foreachBatch — must wait out a healthy holder,
+    #: not error after 2 minutes with its tmp dir already written.
+    #: Override per-pool (``pool.lock_timeout = ...``) or per-call.
+    DEFAULT_LOCK_TIMEOUT = 1800.0
+
     @contextlib.contextmanager
-    def writer_lock(self, timeout: float = 120.0, stale: float | None = None):
+    def writer_lock(self, timeout: float | None = None, stale: float | None = None):
         """Serialize pool writers across threads AND processes.
 
         The reference inherits single-commit atomicity from the Zed lake
         service (fifo/lake.go:58-60); a filesystem pool has no service,
         so writers contend on an O_CREAT|O_EXCL lock file — exactly one
-        creator wins, everyone else polls until ``timeout``.  Reentrant
-        within a Pool instance (RLock + depth counter), so ``load_batch``
-        inside an already-locked ETL run does not self-deadlock.
+        creator wins, everyone else polls until ``timeout`` (default
+        ``self.lock_timeout``, class default DEFAULT_LOCK_TIMEOUT).
+        Reentrant within a Pool instance (RLock + depth counter), so
+        ``load_batch`` inside an already-locked ETL run does not
+        self-deadlock.
 
         ``stale`` (seconds) optionally breaks a lock whose mtime is that
         old — for operators recovering from a crashed writer.  Default
@@ -149,6 +160,8 @@ class Pool:
         An object-storage backend overrides this with its native
         conditional-put (S3 If-None-Match, GCS if-generation-match).
         """
+        if timeout is None:
+            timeout = self.lock_timeout
         if not self._local_lock.acquire(timeout=timeout):
             raise PoolError(f"pool {self.path}: writer-lock timeout ({timeout}s)")
         try:
@@ -182,9 +195,9 @@ class Pool:
                 return
             except FileExistsError:
                 try:
-                    age = time.time() - os.stat(self._file_lock_path()).st_mtime
-                    if stale is not None and age > stale:
-                        os.remove(self._file_lock_path())
+                    st = os.stat(self._file_lock_path())
+                    if stale is not None and time.time() - st.st_mtime > stale:
+                        self._break_stale_lock(st)
                         continue
                 except FileNotFoundError:
                     continue
@@ -194,6 +207,37 @@ class Pool:
                         f"remove {self._file_lock_path()} if the holder crashed"
                     )
                 time.sleep(0.05)
+
+    def _break_stale_lock(self, judged: os.stat_result) -> None:
+        """Remove a lock judged stale WITHOUT the naive remove-by-path
+        TOCTOU: two waiters can both judge the same lock stale; after A
+        removes it and creates its own fresh lock, B's remove-by-path
+        would delete A's fresh lock and reopen the two-holders race.
+        Instead, take the lock ASIDE with an atomic rename to a private
+        name — exactly one renamer wins the race (the loser gets
+        FileNotFoundError) — then verify by (inode, mtime_ns) that what
+        we renamed IS the file we judged stale (inode alone is not
+        identity: ext4 recycles a removed file's inode for the next
+        create; a FRESH lock always has a recent mtime or staleness
+        judgment itself is meaningless).  If a racer's fresh lock
+        slipped in between the stat and our rename, put it straight
+        back.  The put-back itself could only clobber a third
+        writer's lock if two independent sub-50ms races line up AND the
+        judged-stale inode was recycled in between; with the
+        stale-break path already being a crash-recovery escape hatch
+        (stale=None by default), that residual window is accepted and
+        documented rather than closed with fcntl (which NFS/overlay
+        mounts break)."""
+        aside = self._file_lock_path() + f".break-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(self._file_lock_path(), aside)
+        except FileNotFoundError:
+            return  # another waiter broke it first
+        got = os.stat(aside)
+        if (got.st_ino, got.st_mtime_ns) != (judged.st_ino, judged.st_mtime_ns):
+            os.rename(aside, self._file_lock_path())  # stole a fresh lock: undo
+            return
+        os.remove(aside)
 
     def _release_file_lock(self) -> None:
         try:

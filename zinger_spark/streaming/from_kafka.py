@@ -18,6 +18,7 @@ offset, ...), so it is unit-testable without a broker.
 from __future__ import annotations
 
 import json
+import os
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -105,6 +106,45 @@ def monotonic_guard(batch: DataFrame, saved: dict[str, int]) -> None:
             )
 
 
+INGEST_TXN_SIDECAR = "_ingest_txn.json"
+
+
+def commit_batch(
+    pool: Pool,
+    batch: DataFrame,
+    batch_id: int,
+    app_id: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> bool:
+    """Idempotent micro-batch commit — the txnAppId/txnVersion pattern
+    (Delta's idempotent-writes contract, SURVEY §2) for the Kafka→pool
+    leg.  The streaming checkpoint alone gives only at-least-once: a
+    crash after ``pool.load_batch`` but before the checkpoint advances
+    replays the micro-batch on restart.  So the last-committed batch id
+    per ``app_id`` is persisted in a pool sidecar, read+written INSIDE
+    the writer lock with the commit itself: replayed ids (<= recorded)
+    are skipped, making replay a no-op.  Returns True iff rows were
+    committed.
+
+    ``app_id`` must be stable across restarts of one logical stream
+    (``run_ingest`` derives it from the checkpoint path) and distinct
+    across streams writing the same pool.
+    """
+    if transform is not None:
+        batch = transform(batch)
+    if batch.isEmpty():
+        return False
+    with pool.writer_lock():
+        txn = pool.read_sidecar(INGEST_TXN_SIDECAR) or {}
+        last = txn.get(app_id)
+        if last is not None and batch_id <= last:
+            return False  # crash-replayed micro-batch: already in the pool
+        pool.load_batch(batch)
+        txn[app_id] = batch_id
+        pool.write_sidecar(INGEST_TXN_SIDECAR, txn)
+    return True
+
+
 def run_ingest(
     enveloped: DataFrame,
     pool: Pool,
@@ -112,17 +152,19 @@ def run_ingest(
     interval: str | None = DEFAULT_INTERVAL,
     available_now: bool = False,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    app_id: str | None = None,
 ):
     """The load loop (A13/A16): each micro-batch optionally shaped
-    (the -shaper hook, fifo/lake.go:94-106) then committed atomically.
-    Checkpoint + pool-derived start offsets give the reference's
-    restart-from-max semantics (README.md:140-156)."""
+    (the -shaper hook, fifo/lake.go:94-106) then committed atomically
+    and idempotently (``commit_batch``).  Checkpoint + pool-derived
+    start offsets give the reference's restart-from-max semantics
+    (README.md:140-156); the batch-id sidecar upgrades the
+    checkpoint's at-least-once replay to exactly-once pool contents."""
+    if app_id is None:
+        app_id = f"ingest-{os.path.basename(os.path.normpath(checkpoint))}"
 
-    def _commit(batch: DataFrame, _batch_id: int) -> None:
-        if transform is not None:
-            batch = transform(batch)
-        if not batch.isEmpty():
-            pool.load_batch(batch)
+    def _commit(batch: DataFrame, batch_id: int) -> None:
+        commit_batch(pool, batch, batch_id, app_id, transform=transform)
 
     writer = enveloped.writeStream.foreachBatch(_commit).option(
         "checkpointLocation", checkpoint

@@ -125,6 +125,16 @@ def sync_once(
     return int(obs.get["rows"])
 
 
+# Broker-free produce target for tests/demos: rows collected per
+# query_name, read back with ``memory_sink_rows``.
+_MEMORY_SINKS: dict[str, list] = {}
+
+
+def memory_sink_rows(query_name: str) -> list:
+    """Rows produced by a broker-less continuous_sink (test mode)."""
+    return _MEMORY_SINKS.get(query_name, [])
+
+
 def continuous_sink(
     spark: SparkSession,
     pool: Pool,
@@ -146,9 +156,19 @@ def continuous_sink(
 
     Resume contract, matching the batch loop (fifo/to.go:29-53):
     bootstrap with ``start_offset`` = the producer high-water mark
-    probed from the broker (kafka_admin), so already-produced records
-    are skipped; from then on the streaming CHECKPOINT tracks which
-    commit files were produced, surviving restarts without re-probing.
+    probed from the broker (kafka_admin); after that a per-topic
+    PRODUCED-OFFSET watermark sidecar (``_egress_<query_name>.json`` on
+    the pool, storing the next offset to produce per kafka.topic) is
+    read at the top of every micro-batch and rows below it are dropped.
+    The file-source checkpoint only tracks which FILES were seen, which
+    is the wrong identity under ``compact()``: compaction rewrites every
+    live row into a brand-new commit dir, and a checkpoint-only sink —
+    running or restarted — would re-produce the whole pool as duplicate
+    broker records.  The offset watermark makes that replay (and a
+    crash-replayed micro-batch) a no-op, because rewritten rows keep
+    their offsets.  One watermark file per ``query_name``: run parallel
+    sinks under distinct names.
+
     ``topic`` restricts to one output topic's data records (done/cursor
     markers share the pool and must not reach the broker).
 
@@ -170,14 +190,46 @@ def continuous_sink(
         stream = stream.filter(F.col("kafka.topic") == topic)
         if "_type" in stream.columns:
             stream = stream.filter(F.col("_type") == "data")
-    if start_offset:
-        stream = stream.filter(F.col("kafka.offset") >= start_offset)
-    out = sink_builder(stream)
-    writer = out.writeStream.option("checkpointLocation", checkpoint)
-    if brokers:
-        writer = writer.format("kafka").option("kafka.bootstrap.servers", brokers)
-    else:
-        writer = writer.format("memory").queryName(query_name)
+    sidecar = f"_egress_{query_name}.json"
+
+    def _emit(batch: DataFrame, _batch_id: int) -> None:
+        wm = pool.read_sidecar(sidecar) or {}
+        # floor per topic: watermark if recorded, else the bootstrap
+        if wm:
+            pairs = [x for kv in wm.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+            floor = F.coalesce(
+                F.create_map(*pairs)[F.col("kafka.topic")], F.lit(start_offset)
+            )
+        else:
+            floor = F.lit(start_offset)
+        batch = batch.filter(F.col("kafka.offset") >= floor).persist()
+        try:
+            maxes = {
+                r["t"]: int(r["mx"])
+                for r in batch.groupBy(F.col("kafka.topic").alias("t"))
+                .agg(F.max("kafka.offset").alias("mx"))
+                .collect()
+            }
+            if not maxes:
+                return
+            out = sink_builder(batch)
+            if brokers:
+                (
+                    out.write.format("kafka")
+                    .option("kafka.bootstrap.servers", brokers)
+                    .save()
+                )
+            else:
+                _MEMORY_SINKS.setdefault(query_name, []).extend(out.collect())
+            pool.write_sidecar(
+                sidecar, {**wm, **{t: mx + 1 for t, mx in maxes.items()}}
+            )
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_emit).option(
+        "checkpointLocation", checkpoint
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
