@@ -296,11 +296,11 @@ class EtlPipeline:
         ``on_batch(n)`` (optional) receives each run's ETL'd count.
         """
         # one glob per distinct input pool; the file source tracks new
-        # commit files under each (partitioned pools nest one level
-        # deeper, so their glob reaches the _topic dirs)
+        # commit files under each (partitioned pools are topic-major,
+        # so their glob goes through the _topic dirs)
         globs = sorted(
             {
-                f"{pool.path}/commit-*/_topic=*"
+                f"{pool.path}/_topic=*/commit-*"
                 if pool.meta.get("partitioned")
                 else f"{pool.path}/commit-*"
                 for pool in self.input_pools.values()

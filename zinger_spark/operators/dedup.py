@@ -75,21 +75,27 @@ def exploded_shingles(
 ) -> DataFrame:
     """Distinct word-k-gram shingles as ROWS (id, s) instead of arrays.
 
-    posexplode tokens -> sliding window concat -> distinct.  Spark's
-    higher-order array functions are interpreted (outside whole-stage
-    codegen) and cost ~ms/doc; this construction is ~25x faster and
-    produces the exploded form every downstream join needs anyway.
-    The window shuffle partitions by doc id — fine at any corpus size.
+    posexplode tokens -> ONE ordered window with k-1 ``lead`` exprs ->
+    concat_ws -> distinct.  Spark's higher-order array functions are
+    interpreted (outside whole-stage codegen) and cost ~ms/doc, and a
+    rowsBetween collect_list builds a fresh array buffer per row; k
+    ``lead`` offsets are computed in the same single pass over the
+    sorted partition with no per-row allocation.  The window shuffle
+    partitions by doc id — fine at any corpus size.
+
     Semantics match functions.text.word_shingles: positions 0..n-k, and
-    docs shorter than k tokens yield one whole-text shingle."""
+    docs shorter than k tokens yield one whole-text shingle — both fall
+    out of one filter, because ``lead(tok, k-1)`` is NULL past the end:
+    a full shingle's last token is non-null (keep), and the pos=0 row is
+    always kept, where ``concat_ws`` skipping NULL leads makes the
+    whole-text shingle for short docs."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     ex = df.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok"))
-    wdoc = Window.partitionBy("id")
-    wgram = Window.partitionBy("id").orderBy("pos").rowsBetween(0, k - 1)
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
     return (
-        ex.withColumn("__n", F.count(F.lit(1)).over(wdoc))
-        .withColumn("s", F.concat_ws(" ", F.collect_list("tok").over(wgram)))
-        .filter(F.col("pos") <= F.greatest(F.col("__n") - k, F.lit(0)))
+        ex.select("id", "pos", F.concat_ws(" ", *leads).alias("s"), leads[-1].alias("__last"))
+        .filter((F.col("pos") == 0) | F.col("__last").isNotNull())
         .select("id", "s")
         .distinct()
     )
@@ -132,6 +138,26 @@ def minhash_signatures(
     )
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut the plan at a frame that is consumed by several downstream
+    subtrees (signatures AND verification both re-derive the exploded
+    shingles otherwise — Catalyst inlines the shared subplan into each
+    consumer and computes it 3-4x).
+
+    ``localCheckpoint(eager=False)``, not ``persist()``: persist
+    registers the logical plan in the session cache manager, so a
+    RE-RUN of the same query would silently reuse the previous run's
+    data — wrong for benchmarks and for long sessions where the
+    input pool grows between runs.  A local checkpoint is private to
+    this DataFrame: computed once per run (MEMORY_AND_DISK, spills at
+    scale), reused by every consumer, GC'd with the frame.  The known
+    trade-off (executor loss loses checkpoint blocks and fails the
+    job, vs. recompute-from-lineage) is acceptable for a dedup batch
+    job; flip to reliable ``checkpoint()`` on a cluster with a
+    checkpoint dir when running in a preemptible fleet."""
+    return df.localCheckpoint(eager=False)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -142,6 +168,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     max_bucket: int = 1000,
     parallelism: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, with exact-jaccard
     verification of candidates.
@@ -168,6 +195,9 @@ def minhash_lsh_pairs(
         (md5_hash60(F.col("s")) % MINHASH_P30).alias("hm"),
         F.xxhash64("s").alias("hx"),
     )
+    if materialize:
+        # consumed by the signature agg AND both verify joins
+        hashed = _materialize(hashed)
     # Signature = one groupBy with k min-aggregates (single shuffle,
     # partial aggregation — no interpreted array lambdas).
     sigs = hashed.groupBy("id").agg(
@@ -177,6 +207,9 @@ def minhash_lsh_pairs(
         ],
         F.count(F.lit(1)).alias("__n"),
     )
+    if materialize:
+        # consumed by the band explode AND the size join
+        sigs = _materialize(sigs)
     banded = sigs.select(
         "id",
         F.explode(
@@ -198,10 +231,19 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
-    # Skew guard: drop buckets wider than max_bucket (boilerplate shingles).
-    counted = banded.withColumn(
-        "__w", F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
-    ).filter(F.col("__w") <= max_bucket)
+    # Skew guard: drop buckets wider than max_bucket (boilerplate
+    # shingles).  Pre-aggregated over-cap bucket list + broadcast
+    # anti-join, NOT a count window: a window over (band, band_key)
+    # sorts every banded row inside the shuffle, while the hot-bucket
+    # list is near-empty by construction (it EXISTS to catch rare
+    # degenerate buckets) and anti-joins in map-side hash lookups.
+    hot = (
+        banded.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") > max_bucket)
+        .select("band", "band_key")
+    )
+    counted = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
 
     left = counted.select(F.col("id").alias("a"), "band", "band_key")
     right = counted.select(F.col("id").alias("b"), "band", "band_key")
@@ -224,10 +266,15 @@ def minhash_lsh_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # Inner path only: a candidate pair with ZERO shared shingles has
+    # jaccard 0 and can never pass a positive threshold, so the old
+    # cand-left-join + fill(0) leg (a second consumer of the expensive
+    # banded self-join) is pure overhead.
+    if jaccard_threshold <= 0:
+        raise ValueError("jaccard_threshold must be > 0")
     sizes = sigs.select("id", F.col("__n").alias("n"))
     verified = (
-        cand.join(shared, ["a", "b"], "left")
-        .na.fill({"shared": 0})
+        shared
         .join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
         .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
         .withColumn(
@@ -277,6 +324,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int = 1000,
     parallelism: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs, blocked by shared shingle.
 
@@ -301,9 +349,18 @@ def ngram_jaccard_pairs(
     exploded = exploded_shingles(df, text_col, id_col, shingle_k).select(
         "id", F.xxhash64("s").alias("h")
     )
-    blocked = exploded.withColumn(
-        "__w", F.count(F.lit(1)).over(Window.partitionBy("h"))
-    ).filter(F.col("__w") <= max_df)
+    if materialize:
+        # consumed by candidate generation, both verify joins, and sizes
+        exploded = _materialize(exploded)
+    # DF cap as a pre-aggregated hot-shingle list + broadcast anti-join
+    # (see minhash_lsh_pairs: the count-window form sorts every row).
+    hot = (
+        exploded.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") > max_df)
+        .select("h")
+    )
+    blocked = exploded.join(F.broadcast(hot), "h", "left_anti")
     cand = (
         blocked.alias("l")
         .join(blocked.alias("r"), "h")

@@ -18,8 +18,19 @@ schemas coexist, mirroring Zed's per-record typing.
 Scale notes: at 100 TB a pool is partitioned by ``kafka.topic`` and
 sorted/z-ordered by ``kafka.offset`` within partitions, so topic
 filters prune partitions and offset ranges prune files on min/max
-stats.  ``write_partitioned=True`` enables the layout; the tiny test
+stats.  ``partition_by_topic=True`` enables the layout; the tiny test
 pools keep flat files.
+
+Partitioned layout is TOPIC-MAJOR: ``_topic=T/commit-N/part.parquet``.
+Commit-major nesting (``commit-N/_topic=T/``) breaks Spark partition
+discovery across commits (the commit-N path fragment is not key=value:
+CONFLICTING_DIRECTORY_STRUCTURES), forcing a full read to fuse O(commits)
+separate scans.  Topic-major, every read — full pool, one topic, or an
+as-of commit subset — is ONE FileScan: pass the leaf commit dirs with
+``basePath`` at the pool root and discovery recovers ``_topic`` for
+all of them.  The manifest is the commit-visibility truth (partitioned
+pools always carry one): a commit's per-topic dirs are renamed into
+place first and the manifest append publishes them atomically.
 """
 
 from __future__ import annotations
@@ -27,7 +38,6 @@ from __future__ import annotations
 import contextlib
 import json
 import os
-import shutil
 import threading
 import time
 import uuid
@@ -36,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..datamodel import TYPE_DONE
 from ..operators.relational import ordered_batch as _ordered_batch
+from .storage import PosixStorage
 
 POOL_KEY = "kafka.offset"
 _META = "_pool.json"
@@ -48,13 +59,23 @@ class PoolError(Exception):
 class Pool:
     """An ordered pool backed by parquet commit dirs under ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str, expected_key: str = POOL_KEY):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        expected_key: str = POOL_KEY,
+        storage=None,
+    ):
         self.spark = spark
         self.path = path
-        meta_path = os.path.join(path, _META)
-        if not os.path.exists(meta_path):
+        # ALL metadata/layout IO goes through the storage backend
+        # (storage.PosixStorage by default) — an object-storage pool
+        # swaps this object, never Pool logic.  Spark handles the data
+        # files itself.
+        self._fs = storage or PosixStorage()
+        meta = self._fs.read_json(os.path.join(path, _META))
+        if meta is None:
             raise PoolError(f"{path}: not a pool (missing {_META})")
-        meta = json.load(open(meta_path))
         # Pool-key validation, as in fifo/lake.go:36-39: refuse pools
         # whose key differs from the expected one (kafka.offset asc for
         # zync pools; seqno asc for the design.md txn-bundle pools).
@@ -76,16 +97,27 @@ class Pool:
         key: str = POOL_KEY,
         order: str = "asc",
         partition_by_topic: bool = False,
+        storage=None,
     ) -> "Pool":
         """``partition_by_topic`` is the 100-TB layout (SCALE.md):
         commits are hive-partitioned on kafka.topic so topic filters
         prune directories before any file is opened."""
         if order != "asc":
             raise PoolError(f"pool order must be asc (got {order})")
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, _META), "w") as f:
-            json.dump({"key": key, "order": order, "partitioned": partition_by_topic}, f)
-        return Pool(spark, path, expected_key=key)
+        fs = storage or PosixStorage()
+        fs.makedirs(path)
+        fs.write_json_atomic(
+            os.path.join(path, _META),
+            {"key": key, "order": order, "partitioned": partition_by_topic},
+        )
+        pool = Pool(spark, path, expected_key=key, storage=storage)
+        if partition_by_topic:
+            # Partitioned commits land as one rename PER TOPIC — not a
+            # single atomic rename — so the manifest must be the
+            # visibility truth from the first commit on: readers never
+            # see a half-renamed commit, only manifest-published ones.
+            pool._write_manifest([])
+        return pool
 
     # -- read ---------------------------------------------------------------
 
@@ -93,11 +125,7 @@ class Pool:
         return os.path.join(self.path, "_manifest.json")
 
     def _read_manifest(self) -> dict | None:
-        try:
-            with open(self._manifest_path()) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return None
+        return self._fs.read_json(self._manifest_path())
 
     def _live_commits(self) -> list[str] | None:
         """Commit names listed in the manifest, or None when the pool
@@ -110,23 +138,59 @@ class Pool:
         reference's sync processes. ``orphaned`` records WHEN each
         no-longer-live commit left the manifest — vacuum's grace clock
         starts there, not at the dir's (much older) write mtime."""
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"commits": commits, "orphaned": orphaned or {}}, f)
-        os.replace(tmp, self._manifest_path())
-
-    def _commit_dirs(self) -> list[str]:
-        live = self._live_commits()
-        if live is not None:
-            return [os.path.join(self.path, d) for d in sorted(live)]
-        return sorted(
-            os.path.join(self.path, d)
-            for d in os.listdir(self.path)
-            if d.startswith("commit-") and os.path.isdir(os.path.join(self.path, d))
+        self._fs.write_json_atomic(
+            self._manifest_path(), {"commits": commits, "orphaned": orphaned or {}}
         )
 
+    def _commit_names(self) -> list[str]:
+        """Live commit names, sorted (= commit order: ms-prefixed ids).
+        Manifest is the truth when present; the directory-listing
+        fallback only applies to pre-manifest FLAT pools (partitioned
+        pools always carry a manifest, see ``create``)."""
+        live = self._live_commits()
+        if live is not None:
+            return sorted(live)
+        if self.meta.get("partitioned"):
+            names = set()
+            for td in self._topic_dirs():
+                for c in self._fs.listdir(os.path.join(self.path, td)):
+                    if c.startswith("commit-"):
+                        names.add(c)
+            return sorted(names)
+        return sorted(
+            d
+            for d in self._fs.listdir(self.path)
+            if d.startswith("commit-") and self._fs.isdir(os.path.join(self.path, d))
+        )
+
+    def _commit_dirs(self) -> list[str]:
+        return [os.path.join(self.path, d) for d in self._commit_names()]
+
+    def _topic_dirs(self) -> list[str]:
+        """``_topic=T`` dir names present in a partitioned pool."""
+        return sorted(
+            d
+            for d in self._fs.listdir(self.path)
+            if d.startswith("_topic=") and self._fs.isdir(os.path.join(self.path, d))
+        )
+
+    def _leaf_dirs(
+        self, commits: list[str], topic: str | None = None
+    ) -> list[str]:
+        """Data dirs for the given commits of a partitioned pool:
+        ``_topic=T/commit-N`` for each topic (or just the one), existing
+        dirs only — a commit only materializes the topics it carried."""
+        tds = [f"_topic={topic}"] if topic is not None else self._topic_dirs()
+        out = []
+        for td in tds:
+            for c in commits:
+                d = os.path.join(self.path, td, c)
+                if self._fs.isdir(d):
+                    out.append(d)
+        return out
+
     def is_empty(self) -> bool:
-        return not self._commit_dirs()
+        return not self._commit_names()
 
     # -- writer lock --------------------------------------------------------
 
@@ -181,67 +245,38 @@ class Pool:
         return os.path.join(self.path, "_writer.lock")
 
     def _acquire_file_lock(self, timeout: float, stale: float | None) -> None:
+        """Poll the exclusive-create primitive until it wins or times
+        out.  Stale-break goes through ``storage.take_aside`` — an
+        identity-checked atomic takeover, NOT remove-by-path: two
+        waiters judging the same lock stale must not end with one of
+        them deleting the other's FRESH lock (the TOCTOU that would
+        reopen the two-concurrent-holders race).  The posix backend
+        implements it as rename-aside + (inode, mtime_ns) verify with a
+        documented residual double-race window; object-storage backends
+        do it exactly with a conditional DELETE on generation/ETag.
+        fcntl is deliberately not used (NFS/overlay mounts break it)."""
         deadline = time.time() + timeout
+        payload = json.dumps({"pid": os.getpid(), "ts": time.time()}).encode()
         while True:
-            try:
-                fd = os.open(
-                    self._file_lock_path(), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                )
-                os.write(
-                    fd,
-                    json.dumps({"pid": os.getpid(), "ts": time.time()}).encode(),
-                )
-                os.close(fd)
+            if self._fs.create_exclusive(self._file_lock_path(), payload):
                 return
-            except FileExistsError:
-                try:
-                    st = os.stat(self._file_lock_path())
-                    if stale is not None and time.time() - st.st_mtime > stale:
-                        self._break_stale_lock(st)
-                        continue
-                except FileNotFoundError:
-                    continue
-                if time.time() > deadline:
-                    raise PoolError(
-                        f"pool {self.path}: writer-lock timeout ({timeout}s); "
-                        f"remove {self._file_lock_path()} if the holder crashed"
-                    )
-                time.sleep(0.05)
-
-    def _break_stale_lock(self, judged: os.stat_result) -> None:
-        """Remove a lock judged stale WITHOUT the naive remove-by-path
-        TOCTOU: two waiters can both judge the same lock stale; after A
-        removes it and creates its own fresh lock, B's remove-by-path
-        would delete A's fresh lock and reopen the two-holders race.
-        Instead, take the lock ASIDE with an atomic rename to a private
-        name — exactly one renamer wins the race (the loser gets
-        FileNotFoundError) — then verify by (inode, mtime_ns) that what
-        we renamed IS the file we judged stale (inode alone is not
-        identity: ext4 recycles a removed file's inode for the next
-        create; a FRESH lock always has a recent mtime or staleness
-        judgment itself is meaningless).  If a racer's fresh lock
-        slipped in between the stat and our rename, put it straight
-        back.  The put-back itself could only clobber a third
-        writer's lock if two independent sub-50ms races line up AND the
-        judged-stale inode was recycled in between; with the
-        stale-break path already being a crash-recovery escape hatch
-        (stale=None by default), that residual window is accepted and
-        documented rather than closed with fcntl (which NFS/overlay
-        mounts break)."""
-        aside = self._file_lock_path() + f".break-{uuid.uuid4().hex[:8]}"
-        try:
-            os.rename(self._file_lock_path(), aside)
-        except FileNotFoundError:
-            return  # another waiter broke it first
-        got = os.stat(aside)
-        if (got.st_ino, got.st_mtime_ns) != (judged.st_ino, judged.st_mtime_ns):
-            os.rename(aside, self._file_lock_path())  # stole a fresh lock: undo
-            return
-        os.remove(aside)
+            ident = self._fs.identity(self._file_lock_path())
+            if ident is None:
+                continue  # holder released between create and stat: retry
+            identity, mtime = ident
+            if stale is not None and time.time() - mtime > stale:
+                self._fs.take_aside(self._file_lock_path(), identity)
+                continue
+            if time.time() > deadline:
+                raise PoolError(
+                    f"pool {self.path}: writer-lock timeout ({timeout}s); "
+                    f"remove {self._file_lock_path()} if the holder crashed"
+                )
+            time.sleep(0.05)
 
     def _release_file_lock(self) -> None:
         try:
-            os.remove(self._file_lock_path())
+            self._fs.remove(self._file_lock_path())
         except FileNotFoundError:
             pass
 
@@ -252,18 +287,11 @@ class Pool:
         etc.).  ALL sidecar IO goes through this pair so an
         object-storage Pool backend only overrides two methods — the
         planner never touches ``pool.path`` with raw file IO."""
-        try:
-            with open(os.path.join(self.path, name)) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return None
+        return self._fs.read_json(os.path.join(self.path, name))
 
     def write_sidecar(self, name: str, obj: dict) -> None:
         """Atomic swap (tmp + rename), same pattern as the manifest."""
-        tmp = os.path.join(self.path, f".{name}.{uuid.uuid4().hex[:8]}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(obj, f)
-        os.replace(tmp, os.path.join(self.path, name))
+        self._fs.write_json_atomic(os.path.join(self.path, name), obj)
 
     def df(self, topic: str | None = None, as_of: str | None = None) -> DataFrame:
         """The whole pool as a DataFrame (schema-merged across commits).
@@ -284,53 +312,39 @@ class Pool:
         out via ``vacuum(grace)``, so time travel reaches exactly the
         commits vacuum hasn't reclaimed (same contract as Delta
         VACUUM limiting its time travel)."""
-        dirs = self._commit_dirs()
+        commits = self._commit_names()
         if as_of is not None:
             cut = f"commit-{as_of}"
-            dirs = [d for d in dirs if os.path.basename(d) <= cut]
-            if not dirs:
+            commits = [c for c in commits if c <= cut]
+            if not commits:
                 raise PoolError(f"pool {self.path}: no commits at or before {as_of}")
-        if not dirs:
+        if not commits:
             raise PoolError(f"pool {self.path} is empty")
         reader = self.spark.read.option("mergeSchema", "true")
         if self.meta.get("partitioned"):
-            # Partition discovery cannot span multiple commit dirs with
-            # one basePath (the commit-N path fragment is not key=value:
-            # CONFLICTING_DIRECTORY_STRUCTURES).  Topic-scoped reads —
-            # the hot path — list the topic's `_topic=T` subdirs
-            # DIRECTLY, which is stronger than a partition filter: only
-            # that topic's directories are ever opened.  Full reads go
-            # per-commit (discovery works inside one commit) and fuse.
-            if topic is not None:
-                tdirs = [
-                    os.path.join(d, f"_topic={topic}")
-                    for d in dirs
-                    if os.path.isdir(os.path.join(d, f"_topic={topic}"))
-                ]
-                if tdirs:
-                    return reader.parquet(*tdirs)
+            # Topic-major layout: EVERY read — full pool, one topic, or
+            # an as-of subset — is ONE FileScan over the leaf commit
+            # dirs with basePath at the pool root (discovery recovers
+            # `_topic` for all of them).  A topic restriction is
+            # path-level pruning, stronger than a partition filter:
+            # other topics' directories are never even listed.
+            reader = reader.option("basePath", self.path)
+            leafs = self._leaf_dirs(commits, topic=topic)
+            if not leafs:
                 # topic absent in every commit: empty frame, pool schema
-                return self._fused_partitioned(dirs).filter(
-                    F.col("kafka.topic") == topic
+                full = self._leaf_dirs(commits)
+                if not full:
+                    raise PoolError(f"pool {self.path} is empty")
+                return (
+                    reader.parquet(*full)
+                    .drop("_topic")
+                    .filter(F.col("kafka.topic") == topic)
                 )
-            return self._fused_partitioned(dirs)
-        out = reader.parquet(*dirs)
+            return reader.parquet(*leafs).drop("_topic")
+        out = reader.parquet(*[os.path.join(self.path, c) for c in commits])
         if topic is not None:
             out = out.filter(F.col("kafka.topic") == topic)
         return out
-
-    def _fused_partitioned(self, dirs: list[str]) -> DataFrame:
-        """Full read of a partitioned pool: one scan per commit dir
-        (partition discovery is valid inside a commit), schema-fused.
-        O(commits) scan nodes — run ``compact()`` periodically; the
-        planner's reads are topic-scoped and never take this path."""
-        from ..datamodel import fuse  # noqa: PLC0415
-
-        parts = [
-            self.spark.read.option("mergeSchema", "true").parquet(d).drop("_topic")
-            for d in dirs
-        ]
-        return parts[0] if len(parts) == 1 else fuse(*parts)
 
     def query(self, fn) -> DataFrame:
         """Run a DataFrame transform over the pool (Lake.Query analog,
@@ -341,17 +355,20 @@ class Pool:
 
     def load_batch(self, df: DataFrame) -> str:
         """Atomic commit: write to a temp dir, rename into place
-        (LoadBatch, fifo/lake.go:58-60). Returns the commit id."""
+        (LoadBatch, fifo/lake.go:58-60). Returns the commit id.
+
+        Partitioned pools rename one dir PER TOPIC (topic-major layout)
+        and publish them with the manifest append — the manifest swap,
+        not the renames, is the visibility point."""
         commit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
-        final = os.path.join(self.path, f"commit-{commit_id}")
         tmp = os.path.join(self.path, f".tmp-{commit_id}")
-        writer = df.write.mode("overwrite")
         if self.meta.get("partitioned"):
             df = df.withColumn("_topic", F.col("kafka.topic")).sortWithinPartitions(
                 "kafka.offset"
             )
-            writer = df.write.mode("overwrite").partitionBy("_topic")
-        writer.parquet(tmp)
+            df.write.mode("overwrite").partitionBy("_topic").parquet(tmp)
+        else:
+            df.write.mode("overwrite").parquet(tmp)
         # drop spark's _SUCCESS etc? keep; parquet reader ignores non-parquet
         # Data write happens unlocked (it is slow and conflict-free: the
         # tmp dir is writer-unique); only the rename + manifest
@@ -359,28 +376,51 @@ class Pool:
         # two concurrent load_batch calls can each read the same
         # manifest and one commit silently vanishes from the list.
         with self.writer_lock():
-            os.rename(tmp, final)
-            m = self._read_manifest()
-            if m is not None:
-                self._write_manifest(
-                    m["commits"] + [f"commit-{commit_id}"], m.get("orphaned")
-                )
+            self._publish_commit(tmp, commit_id)
         return commit_id
+
+    def _publish_commit(self, tmp: str, commit_id: str) -> None:
+        """Move a written tmp dir into the live layout and append the
+        commit to the manifest.  Call under the writer lock."""
+        name = f"commit-{commit_id}"
+        if self.meta.get("partitioned"):
+            for td in sorted(self._fs.listdir(tmp)):
+                if not td.startswith("_topic="):
+                    continue
+                self._fs.makedirs(os.path.join(self.path, td))
+                self._fs.rename(os.path.join(tmp, td), os.path.join(self.path, td, name))
+            self._fs.rmtree(tmp)  # leftover _SUCCESS markers
+        else:
+            self._fs.rename(tmp, os.path.join(self.path, name))
+        m = self._read_manifest()
+        if m is not None:
+            self._write_manifest(m["commits"] + [name], m.get("orphaned"))
 
     def drop_commit(self, commit_id: str) -> None:
         """Retract a just-written commit (used to take back an empty
         ETL batch).  Only safe for the most recent commit written by
         this process — not a general rollback."""
+        name = f"commit-{commit_id}"
         with self.writer_lock():
             m = self._read_manifest()
             if m is not None:
                 self._write_manifest(
-                    [c for c in m["commits"] if c != f"commit-{commit_id}"],
-                    m.get("orphaned"),
+                    [c for c in m["commits"] if c != name], m.get("orphaned")
                 )
-            d = os.path.join(self.path, f"commit-{commit_id}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+            for d in self._commit_instances(name):
+                self._fs.rmtree(d)
+
+    def _commit_instances(self, name: str) -> list[str]:
+        """On-disk dirs holding a commit's data: one flat dir, or one
+        per topic in the partitioned layout."""
+        if self.meta.get("partitioned"):
+            return [
+                os.path.join(self.path, td, name)
+                for td in self._topic_dirs()
+                if self._fs.isdir(os.path.join(self.path, td, name))
+            ]
+        d = os.path.join(self.path, name)
+        return [d] if self._fs.isdir(d) else []
 
     # -- offset bookkeeping (A9-A11) ----------------------------------------
 
@@ -442,10 +482,9 @@ class Pool:
             return self._compact_locked()
 
     def _compact_locked(self) -> int:
-        dirs = self._commit_dirs()
-        if len(dirs) <= 1:
-            return len(dirs)
-        old_names = [os.path.basename(d) for d in dirs]
+        old_names = self._commit_names()
+        if len(old_names) <= 1:
+            return len(old_names)
         if self._read_manifest() is None:
             # Bootstrap the manifest to the CURRENT commit set BEFORE
             # the new dir appears: from here on the manifest (not
@@ -457,20 +496,26 @@ class Pool:
         snapshot = self.df().sortWithinPartitions("kafka.offset")
         commit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         tmp = os.path.join(self.path, f".tmp-{commit_id}")
-        writer = snapshot.write.mode("overwrite")
         if self.meta.get("partitioned"):
-            writer = snapshot.withColumn(
-                "_topic", F.col("kafka.topic")
-            ).write.mode("overwrite").partitionBy("_topic")
-        writer.parquet(tmp)
-        final = os.path.join(self.path, f"commit-{commit_id}")
-        os.rename(tmp, final)
+            snapshot.withColumn("_topic", F.col("kafka.topic")).write.mode(
+                "overwrite"
+            ).partitionBy("_topic").parquet(tmp)
+            name = f"commit-{commit_id}"
+            for td in sorted(self._fs.listdir(tmp)):
+                if not td.startswith("_topic="):
+                    continue
+                self._fs.makedirs(os.path.join(self.path, td))
+                self._fs.rename(os.path.join(tmp, td), os.path.join(self.path, td, name))
+            self._fs.rmtree(tmp)
+        else:
+            snapshot.write.mode("overwrite").parquet(tmp)
+            self._fs.rename(tmp, os.path.join(self.path, f"commit-{commit_id}"))
         now = time.time()
         prior = (self._read_manifest() or {}).get("orphaned", {})
         self._write_manifest(
             [f"commit-{commit_id}"], {**prior, **{n: now for n in old_names}}
         )
-        return len(dirs)
+        return len(old_names)
 
     def vacuum(self, grace_seconds: float = 3600.0) -> int:
         """Delete commit dirs that left the manifest more than
@@ -487,12 +532,12 @@ class Pool:
         # and os.rename — never referenced by the manifest or visible to
         # any reader (manifest-less pools list only commit-* dirs), so
         # reclaim them on the mtime clock in every pool mode.
-        for d in os.listdir(self.path):
+        for d in self._fs.listdir(self.path):
             full = os.path.join(self.path, d)
-            if not (d.startswith(".tmp-") and os.path.isdir(full)):
+            if not (d.startswith(".tmp-") and self._fs.isdir(full)):
                 continue
-            if now - os.path.getmtime(full) >= grace_seconds:
-                shutil.rmtree(full)
+            if now - self._fs.mtime(full) >= grace_seconds:
+                self._fs.rmtree(full)
                 removed += 1
         with self.writer_lock():
             m = self._read_manifest()
@@ -502,20 +547,30 @@ class Pool:
             orphaned = m.get("orphaned", {})
             orphan_removed = 0
             remaining_orphans = dict(orphaned)
-            for d in os.listdir(self.path):
-                full = os.path.join(self.path, d)
-                if not (
-                    d.startswith("commit-") and d not in keep and os.path.isdir(full)
-                ):
+            # on-disk commit names (flat dirs, or per-topic instances in
+            # the partitioned layout) that the manifest no longer lists
+            on_disk = set()
+            for d in self._fs.listdir(self.path):
+                if d.startswith("commit-") and self._fs.isdir(os.path.join(self.path, d)):
+                    on_disk.add(d)
+            if self.meta.get("partitioned"):
+                for td in self._topic_dirs():
+                    for c in self._fs.listdir(os.path.join(self.path, td)):
+                        if c.startswith("commit-"):
+                            on_disk.add(c)
+            for name in sorted(on_disk - keep):
+                instances = self._commit_instances(name)
+                if not instances:
                     continue
-                since = orphaned.get(d, os.path.getmtime(full))
+                since = orphaned.get(name, self._fs.mtime(instances[0]))
                 if now - since >= grace_seconds:
-                    shutil.rmtree(full)
-                    remaining_orphans.pop(d, None)
+                    for inst in instances:
+                        self._fs.rmtree(inst)
+                    remaining_orphans.pop(name, None)
                     orphan_removed += 1
             if orphan_removed:
                 self._write_manifest(m["commits"], remaining_orphans)
             return removed + orphan_removed
 
     def delete(self) -> None:
-        shutil.rmtree(self.path)
+        self._fs.rmtree(self.path)

@@ -178,12 +178,12 @@ def continuous_sink(
     reader = spark.readStream.schema(schema).option("mergeSchema", "true")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    # Partitioned pools nest files one level deeper (commit-N/_topic=T/);
-    # the glob must reach the partition dirs, and a topic restriction
-    # becomes path-level pruning — the stream never lists other topics.
+    # Partitioned pools are topic-major (_topic=T/commit-N/); a topic
+    # restriction becomes path-level pruning — the stream never lists
+    # other topics' directories.
     if pool.meta.get("partitioned"):
-        leaf = f"_topic={topic}" if topic is not None else "_topic=*"
-        stream = reader.parquet(f"{pool.path}/commit-*/{leaf}")
+        td = f"_topic={topic}" if topic is not None else "_topic=*"
+        stream = reader.parquet(f"{pool.path}/{td}/commit-*")
     else:
         stream = reader.parquet(f"{pool.path}/commit-*")
     if topic is not None:
