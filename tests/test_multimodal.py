@@ -49,6 +49,55 @@ def test_extract_without_lib_raises(media_df):
         feats.collect()
 
 
+def test_is_jpeg_detection():
+    from zinger_spark.codecs import media
+
+    assert media.is_jpeg(b"\xff\xd8\xff\xe0" + b"0" * 16)
+    assert not media.is_jpeg(b"\x89PNG\r\n\x1a\n")
+    assert not media.is_jpeg(b"")
+
+
+@pytest.mark.skipif(
+    not __import__("zinger_spark.codecs.media", fromlist=["HAS_PIL"]).HAS_PIL,
+    reason="PIL not installed in this container (env-gated tier)",
+)
+def test_jpeg_decode_with_pil(spark):
+    """When PIL is present, JPEG payloads decode FOR REAL through the
+    same luma/histogram feature contract as the stdlib PNG tier."""
+    import io
+
+    from PIL import Image
+
+    from zinger_spark.codecs import media
+
+    buf = io.BytesIO()
+    Image.new("RGB", (40, 30), (200, 10, 10)).save(buf, format="JPEG")
+    raw = buf.getvalue()
+    d = media.decode_pil(raw)
+    assert (d["width"], d["height"]) == (40, 30)
+    assert len(d["features"]) == 8 and abs(sum(d["features"]) - 1.0) < 1e-6
+    df = spark.createDataFrame([(1, raw)], "id bigint, payload binary")
+    rows = mm.extract_image_features(df, fake=False).collect()
+    assert rows[0]["width"] == 40 and rows[0]["height"] == 30
+    resized = mm.resize_images(df, (8, 8), fake=False).collect()
+    assert media.is_png(bytes(resized[0]["payload"]))  # normalized to PNG
+
+
+@pytest.mark.skipif(
+    __import__("zinger_spark.codecs.media", fromlist=["HAS_PIL"]).HAS_PIL,
+    reason="covers the PIL-absent gating only",
+)
+def test_jpeg_without_pil_gates(spark):
+    """Without PIL, JPEG hits the env gate: raise on fake=False, stub on
+    fake=True — never a silent wrong decode."""
+    raw = b"\xff\xd8\xff\xe0" + b"JFIF-ish" * 4
+    df = spark.createDataFrame([(1, raw)], "id bigint, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        mm.extract_image_features(df, fake=False).collect()
+    rows = mm.extract_image_features(df, fake=True).collect()
+    assert len(rows) == 1 and len(rows[0]["features"]) == 8
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame(
         [((None, None, None, None, None, None, 3500),)],

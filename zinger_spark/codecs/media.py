@@ -25,6 +25,19 @@ import zlib
 
 import numpy as np
 
+# Optional PIL tier: auto-detected once per executor import.  When
+# present, JPEG (and anything else PIL reads) decodes for real through
+# the SAME feature contract as decode_png; when absent, non-PNG images
+# stay environment-gated (multimodal.py raises or uses the fake=True
+# stub).  Never a hard dependency — the container has no PIL today.
+try:  # pragma: no cover - exercised only where PIL is installed
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -34,6 +47,53 @@ def is_png(data: bytes) -> bool:
 
 def is_wav(data: bytes) -> bool:
     return data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+
+def is_jpeg(data: bytes) -> bool:
+    return data[:3] == b"\xff\xd8\xff"
+
+
+def _luma_features(px: np.ndarray) -> dict:
+    """Shared feature contract for every image decode tier: mean luma
+    (0..1) + 8-bin normalized luma histogram, identical math to
+    decode_png so the decode tier (stdlib vs PIL) never changes query
+    results for the same pixels."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.shape[2] >= 3:
+        luma = (
+            0.299 * px[:, :, 0].astype(np.float64)
+            + 0.587 * px[:, :, 1].astype(np.float64)
+            + 0.114 * px[:, :, 2].astype(np.float64)
+        )
+    else:
+        luma = px[:, :, 0].astype(np.float64)
+    hist = np.histogram(luma, bins=8, range=(0.0, 256.0))[0] / luma.size
+    return {
+        "mean_luma": round(float(luma.mean()) / 255.0, 6),
+        "features": [round(float(v), 6) for v in hist],
+    }
+
+
+def decode_pil(data: bytes) -> dict:
+    """Decode any PIL-supported image payload (JPEG being the one the
+    stdlib tier cannot do) to the decode_png return contract.  Only
+    callable when HAS_PIL; multimodal.py routes here after its own
+    availability check."""
+    if not HAS_PIL:  # pragma: no cover - guarded by callers
+        raise NotImplementedError("PIL not installed")
+    img = _PILImage.open(io.BytesIO(data))
+    img = img.convert("RGB") if img.mode not in ("L", "RGB") else img
+    px = np.asarray(img, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    return {
+        "width": int(img.width),
+        "height": int(img.height),
+        "channels": int(px.shape[2]),
+        "pixels": px,
+        **_luma_features(px),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -132,22 +192,12 @@ def decode_png(data: bytes) -> dict:
             raise ValueError("PNG: palette image without PLTE")
         px = palette[px[:, :, 0]]
         channels = 3
-    if channels >= 3:
-        luma = (
-            0.299 * px[:, :, 0].astype(np.float64)
-            + 0.587 * px[:, :, 1].astype(np.float64)
-            + 0.114 * px[:, :, 2].astype(np.float64)
-        )
-    else:
-        luma = px[:, :, 0].astype(np.float64)
-    hist = np.histogram(luma, bins=8, range=(0.0, 256.0))[0] / luma.size
     return {
         "width": int(width),
         "height": int(height),
         "channels": int(channels),
         "pixels": px,
-        "mean_luma": round(float(luma.mean()) / 255.0, 6),
-        "features": [round(float(v), 6) for v in hist],
+        **_luma_features(px),
     }
 
 

@@ -14,10 +14,15 @@ Decode tiers:
   - PNG images and PCM WAV audio decode FOR REAL on every executor via
     the pure-stdlib codecs in ``codecs/media.py`` (zlib/struct/wave +
     numpy — no PIL/librosa needed).
-  - JPEG/MP3/video decode requires PIL/ffmpeg, which this container
-    lacks: those payloads raise NotImplementedError unless ``fake=True``
-    routes them to a deterministic stub (seeded by the content hash) so
-    the Spark-side plumbing — schema, batch shape, partition flow — is
+  - JPEG (and anything else PIL reads) decodes FOR REAL when PIL is
+    importable on the executors — auto-detected at import
+    (``media.HAS_PIL``), same luma/histogram feature contract as the
+    PNG tier, so installing PIL upgrades decode coverage without any
+    code or query change.
+  - Remaining formats (MP3/video; JPEG where PIL is absent, as in this
+    container) raise NotImplementedError unless ``fake=True`` routes
+    them to a deterministic stub (seeded by the content hash) so the
+    Spark-side plumbing — schema, batch shape, partition flow — is
     still fully exercised in tests.
 """
 
@@ -98,8 +103,12 @@ def decode_image_batches(fake: bool = False):
             rows = []
             for payload in pdf["payload"]:
                 raw = bytes(payload)
+                d = None
                 if _media.is_png(raw):
                     d = _media.decode_png(raw)
+                elif _media.HAS_PIL and _media.is_jpeg(raw):
+                    d = _media.decode_pil(raw)
+                if d is not None:
                     rows.append(
                         {
                             "content_hash": hashlib.md5(raw).hexdigest(),
@@ -112,9 +121,9 @@ def decode_image_batches(fake: bool = False):
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "non-PNG image decode requires PIL/ffmpeg, not "
-                        "present in this container; pass fake=True for the "
-                        "deterministic stub"
+                        "image decode beyond PNG (or JPEG-with-PIL) requires "
+                        "PIL/ffmpeg, not present in this container; pass "
+                        "fake=True for the deterministic stub"
                     )
                 d = _fake_decode(raw)
                 rows.append(
@@ -164,8 +173,15 @@ def resize_image_batches(target: tuple[int, int], fake: bool = False):
             rows = []
             for payload in pdf["payload"]:
                 raw = bytes(payload)
+                d = None
                 if _media.is_png(raw):
                     d = _media.decode_png(raw)
+                elif _media.HAS_PIL and _media.is_jpeg(raw):
+                    # decode via PIL, re-encode as PNG (the stdlib
+                    # encoder): resize output format is normalized, so
+                    # downstream readers need only the PNG tier
+                    d = _media.decode_pil(raw)
+                if d is not None:
                     resized = _media.resize_nearest(d["pixels"], (w, h))
                     rows.append(
                         {
@@ -178,8 +194,9 @@ def resize_image_batches(target: tuple[int, int], fake: bool = False):
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "non-PNG image resize requires PIL, not present in "
-                        "this container; pass fake=True for the stub"
+                        "image resize beyond PNG (or JPEG-with-PIL) requires "
+                        "PIL, not present in this container; pass fake=True "
+                        "for the stub"
                     )
                 digest = hashlib.md5(raw + f"{w}x{h}".encode()).digest()
                 # stub payload: hash-seeded bytes, length ~ w*h/64 so
