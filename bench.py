@@ -180,27 +180,38 @@ def main() -> None:
         etl_inc = {"err": f"{type(exc).__name__}: {exc}"[:500]}
         print(f"# etl_incremental: ERROR {etl_inc['err']}", file=sys.stderr)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "reps": reps,
-                "agg": "per_query_median",
-                "queries": timings,
-                "query_min": {
-                    n: round(min(s), 3) for n, s in samples.items() if s
-                },
-                "query_max": {
-                    n: round(max(s), 3) for n, s in samples.items() if s
-                },
-                "errors": errors,
-                "etl_incremental": etl_inc,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "reps": reps,
+            "agg": "per_query_median",
+            "queries": timings,
+            "query_min": {
+                n: round(min(s), 3) for n, s in samples.items() if s
+            },
+            "query_max": {
+                n: round(max(s), 3) for n, s in samples.items() if s
+            },
+            "errors": errors,
+            "etl_incremental": etl_inc,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    print(payload)
+    # The driver keeps only the tail of stdout, which has truncated the
+    # per-query medians before (round 5).  Always persist the complete
+    # JSON next to the repo so every round's full numbers survive.
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
+    try:
+        with open(out, "w") as fh:
+            fh.write(payload + "\n")
+    except OSError as exc:
+        print(f"# bench: could not write {out}: {exc}", file=sys.stderr)
     spark.stop()
 
 
