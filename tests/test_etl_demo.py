@@ -188,6 +188,81 @@ def make_transform() -> Transform:
     )
 
 
+# demo/invoices.yaml VERBATIM (same text the reference ships): real Zed
+# rule blocks and Zed where-clauses, exercised through zedql instead of
+# the Spark SQL dialect above.
+VERBATIM_YAML = """
+inputs:
+  - topic: Invoices
+    pool: Raw
+  - topic: InvoiceStatus
+    pool: Raw
+
+output:
+  topic: NewInvoices
+  pool: Staging
+
+transforms:
+  - type: denorm
+    where: value.op in ["c", "r"]
+    left: Invoices
+    right: InvoiceStatus
+    join-on: left.value.after.ID=right.value.after.InvoiceID
+    out: NewInvoices
+    zed: |
+      | out:={
+          key: left.key,
+          value: {
+            ID: left.value.after.ID,
+            customer: left.value.after.customer,
+            item: left.value.after.item,
+            invoice_status: right.value.after.status
+          }
+        }
+  - type: stateless
+    where: value.op=="u"
+    in: InvoiceStatus
+    out: NewInvoices
+    zed: |
+      | out:={
+          key: {
+            ID: in.value.after.InvoiceID
+          },
+          value: {
+            ID: in.value.after.InvoiceID,
+            invoice_status: in.value.after.status
+          }
+        }
+  - type: stateless
+    where: value.op=="u"
+    in: Invoices
+    out: NewInvoices
+    zed: |
+      | out:={
+          key: in.key,
+          value: in.value.after
+        }
+  - type: stateless
+    where: value.op=="d"
+    in: Invoices
+    out: NewInvoices
+    zed: |
+      | out:={
+          key: in.key,
+          value: cast(null, typeof(in.value.before))
+        }
+"""
+
+
+def make_transform_zed() -> Transform:
+    """The reference's own config text, untranslated."""
+    import yaml as _yaml
+
+    from zinger_spark.etl.config import transform_from_dict
+
+    return transform_from_dict(_yaml.safe_load(VERBATIM_YAML))
+
+
 def staging_flat(pool: Pool) -> set[tuple]:
     rows = pool.df().collect()
     out = set()
@@ -215,8 +290,9 @@ def pools(spark, tmp_path):
     return {"Raw": raw, "Staging": staging}
 
 
-def test_etl_demo_four_batches(spark, pools):
-    transform = make_transform()
+@pytest.mark.parametrize("factory", [make_transform, make_transform_zed])
+def test_etl_demo_four_batches(spark, pools, factory):
+    transform = factory()
     pipeline = EtlPipeline(spark, transform, lambda name: pools[name])
     for i, (invoices, statuses) in enumerate(BATCHES):
         # load each topic's rows with its own schema (heterogeneous pool)

@@ -46,6 +46,8 @@ import re
 from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
+from zinger_spark import zedql
+
 from ..datamodel import TYPE_DATA, TYPE_DONE, fuse
 from .config import ConfigError, Rule, Transform
 
@@ -84,7 +86,15 @@ def resolve_typeof(expr: str, schema: T.StructType) -> str:
 
 
 def _where(rule: Rule) -> Column:
-    return F.expr(rule.where) if rule.where else F.lit(True)
+    if not rule.where:
+        return F.lit(True)
+    # Dialect sniff: the reference's where clauses are Zed expressions
+    # (`value.op in ["c", "r"]`, demo/invoices.yaml:13). Try Zed first;
+    # anything it can't parse end-to-end falls through to Spark SQL.
+    try:
+        return zedql.compile_predicate(rule.where)
+    except (zedql.ZedSyntaxError, zedql.ZedCompileError):
+        return F.expr(rule.where)
 
 
 def _case_predicate(rule: Rule) -> Column:
@@ -376,11 +386,30 @@ class EtlPipeline:
             return None
         return fuse(*legs)
 
+    def _rule_out(self, wrapped: DataFrame, rule: Rule) -> DataFrame:
+        """Evaluate a rule's `zed:` block over the wrapped scope
+        (`in` / `left`+`right`) and return a frame carrying the `out`
+        column (the reference's user-ETL contract: "must create a ...
+        record in a field called out", README.md:303-315).
+
+        Two dialects: real Zed pipeline fragments (demo/invoices.yaml —
+        detected by the `:=` assignment that every Zed rule block uses,
+        never valid in SQL) compile through zedql; otherwise the block
+        is a single Spark SQL struct expression (this engine's native
+        form)."""
+        text = rule.zed.strip()
+        if zedql.looks_like_zed(text):
+            res = zedql.compile_rule_seq(wrapped, text)
+            if "out" not in res.columns:
+                raise ConfigError("zed rule block must assign the `out` field")
+            return res
+        sql = resolve_typeof(text, wrapped.schema)
+        return wrapped.select("*", F.expr(sql).alias("out"))
+
     def _apply_stateless(self, subset: DataFrame, rule: Rule):
         wrapped = subset.select(F.struct("*").alias("in"))
-        zed = resolve_typeof(rule.zed.strip(), wrapped.schema)
-        out = wrapped.select(
-            F.expr(zed).alias("out"), F.col("in.kafka").alias("__in_kafka")
+        out = self._rule_out(wrapped, rule).select(
+            "out", F.col("in.kafka").alias("__in_kafka")
         )
         data = out.select(
             F.col("out.*"),
@@ -413,9 +442,8 @@ class EtlPipeline:
         joined = left.join(
             right, F.expr(f"`left`.{_strip(left_key)} = `right`.{_strip(right_key)}"), "inner"
         )
-        zed = resolve_typeof(rule.zed.strip(), joined.schema)
-        out = joined.select(
-            F.expr(zed).alias("out"),
+        out = self._rule_out(joined, rule).select(
+            "out",
             F.col("left.kafka").alias("__l_kafka"),
             F.col("right.kafka").alias("__r_kafka"),
         )

@@ -1,0 +1,714 @@
+"""Compile the Zed AST to Spark DataFrame plans.
+
+Execution model: one Zed "value stream" = one DataFrame whose top-level
+columns are the record fields, plus the ``_type`` meta column carrying
+named-type tags ('data' | 'done' | ...; see datamodel.py — Spark rows in
+one DataFrame share a schema, so named types ride a tag column instead
+of per-value types).  Every operator is a declarative DataFrame
+transformation, so Catalyst sees the whole program: filters in `from`
+legs push into the scan, `switch`/`fork` branches are filtered reuses of
+one plan, joins are equi-joins on compiled key expressions.
+
+Zed semantics follow the reference's usage (citations inline):
+  - `from (pool A => f  pool B => g) | anti join on l=r` — the two legs
+    feed the join (etl/build.go:113-118).
+  - `switch` routes each row to the FIRST matching case
+    (etl/build.go:92-99 emits cases in rule order).
+  - `fork` branch outputs are unioned via `fuse` widening
+    (datamodel.fuse; README.md:486).
+  - pool legs are offset-ordered (pool key kafka.offset asc,
+    fifo/lake.go:36-39), which is what makes a bare `tail` legal.
+"""
+
+from __future__ import annotations
+
+import contextvars
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from zinger_spark import datamodel
+from zinger_spark.zedql import ast
+from zinger_spark.zedql.parser import _PRIMS, parse
+
+
+class ZedCompileError(ValueError):
+    pass
+
+
+META_COLS = ("_type",)
+
+# Declared named types (`type done = {...}`) visible to nested
+# cast(expr, name) expressions during a compile.  Compilation is
+# driver-side and single-threaded per query; a ContextVar keeps the
+# expression-compiler signatures free of threading noise.
+_DECLS: contextvars.ContextVar[dict[str, T.StructType]] = contextvars.ContextVar(
+    "zedql_decls", default={}
+)
+
+
+def looks_like_zed(text: str) -> bool:
+    """Dialect sniff for YAML `zed:` rule blocks: Zed rule blocks assign
+    with `:=` (demo/invoices.yaml), which is never valid Spark SQL."""
+    return ":=" in text
+
+
+# --------------------------------------------------------------------------
+# Context
+
+
+@dataclass
+class Ctx:
+    spark: SparkSession
+    source: Callable[[str], DataFrame]  # pool/table name -> DataFrame
+    decls: dict[str, T.StructType] = dc_field(default_factory=dict)
+    # current sort order as compiled-key thunks, for `tail`
+    order: list[ast.SortKey] | None = None
+
+
+def _data_cols(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c not in META_COLS]
+
+
+def _col_type(df: DataFrame | None, col: Column) -> T.DataType:
+    if df is None:
+        raise ZedCompileError("expression needs a bound input to resolve types")
+    return df.select(col.alias("__t")).schema[0].dataType
+
+
+# --------------------------------------------------------------------------
+# Expressions
+
+
+def compile_expr(e: ast.Expr, df: DataFrame) -> Column:
+    if isinstance(e, ast.Lit):
+        if e.value is None:
+            return F.lit(None)
+        return F.lit(e.value)
+    if isinstance(e, ast.Path):
+        return _path(e.parts, df)
+    if isinstance(e, ast.Bin):
+        return _bin(e, df)
+    if isinstance(e, ast.Not):
+        return ~compile_expr(e.expr, df)
+    if isinstance(e, ast.Neg):
+        return -compile_expr(e.expr, df)
+    if isinstance(e, ast.Cond):
+        return F.when(compile_expr(e.cond, df), compile_expr(e.then, df)).otherwise(
+            compile_expr(e.other, df)
+        )
+    if isinstance(e, ast.RecordLit):
+        return F.struct(
+            *[compile_expr(v, df).alias(name) for name, v in e.fields]
+        )
+    if isinstance(e, ast.ArrayLit):
+        return F.array(*[compile_expr(v, df) for v in e.items])
+    if isinstance(e, ast.MapLit):
+        parts: list[Column] = []
+        for k, v in e.pairs:
+            parts.append(compile_expr(k, df))
+            parts.append(compile_expr(v, df))
+        return F.create_map(*parts)
+    if isinstance(e, ast.Index):
+        return _index(e, df)
+    if isinstance(e, ast.IsType):
+        if df is None or "_type" in df.columns:
+            return F.col("_type") == F.lit(e.name)
+        return F.lit(False)
+    if isinstance(e, ast.CastExpr):
+        col, _named = compile_cast(e, df)
+        return col
+    if isinstance(e, ast.Call):
+        return _call(e, df)
+    if isinstance(e, ast.TypeName):
+        raise ZedCompileError(f"<{e.name}> type literal outside is()/cast()")
+    raise ZedCompileError(f"unsupported expression {type(e).__name__}")
+
+
+def _path(parts: list[str], df: DataFrame | None) -> Column:
+    if df is None:
+        # unbound compile (predicate Columns applied to a df later)
+        if not parts:
+            raise ZedCompileError("`this` needs a bound input")
+        col = F.col(f"`{parts[0]}`")
+        for p in parts[1:]:
+            col = col.getField(p)
+        return col
+    if not parts:  # `this`
+        cols = _data_cols(df)
+        return F.struct(*[df[f"`{c}`"].alias(c) for c in cols])
+    if parts[0] not in df.columns:
+        # Zed yields error("missing") for absent fields; the relational
+        # analog is null.
+        return F.lit(None)
+    col = df[f"`{parts[0]}`"]
+    for p in parts[1:]:
+        col = col.getField(p)
+    return col
+
+
+def _bin(e: ast.Bin, df: DataFrame) -> Column:
+    if e.op == "in":
+        left = compile_expr(e.left, df)
+        if isinstance(e.right, ast.ArrayLit):
+            return left.isin(*[compile_expr(i, df) for i in e.right.items])
+        return F.array_contains(compile_expr(e.right, df), left)
+    left = compile_expr(e.left, df)
+    right = compile_expr(e.right, df)
+    ops: dict[str, Callable[[Column, Column], Column]] = {
+        "==": lambda a, b: a == b,
+        "!=": lambda a, b: a != b,
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+        "*": lambda a, b: a * b,
+        "/": lambda a, b: a / b,
+        "%": lambda a, b: a % b,
+        "and": lambda a, b: a & b,
+        "or": lambda a, b: a | b,
+    }
+    if e.op not in ops:
+        raise ZedCompileError(f"unsupported operator {e.op}")
+    return ops[e.op](left, right)
+
+
+def _index(e: ast.Index, df: DataFrame) -> Column:
+    base = compile_expr(e.base, df)
+    if isinstance(e.index, ast.Lit) and isinstance(e.index.value, str):
+        return base.getField(e.index.value)
+    idx = compile_expr(e.index, df)
+    base_t = _col_type(df, base)
+    if isinstance(base_t, T.ArrayType):
+        # Zed arrays are 0-based; element_at is 1-based.
+        return F.element_at(base, (idx + F.lit(1)).cast("int"))
+    return F.element_at(base, idx)  # maps: by key
+
+
+def compile_cast(e: ast.CastExpr, df: DataFrame) -> tuple[Column, str | None]:
+    """Returns (column, named_type or None).  Named casts conform the
+    value to the declared record type (zson named types; the pipeline's
+    done markers are `cast(..., done)` — etl/build.go:90,175)."""
+    # cast(null, typeof(x)) — typed null (demo/invoices.yaml delete rule)
+    if (
+        isinstance(e.expr, ast.Lit)
+        and e.expr.value is None
+        and isinstance(e.to, ast.Call)
+        and e.to.name == "typeof"
+    ):
+        t = _col_type(df, compile_expr(e.to.args[0], df))
+        return F.lit(None).cast(t), None
+    target: T.DataType | None = None
+    named: str | None = None
+    if isinstance(e.to, ast.TypeName):
+        name = e.to.name
+        if name in _PRIMS:
+            target = _PRIMS[name]
+        else:
+            named = name
+    elif isinstance(e.to, ast.Path) and len(e.to.parts) == 1:
+        name = e.to.parts[0]
+        if name in _PRIMS:
+            target = _PRIMS[name]
+        else:
+            named = name
+    else:
+        raise ZedCompileError("cast target must be a type name")
+    col = compile_expr(e.expr, df)
+    if target is not None:
+        return col.cast(target), None
+    decl = _DECLS.get().get(named)
+    if decl is not None:
+        col = datamodel._conform(col, _col_type(df, col), decl)
+    return col, named
+
+
+_FUNCS: dict[str, Callable[..., Column]] = {
+    "to_upper": F.upper,
+    "upper": F.upper,
+    "to_lower": F.lower,
+    "lower": F.lower,
+    "trim": F.trim,
+    "abs": F.abs,
+    "ceil": F.ceil,
+    "floor": F.floor,
+    "round": F.round,
+    "sqrt": F.sqrt,
+    "pow": F.pow,
+    "log": F.log,
+    "coalesce": F.coalesce,
+    "now": F.current_timestamp,
+    "join": F.array_join,
+    "lenient_concat": F.concat,
+}
+
+
+def _call(e: ast.Call, df: DataFrame) -> Column:
+    name = e.name
+    args = e.args
+    if name in _PRIMS:  # primitive-cast call form: int64(x), string(x)...
+        if len(args) != 1:
+            raise ZedCompileError(f"{name}() takes one argument")
+        return compile_expr(args[0], df).cast(_PRIMS[name])
+    if name == "typeof":
+        t = _col_type(df, compile_expr(args[0], df))
+        return F.lit(t.simpleString())
+    if name == "len":
+        col = compile_expr(args[0], df)
+        t = _col_type(df, col)
+        if isinstance(t, (T.ArrayType, T.MapType)):
+            return F.size(col)
+        return F.length(col)
+    if name == "split":
+        s = compile_expr(args[0], df)
+        if isinstance(args[1], ast.Lit) and isinstance(args[1].value, str):
+            return F.split(s, re.escape(args[1].value))
+        return F.split(s, compile_expr(args[1], df))
+    if name == "replace":
+        s = compile_expr(args[0], df)
+        return F.replace(s, compile_expr(args[1], df), compile_expr(args[2], df))
+    if name == "grep":
+        # grep(<regex>, s) — regexp search (Zed grep with string arg)
+        pat = args[0]
+        s = compile_expr(args[1], df) if len(args) > 1 else _path([], df)
+        if isinstance(pat, ast.Lit) and isinstance(pat.value, str):
+            return s.rlike(pat.value)
+        raise ZedCompileError("grep pattern must be a string literal")
+    if name == "has":
+        return compile_expr(args[0], df).isNotNull()
+    if name == "missing":
+        return compile_expr(args[0], df).isNull()
+    if name == "nameof":
+        if "_type" in df.columns:
+            return F.col("_type")
+        return F.lit(None).cast("string")
+    if name in _FUNCS:
+        return _FUNCS[name](*[compile_expr(a, df) for a in args])
+    raise ZedCompileError(f"unknown function {name!r}")
+
+
+# --------------------------------------------------------------------------
+# Aggregates
+
+_AGGS: dict[str, Callable[[Column], Column]] = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "collect": F.collect_list,
+    "union": F.collect_set,
+    "and": F.bool_and,
+    "or": F.bool_or,
+    "any": lambda c: F.first(c, ignorenulls=True),
+    "dcount": F.approx_count_distinct,
+}
+
+
+def _agg_col(spec: ast.AggSpec, df: DataFrame) -> Column:
+    name = spec.name or spec.func
+    arg = compile_expr(spec.arg, df) if spec.arg is not None else None
+    if spec.where is not None:
+        w = compile_expr(spec.where, df)
+        arg = F.when(w, arg if arg is not None else F.lit(1))
+    if spec.func == "count":
+        col = F.count(arg) if arg is not None else F.count(F.lit(1))
+        return col.alias(name)
+    if arg is None:
+        raise ZedCompileError(f"{spec.func}() needs an argument")
+    if spec.func == "collect" and isinstance(spec.arg, ast.Path) and not spec.arg.parts:
+        # collect(this): collect the whole record (design.md txn bundles)
+        pass
+    return _AGGS[spec.func](arg).alias(name)
+
+
+# --------------------------------------------------------------------------
+# Operators
+
+
+def compile_seq(df: DataFrame | None, seq: ast.Seq, ctx: Ctx) -> DataFrame:
+    ops = seq.ops
+    i = 0
+    while i < len(ops):
+        op = ops[i]
+        nxt = ops[i + 1] if i + 1 < len(ops) else None
+        if isinstance(op, (ast.OpFrom, ast.OpFork)) and isinstance(nxt, ast.OpJoin):
+            legs = _legs(df, op, ctx)
+            if len(legs) != 2:
+                raise ZedCompileError("join needs exactly two upstream legs")
+            df = _join(legs[0], legs[1], nxt, ctx)
+            i += 2
+            continue
+        df = _one(df, op, ctx)
+        i += 1
+    if df is None:
+        raise ZedCompileError("empty program")
+    return df
+
+
+def _legs(df: DataFrame | None, op: ast.Op, ctx: Ctx) -> list[DataFrame]:
+    if isinstance(op, ast.OpFrom):
+        out = []
+        for leg in op.legs:
+            src = ctx.source(leg.source)
+            ctx.order = [ast.SortKey(ast.Path(["kafka", "offset"]), False)]
+            out.append(compile_seq(src, leg.seq, ctx))
+        return out
+    assert isinstance(op, ast.OpFork)
+    # df may be None when every branch starts with its own `from`
+    # (the shape etl/build.go:131-140 emits for multi-input transforms).
+    return [compile_seq(df, b, ctx) for b in op.branches]
+
+
+def _one(df: DataFrame | None, op: ast.Op, ctx: Ctx) -> DataFrame:
+    if isinstance(op, (ast.OpFrom, ast.OpFork)):
+        legs = _legs(df, op, ctx)
+        ctx.order = None if len(legs) > 1 else ctx.order
+        return datamodel.fuse(*legs)
+    if df is None:
+        raise ZedCompileError(f"{type(op).__name__} needs an input (start with `from`)")
+    if isinstance(op, ast.OpWhere):
+        return df.filter(compile_expr(op.expr, df))
+    if isinstance(op, ast.OpYield):
+        ctx.order = None
+        outs = [_yield_one(df, e, ctx) for e in op.exprs]
+        return outs[0] if len(outs) == 1 else datamodel.fuse(*outs)
+    if isinstance(op, ast.OpPut):
+        return _put(df, op.assignments)
+    if isinstance(op, ast.OpRename):
+        for new, old in op.pairs:
+            if len(new) != 1 or len(old) != 1:
+                raise ZedCompileError("rename supports top-level fields")
+            df = df.withColumnRenamed(old[0], new[0])
+        return df
+    if isinstance(op, ast.OpCut):
+        return _cut(df, op)
+    if isinstance(op, ast.OpDrop):
+        for parts in op.paths:
+            if len(parts) == 1:
+                df = df.drop(parts[0])
+            else:
+                df = df.withColumn(
+                    parts[0], df[f"`{parts[0]}`"].dropFields(".".join(parts[1:]))
+                )
+        return df
+    if isinstance(op, ast.OpSort):
+        ctx.order = op.keys
+        return df.orderBy(*[_sort_col(k, df) for k in op.keys])
+    if isinstance(op, ast.OpHead):
+        return df.limit(op.n)
+    if isinstance(op, ast.OpTail):
+        if not ctx.order:
+            raise ZedCompileError("tail requires ordered input (sort first)")
+        rev = [ast.SortKey(k.expr, not k.desc) for k in ctx.order]
+        out = df.orderBy(*[_sort_col(k, df) for k in rev]).limit(op.n)
+        return out.orderBy(*[_sort_col(k, out) for k in ctx.order])
+    if isinstance(op, ast.OpUniq):
+        # Zed uniq drops ADJACENT duplicates; after the sorts that
+        # precede it in practice, adjacency == global distinct.
+        return df.dropDuplicates()
+    if isinstance(op, (ast.OpFuse, ast.OpPass)):
+        return df  # schema already fused per-DataFrame
+    if isinstance(op, ast.OpSwitch):
+        return _switch(df, op, ctx)
+    if isinstance(op, ast.OpJoin):
+        raise ZedCompileError("join must directly follow fork/from with two legs")
+    if isinstance(op, ast.OpSummarize):
+        ctx.order = None
+        aggs = [_agg_col(a, df) for a in op.aggs]
+        if op.by:
+            keys = [compile_expr(e, df).alias(n) for n, e in op.by]
+            return df.groupBy(*keys).agg(*aggs)
+        return df.agg(*aggs)
+    raise ZedCompileError(f"unsupported operator {type(op).__name__}")
+
+
+def _sort_col(k: ast.SortKey, df: DataFrame) -> Column:
+    c = compile_expr(k.expr, df)
+    # Zed sorts nulls last in both directions; so does DuckDB's default.
+    return c.desc_nulls_last() if k.desc else c.asc_nulls_last()
+
+
+def _yield_one(df: DataFrame, e: ast.Expr, ctx: Ctx) -> DataFrame:
+    if isinstance(e, ast.Path) and not e.parts:  # yield this
+        return df
+    named: str | None = None
+    if isinstance(e, ast.CastExpr):
+        col, named = compile_cast(e, df)
+    else:
+        col = compile_expr(e, df)
+    if named is not None:
+        if ctx.decls.get(named) is None:
+            raise ZedCompileError(f"cast to undeclared type {named!r}")
+        # compile_cast already conformed the value to the declared shape
+        out = df.select(col.alias("__this")).select("__this.*")
+        return out.withColumn("_type", F.lit(named))
+    t = _col_type(df, col)
+    if not isinstance(t, T.StructType):
+        raise ZedCompileError("yield of a non-record value is not supported")
+    out = df.select(col.alias("__this")).select("__this.*")
+    if "_type" not in out.columns:
+        out = out.withColumn("_type", F.lit(datamodel.TYPE_DATA))
+    return out
+
+
+def _make_struct(parts: list[str], value: Column) -> Column:
+    for p in reversed(parts):
+        value = F.struct(value.alias(p))
+    return value
+
+
+def _with_field(col: Column, parts: list[str], value: Column) -> Column:
+    if len(parts) == 1:
+        return col.withField(parts[0], value)
+    return col.withField(
+        parts[0], _with_field(col.getField(parts[0]), parts[1:], value)
+    )
+
+
+def _put(df: DataFrame, assignments: list[tuple[list[str], ast.Expr]]) -> DataFrame:
+    for parts, rhs in assignments:
+        value = compile_expr(rhs, df)
+        top = parts[0]
+        if len(parts) == 1:
+            df = df.withColumn(top, value)
+        elif top in df.columns:
+            df = df.withColumn(top, _with_field(df[f"`{top}`"], parts[1:], value))
+        else:
+            df = df.withColumn(top, _make_struct(parts[1:], value))
+    return df
+
+
+def _cut(df: DataFrame, op: ast.OpCut) -> DataFrame:
+    # Zed cut preserves nested shape: `cut kafka.topic, value` ->
+    # {kafka:{topic},value}. Group selected leaves by their head field.
+    cols: list[Column] = []
+    grouped: dict[str, list[tuple[list[str], ast.Expr | None]]] = {}
+    order: list[str] = []
+    for parts, expr in op.paths:
+        head = parts[0]
+        if head not in grouped:
+            grouped[head] = []
+            order.append(head)
+        grouped[head].append((parts, expr))
+    for head in order:
+        entries = grouped[head]
+        if len(entries) == 1 and len(entries[0][0]) == 1:
+            parts, expr = entries[0]
+            value = compile_expr(expr, df) if expr is not None else _path(parts, df)
+            cols.append(value.alias(head))
+            continue
+        subs: list[Column] = []
+        for parts, expr in entries:
+            if len(parts) < 2:
+                raise ZedCompileError(
+                    f"cut mixes whole field {head!r} with its subfields"
+                )
+            value = compile_expr(expr, df) if expr is not None else _path(parts, df)
+            subs.append(value.alias(parts[-1]))
+        cols.append(F.struct(*subs).alias(head))
+    if "_type" in df.columns:
+        cols.append(F.col("_type"))
+    return df.select(*cols)
+
+
+def _switch(df: DataFrame, op: ast.OpSwitch, ctx: Ctx) -> DataFrame:
+    # First-match routing (etl/build.go:92-99: cases are emitted in rule
+    # order and a record feeds exactly one case).
+    outs: list[DataFrame] = []
+    prev: Column | None = None
+    default_seq: ast.Seq | None = None
+    for case in op.cases:
+        if case.cond is None:
+            default_seq = case.seq
+            continue
+        cond = compile_expr(case.cond, df)
+        if op.subject is not None:
+            cond = compile_expr(op.subject, df) == cond
+        eff = cond if prev is None else cond & ~prev
+        prev = cond if prev is None else prev | cond
+        sub_ctx = Ctx(ctx.spark, ctx.source, ctx.decls, ctx.order)
+        outs.append(compile_seq(df.filter(eff), case.seq, sub_ctx))
+    if default_seq is not None:
+        rest = df if prev is None else df.filter(~F.coalesce(prev, F.lit(False)))
+        sub_ctx = Ctx(ctx.spark, ctx.source, ctx.decls, ctx.order)
+        outs.append(compile_seq(rest, default_seq, sub_ctx))
+    if not outs:
+        raise ZedCompileError("switch with no cases")
+    ctx.order = None
+    return datamodel.fuse(*outs)
+
+
+def _join(left: DataFrame, right: DataFrame, op: ast.OpJoin, ctx: Ctx) -> DataFrame:
+    # Rename the right leg's columns to a reserved prefix so key and
+    # assignment expressions compile unambiguously even when both legs
+    # share lineage (both read the same pool — etl/build.go:113-118).
+    rmap = {c: f"__zr_{c}" for c in right.columns}
+    r = right.select(*[right[f"`{c}`"].alias(rmap[c]) for c in right.columns])
+
+    def right_expr(e: ast.Expr) -> Column:
+        return _compile_prefixed(e, r, rmap)
+
+    lk = compile_expr(op.left_key, left)
+    rk = right_expr(op.right_key)
+    how = {"inner": "inner", "anti": "left_anti", "left": "left"}[op.kind]
+    joined = left.join(r, lk == rk, how)
+    if op.kind == "anti":
+        return joined
+    cols = [joined[f"`{c}`"] for c in left.columns]
+    names = list(left.columns)
+    for parts, rhs in op.assignments:
+        if len(parts) != 1:
+            raise ZedCompileError("join assignment must be a top-level field")
+        col = right_expr(rhs).alias(parts[0])
+        if parts[0] in names:
+            cols[names.index(parts[0])] = col
+        else:
+            cols.append(col)
+            names.append(parts[0])
+    return joined.select(*cols)
+
+
+def _compile_prefixed(e: ast.Expr, df: DataFrame, rmap: dict[str, str]) -> Column:
+    """Compile an expression against the renamed right leg: rewrite the
+    head of every path through rmap."""
+    if isinstance(e, ast.Path):
+        if not e.parts:
+            inv = {v: k for k, v in rmap.items()}
+            cols = [
+                df[f"`{c}`"].alias(inv[c])
+                for c in df.columns
+                if inv.get(c) not in META_COLS
+            ]
+            return F.struct(*cols)
+        head = rmap.get(e.parts[0])
+        if head is None:
+            return F.lit(None)
+        return _path([head] + e.parts[1:], df)
+    if isinstance(e, ast.Bin):
+        return _bin_shim(e, df, rmap)
+    if isinstance(e, ast.RecordLit):
+        return F.struct(
+            *[_compile_prefixed(v, df, rmap).alias(n) for n, v in e.fields]
+        )
+    if isinstance(e, ast.CastExpr):
+        inner = ast.CastExpr(_rewrite_paths(e.expr, rmap), e.to)
+        col, _ = compile_cast(inner, df)
+        return col
+    return compile_expr(_rewrite_paths(e, rmap), df)
+
+
+def _bin_shim(e: ast.Bin, df: DataFrame, rmap: dict[str, str]) -> Column:
+    return _bin(_rewrite_paths(e, rmap), df)
+
+
+def _rewrite_paths(e: ast.Expr, rmap: dict[str, str]) -> ast.Expr:
+    if isinstance(e, ast.Path):
+        if e.parts and e.parts[0] in rmap:
+            return ast.Path([rmap[e.parts[0]]] + e.parts[1:])
+        return e
+    if isinstance(e, ast.Bin):
+        return ast.Bin(e.op, _rewrite_paths(e.left, rmap), _rewrite_paths(e.right, rmap))
+    if isinstance(e, ast.Not):
+        return ast.Not(_rewrite_paths(e.expr, rmap))
+    if isinstance(e, ast.Neg):
+        return ast.Neg(_rewrite_paths(e.expr, rmap))
+    if isinstance(e, ast.Cond):
+        return ast.Cond(
+            _rewrite_paths(e.cond, rmap),
+            _rewrite_paths(e.then, rmap),
+            _rewrite_paths(e.other, rmap),
+        )
+    if isinstance(e, ast.Call):
+        return ast.Call(e.name, [_rewrite_paths(a, rmap) for a in e.args])
+    if isinstance(e, ast.RecordLit):
+        return ast.RecordLit([(n, _rewrite_paths(v, rmap)) for n, v in e.fields])
+    if isinstance(e, ast.ArrayLit):
+        return ast.ArrayLit([_rewrite_paths(i, rmap) for i in e.items])
+    if isinstance(e, ast.MapLit):
+        return ast.MapLit(
+            [(_rewrite_paths(k, rmap), _rewrite_paths(v, rmap)) for k, v in e.pairs]
+        )
+    if isinstance(e, ast.Index):
+        return ast.Index(_rewrite_paths(e.base, rmap), _rewrite_paths(e.index, rmap))
+    if isinstance(e, ast.CastExpr):
+        return ast.CastExpr(_rewrite_paths(e.expr, rmap), e.to)
+    return e
+
+
+# --------------------------------------------------------------------------
+# Entry points
+
+
+def compile_query(
+    spark: SparkSession,
+    text: str,
+    *,
+    tables: dict[str, DataFrame] | Callable[[str], DataFrame] | None = None,
+    pools: Callable[[str], object] | None = None,
+    df: DataFrame | None = None,
+) -> DataFrame:
+    """Parse + compile a Zed program.  Source names in `from` resolve
+    first through `tables` (name -> DataFrame), then through `pools`
+    (name -> Pool; read via Pool.read()).  An explicit `df` serves as
+    the initial input for programs that don't start with `from`."""
+
+    def source(name: str) -> DataFrame:
+        if tables is not None:
+            if callable(tables):
+                try:
+                    out = tables(name)
+                except KeyError:
+                    out = None
+                if out is not None:
+                    return out
+            elif name in tables:
+                return tables[name]
+        if pools is not None:
+            pool = pools(name)
+            if pool is not None:
+                return pool.read()
+        raise ZedCompileError(f"unknown source {name!r}")
+
+    prog = parse(text)
+    decls = {d.name: d.spark_type for d in prog.decls}
+    ctx = Ctx(spark, source, decls)
+    token = _DECLS.set(decls)
+    try:
+        return compile_seq(df, prog.seq, ctx)
+    finally:
+        _DECLS.reset(token)
+
+
+def compile_predicate(text: str) -> Column:
+    """Compile a standalone Zed boolean expression to an unbound Column
+    (YAML `where` clauses like `value.op in ["c", "r"]`,
+    demo/invoices.yaml)."""
+    from zinger_spark.zedql.parser import parse_expr_text
+
+    return compile_expr(parse_expr_text(text), None)
+
+
+def compile_rule_seq(
+    df: DataFrame,
+    text: str,
+    decls: dict[str, T.StructType] | None = None,
+) -> DataFrame:
+    """Compile a YAML rule's `zed:` block (a pipeline fragment like
+    `| out:={...}` — demo/invoices.yaml) over an input DataFrame whose
+    columns are the wrapped scope fields (`in` / `left`+`right`)."""
+    prog = parse(text)
+    if prog.decls:
+        decls = {**(decls or {}), **{d.name: d.spark_type for d in prog.decls}}
+    ctx = Ctx(df.sparkSession, lambda name: (_ for _ in ()).throw(
+        ZedCompileError(f"rule blocks cannot read sources ({name!r})")
+    ), decls or {})
+    token = _DECLS.set(decls or {})
+    try:
+        return compile_seq(df, prog.seq, ctx)
+    finally:
+        _DECLS.reset(token)
