@@ -1,0 +1,425 @@
+"""zedql: the Zed-dialect compiler.
+
+Covers the parser (program shapes from etl/build.go:86-109), the
+operator compilers, and an end-to-end run of the reference's full
+generated ETL program (the `zync etl -zed` golden text,
+ztests/etl-zed.yaml) over batch-1 of the invoices demo
+(demo/batch-1.zson), checking the rows the Zed lake would hand back to
+pipeline.go's writeToOutputPool."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from zinger_spark.datamodel import fuse
+from zinger_spark.zedql import (
+    ZedCompileError,
+    ZedSyntaxError,
+    compile_predicate,
+    compile_query,
+    compile_rule_seq,
+    looks_like_zed,
+    parse,
+    parse_expr_text,
+    parse_type,
+)
+from zinger_spark.zedql import ast
+
+
+# --------------------------------------------------------------------------
+# Parser
+
+
+def test_parse_type_decl():
+    t = parse_type("{kafka:{topic:string,offset:int64}}")
+    assert t == T.StructType(
+        [
+            T.StructField(
+                "kafka",
+                T.StructType(
+                    [
+                        T.StructField("topic", T.StringType()),
+                        T.StructField("offset", T.LongType()),
+                    ]
+                ),
+            )
+        ]
+    )
+
+
+def test_parse_type_collections():
+    assert parse_type("[int32]") == T.ArrayType(T.IntegerType())
+    assert parse_type("|[string]|") == T.ArrayType(T.StringType())  # set->array
+    assert parse_type("|{string:float64}|") == T.MapType(
+        T.StringType(), T.DoubleType()
+    )
+
+
+def test_parse_program_shapes():
+    p = parse(
+        'type done = {kafka:{topic:string,offset:int64}}\n'
+        'from (\n'
+        '  pool "Raw" => kafka.topic=="Invoices"\n'
+        '  pool "Staging" => is(<done>) kafka.topic=="Invoices"\n'
+        ') | anti join on kafka.offset=kafka.offset\n'
+        '| sort kafka.offset\n'
+    )
+    assert [d.name for d in p.decls] == ["done"]
+    assert [type(o).__name__ for o in p.seq.ops] == ["OpFrom", "OpJoin", "OpSort"]
+    legs = p.seq.ops[0].legs
+    assert [l.source for l in legs] == ["Raw", "Staging"]
+    # implicit-and: is(<done>) kafka.topic=="Invoices"
+    (w,) = legs[1].seq.ops
+    assert isinstance(w, ast.OpWhere) and isinstance(w.expr, ast.Bin)
+    assert w.expr.op == "and" and isinstance(w.expr.left, ast.IsType)
+
+
+def test_parse_in_is_path_not_operator():
+    e = parse_expr_text("in.value.after.ID")
+    assert isinstance(e, ast.Path) and e.parts == ["in", "value", "after", "ID"]
+    e2 = parse_expr_text('value.op in ["c", "r"]')
+    assert isinstance(e2, ast.Bin) and e2.op == "in"
+
+
+def test_parse_put_vs_summarize():
+    p = parse("out.kafka:=in.kafka")
+    assert isinstance(p.seq.ops[0], ast.OpPut)
+    p2 = parse("n:=count() by kafka.topic")
+    assert isinstance(p2.seq.ops[0], ast.OpSummarize)
+    assert p2.seq.ops[0].aggs[0].name == "n"
+
+
+def test_parse_errors():
+    with pytest.raises(ZedSyntaxError):
+        parse_expr_text("a == ")
+    with pytest.raises(ZedSyntaxError):
+        parse_expr_text("a = b")  # single = only valid in join-on
+    with pytest.raises(ZedSyntaxError):
+        parse("from ( pool )")
+
+
+# --------------------------------------------------------------------------
+# Expression + operator compilation
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return spark.createDataFrame(
+        [
+            (1, "click", 3.0, ["a", "b"], "x"),
+            (2, "view", 1.5, ["c"], "y"),
+            (3, "click", 9.0, [], "x"),
+            (4, "buy", 2.5, None, "y"),
+        ],
+        "id long, kind string, v double, tags array<string>, grp string",
+    )
+
+
+def run(df, text, **kw):
+    return compile_query(df.sparkSession, text, df=df, **kw)
+
+
+def test_filter_and_in(ev):
+    out = run(ev, 'kind in ["click", "buy"] and v > 2.0')
+    assert {r.id for r in out.collect()} == {1, 3, 4}
+
+
+def test_yield_record_literal(ev):
+    out = run(ev, "yield {a: id * 2, nested: {k: to_upper(kind)}}")
+    rows = out.orderBy("a").collect()
+    assert rows[0].a == 2 and rows[0].nested.k == "CLICK"
+    assert out.columns == ["a", "nested", "_type"]
+
+
+def test_cut_preserves_nesting(spark):
+    df = spark.createDataFrame(
+        [((1, "t", 5), "z")], "kafka struct<a:long,topic:string,offset:long>, other string"
+    )
+    out = run(df, "cut kafka.topic, kafka.offset, other")
+    assert out.schema.simpleString() == (
+        "struct<kafka:struct<topic:string,offset:bigint>,other:string>"
+    )
+
+
+def test_put_nested_and_drop(spark):
+    df = spark.createDataFrame([((1, 2), 9)], "s struct<a:long,b:long>, x long")
+    out = run(df, "s.b:=x*10 | put s.c:=1 | drop s.a, x")
+    r = out.collect()[0]
+    assert r.s.b == 90 and r.s.c == 1
+    assert out.columns == ["s"]
+
+
+def test_sort_head_tail(ev):
+    assert [r.id for r in run(ev, "sort -r v | head 2").collect()] == [3, 1]
+    assert [r.id for r in run(ev, "sort v | tail 2").collect()] == [1, 3]
+    with pytest.raises(ZedCompileError):
+        run(ev, "tail 2")  # unordered input
+
+
+def test_summarize_by(ev):
+    out = run(ev, "n:=count(), total:=sum(v) by kind | sort kind")
+    rows = [(r.kind, r.n, r.total) for r in out.collect()]
+    assert rows == [("buy", 1, 2.5), ("click", 2, 12.0), ("view", 1, 1.5)]
+
+
+def test_summarize_default_names_and_where(ev):
+    out = run(ev, 'count() where kind=="click" by grp | sort grp')
+    assert [(r.grp, r["count"]) for r in out.collect()] == [("x", 2), ("y", 0)]
+
+
+def test_switch_first_match(ev):
+    out = run(
+        ev,
+        "switch ( case v >= 3.0 => yield {id: id, bucket: \"hi\"} "
+        "case kind==\"view\" => yield {id: id, bucket: \"view\"} "
+        "default => yield {id: id, bucket: \"rest\"} ) | sort id",
+    )
+    rows = [(r.id, r.bucket) for r in out.collect()]
+    # id=1 matches case 1 only; id=2 matches case 2; id=4 falls through
+    assert rows == [(1, "hi"), (2, "view"), (3, "hi"), (4, "rest")]
+
+
+def test_fork_fuses_heterogeneous_branches(ev):
+    out = run(ev, "fork ( => yield {a: id} => yield {b: kind} )")
+    assert set(out.columns) == {"a", "b", "_type"}
+    assert out.count() == 8
+
+
+def test_join_with_assignment(spark):
+    left = spark.createDataFrame([(1, "l1"), (2, "l2")], "k long, lv string")
+    right = spark.createDataFrame([(1, "r1"), (3, "r3")], "k long, rv string")
+    out = compile_query(
+        spark,
+        "fork ( => from L => from R ) | join on k=k right:=rv | sort k",
+        tables={"L": left, "R": right},
+    )
+    rows = [(r.k, r.lv, r.right) for r in out.collect()]
+    assert rows == [(1, "l1", "r1")]
+
+
+def test_anti_join(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    right = spark.createDataFrame([(2,), (9,)], "k long")
+    out = compile_query(
+        spark,
+        "fork ( => from L => from R ) | anti join on k=k | sort k",
+        tables={"L": left, "R": right},
+    )
+    assert [r.k for r in out.collect()] == [1, 3]
+
+
+def test_cast_typed_null_and_primitive(ev):
+    out = run(ev, 'yield {a: cast(v, <int64>), b: cast(null, typeof(kind))}')
+    f = {x.name: x.dataType for x in out.schema.fields}
+    assert f["a"] == T.LongType() and f["b"] == T.StringType()
+
+
+def test_functions(ev):
+    out = run(
+        ev,
+        'yield {u: to_upper(kind), n: len(kind), t: len(tags), '
+        'first_tag: tags[0], joined: join(tags, "-")}',
+    ).orderBy(F.col("n")).collect()
+    buy = [r for r in out if r.u == "BUY"][0]
+    click = [r for r in out if r.u == "CLICK"][0]
+    assert click.n == 5 and click.t == 2
+    assert click.first_tag == "a" and click.joined == "a-b"
+    assert buy.t is None
+
+
+def test_uniq_and_fuse_noop(ev):
+    assert run(ev, "cut kind | uniq").count() == 3
+    assert run(ev, "fuse").count() == 4
+
+
+def test_compile_predicate_unbound(ev):
+    col = compile_predicate('kind in ["click"] and v > 5')
+    assert [r.id for r in ev.filter(col).collect()] == [3]
+
+
+def test_looks_like_zed():
+    assert looks_like_zed("| out:={a: 1}")
+    assert not looks_like_zed("named_struct('a', 1)")
+
+
+def test_rule_seq_requires_no_sources(ev):
+    wrapped = ev.select(F.struct("*").alias("in"))
+    out = compile_rule_seq(wrapped, "| out:={id: in.id}")
+    assert "out" in out.columns
+    with pytest.raises(ZedCompileError):
+        compile_rule_seq(wrapped, "from ( pool \"X\" )")
+
+
+def test_unknown_function(ev):
+    with pytest.raises(ZedCompileError):
+        run(ev, "yield {a: frobnicate(id)}")
+
+
+# --------------------------------------------------------------------------
+# End-to-end: the reference's full generated program
+# (ztests/etl-zed.yaml golden — the exact text `zync etl -zed` prints
+# for demo/invoices.yaml)
+
+GENERATED_PROGRAM = """
+type done = {kafka:{topic:string,offset:int64}}
+fork (
+  => from (
+    pool "Raw" => kafka.topic=="Invoices"
+    pool "Staging" => is(<done>) kafka.topic=="Invoices"
+  ) | anti join on kafka.offset=kafka.offset
+
+  => from (
+    pool "Raw" => kafka.topic=="InvoiceStatus"
+    pool "Staging" => is(<done>) kafka.topic=="InvoiceStatus"
+  ) | anti join on kafka.offset=kafka.offset
+)
+| yield this
+| switch (
+  case value.op in ["c", "r"] =>
+    fork (
+      => kafka.topic=="Invoices" | yield {left:this} | sort left.value.after.ID
+      => kafka.topic=="InvoiceStatus" | yield {right:this} | sort right.value.after.InvoiceID
+    )
+    | join on left.value.after.ID=right.value.after.InvoiceID right:=right
+    | fork (
+      =>
+          // === user-defined ETL ===
+          out:={
+            key: left.key,
+            value: {
+              ID: left.value.after.ID,
+              customer: left.value.after.customer,
+              item: left.value.after.item,
+              invoice_status: right.value.after.status
+            }
+          }
+        | out.kafka:=left.kafka
+        | yield out
+        | kafka.topic:="NewInvoices"
+      =>  yield {
+             left:cast({kafka:{topic:left.kafka.topic,offset:left.kafka.offset}},done),
+             right:cast({kafka:{topic:right.kafka.topic,offset:right.kafka.offset}},done)
+          }
+    )
+  case (value.op=="u") and kafka.topic=="InvoiceStatus" =>
+    fork (
+      =>
+        yield {in:this}
+    // === user-defined ETL ===
+        | out:={
+            key: {
+              ID: in.value.after.InvoiceID
+            },
+            value: {
+              ID: in.value.after.InvoiceID,
+              invoice_status: in.value.after.status
+            }
+          }
+        | out.kafka:=in.kafka
+        | yield out
+        | kafka.topic:="NewInvoices"
+      =>
+        yield cast({kafka:{topic:kafka.topic,offset:kafka.offset}},done)
+      )
+)
+| sort kafka.offset
+"""
+
+AFTER_INV = "struct<ID:bigint,customer:string,item:string>"
+AFTER_IS = "struct<ID:bigint,InvoiceID:bigint,status:string>"
+
+
+def _env(spark, rows, after):
+    schema = (
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key struct<ID:bigint>, "
+        f"value struct<op:string,before:{after},after:{after}>, "
+        "_type string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_generated_program_batch1(spark):
+    inv = _env(
+        spark,
+        [
+            (("Invoices", 0, 1), (100,), ("r", None, (100, "Alice", "taco")), "data"),
+            (("Invoices", 0, 2), (101,), ("r", None, (101, "Bob", "burrito")), "data"),
+        ],
+        AFTER_INV,
+    )
+    ist = _env(
+        spark,
+        [
+            (("InvoiceStatus", 0, 1), (80,), ("r", None, (80, 101, "pending")), "data"),
+            (("InvoiceStatus", 0, 2), (32,), ("r", None, (32, 100, "pending")), "data"),
+        ],
+        AFTER_IS,
+    )
+    raw = fuse(inv, ist)
+    staging = spark.createDataFrame([], raw.schema)
+    out = compile_query(
+        spark, GENERATED_PROGRAM, tables={"Raw": raw, "Staging": staging}
+    )
+    flat = set()
+    for r in out.collect():
+        d = r.asDict(recursive=True)
+        if d.get("left") or d.get("right"):
+            flat.add(
+                (
+                    "pair",
+                    d["left"]["kafka"]["topic"],
+                    d["left"]["kafka"]["offset"],
+                    d["right"]["kafka"]["topic"],
+                    d["right"]["kafka"]["offset"],
+                )
+            )
+        else:
+            flat.add(
+                (
+                    d["kafka"]["topic"],
+                    d["kafka"]["offset"],
+                    d["key"]["ID"],
+                    d["value"]["customer"],
+                    d["value"]["invoice_status"],
+                )
+            )
+    # matches ztests/etl-demo.yaml batch 1 pre-offset-assignment: the
+    # two joined data records (carrying their input offsets until
+    # pipeline.go insertOffsets renumbers) + one done pair per join
+    assert flat == {
+        ("NewInvoices", 1, 100, "Alice", "pending"),
+        ("NewInvoices", 2, 101, "Bob", "pending"),
+        ("pair", "Invoices", 1, "InvoiceStatus", 2),
+        ("pair", "Invoices", 2, "InvoiceStatus", 1),
+    }
+
+
+def test_generated_program_dones_filter_second_run(spark):
+    """Run 2: with done markers in Staging, the anti-join drops the
+    already-processed inputs (the incremental contract,
+    README.md:140-156)."""
+    inv = _env(
+        spark,
+        [
+            (("Invoices", 0, 1), (100,), ("u", None, (100, "Alice", "taco")), "data"),
+            (("Invoices", 0, 2), (101,), ("u", None, (101, "Bob", "burrito")), "data"),
+        ],
+        AFTER_INV,
+    )
+    staging = _env(
+        spark,
+        [(("Invoices", None, 1), None, None, "done")],
+        AFTER_INV,
+    )
+    prog = (
+        "type done = {kafka:{topic:string,offset:int64}}\n"
+        'from (\n'
+        '  pool "Raw" => kafka.topic=="Invoices"\n'
+        '  pool "Staging" => is(<done>) kafka.topic=="Invoices"\n'
+        ") | anti join on kafka.offset=kafka.offset\n"
+        "| cut kafka.offset\n"
+    )
+    out = compile_query(spark, prog, tables={"Raw": inv, "Staging": staging})
+    assert [r.kafka.offset for r in out.collect()] == [2]

@@ -185,9 +185,11 @@ def _index(e: ast.Index, df: DataFrame) -> Column:
     idx = compile_expr(e.index, df)
     base_t = _col_type(df, base)
     if isinstance(base_t, T.ArrayType):
-        # Zed arrays are 0-based; element_at is 1-based.
-        return F.element_at(base, (idx + F.lit(1)).cast("int"))
-    return F.element_at(base, idx)  # maps: by key
+        # Zed arrays are 0-based (element_at is 1-based) and an
+        # out-of-range index is an error value, not an exception — the
+        # relational analog is null.
+        return F.try_element_at(base, (idx + F.lit(1)).cast("int"))
+    return F.try_element_at(base, idx)  # maps: by key
 
 
 def compile_cast(e: ast.CastExpr, df: DataFrame) -> tuple[Column, str | None]:
@@ -243,7 +245,6 @@ _FUNCS: dict[str, Callable[..., Column]] = {
     "log": F.log,
     "coalesce": F.coalesce,
     "now": F.current_timestamp,
-    "join": F.array_join,
     "lenient_concat": F.concat,
 }
 
@@ -264,6 +265,10 @@ def _call(e: ast.Call, df: DataFrame) -> Column:
         if isinstance(t, (T.ArrayType, T.MapType)):
             return F.size(col)
         return F.length(col)
+    if name == "join":
+        if not (isinstance(args[1], ast.Lit) and isinstance(args[1].value, str)):
+            raise ZedCompileError("join() delimiter must be a string literal")
+        return F.array_join(compile_expr(args[0], df), args[1].value)
     if name == "split":
         s = compile_expr(args[0], df)
         if isinstance(args[1], ast.Lit) and isinstance(args[1].value, str):
