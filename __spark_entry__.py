@@ -1660,15 +1660,91 @@ def _q_tpch_q20(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# zedql: queries written in the reference's own Zed dialect (the text
+# form zync generates and users author — etl/build.go:86-109,
+# demo/invoices.yaml), parsed and compiled by zinger_spark/zedql, and
+# verified against the same DuckDB oracle as every native query.
+
+
+def _zq(text: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from zinger_spark import zedql
+
+        def tables(name: str) -> DataFrame:
+            if name == "events":
+                return _events(spark, sf_dir)
+            return _t(spark, sf_dir, name)
+
+        return zedql.compile_query(spark, text, tables=tables)
+
+    return q
+
+
+_q_zq_filter_cut = _zq(
+    'from events | event_type in ["click", "view"] and value >= 250.0 '
+    "| cut event_id, event_type, value"
+)
+
+_q_zq_agg_by = _zq(
+    "from documents "
+    "| n:=count(), total:=sum(n_chars), top:=max(n_chars) by lang"
+)
+
+_q_zq_agg_where = _zq(
+    "from events "
+    "| hot:=count() where value > 100.0, n:=count() by event_type"
+)
+
+_q_zq_switch_yield = _zq(
+    "from documents | switch ( "
+    'case lang=="en" => yield {doc_id: doc_id, bucket: "english", n: n_chars} '
+    'case source=="web" => yield {doc_id: doc_id, bucket: "web", n: n_chars * 2} '
+    "default => yield {doc_id: doc_id, bucket: lang, n: -n_chars} )"
+)
+
+_q_zq_join_denorm = _zq(
+    "fork ( => from orders => from customer ) "
+    "| join on o_custkey=c_custkey customer_name:=c_name "
+    "| cut o_orderkey, o_totalprice, customer_name"
+)
+
+_q_zq_anti_join = _zq(
+    'fork ( => from orders => from customer | c_mktsegment=="BUILDING" ) '
+    "| anti join on o_custkey=c_custkey "
+    "| cut o_orderkey, o_custkey"
+)
+
+_q_zq_sort_tail = _zq(
+    "from events | sort -r event_id | tail 3 | cut event_id, event_type"
+)
+
+_q_zq_put_funcs = _zq(
+    "from documents "
+    '| tok0:=split(text, " ")[0] '
+    "| lang_u:=to_upper(lang) "
+    '| flag:=n_chars > 500 ? "long" : "short" '
+    "| cut doc_id, tok0, lang_u, flag"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that were never checked (or were red) in the prior
     # round MUST sit inside that window; previously-green keys rotate to
-    # the tail.  Round 5 window = the five r4 NTZ reds, then EVERY other
-    # key that reads through the `_events`/`_events_ns` helpers (the
-    # helper changed this round — NTZ cast — so all of them must
-    # re-verify), then the keys whose last green is r2, then new-in-r5.
+    # the tail.  Round 6 window = the new-in-r6 zedql text queries
+    # (never driver-verified), then the r5 window in its prior order
+    # (all green in r5; kept near the front as churn insurance).
     return {
+        # -- new in r6: Zed-dialect text queries through zedql ---------
+        "zq_filter_cut": _q_zq_filter_cut,
+        "zq_agg_by": _q_zq_agg_by,
+        "zq_agg_where": _q_zq_agg_where,
+        "zq_switch_yield": _q_zq_switch_yield,
+        "zq_join_denorm": _q_zq_join_denorm,
+        "zq_anti_join": _q_zq_anti_join,
+        "zq_sort_tail": _q_zq_sort_tail,
+        "zq_put_funcs": _q_zq_put_funcs,
         # -- r4 reds + latent NTZ reds (lead the window) --------------
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
@@ -1948,6 +2024,52 @@ def oracle_sql() -> dict[str, str]:
     cos = _sql_cosine("v", "q")
     norm_hash = _sql_md5h(_SQL_NORM_TEXT)
     return {
+        "zq_filter_cut": """
+            SELECT event_id, event_type, value FROM events
+            WHERE event_type IN ('click','view') AND value >= 250.0
+        """,
+        "zq_agg_by": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS total,
+                   MAX(n_chars) AS top
+            FROM documents GROUP BY lang
+        """,
+        "zq_agg_where": """
+            SELECT event_type,
+                   COUNT(CASE WHEN value > 100.0 THEN 1 END) AS hot,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "zq_switch_yield": """
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 'english'
+                        WHEN source = 'web' THEN 'web'
+                        ELSE lang END AS bucket,
+                   CASE WHEN lang = 'en' THEN n_chars
+                        WHEN source = 'web' THEN n_chars * 2
+                        ELSE -n_chars END AS n
+            FROM documents
+        """,
+        "zq_join_denorm": """
+            SELECT o_orderkey, o_totalprice, c_name AS customer_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "zq_anti_join": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE NOT EXISTS (
+                SELECT 1 FROM customer
+                WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        """,
+        "zq_sort_tail": """
+            SELECT event_id, event_type FROM events
+            ORDER BY event_id ASC LIMIT 3
+        """,
+        "zq_put_funcs": """
+            SELECT doc_id, split_part(text, ' ', 1) AS tok0,
+                   upper(lang) AS lang_u,
+                   CASE WHEN n_chars > 500 THEN 'long' ELSE 'short' END AS flag
+            FROM documents
+        """,
         "envelope_wrap": """
             SELECT event_type AS kafka_topic, 0::BIGINT AS kafka_partition,
                    event_id AS kafka_offset, user_id AS key_user_id,

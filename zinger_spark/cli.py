@@ -64,6 +64,51 @@ def cmd_etl(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run a Zed program against the lake's pools (the `zed query -z`
+    step of the reference workflow, ztests/etl-demo.yaml:12) and print
+    the result as JSON lines.  `from X` resolves X to a pool directory
+    under --lake, or to a bare parquet file `X.parquet` there."""
+    import os
+
+    from . import zedql
+    from .sources.pool import Pool
+
+    if args.zed:
+        text = args.zed
+    elif args.file:
+        with open(args.file) as f:
+            text = f.read()
+    else:
+        print("query: provide -z <program> or -f <file>", file=sys.stderr)
+        return 1
+    spark = _spark(args)
+
+    def tables(name: str):
+        pq = os.path.join(args.lake, f"{name}.parquet")
+        if os.path.exists(pq):
+            return spark.read.parquet(pq)
+        return None
+
+    def pools(name: str):
+        path = os.path.join(args.lake, name)
+        if os.path.isdir(path):
+            return Pool(spark, path)
+        raise zedql.ZedCompileError(f"no pool or table {name!r} in {args.lake}")
+
+    try:
+        df = zedql.compile_query(spark, text, tables=tables, pools=pools)
+    except (zedql.ZedSyntaxError, zedql.ZedCompileError) as e:
+        print(f"query: {e}", file=sys.stderr)
+        return 1
+    n = 0
+    for r in df.toLocalIterator():
+        print(json.dumps(r.asDict(recursive=True), default=str))
+        n += 1
+    print(f"{n} record{'s' if n != 1 else ''}", file=sys.stderr)
+    return 0
+
+
 def cmd_create_pool(args) -> int:
     from .sources.pool import Pool
 
@@ -396,6 +441,11 @@ def main(argv: list[str] | None = None) -> int:
     etl.add_argument("--cursor-lag", action="store_true",
                      help="print per-topic pinned-rescan width and exit")
 
+    q = sub.add_parser("query", help="run a Zed program against pools")
+    q.add_argument("-z", "--zed", help="program text")
+    q.add_argument("-f", "--file", help="program file")
+    q.add_argument("--lake", default=".", help="directory holding pools")
+
     cp = sub.add_parser("create-pool")
     cp.add_argument("name")
     cp.add_argument("--lake", default=".")
@@ -479,6 +529,7 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     handler = {
         "etl": cmd_etl,
+        "query": cmd_query,
         "create-pool": cmd_create_pool,
         "compact-pool": cmd_compact_pool,
         "vacuum-pool": cmd_vacuum_pool,

@@ -360,7 +360,13 @@ def _legs(df: DataFrame | None, op: ast.Op, ctx: Ctx) -> list[DataFrame]:
         out = []
         for leg in op.legs:
             src = ctx.source(leg.source)
-            ctx.order = [ast.SortKey(ast.Path(["kafka", "offset"]), False)]
+            # pool reads are offset-ordered (pool key kafka.offset asc,
+            # fifo/lake.go:36-39); plain tables carry no implicit order
+            ctx.order = (
+                [ast.SortKey(ast.Path(["kafka", "offset"]), False)]
+                if "kafka" in src.columns
+                else None
+            )
             out.append(compile_seq(src, leg.seq, ctx))
         return out
     assert isinstance(op, ast.OpFork)
@@ -456,7 +462,9 @@ def _yield_one(df: DataFrame, e: ast.Expr, ctx: Ctx) -> DataFrame:
     if not isinstance(t, T.StructType):
         raise ZedCompileError("yield of a non-record value is not supported")
     out = df.select(col.alias("__this")).select("__this.*")
-    if "_type" not in out.columns:
+    # Tag rows only when the input stream carries named-type tags (pool
+    # reads do; clean tables don't and shouldn't grow a meta column).
+    if "_type" in df.columns and "_type" not in out.columns:
         out = out.withColumn("_type", F.lit(datamodel.TYPE_DATA))
     return out
 
@@ -659,7 +667,7 @@ def compile_query(
 ) -> DataFrame:
     """Parse + compile a Zed program.  Source names in `from` resolve
     first through `tables` (name -> DataFrame), then through `pools`
-    (name -> Pool; read via Pool.read()).  An explicit `df` serves as
+    (name -> Pool; read via Pool.df()).  An explicit `df` serves as
     the initial input for programs that don't start with `from`."""
 
     def source(name: str) -> DataFrame:
@@ -676,7 +684,7 @@ def compile_query(
         if pools is not None:
             pool = pools(name)
             if pool is not None:
-                return pool.read()
+                return pool.df()
         raise ZedCompileError(f"unknown source {name!r}")
 
     prog = parse(text)

@@ -486,6 +486,14 @@ class _Parser:
                 return self._op_join(stop)
             if tok in self.AGG_FUNCS and self.peek(1)[1] == "(":
                 return self._summarize(stop)
+            # named aggregate head: `hot:=count() where ... , n:=count()`
+            if (
+                self.peek(1)[1] == ":="
+                and self.peek(2)[0] == "ident"
+                and self.peek(2)[1] in self.AGG_FUNCS
+                and self.peek(3)[1] == "("
+            ):
+                return self._summarize(stop)
         # `name := agg(...)` summarize vs put: decided after parsing.
         expr = self.parse_expr()
         if self.at(":="):
