@@ -169,6 +169,41 @@ def test_cli_info_brokers_requires_topic(capsys):
     assert "--topic" in capsys.readouterr().err
 
 
+def test_cli_query_requires_program(capsys):
+    assert main(["query", "--lake", "."]) == 1
+    assert "-z" in capsys.readouterr().err
+
+
+def test_cli_query_runs_zed_against_pool(spark, tmp_path, capsys):
+    """`query -z` over a lake pool (the `zed query -z 'from Staging'`
+    step of ztests/etl-demo.yaml:12)."""
+    from zinger_spark.datamodel import wrap_envelope
+    from zinger_spark.sources.pool import Pool
+
+    pool = Pool.create(spark, str(tmp_path / "Raw"))
+    src = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "o long, v string")
+    pool.load_batch(wrap_envelope(src, "T", src.o, src.v, src.v))
+    rc = main(
+        [
+            "query",
+            "--lake",
+            str(tmp_path),
+            "-z",
+            'from Raw | kafka.offset >= 2 | cut kafka.offset, value | sort kafka.offset',
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr()
+    rows = [json.loads(line) for line in out.out.strip().splitlines()]
+    assert [(r["kafka"]["offset"], r["value"]) for r in rows] == [(2, "b"), (3, "c")]
+    assert "2 records" in out.err
+
+
+def test_cli_query_bad_program_errors(tmp_path, capsys):
+    assert main(["query", "--lake", str(tmp_path), "-z", "from ( pool )"]) == 1
+    assert "query:" in capsys.readouterr().err
+
+
 def test_streaming_sessionize_gap_validation(spark):
     from zinger_spark.streaming.windows import streaming_sessionize
 
