@@ -129,7 +129,8 @@ def test_yield_record_literal(ev):
     out = run(ev, "yield {a: id * 2, nested: {k: to_upper(kind)}}")
     rows = out.orderBy("a").collect()
     assert rows[0].a == 2 and rows[0].nested.k == "CLICK"
-    assert out.columns == ["a", "nested", "_type"]
+    # clean (non-pool) inputs don't grow the _type meta column
+    assert out.columns == ["a", "nested"]
 
 
 def test_cut_preserves_nesting(spark):
@@ -182,7 +183,7 @@ def test_switch_first_match(ev):
 
 def test_fork_fuses_heterogeneous_branches(ev):
     out = run(ev, "fork ( => yield {a: id} => yield {b: kind} )")
-    assert set(out.columns) == {"a", "b", "_type"}
+    assert set(out.columns) == {"a", "b"}
     assert out.count() == 8
 
 
@@ -249,6 +250,42 @@ def test_rule_seq_requires_no_sources(ev):
     assert "out" in out.columns
     with pytest.raises(ZedCompileError):
         compile_rule_seq(wrapped, "from ( pool \"X\" )")
+
+
+def test_zed_transform_shaper(ev):
+    """zed_transform = the -shaper hook (cli/shaper.go:12-14,
+    fifo/lake.go:94-106): a parsed-once script applied per batch."""
+    from zinger_spark.zedql import zed_transform
+
+    t = zed_transform("v > 2.0 | score:=v * 10 | cut id, score")
+    rows = {(r.id, r.score) for r in t(ev).collect()}
+    assert rows == {(1, 30.0), (3, 90.0), (4, 25.0)}
+    # reusable across batches with different stats
+    assert t(ev.limit(1)).columns == ["id", "score"]
+
+
+def test_zed_transform_shaper_in_sync_batches(spark, tmp_path):
+    """to-kafka --shaper: the script runs between the pool scan and the
+    produce (fifo/lake.go:84-92 applies it inside ReadBatch)."""
+    from zinger_spark.datamodel import wrap_envelope
+    from zinger_spark.sources.pool import Pool
+    from zinger_spark.streaming.to_kafka import sync_batches
+    from zinger_spark.zedql import zed_transform
+
+    pool = Pool.create(spark, str(tmp_path / "P"))
+    src = spark.createDataFrame([(i, f"v{i}") for i in range(6)], "o long, s string")
+    pool.load_batch(wrap_envelope(src, "T", src.o, src.s, src.s))
+    got: list = []
+    n = sync_batches(
+        pool,
+        "T",
+        0,
+        lambda df: got.extend(df.collect()),
+        batch_size=4,
+        transform=zed_transform("value != \"v2\""),
+    )
+    assert n == 5  # v2 dropped by the shaper
+    assert {r.value for r in got} == {"v0", "v1", "v3", "v4", "v5"}
 
 
 def test_unknown_function(ev):

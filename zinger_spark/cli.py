@@ -237,6 +237,15 @@ def cmd_from_kafka(args) -> int:
             if schema
             else (lambda c: c.cast("string"))
         )
+    if getattr(args, "shaper", None):
+        # -shaper: a Zed script applied per micro-batch before the pool
+        # commit (cli/shaper.go:12-14, from-kafka/command.go:276-285)
+        from . import zedql
+
+        with open(args.shaper) as fh:
+            shape = zedql.zed_transform(fh.read())
+        decode = transform
+        transform = (lambda b: shape(decode(b))) if decode else shape
     env = fk.envelope_stream(src, value_decoder=decoder)
     q = fk.run_ingest(
         env,
@@ -279,6 +288,14 @@ def cmd_to_kafka(args) -> int:
 
     spark = _spark(args)
     pool = Pool(spark, f"{args.lake}/{args.pool}")
+    shaper = None
+    if getattr(args, "shaper", None):
+        # -shaper on egress batches (fifo/lake.go:84-92 applies it
+        # inside ReadBatch, between the offset scan and the sort)
+        from . import zedql
+
+        with open(args.shaper) as fh:
+            shaper = zedql.zed_transform(fh.read())
     admin = open_admin(args.brokers)
     if args.topic_partitions > 0 and admin is not None:
         # cmd/zync/to-kafka/command.go:90-94
@@ -310,7 +327,7 @@ def cmd_to_kafka(args) -> int:
             schema,
             args.checkpoint or f"{args.lake}/.to_kafka_ck_{args.topic}",
             lambda df: tk.kafka_sink_projection(
-                df,
+                shaper(df) if shaper is not None else df,
                 value_encoder=lambda d: cj.encode(
                     F.col("value"), schema["value"].dataType
                 ),
@@ -322,7 +339,10 @@ def cmd_to_kafka(args) -> int:
         )
         q.awaitTermination()
         return 0
-    n = tk.sync_batches(pool, args.topic, start, produce, batch_size=args.batch_size)
+    n = tk.sync_batches(
+        pool, args.topic, start, produce, batch_size=args.batch_size,
+        transform=shaper,
+    )
     print(f"produced {n} records")
     return 0
 
@@ -479,6 +499,7 @@ def main(argv: list[str] | None = None) -> int:
     fkp.add_argument("--registry", help="schema registry URL (avro format)")
     fkp.add_argument("--thresh", type=int, default=1_048_576)
     fkp.add_argument("--interval", default="5 seconds")
+    fkp.add_argument("--shaper", help="path of optional Zed script for shaping")
     fkp.add_argument("--exitafter", action="store_true", help="drain then exit")
     fkp.add_argument(
         "--kafka-replicas", type=int, default=0,
@@ -492,6 +513,7 @@ def main(argv: list[str] | None = None) -> int:
     tkp.add_argument("--pool", required=True)
     tkp.add_argument("--lake", default=".")
     tkp.add_argument("--batch-size", type=int, default=200)
+    tkp.add_argument("--shaper", help="path of optional Zed script for shaping")
     tkp.add_argument("--resume", action="store_true",
                      help="resume at the destination topic's head offset")
     tkp.add_argument("--start-offset", type=int, default=None,

@@ -81,16 +81,25 @@ def sync_batches(
     total = 0
     offset = start_offset
     while True:
-        batch = pool.read_batch(topic, offset, batch_size, transform=transform)
-        rows = batch.count()
-        if rows == 0:
+        # Scan progress tracks the RAW batch, with the shaper applied
+        # only to what's produced.  (The reference advances by the
+        # POST-shaper count — fifo/to.go:51 — which re-sends the tail
+        # of any batch the shaper thinned, and its loop would also stop
+        # early on a fully-dropped batch.  Progress-by-scan avoids both
+        # without changing shaper semantics.)
+        raw = pool.read_batch(topic, offset, batch_size)
+        stats = raw.agg(
+            F.count(F.lit(1)).alias("n"), F.max("kafka.offset").alias("mx")
+        ).collect()[0]
+        if stats["n"] == 0:
             return total
-        produce(batch)
-        total += rows
-        # next offset = max offset in batch + 1 (ordered, monotonic)
-        offset = (
-            batch.agg(F.max("kafka.offset").alias("mx")).collect()[0]["mx"] + 1
-        )
+        batch = transform(raw) if transform is not None else raw
+        rows = batch.count() if transform is not None else stats["n"]
+        if rows:
+            produce(batch)
+            total += rows
+        # next offset = max RAW offset in the scan window + 1
+        offset = stats["mx"] + 1
 
 
 def sync_once(

@@ -24,6 +24,7 @@ from zinger_spark.zedql.compiler import (
     compile_query,
     compile_rule_seq,
     looks_like_zed,
+    zed_transform,
 )
 
 __all__ = [
@@ -36,4 +37,5 @@ __all__ = [
     "compile_query",
     "compile_rule_seq",
     "looks_like_zed",
+    "zed_transform",
 ]

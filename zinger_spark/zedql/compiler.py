@@ -697,6 +697,32 @@ def compile_query(
         _DECLS.reset(token)
 
 
+def zed_transform(text: str) -> Callable[[DataFrame], DataFrame]:
+    """Compile a Zed script into a DataFrame->DataFrame transform — the
+    RunLocalQuery analog (fifo/lake.go:94-106) behind the `-shaper`
+    flag of from-kafka/to-kafka (cli/shaper.go:12-14,
+    cmd/zync/from-kafka/command.go:276-285).  Parsed once; compiled
+    against each batch's schema."""
+    prog = parse(text)
+    decls = {d.name: d.spark_type for d in prog.decls}
+
+    def t(df: DataFrame) -> DataFrame:
+        ctx = Ctx(
+            df.sparkSession,
+            lambda name: (_ for _ in ()).throw(
+                ZedCompileError(f"shaper scripts cannot read sources ({name!r})")
+            ),
+            decls,
+        )
+        token = _DECLS.set(decls)
+        try:
+            return compile_seq(df, prog.seq, ctx)
+        finally:
+            _DECLS.reset(token)
+
+    return t
+
+
 def compile_predicate(text: str) -> Column:
     """Compile a standalone Zed boolean expression to an unbound Column
     (YAML `where` clauses like `value.op in ["c", "r"]`,
