@@ -294,6 +294,45 @@ def test_unknown_function(ev):
 
 
 # --------------------------------------------------------------------------
+# Robustness: the dialect is user-facing (YAML blocks, --shaper files,
+# cli query -z), so malformed input must raise ZedSyntaxError — never
+# hang, recurse forever, or escape an internal exception.
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @given(st.text(alphabet=st.characters(codec="ascii"), max_size=200))
+    @settings(max_examples=300, deadline=None)
+    def test_parser_never_escapes_internal_errors(text):
+        try:
+            parse(text)
+        except ZedSyntaxError:
+            pass
+
+    _TOKENS = st.sampled_from(
+        "from fork switch case default pool yield sort head tail cut drop "
+        "where put rename uniq fuse pass join anti on by count sum min max "
+        'this in and or not ( ) { } [ ] | => := == != < > <= >= , . : '
+        '"s" 42 3.5 true false null x kafka.topic <done> type done ='.split()
+    )
+
+    @given(st.lists(_TOKENS, max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_parser_token_soup(tokens):
+        try:
+            parse(" ".join(tokens))
+        except ZedSyntaxError:
+            pass
+
+
+# --------------------------------------------------------------------------
 # End-to-end: the reference's full generated program
 # (ztests/etl-zed.yaml golden — the exact text `zync etl -zed` prints
 # for demo/invoices.yaml)

@@ -6,8 +6,19 @@ named-type tags ('data' | 'done' | ...; see datamodel.py — Spark rows in
 one DataFrame share a schema, so named types ride a tag column instead
 of per-value types).  Every operator is a declarative DataFrame
 transformation, so Catalyst sees the whole program: filters in `from`
-legs push into the scan, `switch`/`fork` branches are filtered reuses of
-one plan, joins are equi-joins on compiled key expressions.
+legs push into the scan, `switch`/`fork` branches are filters off one
+parent plan, joins are equi-joins on compiled key expressions.
+
+Scale note: an N-branch switch/fork union is N filtered instances of
+the parent plan — Spark reuses exchanges, not scans, so a cold parent
+is read up to N times.  The hot path already avoids this: EtlPipeline
+persists the incremental input window before fanning out into rules
+(planner.py `_assign_offsets` persist), and that window is the only
+thing a production switch sees.  For standalone `compile_query`
+programs whose fan-out input is expensive, persist the input `df`
+yourself before compiling, or accept the reference's own behavior —
+it re-scans the entire pool per output topic by design
+(etl/build.go:9-18 "brute force approach").
 
 Zed semantics follow the reference's usage (citations inline):
   - `from (pool A => f  pool B => g) | anti join on l=r` — the two legs

@@ -809,7 +809,10 @@ def _is_predicate(e: ast.Expr) -> bool:
 
 def parse(text: str, decls: dict[str, T.DataType] | None = None) -> ast.Program:
     """Parse a Zed program (optional leading type decls + pipeline)."""
-    return _Parser(tokenize(text), decls).parse_program()
+    try:
+        return _Parser(tokenize(text), decls).parse_program()
+    except RecursionError:
+        raise ZedSyntaxError("expression nesting too deep") from None
 
 
 def parse_expr_text(text: str) -> ast.Expr:
