@@ -74,19 +74,26 @@ def _unquote(tok: str) -> str:
 
 
 def tokenize(text: str) -> list[tuple[str, str]]:
+    return _tokenize_pos(text)[0]
+
+
+def _tokenize_pos(text: str) -> tuple[list[tuple[str, str]], list[int]]:
     toks: list[tuple[str, str]] = []
+    offs: list[int] = []
     pos = 0
     while pos < len(text):
         m = _TOKEN_RE.match(text, pos)
         if not m:
             raise ZedSyntaxError(f"unexpected character {text[pos]!r} at offset {pos}")
-        pos = m.end()
+        start, pos = m.start(), m.end()
         kind = m.lastgroup
         if kind == "ws":
             continue
         toks.append((kind, m.group()))
+        offs.append(start)
     toks.append(("eof", ""))
-    return toks
+    offs.append(len(text))
+    return toks, offs
 
 
 # --------------------------------------------------------------------------
@@ -118,10 +125,22 @@ _PRIMS: dict[str, T.DataType] = {
 
 
 class _Parser:
-    def __init__(self, toks: list[tuple[str, str]], decls: dict[str, T.DataType] | None = None):
+    def __init__(
+        self,
+        toks: list[tuple[str, str]],
+        decls: dict[str, T.DataType] | None = None,
+        offsets: list[int] | None = None,
+    ):
         self.toks = toks
+        self.offsets = offsets
         self.i = 0
         self.decls: dict[str, T.DataType] = dict(decls or {})
+
+    def _err(self, msg: str) -> ZedSyntaxError:
+        if self.offsets is not None:
+            j = min(self.i, len(self.offsets) - 1)
+            return ZedSyntaxError(f"{msg} (at offset {self.offsets[j]})")
+        return ZedSyntaxError(msg)
 
     # -- token helpers ----------------------------------------------------
     def peek(self, k: int = 0) -> tuple[str, str]:
@@ -143,13 +162,13 @@ class _Parser:
     def expect(self, value: str) -> None:
         kind, tok = self.peek()
         if tok != value or kind == "eof":
-            raise ZedSyntaxError(f"expected {value!r}, found {tok!r}")
+            raise self._err(f"expected {value!r}, found {tok!r}")
         self.take()
 
     def expect_ident(self) -> str:
         kind, tok = self.take()
         if kind != "ident":
-            raise ZedSyntaxError(f"expected identifier, found {tok!r}")
+            raise self._err(f"expected identifier, found {tok!r}")
         return tok
 
     # -- types ------------------------------------------------------------
@@ -189,14 +208,14 @@ class _Parser:
                 return _PRIMS[tok]
             if tok in self.decls:
                 return self.decls[tok]
-            raise ZedSyntaxError(f"unknown type name {tok!r}")
-        raise ZedSyntaxError(f"expected type, found {tok!r}")
+            raise self._err(f"unknown type name {tok!r}")
+        raise self._err(f"expected type, found {tok!r}")
 
     def _field_name(self) -> str:
         kind, tok = self.take()
         if kind in ("ident", "string"):
             return _unquote(tok) if kind == "string" else tok
-        raise ZedSyntaxError(f"expected field name, found {tok!r}")
+        raise self._err(f"expected field name, found {tok!r}")
 
     # -- expressions ------------------------------------------------------
     def parse_expr(self) -> ast.Expr:
@@ -355,7 +374,7 @@ class _Parser:
             if self.at("("):
                 return self._call(tok)
             return ast.Path([tok])
-        raise ZedSyntaxError(f"expected expression, found {tok!r}")
+        raise self._err(f"expected expression, found {tok!r}")
 
     def _type_literal(self) -> ast.TypeName:
         self.expect("<")
@@ -374,10 +393,10 @@ class _Parser:
         if name == "is":
             if len(args) == 1 and isinstance(args[0], ast.TypeName):
                 return ast.IsType(args[0].name)
-            raise ZedSyntaxError("is() takes one <type> argument")
+            raise self._err("is() takes one <type> argument")
         if name == "cast":
             if len(args) != 2:
-                raise ZedSyntaxError("cast() takes (expr, type)")
+                raise self._err("cast() takes (expr, type)")
             return ast.CastExpr(args[0], args[1])
         return ast.Call(name, args)
 
@@ -394,7 +413,7 @@ class _Parser:
             else:
                 e = self.parse_expr()
                 if not isinstance(e, ast.Path) or not e.parts:
-                    raise ZedSyntaxError("record literal field needs a name")
+                    raise self._err("record literal field needs a name")
                 fields.append((e.parts[-1], e))
             if self.at(","):
                 self.take()
@@ -457,7 +476,7 @@ class _Parser:
             decls.append(ast.TypeDecl(name, st))
         seq = self.parse_seq(stop=frozenset())
         if self.peek()[0] != "eof":
-            raise ZedSyntaxError(f"unexpected trailing input at {self.peek()[1]!r}")
+            raise self._err(f"unexpected trailing input at {self.peek()[1]!r}")
         return ast.Program(decls, seq)
 
     def parse_seq(self, stop: frozenset[str]) -> ast.Seq:
@@ -509,7 +528,7 @@ class _Parser:
                 aggs = []
                 for path, rhs in assigns:
                     if not (isinstance(rhs, ast.Call) and rhs.name in self.AGG_FUNCS):
-                        raise ZedSyntaxError("cannot mix aggregates and puts")
+                        raise self._err("cannot mix aggregates and puts")
                     aggs.append(
                         ast.AggSpec(".".join(path), rhs.name, rhs.args[0] if rhs.args else None)
                     )
@@ -527,7 +546,7 @@ class _Parser:
     def _as_path(self, e: ast.Expr) -> list[str]:
         if isinstance(e, ast.Path) and e.parts:
             return e.parts
-        raise ZedSyntaxError("assignment target must be a field path")
+        raise self._err("assignment target must be a field path")
 
     def _starts_expr(self, stop: frozenset[str]) -> bool:
         kind, tok = self.peek()
@@ -568,7 +587,7 @@ class _Parser:
             return _unquote(tok)
         if kind == "ident":
             return tok
-        raise ZedSyntaxError(f"expected pool/table name, found {tok!r}")
+        raise self._err(f"expected pool/table name, found {tok!r}")
 
     def _op_fork(self, stop: frozenset[str]) -> ast.Op:
         self.take()
@@ -598,7 +617,7 @@ class _Parser:
                 self.expect("=>")
                 cases.append(ast.SwitchCase(None, self.parse_seq(case_stop)))
             else:
-                raise ZedSyntaxError(f"expected case/default, found {tok!r}")
+                raise self._err(f"expected case/default, found {tok!r}")
         self.expect(")")
         return ast.OpSwitch(subject, cases)
 
@@ -631,7 +650,7 @@ class _Parser:
             self.take()
             flag = self.expect_ident()
             if flag != "r":
-                raise ZedSyntaxError(f"unknown sort flag -{flag}")
+                raise self._err(f"unknown sort flag -{flag}")
             reverse = True
         keys: list[ast.SortKey] = []
         while True:
@@ -752,7 +771,7 @@ class _Parser:
                 self.take()
             func = self.expect_ident()
             if func not in self.AGG_FUNCS:
-                raise ZedSyntaxError(f"unknown aggregate {func!r}")
+                raise self._err(f"unknown aggregate {func!r}")
             self.expect("(")
             arg = None
             if not self.at(")"):
@@ -783,7 +802,7 @@ class _Parser:
                     if isinstance(e, ast.Path) and e.parts:
                         by.append((e.parts[-1], e))
                     else:
-                        raise ZedSyntaxError("grouping expression needs name:=expr")
+                        raise self._err("grouping expression needs name:=expr")
                 if self.at(","):
                     self.take()
                     continue
@@ -810,7 +829,8 @@ def _is_predicate(e: ast.Expr) -> bool:
 def parse(text: str, decls: dict[str, T.DataType] | None = None) -> ast.Program:
     """Parse a Zed program (optional leading type decls + pipeline)."""
     try:
-        return _Parser(tokenize(text), decls).parse_program()
+        toks, offs = _tokenize_pos(text)
+        return _Parser(toks, decls, offsets=offs).parse_program()
     except RecursionError:
         raise ZedSyntaxError("expression nesting too deep") from None
 
@@ -818,10 +838,11 @@ def parse(text: str, decls: dict[str, T.DataType] | None = None) -> ast.Program:
 def parse_expr_text(text: str) -> ast.Expr:
     """Parse a standalone Zed expression (e.g. a YAML rule's `where`
     clause, README.md:299), requiring the whole input to be consumed."""
-    p = _Parser(tokenize(text))
+    toks, offs = _tokenize_pos(text)
+    p = _Parser(toks, offsets=offs)
     e = p.parse_expr()
     if p.peek()[0] != "eof":
-        raise ZedSyntaxError(f"trailing input after expression: {p.peek()[1]!r}")
+        raise p._err(f"trailing input after expression: {p.peek()[1]!r}")
     return e
 
 
