@@ -181,6 +181,18 @@ def test_switch_first_match(ev):
     assert rows == [(1, "hi"), (2, "view"), (3, "hi"), (4, "rest")]
 
 
+def test_switch_null_predicate_falls_through(spark):
+    """A NULL case predicate means "not matched": the row must reach a
+    later case or the default, not vanish (3VL: true & ~NULL = NULL)."""
+    df = spark.createDataFrame([(1, None), (2, 5.0)], "id long, v double")
+    out = run(
+        df,
+        'switch ( case v > 3.0 => yield {id: id, r: "hi"} '
+        'default => yield {id: id, r: "rest"} ) | sort id',
+    )
+    assert [(r.id, r.r) for r in out.collect()] == [(1, "rest"), (2, "hi")]
+
+
 def test_fork_fuses_heterogeneous_branches(ev):
     out = run(ev, "fork ( => yield {a: id} => yield {b: kind} )")
     assert set(out.columns) == {"a", "b"}

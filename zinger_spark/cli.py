@@ -36,8 +36,16 @@ def cmd_etl(args) -> int:
     from .sources.pool import Pool
 
     transform = load_transform(args.config)
+    if getattr(args, "emit_zed", False):
+        # `zync etl -zed` exact output (cmd/zync/etl/command.go:64-71,
+        # golden ztests/etl-zed.yaml): the generated Zed programs,
+        # '\n===\n'-joined
+        from .etl import zedgen
+
+        print("\n===\n".join(zedgen.build(transform)))
+        return 0
     if args.explain:
-        # the `zync etl -zed` analog (cmd/zync/etl/command.go:64-71)
+        # this engine's plan text (explain golden)
         print(explain(transform))
         return 0
     spark = _spark(args)
@@ -453,6 +461,8 @@ def main(argv: list[str] | None = None) -> int:
     etl.add_argument("config")
     etl.add_argument("--lake", default=".", help="directory holding pools")
     etl.add_argument("--explain", action="store_true", help="print plan, don't run")
+    etl.add_argument("--emit-zed", action="store_true",
+                     help="print the generated Zed programs (zync etl -zed)")
     etl.add_argument("--continuous", action="store_true",
                      help="keep running: one incremental run per new "
                      "input-pool commit (EtlPipeline.run_stream)")

@@ -553,6 +553,9 @@ def _switch(df: DataFrame, op: ast.OpSwitch, ctx: Ctx) -> DataFrame:
         cond = compile_expr(case.cond, df)
         if op.subject is not None:
             cond = compile_expr(op.subject, df) == cond
+        # three-valued logic: a NULL predicate is "not matched", and must
+        # not poison later cases (true & ~NULL = NULL would drop the row)
+        cond = F.coalesce(cond, F.lit(False))
         eff = cond if prev is None else cond & ~prev
         prev = cond if prev is None else prev | cond
         sub_ctx = Ctx(ctx.spark, ctx.source, ctx.decls, ctx.order)
