@@ -678,7 +678,13 @@ class _Parser:
 
     def _opt_count(self) -> int:
         if self.peek()[0] == "number":
-            return int(self.take()[1])
+            tok = self.peek()[1]
+            try:
+                n = int(tok)
+            except ValueError:
+                raise self._err(f"head/tail count must be an integer, found {tok!r}")
+            self.take()
+            return n
         return 1
 
     def _op_cut(self, stop: frozenset[str]) -> ast.Op:
