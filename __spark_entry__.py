@@ -1660,6 +1660,35 @@ def _q_tpch_q20(spark, sf):
     )
 
 
+def _q_dedup_incremental_exact(spark, sf):
+    """Exact dedup of a NEW batch against an existing corpus — the
+    maintained-index workflow (you never re-dedup 100 TB per crawl).
+    Anti-join on the content hash; Spark injects a runtime bloom filter
+    on the corpus side (runtime.bloomFilter.enabled default-on)."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return zdedup.incremental_exact_dedup(corpus, new).select(
+        "doc_id", "content_hash"
+    )
+
+
+def _q_dedup_incremental_minhash(spark, sf):
+    """Near-dup pairs touching a NEW batch, via the persisted minhash
+    index: candidates probe only the buckets the batch lands in, so
+    per-batch cost is O(|batch| + matched buckets), not O(corpus).
+    Oracle-parity form: cap high enough to never bind (the production
+    default caps degenerate buckets over the COMBINED postings)."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    index = zdedup.build_minhash_index(corpus, parallelism=32)
+    pairs, _new_index = zdedup.incremental_minhash_pairs(
+        index, new, jaccard_threshold=0.4, max_bucket=1_000_000, parallelism=32
+    )
+    return pairs.select("doc_a", "doc_b")
+
+
 # ---------------------------------------------------------------------------
 # zedql: queries written in the reference's own Zed dialect (the text
 # form zync generates and users author — etl/build.go:86-109,
@@ -1736,7 +1765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (never driver-verified), then the r5 window in its prior order
     # (all green in r5; kept near the front as churn insurance).
     return {
-        # -- new in r6: Zed-dialect text queries through zedql ---------
+        # -- new in r6: incremental dedup + Zed-dialect queries --------
+        "dedup_incremental_exact": _q_dedup_incremental_exact,
+        "dedup_incremental_minhash": _q_dedup_incremental_minhash,
         "zq_filter_cut": _q_zq_filter_cut,
         "zq_agg_by": _q_zq_agg_by,
         "zq_agg_where": _q_zq_agg_where,
@@ -1914,7 +1945,9 @@ def _sql_langid_query() -> str:
     """
 
 
-def _sql_minhash_lsh(num_hashes: int, bands: int, shingle_k: int, thr: float) -> str:
+def _sql_minhash_lsh(
+    num_hashes: int, bands: int, shingle_k: int, thr: float, extra: str = ""
+) -> str:
     from zinger_spark.operators.dedup import MINHASH_P30, MINHASH_P31, minhash_coeffs
 
     rpb = num_hashes // bands
@@ -1945,6 +1978,7 @@ def _sql_minhash_lsh(num_hashes: int, bands: int, shingle_k: int, thr: float) ->
     JOIN sigs sb ON sb.doc_id = c.b
     WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
           / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE >= {thr}
+          {extra}
     """
 
 
@@ -2024,6 +2058,24 @@ def oracle_sql() -> dict[str, str]:
     cos = _sql_cosine("v", "q")
     norm_hash = _sql_md5h(_SQL_NORM_TEXT)
     return {
+        "dedup_incremental_exact": """
+            WITH fp AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS content_hash
+              FROM documents)
+            SELECT doc_id, content_hash FROM fp n
+            WHERE doc_id % 5 = 0
+              AND NOT EXISTS (SELECT 1 FROM fp c
+                              WHERE c.doc_id % 5 != 0
+                                AND c.content_hash = n.content_hash)
+              AND NOT EXISTS (SELECT 1 FROM fp e
+                              WHERE e.doc_id % 5 = 0
+                                AND e.content_hash = n.content_hash
+                                AND e.doc_id < n.doc_id)
+        """,
+        "dedup_incremental_minhash": _sql_minhash_lsh(
+            16, 4, 5, 0.4, extra="AND (c.a % 5 = 0 OR c.b % 5 = 0)"
+        ),
         "zq_filter_cut": """
             SELECT event_id, event_type, value FROM events
             WHERE event_type IN ('click','view') AND value >= 250.0

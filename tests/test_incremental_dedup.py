@@ -1,0 +1,107 @@
+"""Incremental dedup: new batch vs a maintained corpus index.
+
+Equivalence contract: incremental_minhash_pairs over (index(corpus),
+new) yields exactly the pairs of minhash_lsh_pairs(corpus ∪ new) that
+touch a new doc — the index buys incrementality, never different
+answers.  Plus index save/load/merge round-trips and the exact-dedup
+keep rules."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zinger_spark.operators import dedup as zd
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = []
+    for i in range(30):
+        if i % 7 == 0:
+            text = base  # exact-dup cluster
+        elif i % 7 == 1:
+            text = base + f" variant {i}"  # near-dup of base
+        else:
+            text = f"document {i} " + " ".join(f"tok{i}_{j}" for j in range(12))
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def split(docs):
+    return docs.filter(F.col("doc_id") % 5 != 0), docs.filter(F.col("doc_id") % 5 == 0)
+
+
+def test_incremental_exact_keep_rules(spark, docs):
+    corpus, new = split(docs)
+    fresh = zd.incremental_exact_dedup(corpus, new)
+    ids = {r.doc_id for r in fresh.collect()}
+    # doc 0/5/10/... with i%7==0 (0) duplicates corpus copies (7, 14, 21, 28) -> dropped
+    assert 0 not in ids
+    # within-batch dup: none of the %5 docs share text besides the base cluster
+    # unique new docs survive
+    assert 5 in ids and 10 in ids
+    # every surviving hash is absent from the corpus
+    corpus_hashes = {
+        r.content_hash for r in zd.dedup_exact(corpus).select("content_hash").collect()
+    }
+    for r in fresh.collect():
+        assert r.content_hash not in corpus_hashes
+
+
+def test_incremental_matches_full_restricted(spark, docs):
+    corpus, new = split(docs)
+    full = zd.minhash_lsh_pairs(docs, jaccard_threshold=0.3, max_bucket=10**6)
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in full.collect()
+        if r.doc_a % 5 == 0 or r.doc_b % 5 == 0
+    }
+    index = zd.build_minhash_index(corpus)
+    pairs, _ = zd.incremental_minhash_pairs(
+        index, new, jaccard_threshold=0.3, max_bucket=10**6
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == want
+    assert want, "fixture must produce at least one touching-new pair"
+
+
+def test_index_save_load_merge_roundtrip(spark, docs, tmp_path):
+    corpus, new = split(docs)
+    index = zd.build_minhash_index(corpus)
+    zd.save_minhash_index(index, str(tmp_path / "idx"))
+    loaded = zd.load_minhash_index(spark, str(tmp_path / "idx"))
+    pairs_mem, new_idx = zd.incremental_minhash_pairs(
+        index, new, jaccard_threshold=0.3, max_bucket=10**6
+    )
+    pairs_disk, _ = zd.incremental_minhash_pairs(
+        loaded, new, jaccard_threshold=0.3, max_bucket=10**6
+    )
+    assert {tuple(r) for r in pairs_mem.collect()} == {
+        tuple(r) for r in pairs_disk.collect()
+    }
+    # merged index == index built over the whole corpus (row-set equal)
+    merged = zd.merge_minhash_index(loaded, new_idx)
+    whole = zd.build_minhash_index(docs)
+    for name in ("bands", "sizes"):
+        assert {tuple(r) for r in merged[name].collect()} == {
+            tuple(r) for r in whole[name].collect()
+        }
+
+
+def test_second_batch_sees_first(spark, docs, tmp_path):
+    """The maintained-index loop: accept batch 1, merge, then batch 2
+    finds its dups against batch-1 docs."""
+    corpus = docs.filter(F.col("doc_id") < 10)
+    b1 = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+    b2 = docs.filter(F.col("doc_id") >= 20)
+    index = zd.build_minhash_index(corpus)
+    _, idx1 = zd.incremental_minhash_pairs(index, b1, jaccard_threshold=0.3,
+                                           max_bucket=10**6)
+    index = zd.merge_minhash_index(index, idx1)
+    pairs2, _ = zd.incremental_minhash_pairs(index, b2, jaccard_threshold=0.3,
+                                             max_bucket=10**6)
+    got = {(r.doc_a, r.doc_b) for r in pairs2.collect()}
+    # doc 21 (i%7==0, exact base) must pair with doc 14 from batch 1
+    assert (14, 21) in got

@@ -491,3 +491,211 @@ def edit_distance_join(
         .filter(F.col("dist") <= k)
         .select("a", "b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs an existing corpus index.
+#
+# At 100 TB you never re-dedup the whole corpus per crawl — you maintain
+# an index and join each NEW batch against it.  Two tiers:
+#   incremental_exact_dedup   content-hash anti-join (Catalyst injects a
+#                             runtime bloom filter on the corpus side —
+#                             spark.sql.optimizer.runtime.bloomFilter
+#                             .enabled is on by default — so the scan of
+#                             the new batch is bloom-prefiltered before
+#                             the shuffle)
+#   build_minhash_index /     persisted (bands, shingles, sizes) frames;
+#   incremental_minhash_pairs candidates = new-bands ⋈ (index ∪ new)
+#                             bands, so cost ∝ batch size + matched
+#                             buckets, never corpus size
+
+
+def incremental_exact_dedup(
+    corpus: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of ``new`` whose normalized content does not already occur
+    in ``corpus`` (nor earlier in ``new`` itself — first id wins, the
+    same keep rule as dedup_exact).
+
+    One shuffle on an 8-byte hash for the anti-join; the corpus side
+    aggregates to distinct hashes first (partial agg), and Spark's
+    runtime bloom filter prunes new-batch partitions before the
+    exchange.  Store the corpus as the running union of accepted
+    batches' (content_hash) column to make this O(|new|) per step.
+    """
+    h = fingerprint(F.col(text_col)).alias("__fp")
+    corpus_hashes = corpus.select(fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    fresh_in_batch = (
+        new.select(F.col(id_col), F.col(text_col), h)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    return (
+        fresh_in_batch.join(corpus_hashes, "__fp", "left_anti")
+        .select(id_col, text_col, F.col("__fp").alias("content_hash"))
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    parallelism: int | None = None,
+) -> dict[str, DataFrame]:
+    """The persistent minhash state for incremental near-dup: three
+    frames keyed by doc id —
+
+      bands     (id, band, band_key)   the LSH bucket postings
+      shingles  (id, hx)               xxhash64 shingle set (exact-
+                                       jaccard verification)
+      sizes     (id, n)                distinct-shingle count
+
+    Persist with ``save_minhash_index``; at scale, write ``bands``
+    partitioned/bucketed by (band, band_key-hash) so the incremental
+    candidate join co-locates, and ``shingles`` bucketed by id so the
+    verify join does.  Storage is ~8 bytes per shingle — the same
+    order as the text itself."""
+    if parallelism and parallelism > 1:
+        df = df.repartition(parallelism, F.col(id_col))
+    rows_per_band = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+    sh = exploded_shingles(df, text_col, id_col, shingle_k)
+    hashed = sh.select(
+        "id",
+        (md5_hash60(F.col("s")) % MINHASH_P30).alias("hm"),
+        F.xxhash64("s").alias("hx"),
+    )
+    hashed = _materialize(hashed)
+    sigs = hashed.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % MINHASH_P31).alias(f"__s{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"__s{b * rows_per_band + j}").cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    return {
+        "bands": banded,
+        "shingles": hashed.select("id", "hx"),
+        "sizes": sigs.select("id", "n"),
+    }
+
+
+def save_minhash_index(index: dict[str, DataFrame], path: str) -> None:
+    for name, df in index.items():
+        df.write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def load_minhash_index(spark, path: str) -> dict[str, DataFrame]:
+    return {name: spark.read.parquet(f"{path}/{name}") for name in ("bands", "shingles", "sizes")}
+
+
+def merge_minhash_index(a: dict[str, DataFrame], b: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    return {name: a[name].unionByName(b[name]) for name in ("bands", "shingles", "sizes")}
+
+
+def incremental_minhash_pairs(
+    index: dict[str, DataFrame],
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 1000,
+    parallelism: int | None = None,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Near-dup pairs touching the NEW batch: new×corpus and new×new,
+    with the same banded-candidate + exact-jaccard semantics as
+    minhash_lsh_pairs (pair output (doc_a < doc_b, jaccard)).
+
+    Returns (pairs, new_index) — union the new index into the stored
+    one (merge_minhash_index) once the batch is accepted.
+
+    Cost model: the candidate join probes only the buckets the new
+    batch lands in — the corpus ``bands`` frame is hit with an
+    equi-join on (band, band_key) whose left side is tiny, so with the
+    index bucketed on those keys this is a map-side join against the
+    matched buckets, never a corpus scan.  The hot-bucket cap is
+    computed over the COMBINED postings (a bucket that is degenerate
+    corpus-wide must stay capped for every future batch, or each
+    increment pays M joins against it)."""
+    new_index = build_minhash_index(
+        new_df, text_col, id_col, num_hashes, bands, shingle_k, parallelism
+    )
+    all_bands = index["bands"].unionByName(new_index["bands"])
+    hot = (
+        all_bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") > max_bucket)
+        .select("band", "band_key")
+    )
+    probe = new_index["bands"].join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    post = all_bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    cand = (
+        probe.select(F.col("id").alias("x"), "band", "band_key")
+        .join(post.select(F.col("id").alias("y"), "band", "band_key"), ["band", "band_key"])
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+    ex = merge_minhash_index(index, new_index)
+    shared = (
+        cand.join(ex["shingles"].select(F.col("id").alias("a"), "hx"), "a")
+        .join(
+            ex["shingles"].select(F.col("id").alias("__bid"), F.col("hx").alias("hxb")),
+            (F.col("b") == F.col("__bid")) & (F.col("hx") == F.col("hxb")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    if jaccard_threshold <= 0:
+        raise ValueError("jaccard_threshold must be > 0")
+    sizes = ex["sizes"]
+    pairs = (
+        shared
+        .join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+    return pairs, new_index
