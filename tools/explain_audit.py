@@ -182,6 +182,21 @@ def main() -> int:
     check("token_rarity", "CartesianProduct" not in p,
           "token-keyed equi-join, partial-aggregated")
 
+    # 13) new-in-r6: incremental dedup + zedql-compiled queries
+    p = plan_of(qs["dedup_incremental_exact"](spark, sf))
+    check("dedup_incremental_exact",
+          "CartesianProduct" not in p and "LeftAnti" in p,
+          "content-hash anti-join against corpus hashes")
+    p = plan_of(qs["dedup_incremental_minhash"](spark, sf))
+    check("dedup_incremental_minhash", "CartesianProduct" not in p,
+          "bucket-probe equi-joins only, no pair blowup")
+    p = plan_of(qs["zq_join_denorm"](spark, sf))
+    check("zq_join_denorm", "CartesianProduct" not in p,
+          "zedql join compiles to an equi-join")
+    p = plan_of(qs["zq_filter_cut"](spark, sf))
+    check("zq_filter_cut", "PushedFilters: [" in p and "In(event_type" in p,
+          "zedql leg filter pushes into the parquet scan")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0
