@@ -1689,6 +1689,19 @@ def _q_dedup_incremental_minhash(spark, sf):
     return pairs.select("doc_a", "doc_b")
 
 
+def _q_embedding_incremental_dups(spark, sf):
+    """Embedding near-dup pairs touching a NEW vector batch against the
+    maintained corpus — probe-side-only bucketing (similarity.py
+    incremental_embedding_dups); oracle-parity capless form."""
+    emb = _t(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    return zsim.incremental_embedding_dups(
+        corpus, new, threshold=0.40, dims=(0, 1, 2, 3), parallelism=32,
+        max_bucket=None,
+    )
+
+
 # ---------------------------------------------------------------------------
 # zedql: queries written in the reference's own Zed dialect (the text
 # form zync generates and users author — etl/build.go:86-109,
@@ -1768,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r6: incremental dedup + Zed-dialect queries --------
         "dedup_incremental_exact": _q_dedup_incremental_exact,
         "dedup_incremental_minhash": _q_dedup_incremental_minhash,
+        "embedding_incremental_dups": _q_embedding_incremental_dups,
         "zq_filter_cut": _q_zq_filter_cut,
         "zq_agg_by": _q_zq_agg_by,
         "zq_agg_where": _q_zq_agg_where,
@@ -2867,6 +2881,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.id AS a, r.id AS b
             FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
             WHERE {_sql_cosine("l.v", "r.v")} >= 0.40
+        """,
+        "embedding_incremental_dups": f"""
+            WITH b AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                     {_sql_sign_bucket("(embedding::DOUBLE[])", 4)} AS bucket
+              FROM embeddings
+            )
+            SELECT l.id AS a, r.id AS b
+            FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+            WHERE {_sql_cosine("l.v", "r.v")} >= 0.40
+              AND (l.id % 5 = 0 OR r.id % 5 = 0)
         """,
         "embedding_dup_pairs_multiprobe": f"""
             WITH b AS (

@@ -90,6 +90,40 @@ def test_index_save_load_merge_roundtrip(spark, docs, tmp_path):
         }
 
 
+def test_incremental_embedding_matches_full_restricted(spark):
+    from zinger_spark.operators.similarity import (
+        embedding_dup_pairs,
+        incremental_embedding_dups,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i % 6 == 0:  # a near-dup neighbor
+            rows.append((100 + i, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = embedding_dup_pairs(
+        emb, threshold=0.95, dims=(0, 1, 2), max_bucket=None
+    )
+    want = {
+        (r.a, r.b) for r in full.collect() if r.a % 5 == 0 or r.b % 5 == 0
+    }
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    got = {
+        (r.a, r.b)
+        for r in incremental_embedding_dups(
+            corpus, new, threshold=0.95, dims=(0, 1, 2), max_bucket=None
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture must produce touching-new vector pairs"
+
+
 def test_second_batch_sees_first(spark, docs, tmp_path):
     """The maintained-index loop: accept batch 1, merge, then batch 2
     finds its dups against batch-1 docs."""

@@ -469,3 +469,78 @@ def knn_join_two_phase(
         .filter(F.col("rk") <= kk)
         .select("qid", id_col, "rk")
     )
+
+
+def incremental_embedding_dups(
+    corpus: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: tuple[int, ...] = (0, 1, 2, 3),
+    max_bucket: int | None = 1000,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs touching a NEW batch (new x corpus and
+    new x new) — the maintained-index counterpart of
+    embedding_dup_pairs, same (a < b, cosine >= threshold) contract.
+
+    The probe side is only the new batch: candidates come from an
+    equi-join of new-bucket rows against the combined postings, so
+    per-batch cost is O(|batch| x matched-bucket load), never a corpus
+    self-join.  At scale, store the corpus with its (bucket, norm)
+    columns precomputed (they are pure per-row projections) and
+    partitioned by bucket — then the probe join prunes to the buckets
+    the batch lands in.  ``max_bucket`` drops degenerate buckets
+    (measured over the COMBINED postings, so a corpus-wide hot bucket
+    stays excluded for every future batch); pass None for the
+    exhaustive oracle-parity form.
+    """
+
+    def prep(df: DataFrame, flag: bool) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            as_double(F.col(vec_col)).alias("v"),
+            norm(F.col(vec_col)).alias("nv"),
+            sign_bucket(F.col(vec_col), dims).alias("bucket"),
+            F.lit(flag).alias("is_new"),
+        )
+
+    allv = prep(corpus, False).unionByName(prep(new, True))
+    if max_bucket is not None:
+        hot = (
+            allv.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__w"))
+            .filter(F.col("__w") > max_bucket)
+            .select("bucket")
+        )
+        allv = allv.join(F.broadcast(hot), "bucket", "left_anti")
+    probe = allv.filter(F.col("is_new")).select(
+        F.col("id").alias("x"), F.col("v").alias("vx"), F.col("nv").alias("nx"), "bucket"
+    )
+    if parallelism and parallelism > 1:
+        probe = probe.repartition(parallelism, F.col("x"))
+    post = allv.select(
+        F.col("id").alias("y"), F.col("v").alias("vy"), F.col("nv").alias("ny"), "bucket"
+    )
+    cand = (
+        probe.join(post, "bucket")
+        .filter(F.col("x") != F.col("y"))
+        # new x new pairs are generated from both orientations; pairs
+        # with an old side only once — canonicalize + distinct on ids
+        # BEFORE scoring so each pair costs one dot fold
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+            F.when(F.col("x") < F.col("y"), F.col("vx")).otherwise(F.col("vy")).alias("va"),
+            F.when(F.col("x") < F.col("y"), F.col("vy")).otherwise(F.col("vx")).alias("vb"),
+            F.when(F.col("x") < F.col("y"), F.col("nx")).otherwise(F.col("ny")).alias("na"),
+            F.when(F.col("x") < F.col("y"), F.col("ny")).otherwise(F.col("nx")).alias("nb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("a", "b")
+    )
