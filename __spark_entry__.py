@@ -1702,6 +1702,18 @@ def _q_embedding_incremental_dups(spark, sf):
     )
 
 
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup composition: IVF-cell clustering (centroids = first 8
+    embeddings, the same deterministic stand-in as ann_ivf_topk) ->
+    within-cell cosine pairs -> connected components -> keep min id."""
+    emb = _t(spark, sf, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return zsim.semantic_dedup(emb, cents, threshold=0.40)
+
+
 # ---------------------------------------------------------------------------
 # zedql: queries written in the reference's own Zed dialect (the text
 # form zync generates and users author — etl/build.go:86-109,
@@ -1782,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_exact": _q_dedup_incremental_exact,
         "dedup_incremental_minhash": _q_dedup_incremental_minhash,
         "embedding_incremental_dups": _q_embedding_incremental_dups,
+        "semantic_dedup": _q_semantic_dedup,
         "zq_filter_cut": _q_zq_filter_cut,
         "zq_agg_by": _q_zq_agg_by,
         "zq_agg_where": _q_zq_agg_where,
@@ -2881,6 +2894,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.id AS a, r.id AS b
             FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
             WHERE {_sql_cosine("l.v", "r.v")} >= 0.40
+        """,
+        "semantic_dedup": f"""
+            WITH RECURSIVE cents AS (
+              SELECT vec_id AS cell, embedding::DOUBLE[] AS c
+              FROM embeddings WHERE vec_id < 8
+            ),
+            scored AS (
+              SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {_sql_cosine("c.c", "(e.embedding::DOUBLE[])")} DESC, c.cell) AS rn
+              FROM embeddings e CROSS JOIN cents c
+            ),
+            assigned AS (SELECT vec_id, v, cell FROM scored WHERE rn = 1),
+            pairs AS (
+              SELECT l.vec_id AS a, r.vec_id AS b
+              FROM assigned l JOIN assigned r
+                ON l.cell = r.cell AND l.vec_id < r.vec_id
+              WHERE {_sql_cosine("l.v", "r.v")} >= 0.40
+            ),
+            edges AS (SELECT a AS s, b AS t FROM pairs UNION SELECT b, a FROM pairs),
+            reach AS (
+              SELECT vec_id AS x, vec_id AS l FROM embeddings
+              UNION
+              SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.x
+            )
+            SELECT x AS vec_id, min(l) AS rep_id, (x = min(l)) AS keep
+            FROM reach GROUP BY x
         """,
         "embedding_incremental_dups": f"""
             WITH b AS (

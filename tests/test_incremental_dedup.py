@@ -124,6 +124,25 @@ def test_incremental_embedding_matches_full_restricted(spark):
     assert want, "fixture must produce touching-new vector pairs"
 
 
+def test_semantic_dedup_keeps_one_per_component(spark):
+    from zinger_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.998, 0.02, 0.0, 0.0]),   # near-dup of 0/1 (one component)
+        (3, [0.0, 1.0, 0.0, 0.0]),      # its own cluster
+        (4, [-1.0, 0.0, 0.0, 0.0]),     # opposite cell, singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    out = {r.vec_id: (r.rep_id, r.keep) for r in
+           semantic_dedup(emb, cents, threshold=0.99).collect()}
+    assert out[0] == (0, True)
+    assert out[1] == (0, False) and out[2] == (0, False)
+    assert out[3] == (3, True) and out[4] == (4, True)
+
+
 def test_second_batch_sees_first(spark, docs, tmp_path):
     """The maintained-index loop: accept batch 1, merge, then batch 2
     finds its dups against batch-1 docs."""

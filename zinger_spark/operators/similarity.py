@@ -544,3 +544,64 @@ def incremental_embedding_dups(
         .filter(F.col("cos") >= F.lit(threshold))
         .select("a", "b")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): cluster the embedding space, find near-duplicate pairs
+    WITHIN each cluster only, and keep one representative (min id) per
+    duplicate component.  Returns (id, rep_id, keep).
+
+    The clustering step is the scale lever: pair search is confined to
+    cells, so the candidate space is sum-over-cells O(m_i^2) instead of
+    O(n^2), and each cell's self-join co-locates on the cell key.
+    ``centroids`` come from an offline k-means (at 100 TB: sample-fit,
+    then one `ivf_assign_numpy` pass); at realistic k (thousands), cell
+    load n/k bounds the per-cell quadratic term, and ``max_cell`` drops
+    degenerate cells the same way the LSH paths cap hot buckets.
+    Components via alternating large-star/small-star rounds
+    (operators/graph.py) — O(log^2 n) rounds for any cluster shape.
+    """
+    from zinger_spark.operators.graph import connected_components  # noqa: PLC0415
+
+    assigned = ivf_assign(df, centroids, vec_col).select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
+        "ivf_cell",
+    )
+    if max_cell is not None:
+        hot = (
+            assigned.groupBy("ivf_cell")
+            .agg(F.count(F.lit(1)).alias("__w"))
+            .filter(F.col("__w") > max_cell)
+            .select("ivf_cell")
+        )
+        assigned = assigned.join(F.broadcast(hot), "ivf_cell", "left_anti")
+    left = assigned.select(
+        F.col("id").alias("a"), F.col("v").alias("va"), F.col("nv").alias("na"), "ivf_cell"
+    )
+    right = assigned.select(
+        F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nv").alias("nb"), "ivf_cell"
+    )
+    edges = (
+        left.join(right, "ivf_cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("a", "b")
+    )
+    verts = df.select(F.col(id_col).alias("id"))
+    comp = connected_components(verts, edges, algorithm="star")
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("cluster_id").alias("rep_id"),
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )
