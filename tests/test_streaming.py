@@ -143,6 +143,44 @@ def test_ingest_commit_idempotent_on_replay(spark, tmp_path):
     assert pool.df().count() == 3
 
 
+def test_commit_batch_dedup_values(spark, tmp_path):
+    """dedup_values=True: exact value-content dedup at ingest — rows
+    whose value already exists in the pool (or earlier in the batch)
+    are dropped; an all-duplicate batch still advances the txn sidecar
+    (it was processed, not lost)."""
+    pool = Pool.create(spark, str(tmp_path / "pool"))
+    env_schema = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint>, _type string"
+    )
+    b0 = spark.createDataFrame(
+        [
+            (("T", 0, 0), None, (10,), "data"),
+            (("T", 0, 1), None, (10,), "data"),  # within-batch dup
+            (("T", 0, 2), None, (20,), "data"),
+        ],
+        env_schema,
+    )
+    assert fk.commit_batch(pool, b0, 0, "app", dedup_values=True) is True
+    got = sorted(
+        (r["kafka"]["offset"], r["value"]["a"]) for r in pool.df().collect()
+    )
+    assert got == [(0, 10), (2, 20)]  # first occurrence kept
+    # next batch: one cross-batch dup, one fresh
+    b1 = spark.createDataFrame(
+        [(("T", 0, 3), None, (20,), "data"), (("T", 0, 4), None, (30,), "data")],
+        env_schema,
+    )
+    assert fk.commit_batch(pool, b1, 1, "app", dedup_values=True) is True
+    assert sorted(r["value"]["a"] for r in pool.df().collect()) == [10, 20, 30]
+    # an all-duplicate batch: nothing commits, but the batch id advances
+    b2 = spark.createDataFrame([(("T", 0, 5), None, (10,), "data")], env_schema)
+    assert fk.commit_batch(pool, b2, 2, "app", dedup_values=True) is False
+    assert fk.commit_batch(pool, b2, 2, "app", dedup_values=True) is False  # replay
+    assert pool.df().count() == 3
+    assert (pool.read_sidecar(fk.INGEST_TXN_SIDECAR) or {}).get("app") == 2
+
+
 def test_ingest_stream_restart_no_duplicates(spark, tmp_path):
     """End-to-end replay: run the same availableNow ingest twice with a
     FRESH checkpoint the second time (the worst case — the stream

@@ -109,12 +109,41 @@ def monotonic_guard(batch: DataFrame, saved: dict[str, int]) -> None:
 INGEST_TXN_SIDECAR = "_ingest_txn.json"
 
 
+def _dedup_against_pool(pool: Pool, batch: DataFrame) -> DataFrame:
+    """Drop batch rows whose ``value`` content already exists in the
+    pool (exact, hash of the canonical JSON), keeping the first
+    occurrence (lowest offset) within the batch — dedup-at-ingest for
+    pipelines whose upstream re-sends records.  One pool-side
+    projection to distinct hashes + an anti-join; Spark's runtime bloom
+    filter prunes the batch scan.  At scale, keep the hash column in
+    the pool (it is this same expression) so the projection reads one
+    column; for near-dup-at-ingest run the maintained-index operators
+    (operators/dedup.incremental_minhash_pairs) as a downstream ETL
+    instead — a per-micro-batch LSH join does not belong in the commit
+    path."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    fp = F.xxhash64(F.to_json(F.col("value")))
+    w = Window.partitionBy("__fp").orderBy(F.col("kafka.offset"))
+    batch = (
+        batch.withColumn("__fp", fp)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    if not pool.is_empty():
+        seen = pool.df().select(fp.alias("__fp")).distinct()
+        batch = batch.join(seen, "__fp", "left_anti")
+    return batch.drop("__fp")
+
+
 def commit_batch(
     pool: Pool,
     batch: DataFrame,
     batch_id: int,
     app_id: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    dedup_values: bool = False,
 ) -> bool:
     """Idempotent micro-batch commit — the txnAppId/txnVersion pattern
     (Delta's idempotent-writes contract, SURVEY §2) for the Kafka→pool
@@ -139,6 +168,14 @@ def commit_batch(
         last = txn.get(app_id)
         if last is not None and batch_id <= last:
             return False  # crash-replayed micro-batch: already in the pool
+        if dedup_values:
+            # inside the lock: the anti-join must see every committed
+            # batch, including one racing in from another writer
+            batch = _dedup_against_pool(pool, batch)
+            if batch.isEmpty():
+                txn[app_id] = batch_id
+                pool.write_sidecar(INGEST_TXN_SIDECAR, txn)
+                return False
         pool.load_batch(batch)
         txn[app_id] = batch_id
         pool.write_sidecar(INGEST_TXN_SIDECAR, txn)
@@ -153,6 +190,7 @@ def run_ingest(
     available_now: bool = False,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     app_id: str | None = None,
+    dedup_values: bool = False,
 ):
     """The load loop (A13/A16): each micro-batch optionally shaped
     (the -shaper hook, fifo/lake.go:94-106) then committed atomically
@@ -164,7 +202,10 @@ def run_ingest(
         app_id = f"ingest-{os.path.basename(os.path.normpath(checkpoint))}"
 
     def _commit(batch: DataFrame, batch_id: int) -> None:
-        commit_batch(pool, batch, batch_id, app_id, transform=transform)
+        commit_batch(
+            pool, batch, batch_id, app_id, transform=transform,
+            dedup_values=dedup_values,
+        )
 
     writer = enveloped.writeStream.foreachBatch(_commit).option(
         "checkpointLocation", checkpoint
