@@ -1702,6 +1702,16 @@ def _q_embedding_incremental_dups(spark, sf):
     )
 
 
+def _q_mixture_sample(spark, sf):
+    """Temperature-weighted source mixture (T=0.5 upweights small
+    sources — the multilingual rebalance): deterministic hash keep,
+    per-source budgets ∝ n^T, one tiny broadcast of rates."""
+    from zinger_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    return mixture_sample(docs, target_total=120, temperature=0.5)
+
+
 def _q_semantic_dedup(spark, sf):
     """SemDeDup composition: IVF-cell clustering (centroids = first 8
     embeddings, the same deterministic stand-in as ann_ivf_topk) ->
@@ -1795,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_minhash": _q_dedup_incremental_minhash,
         "embedding_incremental_dups": _q_embedding_incremental_dups,
         "semantic_dedup": _q_semantic_dedup,
+        "mixture_sample": _q_mixture_sample,
         "zq_filter_cut": _q_zq_filter_cut,
         "zq_agg_by": _q_zq_agg_by,
         "zq_agg_where": _q_zq_agg_where,
@@ -2894,6 +2905,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.id AS a, r.id AS b
             FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
             WHERE {_sql_cosine("l.v", "r.v")} >= 0.40
+        """,
+        "mixture_sample": """
+            WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+            w AS (SELECT source, n, pow(n::DOUBLE, 0.5) AS wt FROM sizes),
+            r AS (SELECT source,
+                         least(1.0, 120.0 * wt / (SELECT sum(wt) FROM w) / n) AS rate
+                  FROM w)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r USING(source)
+            WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000)::DOUBLE
+                  < rate * 10000
         """,
         "semantic_dedup": f"""
             WITH RECURSIVE cents AS (
