@@ -262,6 +262,7 @@ def cmd_from_kafka(args) -> int:
         interval=args.interval,
         available_now=args.exitafter,
         transform=transform,
+        dedup_values=getattr(args, "dedup_values", False),
     )
     q.awaitTermination()
     return 0
@@ -510,6 +511,8 @@ def main(argv: list[str] | None = None) -> int:
     fkp.add_argument("--thresh", type=int, default=1_048_576)
     fkp.add_argument("--interval", default="5 seconds")
     fkp.add_argument("--shaper", help="path of optional Zed script for shaping")
+    fkp.add_argument("--dedup-values", action="store_true",
+                     help="drop records whose value content already exists in the pool")
     fkp.add_argument("--exitafter", action="store_true", help="drain then exit")
     fkp.add_argument(
         "--kafka-replicas", type=int, default=0,
