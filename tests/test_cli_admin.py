@@ -153,6 +153,33 @@ def test_produce_projection_whole_record_fallback(spark):
     assert json.loads(out[0]["value"])["payload"] == {"a": 1, "b": "x"}
 
 
+def test_produce_projection_avro_roundtrip(spark):
+    """produce --format avro: key and value each registered per
+    RecordNameStrategy and Confluent-framed (fifo/producer.go:23-45,
+    82-99); decoding by wire schema id recovers the records."""
+    from pyspark.sql import functions as F
+
+    from zinger_spark.codecs.avro import (
+        FakeSchemaRegistry,
+        avro_encoder,
+        decode_by_schema_id,
+    )
+
+    df = spark.createDataFrame(
+        [((1,), (1, "a")), ((2,), (2, "b"))],
+        "key struct<id:bigint>, value struct<id:bigint,s:string>",
+    )
+    registry = FakeSchemaRegistry()
+    out = produce_projection(df, avro_encoder(registry))
+    assert dict(out.dtypes) == {"key": "binary", "value": "binary"}
+    # two distinct record types registered, md5-named subjects
+    assert len(registry.subjects()) == 2
+    assert all(".zng_" in s for s in registry.subjects())
+    decoded = decode_by_schema_id(out, "value", registry)
+    got = sorted((r["value"]["id"], r["value"]["s"]) for r in decoded.collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
 def test_cli_produce_no_inputs_errors():
     assert main(["produce", "--brokers", "b:9092", "--topic", "t"]) == 1
 

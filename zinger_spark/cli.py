@@ -369,8 +369,8 @@ def cmd_produce(args) -> int:
     if not args.files:
         print("no inputs provided", file=sys.stderr)  # command.go:52-54
         return 1
-    if args.format != "json":
-        print(f"unsupported -format {args.format!r} (avro needs a registry)", file=sys.stderr)
+    if args.format == "avro" and not args.registry:
+        print("--format avro requires --registry", file=sys.stderr)
         return 1
     parquet = [f for f in args.files if f.endswith(".parquet")]
     if parquet and len(parquet) != len(args.files):
@@ -384,7 +384,15 @@ def cmd_produce(args) -> int:
         df = reader.parquet(*args.files)
     else:
         df = reader.json(*args.files)
-    out = produce_projection(df, cj.encode)
+    if args.format == "avro":
+        # Confluent-framed Avro, schemas registered per
+        # RecordNameStrategy (fifo/producer.go:23-45)
+        from .codecs.avro import SchemaRegistry, avro_encoder
+
+        encode = avro_encoder(SchemaRegistry(args.registry))
+    else:
+        encode = cj.encode
+    out = produce_projection(df, encode)
     (
         out.write.format("kafka")
         .option("kafka.bootstrap.servers", args.brokers)
@@ -558,6 +566,7 @@ def main(argv: list[str] | None = None) -> int:
     prod.add_argument("--brokers", required=True)
     prod.add_argument("--topic", required=True)
     prod.add_argument("--format", default="json", choices=["json", "avro"])
+    prod.add_argument("--registry", help="schema registry URL (avro format)")
 
     ver = sub.add_parser("version")
 

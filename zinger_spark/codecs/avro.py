@@ -170,6 +170,20 @@ def subject_of(dt: T.StructType, namespace: str = DEFAULT_NAMESPACE) -> str:
     return f"{namespace}.zng_{hashlib.md5(dt.simpleString().encode()).hexdigest()}"
 
 
+def avro_encoder(registry, namespace: str = DEFAULT_NAMESPACE):
+    """Producer-side codec ``encode(col, datatype) -> Column`` for the
+    produce/to-kafka projections (fifo/producer.go:23-45: register the
+    schema per RecordNameStrategy, then emit the Confluent frame).
+    Registration happens once per distinct type at plan-build time —
+    the same memoization point as the reference's ``Producer.encode``."""
+
+    def encode(col: Column, dt: T.DataType) -> Column:
+        schema_id = registry.register(subject_of(dt, namespace), avro_schema_of(dt, namespace))
+        return frame(to_avro_body(col, dt, namespace), schema_id)
+
+    return encode
+
+
 # ---------------------------------------------------------------------------
 # body codec: JVM spark-avro when the connector jar is loaded, else an
 # Arrow-batched pandas UDF over the pure-Python codec (codecs.avro_py) —
