@@ -312,10 +312,21 @@ def cmd_to_kafka(args) -> int:
             [args.topic], partitions=args.topic_partitions, replication=args.replication
         )
 
+    if getattr(args, "format", "json") == "avro":
+        # fifo.NewProducer(format) parity (to-kafka/command.go:98)
+        if not args.registry:
+            print("--format avro requires --registry", file=sys.stderr)
+            return 1
+        from .codecs.avro import SchemaRegistry, avro_encoder
+
+        encode = avro_encoder(SchemaRegistry(args.registry))
+    else:
+        encode = cj.encode
+
     def produce(df):
         value_dt = df.schema["value"].dataType
         out = tk.kafka_sink_projection(
-            df, value_encoder=lambda d: cj.encode(F.col("value"), value_dt)
+            df, value_encoder=lambda d: encode(F.col("value"), value_dt)
         )
         (
             out.write.format("kafka")
@@ -337,7 +348,7 @@ def cmd_to_kafka(args) -> int:
             args.checkpoint or f"{args.lake}/.to_kafka_ck_{args.topic}",
             lambda df: tk.kafka_sink_projection(
                 shaper(df) if shaper is not None else df,
-                value_encoder=lambda d: cj.encode(
+                value_encoder=lambda d: encode(
                     F.col("value"), schema["value"].dataType
                 ),
             ),
@@ -535,6 +546,8 @@ def main(argv: list[str] | None = None) -> int:
     tkp.add_argument("--lake", default=".")
     tkp.add_argument("--batch-size", type=int, default=200)
     tkp.add_argument("--shaper", help="path of optional Zed script for shaping")
+    tkp.add_argument("--format", default="json", choices=["json", "avro"])
+    tkp.add_argument("--registry", help="schema registry URL (avro format)")
     tkp.add_argument("--resume", action="store_true",
                      help="resume at the destination topic's head offset")
     tkp.add_argument("--start-offset", type=int, default=None,
