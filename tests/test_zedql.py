@@ -484,6 +484,93 @@ def test_generated_program_batch1(spark):
     }
 
 
+# demo/update.zed VERBATIM (const map literals, txn bundling via
+# collect/max/or aggregates, map subscripts over records[i] paths)
+UPDATE_ZED = """
+const customerIDs = |{
+        "jane": 1,
+        "bob": 2,
+        "sarah": 3
+}|
+const menuIDs = |{
+        "burrito": 100,
+        "taco": 200,
+        "chips": 300
+}|
+from (
+  pool raw => seqno >= 2 | sort seqno
+  pool staging => not is(<cursor>) | seqno >= 2 | cut seqno | sort seqno
+)
+| anti join on seqno=seqno
+| records:=collect(this),seqno:=max(seqno),done:=or(value.done) by txn:=value.txn
+| done==true
+| yield {
+    customerID:customerIDs[records[0].value.row.customer],
+    menuID:menuIDs[records[0].value.row.product],
+    qty: records[0].value.row.qty,
+    total: records[0].value.row.qty * records[1].value.row.price
+  }
+"""
+
+
+def test_update_zed_verbatim(spark):
+    """The design.md cursor/txn-bundle demo program (demo/update.zed),
+    compiled and run against the consume-1/consume-2 demo data with an
+    empty staging pool: the seqno >= 2 window hides txn 10000's order
+    row, so its bundle resolves with a null customer, while txn 10001
+    completes as bob/burrito 1 x 5.99."""
+    schema = (
+        "seqno bigint, kafka struct<topic:string,offset:bigint>, "
+        "value struct<txn:bigint,done:boolean,"
+        "row:struct<customer:string,product:string,qty:bigint,price:double>>, "
+        "_type string"
+    )
+    rows = [
+        (1, ("order", 1), (10000, False, ("jane", "taco", 2, None)), "data"),
+        (2, ("order", 2), (10001, False, ("bob", "burrito", 1, None)), "data"),
+        (3, ("menu", 1), (10000, True, (None, "taco", None, 1.99)), "data"),
+        (4, ("menu", 2), (10001, True, (None, "burrito", None, 5.99)), "data"),
+    ]
+    raw = spark.createDataFrame(rows, schema)
+    staging = spark.createDataFrame([], raw.schema)
+    out = compile_query(
+        spark, UPDATE_ZED, tables={"raw": raw, "staging": staging}
+    ).collect()
+    # seqno >= 2 hides txn 10000's order row, so its bundle is
+    # incomplete for the cut (records[0] is the menu row with null
+    # customer); txn 10001 resolves bob/burrito, 1 * 5.99
+    got = {(r.customerID, r.menuID, r.qty, r.total) for r in out}
+    assert (2, 100, 1, 5.99) in got
+    assert len(got) == 2  # 10000's bundle yields a null-customer row
+
+
+def test_update_zed_staged_seqnos_anti_joined(spark):
+    """With staging carrying seqno 2 and 3 (already processed), only
+    seqno 4 survives the anti join — txn 10001 stays incomplete and
+    nothing passes done==true."""
+    schema = (
+        "seqno bigint, kafka struct<topic:string,offset:bigint>, "
+        "value struct<txn:bigint,done:boolean,"
+        "row:struct<customer:string,product:string,qty:bigint,price:double>>, "
+        "_type string"
+    )
+    rows = [
+        (2, ("order", 2), (10001, False, ("bob", "burrito", 1, None)), "data"),
+        (3, ("menu", 1), (10000, True, (None, "taco", None, 1.99)), "data"),
+        (4, ("menu", 2), (10001, True, (None, "burrito", None, 5.99)), "data"),
+    ]
+    raw = spark.createDataFrame(rows, schema)
+    staged = spark.createDataFrame(
+        [(2, None, None, "data"), (3, None, None, "data")], schema
+    )
+    out = compile_query(
+        spark, UPDATE_ZED, tables={"raw": raw, "staging": staged}
+    ).collect()
+    # only seqno 4 (txn 10001 menu row, done=true but records[1] absent)
+    assert len(out) == 1
+    assert out[0].total is None
+
+
 def test_generated_program_dones_filter_second_run(spark):
     """Run 2: with done markers in Staging, the anti-join drops the
     already-processed inputs (the incremental contract,

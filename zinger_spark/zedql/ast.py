@@ -244,6 +244,15 @@ class TypeDecl:
 
 
 @dataclass
+class ConstDecl:
+    """`const name = expr` (demo/update.zed:1-8)."""
+
+    name: str
+    expr: Expr
+
+
+@dataclass
 class Program:
     decls: list[TypeDecl]
     seq: Seq
+    consts: list[ConstDecl] = field(default_factory=list)

@@ -60,6 +60,12 @@ _DECLS: contextvars.ContextVar[dict[str, T.StructType]] = contextvars.ContextVar
     "zedql_decls", default={}
 )
 
+# `const name = expr` bindings (demo/update.zed:1-8): substituted when a
+# path head names a const that the input does NOT shadow with a column.
+_CONSTS: contextvars.ContextVar[dict] = contextvars.ContextVar(
+    "zedql_consts", default={}
+)
+
 
 def looks_like_zed(text: str) -> bool:
     """Dialect sniff for YAML `zed:` rule blocks: Zed rule blocks assign
@@ -152,6 +158,12 @@ def _path(parts: list[str], df: DataFrame | None) -> Column:
         cols = _data_cols(df)
         return F.struct(*[df[f"`{c}`"].alias(c) for c in cols])
     if parts[0] not in df.columns:
+        const = _CONSTS.get().get(parts[0])
+        if const is not None:
+            col = compile_expr(const, df)
+            for p in parts[1:]:
+                col = col.getField(p)
+            return col
         # Zed yields error("missing") for absent fields; the relational
         # analog is null.
         return F.lit(None)
@@ -316,7 +328,12 @@ _AGGS: dict[str, Callable[[Column], Column]] = {
     "min": F.min,
     "max": F.max,
     "avg": F.avg,
-    "collect": F.collect_list,
+    # Zed's collect preserves input order; a distributed collect_list's
+    # order is whatever the shuffle delivered.  sort_array restores a
+    # deterministic order — ascending by the element's natural
+    # comparison, which for the pool/txn shapes (struct led by
+    # seqno/offset — design.md:117-128) IS the input order.
+    "collect": lambda c: F.sort_array(F.collect_list(c)),
     "union": F.collect_set,
     "and": F.bool_and,
     "or": F.bool_or,
@@ -705,9 +722,11 @@ def compile_query(
     decls = {d.name: d.spark_type for d in prog.decls}
     ctx = Ctx(spark, source, decls)
     token = _DECLS.set(decls)
+    ctok = _CONSTS.set({c.name: c.expr for c in prog.consts})
     try:
         return compile_seq(df, prog.seq, ctx)
     finally:
+        _CONSTS.reset(ctok)
         _DECLS.reset(token)
 
 
@@ -729,9 +748,11 @@ def zed_transform(text: str) -> Callable[[DataFrame], DataFrame]:
             decls,
         )
         token = _DECLS.set(decls)
+        ctok = _CONSTS.set({c.name: c.expr for c in prog.consts})
         try:
             return compile_seq(df, prog.seq, ctx)
         finally:
+            _CONSTS.reset(ctok)
             _DECLS.reset(token)
 
     return t
@@ -761,7 +782,9 @@ def compile_rule_seq(
         ZedCompileError(f"rule blocks cannot read sources ({name!r})")
     ), decls or {})
     token = _DECLS.set(decls or {})
+    ctok = _CONSTS.set({c.name: c.expr for c in prog.consts})
     try:
         return compile_seq(df, prog.seq, ctx)
     finally:
+        _CONSTS.reset(ctok)
         _DECLS.reset(token)

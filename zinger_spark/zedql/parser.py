@@ -467,17 +467,23 @@ class _Parser:
 
     def parse_program(self) -> ast.Program:
         decls: list[ast.TypeDecl] = []
-        while self.at_ident("type"):
-            self.take()
+        consts: list[ast.ConstDecl] = []
+        while self.at_ident("type") or self.at_ident("const"):
+            kw = self.take()[1]
             name = self.expect_ident()
             self.expect("=")
-            st = self.parse_type()
-            self.decls[name] = st
-            decls.append(ast.TypeDecl(name, st))
+            if kw == "type":
+                st = self.parse_type()
+                self.decls[name] = st
+                decls.append(ast.TypeDecl(name, st))
+            else:  # const name = expr [;]  (demo/update.zed:1-8)
+                consts.append(ast.ConstDecl(name, self.parse_expr()))
+            if self.at(";"):
+                self.take()
         seq = self.parse_seq(stop=frozenset())
         if self.peek()[0] != "eof":
             raise self._err(f"unexpected trailing input at {self.peek()[1]!r}")
-        return ast.Program(decls, seq)
+        return ast.Program(decls, seq, consts)
 
     def parse_seq(self, stop: frozenset[str]) -> ast.Seq:
         ops: list[ast.Op] = []
@@ -689,6 +695,11 @@ class _Parser:
 
     def _op_cut(self, stop: frozenset[str]) -> ast.Op:
         self.take()
+        if self.at_ident("yield"):
+            # legacy `cut yield{...}` spelling (demo/etl.zed:18) — a
+            # projection to exactly the yielded record
+            self.take()
+            return ast.OpYield([self.parse_expr()])
         paths: list[tuple[list[str], ast.Expr | None]] = []
         while True:
             e = self.parse_expr()
