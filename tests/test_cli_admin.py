@@ -226,6 +226,30 @@ def test_cli_query_runs_zed_against_pool(spark, tmp_path, capsys):
     assert "2 records" in out.err
 
 
+def test_cli_query_time_travel(spark, tmp_path, capsys):
+    """query --at <commit>: pool reads pinned to a commit id (the
+    `zed query -use pool@commit` workflow)."""
+    from pyspark.sql import functions as F
+
+    from zinger_spark.datamodel import wrap_envelope
+    from zinger_spark.sources.pool import Pool
+
+    pool = Pool.create(spark, str(tmp_path / "P"))
+    s1 = spark.createDataFrame([(1, "a")], "o long, v string")
+    c1 = pool.load_batch(wrap_envelope(s1, "T", s1.o, s1.v, s1.v))
+    s2 = spark.createDataFrame([(2, "b")], "o long, v string")
+    pool.load_batch(wrap_envelope(s2, "T", s2.o, s2.v, s2.v))
+
+    assert main(["query", "--lake", str(tmp_path), "--at", c1,
+                 "-z", "from P | n:=count()"]) == 0
+    rows = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert rows == [{"n": 1}]
+    assert main(["query", "--lake", str(tmp_path),
+                 "-z", "from P | n:=count()"]) == 0
+    rows = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert rows == [{"n": 2}]
+
+
 def test_cli_query_bad_program_errors(tmp_path, capsys):
     assert main(["query", "--lake", str(tmp_path), "-z", "from ( pool )"]) == 1
     assert "query:" in capsys.readouterr().err

@@ -571,6 +571,47 @@ def test_update_zed_staged_seqnos_anti_joined(spark):
     assert out[0].total is None
 
 
+def test_remaining_demo_zed_files_parse():
+    """Every shipped demo .zed program parses: pending.zed (the
+    anti-join prelude alone), etl.zed (const maps + legacy cut-yield),
+    update-etl.zed (windowed scan + anti join)."""
+    pending = (
+        'fork (\n'
+        '  => from (\n'
+        '    pool "Raw" => kafka.topic=="Invoices"\n'
+        '    pool "Staging" => is(<done>) kafka.topic=="Invoices"\n'
+        '  ) | anti join on kafka.offset=kafka.offset\n'
+        '  => from (\n'
+        '    pool "Raw" => kafka.topic=="InvoiceStatus"\n'
+        '    pool "Staging" => is(<done>) kafka.topic=="InvoiceStatus"\n'
+        '  ) | anti join on kafka.offset=kafka.offset\n'
+        ')\n'
+    )
+    etl = (
+        'const customerIDs = |{"jane": 1, "bob": 2, "sarah": 3}|;\n'
+        'const menuIDs = |{"burrito": 100, "taco": 200, "chips": 300}|;\n'
+        'from raw\n'
+        '| records:=collect(this),seqno:=max(seqno),done:=or(value.done) by txn:=value.txn\n'
+        '| done==true\n'
+        '| cut yield{\n'
+        '    customerID:customerIDs[records[0].value.row.customer],\n'
+        '    menuID:menuIDs[records[0].value.row.product],\n'
+        '    qty: records[0].value.row.qty,\n'
+        '    total: records[0].value.row.qty * records[1].value.row.price\n'
+        '  }\n'
+    )
+    update_etl = (
+        'from (\n'
+        '  pool raw => seqno >= 2 | sort seqno\n'
+        '  pool staging => not is(<cursor>) | seqno >= 2 | cut seqno | sort seqno\n'
+        ')\n'
+        '| anti join on seqno=seqno\n'
+    )
+    for name, text in [("pending", pending), ("etl", etl), ("update-etl", update_etl)]:
+        p = parse(text)
+        assert p.seq.ops, name
+
+
 def test_generated_program_dones_filter_second_run(spark):
     """Run 2: with done markers in Staging, the anti-join drops the
     already-processed inputs (the incremental contract,

@@ -101,7 +101,16 @@ def cmd_query(args) -> int:
     def pools(name: str):
         path = os.path.join(args.lake, name)
         if os.path.isdir(path):
-            return Pool(spark, path)
+            pool = Pool(spark, path)
+            if getattr(args, "at", None):
+                # time travel: pin every pool read to a commit id
+                # (the `zed query -use pool@commit` analog)
+                class _AsOf:
+                    def df(self):
+                        return pool.df(as_of=args.at)
+
+                return _AsOf()
+            return pool
         raise zedql.ZedCompileError(f"no pool or table {name!r} in {args.lake}")
 
     try:
@@ -495,6 +504,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-z", "--zed", help="program text")
     q.add_argument("-f", "--file", help="program file")
     q.add_argument("--lake", default=".", help="directory holding pools")
+    q.add_argument("--at", help="time travel: read pools as of this commit id")
 
     cp = sub.add_parser("create-pool")
     cp.add_argument("name")
