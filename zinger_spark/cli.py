@@ -441,16 +441,35 @@ def consume_starting_offsets(topic: str, offset: int) -> str:
 def cmd_consume(args) -> int:
     import time
 
+    from pyspark.sql import functions as F
+
     spark = _spark(args)
+    registry = None
+    if getattr(args, "format", "json") == "avro":
+        # "Consume reads each record as Avro and transcodes it"
+        # (cmd/zync/consume/command.go:30-32) — decode per wire schema
+        # id against the registry, print as JSON
+        if not args.registry:
+            print("--format avro requires --registry", file=sys.stderr)
+            return 1
+        from .codecs.avro import SchemaRegistry
+
+        registry = SchemaRegistry(args.registry)
 
     def _read(starting: str):
-        return (
+        df = (
             spark.read.format("kafka")
             .option("kafka.bootstrap.servers", args.brokers)
             .option("subscribe", args.topic)
             .option("startingOffsets", starting)
             .load()
         )
+        if registry is not None:
+            from .codecs.avro import decode_by_schema_id
+
+            df = decode_by_schema_id(df, "value", registry)
+            df = df.withColumn("value", F.to_json("value"))
+        return df
 
     starting = consume_starting_offsets(args.topic, args.offset)
     deadline = time.monotonic() + args.timeout if args.timeout else None
@@ -580,6 +599,8 @@ def main(argv: list[str] | None = None) -> int:
     cons.add_argument("--offset", type=int, default=-2,
                       help="-2 earliest, -1 latest, or a concrete offset "
                       "(cmd/zync/consume/command.go:57)")
+    cons.add_argument("--format", default="json", choices=["json", "avro"])
+    cons.add_argument("--registry", help="schema registry URL (avro format)")
     cons.add_argument("--timeout", type=float, default=None,
                       help="seconds to keep polling at the head before "
                       "exiting (cmd/zync/consume/command.go:56)")
