@@ -651,15 +651,23 @@ def incremental_minhash_pairs(
     new_index = build_minhash_index(
         new_df, text_col, id_col, num_hashes, bands, shingle_k, parallelism
     )
+    # Everything below is restricted to the buckets the NEW batch
+    # touches (a semi-join the bucket-partitioned index layout prunes
+    # to those buckets' files): postings, hot-bucket counts, and the
+    # candidate join all cost O(matched buckets), not O(corpus) —
+    # counting width over the full index per batch would quietly
+    # reintroduce the corpus-scan this operator exists to avoid.
+    touched = new_index["bands"].select("band", "band_key").distinct()
     all_bands = index["bands"].unionByName(new_index["bands"])
+    relevant = all_bands.join(touched, ["band", "band_key"], "left_semi")
     hot = (
-        all_bands.groupBy("band", "band_key")
+        relevant.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("__w"))
         .filter(F.col("__w") > max_bucket)
         .select("band", "band_key")
     )
     probe = new_index["bands"].join(F.broadcast(hot), ["band", "band_key"], "left_anti")
-    post = all_bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    post = relevant.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     cand = (
         probe.select(F.col("id").alias("x"), "band", "band_key")
         .join(post.select(F.col("id").alias("y"), "band", "band_key"), ["band", "band_key"])

@@ -507,6 +507,12 @@ def incremental_embedding_dups(
         )
 
     allv = prep(corpus, False).unionByName(prep(new, True))
+    # restrict the corpus postings to buckets the batch touches BEFORE
+    # any counting: the hot-bucket width check must not scan the whole
+    # corpus per batch (bucket-partitioned storage prunes this
+    # semi-join to the matched buckets' files)
+    touched = prep(new, True).select("bucket").distinct()
+    allv = allv.join(touched, "bucket", "left_semi")
     if max_bucket is not None:
         hot = (
             allv.groupBy("bucket")
