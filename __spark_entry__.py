@@ -1783,6 +1783,13 @@ _q_zq_sort_tail = _zq(
     "from events | sort -r event_id | tail 3 | cut event_id, event_type"
 )
 
+_q_zq_const_map = _zq(
+    'const tiers = |{"click": 1, "view": 2, "purchase": 3}|\n'
+    "from events "
+    "| tier:=tiers[event_type] "
+    "| n:=count() by tier"
+)
+
 _q_zq_put_funcs = _zq(
     "from documents "
     '| tok0:=split(text, " ")[0] '
@@ -1814,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zq_anti_join": _q_zq_anti_join,
         "zq_sort_tail": _q_zq_sort_tail,
         "zq_put_funcs": _q_zq_put_funcs,
+        "zq_const_map": _q_zq_const_map,
         # -- r4 reds + latent NTZ reds (lead the window) --------------
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
@@ -2153,6 +2161,12 @@ def oracle_sql() -> dict[str, str]:
         "zq_sort_tail": """
             SELECT event_id, event_type FROM events
             ORDER BY event_id ASC LIMIT 3
+        """,
+        "zq_const_map": """
+            SELECT CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                                   WHEN 'purchase' THEN 3 END AS tier,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
         """,
         "zq_put_funcs": """
             SELECT doc_id, split_part(text, ' ', 1) AS tok0,
