@@ -313,3 +313,36 @@ def test_cli_etl_continuous_flags_parse(monkeypatch):
     rc = climod.main(["etl", "t.yaml", "--continuous", "--checkpoint", "/tmp/ck"])
     assert rc == 0
     assert seen == {"continuous": True, "checkpoint": "/tmp/ck"}
+
+
+def test_cli_load_and_zson_query(spark, tmp_path, capsys):
+    """`load` (zed load analog) ingests the reference's own batch-1.zson
+    into a pool; `query -Z` prints compact ZSON (`zed query -z`)."""
+    import os
+
+    demo = "/root/reference/demo/batch-1.zson"
+    if not os.path.exists(demo):
+        import pytest
+
+        pytest.skip("reference corpus not present")
+    assert main(["create-pool", "Raw", "--lake", str(tmp_path)]) == 0
+    assert main(["load", demo, "--pool", "Raw", "--lake", str(tmp_path)]) == 0
+    out = capsys.readouterr()
+    assert "commit" in out.out and "4 records" in out.out
+    rc = main(
+        [
+            "query", "--lake", str(tmp_path), "-Z", "-z",
+            'from Raw | where kafka.topic=="Invoices" | head 1 '
+            "| cut key, value.after",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr()
+    assert (
+        out.out.strip()
+        == '{key:{ID:100},value:{after:{ID:100,customer:"Alice",item:"taco"}}}'
+    )
+
+
+def test_cli_load_no_inputs_errors():
+    assert main(["load", "--pool", "Raw", "--lake", "."]) == 1

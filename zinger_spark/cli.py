@@ -93,6 +93,12 @@ def cmd_query(args) -> int:
     spark = _spark(args)
 
     def tables(name: str):
+        if name.endswith(".zson"):
+            from .codecs.zson import read_zson
+
+            for cand in (os.path.join(args.lake, name), name):
+                if os.path.exists(cand):
+                    return read_zson(spark, cand, type_field="_type")
         pq = os.path.join(args.lake, f"{name}.parquet")
         if os.path.exists(pq):
             return spark.read.parquet(pq)
@@ -119,9 +125,18 @@ def cmd_query(args) -> int:
         print(f"query: {e}", file=sys.stderr)
         return 1
     n = 0
-    for r in df.toLocalIterator():
-        print(json.dumps(r.asDict(recursive=True), default=str))
-        n += 1
+    if getattr(args, "zson", False):
+        # compact-ZSON output (`zed query -z`): rendered JVM-side by
+        # codecs.zson.zson_line, streamed one partition at a time
+        from .codecs.zson import zson_line
+
+        for r in df.select(zson_line(df).alias("__z")).toLocalIterator():
+            print(r["__z"])
+            n += 1
+    else:
+        for r in df.toLocalIterator():
+            print(json.dumps(r.asDict(recursive=True), default=str))
+            n += 1
     print(f"{n} record{'s' if n != 1 else ''}", file=sys.stderr)
     return 0
 
@@ -131,6 +146,52 @@ def cmd_create_pool(args) -> int:
 
     Pool.create(_spark(args), f"{args.lake}/{args.name}")
     print(f"pool: {args.name} created")
+    return 0
+
+
+def _read_files(spark, files: list[str], type_field: str | None = None):
+    """Shared file reader for load/produce: parquet, ZSON (the
+    reference's native text format) or JSON-lines, chosen by extension.
+    Mixed text formats are fine (each file reads through its own
+    parser); mixing parquet with text is refused by the callers."""
+    from .codecs.zson import read_zson
+    from .datamodel import fuse
+
+    zs = [f for f in files if f.endswith(".zson")]
+    js = [f for f in files if not f.endswith(".zson")]
+    frames = []
+    if zs:
+        frames.append(read_zson(spark, zs, type_field=type_field))
+    if js:
+        frames.append(spark.read.json(js))
+    return frames[0] if len(frames) == 1 else fuse(*frames)
+
+
+def cmd_load(args) -> int:
+    """Load files straight into a pool — the `zed load -use POOL`
+    step of the reference workflow (ztests/etl-demo.yaml:8 loads
+    demo/batch-N.zson into Raw between ETL runs).  Accepts .zson
+    (parsed by codecs.zson), .json/.jsonl lines, or .parquet; commits
+    one atomic pool commit and prints its id."""
+    from .sources.pool import Pool
+
+    if not args.files:
+        print("no inputs provided", file=sys.stderr)
+        return 1
+    spark = _spark(args)
+    parquet = [f for f in args.files if f.endswith(".parquet")]
+    if parquet and len(parquet) != len(args.files):
+        print("cannot mix parquet and text inputs in one load", file=sys.stderr)
+        return 1
+    if parquet:
+        df = spark.read.parquet(*args.files)
+    else:
+        # top-level (=name) decorators carry the reference's record
+        # tags (done/cursor markers) into the engine's _type column
+        df = _read_files(spark, args.files, type_field="_type")
+    pool = Pool(spark, f"{args.lake}/{args.pool}")
+    commit = pool.load_batch(df)
+    print(f"commit {commit} {df.count()} records")
     return 0
 
 
@@ -399,11 +460,12 @@ def cmd_produce(args) -> int:
         print("cannot mix parquet and JSON inputs in one produce", file=sys.stderr)
         return 1
     spark = _spark(args)
-    reader = spark.read
     if parquet:
-        df = reader.parquet(*args.files)
+        df = spark.read.parquet(*args.files)
     else:
-        df = reader.json(*args.files)
+        # .zson inputs parse through codecs.zson (the reference's
+        # produce reads any zed-readable format, command.go:55-60)
+        df = _read_files(spark, args.files)
     if args.format == "avro":
         # Confluent-framed Avro, schemas registered per
         # RecordNameStrategy (fifo/producer.go:23-45)
@@ -524,6 +586,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-f", "--file", help="program file")
     q.add_argument("--lake", default=".", help="directory holding pools")
     q.add_argument("--at", help="time travel: read pools as of this commit id")
+    q.add_argument("-Z", "--zson", action="store_true",
+                   help="print compact ZSON instead of JSON (zed query -z output)")
+
+    ld = sub.add_parser("load", help="load files into a pool (zed load analog)")
+    ld.add_argument("files", nargs="*")
+    ld.add_argument("--pool", required=True)
+    ld.add_argument("--lake", default=".")
 
     cp = sub.add_parser("create-pool")
     cp.add_argument("name")
@@ -619,6 +688,7 @@ def main(argv: list[str] | None = None) -> int:
         "etl": cmd_etl,
         "query": cmd_query,
         "create-pool": cmd_create_pool,
+        "load": cmd_load,
         "compact-pool": cmd_compact_pool,
         "vacuum-pool": cmd_vacuum_pool,
         "info": cmd_info,

@@ -168,7 +168,21 @@ def _path(parts: list[str], df: DataFrame | None) -> Column:
         # analog is null.
         return F.lit(None)
     col = df[f"`{parts[0]}`"]
+    # schema-aware descent: Zed is schema-flexible, so a program may
+    # reference a nested field no record of THIS input carries (e.g.
+    # demo/invoices.yaml's delete rule reads value.before, absent from
+    # every demo batch).  Zed yields error("missing"); the typed
+    # relational analog is a null literal, resolved at compile time so
+    # the plan still analyzes.
+    dtype: T.DataType | None = df.schema[parts[0]].dataType
     for p in parts[1:]:
+        if isinstance(dtype, T.StructType):
+            match = next((f for f in dtype.fields if f.name == p), None)
+            if match is None:
+                return F.lit(None)
+            dtype = match.dataType
+        else:
+            dtype = None  # map/array element access: let Spark resolve
         col = col.getField(p)
     return col
 
