@@ -1488,6 +1488,86 @@ def _q_repetition_flags(spark, sf):
     )
 
 
+def _top_ngram_frac(docs, n: int, name: str):
+    """Per-doc character coverage of the most frequent word n-gram,
+    computed LINEARLY: explode grams -> partial-agg count -> argmax by
+    min(struct(-cnt, gram)) (ties to the lexicographically smallest
+    gram, matching the oracle's ORDER BY cnt DESC, gram ASC).  The
+    per-row array-fold alternative is O(grams^2) per document and
+    inlines the gram expression into a codegen blowup — this shape is
+    both the 100-TB path and the fast one."""
+    toks = ztext.tokens(F.col("text"))
+    m = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    g = docs.where(m >= n).select(
+        "doc_id", F.length("text").alias("__len"), F.explode(grams).alias("gram")
+    )
+    c = g.groupBy("doc_id", "__len", "gram").agg(F.count("*").alias("cnt"))
+    top = c.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("nc"),
+                F.col("gram").alias("g"),
+                F.col("__len").alias("len"),
+            )
+        ).alias("t")
+    )
+    return top.select(
+        "doc_id",
+        F.round(
+            (-F.col("t.nc") * F.length("t.g")).cast("double")
+            / F.col("t.len").cast("double"),
+            6,
+        ).alias(name),
+    )
+
+
+def _q_gopher_quality(spark, sf):
+    """Gopher-style document-shape rule pack (Rae et al. 2021 table A1):
+    word count, mean word length, alpha-word ratio, symbol-to-word
+    ratio, duplicate/bullet/ellipsis line fractions, and top-2/3-gram
+    character coverage, plus the composite keep/reject flag at the
+    published thresholds.  Scalar metrics are shuffle-free JVM
+    expressions (functions/text.py) pipelined into the documents scan;
+    the n-gram coverages are linear explode+partial-agg passes joined
+    back on doc_id."""
+    docs = _t(spark, sf, "documents")
+    t = F.col("text")
+    ls = ztext.line_shape_stats(t)
+    base = docs.select(
+        "doc_id",
+        F.size(ztext.tokens(t)).alias("n_words"),
+        ztext.mean_word_length(t).alias("mean_word_len"),
+        ztext.alpha_word_ratio(t).alias("alpha_ratio"),
+        ztext.symbol_word_ratio(t).alias("symbol_ratio"),
+        ls.getField("dup_line_frac").alias("dup_line_frac"),
+        ls.getField("bullet_frac").alias("bullet_frac"),
+        ls.getField("ellipsis_frac").alias("ellipsis_frac"),
+    )
+    b2 = _top_ngram_frac(docs, 2, "top_bigram_frac")
+    b3 = _top_ngram_frac(docs, 3, "top_trigram_frac")
+    out = (
+        base.join(b2, "doc_id", "left")
+        .join(b3, "doc_id", "left")
+        .fillna(0.0, ["top_bigram_frac", "top_trigram_frac"])
+    )
+    passes = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("alpha_ratio") > 0.8)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("dup_line_frac") < 0.3)
+        & (F.col("bullet_frac") < 0.9)
+        & (F.col("ellipsis_frac") < 0.3)
+        & (F.col("top_bigram_frac") < 0.2)
+        & (F.col("top_trigram_frac") < 0.18)
+    )
+    return out.withColumn("passes", passes)
+
+
 def _q_tpch_q2(spark, sf):
     """Q2 min-cost supplier (adapted: testdata has no partsupp, so the
     part-supplier cost relation derives from lineitem as the min unit
@@ -1864,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "pii_scrub": _q_pii_scrub,
         "repetition_flags": _q_repetition_flags,
+        "gopher_quality": _q_gopher_quality,
         "contamination_exact": _q_contamination_exact,
         "quantize_embeddings": _q_quantize_embeddings,
         "session_window_stats": _q_session_window_stats,
@@ -3046,6 +3127,91 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - nd / CAST(tot AS DOUBLE), 6) AS rep_ratio,
                    round(mx / CAST(tot AS DOUBLE), 6) AS top_ratio
             FROM m
+        """,
+        "gopher_quality": f"""
+            WITH tokd AS (
+              SELECT doc_id, text, {_sql_tokens("text")} AS toks FROM documents
+            ),
+            wstats AS (
+              SELECT doc_id,
+                     len(toks) AS n_words,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE round(list_sum(list_transform(toks, w -> length(w)))
+                                     / CAST(len(toks) AS DOUBLE), 6) END AS mean_word_len,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE round(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                                     / CAST(len(toks) AS DOUBLE), 6) END AS alpha_ratio,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE round(((length(text) - length(replace(text, '#', '')))
+                                      + (length(text) - length(replace(text, '...', ''))) / 3)
+                                     / CAST(len(toks) AS DOUBLE), 6) END AS symbol_ratio
+              FROM tokd
+            ),
+            lins AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                                 l -> l <> '') AS ls
+              FROM documents
+            ),
+            lstats AS (
+              SELECT doc_id,
+                     CASE WHEN len(ls) = 0 THEN 0.0
+                          ELSE round((len(ls) - len(list_distinct(ls)))
+                                     / CAST(len(ls) AS DOUBLE), 6) END AS dup_line_frac,
+                     CASE WHEN len(ls) = 0 THEN 0.0
+                          ELSE round(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))
+                                     / CAST(len(ls) AS DOUBLE), 6) END AS bullet_frac,
+                     CASE WHEN len(ls) = 0 THEN 0.0
+                          ELSE round(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))
+                                     / CAST(len(ls) AS DOUBLE), 6) END AS ellipsis_frac
+              FROM lins
+            ),
+            g2 AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+              FROM tokd WHERE len(toks) >= 2
+            ),
+            c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+            r2 AS (SELECT doc_id, gram, cnt,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY cnt DESC, gram ASC) AS rn
+                   FROM c2),
+            b2 AS (SELECT r2.doc_id,
+                          round(cnt * length(gram)
+                                / CAST(length(d.text) AS DOUBLE), 6) AS top_bigram_frac
+                   FROM r2 JOIN documents d ON d.doc_id = r2.doc_id WHERE rn = 1),
+            g3 AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                                                   i -> toks[i] || ' ' || toks[i + 1]
+                                                        || ' ' || toks[i + 2])) AS gram
+              FROM tokd WHERE len(toks) >= 3
+            ),
+            c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+            r3 AS (SELECT doc_id, gram, cnt,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY cnt DESC, gram ASC) AS rn
+                   FROM c3),
+            b3 AS (SELECT r3.doc_id,
+                          round(cnt * length(gram)
+                                / CAST(length(d.text) AS DOUBLE), 6) AS top_trigram_frac
+                   FROM r3 JOIN documents d ON d.doc_id = r3.doc_id WHERE rn = 1)
+            SELECT w.doc_id, w.n_words, w.mean_word_len, w.alpha_ratio, w.symbol_ratio,
+                   l.dup_line_frac, l.bullet_frac, l.ellipsis_frac,
+                   coalesce(b2.top_bigram_frac, 0.0) AS top_bigram_frac,
+                   coalesce(b3.top_trigram_frac, 0.0) AS top_trigram_frac,
+                   (w.n_words BETWEEN 50 AND 100000
+                    AND w.mean_word_len BETWEEN 3.0 AND 10.0
+                    AND w.alpha_ratio > 0.8
+                    AND w.symbol_ratio < 0.1
+                    AND l.dup_line_frac < 0.3
+                    AND l.bullet_frac < 0.9
+                    AND l.ellipsis_frac < 0.3
+                    AND coalesce(b2.top_bigram_frac, 0.0) < 0.2
+                    AND coalesce(b3.top_trigram_frac, 0.0) < 0.18) AS passes
+            FROM wstats w
+            JOIN lstats l USING (doc_id)
+            LEFT JOIN b2 ON b2.doc_id = w.doc_id
+            LEFT JOIN b3 ON b3.doc_id = w.doc_id
         """,
         "token_rarity": f"""
             WITH tok AS (

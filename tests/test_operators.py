@@ -555,3 +555,54 @@ def test_repetition_ratios(spark):
     assert rows[1]["rep"] == 0.0 and rows[1]["top"] == 0.25
     assert rows[2]["rep"] == 0.5 and rows[2]["top"] == 0.75
     assert rows[3]["rep"] == 0.75 and rows[3]["top"] == 1.0
+
+
+def test_gopher_shape_metrics(spark):
+    """Hand-computed Gopher document-shape signals (Rae et al. table A1
+    semantics as implemented: whitespace tokens of lowered text)."""
+    from zinger_spark.functions import text as zt
+
+    doc1 = "The cat sat on the mat"          # 6 words, 17 chars of words
+    doc2 = "x\n- a\n- b\nend...\nx"          # lines: x, - a, - b, end..., x
+    doc3 = "## wow ##"                        # 3 words, 4 '#'
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "id int, text string"
+    )
+    ls = zt.line_shape_stats(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            zt.mean_word_length(F.col("text")).alias("mwl"),
+            zt.alpha_word_ratio(F.col("text")).alias("alpha"),
+            zt.symbol_word_ratio(F.col("text")).alias("sym"),
+            ls.getField("n_lines").alias("nl"),
+            ls.getField("dup_line_frac").alias("dup"),
+            ls.getField("bullet_frac").alias("bullet"),
+            ls.getField("ellipsis_frac").alias("ell"),
+        ).collect()
+    }
+    assert rows[1]["mwl"] == round(17 / 6, 6)
+    assert rows[1]["alpha"] == 1.0 and rows[1]["sym"] == 0.0
+    assert rows[2]["nl"] == 5 and rows[2]["dup"] == 0.2
+    assert rows[2]["bullet"] == 0.4 and rows[2]["ell"] == 0.2
+    assert rows[3]["alpha"] == round(1 / 3, 6)
+    assert rows[3]["sym"] == round(4 / 3, 6)
+
+
+def test_top_ngram_char_fraction(spark):
+    from zinger_spark.functions import text as zt
+
+    # "ab cd ab cd ab" -> bigrams: "ab cd" x2, "cd ab" x2 -> tie breaks
+    # to "ab cd" (lexicographically smallest); 2*5/14 chars
+    df = spark.createDataFrame([(1, "ab cd ab cd ab"), (2, "one")],
+                               "id int, text string")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            zt.top_ngram_char_fraction(F.col("text"), 2).alias("b2"),
+        ).collect()
+    }
+    assert rows[1]["b2"] == round(2 * 5 / 14, 6)
+    assert rows[2]["b2"] == 0.0  # shorter than the gram

@@ -197,6 +197,12 @@ def main() -> int:
     check("zq_filter_cut", "PushedFilters: [" in p and "In(event_type" in p,
           "zedql leg filter pushes into the parquet scan")
 
+    p = plan_of(qs["gopher_quality"](spark, sf))
+    check("gopher_quality",
+          "CartesianProduct" not in p and "Generate" in p
+          and "partial" in p.lower(),
+          "n-gram coverage is linear explode + partial-agg, no pair blowup")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0

@@ -230,3 +230,120 @@ def top_token_ratio(text: Column) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(
         F.round(top.cast("double") / n.cast("double"), 6)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document-shape metrics (r6)
+#
+# The repetition/format signals of Rae et al. 2021 (Gopher, table A1) as
+# pure JVM array/string expressions — the standard pre-training quality
+# rule pack.  Every metric is shuffle-free and pipelined into the scan;
+# the composite pass/fail lives in the registry query so thresholds
+# stay visible next to the oracle SQL.
+
+
+def occurrence_count(text: Column, literal: str) -> Column:
+    """Non-overlapping occurrences of a literal substring via
+    replace-length arithmetic — identical semantics in Spark and DuckDB
+    (both oracles use the same (len - len(replace))/len(sub) form)."""
+    removed = F.length(text) - F.length(F.replace(text, F.lit(literal), F.lit("")))
+    return (removed / len(literal)).cast("long")
+
+
+def mean_word_length(text: Column) -> Column:
+    """Average character length of whitespace tokens (Gopher keeps docs
+    with mean word length in [3, 10])."""
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(total.cast("double") / n.cast("double"), 6)
+    )
+
+
+def alpha_word_ratio(text: Column) -> Column:
+    """Fraction of tokens containing at least one alphabetic character
+    (Gopher requires > 0.8; tokens() lowercases, so [a-z] suffices)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(hits.cast("double") / n.cast("double"), 6)
+    )
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(# + '...' occurrences) per word — Gopher's symbol-to-word ratio
+    (reject > 0.1): hashtag spam and ellipsis-heavy scraped text."""
+    toks = tokens(text)
+    n = F.size(toks)
+    syms = occurrence_count(text, "#") + occurrence_count(text, "...")
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(syms.cast("double") / n.cast("double"), 6)
+    )
+
+
+def line_shape_stats(text: Column) -> Column:
+    """Per-document line-shape signals as one struct:
+    n_lines (non-empty, trimmed), dup_line_frac (1 - distinct/total —
+    repeated boilerplate lines), bullet_frac (lines starting with
+    -, * or •; Gopher rejects > 0.9), ellipsis_frac (lines ending with
+    '...' or '…'; reject > 0.3)."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    bullets = F.size(F.filter(lines, lambda l: l.rlike("^[-*•]")))
+    ells = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    zero = F.lit(0.0)
+    frac = lambda c: F.round(c.cast("double") / n.cast("double"), 6)  # noqa: E731
+    return F.struct(
+        n.alias("n_lines"),
+        F.when(n == 0, zero).otherwise(frac(n - nd)).alias("dup_line_frac"),
+        F.when(n == 0, zero).otherwise(frac(bullets)).alias("bullet_frac"),
+        F.when(n == 0, zero).otherwise(frac(ells)).alias("ellipsis_frac"),
+    )
+
+
+def top_ngram_char_fraction(text: Column, n: int) -> Column:
+    """Fraction of the document's characters covered by its most
+    frequent word n-gram (Gopher rejects docs whose top 2-gram covers
+    > 0.20, 3-gram > 0.18, 4-gram > 0.16): count(top) * len(top) /
+    len(text).  Ties break to the lexicographically smallest gram so
+    the DuckDB oracle (ORDER BY cnt DESC, gram ASC) agrees exactly.
+
+    Per-row O(distinct * grams) JVM array fold like top_token_ratio —
+    fine for document-sized rows; a corpus of book-length texts should
+    explode grams to a groupBy instead (one shuffle, linear work)."""
+    toks = tokens(text)
+    m = F.size(toks)
+    # greatest(...,1) keeps sequence/slice well-formed for short docs;
+    # the m < n case is masked to 0.0 below
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    pairs = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.struct(
+            g.alias("g"), F.size(F.filter(grams, lambda x: x == g)).alias("c")
+        ),
+    )
+    mx = F.array_max(F.transform(pairs, lambda p: p.getField("c")))
+    top = F.array_min(
+        F.transform(
+            F.filter(pairs, lambda p: p.getField("c") == mx),
+            lambda p: p.getField("g"),
+        )
+    )
+    return F.when((m < n) | (F.length(text) == 0), F.lit(0.0)).otherwise(
+        F.round(
+            (mx * F.length(top)).cast("double") / F.length(text).cast("double"), 6
+        )
+    )
