@@ -1568,6 +1568,33 @@ def _q_gopher_quality(spark, sf):
     return out.withColumn("passes", passes)
 
 
+def _q_curation_pipeline(spark, sf):
+    """The composite training-data curation flow, one declarative plan:
+    Gopher shape filter -> language filter (en) -> exact near-dup
+    collapse (keep the min doc_id per content fingerprint) -> PII-scrub
+    fingerprint + token count for the kept set.  Everything is
+    partial-agg + equi-join on doc_id/fingerprint — no new shuffle
+    shapes beyond its parts, so it composes at 100 TB exactly like the
+    individual operators do."""
+    docs = _t(spark, sf, "documents")
+    metrics = _q_gopher_quality(spark, sf).select("doc_id", "passes")
+    kept = (
+        docs.join(metrics, "doc_id")
+        .where(F.col("passes") & (F.col("lang") == "en"))
+    )
+    enr = kept.select(
+        "doc_id",
+        "source",
+        ztext.fingerprint(F.col("text")).alias("content_fp"),
+        ztext.token_count(F.col("text")).alias("n_tokens"),
+        ztext.md5_hash60(ztext.scrub_pii(F.col("text"))).alias("scrub_fp"),
+    )
+    canon = enr.groupBy("content_fp").agg(F.min("doc_id").alias("doc_id"))
+    return enr.join(canon, ["content_fp", "doc_id"]).select(
+        "doc_id", "source", "n_tokens", "content_fp", "scrub_fp"
+    )
+
+
 def _q_tpch_q2(spark, sf):
     """Q2 min-cost supplier (adapted: testdata has no partsupp, so the
     part-supplier cost relation derives from lineitem as the min unit
@@ -1945,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_flags": _q_repetition_flags,
         "gopher_quality": _q_gopher_quality,
+        "curation_pipeline": _q_curation_pipeline,
         "contamination_exact": _q_contamination_exact,
         "quantize_embeddings": _q_quantize_embeddings,
         "session_window_stats": _q_session_window_stats,
@@ -2014,6 +2042,110 @@ def _sql_md5h(expr: str) -> str:
 
 def _sql_tokens(expr: str) -> str:
     return f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+
+
+# Pre-built SQL fragments for the curation composite (hoisted: f-string
+# expression parts cannot contain backslashes on this Python).
+_SQL_CONTENT_FP = _sql_md5h(
+    "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+)
+_SQL_SCRUB_FP = _sql_md5h(
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{ztext.EMAIL_RE}', '<EMAIL>', 'g'), "
+    f"'{ztext.URL_RE}', '<URL>', 'g'), "
+    f"'{ztext.PHONE_RE}', '<PHONE>', 'g')"
+)
+
+
+def _sql_gopher_ctes() -> str:
+    """CTE chain computing the Gopher document-shape metrics, ending in
+    ``gq`` (doc_id + all metrics + passes).  Shared by the
+    gopher_quality oracle and the curation_pipeline composite."""
+    return f"""tokd AS (
+              SELECT doc_id, text, {_sql_tokens("text")} AS toks FROM documents
+            ),
+            wstats AS (
+              SELECT doc_id,
+                     len(toks) AS n_words,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE round(list_sum(list_transform(toks, w -> length(w)))
+                                     / CAST(len(toks) AS DOUBLE), 6) END AS mean_word_len,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE round(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                                     / CAST(len(toks) AS DOUBLE), 6) END AS alpha_ratio,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE round(((length(text) - length(replace(text, '#', '')))
+                                      + (length(text) - length(replace(text, '...', ''))) / 3)
+                                     / CAST(len(toks) AS DOUBLE), 6) END AS symbol_ratio
+              FROM tokd
+            ),
+            lins AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                                 l -> l <> '') AS ls
+              FROM documents
+            ),
+            lstats AS (
+              SELECT doc_id,
+                     CASE WHEN len(ls) = 0 THEN 0.0
+                          ELSE round((len(ls) - len(list_distinct(ls)))
+                                     / CAST(len(ls) AS DOUBLE), 6) END AS dup_line_frac,
+                     CASE WHEN len(ls) = 0 THEN 0.0
+                          ELSE round(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))
+                                     / CAST(len(ls) AS DOUBLE), 6) END AS bullet_frac,
+                     CASE WHEN len(ls) = 0 THEN 0.0
+                          ELSE round(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))
+                                     / CAST(len(ls) AS DOUBLE), 6) END AS ellipsis_frac
+              FROM lins
+            ),
+            g2 AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+              FROM tokd WHERE len(toks) >= 2
+            ),
+            c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+            r2 AS (SELECT doc_id, gram, cnt,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY cnt DESC, gram ASC) AS rn
+                   FROM c2),
+            b2 AS (SELECT r2.doc_id,
+                          round(cnt * length(gram)
+                                / CAST(length(d.text) AS DOUBLE), 6) AS top_bigram_frac
+                   FROM r2 JOIN documents d ON d.doc_id = r2.doc_id WHERE rn = 1),
+            g3 AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                                                   i -> toks[i] || ' ' || toks[i + 1]
+                                                        || ' ' || toks[i + 2])) AS gram
+              FROM tokd WHERE len(toks) >= 3
+            ),
+            c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+            r3 AS (SELECT doc_id, gram, cnt,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY cnt DESC, gram ASC) AS rn
+                   FROM c3),
+            b3 AS (SELECT r3.doc_id,
+                          round(cnt * length(gram)
+                                / CAST(length(d.text) AS DOUBLE), 6) AS top_trigram_frac
+                   FROM r3 JOIN documents d ON d.doc_id = r3.doc_id WHERE rn = 1),
+            gq AS (
+              SELECT w.doc_id, w.n_words, w.mean_word_len, w.alpha_ratio, w.symbol_ratio,
+                     l.dup_line_frac, l.bullet_frac, l.ellipsis_frac,
+                     coalesce(b2.top_bigram_frac, 0.0) AS top_bigram_frac,
+                     coalesce(b3.top_trigram_frac, 0.0) AS top_trigram_frac,
+                     (w.n_words BETWEEN 50 AND 100000
+                      AND w.mean_word_len BETWEEN 3.0 AND 10.0
+                      AND w.alpha_ratio > 0.8
+                      AND w.symbol_ratio < 0.1
+                      AND l.dup_line_frac < 0.3
+                      AND l.bullet_frac < 0.9
+                      AND l.ellipsis_frac < 0.3
+                      AND coalesce(b2.top_bigram_frac, 0.0) < 0.2
+                      AND coalesce(b3.top_trigram_frac, 0.0) < 0.18) AS passes
+              FROM wstats w
+              JOIN lstats l USING (doc_id)
+              LEFT JOIN b2 ON b2.doc_id = w.doc_id
+              LEFT JOIN b3 ON b3.doc_id = w.doc_id
+            )"""
 
 
 def _sql_shingle_ctes(k: int) -> str:
@@ -3129,89 +3261,30 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "gopher_quality": f"""
-            WITH tokd AS (
-              SELECT doc_id, text, {_sql_tokens("text")} AS toks FROM documents
+            WITH {_sql_gopher_ctes()}
+            SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_ratio,
+                   dup_line_frac, bullet_frac, ellipsis_frac,
+                   top_bigram_frac, top_trigram_frac, passes
+            FROM gq
+        """,
+        "curation_pipeline": f"""
+            WITH {_sql_gopher_ctes()},
+            kept AS (
+              SELECT d.doc_id, d.source, d.text
+              FROM documents d JOIN gq ON gq.doc_id = d.doc_id
+              WHERE gq.passes AND d.lang = 'en'
             ),
-            wstats AS (
-              SELECT doc_id,
-                     len(toks) AS n_words,
-                     CASE WHEN len(toks) = 0 THEN 0.0
-                          ELSE round(list_sum(list_transform(toks, w -> length(w)))
-                                     / CAST(len(toks) AS DOUBLE), 6) END AS mean_word_len,
-                     CASE WHEN len(toks) = 0 THEN 0.0
-                          ELSE round(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
-                                     / CAST(len(toks) AS DOUBLE), 6) END AS alpha_ratio,
-                     CASE WHEN len(toks) = 0 THEN 0.0
-                          ELSE round(((length(text) - length(replace(text, '#', '')))
-                                      + (length(text) - length(replace(text, '...', ''))) / 3)
-                                     / CAST(len(toks) AS DOUBLE), 6) END AS symbol_ratio
-              FROM tokd
+            enr AS (
+              SELECT doc_id, source,
+                     {_SQL_CONTENT_FP} AS content_fp,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                     {_SQL_SCRUB_FP} AS scrub_fp
+              FROM kept
             ),
-            lins AS (
-              SELECT doc_id,
-                     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
-                                 l -> l <> '') AS ls
-              FROM documents
-            ),
-            lstats AS (
-              SELECT doc_id,
-                     CASE WHEN len(ls) = 0 THEN 0.0
-                          ELSE round((len(ls) - len(list_distinct(ls)))
-                                     / CAST(len(ls) AS DOUBLE), 6) END AS dup_line_frac,
-                     CASE WHEN len(ls) = 0 THEN 0.0
-                          ELSE round(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))
-                                     / CAST(len(ls) AS DOUBLE), 6) END AS bullet_frac,
-                     CASE WHEN len(ls) = 0 THEN 0.0
-                          ELSE round(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))
-                                     / CAST(len(ls) AS DOUBLE), 6) END AS ellipsis_frac
-              FROM lins
-            ),
-            g2 AS (
-              SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
-                                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
-              FROM tokd WHERE len(toks) >= 2
-            ),
-            c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
-            r2 AS (SELECT doc_id, gram, cnt,
-                          row_number() OVER (PARTITION BY doc_id
-                                             ORDER BY cnt DESC, gram ASC) AS rn
-                   FROM c2),
-            b2 AS (SELECT r2.doc_id,
-                          round(cnt * length(gram)
-                                / CAST(length(d.text) AS DOUBLE), 6) AS top_bigram_frac
-                   FROM r2 JOIN documents d ON d.doc_id = r2.doc_id WHERE rn = 1),
-            g3 AS (
-              SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
-                                                   i -> toks[i] || ' ' || toks[i + 1]
-                                                        || ' ' || toks[i + 2])) AS gram
-              FROM tokd WHERE len(toks) >= 3
-            ),
-            c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
-            r3 AS (SELECT doc_id, gram, cnt,
-                          row_number() OVER (PARTITION BY doc_id
-                                             ORDER BY cnt DESC, gram ASC) AS rn
-                   FROM c3),
-            b3 AS (SELECT r3.doc_id,
-                          round(cnt * length(gram)
-                                / CAST(length(d.text) AS DOUBLE), 6) AS top_trigram_frac
-                   FROM r3 JOIN documents d ON d.doc_id = r3.doc_id WHERE rn = 1)
-            SELECT w.doc_id, w.n_words, w.mean_word_len, w.alpha_ratio, w.symbol_ratio,
-                   l.dup_line_frac, l.bullet_frac, l.ellipsis_frac,
-                   coalesce(b2.top_bigram_frac, 0.0) AS top_bigram_frac,
-                   coalesce(b3.top_trigram_frac, 0.0) AS top_trigram_frac,
-                   (w.n_words BETWEEN 50 AND 100000
-                    AND w.mean_word_len BETWEEN 3.0 AND 10.0
-                    AND w.alpha_ratio > 0.8
-                    AND w.symbol_ratio < 0.1
-                    AND l.dup_line_frac < 0.3
-                    AND l.bullet_frac < 0.9
-                    AND l.ellipsis_frac < 0.3
-                    AND coalesce(b2.top_bigram_frac, 0.0) < 0.2
-                    AND coalesce(b3.top_trigram_frac, 0.0) < 0.18) AS passes
-            FROM wstats w
-            JOIN lstats l USING (doc_id)
-            LEFT JOIN b2 ON b2.doc_id = w.doc_id
-            LEFT JOIN b3 ON b3.doc_id = w.doc_id
+            canon AS (SELECT content_fp, min(doc_id) AS doc_id FROM enr GROUP BY 1)
+            SELECT e.doc_id, e.source, e.n_tokens, e.content_fp, e.scrub_fp
+            FROM enr e JOIN canon c ON c.content_fp = e.content_fp AND c.doc_id = e.doc_id
         """,
         "token_rarity": f"""
             WITH tok AS (
