@@ -1905,6 +1905,15 @@ _q_zq_put_funcs = _zq(
     "| cut doc_id, tok0, lang_u, flag"
 )
 
+# over: un-nest each document's token array into the sequence, then
+# aggregate over the elements (the word-frequency shape)
+_q_zq_over_unnest = _zq(
+    "from documents "
+    '| over split(text, " ") '
+    "| n:=count() by value "
+    "| sort -r n, value | head 20"
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
@@ -1921,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "mixture_sample": _q_mixture_sample,
         "zq_filter_cut": _q_zq_filter_cut,
+        "zq_over_unnest": _q_zq_over_unnest,
         "zq_agg_by": _q_zq_agg_by,
         "zq_agg_where": _q_zq_agg_where,
         "zq_switch_yield": _q_zq_switch_yield,
@@ -2344,6 +2354,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS total,
                    MAX(n_chars) AS top
             FROM documents GROUP BY lang
+        """,
+        "zq_over_unnest": """
+            SELECT value, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS value FROM documents)
+            GROUP BY value
+            ORDER BY n DESC, value DESC
+            LIMIT 20
         """,
         "zq_agg_where": """
             SELECT event_type,

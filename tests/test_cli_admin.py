@@ -346,3 +346,14 @@ def test_cli_load_and_zson_query(spark, tmp_path, capsys):
 
 def test_cli_load_no_inputs_errors():
     assert main(["load", "--pool", "Raw", "--lake", "."]) == 1
+
+
+def test_cli_consume_zson_flag_parses(monkeypatch):
+    from zinger_spark import cli as climod
+
+    seen = {}
+    monkeypatch.setattr(
+        climod, "cmd_consume", lambda a: (seen.update(zson=a.zson), 0)[1]
+    )
+    rc = climod.main(["consume", "--brokers", "b:9092", "--topic", "t", "-Z"])
+    assert rc == 0 and seen == {"zson": True}

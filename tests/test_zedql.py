@@ -639,3 +639,48 @@ def test_generated_program_dones_filter_second_run(spark):
     )
     out = compile_query(spark, prog, tables={"Raw": inv, "Staging": staging})
     assert [r.kafka.offset for r in out.collect()] == [2]
+
+
+# --------------------------------------------------------------------------
+# over (array un-nesting)
+
+
+def test_over_record_elements(spark):
+    df = spark.createDataFrame(
+        [(1, [(10, "a"), (20, "b")]), (2, [(30, "c")])],
+        "id long, items array<struct<qty:long,sku:string>>",
+    )
+    out = compile_query(spark, "from t | over items | sort sku", tables={"t": df})
+    assert [tuple(r) for r in out.collect()] == [(10, "a"), (20, "b"), (30, "c")]
+
+
+def test_over_scalar_elements_named_by_path(spark):
+    df = spark.createDataFrame([(1, ["x", "y"]), (2, ["y"])], "id long, tags array<string>")
+    out = compile_query(
+        spark, "from t | over tags | n:=count() by tags | sort -r n", tables={"t": df}
+    )
+    assert [tuple(r) for r in out.collect()] == [("y", 2), ("x", 1)]
+
+
+def test_over_computed_expr_named_value(spark):
+    df = spark.createDataFrame([(1, "a b a")], "id long, text string")
+    out = compile_query(
+        spark,
+        'from t | over split(text, " ") | n:=count() by value | sort -r n, value',
+        tables={"t": df},
+    )
+    assert [tuple(r) for r in out.collect()] == [("a", 2), ("b", 1)]
+
+
+def test_over_multiple_exprs_concatenate(spark):
+    df = spark.createDataFrame([(1, [1, 2], [3])], "id long, a array<long>, b array<long>")
+    out = compile_query(spark, "from t | over a, b | sort a", tables={"t": df})
+    # both legs carry scalar columns named by their paths, fused
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {(1, None), (2, None), (None, 3)}
+
+
+def test_over_non_array_errors(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ZedCompileError, match="array"):
+        compile_query(spark, "from t | over id", tables={"t": df})

@@ -550,7 +550,17 @@ def cmd_consume(args) -> int:
             "topic", "partition", "offset", df.value.cast("string").alias("value")
         ).toLocalIterator():
             if not suppress_output:
-                print(json.dumps(r.asDict()))
+                if getattr(args, "zson", False):
+                    # transcode the decoded value to compact ZSON — the
+                    # reference's consume output format (demo/consume-1.zson)
+                    from .codecs import zson as zs
+
+                    try:
+                        print(zs.dumps(json.loads(r["value"])))
+                    except (ValueError, TypeError):
+                        print(zs.dumps(r["value"]))
+                else:
+                    print(json.dumps(r.asDict()))
             mx = r["offset"] if mx is None else max(mx, r["offset"])
         if mx is not None:
             last_next = mx + 1
@@ -669,6 +679,9 @@ def main(argv: list[str] | None = None) -> int:
                       help="-2 earliest, -1 latest, or a concrete offset "
                       "(cmd/zync/consume/command.go:57)")
     cons.add_argument("--format", default="json", choices=["json", "avro"])
+    cons.add_argument("-Z", "--zson", action="store_true",
+                      help="print values as compact ZSON (the reference's "
+                      "consume output, demo/consume-1.zson)")
     cons.add_argument("--registry", help="schema registry URL (avro format)")
     cons.add_argument("--timeout", type=float, default=None,
                       help="seconds to keep polling at the head before "

@@ -222,6 +222,11 @@ class OpPass(Op):
 
 
 @dataclass
+class OpOver(Op):
+    exprs: list[Expr]
+
+
+@dataclass
 class AggSpec:
     name: str | None  # output field; None = function name
     func: str

@@ -470,6 +470,8 @@ def _one(df: DataFrame | None, op: ast.Op, ctx: Ctx) -> DataFrame:
         return _switch(df, op, ctx)
     if isinstance(op, ast.OpJoin):
         raise ZedCompileError("join must directly follow fork/from with two legs")
+    if isinstance(op, ast.OpOver):
+        return _over(df, op)
     if isinstance(op, ast.OpSummarize):
         ctx.order = None
         aggs = [_agg_col(a, df) for a in op.aggs]
@@ -478,6 +480,30 @@ def _one(df: DataFrame | None, op: ast.Op, ctx: Ctx) -> DataFrame:
             return df.groupBy(*keys).agg(*aggs)
         return df.agg(*aggs)
     raise ZedCompileError(f"unsupported operator {type(op).__name__}")
+
+
+def _over(df: DataFrame, op: ast.OpOver) -> DataFrame:
+    """`over a, b` — un-nest array values into the output sequence
+    (the Zed over operator without with-bindings/lateral scopes).
+    Record elements spread to top level; scalar elements become a
+    single column named after the final path segment ('value' for
+    computed expressions) — the typed-engine stand-in for Zed's
+    scalar top-level values, same restriction as yield.  Multiple
+    expressions concatenate leg-wise (this engine is set-oriented:
+    inter-row order comes from an explicit sort, not arrival)."""
+    legs = []
+    for e in op.exprs:
+        col = compile_expr(e, df)
+        t = _col_type(df, col)
+        if not isinstance(t, T.ArrayType):
+            raise ZedCompileError("over needs array-valued expressions")
+        elem = df.select(F.explode(col).alias("__elem"))
+        if isinstance(t.elementType, T.StructType):
+            legs.append(elem.select("__elem.*"))
+        else:
+            name = e.parts[-1] if isinstance(e, ast.Path) and e.parts else "value"
+            legs.append(elem.select(F.col("__elem").alias(name)))
+    return datamodel.fuse(*legs) if len(legs) > 1 else legs[0]
 
 
 def _sort_col(k: ast.SortKey, df: DataFrame) -> Column:

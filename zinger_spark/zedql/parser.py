@@ -779,6 +779,15 @@ class _Parser:
         self.take()
         return self._summarize(stop)
 
+    def _op_over(self, stop: frozenset[str]) -> ast.Op:
+        # over expr (, expr)* — un-nest array values into the sequence
+        self.take()
+        exprs = [self.parse_expr()]
+        while self.at(","):
+            self.take()
+            exprs.append(self.parse_expr())
+        return ast.OpOver(exprs)
+
     def _summarize(self, stop: frozenset[str]) -> ast.Op:
         aggs: list[ast.AggSpec] = []
         while True:
