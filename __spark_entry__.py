@@ -1568,6 +1568,31 @@ def _q_gopher_quality(spark, sf):
     return out.withColumn("passes", passes)
 
 
+def _q_line_dedup(spark, sf):
+    """Corpus-wide line dedup (the C4/FineWeb boilerplate pass via
+    operators/dedup.dedup_lines): each distinct non-blank line keeps
+    its (min doc_id, min pos) occurrence only.  The synthetic corpus is
+    single-line and duplicate-free, so boilerplate lines (one shared by
+    every doc, one by every third doc) plus a blank line are injected
+    per doc on BOTH engines — the kept set then proves keep-first,
+    drop-later, and blank-line preservation."""
+    docs = _t(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit("\n\nsubscribe to our newsletter"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("\nall rights reserved")
+        ).otherwise(F.lit("")),
+    )
+    out = zdedup.dedup_lines(docs.select("doc_id", aug.alias("text")))
+    return out.select(
+        "doc_id",
+        "n_lines_before",
+        "n_lines_after",
+        ztext.md5_hash60(F.col("text_dedup")).alias("dedup_fp"),
+    )
+
+
 def _q_curation_pipeline(spark, sf):
     """The composite training-data curation flow, one declarative plan:
     Gopher shape filter -> language filter (en) -> exact near-dup
@@ -1589,9 +1614,21 @@ def _q_curation_pipeline(spark, sf):
         ztext.token_count(F.col("text")).alias("n_tokens"),
         ztext.md5_hash60(ztext.scrub_pii(F.col("text"))).alias("scrub_fp"),
     )
-    canon = enr.groupBy("content_fp").agg(F.min("doc_id").alias("doc_id"))
-    return enr.join(canon, ["content_fp", "doc_id"]).select(
-        "doc_id", "source", "n_tokens", "content_fp", "scrub_fp"
+    # single-pass canonical pick: min-struct keeps the min-doc_id row per
+    # fingerprint (doc_id leads the struct and is unique) WITHOUT a
+    # self-join — a join back would recompute the whole upstream
+    # (gopher metrics included) a second time
+    canon = enr.groupBy("content_fp").agg(
+        F.min(
+            F.struct("doc_id", "source", "n_tokens", "scrub_fp")
+        ).alias("k")
+    )
+    return canon.select(
+        F.col("k.doc_id").alias("doc_id"),
+        F.col("k.source").alias("source"),
+        F.col("k.n_tokens").alias("n_tokens"),
+        "content_fp",
+        F.col("k.scrub_fp").alias("scrub_fp"),
     )
 
 
@@ -1983,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_flags": _q_repetition_flags,
         "gopher_quality": _q_gopher_quality,
         "curation_pipeline": _q_curation_pipeline,
+        "line_dedup": _q_line_dedup,
         "contamination_exact": _q_contamination_exact,
         "quantize_embeddings": _q_quantize_embeddings,
         "session_window_stats": _q_session_window_stats,
@@ -3283,6 +3321,47 @@ def oracle_sql() -> dict[str, str]:
                    dup_line_frac, bullet_frac, ellipsis_frac,
                    top_bigram_frac, top_trigram_frac, passes
             FROM gq
+        """,
+        "line_dedup": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || chr(10) || chr(10) || 'subscribe to our newsletter'
+                          || CASE WHEN doc_id % 3 = 0
+                                  THEN chr(10) || 'all rights reserved'
+                                  ELSE '' END AS text
+              FROM documents
+            ),
+            lraw AS (SELECT doc_id, string_split(text, chr(10)) AS ln FROM aug),
+            lines0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(ln)),
+                            i -> struct_pack(pos := i, line := ln[i]))) AS u
+              FROM lraw
+            ),
+            lines AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM lines0),
+            content AS (SELECT * FROM lines WHERE trim(line) <> ''),
+            ranked AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY trim(line)
+                                        ORDER BY doc_id, pos) AS rn
+              FROM content
+            ),
+            survivors AS (
+              SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+              UNION ALL
+              SELECT doc_id, pos, line FROM lines WHERE trim(line) = ''
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+                     count(*) AS n_lines_after
+              FROM survivors GROUP BY doc_id
+            )
+            SELECT a.doc_id,
+                   len(string_split(a.text, chr(10))) AS n_lines_before,
+                   coalesce(r.n_lines_after, 0) AS n_lines_after,
+                   {_sql_md5h("coalesce(r.text_dedup, '')")} AS dedup_fp
+            FROM aug a LEFT JOIN rebuilt r ON r.doc_id = a.doc_id
         """,
         "curation_pipeline": f"""
             WITH {_sql_gopher_ctes()},

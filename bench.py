@@ -58,6 +58,8 @@ HEADLINE = [
     "tpch_q9",
     "session_window_stats",
     "contamination_exact",
+    "gopher_quality",
+    "curation_pipeline",
 ]
 
 

@@ -606,3 +606,24 @@ def test_top_ngram_char_fraction(spark):
     }
     assert rows[1]["b2"] == round(2 * 5 / 14, 6)
     assert rows[2]["b2"] == 0.0  # shorter than the gram
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    """Corpus-wide line dedup: each distinct non-blank line survives at
+    its (min doc_id, min pos) occurrence only; blank lines always stay."""
+    from zinger_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared line\nalpha"),     # intra-doc dup: 2nd 'alpha' drops
+            (2, "beta\nshared line\n\ngamma"),    # 'shared line' drops; blank stays
+            (3, "shared line"),                   # whole doc was boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert rows[1]["text_dedup"] == "alpha\nshared line"
+    assert (rows[1]["n_lines_before"], rows[1]["n_lines_after"]) == (3, 2)
+    assert rows[2]["text_dedup"] == "beta\n\ngamma"
+    assert (rows[2]["n_lines_before"], rows[2]["n_lines_after"]) == (4, 3)
+    assert rows[3]["text_dedup"] == "" and rows[3]["n_lines_after"] == 0

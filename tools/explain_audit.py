@@ -203,6 +203,12 @@ def main() -> int:
           and "partial" in p.lower(),
           "n-gram coverage is linear explode + partial-agg, no pair blowup")
 
+    p = plan_of(qs["line_dedup"](spark, sf))
+    check("line_dedup",
+          "CartesianProduct" not in p and "Generate" in p
+          and "Window" not in p,
+          "line dedup is explode + keyed aggs, no corpus-wide window")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0

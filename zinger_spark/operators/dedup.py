@@ -707,3 +707,57 @@ def incremental_minhash_pairs(
         )
     )
     return pairs, new_index
+
+
+def dedup_lines(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide line deduplication (the C4/FineWeb boilerplate pass):
+    every distinct non-blank line keeps exactly ONE occurrence — the
+    (min doc_id, min position) one — and every other occurrence is
+    dropped; blank lines are structure and always survive.  Documents
+    come back rebuilt in original line order with before/after counts.
+
+    Shuffle shape at 100 TB: posexplode is narrow; the keeper choice is
+    one partial-aggregated min-struct groupBy on the trimmed line; the
+    keep/drop decision is an equi-join back on that line; the rebuild
+    is one per-doc aggregation.  Three keyed shuffles, no window over
+    the corpus, no pair space.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.trim(F.col("line"))
+    content = lines.where(norm != "").withColumn("__n", norm)
+    keeper = content.groupBy("__n").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        ).alias("k")
+    )
+    kept = (
+        content.join(keeper, "__n")
+        .where((F.col(id_col) == F.col("k.d")) & (F.col("pos") == F.col("k.p")))
+        .select(id_col, "pos", "line")
+    )
+    survivors = kept.unionByName(
+        lines.where(norm == "").select(id_col, "pos", "line")
+    )
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count("*").alias("n_lines_after"),
+    )
+    base = docs.select(
+        id_col, F.size(F.split(F.col(text_col), "\n")).alias("n_lines_before")
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .fillna({"text_dedup": "", "n_lines_after": 0})
+        .select(id_col, "n_lines_before", "n_lines_after", "text_dedup")
+    )
