@@ -1433,8 +1433,14 @@ def _q_doc_chunks(spark, sf):
     parallelism = chunks; the chunk fingerprint hash-verifies the
     actual chunk text against the oracle."""
     docs = _t(spark, sf, "documents")
-    ch = docs.select(
-        "doc_id", F.explode(ztext.chunk_spans(F.col("text"), 64, 48)).alias("c")
+    tokd = docs.select(
+        "doc_id", F.col("text"), ztext.tokens(F.col("text")).alias("__toks")
+    )
+    ch = tokd.select(
+        "doc_id",
+        F.explode(
+            ztext.chunk_spans(F.col("text"), 64, 48, toks=F.col("__toks"))
+        ).alias("c"),
     )
     return ch.select(
         "doc_id",
@@ -1496,14 +1502,23 @@ def _top_ngram_frac(docs, n: int, name: str):
     per-row array-fold alternative is O(grams^2) per document and
     inlines the gram expression into a codegen blowup — this shape is
     both the 100-TB path and the fast one."""
-    toks = ztext.tokens(F.col("text"))
+    # PROJECT the token array before the gram lambda references it: an
+    # outer expression named inside a higher-order-function lambda is
+    # inlined and re-evaluated per element, so the split would run once
+    # per gram — O(tokens^2) per doc (measured 8.8 s vs 0.7 s at sf0.1)
+    tokd = docs.select(
+        "doc_id",
+        F.length("text").alias("__len"),
+        ztext.tokens(F.col("text")).alias("__toks"),
+    )
+    toks = F.col("__toks")
     m = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(m - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    g = docs.where(m >= n).select(
-        "doc_id", F.length("text").alias("__len"), F.explode(grams).alias("gram")
+    g = tokd.where(m >= n).select(
+        "doc_id", "__len", F.explode(grams).alias("gram")
     )
     c = g.groupBy("doc_id", "__len", "gram").agg(F.count("*").alias("cnt"))
     top = c.groupBy("doc_id").agg(

@@ -153,14 +153,26 @@ def word_shingles(text: Column, k: int = 5) -> Column:
 # ---------------------------------------------------------------------------
 # chunking / scrubbing / repetition (r5)
 
-def chunk_spans(text: Column, chunk_tokens: int = 64, stride: int = 48) -> Column:
+def chunk_spans(
+    text: Column,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    toks: Column | None = None,
+) -> Column:
     """Sliding token-window chunking: array of (chunk_idx, start_tok,
     chunk) structs, window ``chunk_tokens`` wide advancing by ``stride``
     (overlap = chunk_tokens - stride, the long-document training prep).
     Pure JVM array ops (sequence + slice + concat_ws), no shuffle; at
     100 TB this pipelines into the scan and the downstream explode sets
-    parallelism = chunks."""
-    toks = tokens(text)
+    parallelism = chunks.
+
+    Pass ``toks`` as a PROJECTED column for long documents: the token
+    expression is referenced inside the chunk lambda, and an outer
+    expression in a HOF lambda body re-evaluates per element — with the
+    default inline split that is one split per chunk, O(n²/stride) per
+    doc."""
+    if toks is None:
+        toks = tokens(text)
     n = F.size(toks)
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
         (F.ceil((n - F.lit(chunk_tokens)).cast("double") / F.lit(stride))).cast("int")
@@ -216,16 +228,34 @@ def repetition_ratio(text: Column) -> Column:
 def top_token_ratio(text: Column) -> Column:
     """Frequency share of the most common token — the complementary
     repetition signal (a doc can have many distinct tokens yet be 50%
-    one word).  aggregate over the distinct set, counting occurrences
-    in the full list; O(distinct * n) per row but JVM-side and
-    shuffle-free."""
+    one word).  Single O(n log n) pass per row: sort the token array,
+    then one aggregate fold tracking the longest equal-run.  The lambda
+    body touches only its own variables — referencing an outer
+    expression (e.g. the token split) inside a higher-order-function
+    lambda re-evaluates it per element, turning the fold quadratic."""
     toks = tokens(text)
     n = F.size(toks)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda d: F.size(F.filter(toks, lambda t: t == d)),
-        )
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    top = F.aggregate(
+        F.array_sort(toks),
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc.getField("best"),
+                F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc.getField("best"),
     )
     return F.when(n == 0, F.lit(0.0)).otherwise(
         F.round(top.cast("double") / n.cast("double"), 6)
@@ -318,32 +348,46 @@ def top_ngram_char_fraction(text: Column, n: int) -> Column:
     len(text).  Ties break to the lexicographically smallest gram so
     the DuckDB oracle (ORDER BY cnt DESC, gram ASC) agrees exactly.
 
-    Per-row O(distinct * grams) JVM array fold like top_token_ratio —
-    fine for document-sized rows; a corpus of book-length texts should
-    explode grams to a groupBy instead (one shuffle, linear work)."""
+    Single O(g log g) pass per row: grams via arrays_zip of n shifted
+    slices (every expensive expression sits in ARGUMENT position,
+    evaluated once — an outer expression inside a HOF lambda body is
+    re-evaluated per element), sorted, then one run-length fold whose
+    strictly-greater update keeps the first (= smallest) gram on ties.
+    The corpus-scale path is the explode + partial-agg argmax used by
+    the registry's gopher_quality query."""
     toks = tokens(text)
     m = F.size(toks)
-    # greatest(...,1) keeps sequence/slice well-formed for short docs;
-    # the m < n case is masked to 0.0 below
+    g_cnt = F.greatest(m - (n - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, g_cnt) for i in range(n)])
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(m - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        zipped,
+        lambda z: F.concat_ws(" ", *[z.getField(str(j)) for j in range(n)]),
     )
-    pairs = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.struct(
-            g.alias("g"), F.size(F.filter(grams, lambda x: x == g)).alias("c")
-        ),
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit("").alias("bestg"),
     )
-    mx = F.array_max(F.transform(pairs, lambda p: p.getField("c")))
-    top = F.array_min(
-        F.transform(
-            F.filter(pairs, lambda p: p.getField("c") == mx),
-            lambda p: p.getField("g"),
+
+    def _merge(acc, x):
+        new_run = (
+            F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(F.lit(1).cast("long"))
         )
-    )
+        better = new_run > acc.getField("best")
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.when(better, new_run).otherwise(acc.getField("best")).alias("best"),
+            F.when(better, x).otherwise(acc.getField("bestg")).alias("bestg"),
+        )
+
+    top = F.aggregate(F.array_sort(grams), acc0, _merge)
     return F.when((m < n) | (F.length(text) == 0), F.lit(0.0)).otherwise(
         F.round(
-            (mx * F.length(top)).cast("double") / F.length(text).cast("double"), 6
+            (top.getField("best") * F.length(top.getField("bestg"))).cast("double")
+            / F.length(text).cast("double"),
+            6,
         )
     )
