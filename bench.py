@@ -60,6 +60,7 @@ HEADLINE = [
     "contamination_exact",
     "gopher_quality",
     "curation_pipeline",
+    "line_dedup",
 ]
 
 

@@ -684,3 +684,20 @@ def test_over_non_array_errors(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ZedCompileError, match="array"):
         compile_query(spark, "from t | over id", tables={"t": df})
+
+
+def test_top_operator(spark):
+    df = spark.createDataFrame(
+        [(i, i * 10 % 70) for i in range(10)], "id long, v long"
+    )
+    out = compile_query(spark, "from t | top 3 v, id", tables={"t": df})
+    rows = [tuple(r) for r in out.collect()]
+    # v desc then id desc
+    expected = sorted([(i, i * 10 % 70) for i in range(10)],
+                      key=lambda t: (-t[1], -t[0]))[:3]
+    assert rows == expected
+
+
+def test_top_requires_integer(spark):
+    with pytest.raises(ZedSyntaxError):
+        parse("from t | top x v")

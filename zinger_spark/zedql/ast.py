@@ -227,6 +227,12 @@ class OpOver(Op):
 
 
 @dataclass
+class OpTop(Op):
+    limit: int
+    keys: list["SortKey"]
+
+
+@dataclass
 class AggSpec:
     name: str | None  # output field; None = function name
     func: str

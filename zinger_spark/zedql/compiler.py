@@ -472,6 +472,13 @@ def _one(df: DataFrame | None, op: ast.Op, ctx: Ctx) -> DataFrame:
         raise ZedCompileError("join must directly follow fork/from with two legs")
     if isinstance(op, ast.OpOver):
         return _over(df, op)
+    if isinstance(op, ast.OpTop):
+        # sort desc + limit: Spark plans TakeOrderedAndProject (per-
+        # partition heap + driver merge of N rows), the same bounded-
+        # memory shape the reference's top operator implements
+        out = df.orderBy(*[_sort_col(k, df) for k in op.keys]).limit(op.limit)
+        ctx.order = op.keys
+        return out
     if isinstance(op, ast.OpSummarize):
         ctx.order = None
         aggs = [_agg_col(a, df) for a in op.aggs]

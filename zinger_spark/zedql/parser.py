@@ -463,6 +463,7 @@ class _Parser:
         "pool",
         "file",
         "over",
+        "top",
     }
 
     def parse_program(self) -> ast.Program:
@@ -778,6 +779,22 @@ class _Parser:
     def _op_summarize(self, stop: frozenset[str]) -> ast.Op:
         self.take()
         return self._summarize(stop)
+
+    def _op_top(self, stop: frozenset[str]) -> ast.Op:
+        # top N expr (, expr)* — the Zed top operator: the N records
+        # with the greatest expr values (sort desc + head, which Spark
+        # executes as TakeOrderedAndProject — a per-partition heap)
+        self.take()
+        kind, tok = self.peek()
+        if kind != "number" or "." in tok:
+            raise self._err("top needs an integer limit")
+        self.take()
+        limit = int(tok)
+        keys = [ast.SortKey(self.parse_expr(), True)]
+        while self.at(","):
+            self.take()
+            keys.append(ast.SortKey(self.parse_expr(), True))
+        return ast.OpTop(limit, keys)
 
     def _op_over(self, stop: frozenset[str]) -> ast.Op:
         # over expr (, expr)* — un-nest array values into the sequence
