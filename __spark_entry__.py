@@ -1608,6 +1608,58 @@ def _q_line_dedup(spark, sf):
     )
 
 
+def _q_dsir_affinity(spark, sf):
+    """DSIR-style data selection signal (Xie et al. 2023: importance
+    resampling via hashed n-gram features).  Tokens hash into 4096
+    buckets; a bucket is 'target-leaning' when its relative frequency
+    in the target slice (source = src0, standing in for the
+    high-quality corpus) exceeds its relative frequency in the raw
+    rest — compared exactly via the cross-multiplied integer
+    inequality t_cnt * raw_total > r_cnt * tgt_total, so no float
+    log-likelihood can diverge between engines.  Per doc: the count
+    and share of its tokens that land in target-leaning buckets — the
+    ranking signal DSIR thresholds to pick pretraining data.
+
+    Scale shape: two partial-agg passes build the 4096-row bucket
+    table (broadcast), then one narrow join per token — no shuffle
+    grows with corpus size beyond the token explode."""
+    docs = _t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        (F.col("source") == "src0").alias("is_tgt"),
+        F.explode(ztext.tokens(F.col("text"))).alias("t"),
+    ).withColumn("bucket", F.pmod(ztext.md5_hash60(F.col("t")), F.lit(4096)))
+    stats = tok.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("t_cnt"),
+        F.sum(F.when(F.col("is_tgt"), 0).otherwise(1)).alias("r_cnt"),
+    )
+    totals = stats.agg(
+        F.sum("t_cnt").alias("tgt_total"), F.sum("r_cnt").alias("raw_total")
+    )
+    lean = (
+        stats.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "leaning",
+            F.col("t_cnt") * F.col("raw_total") > F.col("r_cnt") * F.col("tgt_total"),
+        )
+        .select("bucket", "leaning")
+    )
+    return (
+        tok.join(F.broadcast(lean), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("leaning"), 1).otherwise(0)).alias("affinity"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .withColumn(
+            "affinity_share",
+            F.round(
+                F.col("affinity").cast("double") / F.col("n_tokens").cast("double"), 6
+            ),
+        )
+    )
+
+
 def _q_curation_pipeline(spark, sf):
     """The composite training-data curation flow, one declarative plan:
     Gopher shape filter -> language filter (en) -> exact near-dup
@@ -2036,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "curation_pipeline": _q_curation_pipeline,
         "line_dedup": _q_line_dedup,
+        "dsir_affinity": _q_dsir_affinity,
         "contamination_exact": _q_contamination_exact,
         "quantize_embeddings": _q_quantize_embeddings,
         "session_window_stats": _q_session_window_stats,
@@ -3377,6 +3430,35 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.n_lines_after, 0) AS n_lines_after,
                    {_sql_md5h("coalesce(r.text_dedup, '')")} AS dedup_fp
             FROM aug a LEFT JOIN rebuilt r ON r.doc_id = a.doc_id
+        """,
+        "dsir_affinity": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     source = 'src0' AS is_tgt,
+                     {_sql_md5h("t")} % 4096 AS bucket
+              FROM (SELECT doc_id, source, unnest({_sql_tokens("text")}) AS t
+                    FROM documents)
+            ),
+            stats AS (
+              SELECT bucket,
+                     sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS t_cnt,
+                     sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS r_cnt
+              FROM tok GROUP BY 1
+            ),
+            totals AS (SELECT sum(t_cnt) AS tgt_total, sum(r_cnt) AS raw_total
+                       FROM stats),
+            lean AS (
+              SELECT bucket,
+                     t_cnt * raw_total > r_cnt * tgt_total AS leaning
+              FROM stats, totals
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN leaning THEN 1 ELSE 0 END) AS BIGINT) AS affinity,
+                   count(*) AS n_tokens,
+                   round(CAST(sum(CASE WHEN leaning THEN 1 ELSE 0 END) AS BIGINT)
+                         / CAST(count(*) AS DOUBLE), 6) AS affinity_share
+            FROM tok JOIN lean USING (bucket)
+            GROUP BY doc_id
         """,
         "curation_pipeline": f"""
             WITH {_sql_gopher_ctes()},

@@ -61,6 +61,7 @@ HEADLINE = [
     "gopher_quality",
     "curation_pipeline",
     "line_dedup",
+    "dsir_affinity",
 ]
 
 

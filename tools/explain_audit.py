@@ -203,6 +203,12 @@ def main() -> int:
           and "partial" in p.lower(),
           "n-gram coverage is linear explode + partial-agg, no pair blowup")
 
+    p = plan_of(qs["dsir_affinity"](spark, sf))
+    check("dsir_affinity",
+          "CartesianProduct" not in p
+          and ("BroadcastHashJoin" in p or "BroadcastNestedLoop" in p),
+          "bucket table broadcasts; token join never shuffles the corpus twice")
+
     p = plan_of(qs["line_dedup"](spark, sf))
     check("line_dedup",
           "CartesianProduct" not in p and "Generate" in p
