@@ -357,3 +357,16 @@ def test_cli_consume_zson_flag_parses(monkeypatch):
     )
     rc = climod.main(["consume", "--brokers", "b:9092", "--topic", "t", "-Z"])
     assert rc == 0 and seen == {"zson": True}
+
+
+def test_cli_load_csv(spark, tmp_path, capsys):
+    csv = tmp_path / "rows.csv"
+    csv.write_text("kafka_offset,v\n1,a\n2,b\n")
+    # csv loads flat; wrap offsets the pool expects via a query instead:
+    # here we just verify the reader path infers header + types
+    from zinger_spark.cli import _read_files
+
+    df = _read_files(spark, [str(csv)])
+    assert df.columns == ["kafka_offset", "v"]
+    assert df.schema["kafka_offset"].dataType.simpleString() == "int"
+    assert {tuple(r) for r in df.collect()} == {(1, "a"), (2, "b")}

@@ -261,3 +261,58 @@ def test_scrub_pii_idempotent_and_clean(spark, parts):
         .collect()[0]
     )
     assert (again["e"], again["u"], again["p"]) == (0, 0, 0)
+
+
+# -- ZSON round trip ----------------------------------------------------------
+
+# Values dumps() can render and parse() can read back exactly: ints,
+# finite floats (NaN breaks ==; covered separately in test_zson),
+# strings, bools, None, and nested records/arrays/maps/sets thereof.
+zson_scalars = st.one_of(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=20),
+    st.booleans(),
+    st.none(),
+)
+zson_field_names = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_ .\"'", min_size=1, max_size=12
+)
+
+
+def _zson_values(depth: int = 3):
+    from zinger_spark.codecs.zson import ZsonMap, ZsonSet
+
+    base = zson_scalars
+    if depth <= 0:
+        return base
+    sub = _zson_values(depth - 1)
+    return st.one_of(
+        base,
+        st.lists(sub, max_size=4),
+        st.dictionaries(zson_field_names, sub, max_size=4),
+        st.builds(ZsonSet, st.lists(sub, max_size=4)),
+        st.builds(
+            ZsonMap, st.dictionaries(st.text(max_size=8), sub, max_size=3)
+        ),
+    )
+
+
+@given(v=_zson_values())
+@settings(**SETTINGS)
+def test_zson_dumps_parse_roundtrip(v):
+    from zinger_spark.codecs import zson
+
+    (v2, name), = zson.parse(zson.dumps(v))
+    assert name is None
+    assert v2 == v
+
+
+@given(v=st.dictionaries(zson_field_names, _zson_values(2), max_size=4),
+       name=st.sampled_from(["done", "cursor", "order_t"]))
+@settings(**SETTINGS)
+def test_zson_named_type_roundtrip(v, name):
+    from zinger_spark.codecs import zson
+
+    (v2, name2), = zson.parse(zson.dumps(v, name))
+    assert (v2, name2) == (v, name)

@@ -151,17 +151,22 @@ def cmd_create_pool(args) -> int:
 
 def _read_files(spark, files: list[str], type_field: str | None = None):
     """Shared file reader for load/produce: parquet, ZSON (the
-    reference's native text format) or JSON-lines, chosen by extension.
-    Mixed text formats are fine (each file reads through its own
-    parser); mixing parquet with text is refused by the callers."""
+    reference's native text format), CSV (header + type inference, the
+    other `zed load`-able text format) or JSON-lines, chosen by
+    extension.  Mixed text formats are fine (each reads through its own
+    parser and the frames fuse); mixing parquet with text is refused by
+    the callers."""
     from .codecs.zson import read_zson
     from .datamodel import fuse
 
     zs = [f for f in files if f.endswith(".zson")]
-    js = [f for f in files if not f.endswith(".zson")]
+    cs = [f for f in files if f.endswith(".csv")]
+    js = [f for f in files if not f.endswith((".zson", ".csv"))]
     frames = []
     if zs:
         frames.append(read_zson(spark, zs, type_field=type_field))
+    if cs:
+        frames.append(spark.read.csv(cs, header=True, inferSchema=True))
     if js:
         frames.append(spark.read.json(js))
     return frames[0] if len(frames) == 1 else fuse(*frames)
