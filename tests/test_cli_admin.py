@@ -370,3 +370,31 @@ def test_cli_load_csv(spark, tmp_path, capsys):
     assert df.columns == ["kafka_offset", "v"]
     assert df.schema["kafka_offset"].dataType.simpleString() == "int"
     assert {tuple(r) for r in df.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_cli_ls_lake_lists_pools(spark, tmp_path, capsys):
+    from zinger_spark.sources.pool import Pool
+
+    Pool.create(spark, str(tmp_path / "Raw"))
+    pool = Pool.create(spark, str(tmp_path / "Staging"))
+    pool.load_batch(spark.createDataFrame(
+        [(("T", 0, 1), "data")],
+        "kafka struct<topic:string,partition:long,offset:long>, _type string",
+    ))
+    assert main(["ls", "--lake", str(tmp_path)]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert any(l.startswith("Raw ") and "0 commits" in l for l in out)
+    assert any(l.startswith("Staging ") and "1 commits" in l for l in out)
+
+
+def test_cli_pool_at_branch_spelling(spark, tmp_path, capsys):
+    """`Raw@main` (the ztest's zed load -use spelling) resolves to Raw;
+    other branches are an error."""
+    import pytest as _pytest
+
+    from zinger_spark.cli import _pool_name
+
+    assert _pool_name("Raw@main") == "Raw"
+    assert _pool_name("Raw") == "Raw"
+    with _pytest.raises(SystemExit):
+        _pool_name("Raw@dev")

@@ -105,7 +105,7 @@ def cmd_query(args) -> int:
         return None
 
     def pools(name: str):
-        path = os.path.join(args.lake, name)
+        path = os.path.join(args.lake, _pool_name(name))
         if os.path.isdir(path):
             pool = Pool(spark, path)
             if getattr(args, "at", None):
@@ -172,6 +172,18 @@ def _read_files(spark, files: list[str], type_field: str | None = None):
     return frames[0] if len(frames) == 1 else fuse(*frames)
 
 
+def _pool_name(name: str) -> str:
+    """Accept the reference's `pool@branch` spelling (`zed load -use
+    Raw@main`, ztests/etl-demo.yaml:8).  Only `main` exists here —
+    this lake has no branching — so other branches are an error."""
+    if "@" in name:
+        base, branch = name.split("@", 1)
+        if branch != "main":
+            raise SystemExit(f"pool {name!r}: only the main branch exists")
+        return base
+    return name
+
+
 def cmd_load(args) -> int:
     """Load files straight into a pool — the `zed load -use POOL`
     step of the reference workflow (ztests/etl-demo.yaml:8 loads
@@ -194,7 +206,7 @@ def cmd_load(args) -> int:
         # top-level (=name) decorators carry the reference's record
         # tags (done/cursor markers) into the engine's _type column
         df = _read_files(spark, args.files, type_field="_type")
-    pool = Pool(spark, f"{args.lake}/{args.pool}")
+    pool = Pool(spark, f"{args.lake}/{_pool_name(args.pool)}")
     commit = pool.load_batch(df)
     print(f"commit {commit} {df.count()} records")
     return 0
@@ -271,6 +283,34 @@ def cmd_info(args) -> int:
 
 
 def cmd_ls(args) -> int:
+    """--registry: schema-registry subjects (cmd/zync/ls/command.go).
+    --lake: pools in the lake with commit counts (the `zed ls` step of
+    the reference workflow)."""
+    if not getattr(args, "lake_dir", None) and not getattr(args, "registry", None):
+        print("ls: provide --registry or --lake", file=sys.stderr)
+        return 1
+    if getattr(args, "lake_dir", None):
+        import os
+
+        from .sources.pool import Pool, PoolError
+
+        spark = _spark(args)
+        found = False
+        for name in sorted(os.listdir(args.lake_dir)):
+            path = os.path.join(args.lake_dir, name)
+            if not os.path.isdir(path):
+                continue
+            try:
+                pool = Pool(spark, path)
+            except (PoolError, FileNotFoundError, KeyError, ValueError):
+                continue
+            found = True
+            commits = pool._commit_dirs()
+            print(f"{name} key {pool.meta.get('key', '?')} "
+                  f"order asc {len(commits)} commits")
+        if not found:
+            print(f"no pools in {args.lake_dir}", file=sys.stderr)
+        return 0
     from .codecs.avro import SchemaRegistry
 
     try:
@@ -288,7 +328,7 @@ def cmd_from_kafka(args) -> int:
     from .streaming import from_kafka as fk
 
     spark = _spark(args)
-    pool = Pool(spark, f"{args.lake}/{args.pool}")
+    pool = Pool(spark, f"{args.lake}/{_pool_name(args.pool)}")
     topics = args.topics.split(",")
     if args.kafka_replicas > 0:
         # cmd/zync/from-kafka/command.go:187-191: auto-create the
@@ -371,7 +411,7 @@ def cmd_to_kafka(args) -> int:
     from .streaming import to_kafka as tk
 
     spark = _spark(args)
-    pool = Pool(spark, f"{args.lake}/{args.pool}")
+    pool = Pool(spark, f"{args.lake}/{_pool_name(args.pool)}")
     shaper = None
     if getattr(args, "shaper", None):
         # -shaper on egress batches (fifo/lake.go:84-92 applies it
@@ -629,7 +669,9 @@ def main(argv: list[str] | None = None) -> int:
     info.add_argument("--topic", help="topic to probe in --brokers mode")
 
     ls = sub.add_parser("ls", help="list schema-registry subjects")
-    ls.add_argument("--registry", required=True)
+    ls.add_argument("--registry")
+    ls.add_argument("--lake", dest="lake_dir",
+                    help="list pools in this lake instead of registry subjects")
 
     fkp = sub.add_parser("from-kafka")
     fkp.add_argument("--brokers", required=True)
