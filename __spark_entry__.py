@@ -1608,6 +1608,33 @@ def _q_line_dedup(spark, sf):
     )
 
 
+def _q_substring_dups(spark, sf):
+    """Substring-level duplicate pairs via winnowing fingerprints
+    (Schleimer et al. 2003 / the repeated-span dedup of Lee et al.
+    2022): docs sharing any verbatim span of >= w+k-1 = 8 tokens share
+    a fingerprint regardless of offset.  The synthetic corpus shares no
+    long spans, so a 12-token paragraph keyed by doc_id//2 is appended
+    to both members of every third id-pair on BOTH engines; the oracle
+    then checks the exact pair set AND shared-fingerprint counts."""
+    from zinger_spark.operators.dedup import substring_dup_pairs
+
+    docs = _t(spark, sf, "documents")
+    group = F.floor(F.col("doc_id") / 2).cast("long").cast("string")
+    para = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(12)),
+            lambda j: F.concat(F.lit("p"), group, F.lit("x"), j.cast("string")),
+        ),
+    )
+    aug = F.when(
+        F.col("doc_id") % 6 < 2, F.concat(F.col("text"), F.lit(" "), para)
+    ).otherwise(F.col("text"))
+    return substring_dup_pairs(
+        docs.select("doc_id", aug.alias("text")), k=5, w=4
+    )
+
+
 def _q_dsir_affinity(spark, sf):
     """DSIR-style data selection signal (Xie et al. 2023: importance
     resampling via hashed n-gram features).  Tokens hash into 4096
@@ -2089,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "line_dedup": _q_line_dedup,
         "dsir_affinity": _q_dsir_affinity,
+        "substring_dups": _q_substring_dups,
         "contamination_exact": _q_contamination_exact,
         "quantize_embeddings": _q_quantize_embeddings,
         "session_window_stats": _q_session_window_stats,
@@ -3430,6 +3458,46 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.n_lines_after, 0) AS n_lines_after,
                    {_sql_md5h("coalesce(r.text_dedup, '')")} AS dedup_fp
             FROM aug a LEFT JOIN rebuilt r ON r.doc_id = a.doc_id
+        """,
+        "substring_dups": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 6 < 2
+                          THEN text || ' ' || array_to_string(
+                               list_transform(generate_series(1, 12),
+                                 j -> 'p' || CAST(doc_id // 2 AS VARCHAR)
+                                          || 'x' || CAST(j AS VARCHAR)), ' ')
+                          ELSE text END AS text
+              FROM documents
+            ),
+            tokd AS (SELECT doc_id, {_sql_tokens("text")} AS toks FROM aug),
+            gram0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 4),
+                            i -> struct_pack(pos := i,
+                                 h := {_sql_md5h("array_to_string(list_slice(toks, i, i + 4), ' ')")}
+                                      % 1073741789))) AS u
+              FROM tokd WHERE len(toks) >= 5
+            ),
+            grams AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM gram0),
+            ng AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            fps0 AS (
+              SELECT doc_id, pos,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM grams
+            ),
+            fps AS (
+              SELECT DISTINCT f.doc_id, f.fp
+              FROM fps0 f JOIN ng ON ng.doc_id = f.doc_id
+              WHERE f.pos <= ng.n - 3
+            ),
+            hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1000),
+            cold AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS shared_fps
+            FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         "dsir_affinity": f"""
             WITH tok AS (

@@ -62,6 +62,7 @@ HEADLINE = [
     "curation_pipeline",
     "line_dedup",
     "dsir_affinity",
+    "substring_dups",
 ]
 
 

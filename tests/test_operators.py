@@ -627,3 +627,32 @@ def test_dedup_lines_keeps_first_occurrence(spark):
     assert rows[2]["text_dedup"] == "beta\n\ngamma"
     assert (rows[2]["n_lines_before"], rows[2]["n_lines_after"]) == (4, 3)
     assert rows[3]["text_dedup"] == "" and rows[3]["n_lines_after"] == 0
+
+
+def test_winnow_substring_pairs(spark):
+    """Winnowing guarantee: a shared span of >= w+k-1 (=8) tokens is
+    detected regardless of its offset in each document."""
+    from zinger_spark.operators.dedup import substring_dup_pairs, winnow_fingerprints
+
+    shared = "one two three four five six seven eight"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"x y z w {shared}"),
+            (3, "totally different words nothing matches here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in substring_dup_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    # fingerprint sets are offset-independent for the shared region:
+    # every fingerprint of the bare shared string appears in both docs
+    bare = spark.createDataFrame([(9, shared)], "doc_id long, text string")
+    bare_fps = {r["fp"] for r in winnow_fingerprints(bare).collect()}
+    fps1 = {r["fp"] for r in winnow_fingerprints(docs.where("doc_id=1")).collect()}
+    fps2 = {r["fp"] for r in winnow_fingerprints(docs.where("doc_id=2")).collect()}
+    assert bare_fps and bare_fps <= fps1 and bare_fps <= fps2

@@ -761,3 +761,85 @@ def dedup_lines(
         .fillna({"text_dedup": "", "n_lines_after": 0})
         .select(id_col, "n_lines_before", "n_lines_after", "text_dedup")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every k-token gram, then keep the MINIMUM hash of
+    each window of ``w`` consecutive gram hashes.  Guarantee: any two
+    documents sharing a substring of >= w+k-1 tokens share at least one
+    fingerprint, REGARDLESS of where the substring sits in each doc —
+    the alignment-robustness that fixed-stride chunk hashing lacks.
+
+    Returns (id, fp) distinct rows.  Plan: the posexplode+lead gram
+    pass (same shape as exploded_shingles), one per-doc ordered window
+    for the rolling min — partitioned by doc id, so state is bounded by
+    the longest document, never the corpus.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ex = docs.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok"))
+    wn = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(wn) for j in range(1, k)]
+    grams = (
+        ex.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *leads).alias("g"),
+            leads[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("id", "pos", (md5_hash60(F.col("g")) % MINHASH_P30).alias("h"))
+    )
+    # forward-window min over w gram hashes; windows that would run past
+    # the last gram are excluded by bounding pos
+    roll = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    n_g = Window.partitionBy("id")
+    fps = (
+        grams.withColumn("__fp", F.min("h").over(roll))
+        .withColumn("__ng", F.count(F.lit(1)).over(n_g))
+        .filter(F.col("pos") <= F.col("__ng") - w)
+        .select("id", F.col("__fp").alias("fp"))
+        .distinct()
+    )
+    return fps
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Document pairs sharing at least ``min_shared`` winnowing
+    fingerprints — i.e. likely sharing verbatim spans of >= w+k-1
+    tokens (Lee et al. 2022's repeated-substring contamination, at the
+    granularity fingerprints allow).  ``max_df`` drops fingerprints
+    present in more than that many docs (boilerplate guard — the same
+    skew cap as the shingle-blocked joins: a fingerprint shared by M
+    docs would otherwise emit M² join rows).
+    """
+    fps = winnow_fingerprints(docs, text_col, id_col, k, w)
+    hot = (
+        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("fp")
+    )
+    cold = fps.join(F.broadcast(hot), "fp", "left_anti")
+    left = cold.select(F.col("id").alias("doc_a"), "fp")
+    right = cold.select(F.col("id").alias("doc_b"), "fp")
+    return (
+        left.join(right, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
