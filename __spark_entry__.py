@@ -1635,6 +1635,34 @@ def _q_substring_dups(spark, sf):
     )
 
 
+def _q_line_dedup_incremental(spark, sf):
+    """Ingest-time line dedup: even doc_ids play the maintained corpus,
+    odd doc_ids the arriving batch — batch lines already seen anywhere
+    in the corpus (or earlier in the batch) drop, blank lines survive.
+    Same boilerplate injection as line_dedup so the corpus provably
+    contains the batch's boilerplate."""
+    from zinger_spark.operators.dedup import incremental_line_dedup
+
+    docs = _t(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit("\n\nsubscribe to our newsletter"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("\nall rights reserved")
+        ).otherwise(F.lit("")),
+    )
+    a = docs.select("doc_id", aug.alias("text"))
+    corpus = a.where(F.col("doc_id") % 2 == 0)
+    batch = a.where(F.col("doc_id") % 2 == 1)
+    out = incremental_line_dedup(corpus, batch)
+    return out.select(
+        "doc_id",
+        "n_lines_before",
+        "n_lines_after",
+        ztext.md5_hash60(F.col("text_dedup")).alias("dedup_fp"),
+    )
+
+
 def _q_dsir_affinity(spark, sf):
     """DSIR-style data selection signal (Xie et al. 2023: importance
     resampling via hashed n-gram features).  Tokens hash into 4096
@@ -2117,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "dsir_affinity": _q_dsir_affinity,
         "substring_dups": _q_substring_dups,
+        "line_dedup_incremental": _q_line_dedup_incremental,
         "contamination_exact": _q_contamination_exact,
         "quantize_embeddings": _q_quantize_embeddings,
         "session_window_stats": _q_session_window_stats,
@@ -3458,6 +3487,59 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.n_lines_after, 0) AS n_lines_after,
                    {_sql_md5h("coalesce(r.text_dedup, '')")} AS dedup_fp
             FROM aug a LEFT JOIN rebuilt r ON r.doc_id = a.doc_id
+        """,
+        "line_dedup_incremental": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || chr(10) || chr(10) || 'subscribe to our newsletter'
+                          || CASE WHEN doc_id % 3 = 0
+                                  THEN chr(10) || 'all rights reserved'
+                                  ELSE '' END AS text
+              FROM documents
+            ),
+            corpus AS (SELECT * FROM aug WHERE doc_id % 2 = 0),
+            batch AS (SELECT * FROM aug WHERE doc_id % 2 = 1),
+            seen AS (
+              SELECT DISTINCT trim(line) AS n
+              FROM (SELECT unnest(string_split(text, chr(10))) AS line FROM corpus)
+              WHERE trim(line) <> ''
+            ),
+            lraw AS (SELECT doc_id, string_split(text, chr(10)) AS ln FROM batch),
+            lines0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(ln)),
+                            i -> struct_pack(pos := i, line := ln[i]))) AS u
+              FROM lraw
+            ),
+            lines AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM lines0),
+            content AS (SELECT * FROM lines WHERE trim(line) <> ''),
+            fresh AS (
+              SELECT c.* FROM content c
+              LEFT JOIN seen s ON s.n = trim(c.line)
+              WHERE s.n IS NULL
+            ),
+            ranked AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY trim(line)
+                                        ORDER BY doc_id, pos) AS rn
+              FROM fresh
+            ),
+            survivors AS (
+              SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+              UNION ALL
+              SELECT doc_id, pos, line FROM lines WHERE trim(line) = ''
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+                     count(*) AS n_lines_after
+              FROM survivors GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   len(string_split(b.text, chr(10))) AS n_lines_before,
+                   coalesce(r.n_lines_after, 0) AS n_lines_after,
+                   {_sql_md5h("coalesce(r.text_dedup, '')")} AS dedup_fp
+            FROM batch b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
         """,
         "substring_dups": f"""
             WITH aug AS (

@@ -656,3 +656,25 @@ def test_winnow_substring_pairs(spark):
     fps1 = {r["fp"] for r in winnow_fingerprints(docs.where("doc_id=1")).collect()}
     fps2 = {r["fp"] for r in winnow_fingerprints(docs.where("doc_id=2")).collect()}
     assert bare_fps and bare_fps <= fps1 and bare_fps <= fps2
+
+
+def test_incremental_line_dedup(spark):
+    """Batch lines already in the corpus drop; fresh lines keep their
+    first batch occurrence; blanks always survive."""
+    from zinger_spark.operators.dedup import incremental_line_dedup
+
+    corpus = spark.createDataFrame(
+        [(0, "seen line\nother corpus line")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "seen line\nnew line\n\nnew line"),
+            (2, "new line\nunique here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in incremental_line_dedup(corpus, batch).collect()}
+    assert rows[1]["text_dedup"] == "new line\n"   # blank kept, dup-in-batch drops
+    assert (rows[1]["n_lines_before"], rows[1]["n_lines_after"]) == (4, 2)
+    assert rows[2]["text_dedup"] == "unique here"  # 'new line' went to doc 1
+    assert rows[2]["n_lines_after"] == 1

@@ -843,3 +843,63 @@ def substring_dup_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def incremental_line_dedup(
+    corpus: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-maintained line dedup for a NEW batch: drop every
+    non-blank line already present anywhere in ``corpus`` (trimmed
+    match) or earlier in the batch itself (same (min id, min pos) keep
+    rule as dedup_lines), rebuild the batch docs, and report
+    before/after counts.  The ingest-time form of the C4 boilerplate
+    pass: the corpus contributes only a distinct-line-hash projection
+    (store it as a running index — one narrow column — to make each
+    step O(|new|))."""
+    lines = new.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.trim(F.col("line"))
+    content = lines.where(norm != "").withColumn("__n", norm)
+    seen = (
+        corpus.select(
+            F.explode(F.split(F.col(text_col), "\n")).alias("line")
+        )
+        .select(F.trim(F.col("line")).alias("__n"))
+        .where(F.col("__n") != "")
+        .distinct()
+    )
+    fresh = content.join(seen, "__n", "left_anti")
+    keeper = fresh.groupBy("__n").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("k")
+    )
+    kept = (
+        fresh.join(keeper, "__n")
+        .where((F.col(id_col) == F.col("k.d")) & (F.col("pos") == F.col("k.p")))
+        .select(id_col, "pos", "line")
+    )
+    survivors = kept.unionByName(
+        lines.where(norm == "").select(id_col, "pos", "line")
+    )
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count("*").alias("n_lines_after"),
+    )
+    base = new.select(
+        id_col, F.size(F.split(F.col(text_col), "\n")).alias("n_lines_before")
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .fillna({"text_dedup": "", "n_lines_after": 0})
+        .select(id_col, "n_lines_before", "n_lines_after", "text_dedup")
+    )
