@@ -209,3 +209,38 @@ def test_etl_demo_from_zson_files_matches_goldens(spark, tmp_path):
         assert sorted(_canon(*x) for x in ours) == sorted(
             _canon(*x) for x in golden
         ), f"batch {i}"
+
+
+def test_ztest_script_replay_through_cli(spark, tmp_path, capsys, monkeypatch):
+    """The reference ztest script (ztests/etl-demo.yaml:1-12) replayed
+    command for command through THIS CLI: create pools, `load` each
+    demo batch-N.zson, run `etl` on the reference's own invoices.yaml,
+    and print Staging with `query -Z` — comparing the ZSON records
+    against the ztest's golden stdout, batch by batch."""
+    from zinger_spark import cli as climod
+
+    monkeypatch.setattr(climod, "_spark", lambda args: spark)
+    lake = str(tmp_path)
+    assert climod.main(["create-pool", "Raw", "--lake", lake]) == 0
+    assert climod.main(["create-pool", "Staging", "--lake", lake]) == 0
+    capsys.readouterr()
+    for i, golden in enumerate(_golden_batches(), start=1):
+        assert climod.main(
+            ["load", str(DEMO / f"batch-{i}.zson"),
+             "--pool", "Raw@main", "--lake", lake]
+        ) == 0
+        assert climod.main(
+            ["etl", str(DEMO / "invoices.yaml"), "--lake", lake]
+        ) == 0
+        assert climod.main(
+            ["query", "--lake", lake, "-Z", "-z", "from Staging"]
+        ) == 0
+        out = capsys.readouterr().out
+        ours = [
+            zson.parse(line)[0]
+            for line in out.splitlines()
+            if line.startswith("{")
+        ]
+        assert sorted(_canon(*x) for x in ours) == sorted(
+            _canon(*x) for x in golden
+        ), f"batch {i}"
