@@ -1635,6 +1635,46 @@ def _q_substring_dups(spark, sf):
     )
 
 
+def _q_source_vocab_overlap(spark, sf):
+    """Corpus-audit matrix: for every source pair, the shared distinct
+    vocabulary and its Jaccard — the quick leakage/similarity screen
+    run before mixing data sources.  Distinct (source, token) pairs
+    (partial-agg), token-keyed self-join, then a 10-row matrix; the
+    exact integer counts keep the oracle hash-stable."""
+    docs = _t(spark, sf, "documents")
+    tok = docs.select(
+        "source", F.explode(F.array_distinct(ztext.tokens(F.col("text")))).alias("t")
+    ).distinct()
+    sizes = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        tok.select(F.col("source").alias("src_a"), "t")
+        .join(tok.select(F.col("source").alias("src_b"), "t"), "t")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_vocab"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared_vocab",
+            F.round(
+                F.col("shared_vocab").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared_vocab")).cast("double"),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
 def _q_line_dedup_incremental(spark, sf):
     """Ingest-time line dedup: even doc_ids play the maintained corpus,
     odd doc_ids the arriving batch — batch lines already seen anywhere
@@ -2146,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_affinity": _q_dsir_affinity,
         "substring_dups": _q_substring_dups,
         "line_dedup_incremental": _q_line_dedup_incremental,
+        "source_vocab_overlap": _q_source_vocab_overlap,
         "contamination_exact": _q_contamination_exact,
         "quantize_embeddings": _q_quantize_embeddings,
         "session_window_stats": _q_session_window_stats,
@@ -3487,6 +3528,26 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.n_lines_after, 0) AS n_lines_after,
                    {_sql_md5h("coalesce(r.text_dedup, '')")} AS dedup_fp
             FROM aug a LEFT JOIN rebuilt r ON r.doc_id = a.doc_id
+        """,
+        "source_vocab_overlap": f"""
+            WITH tok AS (
+              SELECT DISTINCT source, t
+              FROM (SELECT source, unnest(list_distinct({_sql_tokens("text")})) AS t
+                    FROM documents)
+            ),
+            sizes AS (SELECT source, count(*) AS n FROM tok GROUP BY 1),
+            shared AS (
+              SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_vocab
+              FROM tok a JOIN tok b ON a.t = b.t AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT src_a, src_b, shared_vocab,
+                   round(shared_vocab /
+                         CAST(na.n + nb.n - shared_vocab AS DOUBLE), 6)
+                     AS vocab_jaccard
+            FROM shared
+            JOIN sizes na ON na.source = shared.src_a
+            JOIN sizes nb ON nb.source = shared.src_b
         """,
         "line_dedup_incremental": f"""
             WITH aug AS (
