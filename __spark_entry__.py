@@ -1635,6 +1635,19 @@ def _q_substring_dups(spark, sf):
     )
 
 
+def _q_source_quota_sample(spark, sf):
+    """Per-source hard quota: the 5 longest docs per source (n_chars
+    desc, doc_id asc tie-break) — the domain-balancing cap applied
+    before mixing.  One window partitioned by source; deterministic
+    pick, so the oracle matches row-for-row."""
+    from zinger_spark.operators.sampling import quota_sample
+
+    docs = _t(spark, sf, "documents")
+    return quota_sample(docs, 5, order_col="n_chars").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def _q_source_vocab_overlap(spark, sf):
     """Corpus-audit matrix: for every source pair, the shared distinct
     vocabulary and its Jaccard — the quick leakage/similarity screen
@@ -2187,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dups": _q_substring_dups,
         "line_dedup_incremental": _q_line_dedup_incremental,
         "source_vocab_overlap": _q_source_vocab_overlap,
+        "source_quota_sample": _q_source_quota_sample,
         "contamination_exact": _q_contamination_exact,
         "quantize_embeddings": _q_quantize_embeddings,
         "session_window_stats": _q_session_window_stats,
@@ -3528,6 +3542,16 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.n_lines_after, 0) AS n_lines_after,
                    {_sql_md5h("coalesce(r.text_dedup, '')")} AS dedup_fp
             FROM aug a LEFT JOIN rebuilt r ON r.doc_id = a.doc_id
+        """,
+        "source_quota_sample": """
+            SELECT doc_id, source, n_chars
+            FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM documents
+            )
+            WHERE rk <= 5
         """,
         "source_vocab_overlap": f"""
             WITH tok AS (

@@ -53,3 +53,37 @@ def mixture_sample(
         .filter((h % 10000).cast("double") < F.col("__rate") * 10000)
         .drop("__rate")
     )
+
+
+def quota_sample(
+    docs: DataFrame,
+    per_group: int,
+    group_col: str = "source",
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hard per-group quota: keep at most ``per_group`` rows per
+    ``group_col``, best-first by ``order_col`` (descending; ties and
+    the default order break by ascending id, so the pick is fully
+    deterministic).  The domain-balancing step that caps a dominant
+    source before mixing — the hard-cap complement to the
+    proportional/temperature samplers above.
+
+    One window shuffle partitioned by group: per-partition rank state
+    is bounded by the largest group, never the corpus.  A group with a
+    truly pathological share should be pre-split by a salted hash and
+    re-capped — the same skew playbook as any hot key.
+    """
+    from pyspark.sql import Window
+
+    order = (
+        [F.col(order_col).desc(), F.col(id_col).asc()]
+        if order_col
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        docs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= per_group)
+        .drop("__rk")
+    )
