@@ -2126,6 +2126,11 @@ _q_zq_over_unnest = _zq(
     "| sort -r n, value | head 20"
 )
 
+# top: bounded-memory best-N (TakeOrderedAndProject)
+_q_zq_top = _zq(
+    "from documents | top 5 n_chars, doc_id | cut doc_id, source, n_chars"
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
@@ -2143,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "zq_filter_cut": _q_zq_filter_cut,
         "zq_over_unnest": _q_zq_over_unnest,
+        "zq_top": _q_zq_top,
         "zq_agg_by": _q_zq_agg_by,
         "zq_agg_where": _q_zq_agg_where,
         "zq_switch_yield": _q_zq_switch_yield,
@@ -2579,6 +2585,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY value
             ORDER BY n DESC, value DESC
             LIMIT 20
+        """,
+        "zq_top": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            ORDER BY n_chars DESC, doc_id DESC
+            LIMIT 5
         """,
         "zq_agg_where": """
             SELECT event_type,
