@@ -1635,6 +1635,32 @@ def _q_substring_dups(spark, sf):
     )
 
 
+def _q_script_mix(spark, sf):
+    """Per-document Unicode-script character mix (Han/Latin/Cyrillic/
+    digit counts + Latin share) — the script-detection signal a
+    multilingual curation pipeline routes on.  Pure per-row
+    replace-length arithmetic; Java and RE2 script classes agree."""
+    docs = _t(spark, sf, "documents")
+    sc = ztext.script_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        sc.getField("han").alias("han"),
+        sc.getField("latin").alias("latin"),
+        sc.getField("cyrillic").alias("cyrillic"),
+        sc.getField("digit").alias("digit"),
+        F.when(sc.getField("n_chars") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                sc.getField("latin").cast("double")
+                / sc.getField("n_chars").cast("double"),
+                6,
+            )
+        )
+        .alias("latin_share"),
+    )
+
+
 def _q_source_quota_sample(spark, sf):
     """Per-source hard quota: the 5 longest docs per source (n_chars
     desc, doc_id asc tie-break) — the domain-balancing cap applied
@@ -2207,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_incremental": _q_line_dedup_incremental,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "source_quota_sample": _q_source_quota_sample,
+        "script_mix": _q_script_mix,
         "contamination_exact": _q_contamination_exact,
         "quantize_embeddings": _q_quantize_embeddings,
         "session_window_stats": _q_session_window_stats,
@@ -3554,6 +3581,17 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.n_lines_after, 0) AS n_lines_after,
                    {_sql_md5h("coalesce(r.text_dedup, '')")} AS dedup_fp
             FROM aug a LEFT JOIN rebuilt r ON r.doc_id = a.doc_id
+        """,
+        "script_mix": """
+            SELECT doc_id, lang,
+                   length(text) - length(regexp_replace(text, '\\p{Han}', '', 'g')) AS han,
+                   length(text) - length(regexp_replace(text, '\\p{Latin}', '', 'g')) AS latin,
+                   length(text) - length(regexp_replace(text, '\\p{Cyrillic}', '', 'g')) AS cyrillic,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE round((length(text) - length(regexp_replace(text, '\\p{Latin}', '', 'g')))
+                                   / CAST(length(text) AS DOUBLE), 6) END AS latin_share
+            FROM documents
         """,
         "source_quota_sample": """
             SELECT doc_id, source, n_chars

@@ -391,3 +391,23 @@ def top_ngram_char_fraction(text: Column, n: int) -> Column:
             6,
         )
     )
+
+
+def script_counts(text: Column) -> Column:
+    """Per-document Unicode-script character counts (Han, Latin,
+    Cyrillic, digits) as a struct — the script-detection signal a
+    multilingual curation pipeline routes on (CJK docs to a CJK
+    tokenizer, mixed-script spam to review).  Counted via
+    replace-length arithmetic; Java's \\p{IsHan} and RE2's \\p{Han}
+    classes agree (verified), so the DuckDB oracle reproduces counts
+    exactly."""
+    def cnt(cls: str) -> Column:
+        return F.length(text) - F.length(F.regexp_replace(text, cls, ""))
+
+    return F.struct(
+        cnt(r"\p{IsHan}").alias("han"),
+        cnt(r"\p{IsLatin}").alias("latin"),
+        cnt(r"\p{IsCyrillic}").alias("cyrillic"),
+        cnt(r"[0-9]").alias("digit"),
+        F.length(text).alias("n_chars"),
+    )
