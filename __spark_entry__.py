@@ -1635,6 +1635,19 @@ def _q_substring_dups(spark, sf):
     )
 
 
+def _q_simhash_dup_pairs(spark, sf):
+    """Near-dup pairs under a Hamming bound over SimHash sketches —
+    dedup.hamming_dup_pairs (Manku et al. 2007 pigeonhole banding:
+    band equi-joins for candidates, bit_count(xor) verify).  The
+    oracle brute-forces all pairs, proving the banded join loses
+    nothing at this bound."""
+    docs = _t(spark, sf, "documents")
+    fps = zdedup.simhash(docs, bits=16)
+    return zdedup.hamming_dup_pairs(
+        fps, fp_col="simhash", bits=16, max_hamming=2
+    ).withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+
+
 def _q_script_mix(spark, sf):
     """Per-document Unicode-script character mix (Han/Latin/Cyrillic/
     digit counts + Latin share) — the script-detection signal a
@@ -2234,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_overlap": _q_source_vocab_overlap,
         "source_quota_sample": _q_source_quota_sample,
         "script_mix": _q_script_mix,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
         "contamination_exact": _q_contamination_exact,
         "quantize_embeddings": _q_quantize_embeddings,
         "session_window_stats": _q_session_window_stats,
@@ -3581,6 +3595,13 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.n_lines_after, 0) AS n_lines_after,
                    {_sql_md5h("coalesce(r.text_dedup, '')")} AS dedup_fp
             FROM aug a LEFT JOIN rebuilt r ON r.doc_id = a.doc_id
+        """,
+        "simhash_dup_pairs": f"""
+            WITH sh AS ({_sql_simhash(16)})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         """,
         "script_mix": """
             SELECT doc_id, lang,

@@ -153,3 +153,47 @@ def test_audio_chunk_plan_and_features(spark):
     by_key = {(r["content_hash"], r["chunk_idx"]): tuple(r["features"]) for r in feats}
     feats2 = mm.extract_audio_features(plan.repartition(3), fake=True).collect()
     assert {(r["content_hash"], r["chunk_idx"]): tuple(r["features"]) for r in feats2} == by_key
+
+
+def test_image_perceptual_hash_dedup(spark):
+    """dHash/aHash over REAL PNG payloads: identical content hashes
+    equal, a one-pixel edit stays within the Hamming bound, a different
+    image lands far away — and the banded Hamming join finds exactly
+    the near pair."""
+    import numpy as np
+
+    from zinger_spark.codecs import media
+    from zinger_spark.multimodal import image_dup_pairs, image_hashes
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = 255 - near[0, 0]
+    other = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    d_base, d_near, d_other = media.dhash(base), media.dhash(near), media.dhash(other)
+    assert bin((d_base ^ d_near) & (2**64 - 1)).count("1") <= 3
+    assert bin((d_base ^ d_other) & (2**64 - 1)).count("1") > 10
+
+    df = spark.createDataFrame(
+        [(1, media.encode_png(base)), (2, media.encode_png(near)),
+         (3, media.encode_png(other))],
+        "img_id long, payload binary",
+    )
+    hashes = {r["img_id"]: r for r in image_hashes(df).collect()}
+    assert hashes[1]["dhash"] == d_base and hashes[3]["dhash"] == d_other
+    pairs = [(r["id_a"], r["id_b"]) for r in image_dup_pairs(df).collect()]
+    assert pairs == [(1, 2)]
+
+
+def test_image_hash_fake_tier_gates(spark):
+    """Non-PNG payloads raise without fake=True; with it, the stub is
+    deterministic and the plumbing (schema, join) is identical."""
+    import pytest as _pytest
+
+    from zinger_spark.multimodal import image_hashes
+
+    df = spark.createDataFrame([(1, b"not an image")], "img_id long, payload binary")
+    with _pytest.raises(Exception, match="NotImplementedError|perceptual"):
+        image_hashes(df).collect()
+    rows = image_hashes(df, fake=True).collect()
+    assert rows[0]["dhash"] == image_hashes(df, fake=True).collect()[0]["dhash"]

@@ -305,3 +305,50 @@ def wav_chunk_features(samples: np.ndarray, rate: int, chunk_ms: int, idx: int) 
     hist = np.histogram(np.abs(seg), bins=9, range=(0.0, 1.0))[0] / seg.size
     feats = [rms, mean_abs, peak, zcr] + [float(v) for v in hist]
     return {"rms": round(rms, 6), "features": [round(v, 6) for v in feats]}
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashes (image near-dup)
+
+
+def _luma_plane(px: np.ndarray) -> np.ndarray:
+    if px.ndim == 2:
+        return px.astype(np.float64)
+    if px.shape[2] >= 3:
+        return (
+            0.299 * px[:, :, 0].astype(np.float64)
+            + 0.587 * px[:, :, 1].astype(np.float64)
+            + 0.114 * px[:, :, 2].astype(np.float64)
+        )
+    return px[:, :, 0].astype(np.float64)
+
+
+def dhash(px: np.ndarray, size: int = 8) -> int:
+    """Difference hash: luma -> nearest-resize to (size x size+1) ->
+    bit = left pixel brighter than its right neighbor, row-major.
+    64 bits at the default size; robust to re-encode/resize, flips a
+    few bits under small edits — pair via
+    operators.dedup.hamming_dup_pairs."""
+    luma = _luma_plane(px)
+    small = resize_nearest(luma[:, :, None], (size + 1, size))[:, :, 0]
+    bits = (small[:, 1:] < small[:, :-1]).flatten()
+    return _bits_to_signed64(bits)
+
+
+def _bits_to_signed64(bits: np.ndarray) -> int:
+    """Pack <=64 bits little-endian into a SIGNED 64-bit int (two's
+    complement), so the value survives a Spark LongType column."""
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def ahash(px: np.ndarray, size: int = 8) -> int:
+    """Average hash: luma -> size x size -> bit = pixel above the mean.
+    Cheaper and coarser than dhash; same pairing machinery."""
+    luma = _luma_plane(px)
+    small = resize_nearest(luma[:, :, None], (size, size))[:, :, 0]
+    mean = small.mean()
+    return _bits_to_signed64((small > mean).flatten())

@@ -330,3 +330,86 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+IMAGE_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("img_id", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def image_hash_batches(fake: bool = False):
+    """mapInPandas kernel: (img_id, payload) -> perceptual hashes
+    (dHash + aHash, codecs/media.py).  PNG hashes FOR REAL via the
+    stdlib decoder (JPEG too when PIL is present); other formats fall
+    back to a deterministic content-hash-derived stub only when
+    ``fake=True`` — the plumbing (schema, Arrow batching, downstream
+    hamming join) is identical either way."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, payload in zip(pdf["img_id"], pdf["payload"]):
+                raw = bytes(payload)
+                px = None
+                if _media.is_png(raw):
+                    px = _media.decode_png(raw)["pixels"]
+                elif _media.HAS_PIL and _media.is_jpeg(raw):
+                    px = _media.decode_pil(raw)["pixels"]
+                if px is not None:
+                    dh, ah = _media.dhash(px), _media.ahash(px)
+                elif fake:
+                    h = hashlib.md5(raw).digest()
+                    dh = int.from_bytes(h[:8], "little", signed=True)
+                    ah = int.from_bytes(h[8:16], "little", signed=True)
+                else:
+                    raise NotImplementedError(
+                        "perceptual hash beyond PNG (or JPEG-with-PIL) "
+                        "requires PIL/ffmpeg; pass fake=True for the stub"
+                    )
+                rows.append(
+                    {
+                        "img_id": int(img_id),
+                        "content_hash": hashlib.md5(raw).hexdigest(),
+                        "dhash": dh,
+                        "ahash": ah,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_HASH_SCHEMA])
+
+    return _kernel
+
+
+def image_hashes(
+    df: DataFrame, id_col: str = "img_id", payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Distributed perceptual hashing over a binary image column."""
+    return df.select(
+        F.col(id_col).cast("long").alias("img_id"),
+        F.col(payload_col).alias("payload"),
+    ).mapInPandas(image_hash_batches(fake=fake), IMAGE_HASH_SCHEMA)
+
+
+def image_dup_pairs(
+    df: DataFrame,
+    id_col: str = "img_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    fake: bool = False,
+) -> DataFrame:
+    """Image near-dup pairs: perceptual dHash + the pigeonhole-banded
+    Hamming join (operators.dedup.hamming_dup_pairs) — the image-side
+    twin of SimHash text dedup.  The decode/hash pass is the only
+    Python (Arrow-batched); candidate generation and verification stay
+    JVM-side equi-joins."""
+    from .operators.dedup import hamming_dup_pairs
+
+    fps = image_hashes(df, id_col, payload_col, fake=fake)
+    return hamming_dup_pairs(
+        fps, fp_col="dhash", id_col="img_id", bits=64, max_hamming=max_hamming
+    )

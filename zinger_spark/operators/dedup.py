@@ -903,3 +903,63 @@ def incremental_line_dedup(
         .fillna({"text_dedup": "", "n_lines_after": 0})
         .select(id_col, "n_lines_before", "n_lines_after", "text_dedup")
     )
+
+
+def hamming_dup_pairs(
+    fps: DataFrame,
+    fp_col: str = "simhash",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 3,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """Near-dup pairs under a Hamming-distance bound over b-bit
+    fingerprints (SimHash text sketches, image dHash/aHash) — the
+    pigeonhole banding of Manku et al. 2007: split the fingerprint into
+    ``max_hamming + 1`` bands, so any pair within the bound agrees on
+    at least one band; candidates come from band equi-joins, then the
+    exact distance verifies via bit_count(xor).  ``max_bucket`` drops
+    degenerate bands (e.g. the all-zero band of blank images) before
+    the self-join — the standard hot-key cap.
+    """
+    bands = max_hamming + 1
+    band_bits = -(-bits // bands)  # ceil
+    mask = (1 << band_bits) - 1
+    fp = F.col(fp_col)
+    banded = fps.select(
+        F.col(id_col).alias("id"),
+        fp.alias("__fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(fp, b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "__fp", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    hot = (
+        banded.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") > max_bucket)
+        .select("band", "val")
+    )
+    cold = banded.join(F.broadcast(hot), ["band", "val"], "left_anti")
+    left = cold.select(F.col("id").alias("id_a"), F.col("__fp").alias("fp_a"), "band", "val")
+    right = cold.select(F.col("id").alias("id_b"), F.col("__fp").alias("fp_b"), "band", "val")
+    return (
+        left.join(right, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
