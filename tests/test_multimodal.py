@@ -197,3 +197,45 @@ def test_image_hash_fake_tier_gates(spark):
         image_hashes(df).collect()
     rows = image_hashes(df, fake=True).collect()
     assert rows[0]["dhash"] == image_hashes(df, fake=True).collect()[0]["dhash"]
+
+
+def test_audio_fingerprint_dedup(spark):
+    """Spectral-contour fingerprints over REAL PCM WAV: a re-gained +
+    lightly-noised copy of a clip stays within a few bits; a different
+    tone mix lands far away; the Hamming join finds exactly the pair."""
+    import numpy as np
+
+    from zinger_spark.codecs import media
+    from zinger_spark.multimodal import audio_dup_pairs, audio_hashes
+
+    rate = 16000
+    t = np.arange(rate * 2) / rate  # 2 s
+    rng = np.random.default_rng(3)
+
+    # harmonically rich signals (pure sines are the degenerate case:
+    # empty bands have noise-driven delta signs)
+    def rich(f0):
+        # 0.2x keeps the 16-bit PCM encode out of clipping
+        return 0.2 * sum(np.sin(2 * np.pi * k * f0 * t) / k for k in range(1, 41))
+
+    clip = rich(110.0)
+    near = 0.8 * clip + 0.0004 * rng.standard_normal(clip.size)
+    other = rich(137.0)
+
+    f0 = media.audio_fingerprint(clip, rate)
+    f1 = media.audio_fingerprint(near, rate)
+    f2 = media.audio_fingerprint(other, rate)
+    assert bin((f0 ^ f1) & (2**64 - 1)).count("1") <= 6
+    assert bin((f0 ^ f2) & (2**64 - 1)).count("1") > 12
+
+    df = spark.createDataFrame(
+        [(1, media.encode_wav(clip, rate)), (2, media.encode_wav(near, rate)),
+         (3, media.encode_wav(other, rate))],
+        "clip_id long, payload binary",
+    )
+    rows = {r["clip_id"]: r for r in audio_hashes(df).collect()}
+    # 16-bit PCM quantization drifts a few near-zero-delta bits
+    assert bin((rows[1]["afp"] ^ f0) & (2**64 - 1)).count("1") <= 6
+    assert rows[1]["duration_ms"] == 2000
+    pairs = [(r["id_a"], r["id_b"]) for r in audio_dup_pairs(df).collect()]
+    assert pairs == [(1, 2)]

@@ -352,3 +352,36 @@ def ahash(px: np.ndarray, size: int = 8) -> int:
     small = resize_nearest(luma[:, :, None], (size, size))[:, :, 0]
     mean = small.mean()
     return _bits_to_signed64((small > mean).flatten())
+
+
+def audio_fingerprint(samples: np.ndarray, rate: int, bits: int = 64) -> int:
+    """Spectral-contour fingerprint (Haitsma–Kalker 2002 simplified):
+    frame the signal, FFT each frame, average energy into bits+1
+    log-spaced bands across frames, and take the sign of adjacent-band
+    energy DELTAS as the bit string.  Robust to volume scaling (deltas
+    compare ratios of shared energy), additive low-level noise, and
+    small trims; different spectral shapes land far apart.  Pair with
+    operators.dedup.hamming_dup_pairs like any other b-bit sketch.
+    """
+    x = np.asarray(samples, dtype=np.float64)
+    frame = 2048
+    hop = 1024
+    if x.size < frame:
+        x = np.pad(x, (0, frame - x.size))
+    n_frames = 1 + (x.size - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    window = np.hanning(frame)
+    spec = np.abs(np.fft.rfft(x[idx] * window, axis=1)) ** 2
+    # log-spaced band edges over 300..min(6000, nyquist*0.9) Hz — the
+    # speech/music energy region HK use
+    nyq = rate / 2.0
+    lo, hi = 300.0, min(6000.0, 0.9 * nyq)
+    edges = np.geomspace(lo, hi, bits + 2)
+    bin_hz = rate / frame
+    band_e = np.empty(bits + 1)
+    for m in range(bits + 1):
+        a = int(edges[m] / bin_hz)
+        b = max(int(edges[m + 1] / bin_hz), a + 1)
+        band_e[m] = spec[:, a:b].mean()
+    deltas = band_e[:-1] - band_e[1:]
+    return _bits_to_signed64(deltas > 0)
