@@ -678,3 +678,19 @@ def test_incremental_line_dedup(spark):
     assert (rows[1]["n_lines_before"], rows[1]["n_lines_after"]) == (4, 2)
     assert rows[2]["text_dedup"] == "unique here"  # 'new line' went to doc 1
     assert rows[2]["n_lines_after"] == 1
+
+
+def test_dedup_paragraphs_via_separator(spark):
+    """separator generalizes line dedup to paragraph dedup."""
+    from zinger_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "para one\n\nshared para"), (2, "shared para\n\npara two")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_lines(docs, separator="\n\n").collect()
+    }
+    assert rows[1]["text_dedup"] == "para one\n\nshared para"
+    assert rows[2]["text_dedup"] == "para two"

@@ -23,6 +23,8 @@ cap bucket width via a count filter before the self-join.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.text import fingerprint, md5_hash60, word_shingles
@@ -710,7 +712,10 @@ def incremental_minhash_pairs(
 
 
 def dedup_lines(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    separator: str = "\n",
 ) -> DataFrame:
     """Corpus-wide line deduplication (the C4/FineWeb boilerplate pass):
     every distinct non-blank line keeps exactly ONE occurrence — the
@@ -726,7 +731,7 @@ def dedup_lines(
     """
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(separator))).alias("pos", "line"),
     )
     norm = F.trim(F.col("line"))
     content = lines.where(norm != "").withColumn("__n", norm)
@@ -749,12 +754,12 @@ def dedup_lines(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
                 lambda s: s.getField("line"),
             ),
-            "\n",
+            separator,
         ).alias("text_dedup"),
         F.count("*").alias("n_lines_after"),
     )
     base = docs.select(
-        id_col, F.size(F.split(F.col(text_col), "\n")).alias("n_lines_before")
+        id_col, F.size(F.split(F.col(text_col), re.escape(separator))).alias("n_lines_before")
     )
     return (
         base.join(rebuilt, id_col, "left")
@@ -850,6 +855,7 @@ def incremental_line_dedup(
     new: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    separator: str = "\n",
 ) -> DataFrame:
     """Corpus-maintained line dedup for a NEW batch: drop every
     non-blank line already present anywhere in ``corpus`` (trimmed
@@ -861,13 +867,13 @@ def incremental_line_dedup(
     step O(|new|))."""
     lines = new.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(separator))).alias("pos", "line"),
     )
     norm = F.trim(F.col("line"))
     content = lines.where(norm != "").withColumn("__n", norm)
     seen = (
         corpus.select(
-            F.explode(F.split(F.col(text_col), "\n")).alias("line")
+            F.explode(F.split(F.col(text_col), re.escape(separator))).alias("line")
         )
         .select(F.trim(F.col("line")).alias("__n"))
         .where(F.col("__n") != "")
@@ -891,12 +897,12 @@ def incremental_line_dedup(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
                 lambda s: s.getField("line"),
             ),
-            "\n",
+            separator,
         ).alias("text_dedup"),
         F.count("*").alias("n_lines_after"),
     )
     base = new.select(
-        id_col, F.size(F.split(F.col(text_col), "\n")).alias("n_lines_before")
+        id_col, F.size(F.split(F.col(text_col), re.escape(separator))).alias("n_lines_before")
     )
     return (
         base.join(rebuilt, id_col, "left")
