@@ -215,6 +215,36 @@ def main() -> int:
           and "Window" not in p,
           "line dedup is explode + keyed aggs, no corpus-wide window")
 
+    p = plan_of(qs["line_dedup_incremental"](spark, sf))
+    check("line_dedup_incremental",
+          "CartesianProduct" not in p and "Window" not in p,
+          "incremental line dedup anti-joins a distinct corpus projection")
+
+    p = plan_of(qs["substring_dups"](spark, sf))
+    check("substring_dups",
+          "CartesianProduct" not in p,
+          "winnowing pairs come from fingerprint equi-joins only")
+
+    p = plan_of(qs["simhash_dup_pairs"](spark, sf))
+    check("simhash_dup_pairs",
+          "CartesianProduct" not in p,
+          "hamming candidates come from band equi-joins, never all-pairs")
+
+    p = plan_of(qs["source_vocab_overlap"](spark, sf))
+    check("source_vocab_overlap",
+          "CartesianProduct" not in p and "partial" in p.lower(),
+          "vocab matrix is partial-agg + token-keyed equi-join")
+
+    p = plan_of(qs["source_quota_sample"](spark, sf))
+    check("source_quota_sample",
+          "windowspecdefinition(source" in p,
+          "quota rank windows partition by group, never globally")
+
+    p = plan_of(qs["script_mix"](spark, sf))
+    check("script_mix",
+          "Exchange" not in p and "FileScan" in p,
+          "script counts are per-row expressions pipelined into the scan")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0
