@@ -148,6 +148,7 @@ def main() -> None:
     # has nothing to do with the measured query).
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "count")
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     n_rows: dict[str, int] = {}
     errors: dict[str, str] = {}
@@ -161,7 +162,15 @@ def main() -> None:
             # round's perf evidence — record the error and keep going.
             try:
                 df = fn(spark, sf_dir)
-                n_rows[name] = df.count()
+                # count() is the historical (r1-comparable) action; note
+                # Catalyst prunes computed columns a count doesn't need,
+                # so per-row metric expressions are under-measured —
+                # SPARK_GRAFT_BENCH_ACTION=collect materializes fully
+                # (SCALE.md's collect-based tables use that mode).
+                if action == "collect":
+                    n_rows[name] = len(df.collect())
+                else:
+                    n_rows[name] = df.count()
                 samples[name].append(time.time() - t0)
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -192,6 +201,7 @@ def main() -> None:
             "unit": "sec",
             "reps": reps,
             "agg": "per_query_median",
+            "action": action,
             "queries": timings,
             "query_min": {
                 n: round(min(s), 3) for n, s in samples.items() if s
