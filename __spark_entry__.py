@@ -2171,6 +2171,17 @@ _q_zq_top = _zq(
 )
 
 
+def _q_zq_every_bucket(spark, sf):
+    """`by every(1h)` — Zed's duration-bucketed time grouping over the
+    implicit ts field; formatted for engine-neutral comparison."""
+    df = _zq("from events | n:=count() by every(1h), event_type")(spark, sf)
+    return df.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "n",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that were never checked (or were red) in the prior
@@ -2188,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zq_filter_cut": _q_zq_filter_cut,
         "zq_over_unnest": _q_zq_over_unnest,
         "zq_top": _q_zq_top,
+        "zq_every_bucket": _q_zq_every_bucket,
         "zq_agg_by": _q_zq_agg_by,
         "zq_agg_where": _q_zq_agg_where,
         "zq_switch_yield": _q_zq_switch_yield,
@@ -2632,6 +2644,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY n_chars DESC, doc_id DESC
             LIMIT 5
+        """,
+        "zq_every_bucket": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "zq_agg_where": """
             SELECT event_type,

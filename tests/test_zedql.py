@@ -701,3 +701,30 @@ def test_top_operator(spark):
 def test_top_requires_integer(spark):
     with pytest.raises(ZedSyntaxError):
         parse("from t | top x v")
+
+
+def test_every_duration_bucketing(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 10, 5), "a"),
+         (dt.datetime(2024, 1, 1, 10, 55), "a"),
+         (dt.datetime(2024, 1, 1, 11, 5), "b")],
+        "ts timestamp, k string",
+    )
+    out = compile_query(
+        spark, "from t | n:=count() by every(1h) | sort ts", tables={"t": df}
+    )
+    rows = [(str(r["ts"]), r["n"]) for r in out.collect()]
+    assert rows == [("2024-01-01 10:00:00", 2), ("2024-01-01 11:00:00", 1)]
+    # 30m buckets split the first hour
+    out = compile_query(
+        spark, "from t | n:=count() by every(30m) | sort ts", tables={"t": df}
+    )
+    assert [r["n"] for r in out.collect()] == [1, 1, 1]
+
+
+def test_every_rejects_subsecond(spark):
+    df = spark.createDataFrame([(1,)], "ts long")
+    with pytest.raises(ZedCompileError, match="whole-second"):
+        compile_query(spark, "from t | n:=count() by every(500ms)", tables={"t": df})

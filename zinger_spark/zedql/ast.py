@@ -27,6 +27,11 @@ class Lit(Expr):
 
 
 @dataclass
+class DurationLit(Expr):
+    seconds: float
+
+
+@dataclass
 class Path(Expr):
     """Dotted field path; ``this`` is Path([])."""
 

@@ -105,6 +105,10 @@ def compile_expr(e: ast.Expr, df: DataFrame) -> Column:
         if e.value is None:
             return F.lit(None)
         return F.lit(e.value)
+    if isinstance(e, ast.DurationLit):
+        # outside every(): degrade to seconds-as-double (the engine has
+        # no interval arithmetic surface yet)
+        return F.lit(e.seconds)
     if isinstance(e, ast.Path):
         return _path(e.parts, df)
     if isinstance(e, ast.Bin):
@@ -321,6 +325,21 @@ def _call(e: ast.Call, df: DataFrame) -> Column:
         if isinstance(pat, ast.Lit) and isinstance(pat.value, str):
             return s.rlike(pat.value)
         raise ZedCompileError("grep pattern must be a string literal")
+    if name == "every":
+        # every(duration): truncate the ts field to duration-aligned
+        # buckets (Zed's time-bucketing group key).  Whole seconds only
+        # — sub-second buckets would need microsecond arithmetic that
+        # unix_timestamp cannot express.
+        if len(args) != 1 or not isinstance(args[0], ast.DurationLit):
+            raise ZedCompileError("every() takes one duration literal")
+        secs = args[0].seconds
+        if secs < 1 or secs != int(secs):
+            raise ZedCompileError("every() supports whole-second durations")
+        step = int(secs)
+        ts = _path(["ts"], df)
+        return F.timestamp_seconds(
+            (F.unix_timestamp(ts) / step).cast("long") * step
+        )
     if name == "has":
         return compile_expr(args[0], df).isNotNull()
     if name == "missing":

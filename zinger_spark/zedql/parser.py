@@ -41,6 +41,7 @@ _TOKEN_RE = re.compile(
     r"""
       (?P<ws>\s+|//[^\n]*)
     | (?P<string>"(?:\\.|[^"\\])*")
+    | (?P<duration>\d+(?:\.\d+)?(?:ns|us|ms|s|m|h|d)\b)
     | (?P<number>\d+\.\d+(?:[eE][+-]?\d+)?|\d+)
     | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
     | (?P<punct>=>|:=|==|!=|<=|>=|\|\[|\|\{|\]\||\}\||[()\[\]{}<>.,:;|?+\-*/%=!])
@@ -319,6 +320,12 @@ class _Parser:
         if kind == "number":
             self.take()
             return ast.Lit(float(tok) if ("." in tok or "e" in tok or "E" in tok) else int(tok))
+        if kind == "duration":
+            self.take()
+            m = re.fullmatch(r"(\d+(?:\.\d+)?)(ns|us|ms|s|m|h|d)", tok)
+            scale = {"ns": 1e-9, "us": 1e-6, "ms": 1e-3,
+                     "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}[m.group(2)]
+            return ast.DurationLit(float(m.group(1)) * scale)
         if tok == "(":
             self.take()
             e = self.parse_expr()
@@ -844,6 +851,10 @@ class _Parser:
                     e = self.parse_expr()
                     if isinstance(e, ast.Path) and e.parts:
                         by.append((e.parts[-1], e))
+                    elif isinstance(e, ast.Call) and e.name == "every":
+                        # `by every(1h)` buckets the ts field (Zed's
+                        # implicit time key); output column is ts
+                        by.append(("ts", e))
                     else:
                         raise self._err("grouping expression needs name:=expr")
                 if self.at(","):
