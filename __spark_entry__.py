@@ -1755,6 +1755,31 @@ def _q_line_dedup_incremental(spark, sf):
     )
 
 
+def _q_substring_dups_incremental(spark, sf):
+    """Ingest-time substring-dup screen: even doc_ids are the
+    maintained corpus (fingerprint index), odd doc_ids the batch; same
+    shared-paragraph injection as substring_dups so cross-parity pairs
+    provably exist (each injected pair spans one even and one odd id)."""
+    from zinger_spark.operators.dedup import incremental_substring_dups
+
+    docs = _t(spark, sf, "documents")
+    group = F.floor(F.col("doc_id") / 2).cast("long").cast("string")
+    para = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(12)),
+            lambda j: F.concat(F.lit("p"), group, F.lit("x"), j.cast("string")),
+        ),
+    )
+    aug = F.when(
+        F.col("doc_id") % 6 < 2, F.concat(F.col("text"), F.lit(" "), para)
+    ).otherwise(F.col("text"))
+    a = docs.select("doc_id", aug.alias("text"))
+    corpus = a.where(F.col("doc_id") % 2 == 0)
+    batch = a.where(F.col("doc_id") % 2 == 1)
+    return incremental_substring_dups(corpus, batch, k=5, w=4)
+
+
 def _q_dsir_affinity(spark, sf):
     """DSIR-style data selection signal (Xie et al. 2023: importance
     resampling via hashed n-gram features).  Tokens hash into 4096
@@ -2255,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "dsir_affinity": _q_dsir_affinity,
         "substring_dups": _q_substring_dups,
+        "substring_dups_incremental": _q_substring_dups_incremental,
         "line_dedup_incremental": _q_line_dedup_incremental,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "source_quota_sample": _q_source_quota_sample,
@@ -3753,6 +3779,58 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS shared_fps
             FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        "substring_dups_incremental": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 6 < 2
+                          THEN text || ' ' || array_to_string(
+                               list_transform(generate_series(1, 12),
+                                 j -> 'p' || CAST(doc_id // 2 AS VARCHAR)
+                                          || 'x' || CAST(j AS VARCHAR)), ' ')
+                          ELSE text END AS text
+              FROM documents
+            ),
+            tokd AS (SELECT doc_id, {_sql_tokens("text")} AS toks FROM aug),
+            gram0 AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+                     i -> struct_pack(pos := i,
+                          h := {_sql_md5h("array_to_string(list_slice(toks, i, i + 4), ' ')")}
+                               % 1073741789))) AS u
+              FROM tokd WHERE len(toks) >= 5
+            ),
+            grams AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM gram0),
+            ng AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            fps0 AS (
+              SELECT doc_id, pos,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM grams
+            ),
+            -- the max_df hot caps are unreachable at this scale (no fp
+            -- spans > 1000 docs), so the oracle omits them
+            fps AS (
+              SELECT DISTINCT f.doc_id, f.fp
+              FROM fps0 f JOIN ng ON ng.doc_id = f.doc_id
+              WHERE f.pos <= ng.n - 3
+            ),
+            vs_corpus AS (
+              SELECT n.doc_id AS new_id, c.doc_id AS matched_id,
+                     count(*) AS shared_fps
+              FROM fps n JOIN fps c ON n.fp = c.fp
+              WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+              GROUP BY 1, 2
+            ),
+            within AS (
+              SELECT b.doc_id AS new_id, a.doc_id AS matched_id,
+                     count(*) AS shared_fps
+              FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+              GROUP BY 1, 2
+            )
+            SELECT * FROM vs_corpus
+            UNION ALL
+            SELECT * FROM within
         """,
         "dsir_affinity": f"""
             WITH tok AS (

@@ -694,3 +694,29 @@ def test_dedup_paragraphs_via_separator(spark):
     }
     assert rows[1]["text_dedup"] == "para one\n\nshared para"
     assert rows[2]["text_dedup"] == "para two"
+
+
+def test_incremental_substring_dups(spark):
+    """Batch docs sharing an 8+-token span with the corpus (or with an
+    earlier batch doc) pair up, oriented new -> keeper."""
+    from zinger_spark.operators.dedup import incremental_substring_dups
+
+    shared = "one two three four five six seven eight"
+    corpus = spark.createDataFrame(
+        [(0, f"corpus filler {shared}")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, f"{shared} trailing words"),          # matches corpus
+            (3, f"prefix {shared}"),                   # matches corpus + doc 1
+            (5, "completely different content here that matches nothing"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["new_id"], r["matched_id"])
+        for r in incremental_substring_dups(corpus, batch).collect()
+    }
+    assert (1, 0) in pairs and (3, 0) in pairs
+    assert (3, 1) in pairs          # within-batch, later -> earlier
+    assert not any(5 in p for p in pairs)

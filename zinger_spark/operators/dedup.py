@@ -969,3 +969,51 @@ def hamming_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def incremental_substring_dups(
+    corpus: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Substring-dup pairs for a NEW batch against a maintained corpus:
+    (new doc, matched doc) pairs where the match is any corpus doc OR an
+    earlier batch doc sharing >= min_shared winnowing fingerprints.
+    Store the corpus side as its (id, fp) fingerprint index — the
+    running union of accepted batches' winnow_fingerprints output — so
+    each step hashes only the batch and probes the index with one
+    equi-join (never re-fingerprinting the corpus).
+    """
+    new_fps = winnow_fingerprints(new, text_col, id_col, k, w)
+    corpus_fps = winnow_fingerprints(corpus, text_col, id_col, k, w)
+    hot = (
+        corpus_fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("fp")
+    )
+    cold_new = new_fps.join(F.broadcast(hot), "fp", "left_anti")
+    cold_corpus = corpus_fps.join(F.broadcast(hot), "fp", "left_anti")
+    vs_corpus = (
+        cold_new.select(F.col("id").alias("new_id"), "fp")
+        .join(cold_corpus.select(F.col("id").alias("matched_id"), "fp"), "fp")
+        .groupBy("new_id", "matched_id")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    # within-batch pairs orient later-doc -> earlier-doc so new_id is
+    # always the droppable duplicate and matched_id its keeper
+    within = substring_dup_pairs(
+        new, text_col, id_col, k, w, min_shared, max_df
+    ).select(
+        F.col("doc_b").alias("new_id"),
+        F.col("doc_a").alias("matched_id"),
+        "shared_fps",
+    )
+    return (
+        vs_corpus.unionByName(within)
+        .filter(F.col("shared_fps") >= min_shared)
+    )
