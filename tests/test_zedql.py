@@ -728,3 +728,22 @@ def test_every_rejects_subsecond(spark):
     df = spark.createDataFrame([(1,)], "ts long")
     with pytest.raises(ZedCompileError, match="whole-second"):
         compile_query(spark, "from t | n:=count() by every(500ms)", tables={"t": df})
+
+
+def test_duration_arithmetic_on_timestamps(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 1, 10, 20)),
+         (2, dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 1, 12, 0))],
+        "id long, a timestamp, b timestamp",
+    )
+    out = compile_query(
+        spark, "from t | where b < a + 30m | cut id", tables={"t": df}
+    )
+    assert [r["id"] for r in out.collect()] == [1]
+    out2 = compile_query(
+        spark, "from t | shifted:=a + 1h | cut id, shifted | sort id",
+        tables={"t": df},
+    )
+    assert str(out2.collect()[0]["shifted"]) == "2024-01-01 11:00:00"

@@ -1,14 +1,23 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five strategies, all shuffle-conscious:
+Strategies, all shuffle-conscious:
 
-  exact           hash-groupBy on a normalized content hash (1 shuffle)
-  minhash_lsh     shingle -> minhash signature -> banded LSH buckets ->
-                  candidate pairs -> exact jaccard verify
-  simhash         64-bit (default 32 for oracle parity) sign-sum
-                  fingerprint; near-dups = small hamming distance
-  ngram_jaccard   exact word-k-gram jaccard over blocked candidate pairs
-  embedding_dup   cosine >= threshold over LSH-bucketed candidates
+  exact            hash-groupBy on a normalized content hash (1 shuffle)
+  minhash_lsh      shingle -> minhash signature -> banded LSH buckets ->
+                   candidate pairs -> exact jaccard verify
+  simhash          sign-sum fingerprint; near-dups = small hamming
+                   distance via hamming_dup_pairs
+  hamming pairs    pigeonhole-banded join over ANY b-bit fingerprint
+                   (simhash text, image dHash, audio spectral contour)
+  ngram_jaccard    exact word-k-gram jaccard over blocked candidates
+  embedding_dup    cosine >= threshold over LSH-bucketed candidates
+  edit_distance    PassJoin pigeonhole segments (fuzzy key matching)
+  lines/paragraphs corpus-wide keep-first boilerplate removal
+  winnowing        substring-span detection (MOSS fingerprints)
+
+Each flavor also ships a maintained-index INCREMENTAL form (batch vs
+corpus: incremental_exact_dedup, incremental_minhash_pairs,
+incremental_line_dedup, incremental_substring_dups).
 
 Everything is built from JVM expressions (md5-based hashing so the
 DuckDB oracle reproduces values exactly; swap hash_fn=F.xxhash64 for

@@ -197,6 +197,17 @@ def _bin(e: ast.Bin, df: DataFrame) -> Column:
         if isinstance(e.right, ast.ArrayLit):
             return left.isin(*[compile_expr(i, df) for i in e.right.items])
         return F.array_contains(compile_expr(e.right, df), left)
+    # timestamp ± duration: Zed's time arithmetic (ts + 1h).  The
+    # duration side becomes a day-time interval so timestamp semantics
+    # (incl. sub-second values) are preserved by Spark's own + / -.
+    if e.op in ("+", "-") and isinstance(e.right, ast.DurationLit):
+        iv = F.make_dt_interval(secs=F.lit(e.right.seconds))
+        base = compile_expr(e.left, df)
+        return base + iv if e.op == "+" else base - iv
+    if e.op == "+" and isinstance(e.left, ast.DurationLit):
+        return compile_expr(e.right, df) + F.make_dt_interval(
+            secs=F.lit(e.left.seconds)
+        )
     left = compile_expr(e.left, df)
     right = compile_expr(e.right, df)
     ops: dict[str, Callable[[Column, Column], Column]] = {
