@@ -2196,6 +2196,14 @@ _q_zq_top = _zq(
 )
 
 
+def _q_zq_interval_shift(spark, sf):
+    """Timestamp-duration arithmetic (`ts + 90m`) under the oracle."""
+    df = _zq("from events | t2:=ts + 90m | cut event_id, t2")(spark, sf)
+    return df.select(
+        "event_id", F.date_format("t2", "yyyy-MM-dd HH:mm:ss").alias("t2")
+    )
+
+
 def _q_zq_every_bucket(spark, sf):
     """`by every(1h)` — Zed's duration-bucketed time grouping over the
     implicit ts field; formatted for engine-neutral comparison."""
@@ -2225,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zq_over_unnest": _q_zq_over_unnest,
         "zq_top": _q_zq_top,
         "zq_every_bucket": _q_zq_every_bucket,
+        "zq_interval_shift": _q_zq_interval_shift,
         "zq_agg_by": _q_zq_agg_by,
         "zq_agg_where": _q_zq_agg_where,
         "zq_switch_yield": _q_zq_switch_yield,
@@ -2670,6 +2679,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY n_chars DESC, doc_id DESC
             LIMIT 5
+        """,
+        "zq_interval_shift": """
+            SELECT event_id,
+                   strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS t2
+            FROM events
         """,
         "zq_every_bucket": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
