@@ -747,3 +747,26 @@ def test_duration_arithmetic_on_timestamps(spark):
         tables={"t": df},
     )
     assert str(out2.collect()[0]["shifted"]) == "2024-01-01 11:00:00"
+
+
+def test_time_literals_in_predicates(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 9, 45)), (2, dt.datetime(2024, 1, 1, 11, 0))],
+        "id long, ts timestamp",
+    )
+    out = compile_query(
+        spark,
+        "from t | where ts > 2024-01-01T10:30:00Z - 1h | cut id",
+        tables={"t": df},
+    )
+    assert [r["id"] for r in out.collect()] == [1, 2]
+    out2 = compile_query(
+        spark, "from t | where ts >= 2024-01-01T10:30:00Z | cut id", tables={"t": df}
+    )
+    assert [r["id"] for r in out2.collect()] == [2]
+    with pytest.raises(ZedCompileError, match="offsets"):
+        compile_query(
+            spark, "from t | where ts > 2024-01-01T10:30:00+05:00", tables={"t": df}
+        )

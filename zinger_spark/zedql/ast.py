@@ -32,6 +32,11 @@ class DurationLit(Expr):
 
 
 @dataclass
+class TimeLit(Expr):
+    iso: str  # RFC3339 text as written
+
+
+@dataclass
 class Path(Expr):
     """Dotted field path; ``this`` is Path([])."""
 

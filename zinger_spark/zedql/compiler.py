@@ -106,9 +106,18 @@ def compile_expr(e: ast.Expr, df: DataFrame) -> Column:
             return F.lit(None)
         return F.lit(e.value)
     if isinstance(e, ast.DurationLit):
-        # outside every(): degrade to seconds-as-double (the engine has
-        # no interval arithmetic surface yet)
+        # outside every()/time-arithmetic: seconds-as-double
         return F.lit(e.seconds)
+    if isinstance(e, ast.TimeLit):
+        # RFC3339 literal -> timestamp (session tz is pinned UTC, so a
+        # trailing Z and no-zone text mean the same instant; explicit
+        # numeric offsets are rejected rather than silently misread)
+        if "+" in e.iso or e.iso.count("-") > 2:
+            raise ZedCompileError(
+                f"time literal {e.iso!r}: use UTC (Z) — numeric offsets "
+                "are not supported"
+            )
+        return F.to_timestamp(F.lit(e.iso.replace("T", " ").rstrip("Z")))
     if isinstance(e, ast.Path):
         return _path(e.parts, df)
     if isinstance(e, ast.Bin):

@@ -41,6 +41,7 @@ _TOKEN_RE = re.compile(
     r"""
       (?P<ws>\s+|//[^\n]*)
     | (?P<string>"(?:\\.|[^"\\])*")
+    | (?P<time>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:\d{2})?)
     | (?P<duration>\d+(?:\.\d+)?(?:ns|us|ms|s|m|h|d)\b)
     | (?P<number>\d+\.\d+(?:[eE][+-]?\d+)?|\d+)
     | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
@@ -320,6 +321,9 @@ class _Parser:
         if kind == "number":
             self.take()
             return ast.Lit(float(tok) if ("." in tok or "e" in tok or "E" in tok) else int(tok))
+        if kind == "time":
+            self.take()
+            return ast.TimeLit(tok)
         if kind == "duration":
             self.take()
             m = re.fullmatch(r"(\d+(?:\.\d+)?)(ns|us|ms|s|m|h|d)", tok)
