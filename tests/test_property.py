@@ -316,3 +316,36 @@ def test_zson_named_type_roundtrip(v, name):
 
     (v2, name2), = zson.parse(zson.dumps(v, name))
     assert (v2, name2) == (v, name)
+
+
+# -- Hamming banding completeness ---------------------------------------------
+
+
+@given(
+    fps=st.lists(
+        st.integers(min_value=0, max_value=2**16 - 1),
+        min_size=2, max_size=24, unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hamming_banding_equals_brute_force(spark, fps, k):
+    """The pigeonhole banding is LOSSLESS: banded candidates + exact
+    verify return exactly the brute-force pair set at the bound."""
+    from zinger_spark.operators.dedup import hamming_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(fps)], "doc_id long, simhash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_dup_pairs(df, bits=16, max_hamming=k).collect()
+    }
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in range(len(fps))
+        for b in range(a + 1, len(fps))
+        if bin(fps[a] ^ fps[b]).count("1") <= k
+    }
+    assert got == want
