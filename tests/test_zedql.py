@@ -770,3 +770,11 @@ def test_time_literals_in_predicates(spark):
         compile_query(
             spark, "from t | where ts > 2024-01-01T10:30:00+05:00", tables={"t": df}
         )
+
+
+def test_uniq_count(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    out = compile_query(spark, "from t | cut k | uniq -c | sort k", tables={"t": df})
+    assert [(r["k"], r["count"]) for r in out.collect()] == [("a", 2), ("b", 1)]
+    with pytest.raises(ZedSyntaxError, match="uniq flag"):
+        parse("uniq -z")

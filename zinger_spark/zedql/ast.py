@@ -218,7 +218,7 @@ class OpRename(Op):
 
 @dataclass
 class OpUniq(Op):
-    pass
+    count: bool = False  # -c: annotate each value with its multiplicity
 
 
 @dataclass

@@ -501,7 +501,13 @@ def _one(df: DataFrame | None, op: ast.Op, ctx: Ctx) -> DataFrame:
         return out.orderBy(*[_sort_col(k, out) for k in ctx.order])
     if isinstance(op, ast.OpUniq):
         # Zed uniq drops ADJACENT duplicates; after the sorts that
-        # precede it in practice, adjacency == global distinct.
+        # precede it in practice, adjacency == global distinct.  -c
+        # annotates each value with its multiplicity (group-by-all).
+        if op.count:
+            cols = _data_cols(df)
+            return df.groupBy(*[F.col(f"`{c}`") for c in cols]).agg(
+                F.count(F.lit(1)).alias("count")
+            )
         return df.dropDuplicates()
     if isinstance(op, (ast.OpFuse, ast.OpPass)):
         return df  # schema already fused per-DataFrame

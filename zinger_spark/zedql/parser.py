@@ -777,6 +777,12 @@ class _Parser:
 
     def _op_uniq(self, stop: frozenset[str]) -> ast.Op:
         self.take()
+        if self.at("-"):
+            self.take()
+            flag = self.expect_ident()
+            if flag != "c":
+                raise self._err(f"unknown uniq flag -{flag}")
+            return ast.OpUniq(count=True)
         return ast.OpUniq()
 
     def _op_fuse(self, stop: frozenset[str]) -> ast.Op:
