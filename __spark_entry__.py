@@ -1635,6 +1635,103 @@ def _q_substring_dups(spark, sf):
     )
 
 
+def _q_image_dup_pairs(spark, sf):
+    """Image near-dup over REAL PNG payloads synthesized from the
+    embeddings table (each 64-dim vector renders as an 8x8 grayscale
+    PNG; every tenth image gets a one-pixel-perturbed twin 1e6 ids up).
+    Decode + dHash run in the Arrow kernel; pairing is the banded
+    Hamming join.  Binary decode is not SQL-expressible, so this key
+    runs under the rows-only gate — the pair set is deterministic
+    (planted twins + any fixed hash coincidences)."""
+    from zinger_spark.multimodal import image_dup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        from zinger_spark.codecs import media  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                v = np.asarray(list(vec), dtype=np.float64)
+                lo, hi = float(v.min()), float(v.max())
+                px = (
+                    ((v - lo) / (hi - lo + 1e-9) * 255.0)
+                    .astype(np.uint8)
+                    .reshape(8, 8)[:, :, None]
+                )
+                rows.append(
+                    {"img_id": int(vid), "payload": media.encode_png(px)}
+                )
+                if vid % 10 == 0:
+                    near = px.copy()
+                    near[0, 0, 0] = 255 - near[0, 0, 0]
+                    rows.append(
+                        {
+                            "img_id": int(vid) + 1_000_000,
+                            "payload": media.encode_png(near),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["img_id", "payload"])
+
+    imgs = emb.select("vec_id", "embedding").mapInPandas(
+        gen, "img_id long, payload binary"
+    )
+    return image_dup_pairs(imgs, max_hamming=3)
+
+
+def _q_audio_dup_pairs(spark, sf):
+    """Audio near-dup over REAL PCM-WAV payloads synthesized from the
+    embeddings table (each vector weights 64 harmonics of a 0.5 s tone;
+    every tenth clip gets a gain-scaled twin).  Spectral-contour
+    fingerprints + the banded Hamming join; rows-only gate like
+    image_dup_pairs."""
+    from zinger_spark.multimodal import audio_dup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        from zinger_spark.codecs import media  # noqa: PLC0415
+
+        rate = 8000
+        t = np.arange(int(rate * 0.5)) / rate
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                v = np.asarray(list(vec), dtype=np.float64)
+                w = np.abs(v) / (np.abs(v).sum() + 1e-9)
+                sig = np.zeros_like(t)
+                for k, wk in enumerate(w):
+                    if wk > 1e-4:
+                        sig += wk * np.sin(2 * np.pi * (150.0 + 50.0 * k) * t)
+                peak = np.abs(sig).max() + 1e-9
+                sig = 0.8 * sig / peak
+                rows.append(
+                    {"clip_id": int(vid), "payload": media.encode_wav(sig, rate)}
+                )
+                if vid % 10 == 0:
+                    rows.append(
+                        {
+                            "clip_id": int(vid) + 1_000_000,
+                            "payload": media.encode_wav(0.5 * sig, rate),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["clip_id", "payload"])
+
+    clips = emb.select("vec_id", "embedding").mapInPandas(
+        gen, "clip_id long, payload binary"
+    )
+    # gain-scaled twins land at hamming ~0 (the contour is gain
+    # invariant); a tight bound keeps coincidental spectral cousins out
+    return audio_dup_pairs(clips, max_hamming=1)
+
+
 def _q_simhash_dup_pairs(spark, sf):
     """Near-dup pairs under a Hamming bound over SimHash sketches —
     dedup.hamming_dup_pairs (Manku et al. 2007 pigeonhole banding:
@@ -2295,6 +2392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota_sample": _q_source_quota_sample,
         "script_mix": _q_script_mix,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "image_dup_pairs": _q_image_dup_pairs,
+        "audio_dup_pairs": _q_audio_dup_pairs,
         "contamination_exact": _q_contamination_exact,
         "quantize_embeddings": _q_quantize_embeddings,
         "session_window_stats": _q_session_window_stats,
