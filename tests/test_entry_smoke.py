@@ -52,10 +52,10 @@ def test_oracle_keys_subset_of_queries():
     oracles = set(entrymod.oracle_sql())
     extra = oracles - qs
     assert not extra, f"oracle_sql keys without queries(): {sorted(extra)}"
-    # every registry key currently has a hash-exact oracle; if a future
-    # op is genuinely non-SQL-expressible, list it here explicitly
-    # instead of silently downgrading to the rows-only check
-    allowed_rows_only: set[str] = set()
+    # every registry key has a hash-exact oracle EXCEPT the declared
+    # binary-decode ops below — DuckDB cannot decode PNG/WAV, so those
+    # run under the driver's rows-only gate by design
+    allowed_rows_only: set[str] = {"image_dup_pairs", "audio_dup_pairs"}
     missing = qs - oracles - allowed_rows_only
     assert not missing, f"queries() keys without an oracle: {sorted(missing)}"
 
