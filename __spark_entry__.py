@@ -17,6 +17,7 @@ from zinger_spark import datamodel as dm
 from zinger_spark.functions import text as ztext
 from zinger_spark.operators import dedup as zdedup
 from zinger_spark.operators import offsets as zoff
+from zinger_spark.operators import packing as zpack
 from zinger_spark.operators import relational as zrel
 from zinger_spark.operators import similarity as zsim
 
@@ -842,15 +843,30 @@ def _q_fuzzy_prefix_pairs(spark, sf):
 
 def _q_percent_rank(spark, sf):
     """percent_rank + cume_dist over per-user event counts (rank-based
-    normalization — the feature-scaling shape)."""
+    normalization — the feature-scaling shape).
+
+    Scale path: the order key (n, user_id) is a TOTAL order, so
+    rank == row_number and percent_rank/cume_dist are closed-form in
+    (rn, N).  rn comes from packing.global_row_number (two-level
+    distributed prefix sum — parallelism = #partitions), never an
+    unpartitioned Window.orderBy (one reducer sorts every user at
+    100 TB).  N is a broadcast 1-row aggregate."""
     ev = _events(spark, sf)
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n"), F.col("user_id"))
-    return counts.select(
-        "user_id",
-        "n",
-        F.round(F.percent_rank().over(w), 8).alias("pr"),
-        F.round(F.cume_dist().over(w), 8).alias("cd"),
+    rn = zpack.global_row_number(counts, [F.col("n"), F.col("user_id")], out_col="_rn")
+    total = rn.agg(F.max("_rn").alias("_N"))
+    return (
+        rn.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n",
+            F.round(
+                F.when(F.col("_N") > 1, (F.col("_rn") - 1) / (F.col("_N") - 1))
+                .otherwise(F.lit(0.0)),
+                8,
+            ).alias("pr"),
+            F.round(F.col("_rn") / F.col("_N"), 8).alias("cd"),
+        )
     )
 
 
@@ -1153,18 +1169,34 @@ def _q_cube_counts(spark, sf):
 
 def _q_ntile_deciles(spark, sf):
     """NTILE decile assignment over a total order + per-decile stats
-    (per-user spend ranking — single window then re-aggregate).
+    (per-user spend ranking — rank then re-aggregate).
 
-    ntile() over an unpartitioned window is the oracle-parity form (one
-    reducer sorts all users). The 100x path is
-    operators/quantiles.bucket_by_quantiles(mode="approx"): broadcast
-    approx decile cut points + a per-row boundary scan — no global
-    window; audited in explain_audit."""
+    Scale path: (spend desc, user_id) is a TOTAL order, so ntile(10) is
+    closed-form in the global row number rn: with N rows, the first
+    N%10 buckets hold ceil(N/10) rows and the rest floor(N/10)
+    (SQL-standard NTILE).  rn comes from packing.global_row_number
+    (two-level distributed prefix sum), not an unpartitioned
+    Window.orderBy; N is a broadcast 1-row aggregate.  The exact-
+    quantile alternative for when only bucket BOUNDARIES matter is
+    operators/quantiles.bucket_by_quantiles (broadcast cut points,
+    no rank at all)."""
     ev = _events(spark, sf)
     spend = ev.groupBy("user_id").agg(_dsum(F.col("value")).alias("spend"))
-    w = Window.orderBy(F.col("spend").desc(), F.col("user_id"))
+    rn = zpack.global_row_number(
+        spend, [F.col("spend").desc(), F.col("user_id")], out_col="_rn"
+    )
+    total = rn.agg(F.max("_rn").alias("_N"))
+    base = F.floor(F.col("_N") / 10)          # small-bucket size
+    rem = F.col("_N") % 10                    # first `rem` buckets get base+1
+    cut = rem * (base + 1)                    # rows covered by the big buckets
+    decile = (
+        F.when(F.col("_rn") <= cut, F.floor((F.col("_rn") - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((F.col("_rn") - cut - 1) / F.greatest(base, F.lit(1))) + 1)
+        .cast("int")
+    )
     return (
-        spend.withColumn("decile", F.ntile(10).over(w))
+        rn.crossJoin(F.broadcast(total))
+        .withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_users"),

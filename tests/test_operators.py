@@ -373,6 +373,37 @@ def test_pack_offsets_matches_naive_window(spark):
         assert r.pack_id == r.start_off // 100
 
 
+def test_global_row_number_matches_window(spark):
+    """global_row_number == row_number() over an unpartitioned window,
+    for ascending and descending composite orders, with the input
+    spread over several range partitions."""
+    from pyspark.sql import Window
+
+    from zinger_spark.operators.packing import global_row_number
+
+    rows = [(i, (i * 37) % 101, f"u{i:04d}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long, uid string")
+
+    naive_asc = df.select(
+        "id", F.row_number().over(Window.orderBy("v", "uid")).alias("rn")
+    )
+    fast_asc = global_row_number(df, ["v", "uid"], out_col="rn", num_partitions=8)
+    assert {(r.id, r.rn) for r in naive_asc.collect()} == {
+        (r.id, r.rn) for r in fast_asc.select("id", "rn").collect()
+    }
+
+    naive_desc = df.select(
+        "id",
+        F.row_number().over(Window.orderBy(F.col("v").desc(), "uid")).alias("rn"),
+    )
+    fast_desc = global_row_number(
+        df, [F.col("v").desc(), F.col("uid")], out_col="rn", num_partitions=8
+    )
+    assert {(r.id, r.rn) for r in naive_desc.collect()} == {
+        (r.id, r.rn) for r in fast_desc.select("id", "rn").collect()
+    }
+
+
 def test_star_cc_matches_propagation_on_random_graphs(spark):
     """Large-star/small-star labels == min-label propagation labels on
     seeded random graphs (including isolated vertices)."""

@@ -120,6 +120,17 @@ def main() -> int:
     p = plan_of(qs["deterministic_shuffle"](spark, sf))
     check("deterministic_shuffle", "hashpartitioning(_pid" in p,
           "global rank via two-level prefix sum — no one-reducer row_number window")
+    # r7: the rank-based registry forms themselves run on the prefix sum
+    # (the corpus-wide window is keyed by (_pid, group); the only
+    # single-partition window left is over the <=num_partitions-row
+    # partials table, which is the two-level design)
+    for q in ("percent_rank_dist", "ntile_deciles"):
+        p = plan_of(qs[q](spark, sf))
+        check(q, "hashpartitioning(_pid" in p and "rangepartitioning" in p,
+              "exact global rank via two-level prefix sum, not an "
+              "unpartitioned Window.orderBy over the corpus")
+        check(q, "percent_rank()" not in p and "ntile(" not in p,
+              "no rank window function on the corpus — closed form in (rn, N)")
     for q in ("contamination", "fuzzy_prefix_pairs"):
         p = plan_of(qs[q](spark, sf))
         check(q, "CartesianProduct" not in p, "candidates via equi-join, not cross join")

@@ -49,12 +49,16 @@ def prefix_sum(
     with partitions rather than groups. Output adds ``out_col`` (bigint);
     all input columns pass through."""
     spark = df.sparkSession
-    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    order_cols = [order_col] if isinstance(order_col, (str, Column)) else list(order_col)
+    # accept Column sort expressions (incl. .desc()) as well as names;
+    # repartitionByRange and Window.orderBy both honor the SortOrder,
+    # so descending keys need no negation trick
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
     ranged = df.repartitionByRange(
-        num_partitions, F.col(group_col), *[F.col(c) for c in order_cols]
+        num_partitions, F.col(group_col), *order_cols
     ).withColumn("_pid", F.spark_partition_id())
 
     w_local = (
@@ -89,6 +93,38 @@ def prefix_sum(
             (F.col("_grp_off") + F.col("_local_end") - F.col(weight_col)).cast("long"),
         )
         .drop("_pid", "_local_end", "_grp_off")
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row number over a total order, computed with
+    the two-level prefix sum — no unpartitioned ``Window.orderBy`` (a
+    one-reducer sort of the whole input), so parallelism scales with
+    partitions.  ``order_by`` is a list of column names or Column sort
+    expressions (``F.col("x").desc()`` works) that must form a TOTAL
+    order: with no ties, row_number == rank == dense_rank, so this also
+    serves percent_rank/cume_dist/ntile computed from the row number.
+
+    The corpus-wide stages are the range exchange and a window keyed by
+    (_pid, constant); the only per-key window runs over the per-partition
+    totals table (<= num_partitions rows)."""
+    tmp_g, tmp_w, tmp_rn = "_grn_g", "_grn_w", "_grn0"
+    out = prefix_sum(
+        df.withColumn(tmp_g, F.lit(0)).withColumn(tmp_w, F.lit(1)),
+        tmp_g,
+        order_by,
+        tmp_w,
+        out_col=tmp_rn,
+        num_partitions=num_partitions,
+    )
+    return (
+        out.withColumn(out_col, (F.col(tmp_rn) + F.lit(1)).cast("long"))
+        .drop(tmp_g, tmp_w, tmp_rn)
     )
 
 
