@@ -1404,6 +1404,38 @@ def _q_embedding_dups_multiprobe(spark, sf):
     )
 
 
+def _q_embedding_dups_scaled(spark, sf):
+    """The PRODUCTION form of embedding near-dup: finite ``max_bucket``
+    with refine-then-drop (hot sign-buckets get 8 extra sign bits; a
+    bucket still over the cap after refinement is dropped).  max_bucket
+    is 30 here so the refine path actually ENGAGES on the 500-row
+    sf0.01 corpus (natural 4-bit buckets top out at ~42) — at
+    production scale the same knob is the n²-per-bucket guard.  The
+    refinement is a deterministic function of (bucket counts, vector
+    signs), so the DuckDB oracle enumerates the exact same refined
+    buckets and the comparison stays hash-exact — unlike the
+    `embedding_dup_pairs` key, nothing here is pinned exhaustive for
+    oracle's sake."""
+    emb = _t(spark, sf, "embeddings")
+    return zsim.embedding_dup_pairs(
+        emb, threshold=0.40, dims=(0, 1, 2, 3), parallelism=32,
+        max_bucket=30, refine_bits=8,
+    )
+
+
+def _q_embedding_dups_multiprobe_scaled(spark, sf):
+    """Production multiprobe near-dup: one-bit probe flips over the
+    first 4 sign bits COMPOSED with max_bucket refine-then-drop.  A
+    cross-boundary pair survives only if both sides carry the same
+    refinement suffix (probes never flip refinement bits), which the
+    oracle mirrors with a suffix-equality + first-4-Hamming<=1 join."""
+    emb = _t(spark, sf, "embeddings")
+    return zsim.embedding_dup_pairs(
+        emb, threshold=0.40, dims=(0, 1, 2, 3), multiprobe=True, parallelism=32,
+        max_bucket=30, refine_bits=8,
+    )
+
+
 def _q_deterministic_shuffle(spark, sf):
     """Deterministic global training shuffle: every doc gets a stable
     position in a pseudo-random total order (md5 of doc_id) — the
@@ -2433,6 +2465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- code paths changed in r5 (perf: parallelism knob, norm
         #    precompute, hot-bucket refinement) — must re-verify -------
         "embedding_dup_pairs": _q_embedding_dups,
+        "embedding_dup_pairs_scaled": _q_embedding_dups_scaled,
+        "embedding_dup_pairs_multiprobe_scaled": _q_embedding_dups_multiprobe_scaled,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "tpch_q2": _q_tpch_q2,
@@ -2755,11 +2789,42 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
-def _sql_sign_bucket(vec: str, ndims: int) -> str:
+def _sql_sign_bucket(vec: str, ndims: int, start: int = 0) -> str:
+    """Sign-bit bucket over vector dims [start, start+ndims) — 0-based
+    dims, matching functions/vector.sign_bucket (SQL arrays are
+    1-based, hence the +1)."""
     bits = " || ".join(
-        f"CASE WHEN {vec}[{d + 1}] >= 0 THEN '1' ELSE '0' END" for d in range(ndims)
+        f"CASE WHEN {vec}[{d + 1}] >= 0 THEN '1' ELSE '0' END"
+        for d in range(start, start + ndims)
     )
     return f"({bits})"
+
+
+def _sql_refined_buckets(max_bucket: int) -> str:
+    """CTE chain replicating similarity.embedding_dup_pairs'
+    refine-then-drop: 4-bit sign buckets counted over the corpus; a
+    bucket over ``max_bucket`` gets 8 extra sign bits (dims 4..11)
+    appended; rows whose REFINED bucket is still over the cap drop.
+    Ends with view ``b2(id, v, bucket)``."""
+    return f"""
+            b0 AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                     {_sql_sign_bucket("(embedding::DOUBLE[])", 4)} AS bk0,
+                     {_sql_sign_bucket("(embedding::DOUBLE[])", 8, start=4)} AS rfx
+              FROM embeddings
+            ),
+            c0 AS (SELECT bk0, count(*) AS n FROM b0 GROUP BY bk0),
+            b1 AS (
+              SELECT id, v,
+                     CASE WHEN c0.n <= {max_bucket} THEN bk0
+                          ELSE bk0 || rfx END AS bucket
+              FROM b0 JOIN c0 USING (bk0)
+            ),
+            c1 AS (SELECT bucket, count(*) AS n FROM b1 GROUP BY bucket),
+            b2 AS (
+              SELECT b1.id, b1.v, b1.bucket
+              FROM b1 JOIN c1 USING (bucket) WHERE c1.n <= {max_bucket}
+            )"""
 
 
 _SQL_NORM_TEXT = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -3608,6 +3673,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.id AS a, r.id AS b
             FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
             WHERE {_sql_cosine("l.v", "r.v")} >= 0.40
+        """,
+        "embedding_dup_pairs_scaled": f"""
+            WITH {_sql_refined_buckets(30)}
+            SELECT l.id AS a, r.id AS b
+            FROM b2 l JOIN b2 r ON l.bucket = r.bucket AND l.id < r.id
+            WHERE {_sql_cosine("l.v", "r.v")} >= 0.40
+        """,
+        "embedding_dup_pairs_multiprobe_scaled": f"""
+            WITH {_sql_refined_buckets(30)}
+            SELECT l.id AS a, r.id AS b
+            FROM b2 l JOIN b2 r ON l.id < r.id
+            WHERE substr(l.bucket, 5) = substr(r.bucket, 5)
+              AND ({" + ".join(
+                f"(CASE WHEN substr(l.bucket,{i},1) = substr(r.bucket,{i},1)"
+                " THEN 0 ELSE 1 END)"
+                for i in range(1, 5)
+            )}) <= 1
+              AND {_sql_cosine("l.v", "r.v")} >= 0.40
         """,
         "mixture_sample": """
             WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
