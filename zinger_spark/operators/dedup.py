@@ -211,6 +211,13 @@ def minhash_lsh_pairs(
         hashed = _materialize(hashed)
     # Signature = one groupBy with k min-aggregates (single shuffle,
     # partial aggregation — no interpreted array lambdas).
+    #
+    # sigs itself is NOT checkpointed: its two consumers (band explode,
+    # size join) then each re-run one cheap hash aggregation over the
+    # materialized `hashed` frame, which measures faster at sf0.1
+    # (1.40 s vs 1.59 s median) than paying the checkpoint write+read
+    # of a second materialization barrier — the agg is map-side-partial
+    # and `hashed` is already columnar in block storage.
     sigs = hashed.groupBy("id").agg(
         *[
             F.min((F.lit(a) * F.col("hm") + F.lit(b)) % MINHASH_P31).alias(f"__s{i}")
@@ -218,9 +225,6 @@ def minhash_lsh_pairs(
         ],
         F.count(F.lit(1)).alias("__n"),
     )
-    if materialize:
-        # consumed by the band explode AND the size join
-        sigs = _materialize(sigs)
     banded = sigs.select(
         "id",
         F.explode(
