@@ -136,3 +136,163 @@ class PosixStorage:
             return False
         os.remove(aside)
         return True
+
+
+class MemoryObjectStorage:
+    """In-memory OBJECT store implementing the same seam — the semantic
+    model of S3/GCS (and the test double proving the Pool's locking and
+    manifest protocol needs no posix semantics at all).
+
+    Faithful to object-store rules, deliberately NOT to posix:
+
+    - flat key space; "directories" exist only as key prefixes
+      (``makedirs`` is a no-op, ``isdir`` = any key under ``p/``);
+    - every mutation is atomic PER KEY and bumps a server-side
+      generation number (GCS generation / S3 versionId+ETag);
+    - ``create_exclusive`` is a CONDITIONAL PUT (S3 ``If-None-Match:
+      *``, GCS ``ifGenerationMatch=0``): one compare-and-set under the
+      store lock, exactly one concurrent creator wins;
+    - ``take_aside`` (stale-lock break) is a CONDITIONAL DELETE on the
+      observed generation — one atomic op, so the posix rename-aside
+      dance and its residual double-race window simply don't exist
+      here;
+    - ``rename`` is server-side copy + delete per key (how commit
+      publish maps to object stores; the manifest, not the rename, is
+      the reader-visibility point, so per-key non-atomicity is fine).
+
+    A single ``threading.Lock`` models the store's per-request
+    linearizability; all state is (bytes, generation, mtime) per key.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._objects: dict[str, tuple[bytes, int, float]] = {}
+        self._gen = 0
+
+    def _put(self, key: str, data: bytes) -> None:
+        import time
+
+        self._gen += 1
+        self._objects[key] = (data, self._gen, time.time())
+
+    @staticmethod
+    def _norm(path: str) -> str:
+        return path.rstrip("/")
+
+    # -- small-file IO ------------------------------------------------------
+
+    def read_json(self, path: str) -> dict | None:
+        with self._lock:
+            obj = self._objects.get(self._norm(path))
+        return None if obj is None else json.loads(obj[0])
+
+    def write_json_atomic(self, path: str, obj: dict) -> None:
+        # a plain PUT: object stores are atomic per key, no tmp+rename
+        with self._lock:
+            self._put(self._norm(path), json.dumps(obj).encode())
+
+    def exists(self, path: str) -> bool:
+        p = self._norm(path)
+        with self._lock:
+            return p in self._objects or any(
+                k.startswith(p + "/") for k in self._objects
+            )
+
+    # -- layout (prefix LIST with '/' delimiter) ----------------------------
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._norm(path)
+        with self._lock:
+            seen = set()
+            for k in self._objects:
+                if k.startswith(p + "/"):
+                    seen.add(k[len(p) + 1 :].split("/", 1)[0])
+        return sorted(seen)
+
+    def isdir(self, path: str) -> bool:
+        p = self._norm(path)
+        with self._lock:
+            return any(k.startswith(p + "/") for k in self._objects)
+
+    def makedirs(self, path: str) -> None:
+        pass  # directories are not objects
+
+    def rename(self, src: str, dst: str) -> None:
+        s, d = self._norm(src), self._norm(dst)
+        with self._lock:
+            moved = False
+            for k in list(self._objects):
+                if k == s or k.startswith(s + "/"):
+                    self._put(d + k[len(s) :], self._objects.pop(k)[0])
+                    moved = True
+            if not moved:
+                raise FileNotFoundError(src)
+
+    def rmtree(self, path: str) -> None:
+        p = self._norm(path)
+        with self._lock:
+            for k in list(self._objects):
+                if k == p or k.startswith(p + "/"):
+                    del self._objects[k]
+
+    def remove(self, path: str) -> None:
+        p = self._norm(path)
+        with self._lock:
+            if p not in self._objects:
+                raise FileNotFoundError(path)
+            del self._objects[p]
+
+    def mtime(self, path: str) -> float:
+        p = self._norm(path)
+        with self._lock:
+            if p in self._objects:
+                return self._objects[p][2]
+            times = [
+                v[2] for k, v in self._objects.items() if k.startswith(p + "/")
+            ]
+        if not times:
+            raise FileNotFoundError(path)
+        return max(times)
+
+    # -- writer lock primitives (native conditional ops) --------------------
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        """Conditional PUT if-absent: the whole check-and-create is one
+        linearizable server op, never a client-side TOCTOU."""
+        p = self._norm(path)
+        with self._lock:
+            if p in self._objects:
+                return False
+            self._put(p, data)
+            return True
+
+    def identity(self, path: str):
+        p = self._norm(path)
+        with self._lock:
+            obj = self._objects.get(p)
+            if obj is None:
+                return None
+            data, gen, mtime = obj
+        import hashlib
+
+        return ((gen, hashlib.md5(data).hexdigest()), mtime)
+
+    def take_aside(self, path: str, expected_identity) -> bool:
+        """Conditional DELETE on generation/ETag — deletes the stale
+        lock iff it is still the exact object judged stale.  Returns
+        True when the stale lock is gone (deleted by us, or already
+        replaced-and-released), False when a FRESH lock holds the path."""
+        p = self._norm(path)
+        with self._lock:
+            obj = self._objects.get(p)
+            if obj is None:
+                return True
+            data, gen, _ = obj
+            import hashlib
+
+            if (gen, hashlib.md5(data).hexdigest()) != expected_identity:
+                return False
+            del self._objects[p]
+            return True
