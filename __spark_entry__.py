@@ -9,6 +9,7 @@ order-insensitive value-hash matches.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -1704,9 +1705,11 @@ def _q_image_dup_pairs(spark, sf):
     embeddings table (each 64-dim vector renders as an 8x8 grayscale
     PNG; every tenth image gets a one-pixel-perturbed twin 1e6 ids up).
     Decode + dHash run in the Arrow kernel; pairing is the banded
-    Hamming join.  Binary decode is not SQL-expressible, so this key
-    runs under the rows-only gate — the pair set is deterministic
-    (planted twins + any fixed hash coincidences)."""
+    Hamming join.  HASH-EXACT oracle: the comparison splits at the
+    fingerprint boundary — oracle_sql() recomputes dHash from the
+    pre-encode pixel arrays in pure Python (so the PNG encode->decode
+    round trip here is inside the verified surface) and brute-forces
+    the Hamming pair join in SQL (_materialize_media_fps)."""
     from zinger_spark.multimodal import image_dup_pairs
 
     emb = _t(spark, sf, "embeddings")
@@ -1751,8 +1754,9 @@ def _q_audio_dup_pairs(spark, sf):
     """Audio near-dup over REAL PCM-WAV payloads synthesized from the
     embeddings table (each vector weights 64 harmonics of a 0.5 s tone;
     every tenth clip gets a gain-scaled twin).  Spectral-contour
-    fingerprints + the banded Hamming join; rows-only gate like
-    image_dup_pairs."""
+    fingerprints + the banded Hamming join; hash-exact oracle via the
+    fingerprint-boundary split, like image_dup_pairs (the oracle keeps
+    the WAV round trip since 16-bit PCM quantization is the format's)."""
     from zinger_spark.multimodal import audio_dup_pairs
 
     emb = _t(spark, sf, "embeddings")
@@ -2830,11 +2834,122 @@ def _sql_refined_buckets(max_bucket: int) -> str:
 _SQL_NORM_TEXT = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
 
+_MEDIA_FP_DIR = "/tmp/zinger_spark_oracle_fps"
+
+
+def _materialize_media_fps() -> tuple[str, str] | None:
+    """Oracle-side fingerprints for image_dup_pairs / audio_dup_pairs,
+    written as (id, fp) parquet the DuckDB oracle reads — this is what
+    promotes both keys from the rows-only gate to hash-exact: the
+    queries split at the fingerprint boundary, the banded Hamming join
+    is then plain SQL on both sides.
+
+    Pure Python (pyarrow + numpy + codecs/media), NO Spark: the
+    synthesis replicates the queries' mapInPandas generators over the
+    sf0.01 embeddings (the driver's correctness SF).  The image side
+    fingerprints the PRE-ENCODE pixel array, so the Spark side's
+    PNG encode->decode round trip is inside the verified surface; the
+    audio side keeps the WAV round trip on both sides because 16-bit
+    PCM quantization is inherent to the format.  Regenerated on every
+    oracle_sql() call (<1 s for ~550 rows); returns None when the
+    testdata is unavailable so the other oracle keys never break."""
+    import numpy as np  # noqa: PLC0415
+
+    try:
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        from zinger_spark.codecs import media  # noqa: PLC0415
+
+        tbl = pq.read_table(
+            "/root/testdata/sf0.01/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        )
+        vec_ids = tbl.column("vec_id").to_pylist()
+        vecs = tbl.column("embedding").to_pylist()
+
+        img_ids, dhashes, clip_ids, afps = [], [], [], []
+        rate = 8000
+        t = np.arange(int(rate * 0.5)) / rate
+        for vid, vec in zip(vec_ids, vecs):
+            v = np.asarray(list(vec), dtype=np.float64)
+            lo, hi = float(v.min()), float(v.max())
+            px = (
+                ((v - lo) / (hi - lo + 1e-9) * 255.0)
+                .astype(np.uint8)
+                .reshape(8, 8)[:, :, None]
+            )
+            img_ids.append(int(vid))
+            dhashes.append(media.dhash(px))
+            if vid % 10 == 0:
+                near = px.copy()
+                near[0, 0, 0] = 255 - near[0, 0, 0]
+                img_ids.append(int(vid) + 1_000_000)
+                dhashes.append(media.dhash(near))
+
+            w = np.abs(v) / (np.abs(v).sum() + 1e-9)
+            sig = np.zeros_like(t)
+            for k, wk in enumerate(w):
+                if wk > 1e-4:
+                    sig += wk * np.sin(2 * np.pi * (150.0 + 50.0 * k) * t)
+            peak = np.abs(sig).max() + 1e-9
+            sig = 0.8 * sig / peak
+
+            def _afp(s):
+                d = media.decode_wav(media.encode_wav(s, rate))
+                return media.audio_fingerprint(d["samples"], d["sample_rate"])
+
+            clip_ids.append(int(vid))
+            afps.append(_afp(sig))
+            if vid % 10 == 0:
+                clip_ids.append(int(vid) + 1_000_000)
+                afps.append(_afp(0.5 * sig))
+
+        os.makedirs(_MEDIA_FP_DIR, exist_ok=True)
+        img_path = os.path.join(_MEDIA_FP_DIR, "image_fps_sf001.parquet")
+        aud_path = os.path.join(_MEDIA_FP_DIR, "audio_fps_sf001.parquet")
+        pq.write_table(
+            pa.table({"img_id": pa.array(img_ids, pa.int64()),
+                      "dhash": pa.array(dhashes, pa.int64())}),
+            img_path,
+        )
+        pq.write_table(
+            pa.table({"clip_id": pa.array(clip_ids, pa.int64()),
+                      "afp": pa.array(afps, pa.int64())}),
+            aud_path,
+        )
+        return img_path, aud_path
+    except Exception:
+        return None
+
+
 def oracle_sql() -> dict[str, str]:
     qvec = _sql_query_vec()
     cos = _sql_cosine("v", "q")
     norm_hash = _sql_md5h(_SQL_NORM_TEXT)
-    return {
+    media_fps = _materialize_media_fps()
+    media_oracles = {}
+    if media_fps is not None:
+        img_path, aud_path = media_fps
+        media_oracles = {
+            # brute-force Hamming pair joins over the oracle-side
+            # fingerprints; the Spark queries run decode + banded join
+            "image_dup_pairs": f"""
+                SELECT l.img_id AS id_a, r.img_id AS id_b,
+                       CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
+                FROM read_parquet('{img_path}') l
+                JOIN read_parquet('{img_path}') r ON l.img_id < r.img_id
+                WHERE bit_count(xor(l.dhash, r.dhash)) <= 3
+            """,
+            "audio_dup_pairs": f"""
+                SELECT l.clip_id AS id_a, r.clip_id AS id_b,
+                       CAST(bit_count(xor(l.afp, r.afp)) AS INTEGER) AS hamming
+                FROM read_parquet('{aud_path}') l
+                JOIN read_parquet('{aud_path}') r ON l.clip_id < r.clip_id
+                WHERE bit_count(xor(l.afp, r.afp)) <= 1
+            """,
+        }
+    return media_oracles | {
         "dedup_incremental_exact": """
             WITH fp AS (
               SELECT doc_id,

@@ -52,11 +52,11 @@ def test_oracle_keys_subset_of_queries():
     oracles = set(entrymod.oracle_sql())
     extra = oracles - qs
     assert not extra, f"oracle_sql keys without queries(): {sorted(extra)}"
-    # every registry key has a hash-exact oracle EXCEPT the declared
-    # binary-decode ops below — DuckDB cannot decode PNG/WAV, so those
-    # run under the driver's rows-only gate by design
-    allowed_rows_only: set[str] = {"image_dup_pairs", "audio_dup_pairs"}
-    missing = qs - oracles - allowed_rows_only
+    # every registry key has a hash-exact oracle — since r7 including
+    # the binary-decode ops: image/audio dedup split at the fingerprint
+    # boundary, with oracle-side fingerprints materialized to parquet
+    # by _materialize_media_fps() and the pair join done in SQL
+    missing = qs - oracles
     assert not missing, f"queries() keys without an oracle: {sorted(missing)}"
 
 
