@@ -2355,6 +2355,33 @@ _q_zq_over_unnest = _zq(
     "| sort -r n, value | head 20"
 )
 
+# regex literal in search position: shorthand for grep(/re/, this) —
+# matches ANY string value in the record (text OR lang OR source here),
+# with nulls coalesced out of the OR
+_q_zq_regex_search = _zq(
+    "from documents | /spark (join|agg)/ | cut doc_id, source, n_chars"
+)
+
+# nested rename (in place, sibling order kept) + nested drop, verified
+# through has() since the struct itself stays internal
+_q_zq_rename_drop = _zq(
+    "from documents "
+    "| wrapped:={meta:{src:source, l:lang}, nc:n_chars} "
+    "| rename wrapped.meta.origin := wrapped.meta.src "
+    "| drop wrapped.meta.l "
+    "| had_l:=has(wrapped.meta.l), origin:=wrapped.meta.origin "
+    "| cut doc_id, origin, had_l"
+)
+
+# left join spelling: unmatched left rows keep nulls in the embedded
+# right-side fields (README.md-style user rules use this for optional
+# denormalization)
+_q_zq_left_join = _zq(
+    'fork ( => from orders => from customer | c_mktsegment=="BUILDING" ) '
+    "| left join on o_custkey=c_custkey cname:=c_name "
+    "| cut o_orderkey, o_custkey, cname"
+)
+
 # top: bounded-memory best-N (TakeOrderedAndProject)
 _q_zq_top = _zq(
     "from documents | top 5 n_chars, doc_id | cut doc_id, source, n_chars"
@@ -2397,6 +2424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zq_filter_cut": _q_zq_filter_cut,
         "zq_over_unnest": _q_zq_over_unnest,
         "zq_top": _q_zq_top,
+        "zq_regex_search": _q_zq_regex_search,
+        "zq_rename_drop": _q_zq_rename_drop,
+        "zq_left_join": _q_zq_left_join,
         "zq_every_bucket": _q_zq_every_bucket,
         "zq_interval_shift": _q_zq_interval_shift,
         "zq_agg_by": _q_zq_agg_by,
@@ -2984,6 +3014,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY value
             ORDER BY n DESC, value DESC
             LIMIT 20
+        """,
+        "zq_regex_search": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE coalesce(regexp_matches(text,   'spark (join|agg)'), false)
+               OR coalesce(regexp_matches(lang,   'spark (join|agg)'), false)
+               OR coalesce(regexp_matches(source, 'spark (join|agg)'), false)
+        """,
+        "zq_rename_drop": """
+            SELECT doc_id, source AS origin, false AS had_l
+            FROM documents
+        """,
+        "zq_left_join": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_name AS cname
+            FROM orders o
+            LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+              ON o.o_custkey = c.c_custkey
         """,
         "zq_top": """
             SELECT doc_id, source, n_chars

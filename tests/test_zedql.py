@@ -778,3 +778,102 @@ def test_uniq_count(spark):
     assert [(r["k"], r["count"]) for r in out.collect()] == [("a", 2), ("b", 1)]
     with pytest.raises(ZedSyntaxError, match="uniq flag"):
         parse("uniq -z")
+
+
+# --------------------------------------------------------------------------
+# r7 dialect depth: regex search terms, nested rename/drop, left join
+
+
+def test_regex_literal_searches_all_string_fields(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "web"), (2, "gamma", "lab-x"), (3, None, "plain")],
+        "id long, text string, src string",
+    )
+    out = compile_query(
+        spark, "from t | /(beta|lab)/ | cut id", tables={"t": df}
+    )
+    assert sorted(r.id for r in out.collect()) == [1, 2]
+
+
+def test_regex_literal_vs_division(spark):
+    df = spark.createDataFrame([(10,)], "n long")
+    out = compile_query(
+        spark, "from t | half:=n / 2 | cut half", tables={"t": df}
+    )
+    assert out.collect()[0].half == 5.0
+
+
+def test_regex_in_grep_call_with_target(spark):
+    df = spark.createDataFrame(
+        [(1, "spark"), (2, "sparrow"), (3, "flint")], "id long, s string"
+    )
+    out = compile_query(
+        spark, "from t | grep(/^spar/, s) | cut id", tables={"t": df}
+    )
+    assert sorted(r.id for r in out.collect()) == [1, 2]
+
+
+def test_regex_searches_string_arrays(spark):
+    df = spark.createDataFrame(
+        [(1, ["aa", "needle-x"]), (2, ["bb"]), (3, None)],
+        "id long, toks array<string>",
+    )
+    out = compile_query(spark, "from t | /needle/ | cut id", tables={"t": df})
+    assert [r.id for r in out.collect()] == [1]
+
+
+def test_unterminated_regex_errors():
+    with pytest.raises(ZedSyntaxError, match="unterminated regex"):
+        parse("from t | /oops")
+
+
+def test_rename_nested_in_place_preserves_order(spark):
+    df = spark.createDataFrame(
+        [((1, 2.5, "k"),)], "w struct<a:long,b:double,c:string>"
+    )
+    out = compile_query(
+        spark, "from t | rename w.bb := w.b", tables={"t": df}
+    )
+    assert out.schema["w"].dataType.simpleString() == (
+        "struct<a:bigint,bb:double,c:string>"
+    )
+    assert out.collect()[0].w.bb == 2.5
+
+
+def test_rename_nested_missing_is_noop(spark):
+    df = spark.createDataFrame([((1,),)], "w struct<a:long>")
+    out = compile_query(
+        spark, "from t | rename w.zz := w.nope", tables={"t": df}
+    )
+    assert out.schema["w"].dataType.simpleString() == "struct<a:bigint>"
+
+
+def test_rename_across_records_errors(spark):
+    df = spark.createDataFrame([((1,), 2)], "w struct<a:long>, x long")
+    with pytest.raises(ZedCompileError, match="same record"):
+        compile_query(spark, "from t | rename x := w.a", tables={"t": df})
+
+
+def test_rename_then_drop_nested(spark):
+    df = spark.createDataFrame(
+        [((1, 2),)], "w struct<keep:long,gone:long>"
+    )
+    out = compile_query(
+        spark,
+        "from t | rename w.kept := w.keep | drop w.gone",
+        tables={"t": df},
+    )
+    assert out.schema["w"].dataType.simpleString() == "struct<kept:bigint>"
+
+
+def test_left_join_keeps_unmatched_with_nulls(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    right = spark.createDataFrame([(1, "r1"), (3, "r3")], "k long, rv string")
+    out = compile_query(
+        spark,
+        "fork ( => from l => from r ) | left join on k=k val:=rv",
+        tables={"l": left, "r": right},
+    )
+    assert sorted((r.k, r.val) for r in out.collect()) == [
+        (1, "r1"), (2, None), (3, "r3"),
+    ]

@@ -27,6 +27,15 @@ class Lit(Expr):
 
 
 @dataclass
+class RegexLit(Expr):
+    """``/pattern/`` literal.  In search position it is shorthand for
+    ``grep(/pattern/, this)`` (match any string value in the record);
+    as grep()'s first argument it is the pattern itself."""
+
+    pattern: str
+
+
+@dataclass
 class DurationLit(Expr):
     seconds: float
 

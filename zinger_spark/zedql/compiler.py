@@ -105,6 +105,10 @@ def compile_expr(e: ast.Expr, df: DataFrame) -> Column:
         if e.value is None:
             return F.lit(None)
         return F.lit(e.value)
+    if isinstance(e, ast.RegexLit):
+        # a bare regex in search position is shorthand for
+        # grep(/re/, this): match any string value in the record
+        return _grep(e.pattern, ast.Path([]), df)
     if isinstance(e, ast.DurationLit):
         # outside every()/time-arithmetic: seconds-as-double
         return F.lit(e.seconds)
@@ -156,6 +160,90 @@ def compile_expr(e: ast.Expr, df: DataFrame) -> Column:
     if isinstance(e, ast.TypeName):
         raise ZedCompileError(f"<{e.name}> type literal outside is()/cast()")
     raise ZedCompileError(f"unsupported expression {type(e).__name__}")
+
+
+def _has_string(dt: T.DataType) -> bool:
+    if isinstance(dt, T.StringType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_string(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_string(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_string(dt.valueType)
+    return False
+
+
+def _grep_type(col: Column, dt: T.DataType, pattern: str) -> Column | None:
+    """Recursive regexp match over every string value reachable from
+    ``col`` — Zed's grep-over-`this` semantics.  Null values don't
+    match (coalesced to false so they can't poison the OR).  Returns
+    None for subtrees with no string anywhere."""
+    if isinstance(dt, T.StringType):
+        return col.rlike(pattern)
+    if isinstance(dt, T.StructType):
+        terms = [
+            _grep_type(col[f.name], f.dataType, pattern)
+            for f in dt.fields
+            if _has_string(f.dataType)
+        ]
+        if not terms:
+            return None
+        out = F.coalesce(terms[0], F.lit(False))
+        for t in terms[1:]:
+            out = out | F.coalesce(t, F.lit(False))
+        return out
+    if isinstance(dt, T.ArrayType) and _has_string(dt.elementType):
+        return F.exists(
+            col,
+            lambda x: F.coalesce(
+                _grep_type(x, dt.elementType, pattern), F.lit(False)
+            ),
+        )
+    if isinstance(dt, T.MapType) and _has_string(dt.valueType):
+        return F.exists(
+            F.map_values(col),
+            lambda x: F.coalesce(
+                _grep_type(x, dt.valueType, pattern), F.lit(False)
+            ),
+        )
+    return None
+
+
+def _type_at(schema: T.StructType, parts: list[str]) -> T.DataType | None:
+    dt: T.DataType = schema
+    for p in parts:
+        if not isinstance(dt, T.StructType) or p not in dt.fieldNames():
+            return None
+        dt = dt[p].dataType
+    return dt
+
+
+def _grep(pattern: str, target: ast.Expr, df: DataFrame) -> Column:
+    """grep(pattern, target): when the target is a record (or `this`),
+    match any string value in it recursively; scalar string targets
+    match directly; other expressions fall back to rlike on their
+    string form."""
+    if isinstance(target, ast.Path):
+        dt = _type_at(df.schema, target.parts)
+        if isinstance(dt, T.StructType):
+            terms = [
+                _grep_type(
+                    _path(target.parts + [f.name], df), f.dataType, pattern
+                )
+                for f in dt.fields
+                if _has_string(f.dataType) and f.name not in META_COLS
+            ]
+            if not terms:
+                return F.lit(False)
+            out = F.coalesce(terms[0], F.lit(False))
+            for t in terms[1:]:
+                out = out | F.coalesce(t, F.lit(False))
+            return out
+        if dt is not None and not isinstance(dt, T.StringType):
+            got = _grep_type(_path(target.parts, df), dt, pattern)
+            return F.coalesce(got, F.lit(False)) if got is not None else F.lit(False)
+    return compile_expr(target, df).rlike(pattern)
 
 
 def _path(parts: list[str], df: DataFrame | None) -> Column:
@@ -339,12 +427,16 @@ def _call(e: ast.Call, df: DataFrame) -> Column:
         s = compile_expr(args[0], df)
         return F.replace(s, compile_expr(args[1], df), compile_expr(args[2], df))
     if name == "grep":
-        # grep(<regex>, s) — regexp search (Zed grep with string arg)
+        # grep(<regex>|<string>, expr?) — regexp search; target
+        # defaults to `this` (every string value in the record)
         pat = args[0]
-        s = compile_expr(args[1], df) if len(args) > 1 else _path([], df)
-        if isinstance(pat, ast.Lit) and isinstance(pat.value, str):
-            return s.rlike(pat.value)
-        raise ZedCompileError("grep pattern must be a string literal")
+        if isinstance(pat, ast.RegexLit):
+            pattern = pat.pattern
+        elif isinstance(pat, ast.Lit) and isinstance(pat.value, str):
+            pattern = pat.value
+        else:
+            raise ZedCompileError("grep pattern must be a regex or string literal")
+        return _grep(pattern, args[1] if len(args) > 1 else ast.Path([]), df)
     if name == "every":
         # every(duration): truncate the ts field to duration-aligned
         # buckets (Zed's time-bucketing group key).  Whole seconds only
@@ -473,9 +565,18 @@ def _one(df: DataFrame | None, op: ast.Op, ctx: Ctx) -> DataFrame:
         return _put(df, op.assignments)
     if isinstance(op, ast.OpRename):
         for new, old in op.pairs:
-            if len(new) != 1 or len(old) != 1:
-                raise ZedCompileError("rename supports top-level fields")
-            df = df.withColumnRenamed(old[0], new[0])
+            if len(new) == 1 and len(old) == 1:
+                # position-preserving top-level rename
+                df = df.withColumnRenamed(old[0], new[0])
+                continue
+            # nested: Zed requires src and dst inside the same record
+            # (a rename moves a field, it cannot reparent it)
+            if len(new) != len(old) or new[:-1] != old[:-1]:
+                raise ZedCompileError(
+                    "rename must keep the field in the same record "
+                    f"({'.'.join(old)} -> {'.'.join(new)})"
+                )
+            df = _rename_nested(df, old, new[-1])
         return df
     if isinstance(op, ast.OpCut):
         return _cut(df, op)
@@ -677,6 +778,37 @@ def _switch(df: DataFrame, op: ast.OpSwitch, ctx: Ctx) -> DataFrame:
         raise ZedCompileError("switch with no cases")
     ctx.order = None
     return datamodel.fuse(*outs)
+
+
+def _rename_nested(df: DataFrame, old: list[str], new_name: str) -> DataFrame:
+    """Rename a nested struct field IN PLACE (sibling order preserved —
+    withField would append at the end and change the record shape Zed
+    keeps stable).  Missing paths are a no-op, like the top-level
+    rename."""
+    top = old[0]
+    dt = _type_at(df.schema, [top])
+    if dt is None:
+        return df
+
+    def rebuild(col: Column, sdt: T.DataType, path: list[str]) -> Column | None:
+        if not isinstance(sdt, T.StructType) or path[0] not in sdt.fieldNames():
+            return None
+        fields = []
+        for f in sdt.fields:
+            child = col[f.name]
+            if f.name != path[0]:
+                fields.append(child.alias(f.name))
+            elif len(path) == 1:
+                fields.append(child.alias(new_name))
+            else:
+                inner = rebuild(child, f.dataType, path[1:])
+                if inner is None:
+                    return None
+                fields.append(inner.alias(f.name))
+        return F.struct(*fields)
+
+    rebuilt = rebuild(df[f"`{top}`"], dt, old[1:])
+    return df if rebuilt is None else df.withColumn(top, rebuilt)
 
 
 def _join(left: DataFrame, right: DataFrame, op: ast.OpJoin, ctx: Ctx) -> DataFrame:

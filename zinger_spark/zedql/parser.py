@@ -18,7 +18,9 @@ blocks (demo/invoices.yaml, README.md:285-316):
 
 Zed's search syntax allows juxtaposed boolean terms as an implicit AND
 ("is(<done>) kafka.topic==..." — etl/build.go:116) which the bare-expr
-op honors.
+op honors.  ``/pattern/`` regex literals are supported in search
+position (shorthand for ``grep(/re/, this)``) and as grep()'s first
+argument; a ``/`` after a value-ending token still lexes as division.
 """
 
 from __future__ import annotations
@@ -79,11 +81,57 @@ def tokenize(text: str) -> list[tuple[str, str]]:
     return _tokenize_pos(text)[0]
 
 
+def _regex_context(toks: list[tuple[str, str]]) -> bool:
+    """A ``/`` starts a regex literal (not division) unless the
+    previous token could end a value — the standard JS-style
+    disambiguation.  ``| /foo/``, ``grep(/foo/, s)`` parse as regex;
+    ``a / b``, ``(x+1) / 2`` parse as division."""
+    if not toks:
+        return True
+    kind, val = toks[-1]
+    if kind in ("number", "string", "time", "duration"):
+        return False
+    if kind == "ident" and val not in ("and", "or", "not", "in", "case", "where"):
+        return False
+    return val not in (")", "]", "}", "]|", "}|")
+
+
+def _scan_regex(text: str, start: int) -> tuple[str, int]:
+    """Scan ``/pattern/`` from ``start`` (at the opening slash);
+    ``\\/`` escapes a slash, all other backslashes pass through to the
+    regex engine verbatim."""
+    i = start + 1
+    out: list[str] = []
+    while i < len(text):
+        c = text[i]
+        if c == "\\" and i + 1 < len(text) and text[i + 1] == "/":
+            out.append("/")
+            i += 2
+            continue
+        if c == "/":
+            return "".join(out), i + 1
+        if c == "\n":
+            break
+        out.append(c)
+        i += 1
+    raise ZedSyntaxError(f"unterminated regex literal at offset {start}")
+
+
 def _tokenize_pos(text: str) -> tuple[list[tuple[str, str]], list[int]]:
     toks: list[tuple[str, str]] = []
     offs: list[int] = []
     pos = 0
     while pos < len(text):
+        if (
+            text[pos] == "/"
+            and not text.startswith("//", pos)
+            and _regex_context(toks)
+        ):
+            pat, end = _scan_regex(text, pos)
+            toks.append(("regex", pat))
+            offs.append(pos)
+            pos = end
+            continue
         m = _TOKEN_RE.match(text, pos)
         if not m:
             raise ZedSyntaxError(f"unexpected character {text[pos]!r} at offset {pos}")
@@ -315,6 +363,9 @@ class _Parser:
 
     def _primary(self) -> ast.Expr:
         kind, tok = self.peek()
+        if kind == "regex":
+            self.take()
+            return ast.RegexLit(tok)
         if kind == "string":
             self.take()
             return ast.Lit(_unquote(tok))
@@ -876,7 +927,7 @@ class _Parser:
 
 def _is_predicate(e: ast.Expr) -> bool:
     """Static boolean-ness for the bare-expr filter/yield split."""
-    if isinstance(e, (ast.Not, ast.IsType)):
+    if isinstance(e, (ast.Not, ast.IsType, ast.RegexLit)):
         return True
     if isinstance(e, ast.Bin):
         return e.op in ("==", "!=", "<", "<=", ">", ">=", "and", "or", "in")
