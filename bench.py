@@ -50,6 +50,10 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_dup_pairs_multiprobe",
+    # the production refine-then-drop form (r7): same operator with the
+    # finite max_bucket scale guard — tracked alongside the pinned
+    # oracle-parity form so the linear-at-scale path is measured
+    "embedding_dup_pairs_multiprobe_scaled",
     "doc_chunks",
     "pii_scrub",
     "repetition_flags",
