@@ -921,17 +921,35 @@ def _q_quality_quantile_filter(spark, sf):
     the deterministic quality score, so the keep/drop boundary is an
     exact rational, not a float comparison.
 
-    This rank-exact form is the ORACLE-PARITY variant (each source
-    flows through one window task). The 100x path is
-    operators/quantiles.group_quantile_filter(mode="approx"): a
-    map-side-combined per-source approx_percentile threshold broadcast
-    back as a per-row filter — no window; audited in explain_audit."""
+    Scale path (r7): a Window.partitionBy(source) caps parallelism at
+    the number of SOURCES (one giant web crawl = one sort task at
+    100 TB), so the per-source rank comes from the two-level prefix sum
+    instead — (quality, doc_id) is a total order within each source, so
+    rank == row_number and percent_rank is closed-form in (rn, n_src);
+    per-source sizes join back as a broadcast.  The quantile-only
+    alternative (when the exact rank itself is not needed) remains
+    operators/quantiles.group_quantile_filter(mode="approx")."""
     docs = _t(spark, sf, "documents").select(
         "doc_id", "source", ztext.quality_score(F.col("text")).alias("quality")
     )
-    w = Window.partitionBy("source").orderBy(F.col("quality"), F.col("doc_id"))
+    rn = zpack.prefix_sum(
+        docs.withColumn("_one", F.lit(1)),
+        "source",
+        [F.col("quality"), F.col("doc_id")],
+        "_one",
+        out_col="_rn0",
+    )
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
     return (
-        docs.withColumn("pr", F.round(F.percent_rank().over(w), 8))
+        rn.join(F.broadcast(sizes), "source")
+        .withColumn(
+            "pr",
+            F.round(
+                F.when(F.col("_n") > 1, F.col("_rn0") / (F.col("_n") - 1))
+                .otherwise(F.lit(0.0)),
+                8,
+            ),
+        )
         .filter(F.col("pr") >= 0.6)
         .select("doc_id", "source", "quality", "pr")
     )

@@ -160,8 +160,11 @@ def main() -> int:
           "approx deciles: broadcast cut points, no single-reducer window")
 
     p = plan_of(qs["quality_quantile_filter"](spark, sf))
-    check("quality_quantile_filter", "hashpartitioning(source" in p,
-          "percent_rank window partitioned by source")
+    check("quality_quantile_filter",
+          "hashpartitioning(_pid" in p and "percent_rank()" not in p
+          and "BroadcastHashJoin" in p,
+          "per-source rank via two-level prefix sum (parallelism = "
+          "#partitions, not #sources); sizes broadcast")
 
     # 10) r5 additions: narrow text ops stay shuffle-free; adapted
     #     tpch queries broadcast their dims; no cross products.
