@@ -335,3 +335,65 @@ def test_cli_compact_and_vacuum_pool(spark, tmp_path, capsys, monkeypatch):
     assert rc == 0
     assert "removed 3 dirs" in capsys.readouterr().out
     assert pool.df().count() == 9
+
+
+from zinger_spark.sources.storage import PosixStorage
+
+
+class _ObjectStoreLikePosix(PosixStorage):
+    """Posix IO with an object store's cost model declared — exercises
+    the rename-free direct-commit path with real Spark parquet IO."""
+
+    rename_is_copy = True
+
+
+def test_direct_commit_skips_rename(spark, tmp_path, monkeypatch):
+    """rename_is_copy backends write flat-pool data straight to the
+    final commit prefix: no .tmp- dir is ever created, rename() is
+    never called, and the commit is invisible until the manifest
+    append publishes it."""
+    fs = _ObjectStoreLikePosix()
+
+    def no_rename(src, dst):
+        raise AssertionError(f"rename called on rename_is_copy backend: {src}")
+
+    monkeypatch.setattr(fs, "rename", no_rename)
+    pool = Pool.create(spark, str(tmp_path / "p"), storage=fs)
+    cid = pool.load_batch(spark.createDataFrame(env_rows("T", [0, 1]), _schema()))
+    assert pool.df().count() == 2
+    names = set(fs.listdir(str(tmp_path / "p")))
+    assert f"commit-{cid}" in names
+    assert not any(n.startswith(".tmp-") for n in names)
+
+
+def test_direct_commit_unpublished_invisible_and_vacuumed(spark, tmp_path):
+    """A crash between the direct write and the manifest append leaves
+    an unpublished commit dir: readers never see it (manifest is the
+    truth) and vacuum reclaims it on the mtime clock."""
+    fs = _ObjectStoreLikePosix()
+    pool = Pool.create(spark, str(tmp_path / "p"), storage=fs)
+    pool.load_batch(spark.createDataFrame(env_rows("T", [0]), _schema()))
+
+    # simulate the crashed writer: data at its final prefix, no publish
+    orphan = str(tmp_path / "p" / "commit-9999999999999-deadbeef")
+    spark.createDataFrame(env_rows("T", [7]), _schema()).write.parquet(orphan)
+    assert pool.df().count() == 1  # unpublished commit invisible
+    assert pool.next_producer_offsets() == {"T": 1}
+
+    assert pool.vacuum(grace_seconds=0.0) == 1
+    assert not fs.isdir(orphan)
+    assert pool.df().count() == 1
+
+
+def test_partitioned_pool_keeps_topic_major_layout_on_object_store(spark, tmp_path):
+    """Partitioned pools keep tmp+rename even on rename_is_copy
+    backends: the per-topic move is the price of the topic-major
+    layout that makes topic reads O(topic's commits)."""
+    fs = _ObjectStoreLikePosix()
+    pool = Pool.create(
+        spark, str(tmp_path / "p"), partition_by_topic=True, storage=fs
+    )
+    pool.load_batch(spark.createDataFrame(env_rows("A", [0]), _schema()))
+    top = set(fs.listdir(str(tmp_path / "p")))
+    assert "_topic=A" in top
+    assert pool.df(topic="A").count() == 1

@@ -111,12 +111,13 @@ class Pool:
             {"key": key, "order": order, "partitioned": partition_by_topic},
         )
         pool = Pool(spark, path, expected_key=key, storage=storage)
-        if partition_by_topic:
-            # Partitioned commits land as one rename PER TOPIC — not a
-            # single atomic rename — so the manifest must be the
-            # visibility truth from the first commit on: readers never
-            # see a half-renamed commit, only manifest-published ones.
-            pool._write_manifest([])
+        # The manifest is the visibility truth from the first commit on
+        # for EVERY new pool (readers never see a half-renamed commit or
+        # a rename-free direct write, only manifest-published ones).
+        # Partitioned pools require it (one rename PER TOPIC is not
+        # atomic); flat pools need it for the rename-free object-store
+        # commit path.  Pre-manifest pools remain readable via listing.
+        pool._write_manifest([])
         return pool
 
     # -- read ---------------------------------------------------------------
@@ -361,7 +362,27 @@ class Pool:
         and publish them with the manifest append — the manifest swap,
         not the renames, is the visibility point."""
         commit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
-        tmp = os.path.join(self.path, f".tmp-{commit_id}")
+        # Rename-free commit path: on object stores a "rename" is a
+        # server-side COPY of every data byte (S3/GCS have no rename),
+        # so when the backend declares rename_is_copy, flat pools write
+        # data straight to its final commit prefix — the manifest
+        # append below is the only visibility point either way, and an
+        # unpublished dir left by a crash is reclaimed by vacuum()'s
+        # existing not-in-manifest sweep.  Needs a manifest (any pool
+        # created since manifests exist); manifest-less legacy pools
+        # use listing as truth, where an unpublished dir WOULD be
+        # visible, so they keep tmp+rename.  Partitioned pools also
+        # keep it: the topic-major layout (`_topic=X/commit-id`) is
+        # what makes topic reads O(topic's commits) instead of
+        # O(all commits), and preserving it needs the per-topic move.
+        direct = (
+            getattr(self._fs, "rename_is_copy", False)
+            and not self.meta.get("partitioned")
+            and self._read_manifest() is not None
+        )
+        tmp = os.path.join(
+            self.path, f"commit-{commit_id}" if direct else f".tmp-{commit_id}"
+        )
         if self.meta.get("partitioned"):
             df = df.withColumn("_topic", F.col("kafka.topic")).sortWithinPartitions(
                 "kafka.offset"
@@ -376,7 +397,13 @@ class Pool:
         # two concurrent load_batch calls can each read the same
         # manifest and one commit silently vanishes from the list.
         with self.writer_lock():
-            self._publish_commit(tmp, commit_id)
+            if direct:
+                m = self._read_manifest()
+                self._write_manifest(
+                    m["commits"] + [f"commit-{commit_id}"], m.get("orphaned")
+                )
+            else:
+                self._publish_commit(tmp, commit_id)
         return commit_id
 
     def _publish_commit(self, tmp: str, commit_id: str) -> None:

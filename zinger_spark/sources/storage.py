@@ -43,6 +43,12 @@ import uuid
 class PosixStorage:
     """Default backend: local / NFS / any mounted filesystem."""
 
+    #: posix rename is an O(1) metadata op; object-store backends set
+    #: True (a "rename" copies every byte server-side), which switches
+    #: flat-pool commits to the rename-free direct-write path (the
+    #: manifest append is the visibility point either way).
+    rename_is_copy = False
+
     # -- small-file IO ------------------------------------------------------
 
     def read_json(self, path: str) -> dict | None:
@@ -163,6 +169,8 @@ class MemoryObjectStorage:
     A single ``threading.Lock`` models the store's per-request
     linearizability; all state is (bytes, generation, mtime) per key.
     """
+
+    rename_is_copy = True
 
     def __init__(self):
         import threading
