@@ -349,3 +349,35 @@ def test_hamming_banding_equals_brute_force(spark, fps, k):
         if bin(fps[a] ^ fps[b]).count("1") <= k
     }
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=60),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+@settings(**SETTINGS)
+def test_global_row_number_matches_window_property(spark, vals, nparts):
+    """Distributed prefix-sum rank == row_number() over an
+    unpartitioned window for arbitrary data (heavy ties in the lead
+    key broken by the unique id; arbitrary range-partition counts,
+    including partitions spanning tie runs)."""
+    from pyspark.sql import Window
+
+    from zinger_spark.operators.packing import global_row_number
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    naive = {
+        (r.id, r.rn)
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+        ).collect()
+    }
+    fast = {
+        (r.id, r.rn)
+        for r in global_row_number(
+            df, ["v", "id"], out_col="rn", num_partitions=nparts
+        ).select("id", "rn").collect()
+    }
+    assert fast == naive
