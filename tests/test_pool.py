@@ -397,3 +397,48 @@ def test_partitioned_pool_keeps_topic_major_layout_on_object_store(spark, tmp_pa
     top = set(fs.listdir(str(tmp_path / "p")))
     assert "_topic=A" in top
     assert pool.df(topic="A").count() == 1
+
+
+def test_size_tiered_compact_merges_only_small_commits(spark, tmp_path):
+    """compact(small_bytes): small commits merge into one, big commits
+    stay untouched (never rewritten), data and offsets are preserved,
+    and the merged-away names move to the orphan record for vacuum."""
+    pool = Pool.create(spark, str(tmp_path / "p"))
+    # one big commit (500 rows) and three tiny ones (1 row each)
+    pool.load_batch(
+        spark.createDataFrame(env_rows("T", list(range(500))), _schema())
+    )
+    for o in (500, 501, 502):
+        pool.load_batch(spark.createDataFrame(env_rows("T", [o]), _schema()))
+    before = pool._commit_names()
+    assert len(before) == 4
+    big = before[0]
+    big_size = pool._commit_size(big)
+
+    merged = pool.compact(small_bytes=big_size)  # tiny < big's size
+    assert merged == 3
+    after = pool._commit_names()
+    assert big in after and len(after) == 2  # big + merged survivor
+    assert pool.df().count() == 503
+    assert pool.next_producer_offsets() == {"T": 503}
+    orphans = pool._read_manifest()["orphaned"]
+    assert set(before[1:]) <= set(orphans)
+    # another pass at the same tier: nothing left worth merging
+    assert pool.compact(small_bytes=big_size) == 0
+    # vacuum reclaims the merged-away dirs after grace
+    assert pool.vacuum(grace_seconds=0.0) == 3
+
+
+def test_size_tiered_compact_partitioned(spark, tmp_path):
+    pool = Pool.create(spark, str(tmp_path / "p"), partition_by_topic=True)
+    pool.load_batch(
+        spark.createDataFrame(env_rows("A", list(range(400))), _schema())
+    )
+    pool.load_batch(spark.createDataFrame(env_rows("A", [400]), _schema()))
+    pool.load_batch(spark.createDataFrame(env_rows("B", [0]), _schema()))
+    big = pool._commit_names()[0]
+    merged = pool.compact(small_bytes=pool._commit_size(big))
+    assert merged == 2
+    assert pool.df(topic="A").count() == 401
+    assert pool.df(topic="B").count() == 1
+    assert pool.next_producer_offsets() == {"A": 401, "B": 1}

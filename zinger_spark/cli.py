@@ -218,7 +218,7 @@ def cmd_compact_pool(args) -> int:
     from .sources.pool import Pool
 
     pool = Pool(_spark(args), f"{args.lake}/{args.name}")
-    n = pool.compact()
+    n = pool.compact(small_bytes=args.small_bytes)
     print(f"pool: {args.name} compacted {n} commit{'s' if n != 1 else ''}")
     return 0
 
@@ -656,6 +656,9 @@ def main(argv: list[str] | None = None) -> int:
     cpp = sub.add_parser("compact-pool", help="merge commit dirs (OPTIMIZE analog)")
     cpp.add_argument("name")
     cpp.add_argument("--lake", default=".")
+    cpp.add_argument("--small-bytes", type=int, default=None,
+                     help="size-tiered mode: merge only commits smaller "
+                          "than this many bytes (default: merge all)")
 
     vp = sub.add_parser("vacuum-pool", help="reclaim orphaned commit dirs")
     vp.add_argument("name")

@@ -488,17 +488,27 @@ class Pool:
             .select(F.col("kafka.topic").alias("topic"), F.col("kafka.offset").alias("offset"))
         )
 
-    def compact(self) -> int:
-        """Merge all commit dirs into one (the Delta OPTIMIZE analog).
+    def compact(self, small_bytes: int | None = None) -> int:
+        """Merge commit dirs into one (the Delta OPTIMIZE analog).
 
         Many small commits are the expected write pattern (one per
         micro-batch); reads pay per-file open cost and the driver pays
-        listing cost. Compaction rewrites the pool as one sorted commit
-        and atomically swaps the MANIFEST to it — the old commit dirs
-        stay on disk so concurrent readers mid-scan (who listed files
-        before the swap) never hit vanished parquet files.  ``vacuum``
+        listing cost. Compaction rewrites commits as one sorted commit
+        and atomically swaps the MANIFEST — the old commit dirs stay on
+        disk so concurrent readers mid-scan (who listed files before
+        the swap) never hit vanished parquet files.  ``vacuum``
         reclaims them after a grace window (the Delta log + VACUUM
         pattern). Returns commits merged.
+
+        ``small_bytes`` is SIZE-TIERED compaction, the 100-TB mode: a
+        full rewrite is O(pool) every time, so a steady micro-batch
+        ingest would spend most of its IO rewriting already-big
+        commits.  With a threshold, only commits smaller than
+        ``small_bytes`` merge (sizes from storage metadata, no data
+        read) and the big ones are left alone — each byte is rewritten
+        O(log(pool/batch)) times over its life instead of O(compactions).
+        Time travel to a commit id inside a compacted-away range ends
+        at the merged result, exactly like the full rewrite.
 
         Holds the writer lock for the WHOLE operation: a load_batch
         landing between the dir snapshot and the manifest swap would
@@ -506,9 +516,12 @@ class Pool:
         manifest) — lost data, not just a lost listing.
         """
         with self.writer_lock():
-            return self._compact_locked()
+            return self._compact_locked(small_bytes)
 
-    def _compact_locked(self) -> int:
+    def _commit_size(self, name: str) -> int:
+        return sum(self._fs.tree_size(d) for d in self._commit_instances(name))
+
+    def _compact_locked(self, small_bytes: int | None = None) -> int:
         old_names = self._commit_names()
         if len(old_names) <= 1:
             return len(old_names)
@@ -520,7 +533,14 @@ class Pool:
             # the old list (new dir invisible, orphaned on disk) or the
             # swapped list, both consistent.
             self._write_manifest(old_names)
-        snapshot = self.df().sortWithinPartitions("kafka.offset")
+        if small_bytes is None:
+            merged, kept = list(old_names), []
+        else:
+            merged = [n for n in old_names if self._commit_size(n) < small_bytes]
+            kept = [n for n in old_names if n not in set(merged)]
+            if len(merged) <= 1:
+                return 0  # nothing worth merging at this tier
+        snapshot = self._read_commits(merged).sortWithinPartitions("kafka.offset")
         commit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         tmp = os.path.join(self.path, f".tmp-{commit_id}")
         if self.meta.get("partitioned"):
@@ -540,9 +560,20 @@ class Pool:
         now = time.time()
         prior = (self._read_manifest() or {}).get("orphaned", {})
         self._write_manifest(
-            [f"commit-{commit_id}"], {**prior, **{n: now for n in old_names}}
+            kept + [f"commit-{commit_id}"], {**prior, **{n: now for n in merged}}
         )
-        return len(old_names)
+        return len(merged)
+
+    def _read_commits(self, commits: list[str]) -> DataFrame:
+        """Schema-merged read of a specific commit subset (compaction's
+        input selector; ``df()`` is the all-live special case)."""
+        reader = self.spark.read.option("mergeSchema", "true")
+        if self.meta.get("partitioned"):
+            leafs = self._leaf_dirs(commits)
+            if not leafs:
+                raise PoolError(f"pool {self.path}: no data in {commits}")
+            return reader.option("basePath", self.path).parquet(*leafs).drop("_topic")
+        return reader.parquet(*[os.path.join(self.path, c) for c in commits])
 
     def vacuum(self, grace_seconds: float = 3600.0) -> int:
         """Delete commit dirs that left the manifest more than

@@ -94,6 +94,19 @@ class PosixStorage:
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
 
+    def tree_size(self, path: str) -> int:
+        """Total bytes under ``path`` (a commit dir).  Drives
+        size-tiered compaction; object stores get this from LIST
+        metadata without reading any data."""
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
     # -- writer lock primitives --------------------------------------------
 
     def create_exclusive(self, path: str, data: bytes) -> bool:
@@ -263,6 +276,15 @@ class MemoryObjectStorage:
         if not times:
             raise FileNotFoundError(path)
         return max(times)
+
+    def tree_size(self, path: str) -> int:
+        p = self._norm(path)
+        with self._lock:
+            return sum(
+                len(v[0])
+                for k, v in self._objects.items()
+                if k == p or k.startswith(p + "/")
+            )
 
     # -- writer lock primitives (native conditional ops) --------------------
 
