@@ -67,6 +67,12 @@ HEADLINE = [
     "line_dedup",
     "dsir_affinity",
     "substring_dups",
+    # r7: the rank queries rewritten onto the distributed prefix sum
+    # (no single-reducer Window.orderBy) — tracked so a regression back
+    # to a global window would show up as a time cliff at high SF
+    "percent_rank_dist",
+    "ntile_deciles",
+    "quality_quantile_filter",
 ]
 
 
