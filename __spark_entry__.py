@@ -1831,6 +1831,25 @@ def _q_simhash_dup_pairs(spark, sf):
     ).withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
 
 
+def _q_simhash_incremental_dups(spark, sf):
+    """Batch-vs-corpus Hamming dedup: pairs within the bound that have
+    at least one NEW side (doc_id % 5 == 0 is the arriving batch), via
+    dedup.incremental_hamming_dups — only the batch explodes into
+    probe bands, the corpus is build-side, so per-batch cost is batch x
+    matched buckets (the maintained-index shape for simhash/image/
+    audio fingerprints).  Oracle brute-forces all pairs and filters to
+    new-sided ones, proving the incremental banding loses nothing."""
+    docs = _t(spark, sf, "documents")
+    fps = zdedup.simhash(docs, bits=16)
+    new = fps.filter(F.col("doc_id") % 5 == 0)
+    corpus = fps.filter(F.col("doc_id") % 5 != 0)
+    return zdedup.incremental_hamming_dups(
+        corpus, new, fp_col="simhash", bits=16, max_hamming=2
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
 def _q_script_mix(spark, sf):
     """Per-document Unicode-script character mix (Han/Latin/Cyrillic/
     digit counts + Latin share) — the script-detection signal a
@@ -2508,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota_sample": _q_source_quota_sample,
         "script_mix": _q_script_mix,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "simhash_incremental_dups": _q_simhash_incremental_dups,
         "image_dup_pairs": _q_image_dup_pairs,
         "audio_dup_pairs": _q_audio_dup_pairs,
         "contamination_exact": _q_contamination_exact,
@@ -4053,6 +4073,14 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.simhash, b.simhash)) AS hamming
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
+        "simhash_incremental_dups": f"""
+            WITH sh AS ({_sql_simhash(16)})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+              AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
         """,
         "script_mix": """
             SELECT doc_id, lang,

@@ -158,3 +158,31 @@ def test_second_batch_sees_first(spark, docs, tmp_path):
     got = {(r.doc_a, r.doc_b) for r in pairs2.collect()}
     # doc 21 (i%7==0, exact base) must pair with doc 14 from batch 1
     assert (14, 21) in got
+
+
+def test_incremental_hamming_matches_full_restricted(spark):
+    """incremental_hamming_dups(corpus, new) == hamming_dup_pairs(all)
+    filtered to pairs with a new side — on fingerprints dense enough
+    that every band bucket collides (4-bit bands over 16 bits)."""
+    rows = [(i, ((i * 2654435761) % (1 << 16)) - (1 << 15)) for i in range(120)]
+    # plant exact twins and 1-bit neighbors across the batch boundary
+    rows += [(1000 + i, rows[i * 5][1]) for i in range(10)]
+    rows += [(2000 + i, rows[i * 5][1] ^ 1) for i in range(10)]
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    new = fps.filter(F.col("doc_id") % 3 == 0)
+    corpus = fps.filter(F.col("doc_id") % 3 != 0)
+
+    full = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in zd.hamming_dup_pairs(
+            fps, fp_col="simhash", bits=16, max_hamming=2
+        ).collect()
+        if r.id_a % 3 == 0 or r.id_b % 3 == 0
+    }
+    inc = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in zd.incremental_hamming_dups(
+            corpus, new, fp_col="simhash", bits=16, max_hamming=2
+        ).collect()
+    }
+    assert inc == full and full  # non-vacuous

@@ -984,6 +984,98 @@ def hamming_dup_pairs(
     )
 
 
+def incremental_hamming_dups(
+    corpus_fps: DataFrame,
+    new_fps: DataFrame,
+    fp_col: str = "simhash",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 3,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """Hamming near-dup pairs for a NEW batch against a maintained
+    fingerprint corpus — the incremental form of ``hamming_dup_pairs``
+    for any banded b-bit sketch (SimHash text, image dHash, audio
+    spectral contours).  Emits every pair within the bound that has at
+    least one NEW side (new-vs-corpus and new-vs-new; corpus-vs-corpus
+    pairs were the previous runs' output), canonicalized id_a < id_b —
+    identical to filtering the full self-join's output, which is what
+    the equivalence test asserts.
+
+    Only the BATCH explodes into probe bands; the corpus contributes
+    its (id, fp, band, val) rows build-side, so per-batch cost is
+    batch x matched buckets, never corpus² — at 100 TB the corpus side
+    is the persisted index (store the banded frame like
+    ``build_minhash_index`` stores signature bands) and each arriving
+    batch pays one band equi-join."""
+    bands = max_hamming + 1
+    band_bits = -(-bits // bands)
+    mask = (1 << band_bits) - 1
+
+    def banded(df: DataFrame) -> DataFrame:
+        fp = F.col(fp_col)
+        return df.select(
+            F.col(id_col).alias("id"),
+            fp.alias("__fp"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(fp, b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("val"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            "id", "__fp", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+        )
+
+    build = banded(
+        corpus_fps.select(id_col, fp_col).unionByName(
+            new_fps.select(id_col, fp_col)
+        )
+    )
+    hot = (
+        build.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") > max_bucket)
+        .select("band", "val")
+    )
+    build = build.join(F.broadcast(hot), ["band", "val"], "left_anti")
+    probe = banded(new_fps.select(id_col, fp_col)).join(
+        F.broadcast(hot), ["band", "val"], "left_anti"
+    )
+    cand = (
+        probe.select(F.col("id").alias("pa"), F.col("__fp").alias("fa"), "band", "val")
+        .join(
+            build.select(
+                F.col("id").alias("pb"), F.col("__fp").alias("fb"), "band", "val"
+            ),
+            ["band", "val"],
+        )
+        .filter(F.col("pa") != F.col("pb"))
+        .select(
+            F.least("pa", "pb").alias("id_a"),
+            F.greatest("pa", "pb").alias("id_b"),
+            # fp follows its id through the canonicalization
+            F.when(F.col("pa") < F.col("pb"), F.col("fa")).otherwise(F.col("fb")).alias("fp_a"),
+            F.when(F.col("pa") < F.col("pb"), F.col("fb")).otherwise(F.col("fa")).alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def incremental_substring_dups(
     corpus: DataFrame,
     new: DataFrame,
