@@ -134,6 +134,11 @@ def main() -> int:
     for q in ("contamination", "fuzzy_prefix_pairs"):
         p = plan_of(qs[q](spark, sf))
         check(q, "CartesianProduct" not in p, "candidates via equi-join, not cross join")
+    p = plan_of(qs["simhash_incremental_dups"](spark, sf))
+    check("simhash_incremental_dups",
+          "CartesianProduct" not in p and "LeftAnti" in p,
+          "batch-vs-corpus candidates via band equi-join with the "
+          "broadcast hot-bucket anti guard, no cross product")
     p = plan_of(qs["zscore_anomalies"](spark, sf))
     check("zscore_anomalies", "BroadcastHashJoin" in p, "per-type stats broadcast")
     p = plan_of(qs["sliding_window_counts"](spark, sf))
