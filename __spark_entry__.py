@@ -855,7 +855,10 @@ def _q_percent_rank(spark, sf):
     ev = _events(spark, sf)
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     rn = zpack.global_row_number(counts, [F.col("n"), F.col("user_id")], out_col="_rn")
-    total = rn.agg(F.max("_rn").alias("_N"))
+    # N == max rank == row count of the PRE-rank frame: aggregating
+    # `counts` (one shuffle) rather than `rn` keeps the broadcast side
+    # from re-running the whole prefix-sum pipeline for one scalar
+    total = counts.agg(F.count(F.lit(1)).alias("_N"))
     return (
         rn.crossJoin(F.broadcast(total))
         .select(
@@ -1204,7 +1207,7 @@ def _q_ntile_deciles(spark, sf):
     rn = zpack.global_row_number(
         spend, [F.col("spend").desc(), F.col("user_id")], out_col="_rn"
     )
-    total = rn.agg(F.max("_rn").alias("_N"))
+    total = spend.agg(F.count(F.lit(1)).alias("_N"))  # == max rank, cheaper side
     base = F.floor(F.col("_N") / 10)          # small-bucket size
     rem = F.col("_N") % 10                    # first `rem` buckets get base+1
     cut = rem * (base + 1)                    # rows covered by the big buckets
