@@ -1363,6 +1363,10 @@ def _query_vec():
 
 
 def _q_ann_brute(spark, sf):
+    # the unpartitioned rank windows in the ANN queries run over the
+    # ALREADY-REDUCED top-k output (k=20 rows from a
+    # TakeOrderedAndProject, plan-audited) — bounded input, so the
+    # single-partition window is O(k), never a corpus sort
     emb = _t(spark, sf, "embeddings")
     out = zsim.brute_force_topk(emb, _query_vec(), k=20)
     w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
