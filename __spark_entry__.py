@@ -1149,8 +1149,12 @@ def _q_tfidf_top_terms(spark, sf):
     """Top-3 tf-idf terms per source (corpus summarization / domain
     tagging). tf = term occurrences within the source; idf over the
     20 sources. Token explode -> one (source, token) shuffle ->
-    broadcast of per-token source counts -> per-source top-k via
-    row_number (partitioned window)."""
+    broadcast of per-token source counts -> per-source top-k via the
+    two-level prefix-sum rank (r7: a Window.partitionBy(source) sorts
+    EVERY term of a source in one task — at 100 TB a single web-crawl
+    source holds most of the vocabulary, so the rank must scale with
+    partitions, not sources; (tfidf, t) is a total order per source so
+    rank == row_number and the result is unchanged)."""
     toks = (
         _t(spark, sf, "documents")
         .select("source", F.explode(ztext.tokens(F.col("text"))).alias("t"))
@@ -1162,9 +1166,15 @@ def _q_tfidf_top_terms(spark, sf):
     scored = tf.join(F.broadcast(df_), "t").withColumn(
         "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_src)) / F.col("df")), 6)
     )
-    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("t"))
+    ranked = zpack.prefix_sum(
+        scored.withColumn("_one", F.lit(1)),
+        "source",
+        [F.col("tfidf").desc(), F.col("t")],
+        "_one",
+        out_col="_rk0",
+    )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        ranked.withColumn("rk", (F.col("_rk0") + 1).cast("int"))
         .filter(F.col("rk") <= 3)
         .select("source", F.col("t").alias("term"), "tf", "df", "tfidf", "rk")
     )

@@ -111,6 +111,8 @@ def main() -> int:
     p = plan_of(qs["tfidf_top_terms"](spark, sf))
     check("tfidf_top_terms", "BroadcastHashJoin" in p and "CartesianProduct" not in p,
           "document-frequency side broadcast")
+    check("tfidf_top_terms", "hashpartitioning(_pid" in p and "row_number()" not in p,
+          "per-source top-k rank via prefix sum, not a per-source window sort")
     p = plan_of(qs["pack_sequences"](spark, sf))
     check("pack_sequences", "hashpartitioning(_pid" in p,
           "cumsum window keyed by (partition, source) — no per-source "
