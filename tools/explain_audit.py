@@ -258,8 +258,9 @@ def main() -> int:
 
     p = plan_of(qs["source_quota_sample"](spark, sf))
     check("source_quota_sample",
-          "windowspecdefinition(source" in p,
-          "quota rank windows partition by group, never globally")
+          "hashpartitioning(_pid" in p and "row_number()" not in p,
+          "quota rank via the per-group prefix sum — the dominant "
+          "source never serializes into one window sort task")
 
     p = plan_of(qs["script_mix"](spark, sf))
     check("script_mix",

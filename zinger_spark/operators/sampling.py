@@ -69,21 +69,24 @@ def quota_sample(
     source before mixing — the hard-cap complement to the
     proportional/temperature samplers above.
 
-    One window shuffle partitioned by group: per-partition rank state
-    is bounded by the largest group, never the corpus.  A group with a
-    truly pathological share should be pre-split by a salted hash and
-    re-capped — the same skew playbook as any hot key.
+    Ranking runs on the two-level distributed prefix sum
+    (packing.prefix_sum), not a Window.partitionBy(group) — the window
+    form serializes each group into one sort task, and the dominant
+    source this operator EXISTS to cap is exactly the group that would
+    pin a task at corpus scale.  The order key ends in the unique id,
+    so rank == row_number and the kept set is identical.
     """
-    from pyspark.sql import Window
+    from .packing import prefix_sum
 
     order = (
         [F.col(order_col).desc(), F.col(id_col).asc()]
         if order_col
         else [F.col(id_col).asc()]
     )
-    w = Window.partitionBy(group_col).orderBy(*order)
+    ranked = prefix_sum(
+        docs.withColumn("__one", F.lit(1)), group_col, order, "__one",
+        out_col="__rk0",
+    )
     return (
-        docs.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= per_group)
-        .drop("__rk")
+        ranked.filter(F.col("__rk0") < per_group).drop("__rk0", "__one")
     )
