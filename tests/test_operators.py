@@ -751,3 +751,37 @@ def test_incremental_substring_dups(spark):
     assert (1, 0) in pairs and (3, 0) in pairs
     assert (3, 1) in pairs          # within-batch, later -> earlier
     assert not any(5 in p for p in pairs)
+
+
+def test_prefix_sum_wide_passthrough_rows_dense_ranks(spark):
+    """Regression (r7): prefix_sum's ranged frame feeds two consumers
+    whose column pruning differs, which can compile two SEPARATE range
+    exchanges — and RangePartitioner samples boundaries per execution,
+    so the totals side and the join side could disagree on _pid,
+    yielding duplicated AND skipped ranks.  The materialization barrier
+    pins one evaluation; this asserts dense per-group ranks on a frame
+    with wide pass-through columns (the shape that triggered it via
+    assign_offsets)."""
+    from zinger_spark.operators.packing import prefix_sum
+
+    rows = [
+        (g, i, f"pad-{i:06d}" * 3, i * 1.5, (i, f"x{i}"))
+        for g in ("click", "view", "buy")
+        for i in range(g.__len__() * 700)  # uneven group sizes
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, ord long, pad string, val double, s struct<a:long,b:string>"
+    )
+    out = prefix_sum(
+        df.withColumn("one", F.lit(1)), "grp", "ord", "one",
+        out_col="rk", num_partitions=16,
+    )
+    got = {
+        g: sorted(r.rk for r in rs)
+        for g, rs in __import__("itertools").groupby(
+            sorted(out.select("grp", "rk").collect(), key=lambda r: r.grp),
+            key=lambda r: r.grp,
+        )
+    }
+    for g, ranks in got.items():
+        assert ranks == list(range(len(ranks))), f"non-dense ranks for {g}"

@@ -42,23 +42,35 @@ def assign_offsets(
     order_col: str = "__in_offset",
 ) -> DataFrame:
     """Dense per-topic sequential output offsets (insertOffsets,
-    etl/pipeline.go:127-164): row_number over (topic, input order) +
+    etl/pipeline.go:127-164): per-topic rank over the input order +
     the topic's current high-water mark.
 
-    This is an inherent per-topic serialization point — the reference
-    does it single-threaded over the whole batch; here it is one window
-    shuffle on the topic key, parallel across topics.
+    The assignment is LOGICALLY a per-topic serialization point — the
+    reference does it single-threaded over the whole batch — but the
+    rank itself runs on the two-level distributed prefix sum
+    (operators/packing.prefix_sum), so a single-topic backfill batch
+    spreads over all partitions instead of one window sort task.  Ties
+    in ``order_col`` (if any) rank by arrival order within their range
+    partition, exactly as row_number would.
     """
-    w = Window.partitionBy(topic_col).orderBy(order_col)
+    from .packing import prefix_sum  # noqa: PLC0415
+
+    ranked = prefix_sum(
+        df.withColumn("__topic", F.col(topic_col)).withColumn("__one", F.lit(1)),
+        "__topic",
+        order_col,
+        "__one",
+        out_col="__rk0",
+    )
     if base_offsets:
         base = F.create_map(
             *[x for kv in base_offsets.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
         )
-        start = F.coalesce(base.getItem(F.col(topic_col)), F.lit(0))
+        start = F.coalesce(base.getItem(F.col("__topic")), F.lit(0))
     else:
         start = F.lit(0)
-    new_off = start + F.row_number().over(w) - 1
-    return df.withColumn(
+    new_off = start + F.col("__rk0")
+    return ranked.withColumn(
         "kafka",
         F.col("kafka").withField("offset", new_off.cast("long")),
-    )
+    ).drop("__topic", "__one", "__rk0")

@@ -60,6 +60,18 @@ def prefix_sum(
     ranged = df.repartitionByRange(
         num_partitions, F.col(group_col), *order_cols
     ).withColumn("_pid", F.spark_partition_id())
+    # CORRECTNESS: materialize the ranged frame.  It feeds two
+    # consumers (the per-partition totals and the final join-back), and
+    # Catalyst prunes their columns differently, which can compile TWO
+    # separate range exchanges — RangePartitioner SAMPLES its
+    # boundaries per execution, so two exchanges can disagree on where
+    # partitions split and `_pid` stops being one consistent labeling
+    # (observed as duplicated + skipped ranks when the input carries
+    # pass-through columns).  A localCheckpoint pins ONE evaluation;
+    # eager=False defers it to the first action.  ReusedExchange would
+    # make this free, but it is an optimization Spark may not apply —
+    # never a correctness guarantee.
+    ranged = ranged.localCheckpoint(eager=False)
 
     w_local = (
         Window.partitionBy("_pid", group_col)
