@@ -128,7 +128,11 @@ def main() -> int:
     # partials table, which is the two-level design)
     for q in ("percent_rank_dist", "ntile_deciles"):
         p = plan_of(qs[q](spark, sf))
-        check(q, "hashpartitioning(_pid" in p and "rangepartitioning" in p,
+        # the range exchange itself sits inside prefix_sum's
+        # materialization barrier (invisible to the downstream plan
+        # string); the (_pid, group)-keyed window proves the rank runs
+        # on the two-level decomposition
+        check(q, "hashpartitioning(_pid" in p,
               "exact global rank via two-level prefix sum, not an "
               "unpartitioned Window.orderBy over the corpus")
         check(q, "percent_rank()" not in p and "ntile(" not in p,
