@@ -40,37 +40,53 @@ def assign_offsets(
     base_offsets: dict[str, int],
     topic_col: str = "kafka.topic",
     order_col: str = "__in_offset",
+    via_prefix_sum: bool = False,
 ) -> DataFrame:
     """Dense per-topic sequential output offsets (insertOffsets,
     etl/pipeline.go:127-164): per-topic rank over the input order +
     the topic's current high-water mark.
 
-    The assignment is LOGICALLY a per-topic serialization point — the
-    reference does it single-threaded over the whole batch — but the
-    rank itself runs on the two-level distributed prefix sum
-    (operators/packing.prefix_sum), so a single-topic backfill batch
-    spreads over all partitions instead of one window sort task.  Ties
-    in ``order_col`` (if any) rank by arrival order within their range
-    partition, exactly as row_number would.
-    """
-    from .packing import prefix_sum  # noqa: PLC0415
+    The default window form is one shuffle on the topic key with
+    per-topic sort tasks — scale-SAFE here because the input is a
+    bounded MICRO-BATCH (the from-kafka commit threshold caps it at
+    ~1M records; the reference processes the same batch
+    single-threaded), never the corpus.  For a backfill-scale batch
+    where one topic's slice outgrows a task, ``via_prefix_sum=True``
+    ranks on the two-level distributed prefix sum instead
+    (operators/packing.prefix_sum — parallelism = #partitions, at the
+    cost of its materialization barrier)."""
+    if via_prefix_sum:
+        from .packing import prefix_sum  # noqa: PLC0415
 
-    ranked = prefix_sum(
-        df.withColumn("__topic", F.col(topic_col)).withColumn("__one", F.lit(1)),
-        "__topic",
-        order_col,
-        "__one",
-        out_col="__rk0",
-    )
+        ranked = prefix_sum(
+            df.withColumn("__topic", F.col(topic_col)).withColumn("__one", F.lit(1)),
+            "__topic",
+            order_col,
+            "__one",
+            out_col="__rk0",
+        )
+        if base_offsets:
+            base = F.create_map(
+                *[x for kv in base_offsets.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+            )
+            start = F.coalesce(base.getItem(F.col("__topic")), F.lit(0))
+        else:
+            start = F.lit(0)
+        new_off = start + F.col("__rk0")
+        return ranked.withColumn(
+            "kafka",
+            F.col("kafka").withField("offset", new_off.cast("long")),
+        ).drop("__topic", "__one", "__rk0")
+    w = Window.partitionBy(topic_col).orderBy(order_col)
     if base_offsets:
         base = F.create_map(
             *[x for kv in base_offsets.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
         )
-        start = F.coalesce(base.getItem(F.col("__topic")), F.lit(0))
+        start = F.coalesce(base.getItem(F.col(topic_col)), F.lit(0))
     else:
         start = F.lit(0)
-    new_off = start + F.col("__rk0")
-    return ranked.withColumn(
+    new_off = start + F.row_number().over(w) - 1
+    return df.withColumn(
         "kafka",
         F.col("kafka").withField("offset", new_off.cast("long")),
-    ).drop("__topic", "__one", "__rk0")
+    )
