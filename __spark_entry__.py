@@ -2921,6 +2921,16 @@ _SQL_NORM_TEXT = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
 _MEDIA_FP_DIR = "/tmp/zinger_spark_oracle_fps"
 
+#: Oracle keys whose SQL is pinned to one scale factor: the media
+#: fingerprints are derived (in pure Python) from the sf0.01 corpus —
+#: the DRIVER's correctness SF.  Comparison harnesses running at a
+#: different SF must SKIP these instead of reporting a guaranteed
+#: mismatch (tools/compare.py consults this).
+ORACLE_SF_PINNED = {
+    "image_dup_pairs": "sf0.01",
+    "audio_dup_pairs": "sf0.01",
+}
+
 
 def _materialize_media_fps() -> tuple[str, str] | None:
     """Oracle-side fingerprints for image_dup_pairs / audio_dup_pairs,
@@ -2993,18 +3003,27 @@ def _materialize_media_fps() -> tuple[str, str] | None:
         os.makedirs(_MEDIA_FP_DIR, exist_ok=True)
         img_path = os.path.join(_MEDIA_FP_DIR, "image_fps_sf001.parquet")
         aud_path = os.path.join(_MEDIA_FP_DIR, "audio_fps_sf001.parquet")
-        pq.write_table(
-            pa.table({"img_id": pa.array(img_ids, pa.int64()),
-                      "dhash": pa.array(dhashes, pa.int64())}),
-            img_path,
-        )
-        pq.write_table(
-            pa.table({"clip_id": pa.array(clip_ids, pa.int64()),
-                      "afp": pa.array(afps, pa.int64())}),
-            aud_path,
-        )
+        # write-tmp + atomic replace: concurrent compare/pytest runs
+        # share this path, and a reader must never see a torn file
+        pid = os.getpid()
+        for path, tbl in (
+            (img_path, pa.table({"img_id": pa.array(img_ids, pa.int64()),
+                                 "dhash": pa.array(dhashes, pa.int64())})),
+            (aud_path, pa.table({"clip_id": pa.array(clip_ids, pa.int64()),
+                                 "afp": pa.array(afps, pa.int64())})),
+        ):
+            tmp = f"{path}.{pid}.tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, path)
         return img_path, aud_path
-    except Exception:
+    except Exception as e:  # pragma: no cover - environment-dependent
+        # surface the reason: a silent None here quietly downgrades
+        # image/audio dedup from hash-exact to no-oracle, and the
+        # coverage guard would then fail with a misleading message
+        import sys  # noqa: PLC0415
+
+        print(f"_materialize_media_fps failed ({e!r}); image/audio "
+              "oracle keys will be absent", file=sys.stderr)
         return None
 
 

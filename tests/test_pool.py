@@ -201,7 +201,11 @@ def test_vacuum_reclaims_tmp_dirs(spark, tmp_path):
         f.write(b"partial")
     assert pool.vacuum(grace_seconds=3600) == 0  # inside grace: protected
     assert os.path.isdir(junk)
-    assert pool.vacuum(grace_seconds=0) == 1
+    # tmp dirs share the unpublished floor: an in-flight writer's tmp
+    # must survive an aggressive orphan grace
+    assert pool.vacuum(grace_seconds=0) == 0
+    assert os.path.isdir(junk)
+    assert pool.vacuum(grace_seconds=0, unpublished_grace_seconds=0) == 1
     assert not os.path.exists(junk)
     assert pool.df().count() == 2  # live commit untouched
 
@@ -380,7 +384,12 @@ def test_direct_commit_unpublished_invisible_and_vacuumed(spark, tmp_path):
     assert pool.df().count() == 1  # unpublished commit invisible
     assert pool.next_producer_offsets() == {"T": 1}
 
-    assert pool.vacuum(grace_seconds=0.0) == 1
+    # default grace refuses to touch it: an unpublished dir is
+    # indistinguishable from an IN-FLIGHT direct commit
+    assert pool.vacuum(grace_seconds=0.0) == 0
+    assert fs.isdir(orphan)
+    # explicit writer-quiescent override reclaims it
+    assert pool.vacuum(grace_seconds=0.0, unpublished_grace_seconds=0.0) == 1
     assert not fs.isdir(orphan)
     assert pool.df().count() == 1
 
@@ -442,3 +451,23 @@ def test_size_tiered_compact_partitioned(spark, tmp_path):
     assert pool.df(topic="A").count() == 401
     assert pool.df(topic="B").count() == 1
     assert pool.next_producer_offsets() == {"A": 401, "B": 1}
+
+
+def test_as_of_below_compaction_floor_errors_loudly(spark, tmp_path):
+    """Size-tiered compaction merges small commits into a NEWER one, so
+    time travel below the merged output would silently miss rows —
+    df(as_of=...) must refuse instead (review finding r7)."""
+    pool = Pool.create(spark, str(tmp_path / "p"))
+    a = pool.load_batch(
+        spark.createDataFrame(env_rows("T", list(range(300))), _schema())
+    )
+    b = pool.load_batch(spark.createDataFrame(env_rows("T", [300]), _schema()))
+    c = pool.load_batch(spark.createDataFrame(env_rows("T", [301]), _schema()))
+    assert pool.df(as_of=a).count() == 300  # pre-compact travel works
+    # merge the two small commits (b, c); big commit a stays
+    assert pool.compact(small_bytes=pool._commit_size(f"commit-{a}")) == 2
+    with pytest.raises(PoolError, match="predates compaction"):
+        pool.df(as_of=a)
+    with pytest.raises(PoolError, match="predates compaction"):
+        pool.df(as_of=b)
+    assert pool.df().count() == 302  # the full view is intact

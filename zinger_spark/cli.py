@@ -229,7 +229,10 @@ def cmd_vacuum_pool(args) -> int:
     from .sources.pool import Pool
 
     pool = Pool(_spark(args), f"{args.lake}/{args.name}")
-    n = pool.vacuum(grace_seconds=args.grace_seconds)
+    n = pool.vacuum(
+        grace_seconds=args.grace_seconds,
+        unpublished_grace_seconds=args.unpublished_grace_seconds,
+    )
     print(f"pool: {args.name} removed {n} dir{'s' if n != 1 else ''}")
     return 0
 
@@ -664,6 +667,10 @@ def main(argv: list[str] | None = None) -> int:
     vp.add_argument("name")
     vp.add_argument("--lake", default=".")
     vp.add_argument("--grace-seconds", type=float, default=3600.0)
+    vp.add_argument("--unpublished-grace-seconds", type=float, default=None,
+                    help="grace for never-published dirs (crashed or "
+                         "IN-FLIGHT direct writes); floors at "
+                         "max(grace, 1h) unless set explicitly")
 
     info = sub.add_parser("info", help="watermarks per topic")
     info.add_argument("--pool")

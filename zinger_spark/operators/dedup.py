@@ -1034,11 +1034,12 @@ def incremental_hamming_dups(
             "id", "__fp", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
         )
 
-    build = banded(
-        corpus_fps.select(id_col, fp_col).unionByName(
-            new_fps.select(id_col, fp_col)
-        )
-    )
+    # band the batch ONCE and reuse it on both sides (probe, and the
+    # new-vs-new half of the build) — materialized because it has two
+    # consumers and is batch-sized; without this the batch's
+    # fingerprint scan + band explode runs twice per call
+    new_banded = _materialize(banded(new_fps.select(id_col, fp_col)))
+    build = banded(corpus_fps.select(id_col, fp_col)).unionByName(new_banded)
     hot = (
         build.groupBy("band", "val")
         .agg(F.count(F.lit(1)).alias("__w"))
@@ -1046,9 +1047,7 @@ def incremental_hamming_dups(
         .select("band", "val")
     )
     build = build.join(F.broadcast(hot), ["band", "val"], "left_anti")
-    probe = banded(new_fps.select(id_col, fp_col)).join(
-        F.broadcast(hot), ["band", "val"], "left_anti"
-    )
+    probe = new_banded.join(F.broadcast(hot), ["band", "val"], "left_anti")
     cand = (
         probe.select(F.col("id").alias("pa"), F.col("__fp").alias("fa"), "band", "val")
         .join(

@@ -88,5 +88,9 @@ def quota_sample(
         out_col="__rk0",
     )
     return (
-        ranked.filter(F.col("__rk0") < per_group).drop("__rk0", "__one")
+        ranked.filter(F.col("__rk0") < per_group)
+        # prefix_sum's join-back hoists the group column to the front;
+        # restore the caller's column order (public-API stability for
+        # positional consumers)
+        .select(*docs.columns)
     )

@@ -134,14 +134,26 @@ class Pool:
         m = self._read_manifest()
         return None if m is None else m["commits"]
 
-    def _write_manifest(self, commits: list[str], orphaned: dict[str, float] | None = None) -> None:
+    def _write_manifest(
+        self,
+        commits: list[str],
+        orphaned: dict[str, float] | None = None,
+        asof_floor: str | None = None,
+    ) -> None:
         """Atomic manifest swap (tmp + rename), single-writer like the
         reference's sync processes. ``orphaned`` records WHEN each
         no-longer-live commit left the manifest — vacuum's grace clock
-        starts there, not at the dir's (much older) write mtime."""
-        self._fs.write_json_atomic(
-            self._manifest_path(), {"commits": commits, "orphaned": orphaned or {}}
-        )
+        starts there, not at the dir's (much older) write mtime.
+        ``asof_floor`` (monotone; compact() raises it to its merged
+        output) is the oldest commit name time travel may address —
+        reads below it would silently miss merged-away rows, so df()
+        refuses them loudly instead."""
+        m = {"commits": commits, "orphaned": orphaned or {}}
+        prior = self._read_manifest() or {}
+        floor = max(filter(None, [prior.get("asof_floor"), asof_floor]), default=None)
+        if floor is not None:
+            m["asof_floor"] = floor
+        self._fs.write_json_atomic(self._manifest_path(), m)
 
     def _commit_names(self) -> list[str]:
         """Live commit names, sorted (= commit order: ms-prefixed ids).
@@ -309,13 +321,20 @@ class Pool:
         pass a commit id previously returned by ``load_batch`` and the
         read sees only commits up to and including it — commit ids are
         millisecond-prefixed, so lexicographic order IS commit order.
-        Commits orphaned by ``compact()`` leave the manifest and age
-        out via ``vacuum(grace)``, so time travel reaches exactly the
-        commits vacuum hasn't reclaimed (same contract as Delta
-        VACUUM limiting its time travel)."""
+        ``compact()`` raises the manifest's as-of floor to its merged
+        output: travel below the floor would silently miss merged-away
+        rows, so it raises ``PoolError`` instead (the same way Delta
+        VACUUM bounds its time travel, but loud)."""
         commits = self._commit_names()
         if as_of is not None:
             cut = f"commit-{as_of}"
+            floor = (self._read_manifest() or {}).get("asof_floor")
+            if floor is not None and cut < floor:
+                raise PoolError(
+                    f"pool {self.path}: as_of {as_of} predates compaction "
+                    f"(floor {floor}) — the merged-away commits are no "
+                    "longer individually addressable"
+                )
             commits = [c for c in commits if c <= cut]
             if not commits:
                 raise PoolError(f"pool {self.path}: no commits at or before {as_of}")
@@ -507,8 +526,9 @@ class Pool:
         ``small_bytes`` merge (sizes from storage metadata, no data
         read) and the big ones are left alone — each byte is rewritten
         O(log(pool/batch)) times over its life instead of O(compactions).
-        Time travel to a commit id inside a compacted-away range ends
-        at the merged result, exactly like the full rewrite.
+        Every compaction (tiered or full) raises the manifest's as-of
+        floor to its merged output; time travel below the floor raises
+        rather than silently returning a view missing merged rows.
 
         Holds the writer lock for the WHOLE operation: a load_batch
         landing between the dir snapshot and the manifest swap would
@@ -559,8 +579,14 @@ class Pool:
             self._fs.rename(tmp, os.path.join(self.path, f"commit-{commit_id}"))
         now = time.time()
         prior = (self._read_manifest() or {}).get("orphaned", {})
+        # time travel below the merged output would silently miss the
+        # merged-away rows (their commits leave the manifest but the
+        # replacement carries a NEWER name) — raise the as-of floor so
+        # df(as_of=<older>) fails loudly instead
         self._write_manifest(
-            kept + [f"commit-{commit_id}"], {**prior, **{n: now for n in merged}}
+            kept + [f"commit-{commit_id}"],
+            {**prior, **{n: now for n in merged}},
+            asof_floor=f"commit-{commit_id}",
         )
         return len(merged)
 
@@ -575,17 +601,28 @@ class Pool:
             return reader.option("basePath", self.path).parquet(*leafs).drop("_topic")
         return reader.parquet(*[os.path.join(self.path, c) for c in commits])
 
-    def vacuum(self, grace_seconds: float = 3600.0) -> int:
+    def vacuum(
+        self,
+        grace_seconds: float = 3600.0,
+        unpublished_grace_seconds: float | None = None,
+    ) -> int:
         """Delete commit dirs that left the manifest more than
         ``grace_seconds`` ago (grace measured from ORPHANING time, not
         the dir's write mtime — a 2-hour-old commit compacted away one
         second ago is still protected). Dirs on disk but absent from
         both the live list and the orphan record were never visible to
         manifest readers (crashed half-writes); those fall back to the
-        mtime clock. No-op for manifest-less pools. Returns dirs
-        removed."""
+        mtime clock under ``unpublished_grace_seconds`` — which floors
+        at max(grace, 1h) by default, because on a ``rename_is_copy``
+        backend an IN-FLIGHT direct commit looks exactly like a crashed
+        one until its manifest append lands (the Delta VACUUM retention
+        contract: never set it below your longest writer).  Pass it
+        explicitly only when no writer can be active.  No-op for
+        manifest-less pools. Returns dirs removed."""
         removed = 0
         now = time.time()
+        if unpublished_grace_seconds is None:
+            unpublished_grace_seconds = max(grace_seconds, 3600.0)
         # '.tmp-*' dirs are writes that crashed between the Spark write
         # and os.rename — never referenced by the manifest or visible to
         # any reader (manifest-less pools list only commit-* dirs), so
@@ -594,7 +631,7 @@ class Pool:
             full = os.path.join(self.path, d)
             if not (d.startswith(".tmp-") and self._fs.isdir(full)):
                 continue
-            if now - self._fs.mtime(full) >= grace_seconds:
+            if now - self._fs.mtime(full) >= unpublished_grace_seconds:
                 self._fs.rmtree(full)
                 removed += 1
         with self.writer_lock():
@@ -620,8 +657,18 @@ class Pool:
                 instances = self._commit_instances(name)
                 if not instances:
                     continue
-                since = orphaned.get(name, self._fs.mtime(instances[0]))
-                if now - since >= grace_seconds:
+                # orphan-recorded dirs were PUBLISHED then superseded:
+                # the orphaning clock + reader grace applies.  A dir
+                # with NO orphan record is either a crashed half-write
+                # or an IN-FLIGHT direct commit awaiting its manifest
+                # append — only the (floored) unpublished grace may
+                # touch it.
+                if name in orphaned:
+                    since, cutoff = orphaned[name], grace_seconds
+                else:
+                    since = self._fs.mtime(instances[0])
+                    cutoff = unpublished_grace_seconds
+                if now - since >= cutoff:
                     for inst in instances:
                         self._fs.rmtree(inst)
                     remaining_orphans.pop(name, None)
