@@ -1855,7 +1855,11 @@ def _q_simhash_incremental_dups(spark, sf):
     probe bands, the corpus is build-side, so per-batch cost is batch x
     matched buckets (the maintained-index shape for simhash/image/
     audio fingerprints).  Oracle brute-forces all pairs and filters to
-    new-sided ones, proving the incremental banding loses nothing."""
+    new-sided ones, proving the incremental banding loses nothing.
+    bits=16 is the ORACLE-DENSITY pinning (thousands of pairs at
+    hamming<=2, so the brute-force comparison is non-vacuous);
+    production fingerprints are 64-bit, where collisions — and with
+    them both sides' join cost — collapse by orders of magnitude."""
     docs = _t(spark, sf, "documents")
     fps = zdedup.simhash(docs, bits=16)
     new = fps.filter(F.col("doc_id") % 5 == 0)
