@@ -159,11 +159,19 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "count")
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # subset knobs for scale experiments (comma-separated query names);
+    # the driver sets neither, so the recorded per-round bench always
+    # covers the full headline list
+    only = {q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q}
+    skip = {q for q in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if q}
+    headline = [
+        q for q in HEADLINE if (not only or q in only) and q not in skip
+    ]
+    samples: dict[str, list[float]] = {name: [] for name in headline}
     n_rows: dict[str, int] = {}
     errors: dict[str, str] = {}
     for rep in range(reps):
-        for name in HEADLINE:
+        for name in headline:
             if name in errors:
                 continue  # a query that raised once stays excluded
             fn = qs[name]
@@ -186,7 +194,7 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         if not samples[name]:
             continue
         s = sorted(samples[name])
