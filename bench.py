@@ -236,9 +236,12 @@ def main() -> None:
     # The driver keeps only the tail of stdout, which has truncated the
     # per-query medians before (round 5).  Always persist the complete
     # JSON next to the repo so every round's full numbers survive.
+    # Subset runs (ONLY/SKIP set) are scratch experiments: never let them
+    # overwrite the canonical full-headline record.
+    default_name = "BENCH_LOCAL.json" if not (only or skip) else "BENCH_SUBSET.json"
     out = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), default_name),
     )
     try:
         with open(out, "w") as fh:
