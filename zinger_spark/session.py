@@ -51,6 +51,12 @@ def get_spark(
         # zstd beats snappy ~1.3-1.5x on storage at similar scan speed —
         # at 100 TB that is tens of TB of parquet; pools inherit it.
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # The generated-class cache defaults to 100 entries; a
+        # multi-query session (the bench's 42-query round-robin, a
+        # long-lived ETL driver, a notebook) cycles through far more
+        # compiled stages than that and re-Janino-compiles evicted ones
+        # on every revisit.  Compiled classes are small; keep 10x more.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
