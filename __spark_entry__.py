@@ -2465,15 +2465,227 @@ def _q_zq_every_bucket(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# round 7: distributed sketches (operators/sketches.py) + fixed-point
+# PageRank (operators/graph.py) — the approximate-counting toolkit a
+# 100 TB curation pipeline uses where exact answers would shuffle the
+# full key set.  Every sketch is integer-exact, so the DuckDB oracle
+# reproduces it bit-for-bit (see sketches.py module docstring).
+
+
+def _q_hll_distinct(spark, sf):
+    """HyperLogLog distinct-count over lineitem.l_partkey (p=12, 4096
+    registers, ~1.6% expected error), with the exact count alongside so
+    the error is visible in the checked result.  Build = one narrow
+    projection + one partial-aggregated groupBy: the exchange carries at
+    most 4096 rows per input partition no matter the corpus size —
+    versus countDistinct's shuffle of every distinct key."""
+    from zinger_spark.operators import sketches as zsk
+
+    li = _t(spark, sf, "lineitem")
+    est = zsk.hll_estimate(li, "l_partkey", p=12)
+    exact = li.groupBy().agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact")
+    )
+    return est.crossJoin(exact).select(
+        "estimate", "exact", "nonzero_registers", "s_stat"
+    )
+
+
+def _q_hll_by_group(spark, sf):
+    """Per-group HLL: distinct users per event type (p=10).  Shuffle key
+    is (group, bucket) — at most |groups| * 1024 rows survive the
+    map-side combine, the pattern that replaces countDistinct(group,
+    user) at 100 TB."""
+    from zinger_spark.operators import sketches as zsk
+
+    ev = _events(spark, sf)
+    return zsk.hll_by_group(ev, "event_type", "user_id", p=10).orderBy(
+        "event_type"
+    )
+
+
+def _q_hll_merge_rollup(spark, sf):
+    """Sketch mergeability — the property that makes HLL the right
+    cross-day / cross-datacenter rollup: per-source register sketches of
+    the documents' content fingerprints, merged register-wise (max) into
+    a global estimate.  One row per source plus an ALL row; the ALL
+    estimate comes from the merged registers only, never re-reading the
+    data."""
+    from zinger_spark.operators import sketches as zsk
+    from zinger_spark.operators.sketches import _estimate_from_registers
+
+    P = 12
+    docs = _t(spark, sf, "documents").select(
+        "source", ztext.fingerprint(F.col("text")).alias("fp")
+    )
+    m = 1 << P
+    rho_bits = zsk.HASH_BITS - P
+    h = ztext.md5_hash60(F.col("fp").cast("string"))
+    per_src = (
+        docs.select(
+            "source",
+            (h % m).alias("bucket"),
+            zsk._rho(F.shiftright(h, P), rho_bits).alias("r"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("r").alias("register"))
+    )
+    merged = per_src.groupBy("bucket").agg(F.max("register").alias("register"))
+    per_est = _estimate_from_registers(per_src, P, ["source"])
+    all_est = _estimate_from_registers(merged, P, []).select(
+        F.lit("ALL").alias("source"), "estimate", "nonzero_registers", "s_stat"
+    )
+    return per_est.unionByName(all_est).orderBy("source")
+
+
+def _q_kmv_distinct(spark, sf):
+    """K-minimum-values distinct estimate over orders.o_custkey (k=256).
+    The k smallest hashes compile to TakeOrderedAndProject — per-
+    partition heaps, no global sort (audited)."""
+    from zinger_spark.operators import sketches as zsk
+
+    return zsk.kmv_distinct(_t(spark, sf, "orders"), "o_custkey", k=256)
+
+
+def _q_countmin_heavy_hitters(spark, sf):
+    """Count-Min heavy hitters over document tokens: build the 4x1024
+    counter grid (one groupBy over a 4-way posexplode; the grid is
+    fixed-size whatever the corpus), then point-query the exact top-20
+    tokens and report estimate vs truth — CM may overestimate (bucket
+    collisions), never underestimate."""
+    from zinger_spark.operators import sketches as zsk
+
+    D, W = 4, 1024
+    toks = (
+        _t(spark, sf, "documents")
+        .select(F.explode(ztext.tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    sketch = zsk.countmin_sketch(toks, "token", d=D, w=W)
+    true_top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), "token")
+        .limit(20)
+    )
+    return (
+        zsk.countmin_estimates(sketch, true_top, "token", d=D, w=W)
+        .join(true_top, "token")
+        .select("token", "true_count", "cm_estimate")
+    )
+
+
+def _q_bloom_contamination(spark, sf):
+    """Benchmark contamination via a Bloom filter (m=2^16 bits, k=3)
+    instead of a raw n-gram join: the probe side collapses to <= 3 x
+    |benchmark n-grams| distinct bit positions — bounded and
+    broadcastable at any corpus size.  Flags corpus docs with >= 3
+    maybe-contaminated trigrams; includes the deterministic false
+    positives the (m, k) choice implies (Bloom guarantees no false
+    NEGATIVES, which is the direction contamination screening needs)."""
+    from zinger_spark.operators import sketches as zsk
+
+    M, K = 1 << 16, 3
+    sh = _t(spark, sf, "documents").select(
+        "doc_id", F.explode(ztext.word_shingles(F.col("text"), 3)).alias("s")
+    )
+    bench = sh.filter(F.col("doc_id") % 40 == 0).select("s").distinct()
+    corpus = sh.filter(F.col("doc_id") % 40 != 0).distinct()
+    bits = zsk.bloom_bits(bench, "s", m_bits=M, k=K)
+    flagged = zsk.bloom_flag_contaminated(corpus, "s", bits, m_bits=M, k=K)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("flagged_ngrams"))
+        .filter(F.col("flagged_ngrams") >= 3)
+    )
+
+
+def _q_weighted_sample(spark, sf):
+    """Weight-proportional document sample (weight = n_chars, n = 50)
+    via integer fixed-point priority sampling — Efraimidis-Spirakis
+    shape with (h30 << 30) div weight priorities, so selection is exact
+    and engine-identical (no float pow/ln whose last ulp could flip a
+    near-tie).  Global form compiles to TakeOrderedAndProject."""
+    from zinger_spark.operators import sketches as zsk
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return zsk.weighted_priority_sample(docs, "n_chars", n=50, seed="wps")
+
+
+def _q_pagerank(spark, sf):
+    """Fixed-point PageRank (integer ranks scaled 1e9, 4 iterations,
+    d=0.85) over the symmetrized supplier-customer trade graph — the
+    link-quality score a curation pipeline weights documents by.
+    Integer sums are order-independent, so the result is bit-identical
+    across engines and partitionings; per-iteration shape is one hash
+    join + one partial-aggregated groupBy (graph.py docstring).  Top-20
+    hubs by rank."""
+    from zinger_spark.operators.graph import pagerank_fixed_point
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    fwd = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), "l_suppkey").alias("src"),
+            F.concat(F.lit("c"), "o_custkey").alias("dst"),
+        )
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank_fixed_point(edges, iterations=4)
+    return pr.orderBy(F.desc("rank"), "node").limit(20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
-    # per round.  Keys that were never checked (or were red) in the prior
-    # round MUST sit inside that window; previously-green keys rotate to
-    # the tail.  Round 6 window = the new-in-r6 zedql text queries
-    # (never driver-verified), then the r5 window in its prior order
-    # (all green in r5; kept near the front as churn insurance).
+    # per round.  Keys that are new or were rewritten since their last
+    # green check MUST sit inside that window; previously-green keys
+    # rotate to the tail.  Round 7 window = the sketch/PageRank suite
+    # (new), every key added since the r6 driver run (incremental dedup
+    # tails, media dup pairs, scaled embedding forms, zedql r7
+    # constructs), then the keys whose implementations changed this
+    # round (prefix-sum ranking rewrites), then r6-green churn
+    # insurance in prior order.
     return {
-        # -- new in r6: incremental dedup + Zed-dialect queries --------
+        # -- round 7: sketches + fixed-point PageRank ----------------
+        "hll_distinct": _q_hll_distinct,
+        "hll_distinct_by_group": _q_hll_by_group,
+        "hll_merge_rollup": _q_hll_merge_rollup,
+        "kmv_distinct": _q_kmv_distinct,
+        "countmin_heavy_hitters": _q_countmin_heavy_hitters,
+        "bloom_contamination": _q_bloom_contamination,
+        "weighted_sample": _q_weighted_sample,
+        "pagerank_trade_graph": _q_pagerank,
+        # -- never driver-checked before r7 ------------------------
+        "line_dedup": _q_line_dedup,
+        "dsir_affinity": _q_dsir_affinity,
+        "substring_dups": _q_substring_dups,
+        "substring_dups_incremental": _q_substring_dups_incremental,
+        "line_dedup_incremental": _q_line_dedup_incremental,
+        "source_vocab_overlap": _q_source_vocab_overlap,
+        "source_quota_sample": _q_source_quota_sample,
+        "simhash_incremental_dups": _q_simhash_incremental_dups,
+        "image_dup_pairs": _q_image_dup_pairs,
+        "audio_dup_pairs": _q_audio_dup_pairs,
+        "contamination_exact": _q_contamination_exact,
+        "token_rarity": _q_token_rarity,
+        "embedding_dup_pairs_scaled": _q_embedding_dups_scaled,
+        "embedding_dup_pairs_multiprobe_scaled": _q_embedding_dups_multiprobe_scaled,
+        # -- new-in-r7 zedql constructs ----------------------------
+        "zq_regex_search": _q_zq_regex_search,
+        "zq_rename_drop": _q_zq_rename_drop,
+        "zq_left_join": _q_zq_left_join,
+        # -- rewritten in r7 (distributed prefix-sum ranking) ------
+        "percent_rank_dist": _q_percent_rank,
+        "ntile_deciles": _q_ntile_deciles,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "offset_assign": _q_offset_assign,
+        "deterministic_shuffle": _q_deterministic_shuffle,
+        "pack_sequences": _q_pack_sequences,
+        # -- previously green (churn insurance, prior order) -------
         "dedup_incremental_exact": _q_dedup_incremental_exact,
         "dedup_incremental_minhash": _q_dedup_incremental_minhash,
         "embedding_incremental_dups": _q_embedding_incremental_dups,
@@ -2482,9 +2694,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zq_filter_cut": _q_zq_filter_cut,
         "zq_over_unnest": _q_zq_over_unnest,
         "zq_top": _q_zq_top,
-        "zq_regex_search": _q_zq_regex_search,
-        "zq_rename_drop": _q_zq_rename_drop,
-        "zq_left_join": _q_zq_left_join,
         "zq_every_bucket": _q_zq_every_bucket,
         "zq_interval_shift": _q_zq_interval_shift,
         "zq_agg_by": _q_zq_agg_by,
@@ -2495,13 +2704,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zq_sort_tail": _q_zq_sort_tail,
         "zq_put_funcs": _q_zq_put_funcs,
         "zq_const_map": _q_zq_const_map,
-        # -- r4 reds + latent NTZ reds (lead the window) --------------
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "sliding_window_counts": _q_sliding_window_counts,
         "funnel_counts": _q_funnel_counts,
         "retention_cohorts": _q_retention_cohorts,
-        # -- all other _events/_events_ns readers (helper changed r5) --
         "envelope_wrap": _q_envelope,
         "filter_predicates": _q_filter,
         "resume_offset": _q_resume_offset,
@@ -2513,7 +2720,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuse_hetero": _q_fuse,
         "grouped_agg": _q_grouped_agg,
         "collect_bundle": _q_collect_bundle,
-        "offset_assign": _q_offset_assign,
         "cut_yield_cast": _q_cut_yield,
         "pivot_counts": _q_pivot_counts,
         "distinct_users": _q_distinct_users,
@@ -2522,44 +2728,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": _q_percentiles,
         "unpivot_stack": _q_unpivot,
         "cube_counts": _q_cube_counts,
-        "ntile_deciles": _q_ntile_deciles,
-        "percent_rank_dist": _q_percent_rank,
         "zscore_anomalies": _q_zscore_anomalies,
         "time_rollup": _q_time_rollup,
         "const_map_lookup": _q_const_map_lookup,
-        # -- stale evidence (last green r2) ---------------------------
         "fuzzy_prefix_pairs": _q_fuzzy_prefix_pairs,
         "stratified_sample": _q_stratified_sample,
         "dedup_clusters": _q_dedup_clusters,
         "knn_join": _q_knn_join,
-        # -- new in r5 ------------------------------------------------
         "embedding_dup_pairs_multiprobe": _q_embedding_dups_multiprobe,
         "doc_chunks": _q_doc_chunks,
         "pii_scrub": _q_pii_scrub,
         "repetition_flags": _q_repetition_flags,
         "gopher_quality": _q_gopher_quality,
         "curation_pipeline": _q_curation_pipeline,
-        "line_dedup": _q_line_dedup,
-        "dsir_affinity": _q_dsir_affinity,
-        "substring_dups": _q_substring_dups,
-        "substring_dups_incremental": _q_substring_dups_incremental,
-        "line_dedup_incremental": _q_line_dedup_incremental,
-        "source_vocab_overlap": _q_source_vocab_overlap,
-        "source_quota_sample": _q_source_quota_sample,
         "script_mix": _q_script_mix,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
-        "simhash_incremental_dups": _q_simhash_incremental_dups,
-        "image_dup_pairs": _q_image_dup_pairs,
-        "audio_dup_pairs": _q_audio_dup_pairs,
-        "contamination_exact": _q_contamination_exact,
         "quantize_embeddings": _q_quantize_embeddings,
         "session_window_stats": _q_session_window_stats,
-        "token_rarity": _q_token_rarity,
-        # -- code paths changed in r5 (perf: parallelism knob, norm
-        #    precompute, hot-bucket refinement) — must re-verify -------
         "embedding_dup_pairs": _q_embedding_dups,
-        "embedding_dup_pairs_scaled": _q_embedding_dups_scaled,
-        "embedding_dup_pairs_multiprobe_scaled": _q_embedding_dups_multiprobe_scaled,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "tpch_q2": _q_tpch_q2,
@@ -2567,7 +2753,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": _q_tpch_q11,
         "tpch_q16": _q_tpch_q16,
         "tpch_q20": _q_tpch_q20,
-        # -- oldest tpch evidence (r3) --------------------------------
         "tpch_q8": _q_tpch_q8,
         "tpch_q15": _q_tpch_q15,
         "tpch_q21": _q_tpch_q21,
@@ -2577,15 +2762,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": _q_tpch_q19,
         "tpch_q14": _q_tpch_q14,
         "tpch_q18": _q_tpch_q18,
-        # ---- tail: r4-green, code unchanged since -------------------
-        "deterministic_shuffle": _q_deterministic_shuffle,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
         "embedding_centroids": _q_embedding_centroids,
         "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "explode_tokens": _q_explode_tokens,
         "dedup_exact": _q_dedup_exact,
         "simhash": _q_simhash,
-        "tfidf_top_terms": _q_tfidf_top_terms,
         "contamination": _q_contamination,
         "quality_quantile_filter": _q_quality_quantile_filter,
         "doc_fingerprint": _q_fingerprint,
@@ -2595,7 +2777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
-        "pack_sequences": _q_pack_sequences,
         "tpch_q12": _q_tpch_q12,
         "anti_join_done": _q_anti_join,
         "denorm_join": _q_denorm_join,
@@ -3031,6 +3212,90 @@ def _materialize_media_fps() -> tuple[str, str] | None:
         return None
 
 
+def _sql_hll_fold_ctes(p: int, group_cols: str = "") -> str:
+    """``stats``/``folded`` CTEs reducing a ``regs(bucket, register
+    [, groups])`` CTE to integer sufficient statistics — mirrors
+    operators/sketches._estimate_from_registers exactly."""
+    m = 1 << p
+    rmax = 60 - p + 1
+    gsel = f"{group_cols}, " if group_cols else ""
+    gby = f"GROUP BY {group_cols}" if group_cols else ""
+    return f"""
+    stats AS (
+      SELECT {gsel}CAST(SUM((CAST(1 AS BIGINT) << ({rmax} - register))) AS BIGINT) AS s_present,
+             CAST(COUNT(*) AS BIGINT) AS nonzero
+      FROM regs {gby}
+    ), folded AS (
+      SELECT {gsel}nonzero,
+             s_present + ({m} - nonzero) * (CAST(1 AS BIGINT) << {rmax}) AS s_stat
+      FROM stats
+    )"""
+
+
+def _sql_hll_est_expr(p: int) -> str:
+    """The estimate expression over ``folded``'s columns.  The raw-
+    estimate constant is precomputed as one Python float so neither
+    engine does decimal-literal arithmetic (DuckDB DECIMAL overflows)."""
+    m = 1 << p
+    rmax = 60 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    c = repr(alpha * m * m * float(1 << rmax))
+    return f"""CAST(round(CASE
+        WHEN {c} / CAST(s_stat AS DOUBLE) <= {2.5 * m} AND nonzero < {m}
+        THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - nonzero AS DOUBLE))
+        ELSE {c} / CAST(s_stat AS DOUBLE) END) AS BIGINT)"""
+
+
+def _sql_hll_regs(hash_expr: str, p: int, from_clause: str, group_cols: str = "") -> str:
+    """``h`` + ``regs`` CTEs: 60-bit md5 hash -> (bucket, register)."""
+    m = 1 << p
+    rmax = 60 - p + 1
+    gsel = f"{group_cols}, " if group_cols else ""
+    return f"""
+    h AS (SELECT {gsel}{_sql_md5h(hash_expr)} AS h FROM {from_clause}),
+    regs AS (
+      SELECT {gsel}h % {m} AS bucket,
+             MAX(CASE WHEN (h >> {p}) = 0 THEN {rmax}
+                      ELSE {rmax} - length(bin(h >> {p})) END) AS register
+      FROM h GROUP BY {gsel}bucket
+    )"""
+
+
+def _sql_pagerank(iterations: int = 4, damping_pct: int = 85, scale: int = 1_000_000_000) -> str:
+    """Unrolled fixed-point PageRank CTE chain mirroring
+    operators/graph.pagerank_fixed_point — all-integer per-iteration
+    arithmetic, so the chain is hash-exact against the Spark loop."""
+    base = scale * (100 - damping_pct) // 100
+    ctes = [f"""
+    e0 AS (
+      SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT DISTINCT * FROM
+      (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT node FROM
+      (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"""]
+    for i in range(iterations):
+        ctes.append(f"""
+    c{i + 1} AS (
+      SELECT e.dst AS node,
+             SUM((r.rank * {damping_pct}) // (100 * o.outdeg)) AS in_sum
+      FROM r{i} r JOIN edges e ON r.node = e.src JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r{i + 1} AS (
+      SELECT n.node, CAST({base} + COALESCE(c.in_sum, 0) AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c{i + 1} c ON n.node = c.node
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\n    SELECT node, rank FROM r{iterations} ORDER BY rank DESC, node LIMIT 20"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     qvec = _sql_query_vec()
     cos = _sql_cosine("v", "q")
@@ -3058,6 +3323,112 @@ def oracle_sql() -> dict[str, str]:
             """,
         }
     return media_oracles | {
+        # -- round 7: sketches + fixed-point PageRank ------------------
+        "hll_distinct": f"""
+            WITH {_sql_hll_regs("CAST(l_partkey AS VARCHAR)", 12, "lineitem")},
+            {_sql_hll_fold_ctes(12)},
+            exact AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact FROM lineitem)
+            SELECT {_sql_hll_est_expr(12)} AS estimate, exact.exact,
+                   folded.nonzero AS nonzero_registers, folded.s_stat
+            FROM folded CROSS JOIN exact
+        """,
+        "hll_distinct_by_group": f"""
+            WITH {_sql_hll_regs("CAST(user_id AS VARCHAR)", 10, "events", "event_type")},
+            {_sql_hll_fold_ctes(10, "event_type")}
+            SELECT event_type, {_sql_hll_est_expr(10)} AS estimate,
+                   nonzero AS nonzero_registers, s_stat
+            FROM folded ORDER BY event_type
+        """,
+        "hll_merge_rollup": f"""
+            WITH fp AS (SELECT source, {_SQL_CONTENT_FP} AS fp FROM documents),
+            h AS (SELECT source, {_sql_md5h("CAST(fp AS VARCHAR)")} AS h FROM fp),
+            per_src AS (
+              SELECT source, h % 4096 AS bucket,
+                     MAX(CASE WHEN (h >> 12) = 0 THEN 49
+                              ELSE 49 - length(bin(h >> 12)) END) AS register
+              FROM h GROUP BY source, bucket
+            ),
+            regs AS (
+              SELECT source, bucket, register FROM per_src
+              UNION ALL
+              SELECT 'ALL' AS source, bucket, MAX(register) AS register
+              FROM per_src GROUP BY bucket
+            ),
+            {_sql_hll_fold_ctes(12, "source")}
+            SELECT source, {_sql_hll_est_expr(12)} AS estimate,
+                   nonzero AS nonzero_registers, s_stat
+            FROM folded ORDER BY source
+        """,
+        "kmv_distinct": f"""
+            WITH h AS (
+              SELECT DISTINCT {_sql_md5h("CAST(o_custkey AS VARCHAR)")} AS h FROM orders
+            ), mins AS (SELECT h FROM h ORDER BY h LIMIT 256),
+            kth AS (SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS got FROM mins)
+            SELECT CASE WHEN got < 256 THEN got
+                   ELSE CAST(round({255.0 * float(1 << 60)!r} / CAST(kth AS DOUBLE)) AS BIGINT)
+                   END AS estimate,
+                   kth AS kth_min
+            FROM kth
+        """,
+        "countmin_heavy_hitters": f"""
+            WITH toks AS (
+              SELECT unnest({_sql_tokens("text")}) AS token FROM documents
+            ), tk AS (SELECT token FROM toks WHERE token != ''),
+            cells AS (
+              SELECT i.r AS row,
+                     {_sql_md5h("CAST(i.r AS VARCHAR) || ':' || token")} % 1024 AS bucket
+              FROM tk, (SELECT unnest(range(4)) AS r) i
+            ),
+            grid AS (SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS counter
+                     FROM cells GROUP BY row, bucket),
+            true_top AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+              FROM tk GROUP BY token
+              ORDER BY true_count DESC, token LIMIT 20
+            ),
+            probes AS (
+              SELECT token, i.r AS row,
+                     {_sql_md5h("CAST(i.r AS VARCHAR) || ':' || token")} % 1024 AS bucket
+              FROM true_top, (SELECT unnest(range(4)) AS r) i
+            )
+            SELECT t.token, t.true_count, MIN(g.counter) AS cm_estimate
+            FROM probes p
+            JOIN grid g USING (row, bucket)
+            JOIN true_top t ON p.token = t.token
+            GROUP BY t.token, t.true_count
+        """,
+        "bloom_contamination": f"""
+            WITH {_sql_shingle_ctes(3)},
+            ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+            bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 40 = 0),
+            bits AS (
+              SELECT DISTINCT
+                {_sql_md5h("'b' || CAST(i.k AS VARCHAR) || ':' || s")} % 65536 AS pos
+              FROM bench, (SELECT unnest(range(3)) AS k) i
+            ),
+            corpus AS (SELECT doc_id, s FROM ex WHERE doc_id % 40 != 0),
+            probes AS (
+              SELECT doc_id, s,
+                {_sql_md5h("'b' || CAST(i.k AS VARCHAR) || ':' || s")} % 65536 AS pos
+              FROM corpus, (SELECT unnest(range(3)) AS k) i
+            ),
+            flagged AS (
+              SELECT doc_id, s FROM probes JOIN bits USING (pos)
+              GROUP BY doc_id, s HAVING COUNT(*) = 3
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS flagged_ngrams
+            FROM flagged GROUP BY doc_id HAVING COUNT(*) >= 3
+        """,
+        "weighted_sample": f"""
+            WITH pri AS (
+              SELECT doc_id, source, n_chars,
+                     (({_sql_md5h("'wps:' || CAST(doc_id AS VARCHAR)")} % 1073741824) << 30)
+                       // greatest(CAST(n_chars AS BIGINT), 1) AS _prio
+              FROM documents
+            )
+            SELECT doc_id, source, n_chars FROM pri ORDER BY _prio, doc_id LIMIT 50
+        """,
+        "pagerank_trade_graph": _sql_pagerank(4),
         "dedup_incremental_exact": """
             WITH fp AS (
               SELECT doc_id,

@@ -73,6 +73,17 @@ HEADLINE = [
     "percent_rank_dist",
     "ntile_deciles",
     "quality_quantile_filter",
+    # r7: sketch suite + fixed-point PageRank — the approximate-counting
+    # toolkit whose whole point is flat cost at scale; tracked so any
+    # accidental de-sketching (e.g. a countDistinct sneaking back in)
+    # shows up as a superlinear time cliff
+    "hll_distinct",
+    "hll_distinct_by_group",
+    "kmv_distinct",
+    "countmin_heavy_hitters",
+    "bloom_contamination",
+    "weighted_sample",
+    "pagerank_trade_graph",
 ]
 
 

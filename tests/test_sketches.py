@@ -1,0 +1,206 @@
+"""Sketch operators: HLL, KMV, Count-Min, Bloom, weighted priority
+sampling (operators/sketches.py) + fixed-point PageRank (graph.py).
+
+Properties under test are the ones the 100 TB design leans on:
+mergeability (HLL), never-underestimate (CM), no-false-negatives
+(Bloom), exactness below capacity (KMV), determinism everywhere (all
+sketches are integer-exact so results cannot drift with partitioning).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from zinger_spark.operators import sketches as sk
+from zinger_spark.operators.graph import pagerank_fixed_point
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    # 5000 rows over 1000 distinct keys, skewed
+    return spark.range(5000).select(
+        (F.col("id") % 1000).cast("string").alias("k"),
+        (F.col("id") % 7).alias("g"),
+    )
+
+
+def test_hll_estimate_within_error(spark, ids):
+    row = sk.hll_estimate(ids, "k", p=12).collect()[0]
+    # p=12 -> sigma ~ 1.04/sqrt(4096) ~ 1.6%; allow 4 sigma
+    assert abs(row["estimate"] - 1000) <= 1000 * 0.065
+    assert 0 < row["nonzero_registers"] <= 4096
+
+
+def test_hll_deterministic_across_partitionings(spark, ids):
+    a = sk.hll_estimate(ids.repartition(1), "k", p=10).collect()[0]
+    b = sk.hll_estimate(ids.repartition(17, "k"), "k", p=10).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_hll_merge_lossless(spark, ids):
+    left = ids.filter(F.col("g") < 3)
+    right = ids.filter(F.col("g") >= 3)
+    merged = sk.hll_merge(
+        sk.hll_registers(left, "k", p=10), sk.hll_registers(right, "k", p=10)
+    )
+    whole = sk.hll_registers(ids, "k", p=10)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hll_by_group_matches_per_group_sketch(spark, ids):
+    by = {
+        r["g"]: r["estimate"]
+        for r in sk.hll_by_group(ids, "g", "k", p=10).collect()
+    }
+    for g in (0, 3, 6):
+        solo = sk.hll_estimate(ids.filter(F.col("g") == g), "k", p=10).collect()[0]
+        assert by[g] == solo["estimate"]
+
+
+def test_kmv_exact_below_capacity(spark):
+    small = spark.range(40).select(F.col("id").cast("string").alias("k"))
+    row = sk.kmv_distinct(small, "k", k=256).collect()[0]
+    assert row["estimate"] == 40  # fewer distincts than k -> exact
+
+
+def test_kmv_estimate_within_error(spark, ids):
+    row = sk.kmv_distinct(ids, "k", k=256).collect()[0]
+    # sigma ~ 1/sqrt(k-1) ~ 6.3%; allow 4 sigma
+    assert abs(row["estimate"] - 1000) <= 1000 * 0.25
+
+
+def test_countmin_never_underestimates(spark, ids):
+    sketch = sk.countmin_sketch(ids, "k", d=4, w=256)
+    truth = ids.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    est = sk.countmin_estimates(sketch, truth.select("k"), "k", d=4, w=256)
+    joined = est.join(truth, "k").collect()
+    assert len(joined) == 1000
+    assert all(r["cm_estimate"] >= r["n"] for r in joined)
+
+
+def test_countmin_weighted(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", w=5), Row(k="a", w=7), Row(k="b", w=1)]
+    )
+    sketch = sk.countmin_sketch(df, "k", weight=F.col("w"), d=4, w=64)
+    est = {
+        r["k"]: r["cm_estimate"]
+        for r in sk.countmin_estimates(
+            sketch, df.select("k").distinct(), "k", d=4, w=64
+        ).collect()
+    }
+    assert est["a"] >= 12 and est["b"] >= 1
+
+
+def test_bloom_no_false_negatives(spark):
+    probe = spark.range(200).select(
+        F.concat(F.lit("gram-"), F.col("id")).alias("s")
+    )
+    bits = sk.bloom_bits(probe, "s", m_bits=1 << 14, k=3)
+    # query the exact probe set back: every member must be flagged
+    flagged = sk.bloom_flag_contaminated(
+        probe, "s", bits, m_bits=1 << 14, k=3
+    )
+    assert flagged.count() == 200
+
+
+def test_bloom_filters_most_nonmembers(spark):
+    probe = spark.range(100).select(
+        F.concat(F.lit("gram-"), F.col("id")).alias("s")
+    )
+    bits = sk.bloom_bits(probe, "s", m_bits=1 << 16, k=3)
+    other = spark.range(2000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("s")
+    )
+    fp = sk.bloom_flag_contaminated(other, "s", bits, m_bits=1 << 16, k=3)
+    # m/n = 65536/100 -> fp rate ~ (k*n/m)^k ~ 1e-7; a handful of hits
+    # would already be suspicious, 1% is an outright failure
+    assert fp.count() <= 20
+
+
+def test_weighted_sample_size_and_determinism(spark):
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9 + 1).alias("w")
+    )
+    a = sorted(r["doc_id"] for r in sk.weighted_priority_sample(docs, "w", 50).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sk.weighted_priority_sample(docs.repartition(13), "w", 50).collect()
+    )
+    assert len(a) == 50 and a == b
+
+
+def test_weighted_sample_huge_weight_always_selected(spark):
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 777, F.lit(10**9)).otherwise(F.lit(1)).alias("w"),
+    )
+    got = {r["doc_id"] for r in sk.weighted_priority_sample(docs, "w", 10).collect()}
+    assert 777 in got
+
+
+def test_weighted_sample_grouped(spark):
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).alias("grp"),
+        F.lit(1).alias("w"),
+    )
+    out = sk.weighted_priority_sample(docs, "w", 5, by=["grp"])
+    per = out.groupBy("grp").count().collect()
+    assert sorted((r["grp"], r["count"]) for r in per) == [(0, 5), (1, 5), (2, 5)]
+
+
+def test_weighted_sample_proportionality(spark):
+    # two strata with 10x weight difference: the heavy stratum should
+    # dominate the sample (integer-priority E-S keeps w-proportionality)
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, F.lit(10)).otherwise(F.lit(1)).alias("w"),
+    )
+    got = sk.weighted_priority_sample(docs, "w", 200).collect()
+    heavy = sum(1 for r in got if r["doc_id"] < 1000)
+    assert heavy > 140  # E[heavy] ~ 10/11 * 200 ~ 182
+
+
+# -- PageRank ---------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def test_pagerank_star_center_wins(spark):
+    # star: everyone links to 'hub'
+    pairs = [(f"n{i}", "hub") for i in range(10)]
+    pr = {r["node"]: r["rank"] for r in pagerank_fixed_point(_edges(spark, pairs), 3).collect()}
+    assert pr["hub"] > max(v for k, v in pr.items() if k != "hub")
+
+
+def test_pagerank_symmetric_cycle_uniform(spark):
+    # directed 4-cycle: perfect symmetry -> equal ranks
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    ranks = {r["node"]: r["rank"] for r in pagerank_fixed_point(_edges(spark, pairs), 5).collect()}
+    assert len(set(ranks.values())) == 1
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    pairs = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(40)]
+    e = _edges(spark, pairs)
+    a = sorted(map(tuple, pagerank_fixed_point(e.repartition(1), 4).collect()))
+    b = sorted(map(tuple, pagerank_fixed_point(e.repartition(11), 4).collect()))
+    assert a == b
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    # without dangling nodes, total rank converges below N*scale/(1-d)
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")]
+    total = (
+        pagerank_fixed_point(_edges(spark, pairs), 8)
+        .agg(F.sum("rank").alias("t"))
+        .collect()[0]["t"]
+    )
+    n, scale = 3, 1_000_000_000
+    assert n * scale * 0.9 <= total <= int(n * scale / 0.15)

@@ -271,6 +271,45 @@ def main() -> int:
           "Exchange" not in p and "FileScan" in p,
           "script counts are per-row expressions pipelined into the scan")
 
+    # round 7: sketches + fixed-point PageRank
+    p = plan_of(qs["hll_distinct"](spark, sf))
+    check("hll_distinct",
+          "partial_max" in p,
+          "HLL registers combine map-side — the exchange carries at "
+          "most 2^p rows per partition, never the distinct keys")
+    p = plan_of(qs["hll_distinct_by_group"](spark, sf))
+    check("hll_distinct_by_group",
+          "partial_max" in p and "CartesianProduct" not in p,
+          "per-group registers partial-agg on (group, bucket)")
+    p = plan_of(qs["kmv_distinct"](spark, sf))
+    check("kmv_distinct",
+          "TakeOrderedAndProject" in p,
+          "k smallest hashes = per-partition top-k heaps, no global sort")
+    p = plan_of(qs["countmin_heavy_hitters"](spark, sf))
+    check("countmin_heavy_hitters",
+          "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+          "fixed-size CM grid broadcast to the probe side")
+    p = plan_of(qs["bloom_contamination"](spark, sf))
+    check("bloom_contamination",
+          "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+          "bounded bloom bit-set broadcast; probes equi-join on position")
+    p = plan_of(qs["weighted_sample"](spark, sf))
+    check("weighted_sample",
+          "TakeOrderedAndProject" in p and "Window" not in p,
+          "global weighted sample = top-n by integer priority, "
+          "never a single-reducer window sort")
+    # the registry form localCheckpoints per round (lineage cut), which
+    # hides iteration internals from the final plan — audit one
+    # un-checkpointed round directly
+    from zinger_spark.operators.graph import pagerank_fixed_point
+    li = qs["tpch_q1"].__globals__["_t"](spark, sf, "lineitem")
+    ed = li.select(F.col("l_suppkey").cast("string").alias("src"),
+                   F.col("l_orderkey").cast("string").alias("dst"))
+    p = plan_of(pagerank_fixed_point(ed, iterations=1, checkpoint=False))
+    check("pagerank_trade_graph",
+          "CartesianProduct" not in p and "partial_sum" in p,
+          "per-iteration contributions partial-agg before the dst shuffle")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0

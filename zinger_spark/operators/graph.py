@@ -161,3 +161,69 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star: no convergence in {max_iter} rounds"
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """PageRank with exact integer (fixed-point) arithmetic — the
+    web-graph / link-quality score a curation pipeline weights documents
+    by, in a form whose result is bit-identical on any engine.
+
+    Ranks are bigints scaled by ``scale`` (1.0 == 10^9).  Per round:
+
+        r[v] <- (100 - d)% * scale  +  d% * sum over in-edges of
+                 (r[u] * d_num // (100 * outdeg(u)))   [integer div]
+
+    folded into one integer expression, so there is no float
+    accumulation ANYWHERE — sums of bigints are order-independent,
+    which is what makes the result reproducible across engines and
+    across partitionings (a float PageRank differs run-to-run at 100 TB
+    just from partial-agg order).  Dangling mass is dropped (the
+    standard simplification); ranks are therefore *scores*, not a
+    probability simplex — exactly what a quality-weighting join needs.
+
+    Physical shape per iteration: one broadcast-or-shuffle hash join
+    (ranks x edges, keyed by src) + one partial-aggregated groupBy(dst)
+    + a union with the teleport base.  Lineage is cut per round with
+    localCheckpoint so the plan stays flat at any iteration count.
+    Overflow headroom: rank * 85 <= ~2^63 requires total graph mass
+    below ~10^17/scale nodes — far beyond any real graph at 10^9 scale.
+    """
+    base = scale * (100 - damping_pct) // 100
+    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    ej = edges.join(outdeg, "src")
+    if checkpoint:
+        ej = ej.localCheckpoint(eager=True)
+    for i in range(iterations):
+        contrib = (
+            ranks.join(ej, ranks["node"] == ej["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(rank * {damping_pct}) div (100 * outdeg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base).cast("long") + F.coalesce("in_sum", F.lit(0))).alias("rank"),
+        )
+        if checkpoint:
+            # cut lineage per round so plans stay flat at any iteration
+            # count (and Spark doesn't re-run round i for round i+1)
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -1,0 +1,347 @@
+"""Distributed approximate-counting sketches — the 100 TB answer to
+"how many distinct / which heavy hitters / is this contaminated"
+when exact answers would shuffle the full key set.
+
+  hll_registers / hll_estimate    HyperLogLog distinct count: a fixed
+                                  2^p-register sketch built with one
+                                  partial-aggregated groupBy (the
+                                  shuffle moves <= 2^p rows per
+                                  partition, never the keys)
+  hll_by_group                    per-group HLL (distinct users per
+                                  event type at 100 TB without a
+                                  (group, user) distinct shuffle)
+  hll_merge                       register-wise max — sketches built on
+                                  disjoint slices union losslessly, the
+                                  property that makes HLL the right
+                                  cross-datacenter / cross-day rollup
+  kmv_distinct                    K-minimum-values estimator: top-k via
+                                  TakeOrderedAndProject (per-partition
+                                  heads, no global sort)
+  countmin_sketch / countmin_estimates
+                                  Count-Min frequency sketch: d x w
+                                  integer counter grid, built map-side;
+                                  point queries = min over d rows
+  bloom_bits / bloom_flag_contaminated
+                                  Bloom-filter membership for benchmark
+                                  contamination: the probe set collapses
+                                  to k*|probes| bit positions (bounded,
+                                  broadcastable) instead of a join
+                                  against the raw n-grams
+  weighted_priority_sample        weight-proportional sampling via
+                                  integer priorities (Efraimidis-
+                                  Spirakis shape, fixed-point so results
+                                  are engine-exact and seed-stable)
+
+Every sketch here is *deterministic*: hashes are the repo's md5-based
+60-bit ``md5_hash60`` (functions/text.py), and all register / counter /
+priority arithmetic is integer-only, so a DuckDB oracle reproduces the
+sketch bit-for-bit.  (Spark's built-in approx_count_distinct is the
+same HLL++ idea, but its sketch is opaque and not reproducible outside
+the JVM — these expose the registers as data, which is what a lake
+pipeline needs to persist per-partition sketches and roll them up.)
+
+Scale notes (the design the registers-as-rows layout buys):
+  * HLL build is groupBy(bucket).max(rho): partial aggregation combines
+    map-side, so the exchange carries at most 2^p rows per input
+    partition regardless of input size.  p=12 -> 4096 registers, ~1.6%
+    relative error; p=14 at 100 TB is 16k rows and ~0.8%.
+  * All estimate math happens on two exact integers (sum of 2^(RMAX-r)
+    as a bigint, zero-register count), so merging and estimating never
+    touch float accumulation order.
+  * Count-Min is groupBy(row, bucket).sum: a d*w-cell grid (4x1024
+    default) whatever the corpus size; estimates are broadcast joins
+    against the grid.
+  * Bloom probing needs the *positions* set (k bits per probe n-gram),
+    not the n-grams: bounded memory, and false positives are a declared,
+    deterministic property of (m, k) rather than an engine quirk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.text import md5_hash60
+
+# md5_hash60 yields 60 usable bits; p index bits leave RHO_BITS for the
+# leading-zero geometric estimator.
+HASH_BITS = 60
+
+
+def _rho(w: Column, rho_bits: int) -> Column:
+    """Position of the leftmost 1-bit of ``w`` within a rho_bits-wide
+    word, 1-indexed; w == 0 -> rho_bits + 1 (all zeros).  Computed from
+    the length of the binary string (``bin`` exists with identical
+    no-leading-zeros semantics in Spark and DuckDB), so no float log2
+    edge cases."""
+    return F.when(w == 0, F.lit(rho_bits + 1)).otherwise(
+        rho_bits + 1 - F.length(F.bin(w))
+    )
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """Build the HLL register table for ``col``: (bucket, register).
+
+    One narrow projection + one partial-aggregated groupBy.  Only
+    non-empty buckets are materialized (register >= 1 by construction);
+    the estimator treats absent buckets as zeros, which keeps the
+    sketch row count at min(2^p, observed buckets).
+    """
+    m = 1 << p
+    rho_bits = HASH_BITS - p
+    h = md5_hash60(F.col(col).cast("string"))
+    return (
+        df.select(
+            (h % m).alias("bucket"),
+            _rho(F.shiftright(h, p), rho_bits).alias("r"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("r").alias("register"))
+    )
+
+
+def _estimate_from_registers(regs: DataFrame, p: int, group_cols: list[str]) -> DataFrame:
+    """Fold a register table into the HLL estimate, one row per group.
+
+    All sufficient statistics are exact integers:
+      S = sum over all 2^p buckets of 2^(RMAX - register)   (bigint;
+          absent buckets contribute 2^RMAX each)
+      Z = number of zero (absent) registers
+    The raw estimate alpha * m^2 / sum(2^-register) becomes
+    alpha * m^2 * 2^RMAX / S — one double division of two exact values,
+    so partial-aggregation order can never shift the result.  Linear
+    counting (m * ln(m/Z)) takes over below the standard 2.5m threshold.
+    """
+    m = 1 << p
+    rho_bits = HASH_BITS - p
+    rmax = rho_bits + 1
+    # alpha_m for m >= 128 (Flajolet et al. 2007)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    gb = regs.groupBy(*group_cols) if group_cols else regs.groupBy()
+    stats = gb.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - register)")).alias("s_present"),
+        F.count(F.lit(1)).alias("nonzero"),
+    )
+    zeros = m - F.col("nonzero")
+    s_total = F.col("s_present") + zeros.cast("long") * F.lit(1 << rmax).cast("long")
+    raw = F.lit(alpha * m * m * float(1 << rmax)) / s_total.cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    out = stats.select(
+        *group_cols,
+        F.round(est).cast("long").alias("estimate"),
+        F.col("nonzero").cast("long").alias("nonzero_registers"),
+        s_total.alias("s_stat"),
+    )
+    return out
+
+
+def hll_estimate(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """Distinct-count estimate for ``col``: 1 row
+    (estimate, nonzero_registers, s_stat)."""
+    return _estimate_from_registers(hll_registers(df, col, p), p, [])
+
+
+def hll_by_group(df: DataFrame, group_col: str, col: str, p: int = 12) -> DataFrame:
+    """Per-group distinct estimate — e.g. distinct users per event type.
+
+    The shuffle key is (group, bucket): at most |groups| * 2^p rows
+    survive the map-side combine, independent of input size.  This is
+    the pattern that replaces countDistinct(group, user) at 100 TB.
+    """
+    m = 1 << p
+    rho_bits = HASH_BITS - p
+    h = md5_hash60(F.col(col).cast("string"))
+    regs = (
+        df.select(
+            F.col(group_col),
+            (h % m).alias("bucket"),
+            _rho(F.shiftright(h, p), rho_bits).alias("r"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("r").alias("register"))
+    )
+    return _estimate_from_registers(regs, p, [group_col])
+
+
+def hll_merge(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
+    """Union two sketches: register-wise max.  Lossless — the merged
+    sketch is exactly the sketch of the unioned inputs, which is why
+    per-slice sketches roll up across days/partitions/datacenters."""
+    return (
+        regs_a.unionByName(regs_b)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values estimate: keep the k smallest distinct hash
+    values; n ~= (k-1) * HASH_SPACE / h_(k).
+
+    The k smallest of anything is TakeOrderedAndProject in Spark:
+    per-partition heaps, no global sort, k rows to the driver side of
+    the plan.  Returns 1 row (estimate, kth_min).
+    """
+    space = float(1 << HASH_BITS)
+    h = md5_hash60(F.col(col).cast("string"))
+    mins = df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+    kth = mins.groupBy().agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("got"))
+    # fewer than k distinct values -> the sample IS the population
+    return kth.select(
+        F.when(F.col("got") < k, F.col("got"))
+        .otherwise(F.round(F.lit((k - 1) * space) / F.col("kth").cast("double")).cast("long"))
+        .alias("estimate"),
+        F.col("kth").alias("kth_min"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-Min
+
+
+def _cm_bucket(value: Column, row: int, w: int) -> Column:
+    """Row-salted bucket: independent-enough hash per row via a salt
+    prefix (same construction both engines can write as SQL)."""
+    return md5_hash60(F.concat(F.lit(f"{row}:"), value)) % w
+
+
+def countmin_sketch(
+    df: DataFrame, col: str, weight: Column | None = None, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Build the d x w Count-Min grid: (row, bucket, counter).
+
+    The grid is built with ONE groupBy over a d-way posexplode (each
+    input row contributes d cells); partial aggregation collapses to at
+    most d*w cells per partition before the exchange.  Point estimate
+    for x = min_i grid[i][h_i(x)]; always an overestimate, never under.
+    """
+    wcol = (weight if weight is not None else F.lit(1)).cast("long").alias("wt")
+    v = F.col(col).cast("string")
+    cells = df.select(
+        F.posexplode(F.array(*[_cm_bucket(v, i, w) for i in range(d)])).alias(
+            "row", "bucket"
+        ),
+        wcol,
+    )
+    return cells.groupBy("row", "bucket").agg(F.sum("wt").alias("counter"))
+
+
+def countmin_estimates(sketch: DataFrame, items: DataFrame, col: str, d: int = 4, w: int = 1024) -> DataFrame:
+    """CM point queries for ``items[col]``: join each item's d (row,
+    bucket) probes against the grid and take the min counter.  The grid
+    is d*w rows — Spark broadcasts it; the item side streams."""
+    v = F.col(col).cast("string")
+    probes = items.select(
+        col,
+        F.posexplode(F.array(*[_cm_bucket(v, i, w) for i in range(d)])).alias(
+            "row", "bucket"
+        ),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(col)
+        .agg(F.min("counter").alias("cm_estimate"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter
+
+
+def bloom_positions(value: Column, m_bits: int, k: int) -> Column:
+    """The k bit positions ``value`` sets/probes in an m_bits filter."""
+    return F.array(
+        *[md5_hash60(F.concat(F.lit(f"b{i}:"), value)) % m_bits for i in range(k)]
+    )
+
+
+def bloom_bits(probe_df: DataFrame, col: str, m_bits: int = 1 << 16, k: int = 3) -> DataFrame:
+    """Distinct bit positions set by the probe set — the filter itself,
+    as data (<= k * |probes| rows, bounded by m_bits).  At deploy time
+    this collects into an m_bits/8-byte bitmap and broadcasts; as a
+    DataFrame it stays joinable and oracle-checkable."""
+    v = F.col(col).cast("string")
+    return (
+        probe_df.select(F.explode(bloom_positions(v, m_bits, k)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_flag_contaminated(
+    docs_ngrams: DataFrame,
+    ngram_col: str,
+    bits: DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Rows of ``docs_ngrams`` whose n-gram has ALL k positions present
+    in the filter (Bloom 'maybe member' — includes the deterministic
+    false positives the (m, k) choice implies).
+
+    The probe side explodes to k rows per n-gram and equi-joins the
+    (distinct, bounded) bit set — Spark broadcasts it; a hit needs all
+    k positions, expressed as count == k after the inner join.
+    """
+    v = F.col(ngram_col).cast("string")
+    probes = docs_ngrams.select(
+        "*", F.posexplode(bloom_positions(v, m_bits, k)).alias("_i", "pos")
+    )
+    keys = [c for c in docs_ngrams.columns]
+    return (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == k)
+        .drop("hits")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling
+
+
+def weighted_priority_sample(
+    df: DataFrame, weight_col: str, n: int, seed: str = "wps", by: list[str] | None = None
+) -> DataFrame:
+    """Weight-proportional sample of n rows (per group, if ``by``):
+    priority sampling with integer fixed-point priorities.
+
+    Efraimidis-Spirakis draws u~U(0,1) per row and keeps the n largest
+    u^(1/w) — equivalently the n SMALLEST (-ln u)/w, and monotone-
+    equivalently the n smallest h/w for a uniform integer hash h.  We
+    compute priority = (h30 << 30) div weight entirely in int64
+    (h30 = low 30 bits of the row hash; max value 2^60 < 2^63), so the
+    ordering is exact and identical in any engine — no float pow/ln
+    whose last ulp could flip a near-tie.
+
+    The row hash is seeded from the first non-weight column, which must
+    be a unique row key — callers should project (id, ..., weight).
+
+    Global samples compile to TakeOrderedAndProject (per-partition
+    top-n heaps, never a single-reducer sort); grouped samples use a
+    group-partitioned window, parallel across groups.
+    """
+    idc = [c for c in df.columns if c != weight_col][:1]
+    if not idc:
+        raise ValueError("need at least one non-weight column as the row key")
+    h = md5_hash60(F.concat(F.lit(seed + ":"), F.col(idc[0]).cast("string")))
+    h30 = h % (1 << 30)
+    # integer div keeps priorities exact: (h30 << 30) is up to 2^60,
+    # beyond double's 2^53 integer range, so float division + floor
+    # could mis-round — `div` never touches floats.
+    with_prio = (
+        df.withColumn("_num", F.shiftleft(h30, 30))
+        .withColumn("_den", F.greatest(F.col(weight_col).cast("long"), F.lit(1)))
+        .withColumn("_prio", F.expr("_num div _den"))
+        .drop("_num", "_den")
+    )
+    if not by:
+        return with_prio.orderBy("_prio", idc[0]).limit(n).drop("_prio")
+    win = Window.partitionBy(*by).orderBy("_prio", idc[0])
+    return (
+        with_prio.withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= n)
+        .drop("_prio", "_rk")
+    )
