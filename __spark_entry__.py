@@ -2639,6 +2639,42 @@ def _q_pagerank(spark, sf):
     return pr.orderBy(F.desc("rank"), "node").limit(20)
 
 
+def _q_range_join_bands(spark, sf):
+    """Interval/range join as a bucketized equi-join: classify every
+    order into an irregular price tier ([lo, hi) bands) and aggregate
+    per tier.  The naive `v >= lo AND v < hi` theta join plans
+    BroadcastNestedLoopJoin (every fact probes every band — a
+    scale-killer when the band table is 10^6 IP ranges instead of 7
+    tiers); bucketed_range_join quantizes both sides onto a 25k grid so
+    the join is a hash equi-join with a residual range filter
+    (relational.py docstring; the Databricks range-join-hint / Flink
+    interval-join optimization, hand-rolled).  Plan-audited: no BNLJ,
+    no cartesian product."""
+    from pyspark.sql import Row
+
+    from zinger_spark.operators.relational import bucketed_range_join
+
+    bands = spark.createDataFrame(
+        [
+            Row(lo=0.0, hi=1000.0, tier="T0"),
+            Row(lo=1000.0, hi=5000.0, tier="T1"),
+            Row(lo=5000.0, hi=20000.0, tier="T2"),
+            Row(lo=20000.0, hi=50000.0, tier="T3"),
+            Row(lo=50000.0, hi=100000.0, tier="T4"),
+            Row(lo=100000.0, hi=200000.0, tier="T5"),
+            Row(lo=200000.0, hi=600000.0, tier="T6"),
+        ]
+    )
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    joined = bucketed_range_join(
+        orders, bands, "o_totalprice", "lo", "hi", bucket_width=25000
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that are new or were rewritten since their last
@@ -2651,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # insurance in prior order.
     return {
         # -- round 7: sketches + fixed-point PageRank ----------------
+        "range_join_bands": _q_range_join_bands,
         "hll_distinct": _q_hll_distinct,
         "hll_distinct_by_group": _q_hll_by_group,
         "hll_merge_rollup": _q_hll_merge_rollup,
@@ -3324,6 +3361,18 @@ def oracle_sql() -> dict[str, str]:
         }
     return media_oracles | {
         # -- round 7: sketches + fixed-point PageRank ------------------
+        "range_join_bands": """
+            WITH bands(lo, hi, tier) AS (VALUES
+              (0.0, 1000.0, 'T0'), (1000.0, 5000.0, 'T1'),
+              (5000.0, 20000.0, 'T2'), (20000.0, 50000.0, 'T3'),
+              (50000.0, 100000.0, 'T4'), (100000.0, 200000.0, 'T5'),
+              (200000.0, 600000.0, 'T6'))
+            SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY tier
+        """,
         "hll_distinct": f"""
             WITH {_sql_hll_regs("CAST(l_partkey AS VARCHAR)", 12, "lineitem")},
             {_sql_hll_fold_ctes(12)},

@@ -785,3 +785,84 @@ def test_prefix_sum_wide_passthrough_rows_dense_ranks(spark):
     }
     for g, ranks in got.items():
         assert ranks == list(range(len(ranks))), f"non-dense ranks for {g}"
+
+
+# -- bucketed range join ------------------------------------------------------
+
+
+def _bands(spark):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [
+            Row(lo=0.0, hi=1000.0, tier="T0"),
+            Row(lo=1000.0, hi=5000.0, tier="T1"),
+            Row(lo=5000.0, hi=20000.0, tier="T2"),
+            Row(lo=20000.0, hi=50000.0, tier="T3"),
+            Row(lo=50000.0, hi=100000.0, tier="T4"),
+        ]
+    )
+
+
+def test_bucketed_range_join_matches_theta_join(spark):
+    from zinger_spark.operators.relational import bucketed_range_join
+
+    facts = spark.range(400).select(
+        F.col("id").alias("fid"), (F.col("id") * 251.7 % 99999).alias("v")
+    )
+    bands = _bands(spark)
+    got = bucketed_range_join(facts, bands, "v", "lo", "hi", bucket_width=7000)
+    want = facts.join(
+        bands, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+    )
+    assert sorted(map(tuple, got.select("fid", "tier").collect())) == sorted(
+        map(tuple, want.select("fid", "tier").collect())
+    )
+
+
+def test_bucketed_range_join_boundaries(spark):
+    from pyspark.sql import Row
+
+    from zinger_spark.operators.relational import bucketed_range_join
+
+    facts = spark.createDataFrame(
+        [Row(fid=1, v=0.0), Row(fid=2, v=999.999), Row(fid=3, v=1000.0),
+         Row(fid=4, v=99999.999), Row(fid=5, v=100000.0)]
+    )
+    got = {
+        r["fid"]: r["tier"]
+        for r in bucketed_range_join(
+            facts, _bands(spark), "v", "lo", "hi", bucket_width=1000
+        ).collect()
+    }
+    # half-open [lo, hi): 0 -> T0, 1000 -> T1 (not T0), 100000 -> no match
+    assert got == {1: "T0", 2: "T0", 3: "T1", 4: "T4"}
+
+
+def test_bucketed_range_join_left_keeps_unmatched(spark):
+    from pyspark.sql import Row
+
+    from zinger_spark.operators.relational import bucketed_range_join
+
+    facts = spark.createDataFrame([Row(fid=1, v=500.0), Row(fid=2, v=1e9)])
+    out = bucketed_range_join(
+        facts, _bands(spark), "v", "lo", "hi", bucket_width=1000, how="left"
+    ).collect()
+    by = {r["fid"]: r["tier"] for r in out}
+    assert by == {1: "T0", 2: None}
+
+
+def test_bucketed_range_join_is_hash_join_not_bnlj(spark):
+    from zinger_spark.operators.relational import bucketed_range_join
+
+    facts = spark.range(100).select(
+        F.col("id").alias("fid"), (F.col("id") * 17.0).alias("v")
+    )
+    plan = (
+        bucketed_range_join(facts, _bands(spark), "v", "lo", "hi", 1000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

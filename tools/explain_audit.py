@@ -298,6 +298,11 @@ def main() -> int:
           "TakeOrderedAndProject" in p and "Window" not in p,
           "global weighted sample = top-n by integer priority, "
           "never a single-reducer window sort")
+    p = plan_of(qs["range_join_bands"](spark, sf))
+    check("range_join_bands",
+          "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p,
+          "interval join bucketized into a hash equi-join, never BNLJ")
+
     # the registry form localCheckpoints per round (lineage cut), which
     # hides iteration internals from the final plan — audit one
     # un-checkpointed round directly

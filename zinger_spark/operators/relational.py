@@ -169,3 +169,68 @@ def top1_per_group(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def bucketed_range_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval) join — attach to each fact row the band whose
+    [lo, hi) interval contains its value — as a BUCKETIZED equi-join.
+
+    The naive spelling ``facts JOIN bands ON v >= lo AND v < hi`` has no
+    equi-key, so Spark plans BroadcastNestedLoopJoin (every fact row
+    probes every band — fine for 10 bands, catastrophic when the band
+    table is a million IP ranges or price tiers).  The scale-safe shape
+    quantizes both sides onto a fixed grid: each band explodes to the
+    buckets its interval overlaps (ceil((hi-lo)/width) rows — bounded
+    when band widths are bounded), each fact maps to exactly one
+    bucket, the join becomes a hash equi-join on the bucket, and the
+    residual v in [lo, hi) predicate filters within the bucket.  This
+    is the published range-join-bucketing optimization Spark itself
+    lacks without vendor extensions (Databricks' range-join hint /
+    Flink interval join do the same quantization).
+
+    Bands half-open [lo, hi); overlapping bands yield one output row
+    each (the caller decides precedence downstream).  ``how='left'``
+    keeps unmatched facts with null band columns.
+    """
+    b = bands.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width),
+                # hi is exclusive, so floor(hi/w) can over-cover by one
+                # bucket when hi sits exactly on a boundary — harmless,
+                # the residual in-range predicate discards the extras
+                # (an epsilon subtraction could instead UNDER-cover on
+                # float rounding, which would silently drop matches)
+                F.floor(F.col(hi_col) / bucket_width),
+            )
+        ),
+    )
+    f = facts.withColumn("__bkt", F.floor(F.col(value_col) / bucket_width))
+    in_range = (F.col(value_col) >= F.col(lo_col)) & (
+        F.col(value_col) < F.col(hi_col)
+    )
+    if how == "inner":
+        return f.join(b, ["__bkt"]).filter(in_range).drop("__bkt")
+    if how == "left":
+        matched = f.join(b, ["__bkt"]).filter(in_range).drop("__bkt")
+        # left rows with no in-range band at all, padded with null bands
+        missing = facts.join(
+            matched.select(*facts.columns).distinct(), facts.columns, "left_anti"
+        ).select(
+            *facts.columns,
+            *[
+                F.lit(None).cast(dict(bands.dtypes)[c]).alias(c)
+                for c in bands.columns
+            ],
+        )
+        return matched.unionByName(missing)
+    raise ValueError(f"bucketed_range_join: unsupported how={how!r}")
