@@ -471,3 +471,56 @@ def test_as_of_below_compaction_floor_errors_loudly(spark, tmp_path):
     with pytest.raises(PoolError, match="predates compaction"):
         pool.df(as_of=b)
     assert pool.df().count() == 302  # the full view is intact
+
+
+def test_compact_sort_by_clusters_files(spark, tmp_path):
+    """compact(sort_by=...) range-clusters the merged commit: per-file
+    min/max on the cluster column are disjoint, so a later filter on it
+    skips whole files via parquet footer stats (the ZORDER analog)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    pool = Pool.create(spark, str(tmp_path / "z"))
+    # three commits with interleaved value.a so ingest order is
+    # maximally anti-clustered for the a column
+    for batch in ([0, 3, 6, 9], [1, 4, 7, 10], [2, 5, 8, 11]):
+        pool.load_batch(spark.createDataFrame(env_rows("T", batch), _schema()))
+    before = sorted(r["kafka"]["offset"] for r in pool.df().collect())
+    assert pool.compact(sort_by=["value.a"]) == 3
+
+    after = sorted(r["kafka"]["offset"] for r in pool.df().collect())
+    assert after == before  # clustering reorders, never drops
+
+    commit = pool._commit_dirs()[0]
+    files = sorted(_glob.glob(f"{commit}/*.parquet"))
+    ranges = []
+    for f in files:
+        md = _pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema == "value.a" and col.statistics:
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2, "need multiple data files to prove clustering"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_compact_sort_by_cli(spark, tmp_path):
+    from zinger_spark.cli import main as cli_main
+
+    pool = Pool.create(spark, str(tmp_path / "k"))
+    for batch in ([0, 2], [1, 3]):
+        pool.load_batch(spark.createDataFrame(env_rows("T", batch), _schema()))
+    rc = cli_main(
+        ["compact-pool", "k", "--lake", str(tmp_path), "--sort-by", "value.a"]
+    )
+    assert rc == 0
+    assert len(pool._commit_dirs()) == 1

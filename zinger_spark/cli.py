@@ -218,7 +218,10 @@ def cmd_compact_pool(args) -> int:
     from .sources.pool import Pool
 
     pool = Pool(_spark(args), f"{args.lake}/{args.name}")
-    n = pool.compact(small_bytes=args.small_bytes)
+    n = pool.compact(
+        small_bytes=args.small_bytes,
+        sort_by=args.sort_by.split(",") if args.sort_by else None,
+    )
     print(f"pool: {args.name} compacted {n} commit{'s' if n != 1 else ''}")
     return 0
 
@@ -662,6 +665,11 @@ def main(argv: list[str] | None = None) -> int:
     cpp.add_argument("--small-bytes", type=int, default=None,
                      help="size-tiered mode: merge only commits smaller "
                           "than this many bytes (default: merge all)")
+    cpp.add_argument("--sort-by", default=None,
+                     help="cluster the merged commit by these comma-"
+                          "separated columns (range partition + sort: "
+                          "per-file min/max become disjoint so filters "
+                          "on them skip files — the ZORDER analog)")
 
     vp = sub.add_parser("vacuum-pool", help="reclaim orphaned commit dirs")
     vp.add_argument("name")

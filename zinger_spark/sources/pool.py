@@ -507,7 +507,9 @@ class Pool:
             .select(F.col("kafka.topic").alias("topic"), F.col("kafka.offset").alias("offset"))
         )
 
-    def compact(self, small_bytes: int | None = None) -> int:
+    def compact(
+        self, small_bytes: int | None = None, sort_by: list[str] | None = None
+    ) -> int:
         """Merge commit dirs into one (the Delta OPTIMIZE analog).
 
         Many small commits are the expected write pattern (one per
@@ -530,18 +532,30 @@ class Pool:
         floor to its merged output; time travel below the floor raises
         rather than silently returning a view missing merged rows.
 
+        ``sort_by`` CLUSTERS the merged output by the given (possibly
+        nested) columns: range-repartition + in-partition sort, so each
+        output file owns a disjoint value range and its parquet
+        footer min/max make any later filter on those columns skip
+        whole files/row-groups (Delta's ZORDER intent, realized with
+        linear clustering — one dimension deep is what range
+        partitioning gives; for the offset-and-time predicates pools
+        actually serve, linear beats interleaved bits).  The default
+        keeps the ingest-order offset sort.
+
         Holds the writer lock for the WHOLE operation: a load_batch
         landing between the dir snapshot and the manifest swap would
         otherwise be silently orphaned (its commit never in the new
         manifest) — lost data, not just a lost listing.
         """
         with self.writer_lock():
-            return self._compact_locked(small_bytes)
+            return self._compact_locked(small_bytes, sort_by)
 
     def _commit_size(self, name: str) -> int:
         return sum(self._fs.tree_size(d) for d in self._commit_instances(name))
 
-    def _compact_locked(self, small_bytes: int | None = None) -> int:
+    def _compact_locked(
+        self, small_bytes: int | None = None, sort_by: list[str] | None = None
+    ) -> int:
         old_names = self._commit_names()
         if len(old_names) <= 1:
             return len(old_names)
@@ -560,7 +574,16 @@ class Pool:
             kept = [n for n in old_names if n not in set(merged)]
             if len(merged) <= 1:
                 return 0  # nothing worth merging at this tier
-        snapshot = self._read_commits(merged).sortWithinPartitions("kafka.offset")
+        snapshot = self._read_commits(merged)
+        if sort_by:
+            # range exchange gives disjoint per-file value ranges; the
+            # in-partition sort tightens row-group stats within a file
+            cols = [F.col(c) for c in sort_by]
+            snapshot = snapshot.repartitionByRange(
+                max(snapshot.rdd.getNumPartitions(), 1), *cols
+            ).sortWithinPartitions(*cols)
+        else:
+            snapshot = snapshot.sortWithinPartitions("kafka.offset")
         commit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         tmp = os.path.join(self.path, f".tmp-{commit_id}")
         if self.meta.get("partitioned"):
