@@ -516,3 +516,50 @@ def test_continuous_sink_survives_compact(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert len(tk.memory_sink_rows(name)) == 4
+
+
+def test_commit_batch_tracks_distinct_hll(spark, tmp_path):
+    """track_distinct: the sidecar sketch estimates distincts across the
+    whole ingest without rescanning the pool; merging is idempotent max,
+    so re-merging a batch (at-least-once replay) never inflates it; the
+    sidecar estimate equals the DataFrame-side estimate over the union."""
+    from zinger_spark.operators import sketches as sk
+    from zinger_spark.streaming.from_kafka import (
+        _merge_hll_sidecar,
+        ingest_distinct_estimate,
+    )
+
+    pool = Pool.create(spark, str(tmp_path / "pool"))
+    env_schema = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint>, _type string"
+    )
+    rows0 = [(("T", 0, i), None, (i % 40,), "data") for i in range(60)]
+    rows1 = [(("T", 0, 60 + i), None, (20 + i % 50,), "data") for i in range(60)]
+    b0 = spark.createDataFrame(rows0, env_schema)
+    b1 = spark.createDataFrame(rows1, env_schema)
+
+    assert ingest_distinct_estimate(pool) is None  # tracking never on
+    assert fk.commit_batch(pool, b0, 0, "app", track_distinct="value.a") is True
+    est0 = ingest_distinct_estimate(pool)
+    assert fk.commit_batch(pool, b1, 1, "app", track_distinct="value.a") is True
+    est = ingest_distinct_estimate(pool)
+    # values are 0..69 -> 70 distinct; p=12 linear counting is near-exact
+    # but bucket collisions still shave a count or two
+    assert abs(est0 - 40) <= 2 and abs(est - 70) <= 3
+
+    # sidecar == DataFrame-side estimate over the full pool (merge lossless)
+    whole = sk.hll_estimate(
+        pool.df().select(F.col("value.a").alias("v")), "v", p=12
+    ).collect()[0]["estimate"]
+    assert est == whole
+
+    # idempotent by algebra: re-merging an already-merged batch is a no-op
+    with pool.writer_lock():
+        _merge_hll_sidecar(pool, b1, "value.a")
+    assert ingest_distinct_estimate(pool) == est
+
+    # refusing to merge a different column into the same sketch
+    with pytest.raises(ValueError, match="refusing to merge"):
+        with pool.writer_lock():
+            _merge_hll_sidecar(pool, b1, "kafka.offset")

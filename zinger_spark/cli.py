@@ -384,6 +384,7 @@ def cmd_from_kafka(args) -> int:
         available_now=args.exitafter,
         transform=transform,
         dedup_values=getattr(args, "dedup_values", False),
+        track_distinct=getattr(args, "track_distinct", None),
     )
     q.awaitTermination()
     return 0
@@ -705,6 +706,10 @@ def main(argv: list[str] | None = None) -> int:
     fkp.add_argument("--shaper", help="path of optional Zed script for shaping")
     fkp.add_argument("--dedup-values", action="store_true",
                      help="drop records whose value content already exists in the pool")
+    fkp.add_argument("--track-distinct", default=None, metavar="COL",
+                     help="maintain an HLL distinct-count sketch of this "
+                          "column across the whole ingest in a pool "
+                          "sidecar (read back with ingest_distinct_estimate)")
     fkp.add_argument("--exitafter", action="store_true", help="drain then exit")
     fkp.add_argument(
         "--kafka-replicas", type=int, default=0,

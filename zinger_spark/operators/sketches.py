@@ -345,3 +345,48 @@ def weighted_priority_sample(
         .filter(F.col("_rk") <= n)
         .drop("_prio", "_rk")
     )
+
+
+# --------------------------------------------------------------------------
+# driver-side register folding (for sidecar-maintained sketches)
+
+
+def hll_registers_dict(df: DataFrame, col: str, p: int = 12) -> dict[int, int]:
+    """The register table as a python dict — a BOUNDED collect (at most
+    2^p rows by construction), for persisting a sketch into small
+    metadata (a pool sidecar, a manifest) rather than a table."""
+    return {
+        r["bucket"]: r["register"] for r in hll_registers(df, col, p).collect()
+    }
+
+
+def merge_register_dicts(a: dict[int, int], b: dict[int, int]) -> dict[int, int]:
+    """Register-wise max — same lossless union as ``hll_merge``, driver
+    side.  max is IDEMPOTENT: merging the same batch's registers twice
+    is a no-op, so even an at-least-once replay cannot inflate the
+    sketch (unlike a counter)."""
+    out = dict(a)
+    for k, v in b.items():
+        if v > out.get(k, 0):
+            out[k] = v
+    return out
+
+
+def estimate_from_register_dict(regs: dict[int, int], p: int = 12) -> int:
+    """The HLL estimate from a register dict — same integer sufficient
+    statistics and float expression as ``_estimate_from_registers``
+    (sums of exact ints, one double division), so the driver-side and
+    DataFrame-side estimates agree exactly."""
+    import math
+
+    m = 1 << p
+    rmax = HASH_BITS - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    nonzero = len(regs)
+    s_present = sum(1 << (rmax - r) for r in regs.values())
+    s_total = s_present + (m - nonzero) * (1 << rmax)
+    raw = (alpha * m * m * float(1 << rmax)) / float(s_total)
+    zeros = m - nonzero
+    if raw <= 2.5 * m and zeros > 0:
+        return round(float(m) * math.log(float(m) / float(zeros)))
+    return round(raw)

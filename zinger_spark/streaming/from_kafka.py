@@ -107,6 +107,7 @@ def monotonic_guard(batch: DataFrame, saved: dict[str, int]) -> None:
 
 
 INGEST_TXN_SIDECAR = "_ingest_txn.json"
+HLL_SIDECAR = "_ingest_hll.json"
 
 
 def _dedup_against_pool(pool: Pool, batch: DataFrame) -> DataFrame:
@@ -144,6 +145,7 @@ def commit_batch(
     app_id: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     dedup_values: bool = False,
+    track_distinct: str | None = None,
 ) -> bool:
     """Idempotent micro-batch commit — the txnAppId/txnVersion pattern
     (Delta's idempotent-writes contract, SURVEY §2) for the Kafka→pool
@@ -158,6 +160,17 @@ def commit_batch(
     ``app_id`` must be stable across restarts of one logical stream
     (``run_ingest`` derives it from the checkpoint path) and distinct
     across streams writing the same pool.
+
+    ``track_distinct`` names a column (nested paths fine, e.g. ``key``
+    or ``value.user``) whose distinct count is tracked ACROSS the whole
+    ingest history in an HLL register sidecar: each batch's registers
+    (a bounded <= 2^p-row collect) merge register-wise-max into
+    ``_ingest_hll.json`` inside the writer lock.  max is idempotent, so
+    even a replayed batch that slipped past the txn check could never
+    inflate the estimate — the sketch is exactly-once BY ALGEBRA, not
+    by bookkeeping.  Read it back with ``ingest_distinct_estimate``;
+    cost per batch is one partial-aggregated groupBy over the batch
+    only (the pool is never rescanned).
     """
     if transform is not None:
         batch = transform(batch)
@@ -177,9 +190,54 @@ def commit_batch(
                 pool.write_sidecar(INGEST_TXN_SIDECAR, txn)
                 return False
         pool.load_batch(batch)
+        if track_distinct:
+            _merge_hll_sidecar(pool, batch, track_distinct)
         txn[app_id] = batch_id
         pool.write_sidecar(INGEST_TXN_SIDECAR, txn)
     return True
+
+
+HLL_SIDECAR_P = 12
+
+
+def _merge_hll_sidecar(pool: Pool, batch: DataFrame, col: str) -> None:
+    """Merge the batch's HLL registers into the pool's sketch sidecar.
+    Caller holds the writer lock (the read-modify-write below needs it)."""
+    from ..operators import sketches as sk
+
+    batch_regs = sk.hll_registers_dict(
+        batch.select(F.col(col).alias("_track")), "_track", p=HLL_SIDECAR_P
+    )
+    cur = pool.read_sidecar(HLL_SIDECAR) or {}
+    if cur and (cur.get("col") != col or cur.get("p") != HLL_SIDECAR_P):
+        raise ValueError(
+            f"pool {pool.path}: HLL sidecar tracks "
+            f"{cur.get('col')!r} at p={cur.get('p')}; refusing to merge "
+            f"{col!r} into it (sketches of different columns do not union)"
+        )
+    merged = sk.merge_register_dicts(
+        {int(k): v for k, v in (cur.get("registers") or {}).items()}, batch_regs
+    )
+    pool.write_sidecar(
+        HLL_SIDECAR,
+        {
+            "col": col,
+            "p": HLL_SIDECAR_P,
+            "registers": {str(k): v for k, v in merged.items()},
+        },
+    )
+
+
+def ingest_distinct_estimate(pool: Pool) -> int | None:
+    """The distinct-count estimate for the tracked ingest column, from
+    the sidecar alone — no pool scan.  None if tracking was never on."""
+    from ..operators import sketches as sk
+
+    cur = pool.read_sidecar(HLL_SIDECAR)
+    if not cur:
+        return None
+    regs = {int(k): v for k, v in (cur.get("registers") or {}).items()}
+    return sk.estimate_from_register_dict(regs, p=cur.get("p", HLL_SIDECAR_P))
 
 
 def run_ingest(
@@ -191,6 +249,7 @@ def run_ingest(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     app_id: str | None = None,
     dedup_values: bool = False,
+    track_distinct: str | None = None,
 ):
     """The load loop (A13/A16): each micro-batch optionally shaped
     (the -shaper hook, fifo/lake.go:94-106) then committed atomically
@@ -204,7 +263,7 @@ def run_ingest(
     def _commit(batch: DataFrame, batch_id: int) -> None:
         commit_batch(
             pool, batch, batch_id, app_id, transform=transform,
-            dedup_values=dedup_values,
+            dedup_values=dedup_values, track_distinct=track_distinct,
         )
 
     writer = enveloped.writeStream.foreachBatch(_commit).option(
