@@ -381,3 +381,33 @@ def test_global_row_number_matches_window_property(spark, vals, nparts):
         ).select("id", "rn").collect()
     }
     assert fast == naive
+
+
+@given(
+    regs=st.dictionaries(
+        st.integers(min_value=0, max_value=1023),
+        st.integers(min_value=1, max_value=51),
+        max_size=1024,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_hll_driver_fold_matches_dataframe_fold(spark, regs):
+    """estimate_from_register_dict (driver-side, used by the ingest
+    sidecar) and _estimate_from_registers (DataFrame-side, used by the
+    registry queries) are the SAME integer-statistics fold — any
+    register table must produce the identical estimate through both."""
+    from zinger_spark.operators.sketches import (
+        _estimate_from_registers,
+        estimate_from_register_dict,
+    )
+
+    driver = estimate_from_register_dict(regs, p=10)
+    if not regs:
+        # DataFrame fold needs >= 1 row; empty sketch = 0 distinct
+        assert driver == 0
+        return
+    df = spark.createDataFrame(
+        [(k, v) for k, v in regs.items()], "bucket INT, register INT"
+    )
+    frame = _estimate_from_registers(df, 10, []).collect()[0]["estimate"]
+    assert driver == frame
