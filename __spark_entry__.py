@@ -2675,6 +2675,24 @@ def _q_range_join_bands(spark, sf):
     )
 
 
+def _q_zq_network_of(spark, sf):
+    """Zed network functions (`network_of`, `cidr_match` — the Zeek/
+    flow-log workhorses of the reference's ecosystem) plus Zed string
+    `+` concatenation, all through the zedql dialect.  IPs synthesized
+    from event columns; both functions are pure JVM bit arithmetic
+    (functions/net.py) so the filter pipelines into the scan."""
+    from zinger_spark.zedql.compiler import zed_transform
+
+    ev = _events(spark, sf)
+    t = zed_transform(
+        'ip := "10." + string(user_id % 200) + ".0." + string(event_id % 250) '
+        '| keep := cidr_match("10.64.0.0/10", ip) '
+        '| net := network_of(ip, 12) '
+        '| cut event_id, ip, keep, net'
+    )
+    return t(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that are new or were rewritten since their last
@@ -2687,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # insurance in prior order.
     return {
         # -- round 7: sketches + fixed-point PageRank ----------------
+        "zq_network_of": _q_zq_network_of,
         "range_join_bands": _q_range_join_bands,
         "hll_distinct": _q_hll_distinct,
         "hll_distinct_by_group": _q_hll_by_group,
@@ -3361,6 +3380,21 @@ def oracle_sql() -> dict[str, str]:
         }
     return media_oracles | {
         # -- round 7: sketches + fixed-point PageRank ------------------
+        "zq_network_of": """
+            WITH base AS (
+              SELECT event_id,
+                     10 * 16777216 + (user_id % 200) * 65536 + (event_id % 250) AS ipn,
+                     '10.' || CAST(user_id % 200 AS VARCHAR) || '.0.' ||
+                       CAST(event_id % 250 AS VARCHAR) AS ip
+              FROM events
+            )
+            SELECT event_id, ip,
+                   (ipn & (4294967295 - 4194303)) = (10 * 16777216 + 64 * 65536) AS keep,
+                   CAST((ipn & (4294967295 - 1048575)) // 16777216 AS VARCHAR) || '.' ||
+                   CAST(((ipn & (4294967295 - 1048575)) // 65536) % 256 AS VARCHAR) ||
+                   '.0.0/12' AS net
+            FROM base
+        """,
         "range_join_bands": """
             WITH bands(lo, hi, tier) AS (VALUES
               (0.0, 1000.0, 'T0'), (1000.0, 5000.0, 'T1'),

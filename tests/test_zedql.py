@@ -20,6 +20,7 @@ from zinger_spark.zedql import (
     compile_query,
     compile_rule_seq,
     looks_like_zed,
+    zed_transform,
     parse,
     parse_expr_text,
     parse_type,
@@ -877,3 +878,60 @@ def test_left_join_keeps_unmatched_with_nulls(spark):
     assert sorted((r.k, r.val) for r in out.collect()) == [
         (1, "r1"), (2, None), (3, "r3"),
     ]
+
+
+def test_string_plus_concatenates(spark):
+    df = spark.createDataFrame([("a", 1)], "s string, n bigint")
+    out = zed_transform('t := s + "-" + string(n) | cut t')(df).collect()
+    assert out[0]["t"] == "a-1"
+    # numeric + stays arithmetic
+    out = zed_transform("m := n + 2 | cut m")(df).collect()
+    assert out[0]["m"] == 3
+
+
+def test_network_functions(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(ip="10.1.2.3"),
+            Row(ip="10.64.0.1"),
+            Row(ip="192.168.1.77"),
+            Row(ip="not-an-ip"),
+            Row(ip="10.1.2.300"),  # octet out of range
+        ]
+    )
+    out = {
+        r["ip"]: (r["m8"], r["m10"], r["net"])
+        for r in zed_transform(
+            'm8 := cidr_match("10.0.0.0/8", ip) '
+            '| m10 := cidr_match("10.64.0.0/10", ip) '
+            '| net := network_of(ip, 24) | cut ip, m8, m10, net'
+        )(df).collect()
+    }
+    assert out["10.1.2.3"] == (True, False, "10.1.2.0/24")
+    assert out["10.64.0.1"] == (True, True, "10.64.0.0/24")
+    assert out["192.168.1.77"] == (False, False, "192.168.1.0/24")
+    # malformed input: never a match, never an error
+    assert out["not-an-ip"] == (False, False, None)
+    assert out["10.1.2.300"] == (False, False, None)
+
+
+def test_network_function_edges(spark):
+    from pyspark.sql import Row
+
+    from zinger_spark.functions import net as znet
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([Row(ip="203.0.113.9")])
+    row = df.select(
+        znet.cidr_match("0.0.0.0/0", F.col("ip")).alias("all"),
+        znet.cidr_match("203.0.113.9/32", F.col("ip")).alias("exact"),
+        znet.cidr_match("203.0.113.8/32", F.col("ip")).alias("off1"),
+        znet.cidr_match("203.0.113.0/33", F.col("ip")).alias("badpfx"),
+        znet.network_of(F.col("ip"), 0).alias("net0"),
+        znet.network_of(F.col("ip"), 32).alias("net32"),
+    ).collect()[0]
+    assert row["all"] is True and row["exact"] is True
+    assert row["off1"] is False and row["badpfx"] is False
+    assert row["net0"] == "0.0.0.0/0" and row["net32"] == "203.0.113.9/32"

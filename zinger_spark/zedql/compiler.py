@@ -307,6 +307,16 @@ def _bin(e: ast.Bin, df: DataFrame) -> Column:
         )
     left = compile_expr(e.left, df)
     right = compile_expr(e.right, df)
+    if e.op == "+":
+        # Zed `+` concatenates strings (language spec: arithmetic
+        # section); Spark `+` is numeric-only, so dispatch on the
+        # ANALYZED types (a schema-only select, no job)
+        lt, rt = (
+            df.select(left.alias("l"), right.alias("r")).schema[i].dataType
+            for i in (0, 1)
+        )
+        if isinstance(lt, T.StringType) and isinstance(rt, T.StringType):
+            return F.concat(left, right)
     ops: dict[str, Callable[[Column, Column], Column]] = {
         "==": lambda a, b: a == b,
         "!=": lambda a, b: a != b,
@@ -426,6 +436,25 @@ def _call(e: ast.Call, df: DataFrame) -> Column:
     if name == "replace":
         s = compile_expr(args[0], df)
         return F.replace(s, compile_expr(args[1], df), compile_expr(args[2], df))
+    if name == "network_of":
+        # Zed network functions (function library: network_of); the
+        # two-arg prefix-length form.  Pure JVM bit arithmetic —
+        # functions/net.py.
+        from ..functions import net as znet
+
+        if len(args) != 2:
+            raise ZedCompileError("network_of takes (addr, prefix_len)")
+        return znet.network_of(
+            compile_expr(args[0], df), compile_expr(args[1], df)
+        )
+    if name == "cidr_match":
+        from ..functions import net as znet
+
+        if len(args) != 2:
+            raise ZedCompileError("cidr_match takes (cidr, addr)")
+        return znet.cidr_match(
+            compile_expr(args[0], df), compile_expr(args[1], df)
+        )
     if name == "grep":
         # grep(<regex>|<string>, expr?) — regexp search; target
         # defaults to `this` (every string value in the record)
