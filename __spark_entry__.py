@@ -2693,6 +2693,39 @@ def _q_zq_network_of(spark, sf):
     return t(ev)
 
 
+def _q_zq_shape_funcs(spark, sf):
+    """Zed shaping functions through the dialect: shape / fill / crop /
+    order over a record built from event columns (Zed language docs,
+    shaping section; datamodel.py shape_type et al — recursive JVM
+    struct rebuilds, no UDFs).  The output flattens the shaped structs
+    to scalars and pins each result's SCHEMA SIGNATURE as a checked
+    column, so the oracle verifies field order and crop/fill membership,
+    not just values."""
+    from zinger_spark.zedql.compiler import zed_transform
+
+    ev = _events(spark, sf)
+    prog = (
+        "type t = {t: string, v: float64, missing: int64}\n"
+        "rec := {v: user_id, t: event_type, extra: value}\n"
+        "| s := shape(rec, <t>) | c := crop(rec, <t>) | o := order(rec, <t>)"
+        " | cut event_id, s, c, o"
+    )
+    out = zed_transform(prog)(ev)
+    sig = {name: dict(out.dtypes)[name] for name in ("s", "c", "o")}
+    return out.select(
+        "event_id",
+        F.col("s.t").alias("s_t"),
+        F.col("s.v").alias("s_v"),
+        F.col("s.missing").alias("s_missing"),
+        F.col("s.extra").alias("s_extra"),
+        F.col("c.v").alias("c_v"),
+        F.col("o.t").alias("o_t"),
+        F.lit(sig["s"]).alias("shape_sig"),
+        F.lit(sig["c"]).alias("crop_sig"),
+        F.lit(sig["o"]).alias("order_sig"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that are new or were rewritten since their last
@@ -2705,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # insurance in prior order.
     return {
         # -- round 7: sketches + fixed-point PageRank ----------------
+        "zq_shape_funcs": _q_zq_shape_funcs,
         "zq_network_of": _q_zq_network_of,
         "range_join_bands": _q_range_join_bands,
         "hll_distinct": _q_hll_distinct,
@@ -3380,6 +3414,19 @@ def oracle_sql() -> dict[str, str]:
         }
     return media_oracles | {
         # -- round 7: sketches + fixed-point PageRank ------------------
+        "zq_shape_funcs": """
+            SELECT event_id,
+                   event_type AS s_t,
+                   CAST(user_id AS DOUBLE) AS s_v,
+                   CAST(NULL AS BIGINT) AS s_missing,
+                   value AS s_extra,
+                   user_id AS c_v,
+                   event_type AS o_t,
+                   'struct<t:string,v:double,missing:bigint,extra:double>' AS shape_sig,
+                   'struct<v:bigint,t:string>' AS crop_sig,
+                   'struct<t:string,v:bigint,extra:double>' AS order_sig
+            FROM events
+        """,
         "zq_network_of": """
             WITH base AS (
               SELECT event_id,

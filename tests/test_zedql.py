@@ -935,3 +935,58 @@ def test_network_function_edges(spark):
     assert row["all"] is True and row["exact"] is True
     assert row["off1"] is False and row["badpfx"] is False
     assert row["net0"] == "0.0.0.0/0" and row["net32"] == "203.0.113.9/32"
+
+
+def test_shaping_functions(spark):
+    df = spark.createDataFrame([(1, "x", 2.5)], "b bigint, a string, extra double")
+    prog = (
+        "type t = {a: string, b: float64, c: int64}\n"
+        "rec := {b: b, a: a, extra: extra}\n"
+        "| s := shape(rec, <t>) | f := fill(rec, <t>)"
+        " | c := crop(rec, <t>) | o := order(rec, <t>) | cut s, f, c, o"
+    )
+    out = zed_transform(prog)(df)
+    row = out.collect()[0]
+    d = dict(out.dtypes)
+    # shape: fill + order + cast, extras after typed fields
+    assert d["s"] == "struct<a:string,b:double,c:bigint,extra:double>"
+    assert row["s"].asDict() == {"a": "x", "b": 1.0, "c": None, "extra": 2.5}
+    # fill: appends missing, keeps source order and types
+    assert d["f"] == "struct<b:bigint,a:string,extra:double,c:bigint>"
+    # crop: drops extras, types unchanged
+    assert d["c"] == "struct<b:bigint,a:string>"
+    assert row["c"].asDict() == {"b": 1, "a": "x"}
+    # order: reorders only
+    assert d["o"] == "struct<a:string,b:bigint,extra:double>"
+    assert row["o"].asDict() == {"a": "x", "b": 1, "extra": 2.5}
+
+
+def test_shaping_functions_nested_and_null(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(rec=Row(inner=Row(y=2, x=1), z=9)),
+            Row(rec=None),
+        ],
+        "rec struct<inner:struct<y:bigint,x:bigint>,z:bigint>",
+    )
+    prog = (
+        "type t = {inner: {x: int64, y: float64}, w: string}\n"
+        "s := shape(rec, <t>) | cut s"
+    )
+    out = zed_transform(prog)(df)
+    assert dict(out.dtypes)["s"] == (
+        "struct<inner:struct<x:bigint,y:double>,w:string,z:bigint>"
+    )
+    rows = out.collect()
+    assert rows[0]["s"].asDict(True) == {
+        "inner": {"x": 1, "y": 2.0}, "w": None, "z": 9
+    }
+    assert rows[1]["s"] is None  # null stays null, not a struct of nulls
+
+
+def test_shaping_unknown_type_errors(spark):
+    df = spark.createDataFrame([(1,)], "a bigint")
+    with pytest.raises(ZedCompileError, match="unknown type"):
+        zed_transform("s := shape(a, <nope>) | cut s")(df)

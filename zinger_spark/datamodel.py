@@ -188,3 +188,175 @@ def fuse(*dfs: DataFrame) -> DataFrame:
                 cols.append(F.lit(None).cast(merged[name]).alias(name))
         outs.append(df.select(*cols))
     return reduce(lambda x, y: x.unionByName(y), outs)
+
+
+# -- Zed shaping functions (fill / crop / order / shape) ---------------------
+# Zed language docs, shaping section: four orthogonal primitives over a
+# value + target type.  All column-level and recursive over structs, so
+# they compile to pure JVM struct rebuilds (no UDFs):
+#   fill   add target fields missing from the value (typed nulls);
+#          existing fields keep their types and order, fills append
+#   crop   drop value fields absent from the target; types unchanged
+#   order  reorder fields to the target's order; extras keep their
+#          relative order after the typed fields; types unchanged
+#   shape  fill + order + cast: the full conform, but unlike a named
+#          cast it KEEPS extra fields (crop is the one that removes)
+
+
+def _is_struct(t: T.DataType) -> bool:
+    return isinstance(t, T.StructType)
+
+
+def fill_type(col: Column, src: T.DataType, dst: T.DataType) -> Column:
+    if not (_is_struct(src) and _is_struct(dst)):
+        return col
+    have = {f.name: f.dataType for f in src.fields}
+    parts = [
+        fill_type(col.getField(f.name), f.dataType, _dst_field(dst, f.name))
+        .alias(f.name)
+        for f in src.fields
+    ]
+    for f in dst.fields:
+        if f.name not in have:
+            parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return F.when(col.isNull(), F.lit(None).cast(_fill_schema(src, dst))).otherwise(
+        F.struct(*parts)
+    )
+
+
+def _dst_field(dst: T.StructType, name: str) -> T.DataType:
+    for f in dst.fields:
+        if f.name == name:
+            return f.dataType
+    return T.NullType()
+
+
+def _fill_schema(src: T.StructType, dst: T.StructType) -> T.StructType:
+    have = {f.name for f in src.fields}
+    out = [
+        T.StructField(
+            f.name,
+            _fill_schema(f.dataType, d)
+            if _is_struct(f.dataType) and _is_struct(d := _dst_field(dst, f.name))
+            else f.dataType,
+        )
+        for f in src.fields
+    ]
+    out += [T.StructField(f.name, f.dataType) for f in dst.fields if f.name not in have]
+    return T.StructType(out)
+
+
+def crop_type(col: Column, src: T.DataType, dst: T.DataType) -> Column:
+    if not (_is_struct(src) and _is_struct(dst)):
+        return col
+    want = {f.name: f.dataType for f in dst.fields}
+    parts = [
+        crop_type(col.getField(f.name), f.dataType, want[f.name]).alias(f.name)
+        for f in src.fields
+        if f.name in want
+    ]
+    if not parts:
+        return F.lit(None).cast("struct<>")
+    return F.when(col.isNull(), F.lit(None)).otherwise(F.struct(*parts)).cast(
+        _crop_schema(src, dst)
+    )
+
+
+def _crop_schema(src: T.StructType, dst: T.StructType) -> T.StructType:
+    want = {f.name: f.dataType for f in dst.fields}
+    return T.StructType(
+        [
+            T.StructField(
+                f.name,
+                _crop_schema(f.dataType, w)
+                if _is_struct(f.dataType) and _is_struct(w := want[f.name])
+                else f.dataType,
+            )
+            for f in src.fields
+            if f.name in want
+        ]
+    )
+
+
+def order_type(col: Column, src: T.DataType, dst: T.DataType) -> Column:
+    if not (_is_struct(src) and _is_struct(dst)):
+        return col
+    have = {f.name: f.dataType for f in src.fields}
+    parts = []
+    for f in dst.fields:
+        if f.name in have:
+            parts.append(
+                order_type(col.getField(f.name), have[f.name], f.dataType)
+                .alias(f.name)
+            )
+    dst_names = {f.name for f in dst.fields}
+    for f in src.fields:
+        if f.name not in dst_names:
+            parts.append(col.getField(f.name).alias(f.name))
+    return F.when(col.isNull(), F.lit(None)).otherwise(F.struct(*parts)).cast(
+        _order_schema(src, dst)
+    )
+
+
+def _order_schema(src: T.StructType, dst: T.StructType) -> T.StructType:
+    have = {f.name: f.dataType for f in src.fields}
+    out = []
+    for f in dst.fields:
+        if f.name in have:
+            t = have[f.name]
+            out.append(
+                T.StructField(
+                    f.name,
+                    _order_schema(t, f.dataType)
+                    if _is_struct(t) and _is_struct(f.dataType)
+                    else t,
+                )
+            )
+    dst_names = {f.name for f in dst.fields}
+    out += [
+        T.StructField(f.name, f.dataType)
+        for f in src.fields
+        if f.name not in dst_names
+    ]
+    return T.StructType(out)
+
+
+def shape_type(col: Column, src: T.DataType, dst: T.DataType) -> Column:
+    """fill + order + cast, extras preserved after the typed fields."""
+    if not (_is_struct(src) and _is_struct(dst)):
+        return col.cast(dst) if not _is_struct(src) and not _is_struct(dst) else col
+    have = {f.name: f.dataType for f in src.fields}
+    parts = []
+    for f in dst.fields:
+        if f.name in have:
+            parts.append(
+                shape_type(col.getField(f.name), have[f.name], f.dataType)
+                .alias(f.name)
+            )
+        else:
+            parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+    dst_names = {f.name for f in dst.fields}
+    for f in src.fields:
+        if f.name not in dst_names:
+            parts.append(col.getField(f.name).alias(f.name))
+    return F.when(col.isNull(), F.lit(None)).otherwise(F.struct(*parts)).cast(
+        _shape_schema(src, dst)
+    )
+
+
+def _shape_schema(src: T.StructType, dst: T.StructType) -> T.StructType:
+    have = {f.name: f.dataType for f in src.fields}
+    out = []
+    for f in dst.fields:
+        t = have.get(f.name)
+        if t is not None and _is_struct(t) and _is_struct(f.dataType):
+            out.append(T.StructField(f.name, _shape_schema(t, f.dataType)))
+        else:
+            out.append(T.StructField(f.name, f.dataType))
+    dst_names = {f.name for f in dst.fields}
+    out += [
+        T.StructField(f.name, f.dataType)
+        for f in src.fields
+        if f.name not in dst_names
+    ]
+    return T.StructType(out)

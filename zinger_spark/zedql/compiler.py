@@ -411,6 +411,36 @@ _FUNCS: dict[str, Callable[..., Column]] = {
 def _call(e: ast.Call, df: DataFrame) -> Column:
     name = e.name
     args = e.args
+    if name in ("shape", "fill", "crop", "order"):
+        # Zed shaping functions (language docs, shaping section):
+        # shape(v, <t>) / fill / crop / order — datamodel.py column-level
+        # recursive struct rebuilds, no UDFs.  The type argument is a
+        # <type> literal: a declared named type or a primitive.
+        if len(args) != 2:
+            raise ZedCompileError(f"{name}() takes (value, <type>)")
+        tname = None
+        if isinstance(args[1], ast.TypeName):
+            tname = args[1].name
+        elif isinstance(args[1], ast.Path) and len(args[1].parts) == 1:
+            tname = args[1].parts[0]
+        if tname is None:
+            raise ZedCompileError(f"{name}() second argument must be a type")
+        if tname in _PRIMS:
+            dst: T.DataType = _PRIMS[tname]
+        else:
+            decl = _DECLS.get().get(tname)
+            if decl is None:
+                raise ZedCompileError(f"{name}(): unknown type {tname!r}")
+            dst = decl
+        col = compile_expr(args[0], df)
+        src_t = _col_type(df, col)
+        fn = {
+            "shape": datamodel.shape_type,
+            "fill": datamodel.fill_type,
+            "crop": datamodel.crop_type,
+            "order": datamodel.order_type,
+        }[name]
+        return fn(col, src_t, dst)
     if name in _PRIMS:  # primitive-cast call form: int64(x), string(x)...
         if len(args) != 1:
             raise ZedCompileError(f"{name}() takes one argument")
