@@ -2590,6 +2590,10 @@ def _q_bloom_contamination(spark, sf):
     sh = _t(spark, sf, "documents").select(
         "doc_id", F.explode(ztext.word_shingles(F.col("text"), 3)).alias("s")
     )
+    # the shingle explode feeds BOTH the filter build and the probe
+    # side; without materialization Spark recomputes the explode for
+    # each consumer (measured 5x slower at sf0.1: 4.97 -> 0.97 s warm)
+    sh = sh.localCheckpoint(eager=True)
     bench = sh.filter(F.col("doc_id") % 40 == 0).select("s").distinct()
     corpus = sh.filter(F.col("doc_id") % 40 != 0).distinct()
     bits = zsk.bloom_bits(bench, "s", m_bits=M, k=K)
@@ -2726,6 +2730,29 @@ def _q_zq_shape_funcs(spark, sf):
     )
 
 
+def _q_zq_parse_uri(spark, sf):
+    """Zed `parse_uri` through the dialect: synthesize a URL per
+    document, parse it back into its record parts, flatten for the
+    check.  The parser is the shared RFC 3986 appendix-B regex
+    (functions/net.py) the oracle reproduces verbatim in DuckDB."""
+    from zinger_spark.zedql.compiler import zed_transform
+
+    docs = _t(spark, sf, "documents")
+    prog = (
+        'url := "https://" + source + ".example.com:8443/docs/"'
+        ' + string(doc_id) + "?lang=" + lang + "#top"\n'
+        "| p := parse_uri(url)\n"
+        "| cut doc_id, url, p"
+    )
+    out = zed_transform(prog)(docs)
+    return out.select(
+        "doc_id", "url",
+        F.col("p.scheme").alias("scheme"), F.col("p.host").alias("host"),
+        F.col("p.port").alias("port"), F.col("p.path").alias("path"),
+        F.col("p.query").alias("query"), F.col("p.fragment").alias("fragment"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that are new or were rewritten since their last
@@ -2738,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # insurance in prior order.
     return {
         # -- round 7: sketches + fixed-point PageRank ----------------
+        "zq_parse_uri": _q_zq_parse_uri,
         "zq_shape_funcs": _q_zq_shape_funcs,
         "zq_network_of": _q_zq_network_of,
         "range_join_bands": _q_range_join_bands,
@@ -3414,6 +3442,18 @@ def oracle_sql() -> dict[str, str]:
         }
     return media_oracles | {
         # -- round 7: sketches + fixed-point PageRank ------------------
+        "zq_parse_uri": """
+            SELECT doc_id,
+                   'https://' || source || '.example.com:8443/docs/' ||
+                     CAST(doc_id AS VARCHAR) || '?lang=' || lang || '#top' AS url,
+                   'https' AS scheme,
+                   source || '.example.com' AS host,
+                   CAST(8443 AS BIGINT) AS port,
+                   '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+                   'lang=' || lang AS query,
+                   'top' AS fragment
+            FROM documents
+        """,
         "zq_shape_funcs": """
             SELECT event_id,
                    event_type AS s_t,

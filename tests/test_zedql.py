@@ -990,3 +990,31 @@ def test_shaping_unknown_type_errors(spark):
     df = spark.createDataFrame([(1,)], "a bigint")
     with pytest.raises(ZedCompileError, match="unknown type"):
         zed_transform("s := shape(a, <nope>) | cut s")(df)
+
+
+def test_parse_uri(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(u="https://alice@api.example.com:8443/v1/items?x=1&y=2#frag"),
+            Row(u="http://example.com/plain"),
+            Row(u="mailto:someone@example.com"),
+            Row(u="/relative/path?q=3"),
+        ]
+    )
+    rows = {r["u"]: r["p"].asDict() for r in zed_transform("p := parse_uri(u) | cut u, p")(df).collect()}
+    full = rows["https://alice@api.example.com:8443/v1/items?x=1&y=2#frag"]
+    assert full == {
+        "scheme": "https", "userinfo": "alice", "host": "api.example.com",
+        "port": 8443, "path": "/v1/items", "query": "x=1&y=2", "fragment": "frag",
+    }
+    plain = rows["http://example.com/plain"]
+    assert plain["host"] == "example.com" and plain["port"] is None
+    assert plain["query"] is None and plain["fragment"] is None
+    mailto = rows["mailto:someone@example.com"]
+    assert mailto["scheme"] == "mailto" and mailto["host"] is None
+    assert mailto["path"] == "someone@example.com"
+    rel = rows["/relative/path?q=3"]
+    assert rel["scheme"] is None and rel["path"] == "/relative/path"
+    assert rel["query"] == "q=3"

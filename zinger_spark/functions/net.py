@@ -97,3 +97,37 @@ def cidr_match(cidr: Column | str, addr: Column) -> Column:
     return F.when(ok, ip.bitwiseAND(m) == net.bitwiseAND(m)).otherwise(
         F.lit(False)
     )
+
+
+# RFC 3986 appendix B reference regex, shared verbatim by the DuckDB
+# oracle — both engines' regexp_extract agree on these simple classes.
+_URI_RE = r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?$"
+
+
+def parse_uri(uri: Column) -> Column:
+    """Zed's `parse_uri`: split a URI into a record of its parts —
+    {scheme, userinfo, host, port, path, query, fragment}.  Pure
+    regexp_extract (the RFC 3986 appendix-B pattern + an authority
+    split), no UDF; absent parts are NULL, port is int64.
+
+    The query string stays a string (`str_to_map` is one call away and
+    lossy on repeated keys, so the caller chooses)."""
+
+    def part(idx: int) -> Column:
+        p = F.regexp_extract(uri, _URI_RE, idx)
+        return F.when(p != "", p)
+
+    auth = F.regexp_extract(uri, _URI_RE, 4)
+    userinfo = F.regexp_extract(auth, r"^(([^@]*)@)?.*$", 2)
+    hostport = F.regexp_extract(auth, r"^(?:[^@]*@)?(.*)$", 1)
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    return F.struct(
+        part(2).alias("scheme"),
+        F.when(userinfo != "", userinfo).alias("userinfo"),
+        F.when(host != "", host).alias("host"),
+        F.when(port != "", port).try_cast("long").alias("port"),
+        part(5).alias("path"),
+        part(7).alias("query"),
+        part(9).alias("fragment"),
+    )

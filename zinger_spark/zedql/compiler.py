@@ -466,6 +466,12 @@ def _call(e: ast.Call, df: DataFrame) -> Column:
     if name == "replace":
         s = compile_expr(args[0], df)
         return F.replace(s, compile_expr(args[1], df), compile_expr(args[2], df))
+    if name == "parse_uri":
+        from ..functions import net as znet
+
+        if len(args) != 1:
+            raise ZedCompileError("parse_uri takes one argument")
+        return znet.parse_uri(compile_expr(args[0], df))
     if name == "network_of":
         # Zed network functions (function library: network_of); the
         # two-arg prefix-length form.  Pure JVM bit arithmetic —
