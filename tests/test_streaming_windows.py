@@ -326,3 +326,42 @@ def test_sessionize_kernel_normal_timeout_unclamped():
     state = _FakeGroupState(watermark_ms=1_000)
     _run_kernel(gap, state, [[5_000_000 * 1000]])
     assert state.timeout_set == 5_000_000 + gap
+
+
+def test_streaming_heavy_hitters(spark, tmp_path):
+    """CM+heap sketch as GroupState: counts accumulate ACROSS
+    micro-batches (maxFilesPerTrigger=1 forces two), estimates never
+    undercount, and state stays fixed-size per shard."""
+    src = tmp_path / "hhsrc"
+    src.mkdir()
+    # batch 1: a x3, b x2, c x1 — batch 2: a x2, c x2, d x1
+    (src / "a.json").write_text(
+        "\n".join(['{"tok":"%s"}' % t for t in ["a", "a", "a", "b", "b", "c"]])
+    )
+    (src / "b.json").write_text(
+        "\n".join(['{"tok":"%s"}' % t for t in ["a", "a", "c", "c", "d"]])
+    )
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = zw.streaming_heavy_hitters(stream, "tok", d=4, w=64, k=5, shards=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hhq")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hhckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # memory sink in update mode appends per-trigger emissions; the
+    # LAST emission per token carries the accumulated estimate
+    rows = spark.sql("select * from hhq").collect()
+    latest = {}
+    for r in rows:
+        latest[r["token"]] = max(latest.get(r["token"], 0), r["cm_estimate"])
+    # true totals: a=5, b=2, c=3, d=1; CM never underestimates and at
+    # this tiny cardinality never collides either
+    assert latest == {"a": 5, "b": 2, "c": 3, "d": 1}

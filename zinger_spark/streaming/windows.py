@@ -261,3 +261,73 @@ def stream_static_enrich(
     broadcast keeps the join shuffle-free on the (unbounded) stream
     side."""
     return stream.join(F.broadcast(dim), key, how)
+
+
+def _heavy_hitters_kernel(col: str, d: int, w: int, k: int):
+    def kernel(key, pdfs, state):
+        import hashlib
+
+        import pandas as pd
+
+        if state.exists:
+            grid_t, toks, cnts = state.get
+            grid = list(grid_t)
+            cand = dict(zip(toks, cnts))
+        else:
+            grid, cand = [0] * (d * w), {}
+
+        def bucket(i: int, s: str) -> int:
+            return int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16) % w
+
+        for pdf in pdfs:
+            for tok, n in pdf[col].value_counts().items():
+                idxs = [i * w + bucket(i, str(tok)) for i in range(d)]
+                for ix in idxs:
+                    grid[ix] += int(n)
+                # the grid carries the token's FULL history, so a
+                # candidate that was pruned and reappears comes back
+                # with its true (over-)estimate, not a reset count
+                cand[str(tok)] = min(grid[ix] for ix in idxs)
+        top = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        state.update((grid, [t for t, _ in top], [c for _, c in top]))
+        yield pd.DataFrame(
+            [{"shard": int(key[0]), "token": t, "cm_estimate": c} for t, c in top]
+        )
+
+    return kernel
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 256,
+    k: int = 10,
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming Count-Min heavy hitters: per-shard CM grid + candidate
+    heap maintained in GroupState across micro-batches (the classic
+    CM+heap sketch, kept as state instead of a table).
+
+    Tokens hash onto ``shards`` state groups, so (a) state parallelizes
+    across executors and (b) each token's counts live wholly in one
+    shard's grid — per-shard top-k is globally correct for that shard's
+    tokens, and the global top-k is a bounded k*shards-row sort
+    downstream.  State size is d*w longs + k candidates per shard, FIXED
+    for the life of the stream no matter the token cardinality — the
+    whole point of sketching the stream instead of groupBy-counting it.
+    Estimates are CM overestimates (never under), exact while a shard's
+    distinct tokens <= w collisions-free.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.text import md5_hash60
+
+    sharded = stream.withColumn("_shard", md5_hash60(F.col(col)) % shards)
+    return sharded.groupBy("_shard").applyInPandasWithState(
+        _heavy_hitters_kernel(col, d, w, k),
+        outputStructType="shard INT, token STRING, cm_estimate BIGINT",
+        stateStructType="grid ARRAY<BIGINT>, toks ARRAY<STRING>, cnts ARRAY<BIGINT>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
