@@ -2753,6 +2753,32 @@ def _q_zq_parse_uri(spark, sf):
     )
 
 
+def _q_ann_ivf_index(spark, sf):
+    """ANN over a PERSISTED IVF index (similarity.build_ivf_index):
+    assignments parquet partitioned by cell + centroid table, built once
+    per sf (rebuilt only if absent) and probed with a partition filter —
+    a query opens only its n_probe cells' files, ~n_probe/k of the
+    corpus, the serving layout that amortizes assignment across queries
+    instead of recomputing it per query like ann_ivf_topk.  The oracle
+    recomputes the same deterministic assignment from the base table,
+    proving index CONTENT; the plan audit proves the PRUNED read."""
+    import os as _os
+
+    from zinger_spark.operators.similarity import build_ivf_index, ivf_index_topk
+
+    emb = _t(spark, sf, "embeddings")
+    idx = f"/tmp/zinger_ivf_idx_{_os.path.basename(_os.path.normpath(sf))}"
+    if not _os.path.exists(f"{idx}/assignments/_SUCCESS"):
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ]
+        build_ivf_index(emb, cents, idx)
+    out = ivf_index_topk(spark, idx, _query_vec(), k=20, n_probe=2)
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    return out.select("vec_id", F.row_number().over(w).alias("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that are new or were rewritten since their last
@@ -2765,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # insurance in prior order.
     return {
         # -- round 7: sketches + fixed-point PageRank ----------------
+        "ann_ivf_index_topk": _q_ann_ivf_index,
         "zq_parse_uri": _q_zq_parse_uri,
         "zq_shape_funcs": _q_zq_shape_funcs,
         "zq_network_of": _q_zq_network_of,
@@ -3442,6 +3469,34 @@ def oracle_sql() -> dict[str, str]:
         }
     return media_oracles | {
         # -- round 7: sketches + fixed-point PageRank ------------------
+        "ann_ivf_index_topk": f"""
+            WITH cents AS (
+              SELECT vec_id AS cell, embedding::DOUBLE[] AS c
+              FROM embeddings WHERE vec_id < 8
+            ),
+            probe AS (
+              SELECT cell FROM (
+                SELECT cell, {_sql_cosine("c", f"({qvec})")} AS s FROM cents
+              ) ORDER BY s DESC, cell LIMIT 2
+            ),
+            pairs AS (
+              SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cell,
+                     {_sql_cosine("c.c", "(e.embedding::DOUBLE[])")} AS s,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {_sql_cosine("c.c", "(e.embedding::DOUBLE[])")} DESC, c.cell) AS rn
+              FROM embeddings e CROSS JOIN cents c
+            ),
+            assigned AS (
+              SELECT vec_id, v, cell AS ivf_cell FROM pairs WHERE rn = 1
+            ),
+            ranked AS (
+              SELECT vec_id, round({_sql_cosine("v", f"({qvec})")}, 8) AS score
+              FROM assigned WHERE ivf_cell IN (SELECT cell FROM probe)
+              ORDER BY score DESC, vec_id LIMIT 20
+            )
+            SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+            FROM ranked
+        """,
         "zq_parse_uri": """
             SELECT doc_id,
                    'https://' || source || '.example.com:8443/docs/' ||

@@ -866,3 +866,34 @@ def test_bucketed_range_join_is_hash_join_not_bnlj(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_persisted_index_matches_inline(spark, tmp_path):
+    """The persisted IVF index returns exactly what inline ivf_topk
+    returns (same deterministic assignment), through a partition-pruned
+    read of only the probed cells."""
+    import random
+
+    from zinger_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [v for _, v in rows[:5]]
+    q = rows[42][1]
+
+    idx = str(tmp_path / "ivfidx")
+    build_ivf_index(emb, cents, idx)
+    got = [tuple(r) for r in ivf_index_topk(spark, idx, q, k=10, n_probe=2).collect()]
+    want = [tuple(r) for r in ivf_topk(emb, cents, q, k=10, n_probe=2).collect()]
+    assert got == want and len(got) == 10
+
+    plan = (
+        ivf_index_topk(spark, idx, q, k=10, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "ivf_cell" in plan.split("PartitionFilters:")[-1]

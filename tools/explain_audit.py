@@ -298,6 +298,11 @@ def main() -> int:
           "TakeOrderedAndProject" in p and "Window" not in p,
           "global weighted sample = top-n by integer priority, "
           "never a single-reducer window sort")
+    p = plan_of(qs["ann_ivf_index_topk"](spark, sf))
+    check("ann_ivf_index_topk",
+          "PartitionFilters: [" in p and "ivf_cell" in p.split("PartitionFilters:")[-1],
+          "persisted IVF probe prunes to the probed cells' partitions")
+
     p = plan_of(qs["range_join_bands"](spark, sf))
     check("range_join_bands",
           "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p,

@@ -18,7 +18,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import pandas as pd  # module-level: string type hints in pandas UDFs
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.vector import as_double, cosine, dot, norm, sign_bucket
 
@@ -611,3 +611,71 @@ def semantic_dedup(
         F.col("cluster_id").alias("rep_id"),
         (F.col("id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist an IVF index: assignments parquet PARTITIONED BY cell,
+    plus the centroid table.  This is the 100 TB ANN serving layout —
+    a probe reads only its n_probe cells' files (hive partition
+    pruning), i.e. ~n_probe/k of the corpus per query, and the index is
+    built once and amortized over every query instead of re-assigning
+    per query (ivf_topk's mode).  Same deterministic expression-path
+    assignment as ivf_assign, so index content is reproducible."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    (
+        assigned.select(id_col, vec_col, "ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(f"{path}/assignments")
+    )
+    cdf = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a persisted IVF index: rank centroids driver-side (the
+    centroid table is k rows), then scan ONLY the probed cells — the
+    `ivf_cell IN (...)` predicate is a hive partition filter, so
+    non-probed cells' files are never opened (plan-audited:
+    PartitionFilters on the assignments scan)."""
+    cents = sorted(
+        (r["cell"], r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    sims = [
+        (
+            i,
+            sum(float(a) * float(b) for a, b in zip(c, query_vec))
+            / (
+                (sum(float(a) ** 2 for a in c) ** 0.5)
+                * (sum(float(b) ** 2 for b in query_vec) ** 0.5)
+            ),
+        )
+        for i, c in cents
+    ]
+    probe = [i for i, _ in sorted(sims, key=lambda t: (-t[1], t[0]))[:n_probe]]
+    scan = spark.read.parquet(f"{path}/assignments").filter(
+        F.col("ivf_cell").isin(probe)
+    )
+    scored = scan.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 8).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
