@@ -398,3 +398,22 @@ def test_cli_pool_at_branch_spelling(spark, tmp_path, capsys):
     assert _pool_name("Raw") == "Raw"
     with _pytest.raises(SystemExit):
         _pool_name("Raw@dev")
+
+
+def test_query_explain_prints_physical_plan(spark, tmp_path, capsys):
+    import pyspark.sql.functions as F
+
+    from zinger_spark.cli import main as cli_main
+
+    df = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    df.write.parquet(str(tmp_path / "t.parquet"))
+    rc = cli_main(
+        ["query", "-z", "from t | where a >= 5 | cut a", "--lake", str(tmp_path), "--explain"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    # plan text, not rows: scan node present, filter pushed to parquet
+    assert "FileScan parquet" in out and "PushedFilters: [" in out
+    assert '"a"' not in out.splitlines()[0]  # no JSON rows emitted

@@ -124,6 +124,13 @@ def cmd_query(args) -> int:
     except (zedql.ZedSyntaxError, zedql.ZedCompileError) as e:
         print(f"query: {e}", file=sys.stderr)
         return 1
+    if getattr(args, "explain", False):
+        # the PHYSICAL plan Catalyst chose for this Zed program — the
+        # scan-pruning / join-strategy / codegen truth, same surface
+        # the repo's plan audit reads (`zed query -Z` has no analog;
+        # this is the Spark-native upgrade)
+        print(df._jdf.queryExecution().executedPlan().toString())
+        return 0
     n = 0
     if getattr(args, "zson", False):
         # compact-ZSON output (`zed query -z`): rendered JVM-side by
@@ -650,6 +657,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--at", help="time travel: read pools as of this commit id")
     q.add_argument("-Z", "--zson", action="store_true",
                    help="print compact ZSON instead of JSON (zed query -z output)")
+    q.add_argument("--explain", action="store_true",
+                   help="print the physical plan instead of running")
 
     ld = sub.add_parser("load", help="load files into a pool (zed load analog)")
     ld.add_argument("files", nargs="*")
