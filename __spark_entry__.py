@@ -2779,6 +2779,25 @@ def _q_ann_ivf_index(spark, sf):
     return out.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
+def _q_hdr_quantiles(spark, sf):
+    """Percentiles WITHOUT a sort: HDR-style log-linear histogram
+    (sketches.hdr_histogram, ~64*2^mb buckets, one partial-aggregated
+    groupBy) + exact-integer interpolation (hdr_quantiles).  Unlike the
+    exact `percentiles` key this sketch MERGES across slices/days by
+    adding counts, and its shuffle is bounded-rows like HLL — the shape
+    that answers p99 over 100 TB of latencies.  mb=4 bounds relative
+    error at ~6%; measured ~0.1-0.6% on this distribution."""
+    from zinger_spark.operators import sketches as zsk
+
+    cents = _t(spark, sf, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,4)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    hist = zsk.hdr_histogram(cents, "cents", mantissa_bits=4)
+    return zsk.hdr_quantiles(hist, [0.5, 0.9, 0.99, 0.999])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that are new or were rewritten since their last
@@ -2791,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # insurance in prior order.
     return {
         # -- round 7: sketches + fixed-point PageRank ----------------
+        "hdr_quantiles": _q_hdr_quantiles,
         "ann_ivf_index_topk": _q_ann_ivf_index,
         "zq_parse_uri": _q_zq_parse_uri,
         "zq_shape_funcs": _q_zq_shape_funcs,
@@ -3469,6 +3489,30 @@ def oracle_sql() -> dict[str, str]:
         }
     return media_oracles | {
         # -- round 7: sketches + fixed-point PageRank ------------------
+        "hdr_quantiles": """
+            WITH base AS (
+              SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+              FROM lineitem
+            ), b AS (
+              SELECT CASE WHEN v = 0 THEN 0
+                     ELSE v - v % (CAST(1 AS BIGINT) << greatest(length(bin(v)) - 1 - 4, 0)) END AS bucket_lo,
+                     CASE WHEN v = 0 THEN 1
+                     ELSE v - v % (CAST(1 AS BIGINT) << greatest(length(bin(v)) - 1 - 4, 0))
+                          + (CAST(1 AS BIGINT) << greatest(length(bin(v)) - 1 - 4, 0)) END AS bucket_hi
+              FROM base
+            ),
+            hist AS (SELECT bucket_lo, bucket_hi, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM b GROUP BY 1, 2),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n FROM hist),
+            cum AS (SELECT *, CAST(COALESCE(SUM(n) OVER (ORDER BY bucket_lo
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+                    FROM hist),
+            qs(q) AS (SELECT CAST(unnest([0.5, 0.9, 0.99, 0.999]) AS DOUBLE)),
+            ranked AS (SELECT q, CAST(ceil(q * total_n) AS BIGINT) AS rank
+                       FROM qs CROSS JOIN tot)
+            SELECT q, bucket_lo + ((rank - cum_before - 1) * (bucket_hi - bucket_lo)) // n AS estimate
+            FROM ranked JOIN cum ON rank > cum_before AND rank <= cum_before + n
+        """,
         "ann_ivf_index_topk": f"""
             WITH cents AS (
               SELECT vec_id AS cell, embedding::DOUBLE[] AS c

@@ -204,3 +204,46 @@ def test_pagerank_mass_conservation_bound(spark):
     )
     n, scale = 3, 1_000_000_000
     assert n * scale * 0.9 <= total <= int(n * scale / 0.15)
+
+
+# -- HDR log-linear histogram -------------------------------------------------
+
+
+def test_hdr_histogram_buckets_cover_values(spark):
+    df = spark.range(1, 5001).select(F.col("id").alias("v"))
+    hist = sk.hdr_histogram(df, "v", mantissa_bits=4)
+    rows = hist.collect()
+    assert sum(r["n"] for r in rows) == 5000
+    # every bucket is [lo, hi) with width 2^(e-4), and lo aligned to it
+    for r in rows:
+        wdt = r["bucket_hi"] - r["bucket_lo"]
+        assert wdt >= 1 and r["bucket_lo"] % wdt == 0
+
+
+def test_hdr_quantiles_relative_error_bound(spark):
+    # skewed data: exponential-ish via id^2
+    df = spark.range(1, 20001).select((F.col("id") * F.col("id")).alias("v"))
+    hist = sk.hdr_histogram(df, "v", mantissa_bits=4)
+    got = {r["q"]: r["estimate"] for r in sk.hdr_quantiles(hist, [0.5, 0.99]).collect()}
+    exact = df.approxQuantile("v", [0.5, 0.99], 0.0)
+    for q, ex in zip((0.5, 0.99), exact):
+        assert abs(got[q] - ex) <= ex * 2 ** -4 + 1  # mb=4 error bound
+
+
+def test_hdr_merge_matches_whole(spark):
+    df = spark.range(1, 3001).select((F.col("id") * 37 % 10000 + 1).alias("v"))
+    a = df.filter(F.col("v") % 2 == 0)
+    b = df.filter(F.col("v") % 2 == 1)
+    merged = sk.hdr_merge(
+        sk.hdr_histogram(a, "v"), sk.hdr_histogram(b, "v")
+    )
+    whole = sk.hdr_histogram(df, "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_hdr_zero_and_small_values_exact(spark):
+    df = spark.createDataFrame([(0,), (1,), (2,), (15,), (16,)], "v long")
+    rows = {(r["bucket_lo"], r["bucket_hi"]): r["n"] for r in sk.hdr_histogram(df, "v").collect()}
+    # values < 2^mb get width-1 buckets (exact); 0 takes [0,1)
+    assert rows[(0, 1)] == 1 and rows[(1, 2)] == 1 and rows[(2, 3)] == 1
+    assert rows[(15, 16)] == 1 and rows[(16, 17)] == 1

@@ -390,3 +390,88 @@ def estimate_from_register_dict(regs: dict[int, int], p: int = 12) -> int:
     if raw <= 2.5 * m and zeros > 0:
         return round(float(m) * math.log(float(m) / float(zeros)))
     return round(raw)
+
+
+# --------------------------------------------------------------------------
+# HDR-style log-linear histogram (mergeable quantiles)
+
+
+def hdr_histogram(df: DataFrame, col: str, mantissa_bits: int = 4) -> DataFrame:
+    """Log-linear histogram over a non-negative integer column — the
+    HdrHistogram layout: bucket width 2^(exponent - mantissa_bits), so
+    relative error is bounded by 2^-mantissa_bits (~6% at 4 bits, ~0.4%
+    at 8) while the whole sketch stays <= ~64 * 2^mb rows.
+
+    The percentile-without-a-sort primitive: ONE partial-aggregated
+    groupBy (same bounded-shuffle shape as HLL), and histograms from
+    different slices/days MERGE by adding counts — which no exact-
+    quantile plan can do.  All-integer bucketing (exponent from
+    length(bin(v)), lo = v - v % width — no float log2/pow edges), so a
+    DuckDB oracle reproduces the sketch bit-for-bit.
+
+    Returns (bucket_lo, bucket_hi, n): v landed in [bucket_lo,
+    bucket_hi); zeros take [0, 1).  Negative inputs are the caller's
+    contract to exclude (they'd raise in bin()).
+    """
+    mb = mantissa_bits
+    base = df.select(F.col(col).cast("long").alias("__v"))
+    bits = F.length(F.bin(F.col("__v")))  # floor(log2 v) + 1 for v > 0
+    width = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"greatest(CAST(length(bin(__v)) AS INT) - 1 - {mb}, 0))"
+    )
+    lo = F.col("__v") - F.col("__v") % width
+    return (
+        base.select(
+            F.when(F.col("__v") == 0, F.lit(0).cast("long"))
+            .otherwise(lo)
+            .alias("bucket_lo"),
+            F.when(F.col("__v") == 0, F.lit(1).cast("long"))
+            .otherwise(lo + width)
+            .alias("bucket_hi"),
+        )
+        .groupBy("bucket_lo", "bucket_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hdr_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two histograms: counts add per bucket (lossless — same
+    cross-slice rollup property as hll_merge)."""
+    return (
+        a.unionByName(b)
+        .groupBy("bucket_lo", "bucket_hi")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def hdr_quantiles(hist: DataFrame, qs: list[float]) -> DataFrame:
+    """Quantile estimates from a histogram: cumulative-count walk over
+    the (bounded) bucket table + exact-integer interpolation inside the
+    landing bucket.
+
+    rank(q) = ceil(q * N) (1-based); within the bucket holding that
+    rank, estimate = lo + ((rank - cum_before - 1) * (hi - lo)) div n.
+    Integer div end to end, so the result is engine-exact.  The window
+    runs over BUCKET rows (<= ~64 * 2^mb), never data rows; N is a
+    1-row broadcast.  Returns (q, estimate) per requested quantile.
+    """
+    spark = hist.sparkSession
+    # NB: Spark resolution is case-insensitive by default, so the
+    # total's column must not be spelled `N` next to the buckets' `n`
+    total = hist.groupBy().agg(F.sum("n").alias("total_n"))
+    w = Window.orderBy("bucket_lo").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn("cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q DOUBLE")
+    ranked = qdf.crossJoin(F.broadcast(total)).withColumn(
+        "rank", F.ceil(F.col("q") * F.col("total_n")).cast("long")
+    )
+    hit = ranked.join(
+        cum,
+        (F.col("rank") > F.col("cum_before"))
+        & (F.col("rank") <= F.col("cum_before") + F.col("n")),
+    )
+    est = F.col("bucket_lo") + F.expr(
+        "(rank - cum_before - 1) * (bucket_hi - bucket_lo) div n"
+    )
+    return hit.select("q", est.alias("estimate"))
