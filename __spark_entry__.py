@@ -2798,6 +2798,25 @@ def _q_hdr_quantiles(spark, sf):
     return zsk.hdr_quantiles(hist, [0.5, 0.9, 0.99, 0.999])
 
 
+def _q_source_overlap_sketch(spark, sf):
+    """Cross-source vocabulary overlap in SKETCH SPACE (KMV Jaccard,
+    Beyer et al. 2007): per-source signatures = 256 smallest distinct
+    token hashes (one pass, fixed-size per source), pairwise overlap =
+    array ops over the signatures — #sources² sketch-sized work instead
+    of the token-keyed self-join the exact source_vocab_overlap key
+    pays.  common/denom are exact ints; the ratio is one division, so
+    the estimate is engine-exact."""
+    from zinger_spark.operators import sketches as zsk
+
+    toks = (
+        _t(spark, sf, "documents")
+        .select("source", F.explode(ztext.tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    sigs = zsk.kmv_group_signatures(toks, "source", "t", k=256)
+    return zsk.kmv_pairwise_jaccard(sigs, "source", k=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that are new or were rewritten since their last
@@ -2810,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # insurance in prior order.
     return {
         # -- round 7: sketches + fixed-point PageRank ----------------
+        "source_overlap_sketch": _q_source_overlap_sketch,
         "hdr_quantiles": _q_hdr_quantiles,
         "ann_ivf_index_topk": _q_ann_ivf_index,
         "zq_parse_uri": _q_zq_parse_uri,
@@ -3489,6 +3509,53 @@ def oracle_sql() -> dict[str, str]:
         }
     return media_oracles | {
         # -- round 7: sketches + fixed-point PageRank ------------------
+        "source_overlap_sketch": f"""
+            WITH tok AS (
+              SELECT source, unnest({_sql_tokens("text")}) AS t FROM documents
+            ),
+            h AS (
+              SELECT DISTINCT source AS g, {_sql_md5h("t")} AS h
+              FROM tok WHERE t != ''
+            ),
+            sig AS (
+              SELECT g, h FROM (
+                SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+                FROM h
+              ) WHERE rk <= 256
+            ),
+            pairs AS (
+              SELECT DISTINCT a.g AS ga, b.g AS gb
+              FROM (SELECT DISTINCT g FROM sig) a,
+                   (SELECT DISTINCT g FROM sig) b
+              WHERE a.g < b.g
+            ),
+            uni AS (
+              SELECT DISTINCT p.ga, p.gb, s.h
+              FROM pairs p JOIN sig s ON s.g = p.ga OR s.g = p.gb
+            ),
+            ukmin AS (
+              SELECT ga, gb, h FROM (
+                SELECT ga, gb, h,
+                       row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+                FROM uni
+              ) WHERE rk <= 256
+            ),
+            com AS (
+              SELECT u.ga, u.gb, CAST(COUNT(*) AS BIGINT) AS common
+              FROM ukmin u
+              JOIN sig x ON x.g = u.ga AND x.h = u.h
+              JOIN sig y ON y.g = u.gb AND y.h = u.h
+              GROUP BY u.ga, u.gb
+            ),
+            den AS (
+              SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS denom
+              FROM ukmin GROUP BY ga, gb
+            )
+            SELECT d.ga AS a, d.gb AS b,
+                   COALESCE(c.common, 0) AS common, d.denom,
+                   round(CAST(COALESCE(c.common, 0) AS DOUBLE) / d.denom, 6) AS jaccard_est
+            FROM den d LEFT JOIN com c ON d.ga = c.ga AND d.gb = c.gb
+        """,
         "hdr_quantiles": """
             WITH base AS (
               SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS v

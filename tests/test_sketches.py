@@ -247,3 +247,38 @@ def test_hdr_zero_and_small_values_exact(spark):
     # values < 2^mb get width-1 buckets (exact); 0 takes [0,1)
     assert rows[(0, 1)] == 1 and rows[(1, 2)] == 1 and rows[(2, 3)] == 1
     assert rows[(15, 16)] == 1 and rows[(16, 17)] == 1
+
+
+# -- KMV set intersection -----------------------------------------------------
+
+
+def test_kmv_jaccard_tracks_exact(spark):
+    """Two groups with engineered overlap: A = 0..999, B = 500..1499
+    (exact Jaccard = 500/1500 = 1/3).  The KMV estimate at k=256 must
+    land within ~4 sigma (sigma ~ 1/sqrt(k))."""
+    rows = [("A", str(i)) for i in range(1000)] + [
+        ("B", str(i)) for i in range(500, 1500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    sigs = sk.kmv_group_signatures(df, "g", "v", k=256)
+    est = sk.kmv_pairwise_jaccard(sigs, "g", k=256).collect()[0]
+    assert est["a"] == "A" and est["b"] == "B"
+    assert abs(est["jaccard_est"] - 1 / 3) < 4 / (256 ** 0.5)
+    assert est["denom"] == 256  # enough distincts to fill the union sketch
+
+
+def test_kmv_jaccard_disjoint_and_identical(spark):
+    rows = (
+        [("A", str(i)) for i in range(300)]
+        + [("B", str(i)) for i in range(300)]        # identical to A
+        + [("C", str(i)) for i in range(1000, 1300)]  # disjoint from A
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    sigs = sk.kmv_group_signatures(df, "g", "v", k=128)
+    got = {
+        (r["a"], r["b"]): r["jaccard_est"]
+        for r in sk.kmv_pairwise_jaccard(sigs, "g", k=128).collect()
+    }
+    assert got[("A", "B")] == 1.0
+    assert got[("A", "C")] == 0.0
+    assert got[("B", "C")] == 0.0

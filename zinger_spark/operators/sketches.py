@@ -475,3 +475,59 @@ def hdr_quantiles(hist: DataFrame, qs: list[float]) -> DataFrame:
         "(rank - cum_before - 1) * (bucket_hi - bucket_lo) div n"
     )
     return hit.select("q", est.alias("estimate"))
+
+
+# --------------------------------------------------------------------------
+# KMV set-intersection (sketch-space Jaccard between groups)
+
+
+def kmv_group_signatures(
+    df: DataFrame, group_col: str, col: str, k: int = 256
+) -> DataFrame:
+    """Per-group KMV signature: the k smallest distinct hashes of
+    ``col``, as a sorted array — (group, sig).  Build is a distinct +
+    per-group top-k (window over the group, state bounded by k), and
+    the signature is a fixed <= k-long array per group however large
+    the group's value set is."""
+    h = md5_hash60(F.col(col).cast("string"))
+    hashes = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        hashes.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list("h")).alias("sig"))
+        .select(F.col("g").alias(group_col), "sig")
+    )
+
+
+def kmv_pairwise_jaccard(sigs: DataFrame, group_col: str, k: int = 256) -> DataFrame:
+    """Jaccard estimate between every group pair from KMV signatures
+    alone (Beyer et al. 2007): for sets A, B with signatures SA, SB,
+    take the k smallest of SA ∪ SB; the fraction of those present in
+    BOTH signatures estimates |A∩B|/|A∪B|.
+
+    All sketch-space: array ops over <= k-long arrays in a pairwise
+    join of GROUPS (tiny — #groups², not data²).  `common` and `denom`
+    are exact integers; the ratio is one double division, so the
+    estimate is engine-exact.  This is the 100 TB form of the exact
+    source_vocab_overlap matrix: signatures build in one pass, overlap
+    costs sketch-sized work per pair.
+    """
+    a = sigs.select(F.col(group_col).alias("ga"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col(group_col).alias("gb"), F.col("sig").alias("sb"))
+    pairs = a.join(b, F.col("ga") < F.col("gb"))
+    union_kmin = F.slice(
+        F.array_sort(F.array_union(F.col("sa"), F.col("sb"))), 1, k
+    )
+    common = F.size(
+        F.array_intersect(F.array_intersect(union_kmin, F.col("sa")), F.col("sb"))
+    )
+    denom = F.size(union_kmin)
+    return pairs.select(
+        F.col("ga").alias("a"),
+        F.col("gb").alias("b"),
+        common.cast("long").alias("common"),
+        denom.cast("long").alias("denom"),
+        F.round(common.cast("double") / denom, 6).alias("jaccard_est"),
+    )
