@@ -84,6 +84,9 @@ HEADLINE = [
     "bloom_contamination",
     "weighted_sample",
     "pagerank_trade_graph",
+    "hdr_quantiles",
+    "range_join_bands",
+    "source_overlap_sketch",
 ]
 
 
