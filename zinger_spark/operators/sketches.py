@@ -415,7 +415,7 @@ def hdr_histogram(df: DataFrame, col: str, mantissa_bits: int = 4) -> DataFrame:
     """
     mb = mantissa_bits
     base = df.select(F.col(col).cast("long").alias("__v"))
-    bits = F.length(F.bin(F.col("__v")))  # floor(log2 v) + 1 for v > 0
+    # exponent = length(bin(v)) = floor(log2 v) + 1 for v > 0
     width = F.expr(
         f"shiftleft(CAST(1 AS BIGINT), "
         f"greatest(CAST(length(bin(__v)) AS INT) - 1 - {mb}, 0))"
