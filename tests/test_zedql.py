@@ -1018,3 +1018,19 @@ def test_parse_uri(spark):
     rel = rows["/relative/path?q=3"]
     assert rel["scheme"] is None and rel["path"] == "/relative/path"
     assert rel["query"] == "q=3"
+
+
+def test_shape_operator_form(spark):
+    """`| shape <t>` is Zed's operator spelling: shape(this, <t>) with
+    the shaped record flattened back to top-level columns."""
+    df = spark.createDataFrame([(1, "x", 2.5)], "b bigint, a string, extra double")
+    prog = "type t = {a: string, b: float64, c: int64}\nshape <t>"
+    out = zed_transform(prog)(df)
+    assert [f for f, _ in out.dtypes] == ["a", "b", "c", "extra"]
+    assert out.collect()[0].asDict() == {"a": "x", "b": 1.0, "c": None, "extra": 2.5}
+    # crop form drops the extra
+    out2 = zed_transform("type t = {a: string, b: int64}\ncrop <t>")(df)
+    assert [f for f, _ in out2.dtypes] == ["b", "a"]
+    # a bare field NAMED shape still parses as an expression
+    df2 = spark.createDataFrame([(3,)], "shape bigint")
+    assert zed_transform("where shape >= 3")(df2).count() == 1

@@ -572,6 +572,16 @@ class _Parser:
                 return handler(stop)
             if tok in ("anti", "inner", "left") and self.peek(1) == ("ident", "join"):
                 return self._op_join(stop)
+            # shaping operator forms: `shape <t>` == `yield shape(this, <t>)`
+            # (dispatched ONLY on a following type literal, so bare fields
+            # named shape/fill/crop/order stay usable in expressions)
+            if tok in ("shape", "fill", "crop", "order") and self.peek(1) == (
+                "punct",
+                "<",
+            ):
+                self.take()
+                t = self._type_literal()
+                return ast.OpYield([ast.Call(tok, [ast.Path([]), t])])
             if tok in self.AGG_FUNCS and self.peek(1)[1] == "(":
                 return self._summarize(stop)
             # named aggregate head: `hot:=count() where ... , n:=count()`
