@@ -417,3 +417,22 @@ def test_query_explain_prints_physical_plan(spark, tmp_path, capsys):
     # plan text, not rows: scan node present, filter pushed to parquet
     assert "FileScan parquet" in out and "PushedFilters: [" in out
     assert '"a"' not in out.splitlines()[0]  # no JSON rows emitted
+
+
+def test_info_files_zone_map(spark, tmp_path, capsys):
+    import json as _json
+
+    from zinger_spark.cli import main as cli_main
+    from zinger_spark.sources.pool import Pool
+    from tests.test_pool import _schema, env_rows
+
+    pool = Pool.create(spark, str(tmp_path / "zp"))
+    pool.load_batch(spark.createDataFrame(env_rows("T", [0, 1, 2]), _schema()))
+    pool.load_batch(spark.createDataFrame(env_rows("T", [3, 4]), _schema()))
+    rc = cli_main(["info", "--pool", "zp", "--lake", str(tmp_path), "--files"])
+    assert rc == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
+    ranges = sorted((l["offset_min"], l["offset_max"]) for l in lines)
+    assert ranges == [(0, 2), (3, 4)]
+    assert all(l["files"] >= 1 and l["bytes"] > 0 for l in lines)

@@ -269,11 +269,44 @@ def cmd_info(args) -> int:
         print(json.dumps({"topic": args.topic, "low": low, "high": high}))
         return 0
     if args.pool:
+        import os
+
         from pyspark.sql import functions as F
 
         from .sources.pool import Pool
 
         pool = Pool(_spark(args), f"{args.lake}/{args.pool}")
+        if getattr(args, "files", False):
+            # storage-layout observability: per-commit file count/bytes
+            # plus parquet footer min/max of the offset zone map - what
+            # compact --sort-by clustering is FOR (file skipping), made
+            # visible without reading data
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            for commit in pool._commit_dirs():
+                files = sorted(
+                    _glob.glob(f"{commit}/*.parquet")
+                    + _glob.glob(f"{commit}/*/*.parquet")
+                )
+                total = sum(os.path.getsize(f) for f in files)
+                lo = hi = None
+                for f in files:
+                    md = _pq.read_metadata(f)
+                    for rg in range(md.num_row_groups):
+                        g = md.row_group(rg)
+                        for ci in range(g.num_columns):
+                            c = g.column(ci)
+                            if c.path_in_schema == "kafka.offset" and c.statistics:
+                                s = c.statistics
+                                lo = s.min if lo is None else min(lo, s.min)
+                                hi = s.max if hi is None else max(hi, s.max)
+                print(json.dumps({
+                    "commit": os.path.basename(commit), "files": len(files),
+                    "bytes": total, "offset_min": lo, "offset_max": hi,
+                }))
+            return 0
         if pool.is_empty():
             print("{}")
             return 0
@@ -695,6 +728,10 @@ def main(argv: list[str] | None = None) -> int:
     info.add_argument("--lake", default=".")
     info.add_argument("--brokers")
     info.add_argument("--topic", help="topic to probe in --brokers mode")
+    info.add_argument("--files", action="store_true",
+                      help="with --pool: per-commit file count, bytes, and "
+                           "offset zone-map range from parquet footers "
+                           "(no data read)")
 
     ls = sub.add_parser("ls", help="list schema-registry subjects")
     ls.add_argument("--registry")
