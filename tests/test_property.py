@@ -411,3 +411,42 @@ def test_hll_driver_fold_matches_dataframe_fold(spark, regs):
     )
     frame = _estimate_from_registers(df, 10, []).collect()[0]["estimate"]
     assert driver == frame
+
+
+@given(
+    bands=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=1, max_value=200),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    width=st.integers(min_value=1, max_value=300),
+)
+@settings(max_examples=25, deadline=None)
+def test_bucketed_range_join_fuzz_matches_theta(spark, bands, width):
+    """Random (possibly overlapping) bands and bucket widths: the
+    bucketized plan must return exactly the naive theta join's rows —
+    over-coverage is filtered, under-coverage would show up here."""
+    from pyspark.sql import functions as F
+
+    from zinger_spark.operators.relational import bucketed_range_join
+
+    band_rows = [
+        (float(lo), float(lo + w), f"T{i}") for i, (lo, w) in enumerate(bands)
+    ]
+    bdf = spark.createDataFrame(band_rows, "lo double, hi double, tier string")
+    facts = spark.range(80).select(
+        F.col("id").alias("fid"), (F.col("id") * 9.37 % 700).alias("v")
+    )
+    got = sorted(
+        map(tuple, bucketed_range_join(facts, bdf, "v", "lo", "hi", width)
+            .select("fid", "tier").collect())
+    )
+    want = sorted(
+        map(tuple, facts.join(
+            bdf, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+        ).select("fid", "tier").collect())
+    )
+    assert got == want
