@@ -31,6 +31,13 @@ when exact answers would shuffle the full key set.
                                   integer priorities (Efraimidis-
                                   Spirakis shape, fixed-point so results
                                   are engine-exact and seed-stable)
+  hdr_histogram / hdr_quantiles   mergeable log-linear quantile sketch
+                                  (HdrHistogram layout): p99 without a
+                                  sort, slices merge by adding counts
+  kmv_group_signatures / kmv_pairwise_jaccard
+                                  set-intersection sketch: per-group
+                                  k-min signatures, pairwise Jaccard in
+                                  sketch space (#groups^2, not data^2)
 
 Every sketch here is *deterministic*: hashes are the repo's md5-based
 60-bit ``md5_hash60`` (functions/text.py), and all register / counter /
