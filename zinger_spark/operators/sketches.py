@@ -315,13 +315,16 @@ def weighted_priority_sample(
     """Weight-proportional sample of n rows (per group, if ``by``):
     priority sampling with integer fixed-point priorities.
 
-    Efraimidis-Spirakis draws u~U(0,1) per row and keeps the n largest
-    u^(1/w) — equivalently the n SMALLEST (-ln u)/w, and monotone-
-    equivalently the n smallest h/w for a uniform integer hash h.  We
-    compute priority = (h30 << 30) div weight entirely in int64
-    (h30 = low 30 bits of the row hash; max value 2^60 < 2^63), so the
-    ordering is exact and identical in any engine — no float pow/ln
-    whose last ulp could flip a near-tie.
+    This is sequential Poisson sampling (Ohlsson 1998): keep the n
+    smallest u/w for uniform u — the uniform-key sibling of
+    Efraimidis-Spirakis (which uses exponential keys (-ln u)/w; the
+    two orderings agree in distribution family but not pointwise, and
+    both are approximately probability-proportional-to-size).  We pick
+    the uniform-key form BECAUSE it stays integer: priority =
+    (h30 << 30) div weight entirely in int64 (h30 = low 30 bits of the
+    row hash; max value 2^60 < 2^63), so the ordering is exact and
+    identical in any engine — no float pow/ln whose last ulp could
+    flip a near-tie.
 
     The row hash is seeded from the first non-weight column, which must
     be a unique row key — callers should project (id, ..., weight).
