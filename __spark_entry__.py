@@ -2817,6 +2817,63 @@ def _q_source_overlap_sketch(spark, sf):
     return zsk.kmv_pairwise_jaccard(sigs, "source", k=256)
 
 
+def _q_kmeans_centroids(spark, sf):
+    """Distributed Lloyd's k-means in fixed-point integer arithmetic
+    (similarity.kmeans_fixed_point, k=8, 2 iterations) — the offline
+    step that produces REAL IVF centroids, deterministic across engines
+    and partitionings (float k-means converges to partition-order-
+    dependent centroids; a lake index must be reproducible).  Long-
+    format points, broadcast centroid joins, keyed partial-agg shuffles
+    per round; oracle = unrolled CTE chain, integer div parity verified
+    (both engines truncate toward zero)."""
+    from zinger_spark.operators.similarity import kmeans_fixed_point
+
+    emb = _t(spark, sf, "embeddings")
+    return kmeans_fixed_point(emb, k=8, iterations=2)
+
+
+def _sql_kmeans(iterations: int = 2, k: int = 8, quant: int = 1000, cscale: int = 1024, dims: int = 64) -> str:
+    """Unrolled fixed-point k-means mirroring kmeans_fixed_point."""
+    ctes = [f"""
+    pts AS (
+      SELECT vec_id AS id, CAST(r AS INT) AS d,
+             CAST(floor(embedding[CAST(r AS INT) + 1] * {quant}) AS BIGINT) AS x
+      FROM embeddings, (SELECT unnest(range({dims})) AS r)
+    ),
+    seed AS (
+      SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster
+      FROM (SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),
+    c0 AS (
+      SELECT s.cluster, p.d, p.x * {cscale} AS c
+      FROM pts p JOIN seed s USING (id)
+    )"""]
+    for i in range(iterations):
+        ctes.append(f"""
+    d{i + 1} AS (
+      SELECT p.id, c.cluster,
+             SUM((p.x * {cscale} - c.c) * (p.x * {cscale} - c.c)) AS dist
+      FROM pts p JOIN c{i} c USING (d)
+      GROUP BY p.id, c.cluster
+    ),
+    a{i + 1} AS (
+      SELECT id, cluster FROM (
+        SELECT id, cluster,
+               row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+        FROM d{i + 1}
+      ) WHERE rn = 1
+    ),
+    c{i + 1} AS (
+      SELECT a.cluster, p.d, CAST(SUM(p.x) * {cscale} // COUNT(*) AS BIGINT) AS c
+      FROM pts p JOIN a{i + 1} a USING (id)
+      GROUP BY a.cluster, p.d
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\n    SELECT cluster, d, c FROM c{iterations}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that are new or were rewritten since their last
@@ -2829,6 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # insurance in prior order.
     return {
         # -- round 7: sketches + fixed-point PageRank ----------------
+        "kmeans_centroids": _q_kmeans_centroids,
         "source_overlap_sketch": _q_source_overlap_sketch,
         "hdr_quantiles": _q_hdr_quantiles,
         "ann_ivf_index_topk": _q_ann_ivf_index,
@@ -3509,6 +3567,7 @@ def oracle_sql() -> dict[str, str]:
         }
     return media_oracles | {
         # -- round 7: sketches + fixed-point PageRank ------------------
+        "kmeans_centroids": _sql_kmeans(2),
         "source_overlap_sketch": f"""
             WITH tok AS (
               SELECT source, unnest({_sql_tokens("text")}) AS t FROM documents

@@ -897,3 +897,35 @@ def test_ivf_persisted_index_matches_inline(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [" in plan and "ivf_cell" in plan.split("PartitionFilters:")[-1]
+
+
+def test_kmeans_fixed_point_deterministic_and_improving(spark):
+    import random
+
+    from zinger_spark.operators.similarity import kmeans_fixed_point
+
+    rng = random.Random(11)
+    # three well-separated blobs in 8 dims
+    rows = []
+    for i in range(150):
+        center = [(-0.8, 0.8, 0.0)[i % 3]] * 8
+        rows.append(
+            (i, [c + rng.uniform(-0.1, 0.1) for c in center])
+        )
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    a = sorted(map(tuple, kmeans_fixed_point(emb, k=3, iterations=3).collect()))
+    b = sorted(
+        map(tuple, kmeans_fixed_point(emb.repartition(7), k=3, iterations=3).collect())
+    )
+    assert a == b and len(a) == 3 * 8  # engine/partitioning determinism
+
+    # after convergence on separated blobs, the three centroids sit
+    # near -0.8/0/0.8 (fixed-point scale quant*cscale = 1000*1024)
+    per_cluster = {}
+    for cluster, d, c in a:
+        per_cluster.setdefault(cluster, []).append(c / (1000 * 1024))
+    means = sorted(sum(v) / len(v) for v in per_cluster.values())
+    assert abs(means[0] + 0.8) < 0.1
+    assert abs(means[1]) < 0.1
+    assert abs(means[2] - 0.8) < 0.1

@@ -679,3 +679,85 @@ def ivf_index_topk(
         F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 8).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def kmeans_fixed_point(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+    cscale: int = 1024,
+) -> DataFrame:
+    """Distributed Lloyd's k-means with FIXED-POINT integer arithmetic —
+    deterministic across engines and partitionings, the offline
+    counterpart that produces real IVF centroids (ivf_assign's docstring
+    "offline k-means" made concrete).
+
+    Determinism design (same philosophy as pagerank_fixed_point):
+      * vectors quantize once via floor(x * quant) — one double multiply
+        + floor, bit-identical in any engine reading the same parquet;
+      * centroids live at fixed-point scale ``cscale``:
+        c = (sum(x) * cscale) div count — integer div, no float means;
+      * distances are exact ints: sum((x*cscale - c)^2) per dim (for
+        |x| <= quant and 64 dims this peaks ~2^48, far inside int64);
+      * argmin ties break on the smaller cluster id via struct-min.
+    Float k-means converges to partition-order-dependent centroids —
+    fine for quality, useless for the reproducible-pipeline contract a
+    lake needs (same input -> same index, diffable across runs).
+
+    Physical shape per iteration: points live in LONG format (id, d, x)
+    — assignment is a d-keyed join against the k*d centroid table
+    (broadcast), one partial-aggregated groupBy (id, cluster), one
+    argmin groupBy(id), then the update is one groupBy (cluster, d).
+    All shuffles keyed and combiner-friendly; lineage cut per round.
+    Init: the k smallest ids' vectors.  Empty clusters drop out
+    (deterministically) rather than being reseeded.
+
+    Returns the final centroid table (cluster, d, c) at scale
+    ``cscale`` — feed ``c / (quant * cscale)`` to ivf_assign for
+    float centroids.
+    """
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                as_double(F.col(vec_col)),
+                lambda x: F.floor(x * quant).cast("long"),
+            )
+        ).alias("d", "x"),
+    ).localCheckpoint(eager=True)
+    # init: the k smallest ids' vectors.  The id list is a BOUNDED
+    # k-row collect (TakeOrderedAndProject), enumerated driver-side —
+    # no unpartitioned window.
+    seed_ids = [
+        r["id"] for r in df.select(F.col(id_col).alias("id")).orderBy("id").limit(k).collect()
+    ]
+    seed = df.sparkSession.createDataFrame(
+        [(i, c) for c, i in enumerate(seed_ids)], "id LONG, cluster INT"
+    )
+    cents = (
+        pts.join(F.broadcast(seed), "id")
+        .select("cluster", "d", (F.col("x") * cscale).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        diff = F.col("x") * cscale - F.col("c")
+        per_cluster = (
+            pts.join(F.broadcast(cents), "d")
+            .groupBy("id", "cluster")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        assign = per_cluster.groupBy("id").agg(
+            F.min(F.struct("dist", "cluster")).getField("cluster").alias("cluster")
+        )
+        cents = (
+            pts.join(assign, "id")
+            .groupBy("cluster", "d")
+            .agg(
+                F.expr(f"sum(x) * {cscale} div count(1)").alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
