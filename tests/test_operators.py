@@ -852,6 +852,26 @@ def test_bucketed_range_join_left_keeps_unmatched(spark):
     assert by == {1: "T0", 2: None}
 
 
+def test_bucketed_range_join_left_null_fact_column(spark):
+    """A MATCHED fact row carrying a NULL column must appear exactly
+    once: the unmatched-rows anti join is null-safe, so NULL != NULL
+    cannot resurrect the row a second time null-padded."""
+    from pyspark.sql import Row
+
+    from zinger_spark.operators.relational import bucketed_range_join
+
+    facts = spark.createDataFrame(
+        [Row(fid=1, note=None, v=500.0), Row(fid=2, note=None, v=1e9)],
+        "fid int, note string, v double",
+    )
+    out = bucketed_range_join(
+        facts, _bands(spark), "v", "lo", "hi", bucket_width=1000, how="left"
+    ).collect()
+    assert len(out) == 2
+    by = {r["fid"]: r["tier"] for r in out}
+    assert by == {1: "T0", 2: None}
+
+
 def test_bucketed_range_join_is_hash_join_not_bnlj(spark):
     from zinger_spark.operators.relational import bucketed_range_join
 

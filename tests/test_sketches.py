@@ -282,3 +282,73 @@ def test_kmv_jaccard_disjoint_and_identical(spark):
     assert got[("A", "B")] == 1.0
     assert got[("A", "C")] == 0.0
     assert got[("B", "C")] == 0.0
+
+
+# --------------------------------------------------------------------------
+# Regression tests for the round-7 review findings
+
+
+def test_countmin_unseen_item_estimates_zero(spark):
+    """An item never ingested must report cm_estimate=0: the CM min
+    runs over all d cells INCLUDING empty grid cells (left join), not
+    just the cells other items happened to populate."""
+    base = spark.range(50).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    sketch = sk.countmin_sketch(base, "k", d=4, w=1024)
+    probes = spark.createDataFrame([("never-seen-item",)], "k string")
+    rows = sk.countmin_estimates(sketch, probes, "k", d=4, w=1024).collect()
+    # w=1024 vs 50 keys: all 4 probe cells are almost surely empty ->
+    # the item must still appear, with estimate 0 (not vanish)
+    assert len(rows) == 1
+    assert rows[0]["cm_estimate"] == 0
+
+
+def test_bloom_flag_contaminated_duplicate_rows(spark):
+    """A duplicated (doc_id, ngram) row must still be flagged: the
+    ALL-k-positions test counts DISTINCT probe indices, so doubled
+    input rows cannot push the count past k and slip through."""
+    probe = spark.createDataFrame([("dup-gram",)], "s string")
+    bits = sk.bloom_bits(probe, "s", m_bits=1 << 14, k=3)
+    docs = spark.createDataFrame(
+        [(1, "dup-gram"), (1, "dup-gram")], "doc_id int, s string"
+    )
+    flagged = sk.bloom_flag_contaminated(docs, "s", bits, m_bits=1 << 14, k=3)
+    assert flagged.collect() == [Row(doc_id=1, s="dup-gram")]
+
+
+def test_weighted_sample_fractional_weights(spark):
+    """double weights in (0, 1) must stay proportional — a bare
+    cast('long') would truncate every weight to 0 (clamped to 1) and
+    degenerate the sample to uniform.  With 2^20 fixed-point scaling
+    the fractional sample must equal the integer sample on
+    pre-scaled weights (identical priorities)."""
+    frac = spark.range(400).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.when(F.col("id") % 4 == 0, 0.9).otherwise(0.001)).alias("w"),
+    )
+    scaled = frac.withColumn("w", F.round(F.col("w") * (1 << 20)).cast("long"))
+    got = {r["doc_id"] for r in sk.weighted_priority_sample(frac, "w", 40).collect()}
+    want = {r["doc_id"] for r in sk.weighted_priority_sample(scaled, "w", 40).collect()}
+    assert got == want
+    # 0.9-weight rows are 900x likelier: the sample must be dominated
+    # by them, which truncation-to-uniform would break
+    heavy = sum(1 for d in got if int(d[1:]) % 4 == 0)
+    assert heavy >= 35
+
+
+def test_hll_estimate_empty_input_is_zero(spark):
+    """Empty input -> estimate 0, matching estimate_from_register_dict({})
+    (the documented driver/DataFrame agreement), not NULL."""
+    empty = spark.range(0).select(F.col("id").cast("string").alias("k"))
+    row = sk.hll_estimate(empty, "k", p=10).collect()[0]
+    assert row["estimate"] == 0
+    assert sk.estimate_from_register_dict({}, p=10) == 0
+
+
+def test_hdr_quantiles_q0_returns_minimum(spark):
+    """q=0.0 must return the first bucket's lower bound, not silently
+    drop the row (rank clamps to 1)."""
+    df = spark.range(1, 1001).select(F.col("id").alias("v"))
+    hist = sk.hdr_histogram(df, "v", mantissa_bits=4)
+    got = {r["q"]: r["estimate"] for r in sk.hdr_quantiles(hist, [0.0, 1.0]).collect()}
+    assert set(got) == {0.0, 1.0}
+    assert got[0.0] == 1  # min value sits at its bucket's lower bound

@@ -1034,3 +1034,25 @@ def test_shape_operator_form(spark):
     # a bare field NAMED shape still parses as an expression
     df2 = spark.createDataFrame([(3,)], "shape bigint")
     assert zed_transform("where shape >= 3")(df2).count() == 1
+
+
+def test_compile_predicate_unbound_arithmetic(ev):
+    """Unbound `+` (df=None, the YAML where-clause path) must compile
+    numerically — the string-concat type probe needs a schema and must
+    not dereference a None df."""
+    col = compile_predicate("v + 1 > 6")
+    assert [r.id for r in ev.filter(col).collect()] == [3]
+
+
+def test_compile_predicate_unbound_string_concat():
+    """Literal string `+` still concatenates without a schema."""
+    col = compile_predicate('"a" + "b" == "ab"')
+    assert col is not None
+
+
+def test_compile_predicate_unbound_grep(ev):
+    """Unbound grep on a scalar path falls back to rlike instead of
+    walking a schema it doesn't have."""
+    col = compile_predicate('grep("cli.*", kind)')
+    got = sorted(r.id for r in ev.filter(col).collect())
+    assert got == sorted(r.id for r in ev.filter("kind rlike 'cli.*'").collect())

@@ -222,10 +222,21 @@ def bucketed_range_join(
         return f.join(b, ["__bkt"]).filter(in_range).drop("__bkt")
     if how == "left":
         matched = f.join(b, ["__bkt"]).filter(in_range).drop("__bkt")
-        # left rows with no in-range band at all, padded with null bands
-        missing = facts.join(
-            matched.select(*facts.columns).distinct(), facts.columns, "left_anti"
-        ).select(
+        # left rows with no in-range band at all, padded with null bands.
+        # The anti join must be NULL-SAFE on every fact column: a
+        # column-name anti join uses `=`, under which a matched fact row
+        # carrying a NULL never equals its own matched copy and would be
+        # emitted a second time null-padded.
+        hit = matched.select(*facts.columns).distinct().alias("__hit")
+        fa = facts.alias("__facts")
+        cond = reduce(
+            lambda a, c: a & c,
+            [
+                F.col(f"__facts.`{c}`").eqNullSafe(F.col(f"__hit.`{c}`"))
+                for c in facts.columns
+            ],
+        )
+        missing = fa.join(hit, cond, "left_anti").select(
             *facts.columns,
             *[
                 F.lit(None).cast(dict(bands.dtypes)[c]).alias(c)

@@ -125,7 +125,13 @@ def _estimate_from_registers(regs: DataFrame, p: int, group_cols: list[str]) -> 
     alpha = 0.7213 / (1.0 + 1.079 / m)
     gb = regs.groupBy(*group_cols) if group_cols else regs.groupBy()
     stats = gb.agg(
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - register)")).alias("s_present"),
+        # coalesce: a global agg over an EMPTY register set yields one
+        # row with a NULL sum; 0 keeps the linear-counting branch live
+        # so the estimate is 0, matching estimate_from_register_dict({})
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - register)")),
+            F.lit(0).cast("long"),
+        ).alias("s_present"),
         F.count(F.lit(1)).alias("nonzero"),
     )
     zeros = m - F.col("nonzero")
@@ -247,9 +253,17 @@ def countmin_estimates(sketch: DataFrame, items: DataFrame, col: str, d: int = 4
         ),
     )
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        # LEFT join: an absent (row,bucket) cell is a counter of 0, and
+        # the CM guarantee takes the min over all d cells INCLUDING the
+        # empty ones — an inner join would drop them and report a
+        # colliding nonzero counter (or no row at all) for unseen items
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(col)
-        .agg(F.min("counter").alias("cm_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("counter"), F.lit(0).cast("long"))).alias(
+                "cm_estimate"
+            )
+        )
     )
 
 
@@ -298,8 +312,11 @@ def bloom_flag_contaminated(
     keys = [c for c in docs_ngrams.columns]
     return (
         probes.join(F.broadcast(bits), "pos")
+        # countDistinct(_i): duplicate input rows group together and
+        # would accumulate count == 2k under a plain count, silently
+        # failing the == k test; distinct probe indices cap at k
         .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("hits"))
+        .agg(F.countDistinct("_i").alias("hits"))
         .filter(F.col("hits") == k)
         .drop("hits")
     )
@@ -341,9 +358,23 @@ def weighted_priority_sample(
     # integer div keeps priorities exact: (h30 << 30) is up to 2^60,
     # beyond double's 2^53 integer range, so float division + floor
     # could mis-round — `div` never touches floats.
+    #
+    # Fractional weight columns (float/double/decimal) are scaled into
+    # 2^20 fixed point first — a bare cast('long') would TRUNCATE
+    # weights in (0, 1) to 0 and the "weight-proportional" sample would
+    # silently degenerate to uniform.  Integer weights keep the
+    # unscaled denominator, so their selection is bit-identical to the
+    # pre-fix behavior (and to the SQL oracle).  Fixed-point floor can
+    # add priority ties that exact rational ordering lacks; ties break
+    # deterministically on the row key, never invert.
+    wtype = dict(df.dtypes)[weight_col]
+    if wtype in ("float", "double") or wtype.startswith("decimal"):
+        den = F.round(F.col(weight_col) * (1 << 20)).cast("long")
+    else:
+        den = F.col(weight_col).cast("long")
     with_prio = (
         df.withColumn("_num", F.shiftleft(h30, 30))
-        .withColumn("_den", F.greatest(F.col(weight_col).cast("long"), F.lit(1)))
+        .withColumn("_den", F.greatest(den, F.lit(1)))
         .withColumn("_prio", F.expr("_num div _den"))
         .drop("_num", "_den")
     )
@@ -474,7 +505,11 @@ def hdr_quantiles(hist: DataFrame, qs: list[float]) -> DataFrame:
     cum = hist.withColumn("cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q DOUBLE")
     ranked = qdf.crossJoin(F.broadcast(total)).withColumn(
-        "rank", F.ceil(F.col("q") * F.col("total_n")).cast("long")
+        # greatest(1, ...): q=0 gives ceil(0)=0, which matches no
+        # bucket's (cum_before, cum_before+n] interval and would drop
+        # the row; rank 1 lands it on the first bucket's minimum
+        "rank",
+        F.greatest(F.ceil(F.col("q") * F.col("total_n")).cast("long"), F.lit(1)),
     )
     hit = ranked.join(
         cum,

@@ -224,7 +224,10 @@ def _grep(pattern: str, target: ast.Expr, df: DataFrame) -> Column:
     match any string value in it recursively; scalar string targets
     match directly; other expressions fall back to rlike on their
     string form."""
-    if isinstance(target, ast.Path):
+    # unbound compiles (df=None) have no schema for the recursive
+    # record walk — fall through to rlike on the target's string form,
+    # the pre-schema-aware behavior
+    if isinstance(target, ast.Path) and df is not None:
         dt = _type_at(df.schema, target.parts)
         if isinstance(dt, T.StructType):
             terms = [
@@ -310,12 +313,23 @@ def _bin(e: ast.Bin, df: DataFrame) -> Column:
     if e.op == "+":
         # Zed `+` concatenates strings (language spec: arithmetic
         # section); Spark `+` is numeric-only, so dispatch on the
-        # ANALYZED types (a schema-only select, no job)
-        lt, rt = (
-            df.select(left.alias("l"), right.alias("r")).schema[i].dataType
-            for i in (0, 1)
-        )
-        if isinstance(lt, T.StringType) and isinstance(rt, T.StringType):
+        # ANALYZED types (a schema-only select, no job).  Unbound
+        # compiles (df=None, the YAML where-clause path) have no schema
+        # to probe — dispatch on literal AST types there, numeric `+`
+        # otherwise, matching the pre-concat behavior.
+        if df is not None:
+            lt, rt = (
+                df.select(left.alias("l"), right.alias("r")).schema[i].dataType
+                for i in (0, 1)
+            )
+            if isinstance(lt, T.StringType) and isinstance(rt, T.StringType):
+                return F.concat(left, right)
+        elif (
+            isinstance(e.left, ast.Lit)
+            and isinstance(e.left.value, str)
+            and isinstance(e.right, ast.Lit)
+            and isinstance(e.right.value, str)
+        ):
             return F.concat(left, right)
     ops: dict[str, Callable[[Column, Column], Column]] = {
         "==": lambda a, b: a == b,
