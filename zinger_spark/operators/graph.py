@@ -202,12 +202,21 @@ def pagerank_fixed_point(
     nodes = edges.select(F.col("src").alias("node")).unionByName(
         edges.select(F.col("dst").alias("node"))
     ).distinct()
+    # persist (not localCheckpoint) for the LOOP-INVARIANT frames: a
+    # checkpointed scan reports UnknownPartitioning, so every iteration
+    # would re-shuffle the full edge set into the join; persist keeps
+    # the plan's hash(src) / hash(node) output partitioning visible and
+    # each round's join reuses the one materialized exchange — the edge
+    # side (the 100 TB side) is shuffled once, not once per iteration.
+    # Per-round ranks still localCheckpoint: THEIR lineage grows.
     if checkpoint:
-        nodes = nodes.localCheckpoint(eager=True)
+        nodes = nodes.persist()
+        nodes.count()
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     ej = edges.join(outdeg, "src")
     if checkpoint:
-        ej = ej.localCheckpoint(eager=True)
+        ej = ej.persist()
+        ej.count()
     for i in range(iterations):
         contrib = (
             ranks.join(ej, ranks["node"] == ej["src"])
@@ -226,4 +235,9 @@ def pagerank_fixed_point(
             # cut lineage per round so plans stay flat at any iteration
             # count (and Spark doesn't re-run round i for round i+1)
             ranks = ranks.localCheckpoint(eager=True)
+    if checkpoint:
+        # the returned ranks are materialized by the final checkpoint,
+        # so the loop-invariant caches can be released
+        ej.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
     return ranks
