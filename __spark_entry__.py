@@ -2587,20 +2587,37 @@ def _q_bloom_contamination(spark, sf):
     from zinger_spark.operators import sketches as zsk
 
     M, K = 1 << 16, 3
-    sh = _t(spark, sf, "documents").select(
+    docs = _t(spark, sf, "documents")
+    # build side explodes ONLY the benchmark docs (1/40 of the corpus)
+    # and collapses to <= M bit positions before the one bounded
+    # driver collect; the corpus side never materializes, never joins:
+    # bloom_maybe_member ships the 8 KiB bitmap inside the plan and the
+    # probe is k JVM bit-tests per shingle, so the whole query is one
+    # corpus scan + one doc_id agg shuffle (was: full-corpus
+    # localCheckpoint + posexplode x3 + broadcast join + (doc_id, s)
+    # shuffle — 5.1 s -> ~1 s at sf0.1)
+    bench = docs.filter(F.col("doc_id") % 40 == 0).select(
+        F.explode(ztext.word_shingles(F.col("text"), 3)).alias("s")
+    )
+    bitmap = zsk.bloom_bitmap(zsk.bloom_bits(bench, "s", m_bits=M, k=K), M)
+    probe_docs = docs.filter(F.col("doc_id") % 40 != 0)
+    # the sf parquet is one unsplittable row group, so the md5-heavy
+    # shingle stage would run on one core; rebalance ONLY when the scan
+    # is narrower than the session's parallelism (at production scale
+    # the scan already has >= defaultParallelism splits and this branch
+    # never fires — no gratuitous full-text shuffle at 100 TB)
+    want = spark.sparkContext.defaultParallelism
+    if probe_docs.rdd.getNumPartitions() < want:
+        probe_docs = probe_docs.repartition(want, "doc_id")
+    corpus = probe_docs.select(
         "doc_id", F.explode(ztext.word_shingles(F.col("text"), 3)).alias("s")
     )
-    # the shingle explode feeds BOTH the filter build and the probe
-    # side; without materialization Spark recomputes the explode for
-    # each consumer (measured 5x slower at sf0.1: 4.97 -> 0.97 s warm)
-    sh = sh.localCheckpoint(eager=True)
-    bench = sh.filter(F.col("doc_id") % 40 == 0).select("s").distinct()
-    corpus = sh.filter(F.col("doc_id") % 40 != 0).distinct()
-    bits = zsk.bloom_bits(bench, "s", m_bits=M, k=K)
-    flagged = zsk.bloom_flag_contaminated(corpus, "s", bits, m_bits=M, k=K)
     return (
-        flagged.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("flagged_ngrams"))
+        corpus.filter(zsk.bloom_maybe_member(F.col("s"), bitmap, M, K))
+        # countDistinct(s): duplicate shingles within a doc count once,
+        # matching the join form's distinct-(doc_id, s) grouping
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("flagged_ngrams"))
         .filter(F.col("flagged_ngrams") >= 3)
     )
 
@@ -3796,15 +3813,19 @@ def oracle_sql() -> dict[str, str]:
             WITH {_sql_shingle_ctes(3)},
             ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
             bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 40 = 0),
+            -- Kirsch-Mitzenmacher double hashing, mirroring
+            -- sketches.bloom_positions: pos_i = (h%m + i*((h>>20)%m|1)) % m
             bits AS (
               SELECT DISTINCT
-                {_sql_md5h("'b' || CAST(i.k AS VARCHAR) || ':' || s")} % 65536 AS pos
+                ({_sql_md5h("'b:' || s")} % 65536
+                 + i.k * (({_sql_md5h("'b:' || s")} >> 20) % 65536 | 1)) % 65536 AS pos
               FROM bench, (SELECT unnest(range(3)) AS k) i
             ),
             corpus AS (SELECT doc_id, s FROM ex WHERE doc_id % 40 != 0),
             probes AS (
               SELECT doc_id, s,
-                {_sql_md5h("'b' || CAST(i.k AS VARCHAR) || ':' || s")} % 65536 AS pos
+                ({_sql_md5h("'b:' || s")} % 65536
+                 + i.k * (({_sql_md5h("'b:' || s")} >> 20) % 65536 | 1)) % 65536 AS pos
               FROM corpus, (SELECT unnest(range(3)) AS k) i
             ),
             flagged AS (

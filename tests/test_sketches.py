@@ -121,6 +121,50 @@ def test_bloom_filters_most_nonmembers(spark):
     assert fp.count() <= 20
 
 
+def test_bloom_bitmap_matches_join_form(spark):
+    """The literal-bitmap membership test (zero-join deploy path) must
+    flag EXACTLY the rows the broadcast-join form flags — same hashes,
+    same bit layout, same deterministic false positives."""
+    m, k = 1 << 14, 3
+    probe = spark.range(150).select(
+        F.concat(F.lit("gram-"), F.col("id")).alias("s")
+    )
+    bits = sk.bloom_bits(probe, "s", m_bits=m, k=k)
+    bitmap = sk.bloom_bitmap(bits, m)
+    # mix members, non-members, and near-collisions
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 3 == 0, F.lit("gram-")).otherwise(F.lit("x-")),
+            F.col("id") % 400,
+        ).alias("s"),
+    )
+    via_join = sorted(
+        (r["doc_id"], r["s"])
+        for r in sk.bloom_flag_contaminated(docs, "s", bits, m_bits=m, k=k)
+        .dropDuplicates(["doc_id", "s"]).collect()
+    )
+    via_bitmap = sorted(
+        (r["doc_id"], r["s"])
+        for r in docs.filter(sk.bloom_maybe_member(F.col("s"), bitmap, m, k))
+        .dropDuplicates(["doc_id", "s"]).collect()
+    )
+    assert via_bitmap == via_join
+    # members: id%3==0 and id%400 in 0..149 -> ~3000 * (1/3) * (150/400)
+    assert len(via_bitmap) >= 350  # the member rows are all present
+
+
+def test_bloom_bitmap_packing(spark):
+    """Bit p lands in word p>>6 at offset p&63, signed two's-complement."""
+    bits = spark.createDataFrame([(0,), (63,), (64,), (127,)], ["pos"])
+    words = sk.bloom_bitmap(bits, 128)
+    assert len(words) == 2
+    # each word sets bit 0 and bit 63; bit 63 is the sign bit, so the
+    # unsigned value 1 + 2^63 folds to the signed long 1 - 2^63
+    assert words[0] == 1 + (1 << 63) - (1 << 64)
+    assert words[1] == 1 + (1 << 63) - (1 << 64)
+
+
 def test_weighted_sample_size_and_determinism(spark):
     docs = spark.range(500).select(
         F.col("id").alias("doc_id"), (F.col("id") % 9 + 1).alias("w")

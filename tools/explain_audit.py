@@ -291,8 +291,9 @@ def main() -> int:
           "fixed-size CM grid broadcast to the probe side")
     p = plan_of(qs["bloom_contamination"](spark, sf))
     check("bloom_contamination",
-          "BroadcastHashJoin" in p and "CartesianProduct" not in p,
-          "bounded bloom bit-set broadcast; probes equi-join on position")
+          "forall" in p and "Join" not in p and "CartesianProduct" not in p,
+          "literal-bitmap membership: zero joins, probe is a map-side "
+          "JVM forall filter (the only shuffle left is the doc_id agg)")
     p = plan_of(qs["weighted_sample"](spark, sf))
     check("weighted_sample",
           "TakeOrderedAndProject" in p and "Window" not in p,

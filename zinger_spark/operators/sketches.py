@@ -272,10 +272,20 @@ def countmin_estimates(sketch: DataFrame, items: DataFrame, col: str, d: int = 4
 
 
 def bloom_positions(value: Column, m_bits: int, k: int) -> Column:
-    """The k bit positions ``value`` sets/probes in an m_bits filter."""
-    return F.array(
-        *[md5_hash60(F.concat(F.lit(f"b{i}:"), value)) % m_bits for i in range(k)]
-    )
+    """The k bit positions ``value`` sets/probes in an m_bits filter.
+
+    Kirsch-Mitzenmacher double hashing (pos_i = h1 + i*h2 mod m,
+    'Less Hashing, Same Performance', 2006): ONE md5 per value instead
+    of k — the hash is the dominant per-row cost of Bloom screening, so
+    this is a ~k-fold cut in the hot path (same trick the minhash
+    pipeline uses to derive 16 permutations from one hash).  h2 is
+    forced odd so it never collapses the probe sequence on the
+    power-of-two m the suite uses.  Integer-exact and engine-identical:
+    the DuckDB oracle computes the same h1/h2 from the same md5."""
+    h = md5_hash60(F.concat(F.lit("b:"), value))
+    h1 = h % m_bits
+    h2 = (F.shiftright(h, 20) % m_bits).bitwiseOR(F.lit(1))
+    return F.array(*[(h1 + i * h2) % m_bits for i in range(k)])
 
 
 def bloom_bits(probe_df: DataFrame, col: str, m_bits: int = 1 << 16, k: int = 3) -> DataFrame:
@@ -288,6 +298,44 @@ def bloom_bits(probe_df: DataFrame, col: str, m_bits: int = 1 << 16, k: int = 3)
         probe_df.select(F.explode(bloom_positions(v, m_bits, k)).alias("pos"))
         .distinct()
     )
+
+
+def bloom_bitmap(bits: DataFrame, m_bits: int) -> list[int]:
+    """Collect a ``bloom_bits`` frame into the packed bitmap the deploy
+    path broadcasts: m_bits/64 signed longs.  The collect is bounded by
+    the filter size (<= m_bits rows, 512 KiB of ints at m=2^16) no
+    matter how large the probe corpus was — this is the one place the
+    Bloom pipeline touches the driver, and it is O(m), not O(data)."""
+    words = [0] * ((m_bits + 63) >> 6)
+    for (p,) in bits.collect():
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement into signed range so F.lit() yields array<bigint>
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_maybe_member(
+    value: Column, bitmap: list[int], m_bits: int, k: int = 3
+) -> Column:
+    """Boolean 'maybe in the filter' test against a literal bitmap —
+    the zero-join, zero-shuffle form of ``bloom_flag_contaminated``:
+    the m_bits/64-long array ships inside the plan (8 KiB at m=2^16)
+    and each probe is k pure-JVM word/bit lookups, so contamination
+    screening over a 100 TB corpus is a single scan with a map-side
+    filter.  Bit layout matches ``bloom_bitmap``; hash layout matches
+    ``bloom_positions``, so results are identical to the join form
+    (same deterministic false positives)."""
+    bm = F.lit(bitmap)
+
+    def bit_set(p: Column) -> Column:
+        word = F.element_at(bm, F.shiftright(p, 6).cast("int") + F.lit(1))
+        return (
+            F.call_function(
+                "shiftright", word, p.bitwiseAND(F.lit(63)).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+
+    return F.forall(bloom_positions(value.cast("string"), m_bits, k), bit_set)
 
 
 def bloom_flag_contaminated(
