@@ -3815,18 +3815,18 @@ def oracle_sql() -> dict[str, str]:
             bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 40 = 0),
             -- Kirsch-Mitzenmacher double hashing, mirroring
             -- sketches.bloom_positions: pos_i = (h%m + i*((h>>20)%m|1)) % m
+            bh AS (SELECT s, {_sql_md5h("'b:' || s")} AS h FROM bench),
             bits AS (
               SELECT DISTINCT
-                ({_sql_md5h("'b:' || s")} % 65536
-                 + i.k * (({_sql_md5h("'b:' || s")} >> 20) % 65536 | 1)) % 65536 AS pos
-              FROM bench, (SELECT unnest(range(3)) AS k) i
+                (h % 65536 + i.k * ((h >> 20) % 65536 | 1)) % 65536 AS pos
+              FROM bh, (SELECT unnest(range(3)) AS k) i
             ),
-            corpus AS (SELECT doc_id, s FROM ex WHERE doc_id % 40 != 0),
+            ch AS (SELECT doc_id, s, {_sql_md5h("'b:' || s")} AS h
+                   FROM ex WHERE doc_id % 40 != 0),
             probes AS (
               SELECT doc_id, s,
-                ({_sql_md5h("'b:' || s")} % 65536
-                 + i.k * (({_sql_md5h("'b:' || s")} >> 20) % 65536 | 1)) % 65536 AS pos
-              FROM corpus, (SELECT unnest(range(3)) AS k) i
+                (h % 65536 + i.k * ((h >> 20) % 65536 | 1)) % 65536 AS pos
+              FROM ch, (SELECT unnest(range(3)) AS k) i
             ),
             flagged AS (
               SELECT doc_id, s FROM probes JOIN bits USING (pos)
