@@ -2641,7 +2641,18 @@ def _q_pagerank(spark, sf):
     Integer sums are order-independent, so the result is bit-identical
     across engines and partitionings; per-iteration shape is one hash
     join + one partial-aggregated groupBy (graph.py docstring).  Top-20
-    hubs by rank."""
+    hubs by rank.
+
+    Scale shape of the SETUP (measured to dominate the whole query at
+    sf0.1): the loop runs on bigint node ids (supplier -> 2k, customer
+    -> 2k+1) rather than 's123'/'c456' strings — hashing/compares in
+    every shuffle touch 8 fixed bytes, and the 20-row tail is the only
+    place labels exist.  The directed pair set is deduped ONCE (587k
+    rows at sf0.1) and then symmetrized; the two directions can't
+    collide (src parity differs), so the union stays distinct by
+    construction and the operator's own edge dedup — a second full
+    shuffle of the doubled edge list — is skipped via
+    ``dedup_edges=False``."""
     from zinger_spark.operators.graph import pagerank_fixed_point
 
     orders = _t(spark, sf, "orders")
@@ -2649,15 +2660,20 @@ def _q_pagerank(spark, sf):
     fwd = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
-            F.concat(F.lit("s"), "l_suppkey").alias("src"),
-            F.concat(F.lit("c"), "o_custkey").alias("dst"),
+            (F.col("l_suppkey").cast("long") * 2).alias("src"),
+            (F.col("o_custkey").cast("long") * 2 + 1).alias("dst"),
         )
+        .distinct()
     )
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    pr = pagerank_fixed_point(edges, iterations=4)
-    return pr.orderBy(F.desc("rank"), "node").limit(20)
+    pr = pagerank_fixed_point(edges, iterations=4, dedup_edges=False)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("s"), (F.col("node") / 2).cast("long")),
+    ).otherwise(F.concat(F.lit("c"), ((F.col("node") - 1) / 2).cast("long")))
+    return pr.select(label.alias("node"), "rank").orderBy(F.desc("rank"), "node").limit(20)
 
 
 def _q_range_join_bands(spark, sf):

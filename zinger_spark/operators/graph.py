@@ -171,6 +171,7 @@ def pagerank_fixed_point(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint: bool = True,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """PageRank with exact integer (fixed-point) arithmetic — the
     web-graph / link-quality score a curation pipeline weights documents
@@ -195,9 +196,19 @@ def pagerank_fixed_point(
     localCheckpoint so the plan stays flat at any iteration count.
     Overflow headroom: rank * 85 <= ~2^63 requires total graph mass
     below ~10^17/scale nodes — far beyond any real graph at 10^9 scale.
+
+    ``dedup_edges=False`` skips the internal edge ``distinct()`` for
+    callers whose edge list is distinct BY CONSTRUCTION (e.g. a
+    symmetrized copy of an already-distinct pair set, where the two
+    directions can't collide) — at 100 TB the edge dedup is a full
+    extra shuffle of the biggest frame in the job, so don't pay it
+    twice.  Correctness depends on the caller's promise: duplicate
+    edges would double-count contributions.
     """
     base = scale * (100 - damping_pct) // 100
-    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if dedup_edges:
+        edges = edges.distinct()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = edges.select(F.col("src").alias("node")).unionByName(
         edges.select(F.col("dst").alias("node"))
