@@ -2671,8 +2671,8 @@ def _q_pagerank(spark, sf):
     pr = pagerank_fixed_point(edges, iterations=4, dedup_edges=False)
     label = F.when(
         F.col("node") % 2 == 0,
-        F.concat(F.lit("s"), (F.col("node") / 2).cast("long")),
-    ).otherwise(F.concat(F.lit("c"), ((F.col("node") - 1) / 2).cast("long")))
+        F.concat(F.lit("s"), F.expr("node div 2")),
+    ).otherwise(F.concat(F.lit("c"), F.expr("(node - 1) div 2")))
     return pr.select(label.alias("node"), "rank").orderBy(F.desc("rank"), "node").limit(20)
 
 

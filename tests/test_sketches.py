@@ -154,6 +154,36 @@ def test_bloom_bitmap_matches_join_form(spark):
     assert len(via_bitmap) >= 350  # the member rows are all present
 
 
+def test_bloom_bitmap_sparse_int32_words_still_exact(spark):
+    """Regression: a SPARSE filter can pack to words that all fit in
+    int32, which makes a bare F.lit() infer array<int> — and Spark's
+    int-typed shiftright masks the shift amount to 5 bits, so any bit
+    offset >= 32 would silently probe the wrong bit.  bloom_maybe_member
+    must cast the literal to array<bigint> so the bitmap path stays
+    identical to the join form even for tiny probe sets."""
+    m, k = 1 << 10, 3
+    probe = spark.createDataFrame([(f"g{i}",) for i in range(5)], ["s"])
+    bits = sk.bloom_bits(probe, "s", m_bits=m, k=k)
+    bitmap = sk.bloom_bitmap(bits, m)
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 7 == 0, F.concat(F.lit("g"), F.col("id") % 5))
+        .otherwise(F.concat(F.lit("other-"), F.col("id")))
+        .alias("s"),
+    )
+    via_join = sorted(
+        (r["doc_id"], r["s"])
+        for r in sk.bloom_flag_contaminated(docs, "s", bits, m_bits=m, k=k)
+        .dropDuplicates(["doc_id", "s"]).collect()
+    )
+    via_bitmap = sorted(
+        (r["doc_id"], r["s"])
+        for r in docs.filter(sk.bloom_maybe_member(F.col("s"), bitmap, m, k))
+        .dropDuplicates(["doc_id", "s"]).collect()
+    )
+    assert via_bitmap == via_join
+
+
 def test_bloom_bitmap_packing(spark):
     """Bit p lands in word p>>6 at offset p&63, signed two's-complement."""
     bits = spark.createDataFrame([(0,), (63,), (64,), (127,)], ["pos"])

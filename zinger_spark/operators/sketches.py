@@ -324,7 +324,11 @@ def bloom_maybe_member(
     filter.  Bit layout matches ``bloom_bitmap``; hash layout matches
     ``bloom_positions``, so results are identical to the join form
     (same deterministic false positives)."""
-    bm = F.lit(bitmap)
+    # The cast is load-bearing: a bitmap whose packed words all happen
+    # to fit in int32 (small/sparse filters) would infer array<int>,
+    # and Spark's int-typed shiftright masks the shift amount to 5
+    # bits — bit offsets >= 32 would silently probe the wrong bit.
+    bm = F.lit(bitmap).cast("array<bigint>")
 
     def bit_set(p: Column) -> Column:
         word = F.element_at(bm, F.shiftright(p, 6).cast("int") + F.lit(1))
