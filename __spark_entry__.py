@@ -2465,6 +2465,56 @@ def _q_zq_every_bucket(spark, sf):
     )
 
 
+# r7 function-library depth: the string/regex/time functions a shaper
+# over raw log topics reaches for first (Zed func docs; compiled to pure
+# JVM expressions in zedql/compiler.py — regexp/grok are one rlike guard
+# plus static regexp_extracts, zero Python in the executor path).
+
+_q_zq_regexp_funcs = _zq(
+    "from events "
+    '| m := regexp(/"k": ([0-9]+)/, props) '
+    "| kv := int64(m[1]) "
+    '| lev := levenshtein(event_type, "click") '
+    '| clean := regexp_replace(props, /[0-9]+/, "#") '
+    "| cut event_id, kv, lev, clean"
+)
+
+
+def _q_zq_strftime_bucket(spark, sf):
+    """strftime (C directives -> compile-time Java-pattern translation)
+    + bucket(expr, dur) — the explicit-field sibling of every()."""
+    df = _zq(
+        "from events "
+        '| day := strftime("%Y-%m-%d", ts) '
+        "| b := bucket(ts, 15m) "
+        "| n := count(), lo := min(event_id) by day, b"
+    )(spark, sf)
+    return df.select(
+        "day",
+        F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n",
+        "lo",
+    )
+
+
+_q_zq_flatten = _zq(
+    "from documents "
+    "| over flatten({id: doc_id, meta: {lang: lang, n: n_chars}}) "
+    # over spreads the {key, value} leaf records to top level
+    '| k := join(key, ".") '
+    "| v := value "
+    "| cut k, v"
+)
+
+_q_zq_grok = _zq(
+    "from documents "
+    '| g := grok("%{WORD:w1} %{WORD:w2} %{GREEDYDATA:rest}", text) '
+    "| w1 := g.w1 | w2 := g.w2 "
+    "| n := count() by w1, w2 "
+    "| sort -r n, w1, w2 | head 25"
+)
+
+
 # ---------------------------------------------------------------------------
 # round 7: distributed sketches (operators/sketches.py) + fixed-point
 # PageRank (operators/graph.py) — the approximate-counting toolkit a
@@ -2980,6 +3030,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zq_sort_tail": _q_zq_sort_tail,
         "zq_put_funcs": _q_zq_put_funcs,
         "zq_const_map": _q_zq_const_map,
+        "zq_regexp_funcs": _q_zq_regexp_funcs,
+        "zq_strftime_bucket": _q_zq_strftime_bucket,
+        "zq_flatten": _q_zq_flatten,
+        "zq_grok": _q_zq_grok,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "sliding_window_counts": _q_sliding_window_counts,
@@ -3970,6 +4024,51 @@ def oracle_sql() -> dict[str, str]:
                    upper(lang) AS lang_u,
                    CASE WHEN n_chars > 500 THEN 'long' ELSE 'short' END AS flag
             FROM documents
+        """,
+        "zq_regexp_funcs": """
+            SELECT event_id,
+                   CASE WHEN regexp_matches(props, '"k": ([0-9]+)')
+                        THEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                                  AS BIGINT) END AS kv,
+                   levenshtein(event_type, 'click') AS lev,
+                   regexp_replace(props, '[0-9]+', '#', 'g') AS clean
+            FROM events
+        """,
+        "zq_strftime_bucket": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   strftime(make_timestamp(
+                       (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900)
+                       * 1000000),
+                       '%Y-%m-%d %H:%M:%S') AS bucket,
+                   count(*) AS n, min(event_id) AS lo
+            FROM events GROUP BY 1, 2
+        """,
+        "zq_flatten": """
+            SELECT k, v FROM (
+                SELECT 'id' AS k, CAST(doc_id AS VARCHAR) AS v FROM documents
+                UNION ALL
+                SELECT 'meta.lang', lang FROM documents
+                UNION ALL
+                SELECT 'meta.n', CAST(n_chars AS VARCHAR) FROM documents
+            ) t
+        """,
+        "zq_grok": """
+            WITH g AS (
+                SELECT
+                    CASE WHEN regexp_matches(text,
+                        '((?:\\b\\w+\\b)) ((?:\\b\\w+\\b)) ((?:.*))')
+                    THEN regexp_extract(text,
+                        '((?:\\b\\w+\\b)) ((?:\\b\\w+\\b)) ((?:.*))', 1)
+                    END AS w1,
+                    CASE WHEN regexp_matches(text,
+                        '((?:\\b\\w+\\b)) ((?:\\b\\w+\\b)) ((?:.*))')
+                    THEN regexp_extract(text,
+                        '((?:\\b\\w+\\b)) ((?:\\b\\w+\\b)) ((?:.*))', 2)
+                    END AS w2
+                FROM documents
+            )
+            SELECT w1, w2, count(*) AS n FROM g GROUP BY 1, 2
+            ORDER BY n DESC, w1 DESC, w2 DESC LIMIT 25
         """,
         "envelope_wrap": """
             SELECT event_type AS kafka_topic, 0::BIGINT AS kafka_partition,

@@ -1056,3 +1056,147 @@ def test_compile_predicate_unbound_grep(ev):
     col = compile_predicate('grep("cli.*", kind)')
     got = sorted(r.id for r in ev.filter(col).collect())
     assert got == sorted(r.id for r in ev.filter("kind rlike 'cli.*'").collect())
+
+
+# --------------------------------------------------------------------------
+# Round-7 function-library depth: regexp/levenshtein/base64/hex/strftime/
+# bucket/kind/flatten/unflatten/grok (Zed func docs; shapers hit these
+# first when parsing raw log topics)
+
+
+def test_levenshtein_and_regexp_funcs(spark):
+    df = spark.createDataFrame(
+        [("kitten", "sitting", "a1b22c333")], "a string, b string, s string"
+    )
+    out = zed_transform(
+        "d := levenshtein(a, b) "
+        r"| m := regexp(/(\d+)b(\d+)/, s) "
+        '| r := regexp_replace(s, /[0-9]+/, "#") '
+        "| cut d, m, r"
+    )(df).collect()[0]
+    assert out["d"] == 3
+    assert out["m"] == ["1b22", "1", "22"]
+    assert out["r"] == "a#b#c#"
+
+
+def test_regexp_no_match_is_null(spark):
+    df = spark.createDataFrame([("xyz",)], "s string")
+    out = zed_transform(r"m := regexp(/\d+/, s) | cut m")(df).collect()[0]
+    assert out["m"] is None
+
+
+def test_base64_and_hex_type_directed(spark):
+    df = spark.createDataFrame([("aGk=",)], "s string")
+    out = zed_transform(
+        "b := base64(s) "  # string -> decoded bytes
+        "| h := hex(b) "  # bytes -> hex string
+        "| rt := base64(b) "  # bytes -> encoded string (round trip)
+        "| raw := hex(h) "  # hex string -> bytes
+        "| cut b, h, rt, raw"
+    )(df).collect()[0]
+    assert bytes(out["b"]) == b"hi"
+    assert out["h"] == "6869"
+    assert out["rt"] == "aGk="
+    assert bytes(out["raw"]) == b"hi"
+
+
+def test_strftime_and_bucket(spark):
+    df = spark.createDataFrame(
+        [("2024-03-05 14:09:59",)], "raw string"
+    ).select(F.to_timestamp("raw").alias("t"))
+    out = zed_transform(
+        's := strftime("%Y-%m-%dT%H:%M:%S", t) '
+        '| pct := strftime("100%%", t) '
+        "| b := bucket(t, 5m) | cut s, pct, b"
+    )(df).collect()[0]
+    assert out["s"] == "2024-03-05T14:09:59"
+    assert out["pct"] == "100%"
+    assert str(out["b"]) == "2024-03-05 14:05:00"
+
+
+def test_strftime_rejects_unknown_directive(spark):
+    df = spark.createDataFrame([("x",)], "s string")
+    with pytest.raises(ZedCompileError, match="strftime"):
+        zed_transform('y := strftime("%Q", now()) | cut y')(df)
+
+
+def test_kind_flatten_unflatten(spark):
+    df = spark.createDataFrame(
+        [((1, ("a", 2.5)), ["t"], 7)],
+        "rec struct<id:long,sub:struct<name:string,score:double>>, "
+        "tags array<string>, n long",
+    )
+    out = zed_transform(
+        "k1 := kind(rec) | k2 := kind(tags) | k3 := kind(n) "
+        "| fl := flatten(rec) | rt := unflatten(flatten(rec)) "
+        "| cut k1, k2, k3, fl, rt"
+    )(df).collect()[0]
+    assert (out["k1"], out["k2"], out["k3"]) == ("record", "array", "primitive")
+    # depth-first leaves, mixed long/string/double values widen to string
+    assert [(list(e["key"]), e["value"]) for e in out["fl"]] == [
+        (["id"], "1"),
+        (["sub", "name"], "a"),
+        (["sub", "score"], "2.5"),
+    ]
+    assert out["rt"]["id"] == 1 and out["rt"]["sub"]["score"] == 2.5
+
+
+def test_flatten_uniform_types_stay_typed(spark):
+    df = spark.createDataFrame([((1, 2),)], "r struct<a:long,b:long>")
+    out = zed_transform("fl := flatten(r) | cut fl")(df)
+    assert out.schema["fl"].dataType.elementType["value"].dataType == T.LongType()
+    assert [e["value"] for e in out.collect()[0]["fl"]] == [1, 2]
+
+
+def test_unflatten_dynamic_keys_gate(spark):
+    df = spark.createDataFrame([([("k", "v")],)], "a array<struct<key:string,value:string>>")
+    with pytest.raises(ZedCompileError, match="unflatten"):
+        zed_transform("u := unflatten(a) | cut u")(df)
+
+
+def test_grok_extracts_named_fields(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-02T03:04:05Z ERROR disk full on /dev/sda1",),
+            ("not a log line at all",),
+        ],
+        "line string",
+    )
+    rows = zed_transform(
+        'g := grok("%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} '
+        '%{GREEDYDATA:msg}", line) | cut line, g'
+    )(df).collect()
+    byline = {r["line"]: r["g"] for r in rows}
+    g = byline["2024-01-02T03:04:05Z ERROR disk full on /dev/sda1"]
+    assert g["ts"] == "2024-01-02T03:04:05Z"
+    assert g["level"] == "ERROR"
+    assert g["msg"] == "disk full on /dev/sda1"
+    assert byline["not a log line at all"] is None
+
+
+def test_grok_unknown_pattern_errors(spark):
+    df = spark.createDataFrame([("x",)], "line string")
+    with pytest.raises(ZedCompileError, match="NOPE"):
+        zed_transform('g := grok("%{NOPE:x}", line) | cut g')(df)
+
+
+def test_grok_apache_common_log(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                '203.0.113.9 - frank [10/Oct/2000:13:55:36 -0700] '
+                '"GET /index.html HTTP/1.0" 200 2326',
+            )
+        ],
+        "line string",
+    )
+    out = zed_transform(
+        'g := grok("%{IPORHOST:client} %{NOTSPACE:ident} %{NOTSPACE:auth} '
+        r"\\[%{HTTPDATE:ts}\\] "  # Zed string escapes: \\ -> one backslash
+        '%{QUOTEDSTRING:request} %{NONNEGINT:status} %{NONNEGINT:bytes}", line) '
+        "| cut g"
+    )(df).collect()[0]["g"]
+    assert out["client"] == "203.0.113.9"
+    assert out["auth"] == "frank"
+    assert out["ts"] == "10/Oct/2000:13:55:36 -0700"
+    assert out["status"] == "200" and out["bytes"] == "2326"

@@ -360,3 +360,43 @@ def _shape_schema(src: T.StructType, dst: T.StructType) -> T.StructType:
         if f.name not in dst_names
     ]
     return T.StructType(out)
+
+
+def flatten_record(col: Column, src: T.DataType) -> Column:
+    """Zed `flatten(r)`: a record becomes an array of
+    ``{key: array<string>, value}`` leaves, depth-first in field order
+    (Zed func docs `flatten.md`).
+
+    Zed's value side is a union of the leaf types; on Spark the array
+    element type must be uniform, so the values widen through the same
+    `fuse` ladder the engine already uses (identical types stay
+    themselves, mixed numerics widen, anything else becomes string —
+    _widen above).  Pure column algebra: one F.array of pre-built
+    structs, no UDF, no shuffle.
+    """
+    if not isinstance(src, T.StructType):
+        raise TypeError(f"flatten() needs a record, got {src.simpleString()}")
+    leaves: list[tuple[list[str], T.DataType, Column]] = []
+
+    def walk(c: Column, t: T.DataType, path: list[str]) -> None:
+        if isinstance(t, T.StructType):
+            for f in t.fields:
+                walk(c.getField(f.name), f.dataType, path + [f.name])
+        else:
+            leaves.append((path, t, c))
+
+    walk(col, src, [])
+    if not leaves:
+        return F.array().cast(
+            "array<struct<key:array<string>,value:string>>"
+        )
+    common = reduce(_widen, [t for _, t, _ in leaves])
+    return F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(p) for p in path]).alias("key"),
+                _conform(c, t, common).alias("value"),
+            )
+            for path, t, c in leaves
+        ]
+    )

@@ -419,7 +419,71 @@ _FUNCS: dict[str, Callable[..., Column]] = {
     "coalesce": F.coalesce,
     "now": F.current_timestamp,
     "lenient_concat": F.concat,
+    "levenshtein": F.levenshtein,
 }
+
+
+# C strftime directives → Java DateTimeFormatter patterns (Zed func docs
+# `strftime.md` follows the C conventions; Spark's date_format takes the
+# Java dialect, so the translation happens once at compile time).
+_STRFTIME_MAP = {
+    "Y": "yyyy",
+    "y": "yy",
+    "m": "MM",
+    "d": "dd",
+    "e": "d",
+    "H": "HH",
+    "I": "hh",
+    "M": "mm",
+    "S": "ss",
+    "j": "DDD",
+    "b": "MMM",
+    "B": "MMMM",
+    "a": "EEE",
+    "A": "EEEE",
+    "p": "a",
+    "z": "xx",
+    "Z": "zz",
+}
+
+
+def _strftime_java(fmt: str) -> str:
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            d = fmt[i + 1]
+            if d == "%":
+                lit.append("%")
+                i += 2
+                continue
+            java = _STRFTIME_MAP.get(d)
+            if java is None:
+                raise ZedCompileError(f"strftime: unsupported directive %{d}")
+            flush()
+            out.append(java)
+            i += 2
+        else:
+            lit.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def _pattern_literal(arg: ast.Expr, fn: str) -> str:
+    if isinstance(arg, ast.RegexLit):
+        return arg.pattern
+    if isinstance(arg, ast.Lit) and isinstance(arg.value, str):
+        return arg.value
+    raise ZedCompileError(f"{fn} pattern must be a regex or string literal")
 
 
 def _call(e: ast.Call, df: DataFrame) -> Column:
@@ -539,6 +603,120 @@ def _call(e: ast.Call, df: DataFrame) -> Column:
         if "_type" in df.columns:
             return F.col("_type")
         return F.lit(None).cast("string")
+    if name == "kind":
+        # kind(v): category of the value's type (Zed func docs kind.md).
+        # Static in a fixed-schema engine — folds to a literal.
+        t = _col_type(df, compile_expr(args[0], df))
+        if isinstance(t, T.StructType):
+            return F.lit("record")
+        if isinstance(t, T.ArrayType):
+            return F.lit("array")
+        if isinstance(t, T.MapType):
+            return F.lit("map")
+        return F.lit("primitive")
+    if name == "flatten":
+        if len(args) != 1:
+            raise ZedCompileError("flatten() takes one record argument")
+        col = compile_expr(args[0], df)
+        t = _col_type(df, col)
+        if not isinstance(t, T.StructType):
+            raise ZedCompileError(
+                f"flatten() needs a record, got {t.simpleString()}"
+            )
+        return datamodel.flatten_record(col, t)
+    if name == "unflatten":
+        # Zed unflatten() rebuilds a record from data-dependent keys —
+        # impossible under a static schema unless the key set is known
+        # at compile time.  The supported form is the round-trip
+        # unflatten(flatten(r)) (the shape Zed test suites exercise);
+        # anything else is a declared gate, not a silent wrong answer.
+        if (
+            len(args) == 1
+            and isinstance(args[0], ast.Call)
+            and args[0].name == "flatten"
+        ):
+            return compile_expr(args[0].args[0], df)
+        raise ZedCompileError(
+            "unflatten() supports only the unflatten(flatten(r)) round "
+            "trip: dynamic keys cannot produce a static Spark schema"
+        )
+    if name == "grok":
+        from ..functions import grok as zgrok
+
+        if len(args) != 2:
+            raise ZedCompileError("grok() takes (pattern, string)")
+        pattern = _pattern_literal(args[0], "grok()")
+        try:
+            return zgrok.grok(pattern, compile_expr(args[1], df))
+        except zgrok.GrokError as exc:
+            raise ZedCompileError(str(exc))
+    if name == "regexp":
+        # regexp(re, s): array of [match, group1, ...], null when the
+        # pattern doesn't match (Zed func docs regexp.md).  Group count
+        # is static, so this is one rlike guard + N regexp_extract.
+        if len(args) != 2:
+            raise ZedCompileError("regexp() takes (pattern, string)")
+        pattern = _pattern_literal(args[0], "regexp()")
+        try:
+            ngroups = re.compile(pattern).groups
+        except re.error as exc:
+            raise ZedCompileError(f"regexp(): bad pattern: {exc}")
+        s = compile_expr(args[1], df)
+        return F.when(
+            s.rlike(pattern),
+            F.array(
+                *[F.regexp_extract(s, pattern, i) for i in range(ngroups + 1)]
+            ),
+        )
+    if name == "regexp_replace":
+        if len(args) != 3:
+            raise ZedCompileError(
+                "regexp_replace() takes (string, pattern, replacement)"
+            )
+        pattern = _pattern_literal(args[1], "regexp_replace()")
+        return F.regexp_replace(
+            compile_expr(args[0], df), pattern, compile_expr(args[2], df)
+        )
+    if name == "base64":
+        # Type-directed like Zed: bytes → base64 string, string → bytes.
+        if len(args) != 1:
+            raise ZedCompileError("base64() takes one argument")
+        col = compile_expr(args[0], df)
+        t = _col_type(df, col)
+        if isinstance(t, T.BinaryType):
+            return F.base64(col)
+        if isinstance(t, T.StringType):
+            return F.unbase64(col)
+        raise ZedCompileError("base64() takes bytes (encode) or string (decode)")
+    if name == "hex":
+        if len(args) != 1:
+            raise ZedCompileError("hex() takes one argument")
+        col = compile_expr(args[0], df)
+        t = _col_type(df, col)
+        if isinstance(t, T.StringType):
+            return F.unhex(col)
+        return F.lower(F.hex(col))
+    if name == "strftime":
+        if len(args) != 2:
+            raise ZedCompileError("strftime() takes (format, time)")
+        if not (isinstance(args[0], ast.Lit) and isinstance(args[0].value, str)):
+            raise ZedCompileError("strftime() format must be a string literal")
+        return F.date_format(
+            compile_expr(args[1], df), _strftime_java(args[0].value)
+        )
+    if name == "bucket":
+        # bucket(ts, span): span-aligned truncation of an explicit time
+        # expression (every() is the implicit-`ts` form above).
+        if len(args) != 2 or not isinstance(args[1], ast.DurationLit):
+            raise ZedCompileError("bucket() takes (time, duration literal)")
+        secs = args[1].seconds
+        if secs < 1 or secs != int(secs):
+            raise ZedCompileError("bucket() supports whole-second durations")
+        step = int(secs)
+        ts = compile_expr(args[0], df)
+        return F.timestamp_seconds(
+            (F.unix_timestamp(ts) / step).cast("long") * step
+        )
     if name in _FUNCS:
         return _FUNCS[name](*[compile_expr(a, df) for a in args])
     raise ZedCompileError(f"unknown function {name!r}")
