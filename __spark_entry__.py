@@ -2308,6 +2308,31 @@ def _q_embedding_incremental_dups(spark, sf):
     )
 
 
+def _q_lm_quality_unigram(spark, sf):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): train a
+    unigram LM on the trusted slice (lang='en' stands in for Wikipedia),
+    score EVERY document's cross-entropy under it.  Model is vocab-
+    bounded and broadcast; the corpus is never shuffled on token —
+    operators/lm.py for the 100 TB argument."""
+    from zinger_spark.operators import lm as zlm
+
+    docs = _t(spark, sf, "documents")
+    model = zlm.train_unigram(docs.filter(F.col("lang") == "en"))
+    return zlm.cross_entropy_unigram(docs, model)
+
+
+def _q_lm_quality_bigram(spark, sf):
+    """Interpolated-bigram form of the CCNet score: λ·MLE-bigram +
+    (1-λ)·smoothed-unigram, exact decimal log-sums both engines."""
+    from zinger_spark.operators import lm as zlm
+
+    docs = _t(spark, sf, "documents")
+    train = docs.filter(F.col("lang") == "en")
+    return zlm.cross_entropy_bigram(
+        docs, zlm.train_unigram(train), zlm.train_bigram(train)
+    )
+
+
 def _q_mixture_sample(spark, sf):
     """Temperature-weighted source mixture (T=0.5 upweights small
     sources — the multilingual rebalance): deterministic hash keep,
@@ -2504,6 +2529,12 @@ _q_zq_flatten = _zq(
     '| k := join(key, ".") '
     "| v := value "
     "| cut k, v"
+)
+
+_q_zq_sample = _zq(
+    # sample/shapes: one deterministic representative per shape (struct-
+    # min over the data columns; a single static shape here, so one row)
+    "from events | cut event_id, user_id, event_type, value | sample"
 )
 
 _q_zq_grok = _zq(
@@ -3034,6 +3065,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zq_strftime_bucket": _q_zq_strftime_bucket,
         "zq_flatten": _q_zq_flatten,
         "zq_grok": _q_zq_grok,
+        "zq_sample": _q_zq_sample,
+        "lm_quality_unigram": _q_lm_quality_unigram,
+        "lm_quality_bigram": _q_lm_quality_bigram,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "sliding_window_counts": _q_sliding_window_counts,
@@ -4042,6 +4076,68 @@ def oracle_sql() -> dict[str, str]:
                        '%Y-%m-%d %H:%M:%S') AS bucket,
                    count(*) AS n, min(event_id) AS lo
             FROM events GROUP BY 1, 2
+        """,
+        "lm_quality_unigram": """
+            WITH tok AS (
+                SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w
+                FROM documents
+            ), tok2 AS (
+                SELECT * FROM tok WHERE w <> ''
+            ), model AS (
+                SELECT w, count(*) AS c FROM tok2 WHERE lang = 'en' GROUP BY w
+            ), stats AS (
+                SELECT sum(c) AS n, count(*) AS v FROM model
+            )
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   round(
+                       CAST(-sum(CAST(ln((coalesce(m.c, 0) + 1)
+                                         / (s.n + s.v))
+                                      AS DECIMAL(28,12))) AS DOUBLE)
+                       / count(*), 6) AS xent
+            FROM tok2 t LEFT JOIN model m USING (w), stats s
+            GROUP BY t.doc_id
+        """,
+        "lm_quality_bigram": """
+            WITH arr AS (
+                SELECT doc_id, lang, str_split(text, ' ') AS a FROM documents
+            ), pairs0 AS (
+                SELECT doc_id, lang,
+                       unnest(a[1:greatest(len(a)-1, 0)]) AS w1,
+                       unnest(a[2:len(a)]) AS w2
+                FROM arr
+            ), pairs AS (
+                SELECT * FROM pairs0 WHERE w1 <> '' AND w2 <> ''
+            ), uni AS (
+                SELECT w, count(*) AS c FROM (
+                    SELECT unnest(str_split(text, ' ')) AS w
+                    FROM documents WHERE lang = 'en'
+                ) WHERE w <> '' GROUP BY w
+            ), big AS (
+                SELECT w1, w2, count(*) AS c12 FROM pairs
+                WHERE lang = 'en' GROUP BY w1, w2
+            ), stats AS (
+                SELECT sum(c) AS n, count(*) AS v FROM uni
+            )
+            SELECT p.doc_id, count(*) AS n_bigrams,
+                   round(
+                       CAST(-sum(CAST(ln(
+                           0.9 * (CASE WHEN u1.c IS NOT NULL
+                                        AND b.c12 IS NOT NULL
+                                  THEN CAST(b.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE)
+                                  ELSE 0.0 END)
+                           + 0.1 * ((coalesce(u2.c, 0) + 1) / (s.n + s.v))
+                       ) AS DECIMAL(28,12))) AS DOUBLE)
+                       / count(*), 6) AS xent
+            FROM pairs p
+            LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+            LEFT JOIN uni u1 ON p.w1 = u1.w
+            LEFT JOIN uni u2 ON p.w2 = u2.w
+            , stats s
+            GROUP BY p.doc_id
+        """,
+        "zq_sample": """
+            SELECT event_id, user_id, event_type, value FROM events
+            WHERE event_id = (SELECT min(event_id) FROM events)
         """,
         "zq_flatten": """
             SELECT k, v FROM (

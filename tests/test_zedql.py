@@ -1200,3 +1200,32 @@ def test_grok_apache_common_log(spark):
     assert out["auth"] == "frank"
     assert out["ts"] == "10/Oct/2000:13:55:36 -0700"
     assert out["status"] == "200" and out["bytes"] == "2326"
+
+
+def test_sample_one_value_per_shape(spark):
+    df = spark.createDataFrame(
+        [(2, "b", "data"), (1, "a", "data"), (3, "c", "done")],
+        "id long, s string, _type string",
+    )
+    out = zed_transform("sample")(df)
+    rows = {(r["_type"], r["id"], r["s"]) for r in out.collect()}
+    # deterministic representative = struct-min of the data columns
+    assert rows == {("data", 1, "a"), ("done", 3, "c")}
+    # `shapes` is the renamed alias
+    out2 = zed_transform("shapes")(df)
+    assert {(r["_type"], r["id"]) for r in out2.collect()} == {("data", 1), ("done", 3)}
+
+
+def test_sample_single_shape_no_tag(spark):
+    df = spark.createDataFrame([(5, "x"), (2, "y")], "id long, s string")
+    rows = zed_transform("sample")(df).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 2 and rows[0]["s"] == "y"
+    assert "_type" not in rows[0].asDict()
+
+
+def test_merge_orders_and_combine_passes(spark):
+    df = spark.createDataFrame([(3,), (1,), (2,)], "id long")
+    out = zed_transform("combine | merge id")(df).collect()
+    assert [r["id"] for r in out] == [1, 2, 3]
+    out = zed_transform("merge id desc | head 1")(df).collect()
+    assert out[0]["id"] == 3

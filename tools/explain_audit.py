@@ -321,6 +321,21 @@ def main() -> int:
           "CartesianProduct" not in p and "partial_sum" in p,
           "per-iteration contributions partial-agg before the dst shuffle")
 
+    # round 7 (cont.): LM quality scoring + zedql function-library keys
+    for q in ("lm_quality_unigram", "lm_quality_bigram"):
+        p = plan_of(qs[q](spark, sf))
+        check(q, "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+              "vocab-bounded model broadcast; corpus never shuffles on token")
+        check(q, "partial_count" in p or "partial_sum" in p,
+              "per-doc reduction partial-aggregates map-side")
+    p = plan_of(qs["zq_regexp_funcs"](spark, sf))
+    check("zq_regexp_funcs", "Exchange" not in p and "BatchEvalPython" not in p,
+          "regexp/levenshtein/replace are per-row JVM expressions — zero "
+          "shuffles, zero Python")
+    p = plan_of(qs["zq_grok"](spark, sf))
+    check("zq_grok", "BatchEvalPython" not in p and "CartesianProduct" not in p,
+          "grok extraction is JVM regexp_extract; only the group-by shuffles")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0

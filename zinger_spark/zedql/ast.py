@@ -236,6 +236,13 @@ class OpFuse(Op):
 
 
 @dataclass
+class OpSample(Op):
+    # `sample` (aliased `shapes` after the rename in the language's
+    # successor docs): one representative value per distinct shape.
+    pass
+
+
+@dataclass
 class OpPass(Op):
     pass
 

@@ -869,6 +869,24 @@ def _one(df: DataFrame | None, op: ast.Op, ctx: Ctx) -> DataFrame:
         return df.dropDuplicates()
     if isinstance(op, (ast.OpFuse, ast.OpPass)):
         return df  # schema already fused per-DataFrame
+    if isinstance(op, ast.OpSample):
+        # `sample`/`shapes`: one representative value per distinct shape.
+        # Shape on a fixed-schema engine = the named-type tag (_type)
+        # when present, else the (single) static schema.  The
+        # representative is made deterministic by taking the struct-min
+        # over the data columns — one partial-aggregated groupBy whose
+        # key cardinality is the number of shapes, not rows.
+        ctx.order = None
+        cols = _data_cols(df)
+        key = (
+            F.col("_type") if "_type" in df.columns else F.lit("record")
+        )
+        rep = df.groupBy(key.alias("__shape")).agg(
+            F.min(F.struct(*[F.col(f"`{c}`") for c in cols])).alias("__s")
+        )
+        if "_type" in df.columns:
+            return rep.select("__s.*", F.col("__shape").alias("_type"))
+        return rep.select("__s.*")
     if isinstance(op, ast.OpSwitch):
         return _switch(df, op, ctx)
     if isinstance(op, ast.OpJoin):

@@ -526,6 +526,10 @@ class _Parser:
         "file",
         "over",
         "top",
+        "sample",
+        "shapes",
+        "combine",
+        "merge",
     }
 
     def parse_program(self) -> ast.Program:
@@ -835,6 +839,44 @@ class _Parser:
                 continue
             break
         return ast.OpRename(pairs)
+
+    def _op_sample(self, stop: frozenset[str]) -> ast.Op:
+        self.take()
+        return ast.OpSample()
+
+    # `shapes` — the operator's name after the sample->shapes rename in
+    # the language's successor docs; same semantics here.
+    def _op_shapes(self, stop: frozenset[str]) -> ast.Op:
+        self.take()
+        return ast.OpSample()
+
+    def _op_combine(self, stop: frozenset[str]) -> ast.Op:
+        # fork/switch legs in this engine union implicitly (fuse), so the
+        # explicit combine is a no-op marker — same reason fuse-after-
+        # union compiles to pass.
+        self.take()
+        return ast.OpPass()
+
+    def _op_merge(self, stop: frozenset[str]) -> ast.Op:
+        # `merge k` — ordered combine of branches by k.  A set-oriented
+        # engine realizes the interleave as a sort on the merge key
+        # (branches are already unioned by the time merge runs).
+        self.take()
+        keys = []
+        while True:
+            e = self.parse_expr()
+            desc = False
+            if self.at_ident("desc"):
+                self.take()
+                desc = True
+            elif self.at_ident("asc"):
+                self.take()
+            keys.append(ast.SortKey(e, desc))
+            if self.at(","):
+                self.take()
+                continue
+            break
+        return ast.OpSort(keys)
 
     def _op_uniq(self, stop: frozenset[str]) -> ast.Op:
         self.take()
