@@ -2531,6 +2531,15 @@ _q_zq_flatten = _zq(
     "| cut k, v"
 )
 
+# lateral over-scope: per-document token stats with parent bindings in
+# scope — one explode + one partial-agg groupBy keyed by parent, no
+# per-parent task (compiler._over lateral form)
+_q_zq_over_scope = _zq(
+    "from documents "
+    '| over split(text, " ") with d = doc_id, l = lang '
+    '=> ( where value != "" | toks := count(), first := min(value) by d, l )'
+)
+
 _q_zq_sample = _zq(
     # sample/shapes: one deterministic representative per shape (struct-
     # min over the data columns; a single static shape here, so one row)
@@ -3066,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zq_flatten": _q_zq_flatten,
         "zq_grok": _q_zq_grok,
         "zq_sample": _q_zq_sample,
+        "zq_over_scope": _q_zq_over_scope,
         "lm_quality_unigram": _q_lm_quality_unigram,
         "lm_quality_bigram": _q_lm_quality_bigram,
         "sessionize": _q_sessionize,
@@ -4076,6 +4086,13 @@ def oracle_sql() -> dict[str, str]:
                        '%Y-%m-%d %H:%M:%S') AS bucket,
                    count(*) AS n, min(event_id) AS lo
             FROM events GROUP BY 1, 2
+        """,
+        "zq_over_scope": """
+            SELECT doc_id AS d, lang AS l, count(*) AS toks, min(w) AS first
+            FROM (
+                SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY 1, 2
         """,
         "lm_quality_unigram": """
             WITH tok AS (

@@ -87,6 +87,13 @@ HEADLINE = [
     "hdr_quantiles",
     "range_join_bands",
     "source_overlap_sketch",
+    # r7 (cont.): LM quality scoring — broadcast-model cross-entropy;
+    # tracked because it is the canonical "score every document" pass a
+    # curation pipeline runs corpus-wide, and grok — the log-parsing
+    # hot path (must stay a zero-Python JVM regex pipeline)
+    "lm_quality_unigram",
+    "lm_quality_bigram",
+    "zq_grok",
 ]
 
 

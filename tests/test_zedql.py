@@ -1229,3 +1229,73 @@ def test_merge_orders_and_combine_passes(spark):
     assert [r["id"] for r in out] == [1, 2, 3]
     out = zed_transform("merge id desc | head 1")(df).collect()
     assert out[0]["id"] == 3
+
+
+# --------------------------------------------------------------------------
+# over ... with ... => ( ... ) — the lateral scope
+
+
+def test_over_scope_counts_per_parent(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "c"), (3, "")], "id long, text string"
+    )
+    out = zed_transform(
+        'over split(text, " ") with d = id '
+        '=> ( where value != "" | n := count() by value )'
+    )(df)
+    rows = {tuple(r) for r in out.select("value", "n").collect()}
+    # per-PARENT counts: parent 1's two "a"s stay its own group; parent
+    # 3 contributes nothing (empty nested sequence)
+    assert rows == {("a", 2), ("b", 1), ("c", 1)}
+    # the binding d was never surfaced -> it is a variable, not a field
+    assert set(out.columns) == {"value", "n"}
+
+
+def test_over_scope_binding_as_group_key(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "c d"), (3, "")], "id long, text string"
+    )
+    out = zed_transform(
+        'over split(text, " ") with d = id => ( n := count() by d )'
+    )(df)
+    # split("", " ") == [""]: parent 3's nested sequence is one empty
+    # token (same both engines), hence n=1 — filter with `where` to drop
+    assert {(r["d"], r["n"]) for r in out.collect()} == {(1, 3), (2, 2), (3, 1)}
+
+
+def test_over_scope_yield_with_binding(spark):
+    df = spark.createDataFrame([(7, "x y")], "id long, text string")
+    out = zed_transform(
+        'over split(text, " ") with d = id '
+        "=> ( yield {d: d, w: to_upper(value)} )"
+    )(df)
+    assert {(r["d"], r["w"]) for r in out.collect()} == {(7, "X"), (7, "Y")}
+    assert out.columns == ["d", "w"]
+
+
+def test_over_scope_put_unhides_binding(spark):
+    df = spark.createDataFrame([(7, "x")], "id long, text string")
+    out = zed_transform(
+        'over split(text, " ") with d = id => ( d := d * 10 )'
+    )(df)
+    rows = out.collect()
+    assert rows[0]["d"] == 70 and rows[0]["value"] == "x"
+
+
+def test_over_scope_where_only_hides_bindings(spark):
+    df = spark.createDataFrame([(7, "x y")], "id long, text string")
+    out = zed_transform(
+        'over split(text, " ") with d = id => ( where d == 7 )'
+    )(df)
+    assert out.columns == ["value"] and out.count() == 2
+
+
+def test_over_scope_rejects_sort_inside(spark):
+    df = spark.createDataFrame([(7, "x")], "id long, text string")
+    with pytest.raises(ZedCompileError, match="over-scope"):
+        zed_transform('over split(text, " ") with d = id => ( sort value )')(df)
+
+
+def test_over_with_without_scope_is_error():
+    with pytest.raises(ZedSyntaxError, match="with"):
+        parse("over a with d = id")

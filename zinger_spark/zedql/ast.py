@@ -250,6 +250,11 @@ class OpPass(Op):
 @dataclass
 class OpOver(Op):
     exprs: list[Expr]
+    # lateral scope: `over e with a=expr, b=expr => ( seq )` — bindings
+    # carry parent-row context into the subquery, which runs over each
+    # input value's nested sequence independently
+    bindings: list[tuple[str, Expr]] | None = None
+    seq: "Seq | None" = None
 
 
 @dataclass

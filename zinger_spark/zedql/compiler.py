@@ -892,7 +892,7 @@ def _one(df: DataFrame | None, op: ast.Op, ctx: Ctx) -> DataFrame:
     if isinstance(op, ast.OpJoin):
         raise ZedCompileError("join must directly follow fork/from with two legs")
     if isinstance(op, ast.OpOver):
-        return _over(df, op)
+        return _over(df, op, ctx)
     if isinstance(op, ast.OpTop):
         # sort desc + limit: Spark plans TakeOrderedAndProject (per-
         # partition heap + driver merge of N rows), the same bounded-
@@ -910,28 +910,103 @@ def _one(df: DataFrame | None, op: ast.Op, ctx: Ctx) -> DataFrame:
     raise ZedCompileError(f"unsupported operator {type(op).__name__}")
 
 
-def _over(df: DataFrame, op: ast.OpOver) -> DataFrame:
-    """`over a, b` — un-nest array values into the output sequence
-    (the Zed over operator without with-bindings/lateral scopes).
-    Record elements spread to top level; scalar elements become a
-    single column named after the final path segment ('value' for
-    computed expressions) — the typed-engine stand-in for Zed's
+def _over(df: DataFrame, op: ast.OpOver, ctx: Ctx) -> DataFrame:
+    """`over a, b [with x=e ...] [=> ( seq )]` — un-nest array values
+    into the output sequence (the Zed over operator).
+
+    Bare form: record elements spread to top level; scalar elements
+    become a single column named after the final path segment ('value'
+    for computed expressions) — the typed-engine stand-in for Zed's
     scalar top-level values, same restriction as yield.  Multiple
     expressions concatenate leg-wise (this engine is set-oriented:
-    inter-row order comes from an explicit sort, not arrival)."""
+    inter-row order comes from an explicit sort, not arrival).
+
+    Lateral form (`=> ( seq )`): the subquery runs over EACH input
+    value's nested sequence independently, with the with-bindings in
+    scope as variables.  Spark realization: explode alongside a
+    per-parent id, compile the subquery ops with that id as an implicit
+    group key (aggregates become groupBy(__over_pid, by...)), then drop
+    the id and any binding variable the subquery didn't explicitly
+    surface — bindings are VARIABLES, not output fields (Zed over
+    docs).  Physical shape: the lateral aggregate is one explode + one
+    partial-aggregated groupBy keyed by parent — parallelism follows
+    the parent partitioning, no per-parent task or window sort.
+    """
+
+    if op.seq is None:
+        legs = []
+        for e in op.exprs:
+            col = compile_expr(e, df)
+            t = _col_type(df, col)
+            if not isinstance(t, T.ArrayType):
+                raise ZedCompileError("over needs array-valued expressions")
+            elem = df.select(F.explode(col).alias("__elem"))
+            if isinstance(t.elementType, T.StructType):
+                legs.append(elem.select("__elem.*"))
+            else:
+                name = e.parts[-1] if isinstance(e, ast.Path) and e.parts else "value"
+                legs.append(elem.select(F.col("__elem").alias(name)))
+        return datamodel.fuse(*legs) if len(legs) > 1 else legs[0]
+
+    pid = "__over_pid"
+    bindings = op.bindings or []
+    for name, _ in bindings:
+        if name == pid:
+            raise ZedCompileError(f"binding name {name!r} is reserved")
+    bound = {n for n, _ in bindings}
+    parent = df.select(
+        F.monotonically_increasing_id().alias(pid),
+        *[compile_expr(e, df).alias(n) for n, e in bindings],
+        *[c for c in df.columns if c not in bound],
+    )
+    # explode off `parent` (it has pid + bindings + the original
+    # columns, so both binding names and original paths resolve); keep
+    # pid and binding columns through the explode
+    keep = [F.col(f"`{pid}`")] + [F.col(f"`{n}`") for n, _ in bindings]
     legs = []
     for e in op.exprs:
-        col = compile_expr(e, df)
-        t = _col_type(df, col)
+        col = compile_expr(e, parent)
+        t = _col_type(parent, col)
         if not isinstance(t, T.ArrayType):
             raise ZedCompileError("over needs array-valued expressions")
-        elem = df.select(F.explode(col).alias("__elem"))
+        elem = parent.select(*keep, F.explode(col).alias("__elem"))
         if isinstance(t.elementType, T.StructType):
-            legs.append(elem.select("__elem.*"))
+            legs.append(elem.select(pid, *[n for n, _ in bindings], "__elem.*"))
         else:
             name = e.parts[-1] if isinstance(e, ast.Path) and e.parts else "value"
-            legs.append(elem.select(F.col("__elem").alias(name)))
-    return datamodel.fuse(*legs) if len(legs) > 1 else legs[0]
+            legs.append(elem.select(pid, *[n for n, _ in bindings], F.col("__elem").alias(name)))
+    cur = datamodel.fuse(*legs) if len(legs) > 1 else legs[0]
+
+    hidden = {n for n, _ in bindings}
+    ops = op.seq.ops
+    for i, sub in enumerate(ops):
+        last = i == len(ops) - 1
+        if isinstance(sub, ast.OpWhere):
+            cur = cur.filter(compile_expr(sub.expr, cur))
+        elif isinstance(sub, ast.OpPut):
+            cur = _put(cur, sub.assignments)
+            hidden -= {a[0][0] for a in sub.assignments}
+        elif isinstance(sub, ast.OpSummarize):
+            aggs = [_agg_col(a, cur) for a in sub.aggs]
+            keys = [F.col(f"`{pid}`")] + [
+                compile_expr(e, cur).alias(n) for n, e in (sub.by or [])
+            ]
+            cur = cur.groupBy(*keys).agg(*aggs)
+            hidden = set()  # groupBy output carries only keys + aggs
+        elif isinstance(sub, (ast.OpCut, ast.OpYield)) and last:
+            # terminal projection: selects exactly what it names, so pid
+            # and unused bindings fall away with it
+            if isinstance(sub, ast.OpCut):
+                return _cut(cur, sub)
+            outs = [_yield_one(cur, e, ctx) for e in sub.exprs]
+            return outs[0] if len(outs) == 1 else datamodel.fuse(*outs)
+        else:
+            raise ZedCompileError(
+                "over-scope supports where / put / aggregation, with cut "
+                "or yield as the final operator (inter-element order "
+                "inside a lateral scope needs an explicit outer sort)"
+            )
+    return cur.drop(pid, *hidden)
 
 
 def _sort_col(k: ast.SortKey, df: DataFrame) -> Column:

@@ -917,13 +917,34 @@ class _Parser:
         return ast.OpTop(limit, keys)
 
     def _op_over(self, stop: frozenset[str]) -> ast.Op:
-        # over expr (, expr)* — un-nest array values into the sequence
+        # over expr (, expr)* [with n=e (, n=e)*] [=> ( seq )] — un-nest
+        # array values; the lateral form runs seq over each input
+        # value's nested sequence with the with-bindings in scope
         self.take()
         exprs = [self.parse_expr()]
         while self.at(","):
             self.take()
             exprs.append(self.parse_expr())
-        return ast.OpOver(exprs)
+        bindings: list[tuple[str, ast.Expr]] = []
+        if self.at_ident("with"):
+            self.take()
+            while True:
+                name = self.expect_ident()
+                self.expect("=")
+                bindings.append((name, self.parse_expr()))
+                if self.at(","):
+                    self.take()
+                    continue
+                break
+        seq = None
+        if self.at("=>"):
+            self.take()
+            self.expect("(")
+            seq = self.parse_seq(frozenset({")"}))
+            self.expect(")")
+        if bindings and seq is None:
+            raise self._err("over ... with requires a => ( ... ) scope")
+        return ast.OpOver(exprs, bindings or None, seq)
 
     def _summarize(self, stop: frozenset[str]) -> ast.Op:
         aggs: list[ast.AggSpec] = []
