@@ -1299,3 +1299,33 @@ def test_over_scope_rejects_sort_inside(spark):
 def test_over_with_without_scope_is_error():
     with pytest.raises(ZedSyntaxError, match="with"):
         parse("over a with d = id")
+
+
+def test_nest_dotted(spark):
+    df = spark.createDataFrame(
+        [(1, 2, "z")],
+        T.StructType(
+            [
+                T.StructField("a.b", T.LongType()),
+                T.StructField("a.c", T.LongType()),
+                T.StructField("x", T.StringType()),
+            ]
+        ),
+    )
+    out = zed_transform("yield nest_dotted(this)")(df)
+    r = out.collect()[0]
+    assert r["a"]["b"] == 1 and r["a"]["c"] == 2 and r["x"] == "z"
+    assert out.schema.simpleString() == (
+        "struct<a:struct<b:bigint,c:bigint>,x:string>"
+    )
+
+
+def test_nest_dotted_collision_errors(spark):
+    df = spark.createDataFrame(
+        [(1, 2)],
+        T.StructType(
+            [T.StructField("a", T.LongType()), T.StructField("a.b", T.LongType())]
+        ),
+    )
+    with pytest.raises(ZedCompileError, match="nest_dotted"):
+        zed_transform("yield nest_dotted(this)")(df)

@@ -603,6 +603,39 @@ def _call(e: ast.Call, df: DataFrame) -> Column:
         if "_type" in df.columns:
             return F.col("_type")
         return F.lit(None).cast("string")
+    if name == "nest_dotted":
+        # nest_dotted(this): group dotted top-level names into nested
+        # records ({"a.b": 1, "a.c": 2} -> {a: {b: 1, c: 2}}) — the
+        # post-ingest fixup for CSV/JSON headers with dotted keys.
+        # Static schema makes this a pure compile-time regrouping.
+        if args and not (isinstance(args[0], ast.Path) and not args[0].parts):
+            raise ZedCompileError("nest_dotted() operates on `this`")
+        tree: dict = {}
+        for c in _data_cols(df):
+            parts = c.split(".")
+            node = tree
+            for p in parts[:-1]:
+                nxt = node.setdefault(p, {})
+                if not isinstance(nxt, dict):
+                    raise ZedCompileError(
+                        f"nest_dotted: {p!r} is both a field and a record"
+                    )
+                node = nxt
+            if parts[-1] in node:
+                raise ZedCompileError(
+                    f"nest_dotted: {parts[-1]!r} is both a field and a record"
+                )
+            node[parts[-1]] = F.col(f"`{c}`")
+
+        def build(node: dict) -> Column:
+            return F.struct(
+                *[
+                    (build(v) if isinstance(v, dict) else v).alias(k)
+                    for k, v in node.items()
+                ]
+            )
+
+        return build(tree)
     if name == "kind":
         # kind(v): category of the value's type (Zed func docs kind.md).
         # Static in a fixed-schema engine — folds to a literal.
