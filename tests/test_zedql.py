@@ -1329,3 +1329,28 @@ def test_nest_dotted_collision_errors(spark):
     )
     with pytest.raises(ZedCompileError, match="nest_dotted"):
         zed_transform("yield nest_dotted(this)")(df)
+
+
+def test_strftime_translation_matches_python(spark):
+    """Cross-validate the C->Java directive translation: Spark
+    date_format through _strftime_java must agree with Python's own
+    strftime for every supported directive over a spread of
+    timestamps (month/day-name directives locale-pinned to English in
+    both engines)."""
+    import datetime as _dt
+
+    stamps = [
+        _dt.datetime(2024, 1, 1, 0, 0, 0),
+        _dt.datetime(2024, 2, 29, 23, 59, 59),
+        _dt.datetime(2025, 7, 4, 12, 30, 5),
+        _dt.datetime(1999, 12, 31, 1, 2, 3),
+        _dt.datetime(2030, 10, 15, 15, 45, 0),
+    ]
+    fmt = "%Y-%m-%d %H:%M:%S day=%j mon=%b (%B) dow=%a (%A) ampm=%I%p y2=%y 100%%"
+    df = spark.createDataFrame([(s,) for s in stamps], "t timestamp")
+    out = zed_transform(f's := strftime("{fmt}", t) | cut t, s')(df).collect()
+    want = {s: s.strftime(fmt) for s in stamps}
+    for r in out:
+        # Python pads %j to 3 and %I to 2; Java DDD/hh do the same.
+        # %p case: Python gives AM/PM, Java 'a' gives AM/PM — equal.
+        assert r["s"] == want[r["t"]], (r["t"], r["s"], want[r["t"]])
