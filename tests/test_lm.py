@@ -108,3 +108,28 @@ def test_bigram_unseen_history_is_finite(spark):
     uni, big = lm.train_unigram(train), lm.train_bigram(train)
     row = lm.cross_entropy_bigram(score_me, uni, big).collect()[0]
     assert math.isfinite(row["xent"]) and row["xent"] > 0
+
+
+def test_merged_model_equals_union_trained(spark):
+    """Count addition is exact: scoring under merge(train(A), train(B))
+    must equal scoring under train(A ∪ B) bit-for-bit — the property
+    that makes a per-batch model sidecar legal at ingest time."""
+    a = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the dog sat")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(2, "a cat ran"), (3, "the cat ran far")], "doc_id long, text string"
+    )
+    score_me = spark.createDataFrame(
+        [(9, "the cat ran"), (10, "dog far zzz")], "doc_id long, text string"
+    )
+    merged = lm.merge_unigram(lm.train_unigram(a), lm.train_unigram(b))
+    union = lm.train_unigram(a.unionByName(b))
+    got_m = sorted(lm.cross_entropy_unigram(score_me, merged).collect())
+    got_u = sorted(lm.cross_entropy_unigram(score_me, union).collect())
+    assert got_m == got_u
+    mb = lm.merge_bigram(lm.train_bigram(a), lm.train_bigram(b))
+    ub = lm.train_bigram(a.unionByName(b))
+    gm = sorted(lm.cross_entropy_bigram(score_me, merged, mb).collect())
+    gu = sorted(lm.cross_entropy_bigram(score_me, union, ub).collect())
+    assert gm == gu

@@ -35,6 +35,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "train_unigram",
     "train_bigram",
+    "merge_unigram",
+    "merge_bigram",
     "cross_entropy_unigram",
     "cross_entropy_bigram",
 ]
@@ -101,6 +103,33 @@ def cross_entropy_unigram(
             ).alias("xent"),
         )
     )
+
+
+def merge_unigram(*models: DataFrame) -> DataFrame:
+    """Merge unigram models by count addition — the same mergeability
+    algebra as the sketch suite, so a 100 TB model builds as per-shard
+    models merged pairwise (or per-ingest-batch: keep a model sidecar
+    next to the pool and ADD each micro-batch's counts; addition is
+    associative + commutative, replay-idempotence comes from the
+    batch's txn guard exactly like the HLL sidecar).  Merged-model
+    scores are identical to training once on the concatenated corpus —
+    count addition is exact, there is no approximation to compound."""
+    if not models:
+        raise ValueError("merge_unigram needs at least one model")
+    out = models[0]
+    for m in models[1:]:
+        out = out.unionByName(m)
+    return out.groupBy("w").agg(F.sum("c").alias("c"))
+
+
+def merge_bigram(*models: DataFrame) -> DataFrame:
+    """Bigram-model merge; same exact count-addition algebra."""
+    if not models:
+        raise ValueError("merge_bigram needs at least one model")
+    out = models[0]
+    for m in models[1:]:
+        out = out.unionByName(m)
+    return out.groupBy("w1", "w2").agg(F.sum("c").alias("c"))
 
 
 def train_bigram(train: DataFrame, text_col: str = "text") -> DataFrame:
