@@ -1354,3 +1354,18 @@ def test_strftime_translation_matches_python(spark):
         # Python pads %j to 3 and %I to 2; Java DDD/hh do the same.
         # %p case: Python gives AM/PM, Java 'a' gives AM/PM — equal.
         assert r["s"] == want[r["t"]], (r["t"], r["s"], want[r["t"]])
+
+
+def test_grok_custom_definitions(spark):
+    df = spark.createDataFrame([("order-1234 shipped",)], "line string")
+    out = zed_transform(
+        'g := grok("%{ORDERID:oid} %{WORD:what}", line, '
+        '"ORDERID order-[0-9]+") | cut g'
+    )(df).collect()[0]["g"]
+    assert out["oid"] == "order-1234" and out["what"] == "shipped"
+
+
+def test_grok_bad_definition_line_errors(spark):
+    df = spark.createDataFrame([("x",)], "line string")
+    with pytest.raises(ZedCompileError, match="NAME PATTERN"):
+        zed_transform('g := grok("%{A:a}", line, "JUSTONETOKEN") | cut g')(df)

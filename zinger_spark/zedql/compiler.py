@@ -676,11 +676,28 @@ def _call(e: ast.Call, df: DataFrame) -> Column:
     if name == "grok":
         from ..functions import grok as zgrok
 
-        if len(args) != 2:
-            raise ZedCompileError("grok() takes (pattern, string)")
+        if len(args) not in (2, 3):
+            raise ZedCompileError("grok() takes (pattern, string[, definitions])")
         pattern = _pattern_literal(args[0], "grok()")
+        defs = None
+        if len(args) == 3:
+            # Zed's third arg: newline-separated "NAME PATTERN" custom
+            # definitions (a compile-time literal, like the pattern)
+            if not (isinstance(args[2], ast.Lit) and isinstance(args[2].value, str)):
+                raise ZedCompileError("grok() definitions must be a string literal")
+            defs = {}
+            for line in args[2].value.splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                parts = line.split(None, 1)
+                if len(parts) != 2:
+                    raise ZedCompileError(
+                        f"grok() definition line {line!r} is not 'NAME PATTERN'"
+                    )
+                defs[parts[0]] = parts[1]
         try:
-            return zgrok.grok(pattern, compile_expr(args[1], df))
+            return zgrok.grok(pattern, compile_expr(args[1], df), defs)
         except zgrok.GrokError as exc:
             raise ZedCompileError(str(exc))
     if name == "regexp":
