@@ -1785,6 +1785,67 @@ def _q_image_dup_pairs(spark, sf):
     return image_dup_pairs(imgs, max_hamming=3)
 
 
+def _q_video_dup_pairs(spark, sf):
+    """Video near-dup over REAL ZVID payloads synthesized from the
+    embeddings table (4 rolled-plane PNG frames per clip at 4 fps;
+    every tenth video gets a twin with frame 3 inverted — a wholesale
+    re-edit that still leaves 3 of 4 frames identical).  Frame sampling
+    + PNG decode + dHash run in the Arrow kernel; pairing is the banded
+    Hamming join at the FRAME level, reduced to video pairs by a
+    partial-agg groupBy.  HASH-EXACT oracle via the fingerprint-
+    boundary split, like image/audio (_materialize_media_fps writes the
+    pre-encode frame hashes; the frame join + video reduction is plain
+    SQL on both sides)."""
+    from zinger_spark.multimodal import video_dup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        from zinger_spark.codecs import media  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                v = np.asarray(list(vec), dtype=np.float64)
+                lo, hi = float(v.min()), float(v.max())
+                px = (
+                    ((v - lo) / (hi - lo + 1e-9) * 255.0)
+                    .astype(np.uint8)
+                    .reshape(8, 8)[:, :, None]
+                )
+                flat = px.reshape(-1)
+                frames = [
+                    np.roll(flat, 7 * k).reshape(8, 8, 1).copy()
+                    for k in range(4)
+                ]
+                rows.append(
+                    {
+                        "video_id": int(vid),
+                        "payload": media.encode_zvid(frames, fps=4),
+                    }
+                )
+                if vid % 10 == 0:
+                    twin = [f.copy() for f in frames]
+                    twin[3] = 255 - twin[3]
+                    rows.append(
+                        {
+                            "video_id": int(vid) + 1_000_000,
+                            "payload": media.encode_zvid(twin, fps=4),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["video_id", "payload"])
+
+    vids = emb.select("vec_id", "embedding").mapInPandas(
+        gen, "video_id long, payload binary"
+    )
+    return video_dup_pairs(
+        vids, every_ms=250, max_hamming=3, min_matching_frames=2
+    )
+
+
 def _q_audio_dup_pairs(spark, sf):
     """Audio near-dup over REAL PCM-WAV payloads synthesized from the
     embeddings table (each vector weights 64 harmonics of a 0.5 s tone;
@@ -3036,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_incremental_dups": _q_simhash_incremental_dups,
         "image_dup_pairs": _q_image_dup_pairs,
         "audio_dup_pairs": _q_audio_dup_pairs,
+        "video_dup_pairs": _q_video_dup_pairs,
         "contamination_exact": _q_contamination_exact,
         "token_rarity": _q_token_rarity,
         "embedding_dup_pairs_scaled": _q_embedding_dups_scaled,
@@ -3488,11 +3550,12 @@ _MEDIA_FP_DIR = "/tmp/zinger_spark_oracle_fps"
 ORACLE_SF_PINNED = {
     "image_dup_pairs": "sf0.01",
     "audio_dup_pairs": "sf0.01",
+    "video_dup_pairs": "sf0.01",
 }
 
 
-def _materialize_media_fps() -> tuple[str, str] | None:
-    """Oracle-side fingerprints for image_dup_pairs / audio_dup_pairs,
+def _materialize_media_fps() -> tuple[str, str, str] | None:
+    """Oracle-side fingerprints for image/audio/video_dup_pairs,
     written as (id, fp) parquet the DuckDB oracle reads — this is what
     promotes both keys from the rows-only gate to hash-exact: the
     queries split at the fingerprint boundary, the banded Hamming join
@@ -3523,6 +3586,15 @@ def _materialize_media_fps() -> tuple[str, str] | None:
         vecs = tbl.column("embedding").to_pylist()
 
         img_ids, dhashes, clip_ids, afps = [], [], [], []
+        vid_ids, vid_fidx, vid_fhash = [], [], []
+
+        def _vid_frames(px8):
+            # 4 frames: the 8x8 luma plane rolled by k pixels — distinct
+            # but deterministic; mirrors _q_video_dup_pairs' generator
+            flat = px8.reshape(-1)
+            return [
+                np.roll(flat, 7 * k).reshape(8, 8, 1).copy() for k in range(4)
+            ]
         rate = 8000
         t = np.arange(int(rate * 0.5)) / rate
         for vid, vec in zip(vec_ids, vecs):
@@ -3540,6 +3612,19 @@ def _materialize_media_fps() -> tuple[str, str] | None:
                 near[0, 0, 0] = 255 - near[0, 0, 0]
                 img_ids.append(int(vid) + 1_000_000)
                 dhashes.append(media.dhash(near))
+
+            frames = _vid_frames(px)
+            for k, f in enumerate(frames):
+                vid_ids.append(int(vid))
+                vid_fidx.append(k)
+                vid_fhash.append(media.dhash(f))
+            if vid % 10 == 0:
+                twin = [f.copy() for f in frames]
+                twin[3] = 255 - twin[3]
+                for k, f in enumerate(twin):
+                    vid_ids.append(int(vid) + 1_000_000)
+                    vid_fidx.append(k)
+                    vid_fhash.append(media.dhash(f))
 
             w = np.abs(v) / (np.abs(v).sum() + 1e-9)
             sig = np.zeros_like(t)
@@ -3562,6 +3647,7 @@ def _materialize_media_fps() -> tuple[str, str] | None:
         os.makedirs(_MEDIA_FP_DIR, exist_ok=True)
         img_path = os.path.join(_MEDIA_FP_DIR, "image_fps_sf001.parquet")
         aud_path = os.path.join(_MEDIA_FP_DIR, "audio_fps_sf001.parquet")
+        vid_path = os.path.join(_MEDIA_FP_DIR, "video_fps_sf001.parquet")
         # write-tmp + atomic replace: concurrent compare/pytest runs
         # share this path, and a reader must never see a torn file
         pid = os.getpid()
@@ -3570,11 +3656,14 @@ def _materialize_media_fps() -> tuple[str, str] | None:
                                  "dhash": pa.array(dhashes, pa.int64())})),
             (aud_path, pa.table({"clip_id": pa.array(clip_ids, pa.int64()),
                                  "afp": pa.array(afps, pa.int64())})),
+            (vid_path, pa.table({"video_id": pa.array(vid_ids, pa.int64()),
+                                 "frame_idx": pa.array(vid_fidx, pa.int32()),
+                                 "fhash": pa.array(vid_fhash, pa.int64())})),
         ):
             tmp = f"{path}.{pid}.tmp"
             pq.write_table(tbl, tmp)
             os.replace(tmp, path)
-        return img_path, aud_path
+        return img_path, aud_path, vid_path
     except Exception as e:  # pragma: no cover - environment-dependent
         # surface the reason: a silent None here quietly downgrades
         # image/audio dedup from hash-exact to no-oracle, and the
@@ -3677,7 +3766,7 @@ def oracle_sql() -> dict[str, str]:
     media_fps = _materialize_media_fps()
     media_oracles = {}
     if media_fps is not None:
-        img_path, aud_path = media_fps
+        img_path, aud_path, vid_path = media_fps
         media_oracles = {
             # brute-force Hamming pair joins over the oracle-side
             # fingerprints; the Spark queries run decode + banded join
@@ -3694,6 +3783,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{aud_path}') l
                 JOIN read_parquet('{aud_path}') r ON l.clip_id < r.clip_id
                 WHERE bit_count(xor(l.afp, r.afp)) <= 1
+            """,
+            "video_dup_pairs": f"""
+                WITH m AS (
+                    SELECT l.video_id AS id_a, r.video_id AS id_b
+                    FROM read_parquet('{vid_path}') l
+                    JOIN read_parquet('{vid_path}') r
+                      ON l.video_id < r.video_id
+                     AND bit_count(xor(l.fhash, r.fhash)) <= 3
+                )
+                SELECT id_a, id_b, count(*) AS n_matching_frames
+                FROM m GROUP BY 1, 2 HAVING count(*) >= 2
             """,
         }
     return media_oracles | {

@@ -239,3 +239,76 @@ def test_audio_fingerprint_dedup(spark):
     assert rows[1]["duration_ms"] == 2000
     pairs = [(r["id_a"], r["id_b"]) for r in audio_dup_pairs(df).collect()]
     assert pairs == [(1, 2)]
+
+
+# --------------------------------------------------------------------------
+# Video: ZVID container + frame sampling + near-dup pairs (all real —
+# PNG frames decode via the stdlib codec)
+
+
+def _mk_frames(seed: int, n: int = 4):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, (8, 8, 1)).astype("uint8") for _ in range(n)]
+
+
+def test_zvid_roundtrip_and_seek():
+    import numpy as np
+
+    from zinger_spark.codecs import media
+
+    frames = _mk_frames(1)
+    blob = media.encode_zvid(frames, fps=4)
+    assert media.is_zvid(blob)
+    fps, spans = media.zvid_index(blob)
+    assert fps == 4 and len(spans) == 4
+    for i, span in enumerate(spans):
+        px = media.decode_zvid_frame(blob, span)["pixels"]
+        assert np.array_equal(px, frames[i])
+    with pytest.raises(ValueError, match="truncated"):
+        media.zvid_index(blob[:-3])
+
+
+def test_video_frame_sampling_step(spark):
+    from zinger_spark.codecs import media
+
+    blob = media.encode_zvid(_mk_frames(2, n=8), fps=4)  # 2 s clip
+    df = spark.createDataFrame([(1, bytearray(blob))], "video_id long, payload binary")
+    # every 1000 ms at 4 fps -> step 4 -> frames 0 and 4
+    out = mm.video_frame_hashes(df, every_ms=1000).collect()
+    assert [(r["frame_idx"], r["ts_ms"]) for r in sorted(out, key=lambda r: r["frame_idx"])] == [
+        (0, 0),
+        (4, 1000),
+    ]
+    # every 250 ms -> step 1 -> all 8 frames
+    assert mm.video_frame_hashes(df, every_ms=250).count() == 8
+
+
+def test_video_dup_pairs_finds_edited_copy(spark):
+    import numpy as np
+
+    from zinger_spark.codecs import media
+
+    a = _mk_frames(10)
+    b = [f.copy() for f in a]
+    b[3] = 255 - b[3]  # re-edit one frame wholesale
+    c = _mk_frames(99)  # unrelated footage
+    rows = [
+        (1, bytearray(media.encode_zvid(a, fps=4))),
+        (2, bytearray(media.encode_zvid(b, fps=4))),
+        (3, bytearray(media.encode_zvid(c, fps=4))),
+    ]
+    df = spark.createDataFrame(rows, "video_id long, payload binary")
+    out = mm.video_dup_pairs(df, every_ms=250, min_matching_frames=2).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["n_matching_frames"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert all(k == (1, 2) for k in pairs)
+
+
+def test_video_non_zvid_gates(spark):
+    df = spark.createDataFrame([(1, b"\x00\x01mp4?")], "video_id long, payload binary")
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        mm.video_frame_hashes(df).collect()
+    out = mm.video_frame_hashes(df, fake=True).collect()
+    assert len(out) == 1 and out[0]["frame_idx"] == 0

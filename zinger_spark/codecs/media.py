@@ -385,3 +385,61 @@ def audio_fingerprint(samples: np.ndarray, rate: int, bits: int = 64) -> int:
         band_e[m] = spec[:, a:b].mean()
     deltas = band_e[:-1] - band_e[1:]
     return _bits_to_signed64(deltas > 0)
+
+
+# --------------------------------------------------------------------------
+# ZVID: a deliberately-simple video container (length-prefixed PNG
+# frames + a fixed frame rate) so the VIDEO pipeline — frame sampling,
+# per-frame perceptual hashing, near-dup pair joins — runs END TO END
+# with a real decoder on a box with no ffmpeg.  Real-world containers
+# (mp4/webm) slot in at exactly one seam: zvid_index/decode_zvid_frame
+# below become a demuxer call; every schema, kernel signature, and join
+# downstream is container-agnostic.  Layout:
+#   b"ZVID" | u16 fps | u32 nframes | nframes x (u32 len | PNG bytes)
+
+ZVID_MAGIC = b"ZVID"
+
+
+def is_zvid(data: bytes) -> bool:
+    return data[:4] == ZVID_MAGIC
+
+
+def encode_zvid(frames: list[np.ndarray], fps: int = 4) -> bytes:
+    if not frames:
+        raise ValueError("encode_zvid needs at least one frame")
+    if not 1 <= fps <= 65535:
+        raise ValueError("fps out of range")
+    out = [ZVID_MAGIC, struct.pack("<HI", fps, len(frames))]
+    for px in frames:
+        png = encode_png(px)
+        out.append(struct.pack("<I", len(png)))
+        out.append(png)
+    return b"".join(out)
+
+
+def zvid_index(data: bytes) -> tuple[int, list[tuple[int, int]]]:
+    """Parse the container directory WITHOUT decoding any frame:
+    returns (fps, [(offset, length), ...]).  Frame sampling reads only
+    the sampled frames' byte ranges — the cheap-seek property a real
+    demuxer gives you, kept here so the sampling kernel's cost model
+    (decode ∝ sampled frames, not stored frames) is honest."""
+    if not is_zvid(data):
+        raise ValueError("not a ZVID payload")
+    fps, n = struct.unpack_from("<HI", data, 4)
+    off = 10
+    spans: list[tuple[int, int]] = []
+    for _ in range(n):
+        if off + 4 > len(data):
+            raise ValueError("truncated ZVID directory")
+        (ln,) = struct.unpack_from("<I", data, off)
+        off += 4
+        if off + ln > len(data):
+            raise ValueError("truncated ZVID frame")
+        spans.append((off, ln))
+        off += ln
+    return fps, spans
+
+
+def decode_zvid_frame(data: bytes, span: tuple[int, int]) -> dict:
+    off, ln = span
+    return decode_png(data[off : off + ln])

@@ -488,3 +488,132 @@ def audio_dup_pairs(
     return hamming_dup_pairs(
         fps, fp_col="afp", id_col="clip_id", bits=64, max_hamming=max_hamming
     )
+
+
+# --------------------------------------------------------------------------
+# Video: frame sampling + per-frame perceptual hashing + near-dup pairs.
+# ZVID payloads (codecs/media.py) decode FOR REAL — PNG frames behind a
+# seekable directory; mp4/webm remain env-gated behind ffmpeg at the
+# single demuxer seam (zvid_index/decode_zvid_frame), everything
+# downstream is container-agnostic.
+
+VIDEO_FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("fhash", T.LongType()),
+    ]
+)
+
+
+def video_frame_hash_batches(every_ms: int = 1000, fake: bool = False):
+    """mapInPandas kernel: (video_id, payload) -> one dHash per SAMPLED
+    frame.  Sampling step = round(every_ms * fps / 1000) frames, so the
+    decode cost is proportional to sampled frames, not stored frames
+    (the directory seek keeps unsampled frames' bytes untouched)."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for video_id, payload in zip(pdf["video_id"], pdf["payload"]):
+                raw = bytes(payload)
+                chash = hashlib.md5(raw).hexdigest()
+                if _media.is_zvid(raw):
+                    fps, spans = _media.zvid_index(raw)
+                    step = max(1, round(every_ms * fps / 1000))
+                    for idx in range(0, len(spans), step):
+                        px = _media.decode_zvid_frame(raw, spans[idx])["pixels"]
+                        rows.append(
+                            {
+                                "video_id": int(video_id),
+                                "content_hash": chash,
+                                "frame_idx": idx,
+                                "ts_ms": idx * 1000 // fps,
+                                "fhash": _media.dhash(px),
+                            }
+                        )
+                elif fake:
+                    h = hashlib.md5(raw).digest()
+                    rows.append(
+                        {
+                            "video_id": int(video_id),
+                            "content_hash": chash,
+                            "frame_idx": 0,
+                            "ts_ms": 0,
+                            "fhash": int.from_bytes(h[:8], "little", signed=True),
+                        }
+                    )
+                else:
+                    raise NotImplementedError(
+                        "video decode beyond ZVID requires ffmpeg; pass "
+                        "fake=True for the stub"
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_HASH_SCHEMA]
+            )
+
+    return _kernel
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    id_col: str = "video_id",
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+    fake: bool = False,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).cast("long").alias("video_id"),
+        F.col(payload_col).alias("payload"),
+    ).mapInPandas(video_frame_hash_batches(every_ms, fake=fake), VIDEO_FRAME_HASH_SCHEMA)
+
+
+# frame_idx is packed next to video_id for the frame-level join; bounds
+# the per-video frame count the pair join can see
+_VIDEO_FRAME_CAP = 100_000
+
+
+def video_dup_pairs(
+    df: DataFrame,
+    id_col: str = "video_id",
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+    max_hamming: int = 3,
+    min_matching_frames: int = 2,
+    fake: bool = False,
+) -> DataFrame:
+    """Video near-dup pairs: per-sampled-frame dHashes -> banded Hamming
+    join at the FRAME level (Manku pigeonhole, operators.dedup) -> pairs
+    of videos sharing >= min_matching_frames near-identical frames.
+
+    Scale shape: candidates come from frame-fingerprint band equi-joins
+    (never video x video), the video-level reduction is one partial-agg
+    groupBy on the (id_a, id_b) pair — re-encoded or lightly-edited
+    copies land with most frames matching, unrelated footage shares ~0
+    frames.  Returns (id_a, id_b, n_matching_frames)."""
+    from .operators.dedup import hamming_dup_pairs
+
+    fh = video_frame_hashes(df, id_col, payload_col, every_ms, fake=fake)
+    fid = (F.col("video_id") * _VIDEO_FRAME_CAP + F.col("frame_idx")).alias("fid")
+    pairs = hamming_dup_pairs(
+        fh.select(fid, "fhash"),
+        fp_col="fhash",
+        id_col="fid",
+        bits=64,
+        max_hamming=max_hamming,
+    )
+    va = F.expr(f"id_a div {_VIDEO_FRAME_CAP}")
+    vb = F.expr(f"id_b div {_VIDEO_FRAME_CAP}")
+    return (
+        pairs.select(va.alias("va"), vb.alias("vb"))
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            F.least("va", "vb").alias("id_a"),
+            F.greatest("va", "vb").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matching_frames"))
+        .filter(F.col("n_matching_frames") >= min_matching_frames)
+    )
