@@ -336,6 +336,30 @@ def main() -> int:
     check("zq_grok", "BatchEvalPython" not in p and "CartesianProduct" not in p,
           "grok extraction is JVM regexp_extract; only the group-by shuffles")
 
+    # round 7 (late): fixed-point perceptron — the per-round gradient agg
+    # must partial-aggregate (one pre-agg row per partition crosses the
+    # exchange) with the margin computed JVM-side, no Python, no joins
+    from zinger_spark.operators.classifier import perceptron_margin
+    feats = m._perc_feats(spark, sf)
+    staged = feats.withColumn(
+        "__mis",
+        F.expr("CAST(y * (" + " + ".join(f"1L * f{j}" for j in range(m._PERC_D)) + ") <= 0 AS BIGINT)"),
+    )
+    gsums = ", ".join(
+        f"CAST(COALESCE(SUM(__mis * y * f{j}), 0) AS BIGINT) AS g{j}"
+        for j in range(m._PERC_D)
+    )
+    p = plan_of(staged.groupBy().agg(F.expr(f"struct({gsums}) AS r")))
+    check("perceptron_train", "partial_sum" in p and "BatchEvalPython" not in p,
+          "gradient round partial-aggregates map-side; margin is JVM codegen")
+    check("perceptron_train", "Exchange SinglePartition" in p and "Join" not in p,
+          "only exchange is the one-row-per-partition final agg; no joins")
+    p = plan_of(
+        feats.select(perceptron_margin([3] * m._PERC_D, m._PERC_FCOLS).alias("margin"))
+    )
+    check("perceptron_score_topk", "Exchange" not in p and "BatchEvalPython" not in p,
+          "scoring is a pure projection — zero shuffles, zero Python")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0
