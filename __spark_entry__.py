@@ -3233,6 +3233,103 @@ def _sql_perceptron_eval(rounds: int = _PERC_ROUNDS) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# round 7 (late): distributed BPE merge learning (operators/bpe.py) —
+# the pipeline LEARNS the tokenizer, not just counts tokens.  One
+# corpus pass builds word frequencies; every merge round is
+# vocab-bounded (pair-count agg + 1-row argmax + a pure-projection
+# greedy re-tokenization fold).  The fold is the exact reference
+# algorithm (runs `a a a a` -> `aa aa`), expressible identically as
+# Spark `aggregate` and DuckDB `list_reduce` — hence hash-exact.
+
+_BPE_MERGES = 8
+
+
+def _q_bpe_learn(spark, sf):
+    """Learn 8 BPE merges from the documents corpus.  Corpus touched
+    once (word-frequency groupBy); each round's shuffle is bounded by
+    |vocab| x max word length; driver traffic = 8 (pair, count) rows.
+    Output: the merge table in rank order — deterministic tie-break
+    (cnt DESC, p1, p2) makes it engine- and partitioning-exact."""
+    from zinger_spark.operators.bpe import bpe_learn, word_frequencies
+
+    docs = _t(spark, sf, "documents")
+    merges, _ = bpe_learn(word_frequencies(docs), merges=_BPE_MERGES)
+    df = spark.createDataFrame(
+        [(m["rank"], m["p1"], m["p2"], m["cnt"]) for m in merges],
+        ["rnk", "p1", "p2", "cnt"],
+    )
+    return df.select(
+        F.col("rnk").cast("long").alias("rnk"), "p1", "p2",
+        F.col("cnt").cast("long").alias("cnt"),
+    ).orderBy("rnk")
+
+
+def _q_bpe_vocab_tokens(spark, sf):
+    """Apply the learned merge table: the final vocabulary's symbol
+    inventory, weighted by word frequency — the top-20 subword tokens
+    the 8-merge BPE produces.  Re-tokenization is a chained JVM fold
+    over the vocab frame (never the corpus: corpus token counts derive
+    from the word-frequency join, the same trick real trainers use)."""
+    from zinger_spark.operators.bpe import bpe_learn, word_frequencies
+
+    docs = _t(spark, sf, "documents")
+    _, vocab = bpe_learn(word_frequencies(docs), merges=_BPE_MERGES)
+    return (
+        vocab.select(F.explode(F.split("s", " ")).alias("token"), "n")
+        .groupBy("token")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+
+
+def _sql_bpe_ctes(merges: int = _BPE_MERGES) -> list[str]:
+    """Unrolled BPE trainer mirroring operators/bpe.bpe_learn: per round
+    a MATERIALIZED pair count, 1-row argmax, and the identical greedy
+    left-to-right list_reduce fold (prepended-sentinel init)."""
+    ctes = [f"""v0 AS MATERIALIZED (
+      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, n FROM (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT unnest({_sql_tokens("text")}) AS word FROM documents)
+        WHERE word <> '' GROUP BY word))"""]
+    for k in range(1, merges + 1):
+        ctes.append(f"""pr{k} AS MATERIALIZED (
+      SELECT pr[1] AS p1, pr[2] AS p2, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                                     i -> [syms[i], syms[i + 1]])) AS pr, n
+        FROM (SELECT split(s, ' ') AS syms, n FROM v{k - 1}))
+      GROUP BY 1, 2),
+    t{k} AS MATERIALIZED (
+      SELECT p1, p2, cnt FROM pr{k} ORDER BY cnt DESC, p1, p2 LIMIT 1),
+    v{k} AS MATERIALIZED (
+      SELECT trim(list_reduce(list_prepend('', split(v.s, ' ')),
+          (acc, x) -> CASE
+            WHEN right(acc, length(t.p1) + 1) = ' ' || t.p1 AND x = t.p2
+            THEN substring(acc, 1, length(acc) - length(t.p1) - 1) || ' ' || t.p1 || t.p2
+            ELSE acc || ' ' || x END)) AS s, v.n
+      FROM v{k - 1} v CROSS JOIN t{k} t)""")
+    return ctes
+
+
+def _sql_bpe_learn(merges: int = _BPE_MERGES) -> str:
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS rnk, p1, p2, cnt FROM t{k}"
+        for k in range(1, merges + 1)
+    )
+    return "WITH " + ",".join(_sql_bpe_ctes(merges)) + "\n" + sel + "\nORDER BY rnk"
+
+
+def _sql_bpe_vocab_tokens(merges: int = _BPE_MERGES) -> str:
+    return (
+        "WITH " + ",".join(_sql_bpe_ctes(merges))
+        + f"""
+    SELECT tok AS token, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+      SELECT unnest(split(s, ' ')) AS tok, n FROM v{merges})
+    GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that are new or were rewritten since their last
@@ -3248,6 +3345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perceptron_train": _q_perceptron_train,
         "perceptron_score_topk": _q_perceptron_topk,
         "perceptron_eval": _q_perceptron_eval,
+        "bpe_learn_merges": _q_bpe_learn,
+        "bpe_vocab_tokens": _q_bpe_vocab_tokens,
         # -- round 7: sketches + fixed-point PageRank ----------------
         "kmeans_centroids": _q_kmeans_centroids,
         "source_overlap_sketch": _q_source_overlap_sketch,
@@ -3980,6 +4079,8 @@ def oracle_sql() -> dict[str, str]:
         "perceptron_train": _sql_perceptron_train(),
         "perceptron_score_topk": _sql_perceptron_topk(),
         "perceptron_eval": _sql_perceptron_eval(),
+        "bpe_learn_merges": _sql_bpe_learn(),
+        "bpe_vocab_tokens": _sql_bpe_vocab_tokens(),
         # -- round 7: sketches + fixed-point PageRank ------------------
         "kmeans_centroids": _sql_kmeans(2),
         "source_overlap_sketch": f"""

@@ -360,6 +360,22 @@ def main() -> int:
     check("perceptron_score_topk", "Exchange" not in p and "BatchEvalPython" not in p,
           "scoring is a pure projection — zero shuffles, zero Python")
 
+    # BPE trainer: the per-round pair count partial-aggregates and the
+    # re-tokenization fold is a shuffle-free JVM projection
+    from zinger_spark.operators import bpe as zbpe
+    docs = qs["tpch_q1"].__globals__["_t"](spark, sf, "documents")
+    vocab = zbpe.word_frequencies(docs)
+    p = plan_of(zbpe.pair_counts(vocab.select(zbpe.spaced(F.col("word")).alias("s"), "n")))
+    check("bpe_learn_merges", "partial_sum" in p and "BatchEvalPython" not in p,
+          "pair counts partial-aggregate map-side; no Python")
+    p = plan_of(
+        vocab.select(zbpe.spaced(F.col("word")).alias("s"), "n")
+        .select(zbpe.merge_fold_expr("s", "a", "b").alias("s"), "n")
+    )
+    check("bpe_learn_merges",
+          "BatchEvalPython" not in p and p.count("Exchange") == 1,
+          "merge fold adds no exchange beyond the vocab groupBy")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0
