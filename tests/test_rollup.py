@@ -1,0 +1,85 @@
+"""Cascaded rollups (operators/rollup.py): each tier computed from the
+tier below's PARTIALS must equal the same tier computed directly from
+raw rows — the mergeability property the 100 TB ladder rests on."""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from zinger_spark.operators.rollup import (
+    cents,
+    rollup_base,
+    rollup_cascade,
+    rollup_merge,
+)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rng = random.Random(11)
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (
+            base + dt.timedelta(minutes=rng.randint(0, 60 * 24 * 70)),
+            rng.choice(["a", "b"]),
+            round(rng.uniform(-50, 50), 2),
+        )
+        for _ in range(800)
+    ]
+    return spark.createDataFrame(rows, ["ts", "k", "value"])
+
+
+def _direct(df, unit, spark):
+    return (
+        df.select(
+            F.date_trunc(unit, "ts").alias("bucket"),
+            "k",
+            cents(F.col("value")).alias("v"),
+        )
+        .groupBy("bucket", "k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.min("v").cast("long").alias("min_v"),
+            F.max("v").cast("long").alias("max_v"),
+        )
+    )
+
+
+def _sorted_rows(df):
+    return [tuple(r) for r in df.orderBy("bucket", "k").collect()]
+
+
+@pytest.mark.parametrize("units", [("hour", "day", "month"), ("day", "week"), ("hour", "day", "year")])
+def test_cascade_equals_direct_at_every_tier(spark, ev, units):
+    tiers = rollup_cascade(ev, "ts", cents(F.col("value")), units, keys=["k"])
+    for u in units:
+        assert _sorted_rows(tiers[u]) == _sorted_rows(_direct(ev, u, spark)), u
+
+
+def test_merge_is_partitioning_invariant(spark, ev):
+    hour = rollup_base(ev, "ts", cents(F.col("value")), "hour", ["k"])
+    a = _sorted_rows(rollup_merge(hour.coalesce(1), "day", ["k"]))
+    b = _sorted_rows(rollup_merge(hour.repartition(13), "day", ["k"]))
+    assert a == b
+
+
+def test_units_must_be_ordered_and_known(spark, ev):
+    with pytest.raises(ValueError):
+        rollup_cascade(ev, "ts", cents(F.col("value")), ("day", "hour"))
+    with pytest.raises(ValueError):
+        rollup_cascade(ev, "ts", cents(F.col("value")), ("hour", "fortnight"))
+
+
+def test_cents_half_up(spark):
+    df = spark.createDataFrame(
+        [(1.005,), (2.675,), (-1.005,), (0.0,), (6.55,)], ["v"]
+    )
+    got = [r["c"] for r in df.select(cents(F.col("v")).alias("c")).collect()]
+    # floor(v*100 + 0.5) on the IEEE doubles these literals parse to
+    import math
+
+    want = [math.floor(v * 100 + 0.5) for v in [1.005, 2.675, -1.005, 0.0, 6.55]]
+    assert got == want

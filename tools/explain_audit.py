@@ -376,6 +376,26 @@ def main() -> int:
           "BatchEvalPython" not in p and p.count("Exchange") == 1,
           "merge fold adds no exchange beyond the vocab groupBy")
 
+    # profiler: every per-column leg prunes its scan to that column
+    from zinger_spark.operators.profile import profile as zprofile
+    orders = qs["tpch_q1"].__globals__["_t"](spark, sf, "orders")
+    p = plan_of(zprofile(orders, cols=["o_totalprice"]))
+    read = p.split("ReadSchema:")[-1]
+    check("profile_orders",
+          "o_totalprice" in read and "o_orderkey" not in read,
+          "profile leg scan pruned to its single column")
+
+    # rollup cascade: the day tier's plan aggregates hour PARTIALS —
+    # exactly one scan of the fact table in the whole cascade
+    from zinger_spark.operators.rollup import cents as zcents, rollup_cascade
+    ev = m._events(spark, sf)
+    tiers = rollup_cascade(ev, "ts", zcents(F.col("value")), ("hour", "day"),
+                           keys=["event_type"])
+    p = plan_of(tiers["day"])
+    check("rollup_cascade_daily",
+          p.count("Scan parquet") == 1 and "partial_sum" in p,
+          "coarser tier merges partials; raw events scanned once")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0
