@@ -69,6 +69,18 @@ def test_streaming_dedup(spark, tmp_path, stream_src):
     assert spark.sql("select count(*) n from winq").collect()[0]["n"] == 4  # 5 - 1 dup
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path, stream_src):
+    # business keys only (no ts in the key set): bounded-state variant —
+    # user 1 has 4 rows inside one watermark horizon, user 2 has 1
+    stream = spark.readStream.schema(SCHEMA).json(stream_src)
+    out = zw.streaming_dedup(
+        stream, ["user_id"], "ts", watermark="4 hours", within_watermark=True
+    )
+    _run(out, tmp_path)
+    rows = spark.sql("select user_id from winq").collect()
+    assert sorted(r["user_id"] for r in rows) == [1, 2]
+
+
 def test_session_agg_batch_parity(spark):
     df = spark.createDataFrame(
         [(1, "2024-01-01 10:00:00", 1.0), (1, "2024-01-01 10:10:00", 1.0),

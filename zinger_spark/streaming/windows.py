@@ -61,11 +61,32 @@ def session_agg(
     )
 
 
-def streaming_dedup(df: DataFrame, keys: list[str], ts_col: str, watermark: str = "1 hour") -> DataFrame:
-    """Exactly-once-style streaming dedup on business keys within the
-    watermark horizon (state bounded by the watermark)."""
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Exactly-once-style streaming dedup on business keys.
+
+    Default (``within_watermark=False``): ``dropDuplicates`` — state
+    is evicted by the watermark ONLY when ``keys`` includes the
+    event-time column; with business keys alone the state store grows
+    with every distinct key forever, the classic unbounded-state bug.
+
+    ``within_watermark=True`` switches to
+    ``dropDuplicatesWithinWatermark``: state per key is dropped once
+    the watermark passes its first sighting, so memory is bounded by
+    keys-per-horizon even when ``keys`` carries no timestamp — the
+    right call for "suppress retransmits of the same business key" at
+    ingest scale.  Semantics differ accordingly: a key recurring AFTER
+    the horizon is emitted again (it is a new occurrence, not a
+    retransmit)."""
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
+        if within_watermark:
+            return df.dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
 
 
