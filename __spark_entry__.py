@@ -3417,6 +3417,34 @@ _SQL_PROFILE_ORDERS = """
     SELECT * FROM legs ORDER BY column_name"""
 
 
+def _q_embedding_gram(spark, sf):
+    """Quantized Gram matrix G = X^T X over the embeddings table
+    (operators/linalg.py) — the PCA/whitening prep step.  Per
+    partition ONE vectorized int64 numpy matmul (the legitimate
+    Arrow-kernel case: BLAS shape, not per-row Python); only 2080
+    upper-triangle cells per partition cross the exchange, corpus size
+    never in the shuffle.  Quantization floor(2^10 x) is IEEE-exact,
+    accumulation int64 — hash-exact vs the oracle's long-format
+    self-join."""
+    from zinger_spark.operators.linalg import gram_matrix
+
+    e = _t(spark, sf, "embeddings")
+    return gram_matrix(e, "embedding", dims=_PERC_DIMS, scale=_PERC_SCALE).orderBy(
+        "i", "j"
+    )
+
+
+_SQL_EMBEDDING_GRAM = f"""
+    WITH xs AS MATERIALIZED (
+      SELECT vec_id, j.j AS j,
+             CAST(floor(CAST(embedding[j.j + 1] AS DOUBLE) * {_PERC_SCALE}) AS BIGINT) AS x
+      FROM embeddings, (SELECT unnest(range(0, {_PERC_DIMS})) AS j) j)
+    SELECT CAST(a.j AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j,
+           CAST(SUM(a.x * b.x) AS BIGINT) AS s
+    FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.j <= b.j
+    GROUP BY 1, 2 ORDER BY i, j"""
+
+
 _SQL_ROLLUP_CASCADE = """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type,
@@ -3446,6 +3474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab_tokens": _q_bpe_vocab_tokens,
         "rollup_cascade_daily": _q_rollup_cascade,
         "profile_orders": _q_profile_orders,
+        "embedding_gram": _q_embedding_gram,
         # -- round 7: sketches + fixed-point PageRank ----------------
         "kmeans_centroids": _q_kmeans_centroids,
         "source_overlap_sketch": _q_source_overlap_sketch,
@@ -4182,6 +4211,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab_tokens": _sql_bpe_vocab_tokens(),
         "rollup_cascade_daily": _SQL_ROLLUP_CASCADE,
         "profile_orders": _SQL_PROFILE_ORDERS,
+        "embedding_gram": _SQL_EMBEDDING_GRAM,
         # -- round 7: sketches + fixed-point PageRank ------------------
         "kmeans_centroids": _sql_kmeans(2),
         "source_overlap_sketch": f"""

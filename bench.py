@@ -94,6 +94,16 @@ HEADLINE = [
     "lm_quality_unigram",
     "lm_quality_bigram",
     "zq_grok",
+    # r7 (late): the TRAINERS — fixed-point perceptron (8 gradient
+    # rounds, one partial-agg scan each) and distributed BPE (8
+    # vocab-bounded merge rounds); tracked because iterative driver
+    # loops are where per-round overhead compounds, plus the cascade
+    # rollup and the column profiler (one-pass shapes that must stay
+    # one-pass)
+    "perceptron_train",
+    "bpe_learn_merges",
+    "rollup_cascade_daily",
+    "profile_orders",
 ]
 
 
