@@ -3445,6 +3445,74 @@ _SQL_EMBEDDING_GRAM = f"""
     GROUP BY 1, 2 ORDER BY i, j"""
 
 
+def _q_centroid_drift(spark, sf):
+    """Embedding drift monitor: per-label fixed-point centroid and its
+    squared distance to the global centroid — the cheap corpus-health
+    readout that flags a source/cluster drifting away from the mix.
+    Shape: ONE posexplode + groupBy(label, dim) partial agg (exchange
+    bounded by |labels| x d, never corpus), then a broadcast of the
+    d-row global centroid.  Centroids are (sum * 2^10) trunc-div n, so
+    the distances are integers — engine- and partitioning-exact."""
+    e = _t(spark, sf, "embeddings")
+    xq = e.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "xv"),
+    ).select(
+        "label",
+        "pos",
+        F.expr(f"CAST(floor(CAST(xv AS DOUBLE) * {_PERC_SCALE}) AS BIGINT)").alias("x"),
+    )
+    per = xq.groupBy("label", "pos").agg(
+        F.sum("x").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # fixed-point means: (s * 2^10) trunc-div n (both engines truncate;
+    # s may be negative, and Spark's integral `div` truncates like
+    # DuckDB's `//`)
+    mean_l = per.select(
+        "label", "pos", F.expr(f"(s * {_PERC_SCALE}) div n").alias("m")
+    )
+    glob = xq.groupBy("pos").agg(
+        F.expr(f"(CAST(SUM(x) AS BIGINT) * {_PERC_SCALE}) div COUNT(*)").alias("g")
+    )
+    return (
+        mean_l.join(F.broadcast(glob), "pos")
+        .groupBy("label")
+        .agg(
+            F.expr("CAST(SUM((m - g) * (m - g)) AS BIGINT)").alias("dist2"),
+            F.max(F.expr("m * m")).cast("long").alias("max_dim_sq"),
+        )
+        .join(
+            _t(spark, sf, "embeddings").groupBy("label").agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            ),
+            "label",
+        )
+        .select(F.col("label").cast("long").alias("label"), "n", "dist2", "max_dim_sq")
+        .orderBy("label")
+    )
+
+
+_SQL_CENTROID_DRIFT = f"""
+    WITH xq AS MATERIALIZED (
+      SELECT label, j.j AS pos,
+             CAST(floor(CAST(embedding[j.j + 1] AS DOUBLE) * {_PERC_SCALE}) AS BIGINT) AS x
+      FROM embeddings, (SELECT unnest(range(0, {_PERC_DIMS})) AS j) j),
+    per AS (
+      SELECT label, pos, CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM xq GROUP BY 1, 2),
+    mean_l AS (
+      SELECT label, pos, (s * {_PERC_SCALE}) // n AS m FROM per),
+    gmean AS (
+      SELECT pos, (CAST(SUM(x) AS BIGINT) * {_PERC_SCALE}) // COUNT(*) AS g
+      FROM xq GROUP BY 1),
+    counts AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1)
+    SELECT CAST(l.label AS BIGINT) AS label, c.n,
+           CAST(SUM((l.m - g.g) * (l.m - g.g)) AS BIGINT) AS dist2,
+           CAST(MAX(l.m * l.m) AS BIGINT) AS max_dim_sq
+    FROM mean_l l JOIN gmean g USING (pos) JOIN counts c ON l.label = c.label
+    GROUP BY 1, 2 ORDER BY label"""
+
+
 _SQL_ROLLUP_CASCADE = """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type,
@@ -3475,6 +3543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_cascade_daily": _q_rollup_cascade,
         "profile_orders": _q_profile_orders,
         "embedding_gram": _q_embedding_gram,
+        "label_centroid_drift": _q_centroid_drift,
         # -- round 7: sketches + fixed-point PageRank ----------------
         "kmeans_centroids": _q_kmeans_centroids,
         "source_overlap_sketch": _q_source_overlap_sketch,
@@ -4212,6 +4281,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_cascade_daily": _SQL_ROLLUP_CASCADE,
         "profile_orders": _SQL_PROFILE_ORDERS,
         "embedding_gram": _SQL_EMBEDDING_GRAM,
+        "label_centroid_drift": _SQL_CENTROID_DRIFT,
         # -- round 7: sketches + fixed-point PageRank ------------------
         "kmeans_centroids": _sql_kmeans(2),
         "source_overlap_sketch": f"""
