@@ -3445,6 +3445,59 @@ _SQL_EMBEDDING_GRAM = f"""
     GROUP BY 1, 2 ORDER BY i, j"""
 
 
+_PCA_ITERS = 6
+
+
+def _q_gram_power(spark, sf):
+    """Top PCA component by fixed-point power iteration over the
+    distributed Gram matrix (linalg.power_iteration) — the full
+    pipeline: Arrow-kernel partial X^T X (corpus pass, bounded d^2
+    exchange), then d^2-frame matvec rounds with integer trunc-div
+    rescaling, bit-identical on any engine like pagerank.  The
+    normalize-G-once step bounds every product by dims * scale^2 so
+    int64 never overflows whatever the corpus size."""
+    from zinger_spark.operators.linalg import gram_matrix, power_iteration
+
+    e = _t(spark, sf, "embeddings")
+    g = gram_matrix(e, "embedding", dims=_PERC_DIMS, scale=_PERC_SCALE)
+    return power_iteration(
+        g, dims=_PERC_DIMS, iterations=_PCA_ITERS, scale=_PERC_SCALE
+    ).orderBy("i")
+
+
+def _sql_gram_power(iterations: int = _PCA_ITERS) -> str:
+    s = _PERC_SCALE
+    ctes = [f"""xs AS MATERIALIZED (
+      SELECT vec_id, j.j AS j,
+             CAST(floor(CAST(embedding[j.j + 1] AS DOUBLE) * {s}) AS BIGINT) AS x
+      FROM embeddings, (SELECT unnest(range(0, {_PERC_DIMS})) AS j) j),
+    gm AS MATERIALIZED (
+      SELECT a.j AS i, b.j AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS s
+      FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.j <= b.j
+      GROUP BY 1, 2),
+    gfull AS MATERIALIZED (
+      SELECT i, j, s FROM gm
+      UNION ALL SELECT j, i, s FROM gm WHERE i <> j),
+    gmax AS (SELECT MAX(ABS(s)) AS gmax FROM gfull),
+    gn AS MATERIALIZED (
+      SELECT i, j, CAST((s * {s}) // gmax AS BIGINT) AS g
+      FROM gfull CROSS JOIN gmax),
+    v0 AS (SELECT j.j AS j, CAST({s} AS BIGINT) AS v
+           FROM (SELECT unnest(range(0, {_PERC_DIMS})) AS j) j)"""]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""w{k} AS MATERIALIZED (
+      SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS w
+      FROM gn g JOIN v{k - 1} v ON g.j = v.j GROUP BY 1),
+    m{k} AS (SELECT MAX(ABS(w)) AS wmax FROM w{k}),
+    v{k} AS MATERIALIZED (
+      SELECT i AS j, CAST((w * {s}) // wmax AS BIGINT) AS v
+      FROM w{k} CROSS JOIN m{k})""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\n    SELECT CAST(j AS INTEGER) AS i, v FROM v{iterations} ORDER BY i"
+    )
+
+
 def _q_centroid_drift(spark, sf):
     """Embedding drift monitor: per-label fixed-point centroid and its
     squared distance to the global centroid — the cheap corpus-health
@@ -3544,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": _q_profile_orders,
         "embedding_gram": _q_embedding_gram,
         "label_centroid_drift": _q_centroid_drift,
+        "gram_power_iteration": _q_gram_power,
         # -- round 7: sketches + fixed-point PageRank ----------------
         "kmeans_centroids": _q_kmeans_centroids,
         "source_overlap_sketch": _q_source_overlap_sketch,
@@ -4282,6 +4336,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_orders": _SQL_PROFILE_ORDERS,
         "embedding_gram": _SQL_EMBEDDING_GRAM,
         "label_centroid_drift": _SQL_CENTROID_DRIFT,
+        "gram_power_iteration": _sql_gram_power(),
         # -- round 7: sketches + fixed-point PageRank ------------------
         "kmeans_centroids": _sql_kmeans(2),
         "source_overlap_sketch": f"""

@@ -104,6 +104,13 @@ HEADLINE = [
     "bpe_learn_merges",
     "rollup_cascade_daily",
     "profile_orders",
+    # r7 (late): embedding analytics — Arrow-kernel Gram partials,
+    # fixed-point power iteration (PCA top component), centroid drift;
+    # tracked because their whole design claim is corpus-size-free
+    # shuffles (bounded d^2 / labels x d exchanges)
+    "embedding_gram",
+    "gram_power_iteration",
+    "label_centroid_drift",
 ]
 
 

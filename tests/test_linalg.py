@@ -42,6 +42,35 @@ def test_gram_rejects_bad_scale_and_dims(spark):
         gram_matrix(df, dims=3).collect()
 
 
+def test_power_iteration_finds_top_component(spark):
+    import random
+
+    from zinger_spark.operators.linalg import power_iteration
+
+    rng = random.Random(21)
+    d = 6
+    # dominant direction e0 - e2
+    vecs = [
+        [a, rng.gauss(0, 0.02), -a, rng.gauss(0, 0.02),
+         rng.gauss(0, 0.02), rng.gauss(0, 0.02)]
+        for a in (rng.uniform(-1, 1) for _ in range(250))
+    ]
+    df = spark.createDataFrame([(v,) for v in vecs], ["embedding"])
+    g = gram_matrix(df, dims=d, scale=1024)
+    got = {r["i"]: r["v"] for r in power_iteration(g, dims=d, iterations=8).collect()}
+    v = np.array([got[i] for i in range(d)], dtype=np.float64)
+    v = v / np.linalg.norm(v)
+    want = np.zeros(d)
+    want[0], want[2] = 1 / np.sqrt(2), -1 / np.sqrt(2)
+    align = abs(float(v @ want))
+    assert align > 0.99, (v, align)
+
+    # engine-determinism: same integers from a different partitioning
+    g2 = gram_matrix(df.repartition(5), dims=d, scale=1024)
+    got2 = {r["i"]: r["v"] for r in power_iteration(g2, dims=d, iterations=8).collect()}
+    assert got == got2
+
+
 def test_gram_drives_pca(spark):
     # the intended composition: distributed G, driver-side eigen
     import random

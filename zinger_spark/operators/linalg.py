@@ -70,3 +70,61 @@ def gram_matrix(
     from pyspark.sql import functions as F
 
     return partials.groupBy("i", "j").agg(F.sum("s").cast("long").alias("s"))
+
+
+def power_iteration(
+    gram: DataFrame,
+    dims: int,
+    iterations: int = 6,
+    scale: int = 1024,
+) -> DataFrame:
+    """Dominant eigenvector of the Gram matrix by fixed-point power
+    iteration — the PCA top component, fully declarative and
+    integer-exact (bit-identical across engines/partitionings, like
+    pagerank_fixed_point).
+
+    ``gram`` is the upper-triangle (i, j, s) frame from
+    :func:`gram_matrix`.  The matrix is symmetrized, then normalized
+    ONCE to cells in [-scale, scale] via ``(s * scale) div max|s|`` —
+    that bound makes every later product ≤ dims * scale^2 (~6.7e7 at
+    d=64), so the iteration never overflows int64 whatever the corpus
+    size.  Per round: one matvec (join + partial-agged groupBy on the
+    d^2-row frame) and a trunc-div rescale of the d-row vector by its
+    max magnitude (Spark's integral ``div`` and DuckDB's ``//`` both
+    truncate, so the oracle replays exactly).  All frames are d- or
+    d^2-row: driver-trivial, but expressed declaratively so the same
+    code runs wherever the Gram frame lives.
+
+    Returns (i, v) with |v| <= scale; the direction converges to the
+    top eigenvector (up to sign, fixed by the all-ones start)."""
+    from pyspark.sql import functions as F
+
+    full = gram.where("i <> j").select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "s"
+    ).unionByName(gram.select("i", "j", "s"))
+    gmax = full.agg(F.max(F.abs(F.col("s"))).alias("gmax"))
+    gn = full.crossJoin(F.broadcast(gmax)).select(
+        "i", "j", F.expr(f"(s * {scale}) div gmax").alias("g")
+    )
+    # materialize the normalized matrix ONCE — it closes over the
+    # corpus-wide Gram pass, and both per-round consumers of w (the max
+    # and the rescale) would otherwise replay their whole upstream,
+    # doubling the corpus work per iteration (2^k replays at k rounds).
+    # Per-round w gets the same cut for the same two-consumer reason.
+    gn = gn.localCheckpoint(eager=True)
+    spark = gram.sparkSession
+    v = spark.range(dims).select(
+        F.col("id").cast("int").alias("j"), F.lit(scale).cast("long").alias("v")
+    )
+    for _ in range(iterations):
+        w = (
+            gn.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.expr("g * v")).cast("long").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        wmax = w.agg(F.max(F.abs(F.col("w"))).alias("wmax"))
+        v = w.crossJoin(F.broadcast(wmax)).select(
+            F.col("i").alias("j"), F.expr(f"(w * {scale}) div wmax").alias("v")
+        )
+    return v.select(F.col("j").alias("i"), "v")
