@@ -3445,6 +3445,42 @@ _SQL_EMBEDDING_GRAM = f"""
     GROUP BY 1, 2 ORDER BY i, j"""
 
 
+def _q_zorder_key(spark, sf):
+    """Morton/Z-order interleaved clustering key over (user_id, value
+    cents) — the multi-dimensional file-clustering key `compact
+    --zorder` sorts on (functions/zorder.py; Delta's OPTIMIZE ZORDER
+    BY).  Pure JVM shift/mask integer expression with bounds from one
+    broadcast 1-row agg — no Python, no driver collect; deterministic,
+    so the oracle replays the key bit-for-bit."""
+    from zinger_spark.functions.zorder import with_zorder_key
+    from zinger_spark.operators.rollup import cents
+
+    ev = _events(spark, sf).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        cents(F.col("value")).alias("vc"),
+    )
+    return (
+        with_zorder_key(ev, ["user_id", "vc"], bits=8, key_col="zkey")
+        .orderBy("zkey", "event_id")
+        .limit(20)
+    )
+
+
+def _sql_zorder_key() -> str:
+    from zinger_spark.functions.zorder import zorder_key_sql
+
+    z = zorder_key_sql(["user_id", "vc"], "ev2", bits=8, dialect="duckdb")
+    return f"""
+    WITH ev2 AS MATERIALIZED (
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+             CAST(user_id AS BIGINT) AS user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events)
+    SELECT event_id, user_id, vc, CAST({z} AS BIGINT) AS zkey
+    FROM ev2 ORDER BY zkey, event_id LIMIT 20"""
+
+
 _PCA_ITERS = 6
 
 
@@ -3598,6 +3634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram": _q_embedding_gram,
         "label_centroid_drift": _q_centroid_drift,
         "gram_power_iteration": _q_gram_power,
+        "zorder_key_head": _q_zorder_key,
         # -- round 7: sketches + fixed-point PageRank ----------------
         "kmeans_centroids": _q_kmeans_centroids,
         "source_overlap_sketch": _q_source_overlap_sketch,
@@ -4337,6 +4374,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_gram": _SQL_EMBEDDING_GRAM,
         "label_centroid_drift": _SQL_CENTROID_DRIFT,
         "gram_power_iteration": _sql_gram_power(),
+        "zorder_key_head": _sql_zorder_key(),
         # -- round 7: sketches + fixed-point PageRank ------------------
         "kmeans_centroids": _sql_kmeans(2),
         "source_overlap_sketch": f"""

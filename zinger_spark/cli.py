@@ -228,6 +228,7 @@ def cmd_compact_pool(args) -> int:
     n = pool.compact(
         small_bytes=args.small_bytes,
         sort_by=args.sort_by.split(",") if args.sort_by else None,
+        zorder=bool(getattr(args, "zorder", False)),
     )
     print(f"pool: {args.name} compacted {n} commit{'s' if n != 1 else ''}")
     return 0
@@ -719,6 +720,12 @@ def main(argv: list[str] | None = None) -> int:
                           "separated columns (range partition + sort: "
                           "per-file min/max become disjoint so filters "
                           "on them skip files — the ZORDER analog)")
+    cpp.add_argument("--zorder", action="store_true",
+                     help="with >= 2 numeric --sort-by columns, cluster "
+                          "on the Morton-interleaved key instead of the "
+                          "linear sort: per-file min/max narrow on ALL "
+                          "the columns, multi-predicate scans prune "
+                          "multiplicatively (OPTIMIZE ZORDER BY)")
 
     vp = sub.add_parser("vacuum-pool", help="reclaim orphaned commit dirs")
     vp.add_argument("name")

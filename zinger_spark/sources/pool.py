@@ -508,7 +508,10 @@ class Pool:
         )
 
     def compact(
-        self, small_bytes: int | None = None, sort_by: list[str] | None = None
+        self,
+        small_bytes: int | None = None,
+        sort_by: list[str] | None = None,
+        zorder: bool = False,
     ) -> int:
         """Merge commit dirs into one (the Delta OPTIMIZE analog).
 
@@ -542,19 +545,29 @@ class Pool:
         actually serve, linear beats interleaved bits).  The default
         keeps the ingest-order offset sort.
 
+        ``zorder=True`` (with two or more numeric ``sort_by`` columns)
+        clusters on the Morton-interleaved key instead
+        (functions/zorder.with_zorder_key — Delta's OPTIMIZE ZORDER
+        BY): per-file min/max ranges narrow on ALL the given columns
+        at once, so multi-predicate scans prune multiplicatively where
+        the linear sort prunes only its leading column.
+
         Holds the writer lock for the WHOLE operation: a load_batch
         landing between the dir snapshot and the manifest swap would
         otherwise be silently orphaned (its commit never in the new
         manifest) — lost data, not just a lost listing.
         """
         with self.writer_lock():
-            return self._compact_locked(small_bytes, sort_by)
+            return self._compact_locked(small_bytes, sort_by, zorder)
 
     def _commit_size(self, name: str) -> int:
         return sum(self._fs.tree_size(d) for d in self._commit_instances(name))
 
     def _compact_locked(
-        self, small_bytes: int | None = None, sort_by: list[str] | None = None
+        self,
+        small_bytes: int | None = None,
+        sort_by: list[str] | None = None,
+        zorder: bool = False,
     ) -> int:
         old_names = self._commit_names()
         if len(old_names) <= 1:
@@ -575,7 +588,18 @@ class Pool:
             if len(merged) <= 1:
                 return 0  # nothing worth merging at this tier
         snapshot = self._read_commits(merged)
-        if sort_by:
+        if sort_by and zorder and len(sort_by) >= 2:
+            from zinger_spark.functions.zorder import with_zorder_key
+
+            snapshot = with_zorder_key(snapshot, sort_by)
+            snapshot = (
+                snapshot.repartitionByRange(
+                    max(snapshot.rdd.getNumPartitions(), 1), F.col("_zkey")
+                )
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        elif sort_by:
             # range exchange gives disjoint per-file value ranges; the
             # in-partition sort tightens row-group stats within a file
             cols = [F.col(c) for c in sort_by]
