@@ -3602,6 +3602,106 @@ _SQL_CENTROID_DRIFT = f"""
     GROUP BY 1, 2 ORDER BY label"""
 
 
+def _q_gap_fill(spark, sf):
+    """Calendar gap-filling (rollup.calendar_fill): every hour on the
+    [min, max] range for every event type, counts zero-filled and the
+    hourly cents sum forward-filled (last non-null per type).  The
+    calendar is sequence()-exploded from a 1-row agg — bounded by the
+    TIME RANGE, never the corpus — and the forward-fill window
+    partitions by key, so no global sort exists anywhere."""
+    from zinger_spark.operators.rollup import calendar_fill, cents, rollup_base
+
+    ev = _events(spark, sf)
+    hourly = rollup_base(ev, "ts", cents(F.col("value")), "hour", ["event_type"])
+    filled = calendar_fill(hourly, "hour", ["event_type"])
+    return filled.select(
+        F.date_format("bucket", "yyyy-MM-dd HH").alias("hour"),
+        "event_type", "cnt", "sum_v", "filled",
+    ).orderBy("hour", "event_type")
+
+
+_SQL_GAP_FILL = """
+    WITH hourly AS MATERIALIZED (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v
+      FROM events GROUP BY 1, 2),
+    cal AS (
+      SELECT unnest(generate_series((SELECT MIN(bucket) FROM hourly),
+                                    (SELECT MAX(bucket) FROM hourly),
+                                    INTERVAL 1 HOUR)) AS bucket),
+    grid AS (SELECT c.bucket, k.event_type
+             FROM cal c CROSS JOIN (SELECT DISTINCT event_type FROM hourly) k),
+    j AS (
+      SELECT g.bucket, g.event_type,
+             COALESCE(h.cnt, 0) AS cnt, COALESCE(h.sum_v, 0) AS sum_v,
+             h.sum_v AS raw
+      FROM grid g LEFT JOIN hourly h
+        ON g.bucket = h.bucket AND g.event_type = h.event_type)
+    SELECT strftime(bucket, '%Y-%m-%d %H') AS hour, event_type,
+           CAST(cnt AS BIGINT) AS cnt, CAST(sum_v AS BIGINT) AS sum_v,
+           CAST(COALESCE(last_value(raw IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS filled
+    FROM j ORDER BY hour, event_type"""
+
+
+def _q_inverted_index(spark, sf):
+    """Inverted-index build (token -> document-frequency + capped
+    posting sample): the serving-side artifact of a text corpus.  One
+    explode + distinct gives the (doc, token) pair set; df is a
+    partial-agged count per token; the posting sample ranks per token
+    (window partitioned BY TOKEN — partition-local sort, AQE splits a
+    hot stopword partition) and keeps the 10 smallest doc ids.  Full
+    posting lists at 100 TB are the same plan minus the rank cap —
+    writing them partitioned by token bucket."""
+    import zinger_spark.functions.text as ztext
+
+    docs = _t(spark, sf, "documents")
+    pairs = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(ztext.tokens(F.col("text"))).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    dfreq = pairs.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("token").orderBy("doc_id"))
+    posts = (
+        pairs.withColumn("rn", rn)
+        .where(F.col("rn") <= 10)
+        .groupBy("token")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    return (
+        dfreq.join(posts, "token")
+        .orderBy(F.desc("df"), "token")
+        .limit(20)
+        .select("token", "df", "postings")
+    )
+
+
+def _sql_inverted_index() -> str:
+    # a def (not a module constant): _sql_tokens is defined further down
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, token FROM (
+        SELECT doc_id, unnest({_sql_tokens("text")}) AS token FROM documents)
+      WHERE token <> ''),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY 1),
+    ranked AS (SELECT token, doc_id,
+                      row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+               FROM pairs),
+    posts AS (SELECT token, list_sort(list(doc_id)) AS postings
+              FROM ranked WHERE rn <= 10 GROUP BY 1)
+    SELECT d.token, d.df, p.postings
+    FROM dfreq d JOIN posts p USING (token)
+    ORDER BY df DESC, token LIMIT 20"""
+
+
 _SQL_ROLLUP_CASCADE = """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type,
@@ -3630,6 +3730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn_merges": _q_bpe_learn,
         "bpe_vocab_tokens": _q_bpe_vocab_tokens,
         "rollup_cascade_daily": _q_rollup_cascade,
+        "gap_fill_hourly": _q_gap_fill,
+        "inverted_index_top": _q_inverted_index,
         "profile_orders": _q_profile_orders,
         "embedding_gram": _q_embedding_gram,
         "label_centroid_drift": _q_centroid_drift,
@@ -4370,6 +4472,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_learn_merges": _sql_bpe_learn(),
         "bpe_vocab_tokens": _sql_bpe_vocab_tokens(),
         "rollup_cascade_daily": _SQL_ROLLUP_CASCADE,
+        "gap_fill_hourly": _SQL_GAP_FILL,
+        "inverted_index_top": _sql_inverted_index(),
         "profile_orders": _SQL_PROFILE_ORDERS,
         "embedding_gram": _SQL_EMBEDDING_GRAM,
         "label_centroid_drift": _SQL_CENTROID_DRIFT,

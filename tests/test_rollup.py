@@ -73,6 +73,32 @@ def test_units_must_be_ordered_and_known(spark, ev):
         rollup_cascade(ev, "ts", cents(F.col("value")), ("hour", "fortnight"))
 
 
+def test_calendar_fill_gaps_and_forward_fill(spark):
+    from zinger_spark.operators.rollup import calendar_fill
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 30), "a", 5.0),
+        (dt.datetime(2024, 1, 1, 3, 10), "a", 7.0),   # 2-hour gap
+        (dt.datetime(2024, 1, 1, 1, 0), "b", 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "k", "value"])
+    hourly = rollup_base(df, "ts", cents(F.col("value")), "hour", ["k"])
+    out = calendar_fill(hourly, "hour", ["k"])
+    got = {
+        (r["bucket"].hour, r["k"]): (r["cnt"], r["sum_v"], r["filled"])
+        for r in out.collect()
+    }
+    # full 0..3 calendar for BOTH keys
+    assert set(got) == {(h, k) for h in range(4) for k in ("a", "b")}
+    assert got[(0, "a")] == (1, 500, 500)
+    assert got[(1, "a")] == (0, 0, 500)   # gap: zero cnt, fwd-filled value
+    assert got[(2, "a")] == (0, 0, 500)
+    assert got[(3, "a")] == (1, 700, 700)
+    assert got[(0, "b")] == (0, 0, 0)     # before first sighting: 0
+    assert got[(1, "b")] == (1, 200, 200)
+    assert got[(3, "b")] == (0, 0, 200)
+
+
 def test_cents_half_up(spark):
     df = spark.createDataFrame(
         [(1.005,), (2.675,), (-1.005,), (0.0,), (6.55,)], ["v"]

@@ -110,6 +110,55 @@ def rollup_cascade(
     return tiers
 
 
+def calendar_fill(
+    partials: DataFrame,
+    unit: str,
+    keys: list[str] | None = None,
+    fill_col: str = "sum_v",
+) -> DataFrame:
+    """Dense the sparse rollup: emit EVERY bucket on the [min, max]
+    calendar for every key combination, zero-filling counts/sums and
+    forward-filling ``fill_col`` (last non-null per key, in bucket
+    order) — the gap-filling step every time-series chart/model needs.
+
+    Scale shape: the calendar comes from a 1-row min/max agg exploded
+    via ``sequence()`` (no driver collect) and is bounded by the TIME
+    RANGE, not the corpus — cross-joined (broadcast) with the distinct
+    key set.  The forward-fill window partitions by key, so the sort is
+    per-key-sized; there is no global window anywhere."""
+    keys = list(keys or [])
+    lo_hi = partials.agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    cal = lo_hi.select(
+        F.explode(
+            F.expr(f"sequence(_lo, _hi, interval 1 {unit})")
+        ).alias("bucket")
+    )
+    grid = cal
+    if keys:
+        ks = partials.select(*keys).distinct()
+        grid = cal.crossJoin(F.broadcast(ks))
+    j = grid.join(partials, ["bucket", *keys], "left").select(
+        "bucket",
+        *keys,
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        F.coalesce(F.col(fill_col), F.lit(0)).cast("long").alias(fill_col),
+        F.col(fill_col).alias("_raw"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.withColumn(
+        "filled",
+        F.coalesce(F.last("_raw", ignorenulls=True).over(w), F.lit(0)).cast("long"),
+    ).drop("_raw")
+
+
 def cents(value: Column) -> Column:
     """Fixed-point 2-decimal quantization: floor(v * 100 + 0.5).
     floor after the +0.5 shift gives half-up rounding from a formula
