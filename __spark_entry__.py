@@ -3702,6 +3702,62 @@ def _sql_inverted_index() -> str:
     ORDER BY df DESC, token LIMIT 20"""
 
 
+def _q_scd2_history(spark, sf):
+    """SCD2 materialization of a change stream (operators/cdc.py —
+    the downstream of the Debezium decode path): treat events as
+    per-user updates, build validity intervals with ONE lead window
+    partitioned by the business key (per-key sort, no global window),
+    then slice the versions live at the stream midpoint.  Total order
+    = (ts, event_id), so the history is engine-exact."""
+    from zinger_spark.operators.cdc import scd2_history
+    from zinger_spark.operators.rollup import cents
+
+    # raw-ns bigint timestamps (the asof_join trick): interval bounds,
+    # the midpoint div, and the slice comparisons are all integer ops,
+    # immune to the ns-vs-us precision gap between the two engines
+    ev = _events_ns(spark, sf).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").alias("tsn"),
+        cents(F.col("value")).alias("vc"),
+    )
+    hist = scd2_history(ev, ["user_id"], "tsn", tiebreak_cols=["event_id"])
+    mid = ev.agg(F.expr("(MIN(tsn) + MAX(tsn)) div 2").alias("m"))
+    live = hist.crossJoin(F.broadcast(mid)).where(
+        (F.col("valid_from") <= F.col("m"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("m")))
+    )
+    return live.select(
+        "user_id",
+        "event_id",
+        "vc",
+        F.col("valid_from").cast("long").alias("vfrom_ns"),
+        F.coalesce(F.col("valid_to"), F.lit(-1)).cast("long").alias("vto_ns"),
+        F.col("is_current").cast("boolean").alias("is_current"),
+    ).orderBy("user_id", "event_id")
+
+
+_SQL_SCD2_HISTORY = """
+    WITH ev AS MATERIALIZED (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(event_id AS BIGINT) AS event_id,
+             CAST(epoch_ns(ts) AS BIGINT) AS tsn,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events),
+    hist AS (
+      SELECT *, tsn AS valid_from,
+             lead(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS valid_to
+      FROM ev),
+    mid AS (SELECT (MIN(tsn) + MAX(tsn)) // 2 AS m FROM ev)
+    SELECT user_id, event_id, vc,
+           CAST(valid_from AS BIGINT) AS vfrom_ns,
+           CAST(COALESCE(valid_to, -1) AS BIGINT) AS vto_ns,
+           (valid_to IS NULL) AS is_current
+    FROM hist CROSS JOIN mid
+    WHERE valid_from <= m AND (valid_to IS NULL OR valid_to > m)
+    ORDER BY user_id, event_id"""
+
+
 _SQL_ROLLUP_CASCADE = """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type,
@@ -3732,6 +3788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_cascade_daily": _q_rollup_cascade,
         "gap_fill_hourly": _q_gap_fill,
         "inverted_index_top": _q_inverted_index,
+        "cdc_scd2_history": _q_scd2_history,
         "profile_orders": _q_profile_orders,
         "embedding_gram": _q_embedding_gram,
         "label_centroid_drift": _q_centroid_drift,
@@ -4474,6 +4531,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_cascade_daily": _SQL_ROLLUP_CASCADE,
         "gap_fill_hourly": _SQL_GAP_FILL,
         "inverted_index_top": _sql_inverted_index(),
+        "cdc_scd2_history": _SQL_SCD2_HISTORY,
         "profile_orders": _SQL_PROFILE_ORDERS,
         "embedding_gram": _SQL_EMBEDDING_GRAM,
         "label_centroid_drift": _SQL_CENTROID_DRIFT,
