@@ -396,6 +396,25 @@ def main() -> int:
           p.count("Scan parquet") == 1 and "partial_sum" in p,
           "coarser tier merges partials; raw events scanned once")
 
+    # gap-fill + SCD2: every window is PARTITIONED (per-key sort, no
+    # global single-reducer window), and no Python anywhere
+    for q in ("gap_fill_hourly", "cdc_scd2_history"):
+        p = plan_of(qs[q](spark, sf))
+        # partitioned spec leads with the partition column; a GLOBAL
+        # window's first argument is the order column ("col ASC ...")
+        specs = [seg.split(",")[0] for seg in p.split("windowspecdefinition(")[1:]]
+        check(q, specs and all(" ASC" not in s and " DESC" not in s for s in specs)
+              and "BatchEvalPython" not in p,
+              "windows partition by key; zero Python")
+    p = plan_of(qs["inverted_index_top"](spark, sf))
+    check("inverted_index_top",
+          "CartesianProduct" not in p and "partial_count" in p,
+          "df partial-aggregates; no cross products")
+    p = plan_of(qs["zorder_key_head"](spark, sf))
+    check("zorder_key_head",
+          "BatchEvalPython" not in p and "TakeOrderedAndProject" in p,
+          "Morton key is JVM shift/mask; 20-row top-k never sorts globally")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0
