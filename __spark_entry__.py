@@ -3156,6 +3156,66 @@ def _q_perceptron_eval(spark, sf):
     )
 
 
+def _q_perceptron_sweep(spark, sf):
+    """Threshold calibration for the trained probe: the
+    precision/recall operating table a pipeline uses to pick its
+    filter cutoff.  Nine integer thresholds evenly spaced over the
+    margin range (from a broadcast 1-row min/max agg — trunc-div
+    arithmetic, engine-exact), then ONE pass over the scored corpus
+    computes the 4-cell confusion at every threshold via a broadcast
+    cross join + conditional partial agg: K x 4 cells cross the
+    exchange, corpus size never does."""
+    from zinger_spark.operators.classifier import (
+        perceptron_margin,
+        perceptron_train,
+    )
+
+    feats = _perc_feats(spark, sf)
+    recs = perceptron_train(feats, "y", _PERC_FCOLS, rounds=_PERC_ROUNDS)
+    m = perceptron_margin(recs[-1]["weights"], _PERC_FCOLS)
+    scored = feats.select("y", m.alias("margin"))
+    bounds = scored.agg(
+        F.min("margin").alias("_mn"), F.max("margin").alias("_mx")
+    )
+    ks = spark.range(1, 10).select(F.col("id").cast("long").alias("k"))
+    thr = ks.crossJoin(F.broadcast(bounds)).select(
+        "k", F.expr("_mn + ((_mx - _mn) * k) div 10").alias("thr")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("k", "thr")
+        .agg(
+            F.sum(F.expr("CAST(y = 1 AND margin > thr AS BIGINT)")).cast("long").alias("tp"),
+            F.sum(F.expr("CAST(y = -1 AND margin > thr AS BIGINT)")).cast("long").alias("fp"),
+            F.sum(F.expr("CAST(y = 1 AND margin <= thr AS BIGINT)")).cast("long").alias("fn"),
+            F.sum(F.expr("CAST(y = -1 AND margin <= thr AS BIGINT)")).cast("long").alias("tn"),
+        )
+        .orderBy("k")
+    )
+
+
+def _sql_perceptron_sweep(rounds: int = _PERC_ROUNDS) -> str:
+    return (
+        "WITH " + ",".join(_sql_perceptron_ctes(rounds))
+        + f""",
+    mfin AS MATERIALIZED (
+      SELECT f.id, f.y, CAST(SUM(r.w * f.x) AS BIGINT) AS margin
+      FROM feats f JOIN r{rounds} r USING (j)
+      GROUP BY f.id, f.y),
+    bounds AS (SELECT MIN(margin) AS mn, MAX(margin) AS mx FROM mfin),
+    thr AS (SELECT CAST(k.k AS BIGINT) AS k,
+                   CAST(mn + ((mx - mn) * k.k) // 10 AS BIGINT) AS thr
+            FROM (SELECT unnest(range(1, 10)) AS k) k CROSS JOIN bounds)
+    SELECT t.k, t.thr,
+           CAST(SUM(CASE WHEN y = 1  AND margin >  t.thr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN y = -1 AND margin >  t.thr THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN y = 1  AND margin <= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN y = -1 AND margin <= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM mfin CROSS JOIN thr t
+    GROUP BY 1, 2 ORDER BY k"""
+    )
+
+
 # Oracle: the same chain in long (id, y, j, x) format — constant SQL
 # size in d, and the j-keyed join/group replays the identical bigint
 # sums.  DuckDB arrays are 1-based; j=0 is the bias feature.
@@ -3783,6 +3843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perceptron_train": _q_perceptron_train,
         "perceptron_score_topk": _q_perceptron_topk,
         "perceptron_eval": _q_perceptron_eval,
+        "perceptron_threshold_sweep": _q_perceptron_sweep,
         "bpe_learn_merges": _q_bpe_learn,
         "bpe_vocab_tokens": _q_bpe_vocab_tokens,
         "rollup_cascade_daily": _q_rollup_cascade,
@@ -4526,6 +4587,7 @@ def oracle_sql() -> dict[str, str]:
         "perceptron_train": _sql_perceptron_train(),
         "perceptron_score_topk": _sql_perceptron_topk(),
         "perceptron_eval": _sql_perceptron_eval(),
+        "perceptron_threshold_sweep": _sql_perceptron_sweep(),
         "bpe_learn_merges": _sql_bpe_learn(),
         "bpe_vocab_tokens": _sql_bpe_vocab_tokens(),
         "rollup_cascade_daily": _SQL_ROLLUP_CASCADE,
