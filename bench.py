@@ -111,6 +111,13 @@ HEADLINE = [
     "embedding_gram",
     "gram_power_iteration",
     "label_centroid_drift",
+    # r7 (late, final batch): calendar gap-fill (time-range-bounded
+    # grid + per-key windows), SCD2 CDC materialization, inverted-index
+    # build, Morton clustering key
+    "gap_fill_hourly",
+    "cdc_scd2_history",
+    "inverted_index_top",
+    "zorder_key_head",
 ]
 
 
