@@ -31,7 +31,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 def scaled_expr(col: str, vmin: str, vmax: str, bits: int) -> str:
     """SQL text: ``col`` linearly scaled to [0, 2^bits) using the
     (column-expression) bounds ``vmin``/``vmax``; constant columns
-    (vmax == vmin) collapse to bucket 0.  All-integer trunc division."""
+    (vmax == vmin) collapse to bucket 0.  All-integer trunc division.
+    Headroom: the intermediate ``(v - min) * (2^bits - 1)`` needs
+    ``range * 255 < 2^63`` at the default bits=8 — i.e. a value RANGE
+    under ~3.6e16, far above any realistic clustering key (ids,
+    cents, epochs); pre-bucket wider domains first."""
     top = (1 << bits) - 1
     return (
         f"CASE WHEN ({vmax}) = ({vmin}) THEN CAST(0 AS BIGINT) "

@@ -133,12 +133,10 @@ def bpe_segment(spaced_col: str, merge_list: list[dict]) -> Column:
     """Apply a learned merge table (in rank order) to a spaced symbol
     column — chained JVM folds, a pure projection for corpus-wide
     tokenization."""
-    col: Column | str = spaced_col
+    expr = spaced_col
     for mg in merge_list:
-        if not isinstance(col, str):
-            raise ValueError("bpe_segment chains textual exprs; wrap df first")
-        col = f"({_merge_fold_sql(col, mg['p1'], mg['p2'])})"
-    return F.expr(col) if isinstance(col, str) else col
+        expr = f"({_merge_fold_sql(expr, mg['p1'], mg['p2'])})"
+    return F.expr(expr)
 
 
 def _merge_fold_sql(spaced_expr: str, p1: str, p2: str) -> str:
