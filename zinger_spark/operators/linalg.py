@@ -20,6 +20,11 @@ self-join.  Overflow headroom: |x_q| <= 2^10 * |x| and int64 carries
 The d x d result is driver-small (64-dim -> 2080 upper-triangle
 cells): eigen-decomposition for PCA happens wherever you like; the
 distributed part — the only part that sees the corpus — is here.
+
+Incremental maintenance comes free from linearity: G is a sum of
+per-batch partials, so persist each ingest batch's (i, j, s) frame
+and ADD — a deletion batch subtracts.  No re-scan of the corpus,
+ever; the same property the rollup cascade and HLL sidecar exploit.
 """
 
 from __future__ import annotations
