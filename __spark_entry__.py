@@ -3363,12 +3363,17 @@ def _sql_bpe_ctes(merges: int = _BPE_MERGES) -> list[str]:
     t{k} AS MATERIALIZED (
       SELECT p1, p2, cnt FROM pr{k} ORDER BY cnt DESC, p1, p2 LIMIT 1),
     v{k} AS MATERIALIZED (
-      SELECT trim(list_reduce(list_prepend('', split(v.s, ' ')),
+      -- LEFT JOIN ON TRUE, not CROSS JOIN: when pairs are exhausted
+      -- before round {k}, t{k} is EMPTY and a cross join would wipe
+      -- the vocabulary; the null-pair guard passes v through intact,
+      -- matching bpe_learn's early break
+      SELECT CASE WHEN t.p1 IS NULL THEN v.s
+                  ELSE trim(list_reduce(list_prepend('', split(v.s, ' ')),
           (acc, x) -> CASE
             WHEN right(acc, length(t.p1) + 1) = ' ' || t.p1 AND x = t.p2
             THEN substring(acc, 1, length(acc) - length(t.p1) - 1) || ' ' || t.p1 || t.p2
-            ELSE acc || ' ' || x END)) AS s, v.n
-      FROM v{k - 1} v CROSS JOIN t{k} t)""")
+            ELSE acc || ' ' || x END)) END AS s, v.n
+      FROM v{k - 1} v LEFT JOIN t{k} t ON TRUE)""")
     return ctes
 
 
@@ -3528,17 +3533,30 @@ def _q_zorder_key(spark, sf):
 
 
 def _sql_zorder_key() -> str:
-    from zinger_spark.functions.zorder import zorder_key_sql
+    # mirror with_zorder_key's two-step shape: project the scaled
+    # buckets ONCE, then interleave the small references — inlining
+    # per-column bounds subqueries into every bit term would repeat
+    # them bits * n times
+    from zinger_spark.functions.zorder import interleave_sql
 
-    z = zorder_key_sql(["user_id", "vc"], "ev2", bits=8, dialect="duckdb")
+    z = interleave_sql(["zs0", "zs1"], 8, "duckdb")
     return f"""
     WITH ev2 AS MATERIALIZED (
       SELECT CAST(event_id AS BIGINT) AS event_id,
              CAST(user_id AS BIGINT) AS user_id,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
-      FROM events)
+      FROM events),
+    b AS (SELECT MIN(user_id) AS mn0, MAX(user_id) AS mx0,
+                 MIN(vc) AS mn1, MAX(vc) AS mx1 FROM ev2),
+    sc AS (
+      SELECT event_id, user_id, vc,
+             CASE WHEN mx0 = mn0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((user_id - mn0) * 255 AS BIGINT) // CAST(mx0 - mn0 AS BIGINT) END AS zs0,
+             CASE WHEN mx1 = mn1 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((vc - mn1) * 255 AS BIGINT) // CAST(mx1 - mn1 AS BIGINT) END AS zs1
+      FROM ev2 CROSS JOIN b)
     SELECT event_id, user_id, vc, CAST({z} AS BIGINT) AS zkey
-    FROM ev2 ORDER BY zkey, event_id LIMIT 20"""
+    FROM sc ORDER BY zkey, event_id LIMIT 20"""
 
 
 _PCA_ITERS = 6
@@ -3574,7 +3592,7 @@ def _sql_gram_power(iterations: int = _PCA_ITERS) -> str:
     gfull AS MATERIALIZED (
       SELECT i, j, s FROM gm
       UNION ALL SELECT j, i, s FROM gm WHERE i <> j),
-    gmax AS (SELECT MAX(ABS(s)) AS gmax FROM gfull),
+    gmax AS (SELECT greatest(MAX(ABS(s)), 1) AS gmax FROM gfull),
     gn AS MATERIALIZED (
       SELECT i, j, CAST((s * {s}) // gmax AS BIGINT) AS g
       FROM gfull CROSS JOIN gmax),
@@ -3584,7 +3602,7 @@ def _sql_gram_power(iterations: int = _PCA_ITERS) -> str:
         ctes.append(f"""w{k} AS MATERIALIZED (
       SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS w
       FROM gn g JOIN v{k - 1} v ON g.j = v.j GROUP BY 1),
-    m{k} AS (SELECT MAX(ABS(w)) AS wmax FROM w{k}),
+    m{k} AS (SELECT greatest(MAX(ABS(w)), 1) AS wmax FROM w{k}),
     v{k} AS MATERIALIZED (
       SELECT i AS j, CAST((w * {s}) // wmax AS BIGINT) AS v
       FROM w{k} CROSS JOIN m{k})""")

@@ -131,3 +131,36 @@ def test_segment_applies_merges_in_rank_order(spark):
     )
     got = df.select(bpe_segment("s", merges).alias("t")).collect()[0]["t"]
     assert got == "mer g er"
+
+
+def test_oracle_survives_pair_exhaustion(spark):
+    """When pairs run out before `merges` rounds, bpe_learn breaks
+    early; the oracle CTE chain must pass the vocab through intact
+    (LEFT JOIN null-pair guard), not wipe it with an empty cross
+    join.  Runs the REAL oracle SQL on a fabricated corpus."""
+    import importlib.util
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_bpe_test", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 'ab ab ab' AS text"
+    )
+    merges_sql = con.execute(m._sql_bpe_learn(5)).df()
+    vocab_sql = con.execute(m._sql_bpe_vocab_tokens(5)).df()
+    docs = spark.createDataFrame([("ab ab ab",)], ["text"])
+    got, vfinal = bpe_learn(word_frequencies(docs), merges=5)
+    # only one merge exists ('a'+'b'); both sides stop there
+    assert [(g["p1"], g["p2"], g["cnt"]) for g in got] == [("a", "b", 3)]
+    assert len(merges_sql) == 1
+    assert (merges_sql.iloc[0]["p1"], merges_sql.iloc[0]["p2"]) == ("a", "b")
+    # and the final vocabulary survives on the oracle side
+    assert sorted(
+        (r["token"], r["cnt"]) for _, r in vocab_sql.iterrows()
+    ) == [("ab", 3)]
+    assert [r["s"] for r in vfinal.collect()] == ["ab"]

@@ -94,3 +94,14 @@ def test_gram_drives_pca(spark):
     top = top / np.sign(top[0])
     assert abs(top[0]) > 0.6 and abs(top[1]) > 0.6  # ~ (1,1)/sqrt(2)
     assert abs(top[2]) < 0.1 and abs(top[3]) < 0.1
+
+
+def test_power_iteration_zero_matrix_yields_zero_vector(spark):
+    from zinger_spark.operators.linalg import power_iteration
+
+    df = spark.createDataFrame([([0.0, 0.0, 0.0],)] * 5, ["embedding"])
+    g = gram_matrix(df, dims=3, scale=1024)
+    got = {r["i"]: r["v"] for r in power_iteration(g, dims=3, iterations=2).collect()}
+    # degenerate input: deterministic zero vector, never NULLs (Spark
+    # div-by-zero NULLs) or an engine error (DuckDB raises)
+    assert got == {0: 0, 1: 0, 2: 0}

@@ -36,3 +36,17 @@ def test_profile_column_subset(spark):
     df = spark.createDataFrame([(1, "x")], ["a", "b"])
     out = profile(df, cols=["b"]).collect()
     assert len(out) == 1 and out[0]["column_name"] == "b"
+
+
+def test_profile_decimal_is_numeric(spark):
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(Decimal("1.50"),), (Decimal("999.99"),)],
+        T.StructType([T.StructField("p", T.DecimalType(12, 2))]),
+    )
+    row = profile(df).collect()[0]
+    assert row["min_num"] == 1.5 and row["max_num"] == 999.99
+    assert row["min_str"] is None

@@ -109,3 +109,16 @@ def test_cents_half_up(spark):
 
     want = [math.floor(v * 100 + 0.5) for v in [1.005, 2.675, -1.005, 0.0, 6.55]]
     assert got == want
+
+
+def test_week_cannot_cascade_coarser(spark, ev):
+    # ISO weeks straddle month/year boundaries: 2024-07-30 and
+    # 2024-08-01 share a week (Mon Jul 29), so week->month would
+    # misassign the August row to July.  The cascade must refuse.
+    with pytest.raises(ValueError, match="week"):
+        rollup_cascade(ev, "ts", cents(F.col("value")), ("day", "week", "month"))
+    with pytest.raises(ValueError, match="week"):
+        rollup_cascade(ev, "ts", cents(F.col("value")), ("week", "year"))
+    # week as the last unit stays fine
+    tiers = rollup_cascade(ev, "ts", cents(F.col("value")), ("day", "week"))
+    assert set(tiers) == {"day", "week"}

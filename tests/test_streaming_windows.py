@@ -377,3 +377,10 @@ def test_streaming_heavy_hitters(spark, tmp_path):
     # true totals: a=5, b=2, c=3, d=1; CM never underestimates and at
     # this tiny cardinality never collides either
     assert latest == {"a": 5, "b": 2, "c": 3, "d": 1}
+
+
+def test_streaming_dedup_within_watermark_rejects_batch(spark):
+    df = spark.createDataFrame([(1, "2024-01-01 00:00:00", 1.0)],
+                               "user_id bigint, ts string, value double")
+    with pytest.raises(ValueError, match="batch"):
+        zw.streaming_dedup(df, ["user_id"], "ts", within_watermark=True)

@@ -121,3 +121,17 @@ def test_compact_zorder_narrows_both_dims(spark, tmp_path):
     assert zed["value.b"] < lin["value.b"] * 0.7
     # and a must not degrade to full-width either
     assert zed["value.a"] < 31 * 0.7
+
+
+def test_compact_zorder_requires_two_columns(spark, tmp_path):
+    schema = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint,b:bigint>, _type string"
+    )
+    pool = Pool.create(spark, str(tmp_path / "zz"))
+    pool.load_batch(spark.createDataFrame(
+        [(("T", 0, 0), None, (1, 2), "data")], schema))
+    with pytest.raises(ValueError, match="z-order"):
+        pool.compact(sort_by=["value.a"], zorder=True)
+    with pytest.raises(ValueError, match="z-order"):
+        pool.compact(zorder=True)

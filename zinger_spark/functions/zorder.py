@@ -96,20 +96,11 @@ def with_zorder_key(
     )
 
 
-def zorder_key_sql(
-    cols: list[str], table: str, bits: int = 8, dialect: str = "duckdb"
-) -> str:
-    """The identical key as a standalone SQL expression (oracle
-    parity): bounds from a scalar subquery per column."""
-    scaled = []
-    for c in cols:
-        mn = f"(SELECT CAST(MIN({c}) AS BIGINT) FROM {table})"
-        mx = f"(SELECT CAST(MAX({c}) AS BIGINT) FROM {table})"
-        div = "div" if dialect == "spark" else "//"
-        top = (1 << bits) - 1
-        scaled.append(
-            f"CASE WHEN {mx} = {mn} THEN CAST(0 AS BIGINT) "
-            f"ELSE CAST((CAST({c} AS BIGINT) - {mn}) * {top} AS BIGINT) "
-            f"{div} CAST({mx} - {mn} AS BIGINT) END"
-        )
-    return interleave_sql(scaled, bits, dialect)
+# (cross-engine parity note: a consumer replaying the key in another
+# SQL dialect should mirror with_zorder_key's two-step shape — compute
+# the per-column bounds once, project the scaled buckets with
+# `scaled_expr`-equivalent arithmetic, then `interleave_sql` the small
+# projected references.  Inlining bounds subqueries into the scaled
+# CASE would get repeated `bits` times by the interleave.  The
+# registry oracle __spark_entry__._sql_zorder_key is the worked
+# example.)

@@ -78,13 +78,16 @@ def pair_counts(vocab: DataFrame, spaced_col: str = "s") -> DataFrame:
     count.  The explode is vocab-bounded; the groupBy partial-aggregates
     map-side so the exchange carries surviving pairs only."""
     pairs = F.expr(
-        f"CASE WHEN size(split({spaced_col}, ' ')) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size(split({spaced_col}, ' ')) - 1), "
-        f"i -> struct(element_at(split({spaced_col}, ' '), i) AS p1, "
-        f"element_at(split({spaced_col}, ' '), i + 1) AS p2)) END"
+        "CASE WHEN size(_syms) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(_syms) - 1), "
+        "i -> struct(element_at(_syms, i) AS p1, "
+        "element_at(_syms, i + 1) AS p2)) END"
     )
     return (
-        vocab.select(F.explode(pairs).alias("pr"), "n")
+        # split ONCE per row — Spark does not CSE the four references
+        # the inlined form would carry
+        vocab.select(F.split(spaced_col, " ").alias("_syms"), "n")
+        .select(F.explode(pairs).alias("pr"), "n")
         .select("pr.p1", "pr.p2", "n")
         .groupBy("p1", "p2")
         .agg(F.sum("n").cast("long").alias("cnt"))

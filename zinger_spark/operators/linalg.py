@@ -107,7 +107,12 @@ def power_iteration(
     full = gram.where("i <> j").select(
         F.col("j").alias("i"), F.col("i").alias("j"), "s"
     ).unionByName(gram.select("i", "j", "s"))
-    gmax = full.agg(F.max(F.abs(F.col("s"))).alias("gmax"))
+    # greatest(max, 1) guards the degenerate all-zero matrix (and an
+    # all-zero matvec round below): without it Spark's non-ANSI `div`
+    # returns NULL while DuckDB's `//` raises — silently-NULL on one
+    # engine, error on the other.  With the guard both yield the zero
+    # vector, deterministically.
+    gmax = full.agg(F.expr("greatest(MAX(ABS(s)), 1)").alias("gmax"))
     gn = full.crossJoin(F.broadcast(gmax)).select(
         "i", "j", F.expr(f"(s * {scale}) div gmax").alias("g")
     )
@@ -128,7 +133,7 @@ def power_iteration(
             .agg(F.sum(F.expr("g * v")).cast("long").alias("w"))
             .localCheckpoint(eager=True)
         )
-        wmax = w.agg(F.max(F.abs(F.col("w"))).alias("wmax"))
+        wmax = w.agg(F.expr("greatest(MAX(ABS(w)), 1)").alias("wmax"))
         v = w.crossJoin(F.broadcast(wmax)).select(
             F.col("i").alias("j"), F.expr(f"(w * {scale}) div wmax").alias("v")
         )

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
 _TEMPORAL = ("timestamp", "timestamp_ntz", "date")
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 

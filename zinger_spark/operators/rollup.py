@@ -28,7 +28,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 # granularity ladder: each unit must nest exactly into the next
 # (date_trunc is idempotent across the ladder: truncating an
-# hour-bucket to day == truncating the raw timestamp to day)
+# hour-bucket to day == truncating the raw timestamp to day).
+# 'week' is special: hours/days nest into ISO weeks, but weeks nest
+# into NOTHING coarser — a week straddles month and year boundaries,
+# so date_trunc('month', week_monday) silently misassigns the
+# straddling rows.  Week must therefore be the LAST unit of a cascade.
 _UNITS = ("hour", "day", "week", "month", "year")
 
 
@@ -101,6 +105,11 @@ def rollup_cascade(
             raise ValueError(f"unknown unit {u!r}")
     if [u for u in _UNITS if u in units] != list(units):
         raise ValueError("units must be ordered fine -> coarse")
+    if "week" in units and units.index("week") != len(units) - 1:
+        raise ValueError(
+            "week does not nest into coarser units (ISO weeks straddle "
+            "month/year boundaries) — it must be the cascade's last unit"
+        )
     tiers: dict[str, DataFrame] = {}
     cur = rollup_base(df, ts_col, value, units[0], keys)
     tiers[units[0]] = cur

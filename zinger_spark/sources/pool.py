@@ -557,6 +557,12 @@ class Pool:
         otherwise be silently orphaned (its commit never in the new
         manifest) — lost data, not just a lost listing.
         """
+        if zorder and len(sort_by or []) < 2:
+            raise ValueError(
+                "compact(zorder=True) needs >= 2 sort_by columns — "
+                "a one-column 'z-order' is just a linear sort; ask for "
+                "that explicitly rather than getting it silently"
+            )
         with self.writer_lock():
             return self._compact_locked(small_bytes, sort_by, zorder)
 

@@ -82,11 +82,21 @@ def streaming_dedup(
     right call for "suppress retransmits of the same business key" at
     ingest scale.  Semantics differ accordingly: a key recurring AFTER
     the horizon is emitted again (it is a new occurrence, not a
-    retransmit)."""
+    retransmit) — which also means there is NO batch equivalent: a
+    global dropDuplicates keeps one row per key across all time, so a
+    batch "parity" replay would return fewer rows than the stream.
+    Rather than silently diverge, the flag on a batch frame raises."""
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
         if within_watermark:
             return df.dropDuplicatesWithinWatermark(keys)
+    elif within_watermark:
+        raise ValueError(
+            "within_watermark=True has no batch equivalent (a key "
+            "recurring after the horizon re-emits in the stream; a "
+            "global dropDuplicates would not) — run it on a stream, or "
+            "use the default form for batch parity checks"
+        )
     return df.dropDuplicates(keys)
 
 
