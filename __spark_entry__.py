@@ -3836,6 +3836,146 @@ _SQL_SCD2_HISTORY = """
     ORDER BY user_id, event_id"""
 
 
+def _q_cohort_retention(spark, sf):
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by first-seen day, activity counted per (cohort, day
+    offset).  Two keyed partial-agg shuffles (first-seen per user;
+    then (cohort, offset) cells) and one broadcast-sized join back;
+    the matrix is days x days cells whatever the corpus size.  First
+    20 cells by cohort/offset."""
+    ev = _events(spark, sf).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    cells = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.col("day"), F.col("cohort")).cast("long").alias("offset_days"),
+        )
+        .distinct()
+        .groupBy("cohort", "offset_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )
+    return (
+        cells.select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "offset_days",
+            "active_users",
+        )
+        .orderBy("cohort", "offset_days")
+        .limit(20)
+    )
+
+
+_SQL_COHORT_RETENTION = """
+    WITH ev AS MATERIALIZED (
+      SELECT CAST(user_id AS BIGINT) AS user_id, date_trunc('day', ts) AS day
+      FROM events),
+    first AS (SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY 1),
+    cells AS (
+      SELECT cohort, offset_days, CAST(COUNT(*) AS BIGINT) AS active_users
+      FROM (
+        SELECT DISTINCT e.user_id, f.cohort,
+               CAST(date_diff('day', f.cohort, e.day) AS BIGINT) AS offset_days
+        FROM ev e JOIN first f USING (user_id))
+      GROUP BY 1, 2)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort, offset_days, active_users
+    FROM cells ORDER BY cohort, offset_days LIMIT 20"""
+
+
+def _q_event_transitions(spark, sf):
+    """Per-user event-type transition matrix (the Sankey/flow query):
+    lead() window PER USER pairs each event with its successor, then a
+    partial-agged count per (from, to) — at most |types|^2 cells cross
+    the exchange.  Top-15 transitions."""
+    from pyspark.sql import Window
+
+    ev = _events_ns(spark, sf).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").alias("tsn"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    nxt = F.lead("event_type").over(w)
+    return (
+        ev.withColumn("next_type", nxt)
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "from_type", "to_type")
+        .limit(15)
+    )
+
+
+_SQL_EVENT_TRANSITIONS = """
+    WITH ev AS MATERIALIZED (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(event_id AS BIGINT) AS event_id,
+             CAST(epoch_ns(ts) AS BIGINT) AS tsn, event_type
+      FROM events),
+    seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS to_type
+      FROM ev)
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 15"""
+
+
+def _q_join_size_estimate(spark, sf):
+    """KMV join-cardinality estimate (sketches.kmv_join_size): predict
+    |orders JOIN lineitem| from a k=256 key sample + two broadcast
+    probe counts, with the exact size alongside so the error is
+    visible in the checked result.  The probes are the only passes
+    over data; the estimator itself is sketch-sized."""
+    from zinger_spark.operators import sketches as zsk
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    est = zsk.kmv_join_size(orders, "o_orderkey", li, "l_orderkey", k=256)
+    exact = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    return est.crossJoin(exact).select(
+        "estimate", "exact", "sampled_pairs", "union_est", "sample_k"
+    )
+
+
+def _sql_join_size_estimate() -> str:
+    space = float(1 << 60)
+    return f"""
+    WITH uk AS MATERIALIZED (
+      SELECT key, {_sql_md5h("key")} AS h FROM (
+        SELECT CAST(o_orderkey AS VARCHAR) AS key FROM orders
+        UNION
+        SELECT CAST(l_orderkey AS VARCHAR) FROM lineitem)),
+    sample AS MATERIALIZED (SELECT key, h FROM uk ORDER BY h LIMIT 256),
+    kth AS (SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS got FROM sample),
+    u AS (SELECT CASE WHEN got < 256 THEN got
+                 ELSE CAST(round({255.0 * space!r} / CAST(kth AS DOUBLE)) AS BIGINT)
+                 END AS union_est, got FROM kth),
+    ca AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS ca
+           FROM (SELECT CAST(o_orderkey AS VARCHAR) AS key FROM orders)
+           WHERE key IN (SELECT key FROM sample) GROUP BY 1),
+    cb AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS cb
+           FROM (SELECT CAST(l_orderkey AS VARCHAR) AS key FROM lineitem)
+           WHERE key IN (SELECT key FROM sample) GROUP BY 1),
+    s AS (SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS s
+          FROM ca JOIN cb USING (key)),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+    SELECT CAST((s.s * u.union_est) // u.got AS BIGINT) AS estimate,
+           ex.exact, s.s AS sampled_pairs, u.union_est,
+           CAST(u.got AS BIGINT) AS sample_k
+    FROM s CROSS JOIN u CROSS JOIN ex"""
+
+
 _SQL_ROLLUP_CASCADE = """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type,
@@ -3868,6 +4008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_hourly": _q_gap_fill,
         "inverted_index_top": _q_inverted_index,
         "cdc_scd2_history": _q_scd2_history,
+        "cohort_retention": _q_cohort_retention,
+        "event_transitions": _q_event_transitions,
+        "join_size_estimate": _q_join_size_estimate,
         "profile_orders": _q_profile_orders,
         "embedding_gram": _q_embedding_gram,
         "label_centroid_drift": _q_centroid_drift,
@@ -4612,6 +4755,9 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill_hourly": _SQL_GAP_FILL,
         "inverted_index_top": _sql_inverted_index(),
         "cdc_scd2_history": _SQL_SCD2_HISTORY,
+        "cohort_retention": _SQL_COHORT_RETENTION,
+        "event_transitions": _SQL_EVENT_TRANSITIONS,
+        "join_size_estimate": _sql_join_size_estimate(),
         "profile_orders": _SQL_PROFILE_ORDERS,
         "embedding_gram": _SQL_EMBEDDING_GRAM,
         "label_centroid_drift": _SQL_CENTROID_DRIFT,

@@ -426,3 +426,29 @@ def test_hdr_quantiles_q0_returns_minimum(spark):
     got = {r["q"]: r["estimate"] for r in sk.hdr_quantiles(hist, [0.0, 1.0]).collect()}
     assert set(got) == {0.0, 1.0}
     assert got[0.0] == 1  # min value sits at its bucket's lower bound
+
+
+def test_kmv_join_size_tracks_exact(spark):
+    """Join-size estimate within a loose band of the true size on a
+    multiplicity-rich key distribution, and exact when the sample
+    covers every key (got < k => union_est = got => estimate = truth)."""
+    import random
+
+    from zinger_spark.operators.sketches import kmv_join_size
+
+    rng = random.Random(31)
+    a = spark.createDataFrame(
+        [(rng.randint(0, 2000),) for _ in range(6000)], "k bigint"
+    )
+    b = spark.createDataFrame(
+        [(rng.randint(0, 2000),) for _ in range(4000)], "k bigint"
+    )
+    exact = a.join(b, "k").count()
+    row = kmv_join_size(a, "k", b, "k", k=256).collect()[0]
+    assert 0.5 * exact < row["estimate"] < 2.0 * exact
+    # small-key-space case: sample IS the population -> exact
+    sa = spark.createDataFrame([(i % 7,) for i in range(100)], "k bigint")
+    sb = spark.createDataFrame([(i % 5,) for i in range(60)], "k bigint")
+    r2 = kmv_join_size(sa, "k", sb, "k", k=256).collect()[0]
+    assert r2["estimate"] == sa.join(sb, "k").count()
+    assert r2["sample_k"] == 7  # union of 7 distinct keys

@@ -628,3 +628,78 @@ def kmv_pairwise_jaccard(sigs: DataFrame, group_col: str, k: int = 256) -> DataF
         denom.cast("long").alias("denom"),
         F.round(common.cast("double") / denom, 6).alias("jaccard_est"),
     )
+
+
+def kmv_join_size(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    k: int = 256,
+) -> DataFrame:
+    """Equi-join cardinality estimate — the planner-side question
+    ("how big is A JOIN B on key?") answered without running the join.
+
+    KMV + sample-probe (the Beyer et al. distinct machinery extended
+    with multiplicities): take the k smallest hashes of the DISTINCT
+    key union (TakeOrderedAndProject — per-partition heaps, k rows);
+    the k-th min estimates the union size U; then probe BOTH sides
+    with the k-key sample (broadcast semi-joins — the only passes over
+    the data, each a pushed-down hash probe + partial-agg count) for
+    exact per-key multiplicities, and scale:
+
+        |A JOIN B|  ~=  sum over sample keys of cA * cB  *  U / got
+
+    where ``got = |sample|`` — equal to k in the sketching regime
+    (each distinct union key lands in the sample w.p. ~k/U), and equal
+    to U when the key space is smaller than k, making the estimate
+    EXACT there (the sample is the population and the factor is 1).
+    All
+    arithmetic after the one rounded U estimate is integer trunc-div,
+    so the result is engine-exact and oracle-checkable.  Returns 1 row
+    (estimate, sampled_pairs, union_est, sample_k).
+    """
+    space = float(1 << HASH_BITS)
+    ka = a.select(F.col(a_key).cast("string").alias("key")).distinct()
+    kb = b.select(F.col(b_key).cast("string").alias("key")).distinct()
+    union_keys = ka.unionByName(kb).distinct().select(
+        "key", md5_hash60(F.col("key")).alias("h")
+    )
+    sample = union_keys.orderBy("h").limit(k)
+    kth = sample.groupBy().agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("got")
+    )
+    u_est = F.when(F.col("got") < k, F.col("got")).otherwise(
+        F.round(F.lit((k - 1) * space) / F.col("kth").cast("double")).cast("long")
+    )
+    ca = (
+        a.select(F.col(a_key).cast("string").alias("key"))
+        .join(F.broadcast(sample.select("key")), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    cb = (
+        b.select(F.col(b_key).cast("string").alias("key"))
+        .join(F.broadcast(sample.select("key")), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    s = (
+        ca.join(cb, "key")
+        .groupBy()
+        .agg(F.coalesce(F.sum(F.expr("ca * cb")), F.lit(0)).cast("long").alias("s"))
+    )
+    return (
+        kth.crossJoin(s)
+        .select(
+            F.col("s"),
+            u_est.alias("union_est"),
+            F.col("got").cast("long").alias("sample_k"),
+        )
+        .select(
+            F.expr("(s * union_est) div sample_k").alias("estimate"),
+            F.col("s").alias("sampled_pairs"),
+            "union_est",
+            "sample_k",
+        )
+    )
