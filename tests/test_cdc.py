@@ -2,7 +2,11 @@
 
 from pyspark.sql import functions as F
 
-from zinger_spark.operators.cdc import scd2_as_of, scd2_history
+from zinger_spark.operators.cdc import (
+    scd2_apply_batch,
+    scd2_as_of,
+    scd2_history,
+)
 
 
 def _hist(spark):
@@ -64,3 +68,31 @@ def test_scd2_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_scd2_apply_batch_equals_full_rebuild(spark):
+    """Incremental maintenance == full recompute from the whole event
+    log, including: closing a previously-open version, batch-internal
+    chains, a brand-new key, and untouched keys passing through."""
+    import random
+
+    rng = random.Random(17)
+    log = [
+        (rng.randint(1, 6), rng.randint(1, 100), f"v{i}", i)
+        for i in range(60)
+    ]
+    cols = "k bigint, ts bigint, v string, seq bigint"
+    first, second = log[:40], log[40:] + [(99, 1, "new-key", 999)]
+    h1 = scd2_history(spark.createDataFrame(first, cols), ["k"], "ts", ["seq"])
+    inc = scd2_apply_batch(
+        h1, spark.createDataFrame(second, cols), ["k"], "ts", ["seq"]
+    )
+    full = scd2_history(
+        spark.createDataFrame(first + second, cols), ["k"], "ts", ["seq"]
+    )
+    assert sorted(map(tuple, inc.orderBy("k", "ts", "seq").collect())) == sorted(
+        map(tuple, full.orderBy("k", "ts", "seq").collect())
+    )
+    # exactly one current version per key on the incremental side
+    cur = inc.where("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)

@@ -414,6 +414,20 @@ def main() -> int:
     check("zorder_key_head",
           "BatchEvalPython" not in p and "TakeOrderedAndProject" in p,
           "Morton key is JVM shift/mask; 20-row top-k never sorts globally")
+    p = plan_of(qs["event_transitions"](spark, sf))
+    specs = [seg.split(",")[0] for seg in p.split("windowspecdefinition(")[1:]]
+    check("event_transitions",
+          specs and all(" ASC" not in s and " DESC" not in s for s in specs)
+          and "partial_count" in p,
+          "lead window partitions by user; (from,to) cells partial-agg")
+    p = plan_of(qs["join_size_estimate"](spark, sf))
+    check("join_size_estimate",
+          "BroadcastHashJoin" in p and "TakeOrderedAndProject" in p,
+          "k-min sample via per-partition heaps; probes broadcast the sample")
+    p = plan_of(qs["cohort_retention"](spark, sf))
+    check("cohort_retention",
+          "CartesianProduct" not in p and "partial_min" in p,
+          "first-seen partial-aggregates; no cross products")
 
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()

@@ -44,6 +44,41 @@ def scd2_history(
     )
 
 
+def scd2_apply_batch(
+    history: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental SCD2 maintenance: fold a NEW batch of change events
+    into an existing history without recomputing it.
+
+    Cost is bounded by the AFFECTED keys (the batch's key set), the
+    same incremental contract as the dedup/index maintainers: rows for
+    untouched keys pass through verbatim (one broadcast-able anti
+    join); rows for affected keys — their existing versions plus the
+    batch — are re-intervaled with the per-key lead window, which
+    correctly closes the previously-open version and orders any
+    batch-internal chains.  Equal to rebuilding from the full event
+    log (property-tested), because ``valid_from`` preserves each
+    version's original event time.
+
+    ``history`` must be a :func:`scd2_history` output (or a prior
+    ``scd2_apply_batch`` result); ``batch`` carries raw change rows
+    with the same key/ts/payload columns."""
+    keys = batch.select(*key_cols).distinct()
+    untouched = history.join(F.broadcast(keys), key_cols, "left_anti")
+    payload_cols = [
+        c for c in history.columns
+        if c not in ("valid_from", "valid_to", "is_current")
+    ]
+    affected_old = history.join(F.broadcast(keys), key_cols).select(*payload_cols)
+    merged = affected_old.unionByName(batch.select(*payload_cols))
+    redone = scd2_history(merged, key_cols, ts_col, tiebreak_cols)
+    return untouched.unionByName(redone)
+
+
 def scd2_as_of(history: DataFrame, at) -> DataFrame:
     """Point-in-time slice of an SCD2 history: the row version live at
     ``at`` (valid_from <= at < valid_to, with null valid_to = open).
