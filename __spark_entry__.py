@@ -3976,6 +3976,147 @@ def _sql_join_size_estimate() -> str:
     FROM s CROSS JOIN u CROSS JOIN ex"""
 
 
+def _q_quality_blend(spark, sf):
+    """Rank-normalized multi-signal quality ensemble — the standard fix
+    for combining heterogeneous quality scores (length, lexical
+    diversity, word length) whose raw scales don't compare: each
+    signal maps to an integer milli-percentile of its own global rank,
+    then the blend is their mean.  All three ranks come from the
+    distributed prefix sum (operators/packing.global_row_number — no
+    single-reducer Window.orderBy anywhere), and the percentile/blend
+    arithmetic is integer trunc-div, so the ensemble is engine-exact.
+    Top-15 docs by blended score."""
+    from zinger_spark.operators import packing as zpack
+
+    docs = _t(spark, sf, "documents")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("s1"),
+        F.expr(
+            "CAST(1000 * size(array_distinct(split(trim(lower(text)), '\\\\s+')))"
+            " AS BIGINT) div size(split(trim(lower(text)), '\\\\s+'))"
+        ).alias("s2"),
+        F.expr(
+            "CAST(1000 * length(replace(text, ' ', '')) AS BIGINT)"
+            " div size(split(trim(lower(text)), '\\\\s+'))"
+        ).alias("s3"),
+    )
+    n = base.count()
+    out = base
+    for s in ("s1", "s2", "s3"):
+        out = zpack.global_row_number(
+            out, [F.col(s), F.col("doc_id")], out_col=f"_r{s}"
+        ).withColumn(
+            f"p{s}", F.expr(f"((_r{s} - 1) * 1000) div {max(n - 1, 1)}")
+        ).drop(f"_r{s}")
+    return (
+        out.select(
+            "doc_id",
+            F.expr("CAST((ps1 + ps2 + ps3) div 3 AS BIGINT)").alias("blend"),
+            F.col("ps1").alias("p_len"),
+            F.col("ps2").alias("p_lex"),
+            F.col("ps3").alias("p_wlen"),
+        )
+        .orderBy(F.desc("blend"), "doc_id")
+        .limit(15)
+    )
+
+
+def _sql_quality_blend() -> str:
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(n_chars AS BIGINT) AS s1,
+             CAST(1000 * len(list_distinct({_sql_tokens("text")})) AS BIGINT)
+               // len({_sql_tokens("text")}) AS s2,
+             CAST(1000 * length(replace(text, ' ', '')) AS BIGINT)
+               // len({_sql_tokens("text")}) AS s3
+      FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY s1, doc_id) AS r1,
+             row_number() OVER (ORDER BY s2, doc_id) AS r2,
+             row_number() OVER (ORDER BY s3, doc_id) AS r3
+      FROM base),
+    pct AS (
+      SELECT doc_id,
+             ((r1 - 1) * 1000) // greatest(n.n - 1, 1) AS ps1,
+             ((r2 - 1) * 1000) // greatest(n.n - 1, 1) AS ps2,
+             ((r3 - 1) * 1000) // greatest(n.n - 1, 1) AS ps3
+      FROM ranked CROSS JOIN n)
+    SELECT doc_id, CAST((ps1 + ps2 + ps3) // 3 AS BIGINT) AS blend,
+           CAST(ps1 AS BIGINT) AS p_len, CAST(ps2 AS BIGINT) AS p_lex,
+           CAST(ps3 AS BIGINT) AS p_wlen
+    FROM pct ORDER BY blend DESC, doc_id LIMIT 15"""
+
+
+def _q_token_cooccurrence(spark, sf):
+    """Within-document token co-occurrence with integer lift (the
+    PMI-style association miner): distinct (doc, token) pairs
+    self-join PER DOCUMENT (doc-keyed equi-join — each doc contributes
+    tokens²/2 pairs, the declared cost), then
+    lift = 1000 * n_ab * n_docs / (n_a * n_b) in trunc-div millis.
+    In production the join runs behind a document-frequency cap that
+    drops stopword-grade tokens before pairing (the ngram-blocking
+    guard); this corpus's 31-token synthetic vocab sits entirely above
+    any useful cap, so the cap is documented rather than applied —
+    465 candidate pairs total.  Top-15 by (lift, pair)."""
+    import zinger_spark.functions.text as ztext
+
+    docs = _t(spark, sf, "documents")
+    pairs_src = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(ztext.tokens(F.col("text"))).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .distinct()
+    )
+    ndocs = docs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    dfreq = pairs_src.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = pairs_src.select("doc_id", F.col("t").alias("ta"))
+    b = pairs_src.select("doc_id", F.col("t").alias("tb"))
+    ab = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    return (
+        ab.join(dfreq.select(F.col("t").alias("ta"), F.col("n").alias("n_a")), "ta")
+        .join(dfreq.select(F.col("t").alias("tb"), F.col("n").alias("n_b")), "tb")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "ta", "tb", "n_ab",
+            F.expr("(1000 * n_ab * nd) div (n_a * n_b)").alias("lift_milli"),
+        )
+        .orderBy(F.desc("lift_milli"), "ta", "tb")
+        .limit(15)
+    )
+
+
+def _sql_token_cooccurrence() -> str:
+    return f"""
+    WITH p AS MATERIALIZED (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id, unnest({_sql_tokens("text")}) AS t FROM documents)
+      WHERE t <> ''),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1),
+    ab AS (
+      SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY 1, 2)
+    SELECT ab.ta, ab.tb, ab.n_ab,
+           CAST((1000 * ab.n_ab * nd.nd) // (fa.n * fb.n) AS BIGINT) AS lift_milli
+    FROM ab
+    JOIN dfreq fa ON ab.ta = fa.t
+    JOIN dfreq fb ON ab.tb = fb.t
+    CROSS JOIN nd
+    ORDER BY lift_milli DESC, ta, tb LIMIT 15"""
+
+
 _SQL_ROLLUP_CASCADE = """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type,
@@ -4014,6 +4155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "event_transitions": _q_event_transitions,
         "join_size_estimate": _q_join_size_estimate,
+        "quality_blend": _q_quality_blend,
+        "token_cooccurrence": _q_token_cooccurrence,
         "profile_orders": _q_profile_orders,
         "embedding_gram": _q_embedding_gram,
         "label_centroid_drift": _q_centroid_drift,
@@ -4761,6 +4904,8 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _SQL_COHORT_RETENTION,
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "join_size_estimate": _sql_join_size_estimate(),
+        "quality_blend": _sql_quality_blend(),
+        "token_cooccurrence": _sql_token_cooccurrence(),
         "profile_orders": _SQL_PROFILE_ORDERS,
         "embedding_gram": _SQL_EMBEDDING_GRAM,
         "label_centroid_drift": _SQL_CENTROID_DRIFT,
