@@ -121,6 +121,8 @@ HEADLINE = [
     "cohort_retention",
     "event_transitions",
     "join_size_estimate",
+    "quality_blend",
+    "token_cooccurrence",
 ]
 
 

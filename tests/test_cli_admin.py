@@ -458,3 +458,57 @@ def test_info_files_partitioned_pool(spark, tmp_path, capsys):
     assert all(l["files"] >= 1 and l["bytes"] > 0 for l in lines)
     ranges = sorted((l["offset_min"], l["offset_max"]) for l in lines)
     assert ranges == [(0, 2), (3, 4)]
+
+
+def test_cli_train_quality_and_bpe_artifacts(spark, tmp_path):
+    """train-quality / train-bpe produce loadable artifacts that
+    rebuild the exact scoring expression / tokenizer."""
+    from pyspark.sql import functions as F
+
+    from zinger_spark.cli import main as cli_main
+    from zinger_spark.operators.bpe import bpe_segment, load_merges, spaced
+    from zinger_spark.operators.classifier import load_model, perceptron_margin
+
+    emb = str(tmp_path / "emb.parquet")
+    import random
+
+    rng = random.Random(4)
+    rows = [
+        ([rng.uniform(-1, 1) for _ in range(8)], rng.randint(0, 2))
+        for _ in range(120)
+    ]
+    spark.createDataFrame(rows, ["embedding", "label"]).write.parquet(emb)
+    model_path = str(tmp_path / "model.json")
+    assert cli_main([
+        "train-quality", emb, "--out", model_path, "--dims", "8",
+        "--rounds", "3",
+    ]) == 0
+    model = load_model(model_path)
+    assert len(model["weights"]) == 9 and model["rounds"] == 3
+    # the margin expression rebuilds and scores
+    feats = spark.createDataFrame(rows, ["embedding", "label"]).select(
+        *[F.expr(f"CAST(floor(CAST(embedding[{j}] AS DOUBLE) * 1024) AS BIGINT)").alias(f"f{j + 1}") for j in range(8)],
+        F.lit(32).cast("long").alias("f0"),
+    )
+    scored = feats.select(
+        perceptron_margin(model["weights"], [f"f{j}" for j in range(9)]).alias("m")
+    )
+    assert scored.count() == 120
+
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [("low lower lowest",), ("low low newer",)], ["text"]
+    ).write.parquet(docs)
+    merges_path = str(tmp_path / "merges.json")
+    assert cli_main([
+        "train-bpe", docs, "--out", merges_path, "--merges", "4",
+    ]) == 0
+    merges = load_merges(merges_path)
+    assert 1 <= len(merges) <= 4
+    seg = (
+        spark.createDataFrame([("lower",)], ["w"])
+        .select(spaced(F.col("w")).alias("s"))
+        .select(bpe_segment("s", merges).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert "".join(seg.split(" ")) == "lower"  # lossless re-tokenization

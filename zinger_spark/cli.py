@@ -219,6 +219,62 @@ def cmd_load(args) -> int:
     return 0
 
 
+def cmd_train_quality(args) -> int:
+    """Train the fixed-point embedding probe (operators/classifier.py)
+    and persist the integer-weight artifact; later jobs rebuild the
+    scoring expression with load_model + perceptron_margin — no
+    retraining, zero-shuffle application."""
+    from pyspark.sql import functions as F
+
+    from .operators.classifier import (
+        perceptron_train,
+        quantized_embedding_features,
+        save_model,
+    )
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.parquet)
+    fcols = [f"f{j}" for j in range(args.dims + 1)]
+    feats = df.select(
+        F.expr(
+            f"CAST(CASE WHEN label = {args.positive_label} THEN 1 ELSE -1 END AS BIGINT)"
+        ).alias("y"),
+        *quantized_embedding_features(dims=args.dims),
+    )
+    recs = perceptron_train(feats, "y", fcols, rounds=args.rounds)
+    save_model(
+        args.out,
+        recs[-1]["weights"],
+        {
+            "rounds": args.rounds,
+            "dims": args.dims,
+            "positive_label": args.positive_label,
+            "errors_per_round": [r["errors"] for r in recs],
+            "features": "bias=32 then floor(2^10 * embedding[j])",
+        },
+    )
+    print(
+        f"model: {args.out} (errors {recs[0]['errors']} -> {recs[-1]['errors']} "
+        f"over {args.rounds} rounds)"
+    )
+    return 0
+
+
+def cmd_train_bpe(args) -> int:
+    """Learn a BPE merge table (operators/bpe.py) and persist it;
+    load_merges + bpe_segment rebuild the tokenizer exactly."""
+    from .operators.bpe import bpe_learn, save_merges, word_frequencies
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.parquet)
+    merges, _ = bpe_learn(
+        word_frequencies(docs, args.text_col), merges=args.merges
+    )
+    save_merges(args.out, merges)
+    print(f"merges: {args.out} ({len(merges)} learned)")
+    return 0
+
+
 def cmd_compact_pool(args) -> int:
     """Merge a pool's commit dirs into one sorted commit (the OPTIMIZE
     analog); old dirs stay for in-flight readers until vacuum."""
@@ -825,6 +881,27 @@ def main(argv: list[str] | None = None) -> int:
 
     ver = sub.add_parser("version")
 
+    tq = sub.add_parser(
+        "train-quality",
+        help="train the fixed-point linear probe on an embeddings "
+             "parquet table and save the model artifact",
+    )
+    tq.add_argument("parquet", help="parquet with (embedding, label) columns")
+    tq.add_argument("--out", required=True, help="model JSON path")
+    tq.add_argument("--positive-label", type=int, default=0)
+    tq.add_argument("--rounds", type=int, default=8)
+    tq.add_argument("--dims", type=int, default=64)
+
+    tb = sub.add_parser(
+        "train-bpe",
+        help="learn a BPE merge table from a documents parquet table "
+             "and save the tokenizer artifact",
+    )
+    tb.add_argument("parquet", help="parquet with a text column")
+    tb.add_argument("--out", required=True, help="merge-table JSON path")
+    tb.add_argument("--merges", type=int, default=32)
+    tb.add_argument("--text-col", default="text")
+
     args = p.parse_args(argv)
     handler = {
         "etl": cmd_etl,
@@ -840,6 +917,8 @@ def main(argv: list[str] | None = None) -> int:
         "consume": cmd_consume,
         "produce": cmd_produce,
         "version": lambda a: (print(__version__), 0)[1],
+        "train-quality": cmd_train_quality,
+        "train-bpe": cmd_train_bpe,
     }[args.cmd]
     return handler(args)
 

@@ -152,3 +152,30 @@ def _merge_fold_sql(spaced_expr: str, p1: str, p2: str) -> str:
         f"THEN substring(acc, 1, length(acc) - {tail}) || ' ' || {qm} "
         f"ELSE acc || ' ' || s END))"
     )
+
+
+def save_merges(path: str, merge_list: list[dict]) -> None:
+    """Persist a learned merge table as JSON (rank order preserved) —
+    the tokenizer artifact a training job ships to every consumer;
+    :func:`load_merges` + :func:`bpe_segment` rebuild the corpus
+    tokenizer exactly."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"kind": "bpe_merges", "merges": merge_list}, f, indent=1)
+    os.replace(tmp, path)
+
+
+def load_merges(path: str) -> list[dict]:
+    import json
+
+    with open(path) as f:
+        obj = json.load(f)
+    if obj.get("kind") != "bpe_merges":
+        raise ValueError(f"{path}: not a BPE merge-table artifact")
+    ms = obj["merges"]
+    if [m["rank"] for m in ms] != list(range(1, len(ms) + 1)):
+        raise ValueError(f"{path}: merge ranks must be 1..n in order")
+    return ms

@@ -178,3 +178,34 @@ def quantized_embedding_features(
         for j in range(dims)
     ]
     return cols
+
+
+def save_model(path: str, weights: list[int], meta: dict | None = None) -> None:
+    """Persist a trained linear model as JSON: the d integer weights
+    plus caller metadata (feature recipe, rounds, label definition) —
+    everything needed to rebuild the scoring expression with
+    :func:`perceptron_margin` in a later session/job.  Integer weights
+    round-trip exactly (no float serialization hazards)."""
+    import json
+
+    obj = {"kind": "perceptron", "weights": [int(w) for w in weights]}
+    obj.update(meta or {})
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_model(path: str) -> dict:
+    """Load a :func:`save_model` artifact; returns the dict with
+    ``weights`` as ints."""
+    import json
+
+    with open(path) as f:
+        obj = json.load(f)
+    if obj.get("kind") != "perceptron":
+        raise ValueError(f"{path}: not a perceptron model artifact")
+    obj["weights"] = [int(w) for w in obj["weights"]]
+    return obj
