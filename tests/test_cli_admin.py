@@ -512,3 +512,18 @@ def test_cli_train_quality_and_bpe_artifacts(spark, tmp_path):
         .collect()[0]["t"]
     )
     assert "".join(seg.split(" ")) == "lower"  # lossless re-tokenization
+
+
+def test_datacard_builds_and_is_deterministic(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from datacard import build_card
+
+    a = build_card(spark, "/root/testdata/sf0.001")
+    b = build_card(spark, "/root/testdata/sf0.001")
+    assert a == b  # byte-identical across runs -> diffable data cards
+    for section in ("# Data card", "## Column profile", "## Composition",
+                    "## Duplication", "## Tokens", "by **lang**",
+                    "top BPE merge candidates"):
+        assert section in a, section
