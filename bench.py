@@ -239,7 +239,23 @@ def main() -> None:
                     n_rows[name] = len(df.collect())
                 else:
                     n_rows[name] = df.count()
-                samples[name].append(time.time() - t0)
+                elapsed = time.time() - t0
+                samples[name].append(elapsed)
+                # Session hygiene: a long multi-query run accumulates
+                # dead broadcast tables on the driver heap
+                # (ContextCleaner only reclaims them after a JVM GC
+                # notices the references died), and at sf3 that
+                # pressure made a later query's legitimate small
+                # broadcast fail with "Not enough memory to build and
+                # broadcast" — while the same query alone passes with
+                # 16x headroom.  Nudge a GC after any heavy query,
+                # OUTSIDE the timed window, so measurements stay
+                # independent of suite order.
+                if elapsed > 5.0:
+                    try:
+                        spark._jvm.System.gc()
+                    except Exception:  # noqa: BLE001
+                        pass
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)

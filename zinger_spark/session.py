@@ -58,7 +58,14 @@ def get_spark(
         # on every revisit.  Compiled classes are small; keep 10x more.
         .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # In local[N] the "driver" heap IS the whole engine: all N task
+        # slots' execution/storage memory plus every broadcast live in
+        # this one JVM.  8g was tight for 32 slots on sf3-sized runs
+        # (accumulated dead broadcasts + one heavy join pushed a later
+        # query's small broadcast into "Not enough memory to build");
+        # 16g is still a fraction of the 128 GiB host.  On a real
+        # cluster the driver is separate and spark-submit sets this.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     if master:
         builder = builder.master(master)
