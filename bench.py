@@ -126,6 +126,37 @@ HEADLINE = [
 ]
 
 
+def _release_leaked_blocks(spark, heavy: bool) -> None:
+    """Between queries, deterministically drop storage blocks the
+    finished query leaked.
+
+    dedup/bloom-style queries cut shared subtrees with
+    ``localCheckpoint`` (which persists MEMORY_AND_DISK); the Python
+    refs die when the query returns, but the JVM frees the blocks only
+    after a GC notices the dead references — and storage blocks below
+    ``spark.memory.storageFraction`` are unevictable by execution, so
+    at sf3 the accumulated dead checkpoints starved a later query's
+    broadcast build ("Not enough memory to build and broadcast") even
+    with 16x headroom when run alone.  A bare ``System.gc()`` nudge
+    proved insufficient (the async ContextCleaner races the next
+    query), so sweep the persistent-RDD registry directly: nothing in
+    this harness legitimately keeps blocks alive across queries.
+    ``System.gc()`` still runs after heavy queries for the remaining
+    dead broadcast tables.
+    """
+    try:
+        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            try:
+                it.next().unpersist(False)
+            except Exception:  # noqa: BLE001
+                pass
+        if heavy:
+            spark._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def etl_incremental_bench(spark) -> dict:
     """Micro-bench for the cursor-bounded incremental ETL scan: grow a
     pool commit-by-commit (each run leaves done markers + an advanced
@@ -241,21 +272,9 @@ def main() -> None:
                     n_rows[name] = df.count()
                 elapsed = time.time() - t0
                 samples[name].append(elapsed)
-                # Session hygiene: a long multi-query run accumulates
-                # dead broadcast tables on the driver heap
-                # (ContextCleaner only reclaims them after a JVM GC
-                # notices the references died), and at sf3 that
-                # pressure made a later query's legitimate small
-                # broadcast fail with "Not enough memory to build and
-                # broadcast" — while the same query alone passes with
-                # 16x headroom.  Nudge a GC after any heavy query,
-                # OUTSIDE the timed window, so measurements stay
-                # independent of suite order.
-                if elapsed > 5.0:
-                    try:
-                        spark._jvm.System.gc()
-                    except Exception:  # noqa: BLE001
-                        pass
+                # Session hygiene OUTSIDE the timed window, so
+                # measurements stay independent of suite order.
+                _release_leaked_blocks(spark, heavy=elapsed > 5.0)
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
