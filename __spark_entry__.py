@@ -3752,7 +3752,19 @@ def _q_inverted_index(spark, sf):
         pairs.withColumn("rn", rn)
         .where(F.col("rn") <= 10)
         .groupBy("token")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+        .agg(
+            # String-joined (not array-valued) so downstream tabular
+            # consumers — and the driver's canonicalizer — can sort and
+            # hash the column; the array form lives in
+            # operators/profile.py for engine use.
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
     )
     return (
         dfreq.join(posts, "token")
@@ -3773,7 +3785,7 @@ def _sql_inverted_index() -> str:
     ranked AS (SELECT token, doc_id,
                       row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
                FROM pairs),
-    posts AS (SELECT token, list_sort(list(doc_id)) AS postings
+    posts AS (SELECT token, string_agg(doc_id, ',' ORDER BY doc_id) AS postings
               FROM ranked WHERE rn <= 10 GROUP BY 1)
     SELECT d.token, d.df, p.postings
     FROM dfreq d JOIN posts p USING (token)
