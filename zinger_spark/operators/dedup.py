@@ -376,9 +376,14 @@ def ngram_jaccard_pairs(
         .select("h")
     )
     blocked = exploded.join(F.broadcast(hot), "h", "left_anti")
+    # The ONLY intended broadcast in this operator is the bounded hot
+    # list above.  Every other join is pinned to shuffle-hash: both the
+    # candidate and verify sides grow with the corpus, and letting
+    # AQE's size estimate pick a broadcast build turns a planner whim
+    # into a driver OOM at scale (observed at sf3).
     cand = (
         blocked.alias("l")
-        .join(blocked.alias("r"), "h")
+        .join(blocked.alias("r").hint("shuffle_hash"), "h")
         .filter(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
@@ -386,9 +391,12 @@ def ngram_jaccard_pairs(
     # Exact |A ∩ B| from the UNCAPPED shingle sets, restricted to the
     # candidates (the minhash verify-stage shape, see minhash_lsh_pairs).
     shared = (
-        cand.join(exploded.select(F.col("id").alias("a"), "h"), "a")
+        cand.hint("shuffle_hash")
+        .join(exploded.select(F.col("id").alias("a"), "h"), "a")
         .join(
-            exploded.select(F.col("id").alias("__bid"), F.col("h").alias("hb")),
+            exploded.select(F.col("id").alias("__bid"), F.col("h").alias("hb")).hint(
+                "shuffle_hash"
+            ),
             (F.col("b") == F.col("__bid")) & (F.col("h") == F.col("hb")),
         )
         .groupBy("a", "b")
@@ -396,8 +404,18 @@ def ngram_jaccard_pairs(
     )
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     return (
-        shared.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        shared.join(
+            sizes.select(F.col("id").alias("a"), F.col("n").alias("na")).hint(
+                "shuffle_hash"
+            ),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")).hint(
+                "shuffle_hash"
+            ),
+            "b",
+        )
         .withColumn(
             "jaccard",
             F.col("shared").cast("double")
