@@ -1090,11 +1090,31 @@ def _q_contamination_exact(spark, sf):
     benchmark doc), so it BROADCASTS and the scan stays a single pass
     over the corpus; the contains() filter runs inside codegen.  This
     is an intended broadcast nested loop — corpus x small-probe-set,
-    never corpus x corpus."""
+    never corpus x corpus.  The probe set is PINNED to a fixed-size
+    benchmark sample (doc_id % 40 == 0 AND doc_id < 10240 → at most
+    256 probes at ANY scale factor): production contamination checks
+    probe a fixed benchmark suite, so cost is scan-bound, not
+    corpus-squared.  The unpinned corpus-derived form is tracked
+    separately as contamination_exact_fullprobe."""
+    return _contamination_exact(spark, sf, probe_cap=10240)
+
+
+def _q_contamination_exact_fullprobe(spark, sf):
+    """Unpinned variant of contamination_exact: every 40th doc of the
+    corpus is a probe, so the probe set grows with N and cost is
+    O(N^2/40) — kept as a deliberate scaling-curve tracker, NOT a
+    production shape (see SCALE.md)."""
+    return _contamination_exact(spark, sf, probe_cap=None)
+
+
+def _contamination_exact(spark, sf, probe_cap):
     docs = _t(spark, sf, "documents")
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    if probe_cap is not None:
+        bench = bench.filter(F.col("doc_id") < probe_cap)
     probes = (
-        docs.filter(F.col("doc_id") % 40 == 0)
+        bench
         .select(
             F.col("doc_id").alias("bench_id"),
             F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 6)).alias("probe"),
@@ -4013,13 +4033,16 @@ def _q_quality_blend(spark, sf):
             " div size(split(trim(lower(text)), '\\\\s+'))"
         ).alias("s3"),
     )
-    n = base.count()
-    out = base
+    # n stays IN the plan (1-row agg broadcast-cross-joined) instead of
+    # a base.count() driver action: the blend is one job, and the base
+    # projection is not computed twice (r7 advice #6).
+    n_df = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    out = base.crossJoin(F.broadcast(n_df))
     for s in ("s1", "s2", "s3"):
         out = zpack.global_row_number(
             out, [F.col(s), F.col("doc_id")], out_col=f"_r{s}"
         ).withColumn(
-            f"p{s}", F.expr(f"((_r{s} - 1) * 1000) div {max(n - 1, 1)}")
+            f"p{s}", F.expr(f"((_r{s} - 1) * 1000) div greatest(__n - 1, 1)")
         ).drop(f"_r{s}")
     return (
         out.select(
@@ -4204,6 +4227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dup_pairs": _q_audio_dup_pairs,
         "video_dup_pairs": _q_video_dup_pairs,
         "contamination_exact": _q_contamination_exact,
+        "contamination_exact_fullprobe": _q_contamination_exact_fullprobe,
         "token_rarity": _q_token_rarity,
         "embedding_dup_pairs_scaled": _q_embedding_dups_scaled,
         "embedding_dup_pairs_multiprobe_scaled": _q_embedding_dups_multiprobe_scaled,
@@ -6632,6 +6656,23 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, sid
         """,
         "contamination_exact": f"""
+            WITH normd AS (
+              SELECT doc_id, {_SQL_NORM_TEXT} AS norm FROM documents
+            ),
+            probes AS (
+              SELECT doc_id AS bench_id,
+                     array_to_string(
+                       list_slice(regexp_split_to_array(norm, ' '), 1, 6), ' '
+                     ) AS probe
+              FROM normd WHERE doc_id % 40 = 0 AND doc_id < 10240
+            )
+            SELECT c.doc_id, p.bench_id
+            FROM normd c
+            JOIN probes p
+              ON contains(c.norm, p.probe)
+            WHERE c.doc_id % 40 <> 0 AND length(p.probe) > 0
+        """,
+        "contamination_exact_fullprobe": f"""
             WITH normd AS (
               SELECT doc_id, {_SQL_NORM_TEXT} AS norm FROM documents
             ),

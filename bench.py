@@ -125,6 +125,15 @@ HEADLINE = [
     "token_cooccurrence",
 ]
 
+# Deliberately-exhaustive parity pins: correct by construction but
+# quadratic by design (the oracle-exact multiprobe form brute-forces
+# every candidate).  At sf>=3 one such key was 534 s of an 870 s suite
+# total — drowning the signal of the ~70 production-shaped queries — so
+# they are skipped from the sf>=3 headline run and recorded separately
+# in the JSON ("skipped_pinned").  sf0.1/sf1 keep them as parity pins.
+# SPARK_GRAFT_BENCH_PINNED=1 forces them back in at any SF.
+PINNED_EXHAUSTIVE = {"embedding_dup_pairs_multiprobe"}
+
 
 def _release_leaked_blocks(spark, heavy: bool) -> None:
     """Between queries, deterministically drop storage blocks the
@@ -245,6 +254,12 @@ def main() -> None:
     # covers the full headline list
     only = {q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q}
     skip = {q for q in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if q}
+    sf_name = sf_dir.rstrip("/").split("sf")[-1]
+    sf_num = float(sf_name) if sf_name.replace(".", "").isdigit() else 0.0
+    skipped_pinned: list[str] = []
+    if sf_num >= 3 and not os.environ.get("SPARK_GRAFT_BENCH_PINNED"):
+        skipped_pinned = sorted(PINNED_EXHAUSTIVE - only - skip)
+        skip |= PINNED_EXHAUSTIVE - only
     headline = [
         q for q in HEADLINE if (not only or q in only) and q not in skip
     ]
@@ -296,7 +311,7 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         etl_inc = {"err": f"{type(exc).__name__}: {exc}"[:500]}
         print(f"# etl_incremental: ERROR {etl_inc['err']}", file=sys.stderr)
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    sf = sf_name
     payload = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -305,6 +320,7 @@ def main() -> None:
             "reps": reps,
             "agg": "per_query_median",
             "action": action,
+            "skipped_pinned": skipped_pinned,
             "queries": timings,
             "query_min": {
                 n: round(min(s), 3) for n, s in samples.items() if s
