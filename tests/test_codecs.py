@@ -373,3 +373,94 @@ def test_avro_null_body_decodes_to_null_struct(spark):
     got = {r["off"]: r["v"] for r in out}
     assert got[0] is not None and got[0]["a"] == 7 and got[0]["s"] == "x"
     assert got[1] is None  # whole struct NULL, not Row(a=None, s=None)
+
+
+# ---------------------------------------------------------------------------
+# general (multi-branch) Avro unions — the reference decodes them to a
+# Zed union type (zavro/schema.go:234-244); the Spark mapping is the
+# SURVEY §1.2 tagged struct: struct<tag int, b<i> T_i ...>.
+
+
+def test_avro_general_union_type_mapping():
+    """[null, long, string] -> struct<tag int, b1 bigint, b2 string>;
+    plain [null, T] still smashes to nullable T (schema.go:199-201)."""
+    dt = zavro.spark_type_of_avro(["null", "long", "string"])
+    assert [f.name for f in dt.fields] == ["tag", "b1", "b2"]
+    assert dt["b1"].dataType == T.LongType()
+    assert dt["b2"].dataType == T.StringType()
+    assert zavro.spark_type_of_avro(["null", "long"]) == T.LongType()
+    # no-null 2-branch unions are general, not optional
+    dt2 = zavro.spark_type_of_avro(["long", "string"])
+    assert [f.name for f in dt2.fields] == ["tag", "b0", "b1"]
+
+
+def test_avro_general_union_wire_roundtrip():
+    """Each branch (including the null branch) round-trips through the
+    binary codec, and the branch index rides the wire as a zigzag
+    varint (Avro 1.11 spec)."""
+    from zinger_spark.codecs import avro_py
+
+    sch = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "payload", "type": ["null", "long", "string"]},
+        ],
+    }
+    cases = [
+        {"id": 1, "payload": {"tag": 0, "b1": None, "b2": None}},
+        {"id": 2, "payload": {"tag": 1, "b1": 42, "b2": None}},
+        {"id": 3, "payload": {"tag": 2, "b1": None, "b2": "hi"}},
+    ]
+    for v in cases:
+        assert avro_py.decode_value(sch, avro_py.encode_value(sch, v)) == v
+    # wire check: id=3 -> 06; tag=2 -> 04; len("hi")=2 -> 04
+    assert avro_py.encode_value(sch, cases[2]) == b"\x06\x04\x04hi"
+
+
+def test_avro_general_union_errors():
+    from zinger_spark.codecs import avro_py
+
+    with pytest.raises(avro_py.AvroCodecError, match="tagged value"):
+        avro_py.encode_value(["null", "long", "string"], 42)
+    with pytest.raises(avro_py.AvroCodecError, match="out of range"):
+        avro_py.encode_value(["null", "long", "string"], {"tag": 9})
+    with pytest.raises(avro_py.AvroCodecError, match="out of range"):
+        avro_py.decode_value(["null", "long"], b"\x08")
+
+
+def test_avro_general_union_spark_roundtrip(spark):
+    """End-to-end through the pandas-UDF codec path: Spark tagged
+    structs -> Avro body bytes -> tagged structs.  Always the Python
+    codec (the JVM connector's member0/member1 convention differs)."""
+    sch = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "payload", "type": ["null", "long", "string"]},
+        ],
+    }
+    dt = zavro.spark_type_of_avro(sch)
+    df = spark.createDataFrame(
+        [
+            (1, (0, None, None)),
+            (2, (1, 42, None)),
+            (3, (2, None, "hi")),
+        ],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("payload", dt["payload"].dataType),
+            ]
+        ),
+    )
+    enc = df.select(
+        zavro.to_avro_body_of_schema(F.struct("id", "payload"), sch).alias("body")
+    )
+    dec = enc.select(zavro.from_avro_body(F.col("body"), sch).alias("v")).select("v.*")
+    got = {r["id"]: r["payload"] for r in dec.collect()}
+    assert got[1]["tag"] == 0 and got[1]["b1"] is None and got[1]["b2"] is None
+    assert got[2]["tag"] == 1 and got[2]["b1"] == 42
+    assert got[3]["tag"] == 2 and got[3]["b2"] == "hi"

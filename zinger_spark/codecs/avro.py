@@ -121,7 +121,10 @@ def avro_schema_of(dt: T.DataType, namespace: str = DEFAULT_NAMESPACE):
 def spark_type_of_avro(schema) -> T.DataType:
     """Avro schema -> Spark type (decoder side, zavro/schema.go:174-269):
     2-branch [null, T] unions smash to nullable T (schema.go:199-201);
-    wider unions are unsupported (would need a tagged struct)."""
+    a general union (the reference maps it to a Zed union type,
+    schema.go:234-244) becomes the tagged struct of SURVEY §1.2 —
+    ``struct<tag int, b<i> T_i ...>`` with one nullable field per
+    non-null branch, ``tag`` = the Avro branch index."""
     if isinstance(schema, str):
         prim = {
             "int": T.IntegerType(),
@@ -137,10 +140,13 @@ def spark_type_of_avro(schema) -> T.DataType:
             return prim[schema]
         raise ValueError(f"unknown Avro primitive {schema!r}")
     if isinstance(schema, list):
-        branches = [s for s in schema if s != "null"]
-        if len(branches) == 1:
-            return spark_type_of_avro(branches[0])
-        raise ValueError("general Avro unions unsupported (use [null, T])")
+        if len(schema) == 2 and "null" in schema:
+            return spark_type_of_avro(next(s for s in schema if s != "null"))
+        fields = [T.StructField("tag", T.IntegerType(), True)]
+        for i, b in enumerate(schema):
+            if b != "null":
+                fields.append(T.StructField(f"b{i}", spark_type_of_avro(b), True))
+        return T.StructType(fields)
     t = schema.get("type")
     if t == "record":
         return T.StructType(
@@ -236,6 +242,27 @@ def _sanitize_row(row: dict, dt: T.StructType) -> dict:
     return out
 
 
+def _has_general_union(schema) -> bool:
+    """True if any union in ``schema`` is not the smashable [null, T]
+    form.  The JVM spark-avro connector maps those to ``member0/
+    member1`` structs with no tag — a different convention from the
+    reference-parity tagged struct — so such schemas always take the
+    pure-Python codec path."""
+    if isinstance(schema, list):
+        if not (len(schema) == 2 and "null" in schema):
+            return True
+        return any(_has_general_union(s) for s in schema)
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t == "record":
+            return any(_has_general_union(f["type"]) for f in schema["fields"])
+        if t == "array":
+            return _has_general_union(schema["items"])
+        if t == "map":
+            return _has_general_union(schema["values"])
+    return False
+
+
 def to_avro_body(col: Column, dt: T.DataType, namespace: str = DEFAULT_NAMESPACE) -> Column:
     """Struct column -> Avro body bytes (zavro/encoder.go:59-66 minus
     the wire header, which ``frame`` adds)."""
@@ -261,11 +288,38 @@ def to_avro_body(col: Column, dt: T.DataType, namespace: str = DEFAULT_NAMESPACE
     return _enc(col)
 
 
+def to_avro_body_of_schema(col: Column, avro_schema: dict | str) -> Column:
+    """Struct column -> Avro body bytes for an EXPLICIT Avro schema
+    (the general-union round-trip path: the column's Spark type is the
+    tagged-struct mapping of ``avro_schema``, which ``avro_schema_of``
+    cannot derive from a Spark type).  Always the pure-Python codec —
+    see _has_general_union for why the JVM connector can't serve it."""
+    if isinstance(avro_schema, str):
+        avro_schema = json.loads(avro_schema)
+    schema = avro_schema
+    dt = spark_type_of_avro(avro_schema)
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    from . import avro_py  # noqa: PLC0415
+
+    @pandas_udf("binary")
+    def _enc(s: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            [
+                avro_py.encode_value(schema, _sanitize_row(r, dt))
+                for r in s.to_dict("records")
+            ]
+        )
+
+    return _enc(col)
+
+
 def from_avro_body(col: Column, avro_schema: dict | str) -> Column:
     """Avro body bytes -> typed struct column (zavro/decoder.go:85-221)."""
     if isinstance(avro_schema, str):
         avro_schema = json.loads(avro_schema)
-    if spark_avro_usable():
+    if spark_avro_usable() and not _has_general_union(avro_schema):
         from pyspark.sql.avro.functions import from_avro
 
         return from_avro(col, json.dumps(avro_schema))

@@ -11,8 +11,17 @@ executor-side via the Arrow-batched pandas UDFs in codecs.avro.
 Schema dialect: the JSON dicts produced by ``avro.avro_schema_of`` —
 records whose every field is a ``[null, T]`` union (zavro/schema.go:
 35-71), primitives, arrays, maps, enums, timestamp-micros and date
-logical types.  General unions are rejected exactly like the decoder
-side of the reference (zavro/schema.go:211-224 smashes [null,T] only).
+logical types.
+
+Unions: a 2-branch ``[null, T]`` smashes to nullable T exactly like
+the reference decoder (zavro/schema.go:194-201, 211-224).  A GENERAL
+union (3+ branches, or 2 branches with no null) decodes to the tagged
+struct the reference's union type maps to (zavro/schema.go:234-244
+builds a Zed union; Spark has no union type, so per SURVEY §1.2 the
+mapping is struct-of-nullable-branches + tag): ``{"tag": <branch
+index>, "b<i>": <value>}`` with one ``b<i>`` field per non-null
+branch, only the selected branch non-null.  Encode accepts the same
+tagged dict, so general unions round-trip.
 """
 
 from __future__ import annotations
@@ -72,17 +81,32 @@ def _logical(schema) -> str | None:
     return schema.get("logicalType") if isinstance(schema, dict) else None
 
 
+def _is_optional_union(schema) -> bool:
+    """The reference's smashable form: exactly [null, T] (schema.go:211-224)."""
+    return isinstance(schema, list) and len(schema) == 2 and "null" in schema
+
+
 def _encode(schema, value, out: bytearray) -> None:
-    if isinstance(schema, list):  # union — the reference's [null, T] only
-        branches = [s for s in schema if s != "null"]
-        if len(branches) != 1 or "null" not in schema:
-            raise AvroCodecError("general Avro unions unsupported (use [null, T])")
-        null_idx = schema.index("null")
-        if value is None:
-            out += _zigzag_encode(null_idx)
+    if isinstance(schema, list):  # union
+        if _is_optional_union(schema):
+            null_idx = schema.index("null")
+            if value is None:
+                out += _zigzag_encode(null_idx)
+                return
+            out += _zigzag_encode(1 - null_idx)
+            _encode(schema[1 - null_idx], value, out)
             return
-        out += _zigzag_encode(1 - null_idx)
-        _encode(branches[0], value, out)
+        # general union: tagged-struct value {"tag": i, "b<i>": v}
+        if not isinstance(value, dict) or value.get("tag") is None:
+            raise AvroCodecError(
+                f"general union requires a tagged value dict with 'tag', got {value!r}"
+            )
+        idx = int(value["tag"])
+        if not 0 <= idx < len(schema):
+            raise AvroCodecError(f"union tag {idx} out of range for {len(schema)} branches")
+        out += _zigzag_encode(idx)
+        if schema[idx] != "null":
+            _encode(schema[idx], value.get(f"b{idx}"), out)
         return
     if isinstance(schema, dict):
         t = schema["type"]
@@ -160,10 +184,22 @@ def decode_value(schema, buf: bytes):
 def _decode(schema, buf: bytes, pos: int):
     if isinstance(schema, list):
         idx, pos = _zigzag_decode(buf, pos)
+        if not 0 <= idx < len(schema):
+            raise AvroCodecError(f"union tag {idx} out of range for {len(schema)} branches")
         branch = schema[idx]
-        if branch == "null":
-            return None, pos
-        return _decode(branch, buf, pos)
+        if _is_optional_union(schema):
+            if branch == "null":
+                return None, pos
+            return _decode(branch, buf, pos)
+        # general union -> tagged struct (all non-null branches present,
+        # only the selected one populated)
+        rec = {"tag": idx}
+        for i, b in enumerate(schema):
+            if b != "null":
+                rec[f"b{i}"] = None
+        if branch != "null":
+            rec[f"b{idx}"], pos = _decode(branch, buf, pos)
+        return rec, pos
     if isinstance(schema, dict):
         t = schema["type"]
         if t == "record":
