@@ -1845,7 +1845,10 @@ def _q_image_dup_pairs(spark, sf):
     imgs = emb.select("vec_id", "embedding").mapInPandas(
         gen, "img_id long, payload binary"
     )
-    return image_dup_pairs(imgs, max_hamming=3)
+    # max_bucket=None: the oracle brute-forces all pairs, so the
+    # engine side must be recall-complete at any band density (r7
+    # advice #2); production callers keep the default hot-band cap.
+    return image_dup_pairs(imgs, max_hamming=3, max_bucket=None)
 
 
 def _q_video_dup_pairs(spark, sf):
@@ -1905,7 +1908,7 @@ def _q_video_dup_pairs(spark, sf):
         gen, "video_id long, payload binary"
     )
     return video_dup_pairs(
-        vids, every_ms=250, max_hamming=3, min_matching_frames=2
+        vids, every_ms=250, max_hamming=3, min_matching_frames=2, max_bucket=None
     )
 
 
@@ -1956,7 +1959,7 @@ def _q_audio_dup_pairs(spark, sf):
     )
     # gain-scaled twins land at hamming ~0 (the contour is gain
     # invariant); a tight bound keeps coincidental spectral cousins out
-    return audio_dup_pairs(clips, max_hamming=1)
+    return audio_dup_pairs(clips, max_hamming=1, max_bucket=None)
 
 
 def _q_simhash_dup_pairs(spark, sf):
@@ -1968,7 +1971,7 @@ def _q_simhash_dup_pairs(spark, sf):
     docs = _t(spark, sf, "documents")
     fps = zdedup.simhash(docs, bits=16)
     return zdedup.hamming_dup_pairs(
-        fps, fp_col="simhash", bits=16, max_hamming=2
+        fps, fp_col="simhash", bits=16, max_hamming=2, max_bucket=None
     ).withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
 
 
@@ -1989,7 +1992,7 @@ def _q_simhash_incremental_dups(spark, sf):
     new = fps.filter(F.col("doc_id") % 5 == 0)
     corpus = fps.filter(F.col("doc_id") % 5 != 0)
     return zdedup.incremental_hamming_dups(
-        corpus, new, fp_col="simhash", bits=16, max_hamming=2
+        corpus, new, fp_col="simhash", bits=16, max_hamming=2, max_bucket=None
     ).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
     )
@@ -4429,6 +4432,10 @@ _R8_FRONT = [
     "contamination_exact_fullprobe",
     "dedup_ngram_jaccard",
     "quality_blend",
+    "image_dup_pairs",
+    "audio_dup_pairs",
+    "video_dup_pairs",
+    "simhash_incremental_dups",
 ]
 
 

@@ -606,3 +606,33 @@ def test_etl_demo_on_partitioned_pools(spark, tmp_path):
         assert staging_flat(pools["Staging"]) == GOLDENS[i], f"batch {i + 1}"
     # idempotent re-run on the partitioned layout too
     assert pipeline.run() == 0
+
+
+def test_etl_demo_on_txlog_pools(spark, tmp_path):
+    """The transaction-log table format (per-file log + min/max stats,
+    sources/txlog.py) must run the same ETL to the same goldens: the
+    planner's incremental reads go through Pool.read_batch /
+    done_offsets, which prune files on recorded offset stats instead of
+    listing commit dirs."""
+    pools = {
+        "Raw": Pool.create(spark, str(tmp_path / "Raw"), table_format="txlog"),
+        "Staging": Pool.create(
+            spark, str(tmp_path / "Staging"), table_format="txlog"
+        ),
+    }
+    transform = make_transform()
+    pipeline = EtlPipeline(spark, transform, lambda name: pools[name])
+    for i, (invoices, statuses) in enumerate(BATCHES):
+        if invoices:
+            pools["Raw"].load_batch(
+                spark.createDataFrame(invoices, envelope_schema(AFTER_INV))
+            )
+        if statuses:
+            pools["Raw"].load_batch(
+                spark.createDataFrame(statuses, envelope_schema(AFTER_IS))
+            )
+        n = pipeline.run()
+        assert n == ETLD[i], f"batch {i + 1}: ETL'd {n}, want {ETLD[i]}"
+        assert staging_flat(pools["Staging"]) == GOLDENS[i], f"batch {i + 1}"
+    # idempotent re-run on the txlog layout too
+    assert pipeline.run() == 0

@@ -1,0 +1,200 @@
+"""Transaction-log (Delta/Iceberg-seam) pool format tests: the pool
+surface (load/read/compact/vacuum/time-travel) behaves identically to
+the commit-dir format, while visibility is a per-file log append and
+scoped reads prune files driver-side on recorded min/max stats."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zinger_spark.sources.pool import Pool, PoolError
+from zinger_spark.sources.txlog import TxLog, prune_files
+
+
+def env_rows(topic, offsets):
+    return [((topic, 0, o), None, (o * 10,), "data") for o in offsets]
+
+
+def _schema():
+    return T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint>, _type string"
+    )
+
+
+def _mk(spark, tmp_path, name="p", fmt="txlog"):
+    return Pool.create(spark, str(tmp_path / name), table_format=fmt)
+
+
+# -- format-parity: the same behavioral contract under both layouts ------
+
+
+@pytest.mark.parametrize("fmt", ["commits", "txlog"])
+def test_commit_merge_and_offsets_both_formats(spark, tmp_path, fmt):
+    pool = _mk(spark, tmp_path, fmt=fmt)
+    pool.load_batch(spark.createDataFrame(env_rows("T", [0, 1]), _schema()))
+    wider = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint,b:string>, _type string"
+    )
+    pool.load_batch(
+        spark.createDataFrame([(("T", 0, 2), None, (30, "x"), "data")], wider)
+    )
+    df = pool.df()
+    assert df.count() == 3
+    assert "b" in df.schema["value"].dataType.fieldNames()
+    assert pool.next_consumer_offset("T") == 3
+    assert pool.next_producer_offsets() == {"T": 3}
+
+
+@pytest.mark.parametrize("fmt", ["commits", "txlog"])
+def test_read_batch_ordered_both_formats(spark, tmp_path, fmt):
+    pool = _mk(spark, tmp_path, fmt=fmt)
+    pool.load_batch(spark.createDataFrame(env_rows("T", [5, 3, 9, 4]), _schema()))
+    got = [r["kafka"]["offset"] for r in pool.read_batch("T", 4, 2).collect()]
+    assert got == [4, 5]
+
+
+@pytest.mark.parametrize("fmt", ["commits", "txlog"])
+def test_time_travel_both_formats(spark, tmp_path, fmt):
+    pool = _mk(spark, tmp_path, fmt=fmt)
+    c1 = pool.load_batch(spark.createDataFrame(env_rows("T", [0]), _schema()))
+    pool.load_batch(spark.createDataFrame(env_rows("T", [1]), _schema()))
+    assert pool.df(as_of=c1).count() == 1
+    assert pool.df().count() == 2
+    with pytest.raises(PoolError, match="no commits at or before"):
+        pool.df(as_of="0000000000000-00000000")
+
+
+@pytest.mark.parametrize("fmt", ["commits", "txlog"])
+def test_compact_preserves_contents_and_floors_time_travel(spark, tmp_path, fmt):
+    pool = _mk(spark, tmp_path, fmt=fmt)
+    c1 = pool.load_batch(spark.createDataFrame(env_rows("T", [0, 1]), _schema()))
+    pool.load_batch(spark.createDataFrame(env_rows("T", [2, 3]), _schema()))
+    before = sorted(r["kafka"]["offset"] for r in pool.df().collect())
+    assert pool.compact() >= 2
+    assert sorted(r["kafka"]["offset"] for r in pool.df().collect()) == before
+    with pytest.raises(PoolError, match="predates compaction"):
+        pool.df(as_of=c1)
+
+
+def test_txlog_drop_commit_retracts(spark, tmp_path):
+    pool = _mk(spark, tmp_path)
+    pool.load_batch(spark.createDataFrame(env_rows("T", [0]), _schema()))
+    c2 = pool.load_batch(spark.createDataFrame(env_rows("T", [1]), _schema()))
+    pool.drop_commit(c2)
+    assert [r["kafka"]["offset"] for r in pool.df().collect()] == [0]
+
+
+# -- txlog-specific: log contents, stats, file pruning -------------------
+
+
+def test_txlog_records_file_stats(spark, tmp_path):
+    pool = _mk(spark, tmp_path)
+    pool.load_batch(
+        spark.createDataFrame(env_rows("T", [3, 7, 5]), _schema()).coalesce(1)
+    )
+    log = TxLog(pool._fs, pool.path)
+    entries = log.entries()
+    assert len(entries) == 1
+    adds = entries[0]["add"]
+    assert len(adds) == 1
+    st = adds[0]["stats"]
+    assert st["kafka.offset"] == [3, 7]
+    assert st["kafka.topic"] == ["T", "T"]
+    assert adds[0]["records"] == 3
+
+
+def test_txlog_visibility_is_log_append_not_files(spark, tmp_path):
+    """Data files on disk but not in the log are invisible (a crashed
+    pre-append write) — the log append is the only visibility point."""
+    pool = _mk(spark, tmp_path)
+    pool.load_batch(spark.createDataFrame(env_rows("T", [0]), _schema()))
+    # simulate a crashed writer: bytes on disk, no log entry
+    dark = os.path.join(pool.path, "data", "commit-9999999999999-deadbeef")
+    spark.createDataFrame(env_rows("T", [99]), _schema()).write.parquet(dark)
+    assert pool.df().count() == 1  # dark file not visible
+    assert pool.next_consumer_offset("T") == 1
+
+
+def test_txlog_prune_files_on_stats():
+    files = [
+        {"path": "a", "stats": {"kafka.offset": [0, 9], "kafka.topic": ["A", "A"]}},
+        {"path": "b", "stats": {"kafka.offset": [10, 19], "kafka.topic": ["A", "B"]}},
+        {"path": "c", "stats": {}},  # statless: conservatively kept
+    ]
+    assert [f["path"] for f in prune_files(files, offset_lo=10)] == ["b", "c"]
+    assert [f["path"] for f in prune_files(files, offset_hi=10)] == ["a", "c"]
+    assert [f["path"] for f in prune_files(files, topic="B")] == ["b", "c"]
+    # topic between min and max string bounds must be kept (range check,
+    # not equality): "AB" sorts within ["A","B"]
+    assert [f["path"] for f in prune_files(files, topic="AB")] == ["b", "c"]
+
+
+def test_txlog_read_batch_prunes_old_files(spark, tmp_path):
+    """A resume-from-cursor read opens only files whose max offset can
+    reach the batch start — the log's stats prune the rest before Spark
+    ever lists them."""
+    pool = _mk(spark, tmp_path)
+    for lo in (0, 100, 200):
+        pool.load_batch(
+            spark.createDataFrame(
+                env_rows("T", list(range(lo, lo + 10))), _schema()
+            ).coalesce(1)
+        )
+    batch = pool._df_txlog(topic="T", offset_lo=205)
+    # the physical scan should reference exactly ONE parquet file
+    files = [
+        f for f in batch.inputFiles() if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
+    got = [r["kafka"]["offset"] for r in pool.read_batch("T", 205, 3).collect()]
+    assert got == [205, 206, 207]
+
+
+def test_txlog_vacuum_reclaims_removed_and_dark_files(spark, tmp_path):
+    pool = _mk(spark, tmp_path)
+    pool.load_batch(spark.createDataFrame(env_rows("T", [0, 1]), _schema()))
+    pool.load_batch(spark.createDataFrame(env_rows("T", [2, 3]), _schema()))
+    pool.compact()
+    # removed files survive a grace-window vacuum (readers mid-scan)...
+    assert pool.vacuum(grace_seconds=3600) == 0
+    assert pool.df().count() == 4
+    # ...and are reclaimed when the grace has passed
+    n = pool.vacuum(grace_seconds=0.0, unpublished_grace_seconds=0.0)
+    assert n >= 2
+    assert sorted(r["kafka"]["offset"] for r in pool.df().collect()) == [0, 1, 2, 3]
+
+
+def test_txlog_rejects_partitioned_combination(spark, tmp_path):
+    with pytest.raises(PoolError, match="not supported"):
+        Pool.create(
+            spark,
+            str(tmp_path / "x"),
+            table_format="txlog",
+            partition_by_topic=True,
+        )
+
+
+def test_txlog_size_tiered_compact(spark, tmp_path):
+    pool = _mk(spark, tmp_path)
+    # one big file, two small ones
+    pool.load_batch(
+        spark.createDataFrame(env_rows("T", list(range(0, 400))), _schema()).coalesce(1)
+    )
+    big = os.path.join(
+        pool.path, TxLog(pool._fs, pool.path).entries()[0]["add"][0]["path"]
+    )
+    threshold = os.path.getsize(big)  # strictly-less-than comparison
+    pool.load_batch(spark.createDataFrame(env_rows("T", [400]), _schema()).coalesce(1))
+    pool.load_batch(spark.createDataFrame(env_rows("T", [401]), _schema()).coalesce(1))
+    merged = pool.compact(small_bytes=threshold)
+    assert merged == 2  # only the two small files
+    assert pool.df().count() == 402
+    log = TxLog(pool._fs, pool.path)
+    live = log.snapshot()["files"]
+    assert any(os.path.join(pool.path, p) == big for p in live)  # big one untouched

@@ -151,7 +151,11 @@ def cmd_query(args) -> int:
 def cmd_create_pool(args) -> int:
     from .sources.pool import Pool
 
-    Pool.create(_spark(args), f"{args.lake}/{args.name}")
+    Pool.create(
+        _spark(args),
+        f"{args.lake}/{args.name}",
+        table_format=getattr(args, "format", "commits"),
+    )
     print(f"pool: {args.name} created")
     return 0
 
@@ -764,6 +768,13 @@ def main(argv: list[str] | None = None) -> int:
     cp = sub.add_parser("create-pool")
     cp.add_argument("name")
     cp.add_argument("--lake", default=".")
+    cp.add_argument(
+        "--format",
+        choices=["commits", "txlog"],
+        default="commits",
+        help="table format: commit-dir manifest (default) or the "
+             "per-file transaction log with min/max stats (Delta-seam)",
+    )
 
     cpp = sub.add_parser("compact-pool", help="merge commit dirs (OPTIMIZE analog)")
     cpp.add_argument("name")

@@ -400,6 +400,7 @@ def image_dup_pairs(
     id_col: str = "img_id",
     payload_col: str = "payload",
     max_hamming: int = 3,
+    max_bucket: int | None = 10000,
     fake: bool = False,
 ) -> DataFrame:
     """Image near-dup pairs: perceptual dHash + the pigeonhole-banded
@@ -411,7 +412,12 @@ def image_dup_pairs(
 
     fps = image_hashes(df, id_col, payload_col, fake=fake)
     return hamming_dup_pairs(
-        fps, fp_col="dhash", id_col="img_id", bits=64, max_hamming=max_hamming
+        fps,
+        fp_col="dhash",
+        id_col="img_id",
+        bits=64,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )
 
 
@@ -477,6 +483,7 @@ def audio_dup_pairs(
     id_col: str = "clip_id",
     payload_col: str = "payload",
     max_hamming: int = 6,
+    max_bucket: int | None = 10000,
     fake: bool = False,
 ) -> DataFrame:
     """Audio near-dup pairs: spectral-contour fingerprints + the banded
@@ -486,7 +493,12 @@ def audio_dup_pairs(
 
     fps = audio_hashes(df, id_col, payload_col, fake=fake)
     return hamming_dup_pairs(
-        fps, fp_col="afp", id_col="clip_id", bits=64, max_hamming=max_hamming
+        fps,
+        fp_col="afp",
+        id_col="clip_id",
+        bits=64,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )
 
 
@@ -582,6 +594,7 @@ def video_dup_pairs(
     every_ms: int = 1000,
     max_hamming: int = 3,
     min_matching_frames: int = 2,
+    max_bucket: int | None = 10000,
     fake: bool = False,
 ) -> DataFrame:
     """Video near-dup pairs: per-sampled-frame dHashes -> banded Hamming
@@ -603,6 +616,7 @@ def video_dup_pairs(
         id_col="fid",
         bits=64,
         max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )
     va = F.expr(f"id_a div {_VIDEO_FRAME_CAP}")
     vb = F.expr(f"id_b div {_VIDEO_FRAME_CAP}")

@@ -948,7 +948,7 @@ def hamming_dup_pairs(
     id_col: str = "doc_id",
     bits: int = 64,
     max_hamming: int = 3,
-    max_bucket: int = 10000,
+    max_bucket: int | None = 10000,
 ) -> DataFrame:
     """Near-dup pairs under a Hamming-distance bound over b-bit
     fingerprints (SimHash text sketches, image dHash/aHash) — the
@@ -957,7 +957,10 @@ def hamming_dup_pairs(
     at least one band; candidates come from band equi-joins, then the
     exact distance verifies via bit_count(xor).  ``max_bucket`` drops
     degenerate bands (e.g. the all-zero band of blank images) before
-    the self-join — the standard hot-key cap.
+    the self-join — the standard hot-key cap; pass ``None`` to disable
+    it, which makes the operator RECALL-COMPLETE for any data (the
+    oracle-parity mode — banding alone never misses a pair within the
+    bound) at the cost of quadratic blow-up on degenerate bands.
     """
     bands = max_hamming + 1
     band_bits = -(-bits // bands)  # ceil
@@ -980,13 +983,16 @@ def hamming_dup_pairs(
             )
         ).alias("bk"),
     ).select("id", "__fp", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
-    hot = (
-        banded.groupBy("band", "val")
-        .agg(F.count(F.lit(1)).alias("__w"))
-        .filter(F.col("__w") > max_bucket)
-        .select("band", "val")
-    )
-    cold = banded.join(F.broadcast(hot), ["band", "val"], "left_anti")
+    if max_bucket is None:
+        cold = banded
+    else:
+        hot = (
+            banded.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("__w"))
+            .filter(F.col("__w") > max_bucket)
+            .select("band", "val")
+        )
+        cold = banded.join(F.broadcast(hot), ["band", "val"], "left_anti")
     left = cold.select(F.col("id").alias("id_a"), F.col("__fp").alias("fp_a"), "band", "val")
     right = cold.select(F.col("id").alias("id_b"), F.col("__fp").alias("fp_b"), "band", "val")
     return (
@@ -1009,7 +1015,7 @@ def incremental_hamming_dups(
     id_col: str = "doc_id",
     bits: int = 64,
     max_hamming: int = 3,
-    max_bucket: int = 10000,
+    max_bucket: int | None = 10000,
 ) -> DataFrame:
     """Hamming near-dup pairs for a NEW batch against a maintained
     fingerprint corpus — the incremental form of ``hamming_dup_pairs``
@@ -1058,14 +1064,16 @@ def incremental_hamming_dups(
     # fingerprint scan + band explode runs twice per call
     new_banded = _materialize(banded(new_fps.select(id_col, fp_col)))
     build = banded(corpus_fps.select(id_col, fp_col)).unionByName(new_banded)
-    hot = (
-        build.groupBy("band", "val")
-        .agg(F.count(F.lit(1)).alias("__w"))
-        .filter(F.col("__w") > max_bucket)
-        .select("band", "val")
-    )
-    build = build.join(F.broadcast(hot), ["band", "val"], "left_anti")
-    probe = new_banded.join(F.broadcast(hot), ["band", "val"], "left_anti")
+    probe = new_banded
+    if max_bucket is not None:
+        hot = (
+            build.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("__w"))
+            .filter(F.col("__w") > max_bucket)
+            .select("band", "val")
+        )
+        build = build.join(F.broadcast(hot), ["band", "val"], "left_anti")
+        probe = new_banded.join(F.broadcast(hot), ["band", "val"], "left_anti")
     cand = (
         probe.select(F.col("id").alias("pa"), F.col("__fp").alias("fa"), "band", "val")
         .join(

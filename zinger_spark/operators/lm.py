@@ -83,6 +83,11 @@ def cross_entropy_unigram(
     n_total, v_size = model.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).first()[:2]
+    if n_total is None:
+        raise ValueError(
+            "cross_entropy_unigram: empty language model (the training "
+            "slice produced no tokens) — train on a non-empty slice"
+        )
     denom = float(n_total + v_size)
     tok = _tokens(docs, text_col, id_col)
     joined = tok.join(F.broadcast(model), "w", "left")
@@ -170,6 +175,11 @@ def cross_entropy_bigram(
     n_total, v_size = unigram.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).first()[:2]
+    if n_total is None:
+        raise ValueError(
+            "cross_entropy_bigram: empty unigram model (the training "
+            "slice produced no tokens) — train on a non-empty slice"
+        )
     denom = float(n_total + v_size)
     pairs = docs.select(
         F.col(id_col),

@@ -16,6 +16,19 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_memory() -> str:
+    """~1/4 of physical RAM, clamped to [2g, 16g].  16g on the 128 GiB
+    bench host (where the local[32] "driver" heap is the whole engine),
+    but a host with 8 GiB gets 2g instead of being driven into swap."""
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        page = os.sysconf("SC_PAGE_SIZE")
+        total_gib = pages * page / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "16g"
+    return f"{max(2, min(16, int(total_gib // 4)))}g"
+
+
 def get_spark(
     app_name: str = "zinger_spark",
     master: str | None = None,
@@ -63,9 +76,14 @@ def get_spark(
         # this one JVM.  8g was tight for 32 slots on sf3-sized runs
         # (accumulated dead broadcasts + one heavy join pushed a later
         # query's small broadcast into "Not enough memory to build");
-        # 16g is still a fraction of the 128 GiB host.  On a real
-        # cluster the driver is separate and spark-submit sets this.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # 16g is right on the 128 GiB bench host but would swap a small
+        # box, so the default clamps to ~1/4 of detected physical RAM
+        # within [2g, 16g] (r7 advice #5).  SPARK_DRIVER_MEMORY
+        # overrides; on a real cluster spark-submit sets this.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
     )
     if master:
         builder = builder.master(master)

@@ -87,6 +87,12 @@ class Pool:
         self.lock_timeout = self.DEFAULT_LOCK_TIMEOUT
         self._local_lock = threading.RLock()
         self._lock_depth = 0
+        if meta.get("format") == "txlog":
+            from .txlog import TxLog  # noqa: PLC0415
+
+            self._log: "TxLog | None" = TxLog(self._fs, path)
+        else:
+            self._log = None
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -98,26 +104,48 @@ class Pool:
         order: str = "asc",
         partition_by_topic: bool = False,
         storage=None,
+        table_format: str = "commits",
     ) -> "Pool":
         """``partition_by_topic`` is the 100-TB layout (SCALE.md):
         commits are hive-partitioned on kafka.topic so topic filters
-        prune directories before any file is opened."""
+        prune directories before any file is opened.
+
+        ``table_format="txlog"`` swaps commit-dir publication for a
+        per-FILE transaction log with min/max stats (sources/txlog.py —
+        the Delta/Iceberg seam): visibility is one atomic log append,
+        and scoped reads prune files driver-side from recorded stats.
+        Mutually exclusive with ``partition_by_topic`` (stats-based
+        topic pruning replaces the hive layout)."""
         if order != "asc":
             raise PoolError(f"pool order must be asc (got {order})")
+        if table_format not in ("commits", "txlog"):
+            raise PoolError(f"unknown table_format {table_format!r}")
+        if table_format == "txlog" and partition_by_topic:
+            raise PoolError(
+                "table_format='txlog' prunes topics from file stats — "
+                "combining it with partition_by_topic is not supported"
+            )
         fs = storage or PosixStorage()
         fs.makedirs(path)
         fs.write_json_atomic(
             os.path.join(path, _META),
-            {"key": key, "order": order, "partitioned": partition_by_topic},
+            {
+                "key": key,
+                "order": order,
+                "partitioned": partition_by_topic,
+                "format": table_format,
+            },
         )
         pool = Pool(spark, path, expected_key=key, storage=storage)
-        # The manifest is the visibility truth from the first commit on
-        # for EVERY new pool (readers never see a half-renamed commit or
-        # a rename-free direct write, only manifest-published ones).
-        # Partitioned pools require it (one rename PER TOPIC is not
-        # atomic); flat pools need it for the rename-free object-store
-        # commit path.  Pre-manifest pools remain readable via listing.
-        pool._write_manifest([])
+        if table_format == "commits":
+            # The manifest is the visibility truth from the first commit
+            # on for EVERY new pool (readers never see a half-renamed
+            # commit or a rename-free direct write, only
+            # manifest-published ones).  Partitioned pools require it
+            # (one rename PER TOPIC is not atomic); flat pools need it
+            # for the rename-free object-store commit path.
+            # Pre-manifest pools remain readable via listing.
+            pool._write_manifest([])
         return pool
 
     # -- read ---------------------------------------------------------------
@@ -159,7 +187,10 @@ class Pool:
         """Live commit names, sorted (= commit order: ms-prefixed ids).
         Manifest is the truth when present; the directory-listing
         fallback only applies to pre-manifest FLAT pools (partitioned
-        pools always carry a manifest, see ``create``)."""
+        pools always carry a manifest, see ``create``).  txlog pools
+        report the commits recorded in the log."""
+        if self._log is not None:
+            return sorted(self._log.snapshot()["commits"])
         live = self._live_commits()
         if live is not None:
             return sorted(live)
@@ -203,6 +234,8 @@ class Pool:
         return out
 
     def is_empty(self) -> bool:
+        if self._log is not None:
+            return not self._log.snapshot()["files"]
         return not self._commit_names()
 
     # -- writer lock --------------------------------------------------------
@@ -325,6 +358,8 @@ class Pool:
         output: travel below the floor would silently miss merged-away
         rows, so it raises ``PoolError`` instead (the same way Delta
         VACUUM bounds its time travel, but loud)."""
+        if self._log is not None:
+            return self._df_txlog(topic=topic, as_of=as_of)
         commits = self._commit_names()
         if as_of is not None:
             cut = f"commit-{as_of}"
@@ -366,6 +401,60 @@ class Pool:
             out = out.filter(F.col("kafka.topic") == topic)
         return out
 
+    def _df_txlog(
+        self,
+        topic: str | None = None,
+        as_of: str | None = None,
+        offset_lo: int | None = None,
+        offset_hi: int | None = None,
+    ) -> DataFrame:
+        """txlog read path: replay the log, prune FILES on recorded
+        min/max stats (driver-side, before Spark lists anything), read
+        the survivors as one FileScan.  Stats pruning is conservative
+        (a file without stats is kept), so the logical filters are
+        still applied — pruning only shrinks IO, never changes results."""
+        from .txlog import prune_files  # noqa: PLC0415
+
+        snap = self._log.snapshot(
+            as_of_commit=f"commit-{as_of}" if as_of is not None else None
+        )
+        if as_of is not None:
+            # the floor is raised by compaction entries AFTER the as-of
+            # cut — it must come from the full log, not the truncated
+            # replay (else a below-floor read silently succeeds on
+            # not-yet-vacuumed files and later starts failing)
+            floor = self._log.snapshot()["floor"]
+            if floor is not None and f"commit-{as_of}" < floor:
+                raise PoolError(
+                    f"pool {self.path}: as_of {as_of} predates compaction "
+                    f"(floor {floor}) — the merged-away commits are no "
+                    "longer individually addressable"
+                )
+            if not snap["asof_found"]:
+                raise PoolError(f"pool {self.path}: no commits at or before {as_of}")
+        files = list(snap["files"].values())
+        if not files:
+            raise PoolError(f"pool {self.path} is empty")
+        pruned = prune_files(files, topic=topic, offset_lo=offset_lo, offset_hi=offset_hi)
+        if not pruned:
+            # everything pruned: empty frame with the pool's schema
+            out = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(self.path, f["path"]) for f in files])
+                .limit(0)
+            )
+        else:
+            out = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f["path"]) for f in pruned]
+            )
+        if topic is not None:
+            out = out.filter(F.col("kafka.topic") == topic)
+        if offset_lo is not None:
+            out = out.filter(F.col("kafka.offset") >= offset_lo)
+        if offset_hi is not None:
+            out = out.filter(F.col("kafka.offset") < offset_hi)
+        return out
+
     def query(self, fn) -> DataFrame:
         """Run a DataFrame transform over the pool (Lake.Query analog,
         fifo/lake.go:50-56 — ours takes a plan builder, not query text)."""
@@ -379,8 +468,15 @@ class Pool:
 
         Partitioned pools rename one dir PER TOPIC (topic-major layout)
         and publish them with the manifest append — the manifest swap,
-        not the renames, is the visibility point."""
+        not the renames, is the visibility point.
+
+        txlog pools write data files straight to their final prefix and
+        publish them as per-file ADD actions (with footer min/max
+        stats) in one atomic log append — no rename of data bytes at
+        all, the Delta protocol."""
         commit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        if self._log is not None:
+            return self._load_batch_txlog(df, commit_id)
         # Rename-free commit path: on object stores a "rename" is a
         # server-side COPY of every data byte (S3/GCS have no rename),
         # so when the backend declares rename_is_copy, flat pools write
@@ -425,6 +521,25 @@ class Pool:
                 self._publish_commit(tmp, commit_id)
         return commit_id
 
+    def _load_batch_txlog(self, df: DataFrame, commit_id: str) -> str:
+        """txlog commit: Spark writes parquet under ``data/<commit>/``
+        (unpublished until logged — a crash leaves dark files for
+        vacuum), stats come from the footers, and ONE log append makes
+        the files live.  The write itself runs unlocked; only the
+        version-assigning append is the critical section."""
+        from .txlog import collect_file_stats, list_parquet_files  # noqa: PLC0415
+
+        rel_dir = os.path.join("data", f"commit-{commit_id}")
+        df.sortWithinPartitions("kafka.offset").write.mode("overwrite").parquet(
+            os.path.join(self.path, rel_dir)
+        )
+        adds = collect_file_stats(
+            self.path, list_parquet_files(self._fs, self.path, rel_dir)
+        )
+        with self.writer_lock():
+            self._log.append(f"commit-{commit_id}", add=adds)
+        return commit_id
+
     def _publish_commit(self, tmp: str, commit_id: str) -> None:
         """Move a written tmp dir into the live layout and append the
         commit to the manifest.  Call under the writer lock."""
@@ -447,6 +562,20 @@ class Pool:
         ETL batch).  Only safe for the most recent commit written by
         this process — not a general rollback."""
         name = f"commit-{commit_id}"
+        if self._log is not None:
+            with self.writer_lock():
+                added = [
+                    a["path"]
+                    for e in self._log.entries()
+                    if e.get("commit") == name
+                    for a in e.get("add", [])
+                ]
+                if added:
+                    # commit=None: a retraction is not a new commit —
+                    # it must not appear in _commit_names or as an
+                    # as_of target
+                    self._log.append(None, remove=added)
+            return
         with self.writer_lock():
             m = self._read_manifest()
             if m is not None:
@@ -496,8 +625,15 @@ class Pool:
 
     def read_batch(self, topic: str, offset: int, size: int, transform=None) -> DataFrame:
         """Ordered batch scan (fifo/lake.go:84-92). Topic-scoped read so
-        partitioned pools prune to the topic's directories."""
-        return _ordered_batch(self.df(topic=topic), topic, offset, size, transform=transform)
+        partitioned pools prune to the topic's directories; txlog pools
+        additionally prune files whose recorded max offset is below the
+        batch start — a resume-from-cursor read touches only the tail
+        files, not the whole topic history."""
+        if self._log is not None:
+            base = self._df_txlog(topic=topic, offset_lo=offset)
+        else:
+            base = self.df(topic=topic)
+        return _ordered_batch(base, topic, offset, size, transform=transform)
 
     def done_offsets(self, topic: str) -> DataFrame:
         """done-marker offsets for a topic (the anti-join right side)."""
@@ -563,6 +699,9 @@ class Pool:
                 "a one-column 'z-order' is just a linear sort; ask for "
                 "that explicitly rather than getting it silently"
             )
+        if self._log is not None:
+            with self.writer_lock():
+                return self._compact_txlog(small_bytes, sort_by, zorder)
         with self.writer_lock():
             return self._compact_locked(small_bytes, sort_by, zorder)
 
@@ -594,26 +733,9 @@ class Pool:
             if len(merged) <= 1:
                 return 0  # nothing worth merging at this tier
         snapshot = self._read_commits(merged)
-        if sort_by and zorder and len(sort_by) >= 2:
-            from zinger_spark.functions.zorder import with_zorder_key
-
-            snapshot = with_zorder_key(snapshot, sort_by)
-            snapshot = (
-                snapshot.repartitionByRange(
-                    max(snapshot.rdd.getNumPartitions(), 1), F.col("_zkey")
-                )
-                .sortWithinPartitions("_zkey")
-                .drop("_zkey")
-            )
-        elif sort_by:
-            # range exchange gives disjoint per-file value ranges; the
-            # in-partition sort tightens row-group stats within a file
-            cols = [F.col(c) for c in sort_by]
-            snapshot = snapshot.repartitionByRange(
-                max(snapshot.rdd.getNumPartitions(), 1), *cols
-            ).sortWithinPartitions(*cols)
-        else:
-            snapshot = snapshot.sortWithinPartitions("kafka.offset")
+        # range exchange gives disjoint per-file value ranges; the
+        # in-partition sort tightens row-group stats within a file
+        snapshot = self._cluster_for_write(snapshot, sort_by, zorder)
         commit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         tmp = os.path.join(self.path, f".tmp-{commit_id}")
         if self.meta.get("partitioned"):
@@ -640,6 +762,84 @@ class Pool:
             kept + [f"commit-{commit_id}"],
             {**prior, **{n: now for n in merged}},
             asof_floor=f"commit-{commit_id}",
+        )
+        return len(merged)
+
+    def _cluster_for_write(
+        self, snapshot: DataFrame, sort_by: list[str] | None, zorder: bool
+    ) -> DataFrame:
+        """Shared compaction clustering: z-order key, linear range
+        clustering, or the default ingest-order offset sort."""
+        if sort_by and zorder and len(sort_by) >= 2:
+            from zinger_spark.functions.zorder import with_zorder_key  # noqa: PLC0415
+
+            snapshot = with_zorder_key(snapshot, sort_by)
+            return (
+                snapshot.repartitionByRange(
+                    max(snapshot.rdd.getNumPartitions(), 1), F.col("_zkey")
+                )
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        if sort_by:
+            cols = [F.col(c) for c in sort_by]
+            return snapshot.repartitionByRange(
+                max(snapshot.rdd.getNumPartitions(), 1), *cols
+            ).sortWithinPartitions(*cols)
+        return snapshot.sortWithinPartitions("kafka.offset")
+
+    def _compact_txlog(
+        self,
+        small_bytes: int | None = None,
+        sort_by: list[str] | None = None,
+        zorder: bool = False,
+    ) -> int:
+        """txlog compaction: size-tier on PER-FILE sizes from the log's
+        records (no filesystem stat pass), rewrite the merged set, and
+        publish adds+removes in ONE log append — readers mid-scan keep
+        the old files (vacuum reclaims them after the grace window).
+        The as-of floor rides the same entry.  Returns files merged
+        (the txlog analog of commits merged: the unit of this format
+        is the file)."""
+        from .txlog import collect_file_stats, list_parquet_files  # noqa: PLC0415
+
+        snap = self._log.snapshot()
+        files = list(snap["files"].values())
+        if len(files) <= 1:
+            return len(files)
+        if small_bytes is None:
+            merged = files
+        else:
+            # per-file sizes from the LOG's add actions — size-tiering
+            # decides from pure metadata, no filesystem pass at all
+            # (files logged before sizes were recorded fall back to one
+            # stat call)
+            merged = [
+                f
+                for f in files
+                if (
+                    f["size"]
+                    if f.get("size") is not None
+                    else self._fs.tree_size(os.path.dirname(os.path.join(self.path, f["path"])))
+                )
+                < small_bytes
+            ]
+            if len(merged) <= 1:
+                return 0
+        paths = [os.path.join(self.path, f["path"]) for f in merged]
+        snapshot = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        snapshot = self._cluster_for_write(snapshot, sort_by, zorder)
+        commit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        rel_dir = os.path.join("data", f"commit-{commit_id}")
+        snapshot.write.mode("overwrite").parquet(os.path.join(self.path, rel_dir))
+        adds = collect_file_stats(
+            self.path, list_parquet_files(self._fs, self.path, rel_dir)
+        )
+        self._log.append(
+            f"commit-{commit_id}",
+            add=adds,
+            remove=[f["path"] for f in merged],
+            floor=f"commit-{commit_id}",
         )
         return len(merged)
 
@@ -676,6 +876,8 @@ class Pool:
         now = time.time()
         if unpublished_grace_seconds is None:
             unpublished_grace_seconds = max(grace_seconds, 3600.0)
+        if self._log is not None:
+            return self._vacuum_txlog(grace_seconds, unpublished_grace_seconds, now)
         # '.tmp-*' dirs are writes that crashed between the Spark write
         # and os.rename — never referenced by the manifest or visible to
         # any reader (manifest-less pools list only commit-* dirs), so
@@ -729,6 +931,50 @@ class Pool:
             if orphan_removed:
                 self._write_manifest(m["commits"], remaining_orphans)
             return removed + orphan_removed
+
+    def _vacuum_txlog(
+        self, grace_seconds: float, unpublished_grace_seconds: float, now: float
+    ) -> int:
+        """txlog vacuum: delete data files that are (a) REMOVED from the
+        log longer than the reader grace, or (b) on disk but never
+        logged (crashed pre-append writes) and older than the
+        unpublished grace — never set that below your longest writer,
+        an in-flight commit looks exactly like a crashed one until its
+        log append lands.  Empty ``data/commit-*`` dirs are swept with
+        their last file."""
+        removed = 0
+        with self.writer_lock():
+            snap = self._log.snapshot()
+            live = set(snap["files"])
+            removed_ts = snap["removed_ts"]
+            data_root = os.path.join(self.path, "data")
+            if not self._fs.isdir(data_root):
+                return 0
+            for d in sorted(self._fs.listdir(data_root)):
+                cdir = os.path.join(data_root, d)
+                if not self._fs.isdir(cdir):
+                    continue
+                survivors = 0
+                for fname in sorted(self._fs.listdir(cdir)):
+                    rel = os.path.join("data", d, fname)
+                    full = os.path.join(cdir, fname)
+                    if rel in live:
+                        survivors += 1
+                        continue
+                    if not fname.endswith(".parquet"):
+                        continue  # _SUCCESS markers ride with the dir
+                    if rel in removed_ts:
+                        since, cutoff = removed_ts[rel], grace_seconds
+                    else:
+                        since, cutoff = self._fs.mtime(full), unpublished_grace_seconds
+                    if now - since >= cutoff:
+                        self._fs.remove(full)
+                        removed += 1
+                if survivors == 0 and not any(
+                    f.endswith(".parquet") for f in self._fs.listdir(cdir)
+                ):
+                    self._fs.rmtree(cdir)
+        return removed
 
     def delete(self) -> None:
         self._fs.rmtree(self.path)

@@ -486,6 +486,32 @@ def _pattern_literal(arg: ast.Expr, fn: str) -> str:
     raise ZedCompileError(f"{fn} pattern must be a regex or string literal")
 
 
+def _java_regex_groups(df: DataFrame, pattern: str, fn: str) -> int:
+    """Validate ``pattern`` under the JAVA regex dialect and return its
+    capture-group count.  The compiled expressions execute JVM-side
+    (rlike / regexp_extract), and the dialects genuinely diverge:
+    Python re accepts ``(?P<name>…)`` which Java rejects, and rejects
+    ``\\p{L}``-style property classes which Java accepts — so counting
+    groups with Python ``re`` (the pre-r8 behavior) could disagree
+    with runtime semantics (r7 advice #3).  Compile through the
+    session's JVM for exact parity; fall back to Python re only if no
+    gateway is reachable."""
+    try:
+        jvm = df.sparkSession._jvm
+        return jvm.java.util.regex.Pattern.compile(pattern).matcher("").groupCount()
+    except ZedCompileError:
+        raise
+    except Exception as exc:  # noqa: BLE001
+        msg = getattr(exc, "java_exception", None)
+        if msg is not None:  # Py4JJavaError: a real Java PatternSyntaxException
+            first = str(msg.getMessage()).splitlines()[0]
+            raise ZedCompileError(f"{fn}: bad pattern (java regex): {first}")
+        try:  # gateway unavailable (plain-unit-test context)
+            return re.compile(pattern).groups
+        except re.error as exc2:
+            raise ZedCompileError(f"{fn}: bad pattern: {exc2}")
+
+
 def _call(e: ast.Call, df: DataFrame) -> Column:
     name = e.name
     args = e.args
@@ -707,10 +733,7 @@ def _call(e: ast.Call, df: DataFrame) -> Column:
         if len(args) != 2:
             raise ZedCompileError("regexp() takes (pattern, string)")
         pattern = _pattern_literal(args[0], "regexp()")
-        try:
-            ngroups = re.compile(pattern).groups
-        except re.error as exc:
-            raise ZedCompileError(f"regexp(): bad pattern: {exc}")
+        ngroups = _java_regex_groups(df, pattern, "regexp()")
         s = compile_expr(args[1], df)
         return F.when(
             s.rlike(pattern),
@@ -724,6 +747,7 @@ def _call(e: ast.Call, df: DataFrame) -> Column:
                 "regexp_replace() takes (string, pattern, replacement)"
             )
         pattern = _pattern_literal(args[1], "regexp_replace()")
+        _java_regex_groups(df, pattern, "regexp_replace()")  # dialect validation
         return F.regexp_replace(
             compile_expr(args[0], df), pattern, compile_expr(args[2], df)
         )
@@ -1009,6 +1033,14 @@ def _over(df: DataFrame, op: ast.OpOver, ctx: Ctx) -> DataFrame:
         *[compile_expr(e, df).alias(n) for n, e in bindings],
         *[c for c in df.columns if c not in bound],
     )
+    # Pin the parent ids: monotonically_increasing_id() is
+    # partition-layout-dependent, and the frame is consumed by several
+    # legs below — a recomputed stage (executor loss, AQE re-plan
+    # between actions) could reassign ids and silently mis-group the
+    # lateral aggregates.  A lazy localCheckpoint materializes the
+    # id-stamped rows on first use and cuts the lineage, so every leg
+    # sees the same ids (r7 advice #1).
+    parent = parent.localCheckpoint(eager=False)
     # explode off `parent` (it has pid + bindings + the original
     # columns, so both binding names and original paths resolve); keep
     # pid and binding columns through the explode
