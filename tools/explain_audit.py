@@ -142,9 +142,20 @@ def main() -> int:
         check(q, "CartesianProduct" not in p, "candidates via equi-join, not cross join")
     p = plan_of(qs["simhash_incremental_dups"](spark, sf))
     check("simhash_incremental_dups",
+          "CartesianProduct" not in p,
+          "batch-vs-corpus candidates via band equi-join, no cross "
+          "product (oracle pin runs uncapped for recall-completeness)")
+    # the PRODUCTION path keeps the hot-bucket cap: audit it directly
+    from zinger_spark.operators import dedup as _zd
+    _docs = spark.read.parquet(f"{sf}/documents.parquet")
+    _fps = _zd.simhash(_docs, bits=16)
+    _new = _fps.filter("doc_id % 5 = 0")
+    p = plan_of(_zd.incremental_hamming_dups(
+        _fps.filter("doc_id % 5 != 0"), _new, fp_col="simhash", bits=16,
+        max_hamming=2))
+    check("incremental_hamming_dups(default cap)",
           "CartesianProduct" not in p and "LeftAnti" in p,
-          "batch-vs-corpus candidates via band equi-join with the "
-          "broadcast hot-bucket anti guard, no cross product")
+          "default max_bucket engages the broadcast hot-bucket anti guard")
     p = plan_of(qs["zscore_anomalies"](spark, sf))
     check("zscore_anomalies", "BroadcastHashJoin" in p, "per-type stats broadcast")
     p = plan_of(qs["sliding_window_counts"](spark, sf))
