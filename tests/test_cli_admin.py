@@ -527,3 +527,42 @@ def test_datacard_builds_and_is_deterministic(spark):
                     "## Duplication", "## Tokens", "by **lang**",
                     "top BPE merge candidates"):
         assert section in a, section
+
+
+def test_info_files_txlog_pool(spark, tmp_path, capsys):
+    """--files on a txlog pool reads the zone map straight from the
+    transaction log (per-file stats recorded at commit) — no parquet
+    footer IO at all."""
+    import json as _json
+
+    from zinger_spark.cli import main as cli_main
+    from zinger_spark.sources.pool import Pool
+    from tests.test_pool import _schema, env_rows
+
+    pool = Pool.create(spark, str(tmp_path / "tp"), table_format="txlog")
+    pool.load_batch(
+        spark.createDataFrame(env_rows("T", [0, 1, 2]), _schema()).coalesce(1)
+    )
+    pool.load_batch(
+        spark.createDataFrame(env_rows("T", [3, 4]), _schema()).coalesce(1)
+    )
+    rc = cli_main(["info", "--pool", "tp", "--lake", str(tmp_path), "--files"])
+    assert rc == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
+    ranges = sorted((l["offset_min"], l["offset_max"]) for l in lines)
+    assert ranges == [(0, 2), (3, 4)]
+    assert all(l["bytes"] > 0 and l["records"] >= 2 for l in lines)
+
+
+def test_create_pool_cli_txlog_format(spark, tmp_path, capsys):
+    from zinger_spark.cli import main as cli_main
+    from zinger_spark.sources.pool import Pool
+    from tests.test_pool import _schema, env_rows
+
+    rc = cli_main(["create-pool", "fmt", "--lake", str(tmp_path), "--format", "txlog"])
+    assert rc == 0
+    pool = Pool(spark, str(tmp_path / "fmt"))
+    assert pool.meta["format"] == "txlog"
+    pool.load_batch(spark.createDataFrame(env_rows("T", [0]), _schema()))
+    assert pool.df().count() == 1

@@ -342,6 +342,18 @@ def cmd_info(args) -> int:
             # plus parquet footer min/max of the offset zone map - what
             # compact --sort-by clustering is FOR (file skipping), made
             # visible without reading data
+            if pool._log is not None:
+                # txlog pools: the zone map IS the log — no footer reads
+                for f in pool._log.snapshot()["files"].values():
+                    off = f.get("stats", {}).get("kafka.offset")
+                    print(json.dumps({
+                        "file": f["path"],
+                        "bytes": f.get("size"),
+                        "records": f.get("records"),
+                        "offset_min": off[0] if off else None,
+                        "offset_max": off[1] if off else None,
+                    }))
+                return 0
             import glob as _glob
 
             import pyarrow.parquet as _pq
