@@ -123,6 +123,13 @@ HEADLINE = [
     "join_size_estimate",
     "quality_blend",
     "token_cooccurrence",
+    # r8: general-Avro-union round-trip (the per-record decode map of
+    # the consumer path — Arrow-batched pandas UDF, embarrassingly
+    # parallel) and the unpinned corpus-derived contamination form
+    # (deliberately quadratic, tracked for its curve; sf>=3 skips it
+    # with the other exhaustive pins)
+    "avro_union_roundtrip",
+    "contamination_exact_fullprobe",
 ]
 
 # Deliberately-exhaustive parity pins: correct by construction but
@@ -132,7 +139,7 @@ HEADLINE = [
 # they are skipped from the sf>=3 headline run and recorded separately
 # in the JSON ("skipped_pinned").  sf0.1/sf1 keep them as parity pins.
 # SPARK_GRAFT_BENCH_PINNED=1 forces them back in at any SF.
-PINNED_EXHAUSTIVE = {"embedding_dup_pairs_multiprobe"}
+PINNED_EXHAUSTIVE = {"embedding_dup_pairs_multiprobe", "contamination_exact_fullprobe"}
 
 
 def _release_leaked_blocks(spark, heavy: bool) -> None:
