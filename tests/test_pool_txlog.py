@@ -198,3 +198,50 @@ def test_txlog_size_tiered_compact(spark, tmp_path):
     log = TxLog(pool._fs, pool.path)
     live = log.snapshot()["files"]
     assert any(os.path.join(pool.path, p) == big for p in live)  # big one untouched
+
+
+def test_txlog_append_version_claim_is_conditional(spark, tmp_path):
+    """The version slot is claimed with a conditional put: a racer who
+    loses the slot lands on the next version, never overwriting."""
+    pool = _mk(spark, tmp_path)
+    log = TxLog(pool._fs, pool.path)
+    v0 = log.append("commit-a", add=[{"path": "x", "stats": {}}])
+    # simulate a racer having pre-claimed the next slot
+    pool._fs.create_exclusive(
+        os.path.join(log.path, f"{v0 + 1:020d}.json"),
+        b'{"version": 1, "commit": null, "ts": 0, "add": [], "remove": []}',
+    )
+    v2 = log.append("commit-b", add=[{"path": "y", "stats": {}}])
+    assert v2 == v0 + 2  # lost slot v0+1, claimed the next
+    snap = log.snapshot()
+    assert set(snap["files"]) == {"x", "y"}
+    assert snap["commits"] == ["commit-a", "commit-b"]
+
+
+def test_txlog_protocol_on_object_storage_fake():
+    """The log protocol is object-store-clean: version claims are
+    conditional PUTs (one winner), entries replay from prefix LIST, no
+    rename or posix directory anywhere.  Metadata-only, like the
+    manifest's object-store suite — Spark owns data-file IO."""
+    from zinger_spark.sources.storage import MemoryObjectStorage
+
+    fs = MemoryObjectStorage()
+    log = TxLog(fs, "mem://bucket/pool")
+    v0 = log.append("commit-a", add=[{"path": "data/a/p0.parquet",
+                                      "stats": {"kafka.offset": [0, 9]}}])
+    assert v0 == 0
+    # a racer pre-claims version 1 with a conditional put; our append
+    # must land on version 2 without overwriting anything
+    assert fs.create_exclusive(
+        log._entry_path(1),
+        b'{"version": 1, "commit": null, "ts": 0, "add": [], "remove": []}',
+    )
+    v2 = log.append("commit-b", add=[{"path": "data/b/p0.parquet",
+                                      "stats": {"kafka.offset": [10, 19]}}])
+    assert v2 == 2
+    snap = log.snapshot()
+    assert set(snap["files"]) == {"data/a/p0.parquet", "data/b/p0.parquet"}
+    assert snap["commits"] == ["commit-a", "commit-b"]
+    # remove action replays correctly too
+    log.append("commit-c", remove=["data/a/p0.parquet"])
+    assert set(log.snapshot()["files"]) == {"data/b/p0.parquet"}

@@ -450,3 +450,57 @@ def test_bucketed_range_join_fuzz_matches_theta(spark, bands, width):
         ).select("fid", "tier").collect())
     )
     assert got == want
+
+
+# -- txlog file pruning: conservative-superset property -------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1000),  # offset lo
+            st.integers(0, 1000),  # offset span
+            st.sampled_from(["A", "B", "C"]),
+            st.sampled_from(["A", "B", "C"]),
+            st.booleans(),  # has stats at all
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(0, 1200),
+    st.integers(0, 1200),
+    st.sampled_from([None, "A", "B", "C"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_txlog_prune_never_drops_a_matching_file(specs, lo, span, topic):
+    """prune_files must be a CONSERVATIVE filter: any file that could
+    contain a row matching (topic, offset in [lo, hi)) must survive.
+    Dropping too little costs IO; dropping too much loses data."""
+    from zinger_spark.sources.txlog import prune_files
+
+    hi = lo + span
+    files = []
+    for i, (olo, ospan, t1, t2, has_stats) in enumerate(specs):
+        stats = (
+            {
+                "kafka.offset": [olo, olo + ospan],
+                "kafka.topic": [min(t1, t2), max(t1, t2)],
+            }
+            if has_stats
+            else {}
+        )
+        files.append({"path": f"f{i}", "stats": stats})
+    kept = {f["path"] for f in prune_files(files, topic=topic, offset_lo=lo, offset_hi=hi)}
+    for f in files:
+        st_ = f["stats"]
+        if not st_:
+            assert f["path"] in kept  # statless files always survive
+            continue
+        offs = st_["kafka.offset"]
+        tops = st_["kafka.topic"]
+        # could this file hold a matching row?  offset ranges intersect
+        # [lo, hi) and the topic (if any) falls inside the topic range
+        offset_possible = offs[0] < hi and offs[1] >= lo
+        topic_possible = topic is None or (tops[0] <= topic <= tops[1])
+        if offset_possible and topic_possible:
+            assert f["path"] in kept, f"pruned a possibly-matching file {f}"

@@ -135,21 +135,34 @@ class TxLog:
         remove: list[str] | None = None,
         floor: str | None = None,
     ) -> int:
-        """Write the next log entry (caller holds the writer lock)."""
+        """Write the next log entry (caller holds the writer lock).
+
+        Uses the backend's conditional PUT (``create_exclusive`` — S3
+        If-None-Match / GCS generation-0) so the version claim is a
+        linearizable server op, exactly Delta's putIfAbsent commit
+        protocol: even if two writers somehow shared the lock (broken
+        clock on a stale-break, operator error), one of them LOSES the
+        version slot and retries onto the next, instead of both
+        thinking they wrote version N."""
+        import json as _json  # noqa: PLC0415
+
         self._fs.makedirs(self.path)
         vs = self.versions()
         version = (vs[-1] + 1) if vs else 0
-        entry = {
-            "version": version,
-            "commit": commit,
-            "ts": time.time(),
-            "add": add or [],
-            "remove": remove or [],
-        }
-        if floor is not None:
-            entry["floor"] = floor
-        self._fs.write_json_atomic(self._entry_path(version), entry)
-        return version
+        while True:
+            entry = {
+                "version": version,
+                "commit": commit,
+                "ts": time.time(),
+                "add": add or [],
+                "remove": remove or [],
+            }
+            if floor is not None:
+                entry["floor"] = floor
+            payload = _json.dumps(entry, sort_keys=True).encode()
+            if self._fs.create_exclusive(self._entry_path(version), payload):
+                return version
+            version += 1  # lost the slot to a racer: claim the next one
 
     # -- snapshot ----------------------------------------------------------
 
