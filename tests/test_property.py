@@ -504,3 +504,34 @@ def test_txlog_prune_never_drops_a_matching_file(specs, lo, span, topic):
         topic_possible = topic is None or (tops[0] <= topic <= tops[1])
         if offset_possible and topic_possible:
             assert f["path"] in kept, f"pruned a possibly-matching file {f}"
+
+
+# -- general (multi-branch) union round-trip law --------------------------
+
+_union_branch_types = st.sampled_from(["long", "string", "boolean", "double"])
+
+
+@given(
+    data=st.data(),
+    branches=st.lists(_union_branch_types, min_size=2, max_size=4),
+    with_null=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_py_general_union_roundtrip_law(data, branches, with_null):
+    """decode(encode(v)) == v for arbitrary GENERAL unions (3+ branches
+    or no-null 2-branch) under the tagged-struct value convention; the
+    [null, T] special case must keep smashing to a bare value."""
+    from zinger_spark.codecs import avro_py
+
+    schema = (["null"] if with_null else []) + list(branches)
+    if len(schema) == 2 and "null" in schema:
+        return  # the optional form — covered by the dialect test above
+    idx = data.draw(st.integers(0, len(schema) - 1))
+    value = {"tag": idx}
+    for i, b in enumerate(schema):
+        if b != "null":
+            value[f"b{i}"] = None
+    if schema[idx] != "null":
+        value[f"b{idx}"] = data.draw(_avro_value_for(schema[idx]))
+    back = avro_py.decode_value(schema, avro_py.encode_value(schema, value))
+    assert back == value
