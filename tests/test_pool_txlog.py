@@ -245,3 +245,31 @@ def test_txlog_protocol_on_object_storage_fake():
     # remove action replays correctly too
     log.append("commit-c", remove=["data/a/p0.parquet"])
     assert set(log.snapshot()["files"]) == {"data/b/p0.parquet"}
+
+
+def test_txlog_producer_offsets_from_metadata(spark, tmp_path, monkeypatch):
+    """When every live file is single-topic, next_producer_offsets
+    answers from the log alone — no Spark job.  Verified by breaking
+    the scan path: the metadata answer must never reach it."""
+    pool = _mk(spark, tmp_path)
+    pool.load_batch(spark.createDataFrame(env_rows("T", [0, 1, 2]), _schema()))
+    pool.load_batch(spark.createDataFrame(env_rows("U", [5, 6]), _schema()))
+
+    def boom(*a, **k):
+        raise AssertionError("metadata fast path must not scan data")
+
+    monkeypatch.setattr(pool, "df", boom)
+    assert pool.next_producer_offsets() == {"T": 3, "U": 7}
+
+
+def test_txlog_producer_offsets_mixed_topic_falls_back(spark, tmp_path):
+    """A single batch carrying two topics produces mixed-topic files;
+    the metadata path must detect that and fall back to the exact
+    scan (same answer, more IO)."""
+    pool = _mk(spark, tmp_path)
+    pool.load_batch(
+        spark.createDataFrame(
+            env_rows("T", [0, 1]) + env_rows("U", [5]), _schema()
+        ).coalesce(1)
+    )
+    assert pool.next_producer_offsets() == {"T": 2, "U": 6}

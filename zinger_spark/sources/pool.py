@@ -536,6 +536,11 @@ class Pool:
         adds = collect_file_stats(
             self.path, list_parquet_files(self._fs, self.path, rel_dir)
         )
+        # zero-row part files (empty task partitions) carry no data and
+        # no stats — logging them would only blunt stats-based pruning
+        # and the metadata watermark fast path; vacuum's dark-file sweep
+        # reclaims the bytes
+        adds = [a for a in adds if a["records"] > 0]
         with self.writer_lock():
             self._log.append(f"commit-{commit_id}", add=adds)
         return commit_id
@@ -612,9 +617,27 @@ class Pool:
         return 0 if row["mx"] is None else int(row["mx"]) + 1
 
     def next_producer_offsets(self) -> dict[str, int]:
-        """{topic: max offset + 1} over the pool (etl/pool.go:60-81)."""
+        """{topic: max offset + 1} over the pool (etl/pool.go:60-81).
+
+        txlog pools answer from LOG METADATA alone when every live file
+        is single-topic (stats min == max for kafka.topic — always true
+        for per-topic ingest batches): per-topic max offset = max of
+        those files' recorded offset maxima, zero data IO.  Any
+        mixed-topic or statless file falls back to the exact scan —
+        the fast path never changes the answer, only the IO."""
         if self.is_empty():
             return {}
+        if self._log is not None:
+            files = list(self._log.snapshot()["files"].values())
+            out: dict[str, int] = {}
+            for f in files:
+                st = f.get("stats", {})
+                t, o = st.get("kafka.topic"), st.get("kafka.offset")
+                if not t or not o or t[0] != t[1]:
+                    break  # mixed or statless file: metadata can't answer
+                out[t[0]] = max(out.get(t[0], 0), int(o[1]) + 1)
+            else:
+                return out
         rows = (
             self.df()
             .groupBy(F.col("kafka.topic").alias("topic"))
