@@ -273,3 +273,17 @@ def test_txlog_producer_offsets_mixed_topic_falls_back(spark, tmp_path):
         ).coalesce(1)
     )
     assert pool.next_producer_offsets() == {"T": 2, "U": 6}
+
+
+def test_txlog_consumer_offset_from_metadata(spark, tmp_path, monkeypatch):
+    pool = _mk(spark, tmp_path)
+    pool.load_batch(spark.createDataFrame(env_rows("T", [0, 1, 2]), _schema()))
+    pool.load_batch(spark.createDataFrame(env_rows("U", [5, 6]), _schema()))
+
+    def boom(*a, **k):
+        raise AssertionError("metadata fast path must not scan data")
+
+    monkeypatch.setattr(pool, "df", boom)
+    assert pool.next_consumer_offset("T") == 3
+    assert pool.next_consumer_offset("U") == 7
+    assert pool.next_consumer_offset("absent") == 0

@@ -605,9 +605,25 @@ class Pool:
     # -- offset bookkeeping (A9-A11) ----------------------------------------
 
     def next_consumer_offset(self, topic: str) -> int:
-        """max stored offset for topic + 1 (fifo/lake.go:62-82)."""
+        """max stored offset for topic + 1 (fifo/lake.go:62-82).
+
+        Same txlog metadata fast path as next_producer_offsets: exact
+        from log stats when every live file is single-topic, falling
+        back to the scan otherwise."""
         if self.is_empty():
             return 0
+        if self._log is not None:
+            files = list(self._log.snapshot()["files"].values())
+            best = 0
+            for f in files:
+                st = f.get("stats", {})
+                t, o = st.get("kafka.topic"), st.get("kafka.offset")
+                if not t or not o or t[0] != t[1]:
+                    break
+                if t[0] == topic:
+                    best = max(best, int(o[1]) + 1)
+            else:
+                return best
         row = (
             self.df()
             .filter(F.col("kafka.topic") == topic)
