@@ -287,3 +287,32 @@ def test_txlog_consumer_offset_from_metadata(spark, tmp_path, monkeypatch):
     assert pool.next_consumer_offset("T") == 3
     assert pool.next_consumer_offset("U") == 7
     assert pool.next_consumer_offset("absent") == 0
+
+
+def test_txlog_compact_sort_by_disjoint_file_stats(spark, tmp_path):
+    """compact(sort_by=[pool key]) on a txlog pool must land disjoint
+    per-file offset ranges — and the LOG records them, so the zone map
+    that drives file skipping is immediately queryable without footer
+    IO."""
+    pool = _mk(spark, tmp_path)
+    import random
+
+    rng = random.Random(7)
+    offs = list(range(200))
+    rng.shuffle(offs)
+    for i in range(0, 200, 50):
+        pool.load_batch(
+            spark.createDataFrame(env_rows("T", offs[i : i + 50]), _schema())
+        )
+    pool.compact(sort_by=["kafka.offset"])
+    snap = TxLog(pool._fs, pool.path).snapshot()
+    ranges = sorted(
+        tuple(f["stats"]["kafka.offset"])
+        for f in snap["files"].values()
+        if "kafka.offset" in f.get("stats", {})
+    )
+    assert ranges, "compacted files must carry offset stats"
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping clustered files: {ranges}"
+    # contents intact
+    assert sorted(r["kafka"]["offset"] for r in pool.df().collect()) == list(range(200))
