@@ -437,7 +437,11 @@ class Pool:
             raise PoolError(f"pool {self.path} is empty")
         pruned = prune_files(files, topic=topic, offset_lo=offset_lo, offset_hi=offset_hi)
         if not pruned:
-            # everything pruned: empty frame with the pool's schema
+            # everything pruned: empty frame, but with the FULL pool
+            # schema (mergeSchema over all live files — schema is a
+            # union across commits, so no single file can stand in for
+            # it; the footer reads are the price of exactness and the
+            # file list itself comes free from the log)
             out = (
                 self.spark.read.option("mergeSchema", "true")
                 .parquet(*[os.path.join(self.path, f["path"]) for f in files])
