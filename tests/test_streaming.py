@@ -563,3 +563,39 @@ def test_commit_batch_tracks_distinct_hll(spark, tmp_path):
     with pytest.raises(ValueError, match="refusing to merge"):
         with pool.writer_lock():
             _merge_hll_sidecar(pool, b1, "kafka.offset")
+
+
+def test_ingest_stream_commits_to_txlog_pool(spark, tmp_path):
+    """The same foreachBatch ingest loop lands in a transaction-log
+    pool: each micro-batch is one conditional log append with per-file
+    stats, and the resume watermark comes from log metadata."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "batch1.json").write_text(
+        '{"topic":"T","partition":0,"offset":1,"a":10}\n'
+        '{"topic":"T","partition":0,"offset":2,"a":20}\n'
+    )
+    schema = T.StructType.fromDDL("topic string, partition int, offset bigint, a bigint")
+    stream = spark.readStream.schema(schema).json(str(src))
+    env = stream.select(
+        F.struct(
+            F.col("topic"),
+            F.col("partition").cast("long").alias("partition"),
+            F.col("offset"),
+        ).alias("kafka"),
+        F.lit(None).cast("string").alias("key"),
+        F.struct(F.col("a")).alias("value"),
+        F.lit("data").alias("_type"),
+    )
+    pool = Pool.create(spark, str(tmp_path / "pool"), table_format="txlog")
+    q = fk.run_ingest(env, pool, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(60)
+    got = sorted(
+        (r["kafka"]["offset"], r["value"]["a"]) for r in pool.df().collect()
+    )
+    assert got == [(1, 10), (2, 20)]
+    assert pool.next_consumer_offset("T") == 3
+    from zinger_spark.sources.txlog import TxLog
+
+    entries = TxLog(pool._fs, pool.path).entries()
+    assert len(entries) == 1 and entries[0]["add"], "one micro-batch = one log append"
