@@ -115,13 +115,19 @@ def test_ingest_stream_commits_to_pool(spark, tmp_path):
     assert pool.next_consumer_offset("T") == 3
 
 
-def test_ingest_commit_idempotent_on_replay(spark, tmp_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("fmt", ["commits", "txlog"])
+def test_ingest_commit_idempotent_on_replay(spark, tmp_path, fmt):
     """Crash-replay exactly-once: a micro-batch re-delivered with the
     same (or lower) batch id — the foreachBatch replay after a crash
     between load_batch and checkpoint advance — commits nothing the
     second time.  Reference contract: resume-from-max + single writer
-    (README.md:140-156); ours is the txnAppId/txnVersion sidecar."""
-    pool = Pool.create(spark, str(tmp_path / "pool"))
+    (README.md:140-156); ours is the txnAppId/txnVersion sidecar.
+    Holds identically under both table formats (the sidecar + writer
+    lock are format-independent)."""
+    pool = Pool.create(spark, str(tmp_path / "pool"), table_format=fmt)
     env_schema = T.StructType.fromDDL(
         "kafka struct<topic:string,partition:bigint,offset:bigint>, "
         "key string, value struct<a:bigint>, _type string"
