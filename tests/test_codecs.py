@@ -464,3 +464,42 @@ def test_avro_general_union_spark_roundtrip(spark):
     assert got[1]["tag"] == 0 and got[1]["b1"] is None and got[1]["b2"] is None
     assert got[2]["tag"] == 1 and got[2]["b1"] == 42
     assert got[3]["tag"] == 2 and got[3]["b2"] == "hi"
+
+
+def test_avro_registry_decode_with_general_union(spark):
+    """The full consumer decode path (Confluent frame -> registry
+    schema -> body) on a REGISTRY schema containing a multi-branch
+    union: the tagged-struct mapping flows through decode_by_schema_id
+    exactly like any other registry schema (zavro/schema.go:234-244 —
+    the reference's union decode — through SURVEY §1.1 strategy (b))."""
+    from zinger_spark.codecs import avro_py
+    from zinger_spark.codecs.avro import FakeSchemaRegistry, decode_by_schema_id
+
+    union_schema = {
+        "type": "record",
+        "name": "evt",
+        "namespace": zavro.DEFAULT_NAMESPACE,
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "payload", "type": ["null", "long", "string"]},
+        ],
+    }
+    reg = FakeSchemaRegistry()
+    sid = reg.register(f"{zavro.DEFAULT_NAMESPACE}.evt", union_schema)
+
+    def wire(val):
+        import struct as _s
+
+        return b"\x00" + _s.pack(">I", sid) + avro_py.encode_value(union_schema, val)
+
+    rows = [
+        (0, wire({"id": 1, "payload": {"tag": 0, "b1": None, "b2": None}})),
+        (1, wire({"id": 2, "payload": {"tag": 1, "b1": 42, "b2": None}})),
+        (2, wire({"id": 3, "payload": {"tag": 2, "b1": None, "b2": "hi"}})),
+    ]
+    df = spark.createDataFrame(rows, "offset long, value binary")
+    out = decode_by_schema_id(df, "value", reg)
+    got = {r["offset"]: r["value"]["payload"] for r in out.collect()}
+    assert got[0]["tag"] == 0 and got[0]["b1"] is None and got[0]["b2"] is None
+    assert got[1]["tag"] == 1 and got[1]["b1"] == 42
+    assert got[2]["tag"] == 2 and got[2]["b2"] == "hi"
