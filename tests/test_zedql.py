@@ -1369,3 +1369,23 @@ def test_grok_bad_definition_line_errors(spark):
     df = spark.createDataFrame([("x",)], "line string")
     with pytest.raises(ZedCompileError, match="NAME PATTERN"):
         zed_transform('g := grok("%{A:a}", line, "JUSTONETOKEN") | cut g')(df)
+
+
+def test_java_only_pattern_compiles_and_python_only_rejects(spark):
+    """Dialect parity (r7 advice): a Java-only \\p{} property class must
+    COMPILE (Python re would reject it), and a Python-only (?P<name>)
+    group must fail at compile time with a ZedCompileError, not a
+    mid-job executor PatternSyntaxException."""
+    df = spark.createDataFrame([(1, "Abc"), (2, "123")], "id long, s string")
+    out = compile_query(
+        spark, r"from t | yield {id: id, m: regexp(/\p{Lu}/, s)}", tables={"t": df}
+    )
+    got = {r["id"]: r["m"] for r in out.collect()}
+    assert got[1] is not None and got[2] is None
+    with pytest.raises(ZedCompileError, match="java regex"):
+        compile_query(
+            spark, r"from t | yield {m: regexp(/(?P<x>a)/, s)}", tables={"t": df}
+        )
+    # search terms validate too
+    with pytest.raises(ZedCompileError, match="java regex"):
+        compile_query(spark, r"from t | /(?P<x>a)/", tables={"t": df})

@@ -224,6 +224,11 @@ def _grep(pattern: str, target: ast.Expr, df: DataFrame) -> Column:
     match any string value in it recursively; scalar string targets
     match directly; other expressions fall back to rlike on their
     string form."""
+    if df is not None:
+        # Java-dialect validation at COMPILE time — a bad pattern in a
+        # search term should be a ZedCompileError, not a mid-job
+        # executor PatternSyntaxException (same contract as regexp()).
+        _java_regex_groups(df, pattern, "regex search")
     # unbound compiles (df=None) have no schema for the recursive
     # record walk — fall through to rlike on the target's string form,
     # the pre-schema-aware behavior
@@ -497,19 +502,21 @@ def _java_regex_groups(df: DataFrame, pattern: str, fn: str) -> int:
     session's JVM for exact parity; fall back to Python re only if no
     gateway is reachable."""
     try:
-        jvm = df.sparkSession._jvm
-        return jvm.java.util.regex.Pattern.compile(pattern).matcher("").groupCount()
-    except ZedCompileError:
-        raise
-    except Exception as exc:  # noqa: BLE001
-        msg = getattr(exc, "java_exception", None)
-        if msg is not None:  # Py4JJavaError: a real Java PatternSyntaxException
-            first = str(msg.getMessage()).splitlines()[0]
-            raise ZedCompileError(f"{fn}: bad pattern (java regex): {first}")
-        try:  # gateway unavailable (plain-unit-test context)
+        pat_cls = df.sparkSession._jvm.java.util.regex.Pattern
+    except Exception:  # noqa: BLE001 - gateway unavailable (unbound compile)
+        try:
             return re.compile(pattern).groups
-        except re.error as exc2:
-            raise ZedCompileError(f"{fn}: bad pattern: {exc2}")
+        except re.error as exc:
+            raise ZedCompileError(f"{fn}: bad pattern: {exc}")
+    try:
+        return pat_cls.compile(pattern).matcher("").groupCount()
+    except Exception as exc:  # noqa: BLE001
+        # PySpark 4 converts Py4JJavaError into its own exception types
+        # (pyspark.errors.IllegalArgumentException, no .java_exception),
+        # so ANY failure of the JVM compile means the pattern is invalid
+        # in the executing dialect — never fall back to Python re here.
+        first = str(exc).splitlines()[0]
+        raise ZedCompileError(f"{fn}: bad pattern (java regex): {first}")
 
 
 def _call(e: ast.Call, df: DataFrame) -> Column:
