@@ -316,3 +316,84 @@ def test_txlog_compact_sort_by_disjoint_file_stats(spark, tmp_path):
         assert hi1 < lo2, f"overlapping clustered files: {ranges}"
     # contents intact
     assert sorted(r["kafka"]["offset"] for r in pool.df().collect()) == list(range(200))
+
+
+# -- r9 ADVICE fixes ------------------------------------------------------
+
+
+def test_txlog_partial_prune_keeps_full_schema(spark, tmp_path):
+    """A scoped read that prunes away files must NOT lose columns that
+    live only in those files: pruning is IO-only (ADVICE r8 medium).
+    Here the WIDE file (value.b) is below the offset cursor, so the
+    resume read prunes it — the frame must still carry value.b."""
+    pool = _mk(spark, tmp_path)
+    wider = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint,b:string>, _type string"
+    )
+    pool.load_batch(
+        spark.createDataFrame([(("T", 0, 0), None, (0, "x"), "data")], wider)
+    )
+    pool.load_batch(spark.createDataFrame(env_rows("T", [100, 101]), _schema()))
+    out = pool._df_txlog(topic="T", offset_lo=100)
+    # the wide file was really pruned (only 2 rows scanned)...
+    assert out.count() == 2
+    # ...but the schema is still the pool union, null-filled
+    assert "b" in out.schema["value"].dataType.fieldNames()
+    assert [r["value"]["b"] for r in out.collect()] == [None, None]
+    # everything-pruned branch agrees
+    empty = pool._df_txlog(topic="T", offset_lo=10_000)
+    assert empty.count() == 0
+    assert "b" in empty.schema["value"].dataType.fieldNames()
+
+
+def test_txlog_retracted_commit_leaves_history(spark, tmp_path):
+    """drop_commit must remove the commit from pool history (like the
+    manifest format's delete) and reject it as an as_of target — after
+    vacuum its files are gone, so time travel to it would hand Spark
+    vanished paths (ADVICE r8)."""
+    pool = _mk(spark, tmp_path)
+    c1 = pool.load_batch(spark.createDataFrame(env_rows("T", [0]), _schema()))
+    c2 = pool.load_batch(spark.createDataFrame(env_rows("T", [1]), _schema()))
+    pool.drop_commit(c2)
+    assert f"commit-{c2}" not in pool._commit_names()
+    with pytest.raises(PoolError, match="retracted"):
+        pool.df(as_of=c2)
+    # history before the retraction is untouched
+    assert [r["kafka"]["offset"] for r in pool.df(as_of=c1).collect()] == [0]
+
+
+def test_txlog_empty_batch_is_noop(spark, tmp_path):
+    """An all-empty batch (normal from an empty streaming micro-batch)
+    must not log a zero-file commit: the pool behaves as if no commit
+    happened (ADVICE r8)."""
+    pool = _mk(spark, tmp_path)
+    log = TxLog(pool._fs, pool.path)
+    pool.load_batch(spark.createDataFrame([], _schema()))
+    assert pool.is_empty()
+    assert log.versions() == []
+    # on a non-empty pool: history and offsets unchanged by the no-op
+    pool.load_batch(spark.createDataFrame(env_rows("T", [0, 1]), _schema()))
+    before = log.versions()
+    pool.load_batch(spark.createDataFrame([], _schema()))
+    assert log.versions() == before
+    assert pool.next_producer_offsets() == {"T": 2}
+
+
+def test_txlog_compact_never_logs_statless_empty_parts(spark, tmp_path):
+    """Compaction output must apply the same records>0 filter as
+    load_batch: a zero-row part file (empty repartitionByRange
+    partition — forced here by giving every row the same offset, so
+    all rows land in one range) logged statless would permanently
+    break the offset-metadata fast path (ADVICE r8)."""
+    pool = _mk(spark, tmp_path)
+    pool.load_batch(spark.createDataFrame(env_rows("T", [5, 5]), _schema()))
+    pool.load_batch(spark.createDataFrame(env_rows("T", [5, 5]), _schema()))
+    pool.compact(sort_by=["kafka.offset"])
+    snap = TxLog(pool._fs, pool.path).snapshot()
+    assert snap["files"], "compaction must log its output"
+    for f in snap["files"].values():
+        assert f["records"] > 0, f"statless empty part logged: {f}"
+    # the metadata fast path still answers exactly
+    assert pool.next_producer_offsets() == {"T": 6}
+    assert pool.df().count() == 4

@@ -1389,3 +1389,30 @@ def test_java_only_pattern_compiles_and_python_only_rejects(spark):
     # search terms validate too
     with pytest.raises(ZedCompileError, match="java regex"):
         compile_query(spark, r"from t | /(?P<x>a)/", tables={"t": df})
+
+
+def test_regex_infrastructure_errors_propagate():
+    """_java_regex_groups must report ZedCompileError only for genuine
+    pattern-syntax failures; a transient gateway error on a VALID
+    pattern must propagate as-is, not be misreported as 'bad pattern'
+    (ADVICE r8)."""
+    from types import SimpleNamespace
+
+    from zinger_spark.zedql.compiler import _java_regex_groups
+
+    class BrokenPattern:
+        @staticmethod
+        def compile(_):
+            raise ConnectionError("py4j gateway dropped")
+
+    fake_df = SimpleNamespace(
+        sparkSession=SimpleNamespace(
+            _jvm=SimpleNamespace(
+                java=SimpleNamespace(
+                    util=SimpleNamespace(regex=SimpleNamespace(Pattern=BrokenPattern))
+                )
+            )
+        )
+    )
+    with pytest.raises(ConnectionError, match="gateway dropped"):
+        _java_regex_groups(fake_df, r"(valid)", "regexp")

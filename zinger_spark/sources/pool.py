@@ -87,6 +87,8 @@ class Pool:
         self.lock_timeout = self.DEFAULT_LOCK_TIMEOUT
         self._local_lock = threading.RLock()
         self._lock_depth = 0
+        # (live-path-set, StructType) — see _txlog_schema
+        self._schema_cache: tuple[tuple, object] | None = None
         if meta.get("format") == "txlog":
             from .txlog import TxLog  # noqa: PLC0415
 
@@ -419,11 +421,18 @@ class Pool:
             as_of_commit=f"commit-{as_of}" if as_of is not None else None
         )
         if as_of is not None:
-            # the floor is raised by compaction entries AFTER the as-of
-            # cut — it must come from the full log, not the truncated
-            # replay (else a below-floor read silently succeeds on
-            # not-yet-vacuumed files and later starts failing)
-            floor = self._log.snapshot()["floor"]
+            # floor + retractions are raised/recorded by entries AFTER
+            # the as-of cut — they must come from the full log, not the
+            # truncated replay (else a below-floor or retracted read
+            # silently succeeds on not-yet-vacuumed files and later
+            # starts failing with raw file-not-found)
+            full = self._log.snapshot()
+            if f"commit-{as_of}" in full["retracted"]:
+                raise PoolError(
+                    f"pool {self.path}: commit {as_of} was retracted — "
+                    "it is no longer part of pool history"
+                )
+            floor = full["floor"]
             if floor is not None and f"commit-{as_of}" < floor:
                 raise PoolError(
                     f"pool {self.path}: as_of {as_of} predates compaction "
@@ -437,15 +446,19 @@ class Pool:
             raise PoolError(f"pool {self.path} is empty")
         pruned = prune_files(files, topic=topic, offset_lo=offset_lo, offset_hi=offset_hi)
         if not pruned:
-            # everything pruned: empty frame, but with the FULL pool
-            # schema (mergeSchema over all live files — schema is a
-            # union across commits, so no single file can stand in for
-            # it; the footer reads are the price of exactness and the
-            # file list itself comes free from the log)
-            out = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(*[os.path.join(self.path, f["path"]) for f in files])
-                .limit(0)
+            # everything pruned: empty frame with the FULL pool schema
+            out = self.spark.createDataFrame([], self._txlog_schema(files))
+        elif len(pruned) < len(files):
+            # A partially-pruned read must still carry the FULL pool
+            # schema: the schema is a union across commits, and a
+            # column living only in pruned-away files would otherwise
+            # vanish from the frame — so a resume-from-cursor read
+            # could fail analysis on a column the full read has.
+            # Explicit schema on the parquet read null-fills missing
+            # columns (standard parquet schema evolution) and pruning
+            # stays IO-only, as the docstring promises.
+            out = self.spark.read.schema(self._txlog_schema(files)).parquet(
+                *[os.path.join(self.path, f["path"]) for f in pruned]
             )
         else:
             out = self.spark.read.option("mergeSchema", "true").parquet(
@@ -458,6 +471,25 @@ class Pool:
         if offset_hi is not None:
             out = out.filter(F.col("kafka.offset") < offset_hi)
         return out
+
+    def _txlog_schema(self, files: list[dict]):
+        """Union schema over a txlog pool's live files, cached per file
+        set.  The mergeSchema footer pass is driver-side and O(live
+        files); scoped reads (read_batch resume, topic scans) happen
+        per micro-batch, so they must not repay it every call — the
+        cache key is the live path set, which changes exactly when a
+        commit/compaction/vacuum changes what the schema can be."""
+        key = tuple(sorted(f["path"] for f in files))
+        cached = self._schema_cache
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        schema = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.path, f["path"]) for f in files])
+            .schema
+        )
+        self._schema_cache = (key, schema)
+        return schema
 
     def query(self, fn) -> DataFrame:
         """Run a DataFrame transform over the pool (Lake.Query analog,
@@ -545,6 +577,15 @@ class Pool:
         # and the metadata watermark fast path; vacuum's dark-file sweep
         # reclaims the bytes
         adds = [a for a in adds if a["records"] > 0]
+        if not adds:
+            # A fully-empty batch is "no commit happened": logging a
+            # zero-file commit would leave a pool that claims history
+            # but raises from df() (no live files -> no schema), and
+            # the commit id would be a hollow as_of target.  The dark
+            # part files are reclaimed by vacuum's not-in-log sweep,
+            # same as a crashed write.  (An empty streaming micro-batch
+            # is the normal producer of this case.)
+            return commit_id
         with self.writer_lock():
             self._log.append(f"commit-{commit_id}", add=adds)
         return commit_id
@@ -573,17 +614,22 @@ class Pool:
         name = f"commit-{commit_id}"
         if self._log is not None:
             with self.writer_lock():
+                entries = self._log.entries()
                 added = [
                     a["path"]
-                    for e in self._log.entries()
+                    for e in entries
                     if e.get("commit") == name
                     for a in e.get("add", [])
                 ]
-                if added:
-                    # commit=None: a retraction is not a new commit —
-                    # it must not appear in _commit_names or as an
-                    # as_of target
-                    self._log.append(None, remove=added)
+                if any(e.get("commit") == name for e in entries):
+                    # commit=None: a retraction is not a new commit.
+                    # The retract marker makes snapshot() drop the
+                    # commit from pool history entirely — it leaves
+                    # _commit_names/commits() and is rejected as an
+                    # as_of target (its files are deleted once vacuum
+                    # runs, so time travel to it would hand Spark
+                    # vanished paths).
+                    self._log.append(None, remove=added, retract=name)
             return
         with self.writer_lock():
             m = self._read_manifest()
@@ -878,6 +924,11 @@ class Pool:
         adds = collect_file_stats(
             self.path, list_parquet_files(self._fs, self.path, rel_dir)
         )
+        # same records>0 filter as _load_batch_txlog: a zero-row part
+        # file (empty repartitionByRange partition) logged statless
+        # would permanently break the offset-metadata fast path (its
+        # loop breaks on any statless file) and never be prunable
+        adds = [a for a in adds if a["records"] > 0]
         self._log.append(
             f"commit-{commit_id}",
             add=adds,

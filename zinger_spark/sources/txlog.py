@@ -134,6 +134,7 @@ class TxLog:
         add: list[dict] | None = None,
         remove: list[str] | None = None,
         floor: str | None = None,
+        retract: str | None = None,
     ) -> int:
         """Write the next log entry (caller holds the writer lock).
 
@@ -159,6 +160,8 @@ class TxLog:
             }
             if floor is not None:
                 entry["floor"] = floor
+            if retract is not None:
+                entry["retract"] = retract
             payload = _json.dumps(entry, sort_keys=True).encode()
             if self._fs.create_exclusive(self._entry_path(version), payload):
                 return version
@@ -174,6 +177,7 @@ class TxLog:
         commits: list[str] = []
         floor: str | None = None
         removed_ts: dict[str, float] = {}
+        retracted: set[str] = set()
         seen_asof = False
         for e in self.entries():
             for a in e.get("add", []):
@@ -184,6 +188,13 @@ class TxLog:
                 removed_ts[r] = e.get("ts", 0.0)
             if e.get("commit"):
                 commits.append(e["commit"])
+            if e.get("retract"):
+                # a retracted commit is no longer part of pool history:
+                # it must leave the commit list (matching the manifest
+                # format, which deletes it) and never serve as an as-of
+                # target — its files are gone once vacuum runs
+                retracted.add(e["retract"])
+                commits = [c for c in commits if c != e["retract"]]
             if e.get("floor"):
                 floor = max(floor, e["floor"]) if floor else e["floor"]
             if as_of_commit is not None and e.get("commit") == as_of_commit:
@@ -194,6 +205,7 @@ class TxLog:
             "commits": commits,
             "floor": floor,
             "removed_ts": removed_ts,
+            "retracted": retracted,
             "asof_found": seen_asof,
         }
 

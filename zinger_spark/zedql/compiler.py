@@ -511,10 +511,23 @@ def _java_regex_groups(df: DataFrame, pattern: str, fn: str) -> int:
     try:
         return pat_cls.compile(pattern).matcher("").groupCount()
     except Exception as exc:  # noqa: BLE001
-        # PySpark 4 converts Py4JJavaError into its own exception types
-        # (pyspark.errors.IllegalArgumentException, no .java_exception),
-        # so ANY failure of the JVM compile means the pattern is invalid
-        # in the executing dialect — never fall back to Python re here.
+        # Pattern-syntax failures only: PySpark 4 converts the JVM's
+        # PatternSyntaxException into pyspark.errors
+        # IllegalArgumentException (its Java superclass, no
+        # .java_exception attr); older gateways surface a raw
+        # Py4JJavaError whose java_exception IS PatternSyntaxException.
+        # Anything else (Py4JNetworkError, a dropped gateway, ...) is
+        # an infrastructure failure on a possibly-VALID pattern and
+        # must propagate, not be misreported as "bad pattern".
+        from pyspark.errors import IllegalArgumentException  # noqa: PLC0415
+
+        jexc = getattr(exc, "java_exception", None)
+        is_syntax = isinstance(exc, IllegalArgumentException) or (
+            jexc is not None
+            and "PatternSyntaxException" in jexc.getClass().getName()
+        )
+        if not is_syntax:
+            raise
         first = str(exc).splitlines()[0]
         raise ZedCompileError(f"{fn}: bad pattern (java regex): {first}")
 
