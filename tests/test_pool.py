@@ -487,7 +487,9 @@ def test_compact_sort_by_clusters_files(spark, tmp_path):
     for batch in ([0, 3, 6, 9], [1, 4, 7, 10], [2, 5, 8, 11]):
         pool.load_batch(spark.createDataFrame(env_rows("T", batch), _schema()))
     before = sorted(r["kafka"]["offset"] for r in pool.df().collect())
-    assert pool.compact(sort_by=["value.a"]) == 3
+    # tiny target so the 12-row pool still spreads over several
+    # files (default 128 MiB target would rightly coalesce to one)
+    assert pool.compact(sort_by=["value.a"], target_file_bytes=4096) == 3
 
     after = sorted(r["kafka"]["offset"] for r in pool.df().collect())
     assert after == before  # clustering reorders, never drops

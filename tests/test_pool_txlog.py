@@ -397,3 +397,92 @@ def test_txlog_compact_never_logs_statless_empty_parts(spark, tmp_path):
     # the metadata fast path still answers exactly
     assert pool.next_producer_offsets() == {"T": 6}
     assert pool.df().count() == 4
+
+
+# -- Delta wire-format interop (r9) ---------------------------------------
+
+
+def _delta_replay_external(log_dir):
+    """A test-local, spec-faithful Delta log replay that shares NO code
+    with TxLog: numbered NDJSON files in order, last metaData wins,
+    add/remove reconciliation on path.  This is what delta-rs / DuckDB
+    delta_scan / Spark's Delta reader do (PROTOCOL.md 'Action
+    Reconciliation')."""
+    import glob
+    import json as _json
+
+    protocol, meta, live = None, None, {}
+    for p in sorted(glob.glob(os.path.join(log_dir, "*.json"))):
+        with open(p) as fh:
+            for ln in fh:
+                if not ln.strip():
+                    continue
+                act = _json.loads(ln)
+                if isinstance(act.get("add"), dict):
+                    live[act["add"]["path"]] = act["add"]
+                elif isinstance(act.get("remove"), dict):
+                    live.pop(act["remove"]["path"], None)
+                elif isinstance(act.get("metaData"), dict):
+                    meta = act["metaData"]
+                elif isinstance(act.get("protocol"), dict):
+                    protocol = act["protocol"]
+    return protocol, meta, live
+
+
+def test_delta_log_external_reader_interop(spark, tmp_path):
+    """The txlog IS the Delta wire format: an external engine that has
+    never heard of this repo can replay ``_delta_log`` and read the
+    pool.  Verified with an independent spec replay + DuckDB scanning
+    the live parquet files — row counts and values match Pool.df()."""
+    import json as _json
+
+    import duckdb
+
+    pool = _mk(spark, tmp_path)
+    c1 = pool.load_batch(spark.createDataFrame(env_rows("T", [0, 1, 2]), _schema()))
+    wider = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint,b:string>, _type string"
+    )
+    pool.load_batch(
+        spark.createDataFrame([(("U", 0, 7), None, (70, "x"), "data")], wider)
+    )
+    c3 = pool.load_batch(spark.createDataFrame(env_rows("T", [3]), _schema()))
+    pool.drop_commit(c3)  # remove actions must replay externally too
+    assert c1  # silence unused warning
+
+    protocol, meta, live = _delta_replay_external(
+        os.path.join(pool.path, "_delta_log")
+    )
+    # protocol: plain parquet table, no reader features needed
+    assert protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
+    # metaData: stable id, parquet format, and the schemaString is the
+    # UNION schema (readers take schema from the log, not footers)
+    assert meta["format"]["provider"] == "parquet"
+    schema = T.StructType.fromJson(_json.loads(meta["schemaString"]))
+    assert "b" in schema["value"].dataType.fieldNames()
+    # per-file stats are the standard Delta stats JSON
+    some_add = next(iter(live.values()))
+    st = _json.loads(some_add["stats"])
+    assert st["numRecords"] > 0
+    assert "offset" in st["minValues"]["kafka"]
+    # DuckDB reads the replayed live set and agrees with Pool.df()
+    paths = [os.path.join(pool.path, p) for p in live]
+    con = duckdb.connect()
+    n, off_sum, topics = con.execute(
+        "SELECT count(*), sum(kafka.offset), count(DISTINCT kafka.topic) "
+        "FROM read_parquet(?, union_by_name=true)",
+        [paths],
+    ).fetchone()
+    ours = pool.df()
+    assert n == ours.count() == 4
+    assert int(off_sum) == 0 + 1 + 2 + 7
+    assert topics == 2
+    # the retracted commit's file is NOT in the external live set
+    got = sorted(
+        r[0] for r in con.execute(
+            "SELECT kafka.offset FROM read_parquet(?, union_by_name=true)",
+            [paths],
+        ).fetchall()
+    )
+    assert got == [0, 1, 2, 7]

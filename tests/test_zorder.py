@@ -101,7 +101,10 @@ def test_compact_zorder_narrows_both_dims(spark, tmp_path):
             pool.load_batch(
                 spark.createDataFrame(grid[lo:lo + 256], schema)
             )
-        assert pool.compact(sort_by=["value.a", "value.b"], zorder=zorder) == 4
+        assert pool.compact(
+            sort_by=["value.a", "value.b"], zorder=zorder,
+            target_file_bytes=4096,
+        ) == 4
         commit = pool._commit_dirs()[0]
         rng = _file_ranges(commit, ["value.a", "value.b"])
         assert len(rng["value.a"]) >= 2

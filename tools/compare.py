@@ -127,9 +127,16 @@ def main():
 
     spark = get_spark("compare")
     con = duckdb.connect()
+    import os as _os
+
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is one file per table; tools/make_scale_data.py
+        # output is a Spark DIRECTORY per table — glob the parts for DuckDB
+        src = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

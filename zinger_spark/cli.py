@@ -455,15 +455,26 @@ def cmd_from_kafka(args) -> int:
     spark = _spark(args)
     pool = Pool(spark, f"{args.lake}/{_pool_name(args.pool)}")
     topics = args.topics.split(",")
-    if args.kafka_replicas > 0:
+    from .kafka_admin import open_admin
+
+    admin = open_admin(args.brokers)
+    if args.kafka_replicas > 0 and admin is not None:
         # cmd/zync/from-kafka/command.go:187-191: auto-create the
         # consumed topics when -kafkareplicas > 0
-        from .kafka_admin import open_admin
-
-        admin = open_admin(args.brokers)
-        if admin is not None:
-            admin.create_missing_topics(topics, replication=args.kafka_replicas)
-    offsets = fk.starting_offsets_from_pool(pool, topics)
+        admin.create_missing_topics(topics, replication=args.kafka_replicas)
+    # per-(topic, partition) resume: with a reachable admin, cover every
+    # broker partition (never-stored ones start earliest); without one,
+    # partitions already in the pool still resume individually
+    parts_by_topic = {}
+    if admin is not None:
+        for t in topics:
+            try:
+                parts_by_topic[t] = admin.partitions(t)
+            except Exception:  # noqa: BLE001 - topic not created yet
+                pass
+    offsets = fk.starting_offsets_from_pool(
+        pool, topics, partitions_by_topic=parts_by_topic or None
+    )
     src = fk.kafka_source(spark, args.brokers, topics, offsets, args.thresh)
     transform = None
     if args.format == "avro":

@@ -378,26 +378,130 @@ def to_json_rows(text: str, type_field: str | None = None) -> list[str]:
     return out
 
 
+def _infer_type(v):
+    """Spark type of one parsed ZSON value, mirroring spark.read.json
+    inference: ints are long, floats double, struct fields SORTED by
+    name, and anything non-JSON-typed (str, None, bytes) is string."""
+    from pyspark.sql import types as T
+
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, dict):
+        return T.StructType(
+            [T.StructField(k, _infer_type(x), True) for k, x in sorted(v.items())]
+        )
+    if isinstance(v, (list, tuple)):
+        el = None
+        for x in v:
+            t = _infer_type(x)
+            el = t if el is None else _merge_inferred(el, t)
+        return T.ArrayType(el if el is not None else T.StringType(), True)
+    return T.StringType()
+
+
+def _merge_inferred(a, b):
+    """Fuse two inferred types the way spark.read.json does: numeric
+    widening long->double, struct field union (sorted), array element
+    merge, and STRING for any other conflict (bool vs long, struct vs
+    atom, ...)."""
+    from pyspark.sql import types as T
+
+    if a == b:
+        return a
+    num = (T.LongType, T.DoubleType)
+    if isinstance(a, num) and isinstance(b, num):
+        return T.DoubleType()
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        am = {f.name: f.dataType for f in a.fields}
+        bm = {f.name: f.dataType for f in b.fields}
+        return T.StructType(
+            [
+                T.StructField(
+                    n,
+                    _merge_inferred(am[n], bm[n])
+                    if n in am and n in bm
+                    else (am.get(n) or bm[n]),
+                    True,
+                )
+                for n in sorted(set(am) | set(bm))
+            ]
+        )
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(_merge_inferred(a.elementType, b.elementType), True)
+    return T.StringType()
+
+
 def read_zson(spark, paths, type_field: str | None = None):
     """Distributed ZSON reader: one parse task per file (values span
     lines, so the file is the split unit — exactly Spark's multiLine
-    JSON contract), then spark.read.json over the transcoded rows for
-    schema inference.  The `zed load batch-N.zson` analog
-    (ztests/etl-demo.yaml:8)."""
+    JSON contract).  The `zed load batch-N.zson` analog
+    (ztests/etl-demo.yaml:8).
+
+    Two Arrow-batched mapInPandas passes, no row-at-a-time UDFs and no
+    RDD hop: (1) a SCHEMA pass that parses each file and returns one
+    inferred-type JSON per file — the driver collects #files small
+    strings (bounded metadata, like parquet footers) and fuses them —
+    then (2) a TRANSCODE pass to JSON lines decoded with from_json
+    under that explicit fused schema.  Inference semantics match
+    spark.read.json (sorted struct fields, long/double, conflicts to
+    string), so results are identical to the pre-r9 rdd-based path."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     if isinstance(paths, str):
         paths = [paths]
     texts = spark.read.text(list(paths), wholetext=True)
-    transcode = F.udf(
-        lambda t: to_json_rows(t, type_field), T.ArrayType(T.StringType())
+
+    def _schema_pass(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = []
+            for text in pdf["value"]:
+                dt = None
+                for val, name in parse(text):
+                    if type_field is not None:
+                        if not isinstance(val, dict):
+                            raise ZsonError(
+                                f"top-level non-record value with type_field: {val!r}"
+                            )
+                        val = dict(val)
+                        val[type_field] = name or "data"
+                    t = _infer_type(val)
+                    dt = t if dt is None else _merge_inferred(dt, t)
+                if dt is not None:
+                    out.append(dt.json())
+            yield pd.DataFrame({"schema_json": out})
+
+    fused = None
+    for r in texts.mapInPandas(_schema_pass, "schema_json string").collect():
+        dt = T._parse_datatype_json_string(r["schema_json"])
+        fused = dt if fused is None else _merge_inferred(fused, dt)
+    if fused is None:
+        return spark.createDataFrame([], T.StructType([]))
+    if not isinstance(fused, T.StructType):
+        raise ZsonError(
+            f"top-level ZSON values must be records to form a DataFrame, got {fused}"
+        )
+
+    def _transcode_pass(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows: list[str] = []
+            for text in pdf["value"]:
+                rows.extend(to_json_rows(text, type_field))
+            yield pd.DataFrame({"json": rows})
+
+    return (
+        texts.mapInPandas(_transcode_pass, "json string")
+        .select(F.from_json("json", fused).alias("r"))
+        .select("r.*")
     )
-    rows = texts.select(F.explode(transcode("value")).alias("json"))
-    # spark.read.json over an RDD[str] infers the fused schema in one
-    # distributed pass; ZSON files are the small edge of the system so
-    # the extra scan is bounded
-    return spark.read.json(rows.rdd.map(lambda r: r[0]))
 
 
 # --------------------------------------------------------------------------

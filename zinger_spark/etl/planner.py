@@ -502,25 +502,21 @@ class EtlPipeline:
     def _assign_offsets(self, data: DataFrame) -> DataFrame:
         """Sequential per-output-topic offsets continuing from the pool's
         high-water mark (etl/pipeline.go:127-164), ordered by original
-        input offset (the trailing `sort kafka.offset`, etl/build.go:107)."""
+        input offset (the trailing `sort kafka.offset`, etl/build.go:107).
+
+        Uses the two-level distributed prefix sum (assign_offsets
+        default) rather than a per-topic Window.orderBy: the window
+        form funnels each output topic through ONE sort reducer, which
+        is the serialization point of a backfill-scale batch — the
+        prefix sum produces bit-identical dense ranks with parallelism
+        = #partitions.  Output topics come from declared routes, so
+        the prefix sum's non-null-topic requirement always holds."""
+        from ..operators.offsets import assign_offsets  # noqa: PLC0415
+
         base = self.output_pool.next_producer_offsets()
-        w = Window.partitionBy("kafka.topic").orderBy(_ORIG_OFFSET, _ORIG_TOPIC)
-        if base:
-            bmap = F.create_map(
-                *[x for kv in base.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
-            )
-            start = F.coalesce(bmap.getItem(F.col("kafka.topic")), F.lit(0))
-        else:
-            start = F.lit(0)
-        return (
-            data.withColumn(
-                "kafka",
-                F.col("kafka").withField(
-                    "offset", (start + F.row_number().over(w) - 1).cast("long")
-                ),
-            )
-            .drop(_ORIG_OFFSET, _ORIG_TOPIC)
-        )
+        return assign_offsets(
+            data, base, order_col=[_ORIG_OFFSET, _ORIG_TOPIC]
+        ).drop(_ORIG_OFFSET, _ORIG_TOPIC)
 
     # -- run ----------------------------------------------------------------
 

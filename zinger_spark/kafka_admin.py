@@ -53,6 +53,14 @@ class TopicAdmin:
         (fifo/producer.go:44-46)."""
         return self.watermarks(topic)[1]
 
+    def partitions(self, topic: str) -> list[int]:
+        """Partition ids of a topic — feeds the per-partition resume
+        map (starting_offsets_from_pool).  The reference never asks (it
+        pins partition 0, fifo/consumer.go:59-63); multi-partition
+        ingest needs the full set so never-stored partitions start from
+        earliest."""
+        raise NotImplementedError
+
     def create_missing_topics(
         self,
         topics: list[str],
@@ -108,6 +116,11 @@ class FakeTopicAdmin(TopicAdmin):
         t = self.topics[topic]
         return t["start"], t["end"]
 
+    def partitions(self, topic):
+        if topic not in self.topics:
+            raise TopicAdminError(f"unknown topic {topic!r}")
+        return list(range(self.topics[topic]["partitions"]))
+
 
 class KafkaTopicAdmin(TopicAdmin):
     """kafka-python-backed implementation, constructed lazily so the
@@ -156,6 +169,13 @@ class KafkaTopicAdmin(TopicAdmin):
             starts = consumer.beginning_offsets(tps)
             ends = consumer.end_offsets(tps)
             return min(starts.values()), max(ends.values())
+        finally:
+            consumer.close()
+
+    def partitions(self, topic):
+        consumer = self._consumer_cls(bootstrap_servers=self._brokers)
+        try:
+            return sorted(consumer.partitions_for_topic(topic) or {0})
         finally:
             consumer.close()
 

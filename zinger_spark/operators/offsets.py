@@ -39,45 +39,25 @@ def assign_offsets(
     df: DataFrame,
     base_offsets: dict[str, int],
     topic_col: str = "kafka.topic",
-    order_col: str = "__in_offset",
-    via_prefix_sum: bool = False,
+    order_col: str | list = "__in_offset",
+    via_prefix_sum: bool = True,
 ) -> DataFrame:
     """Dense per-topic sequential output offsets (insertOffsets,
     etl/pipeline.go:127-164): per-topic rank over the input order +
     the topic's current high-water mark.
 
-    The default window form is one shuffle on the topic key with
-    per-topic sort tasks — scale-SAFE here because the input is a
-    bounded MICRO-BATCH (the from-kafka commit threshold caps it at
-    ~1M records; the reference processes the same batch
-    single-threaded), never the corpus.  For a backfill-scale batch
-    where one topic's slice outgrows a task, ``via_prefix_sum=True``
-    ranks on the two-level distributed prefix sum instead
-    (operators/packing.prefix_sum — parallelism = #partitions, at the
-    cost of its materialization barrier)."""
-    if via_prefix_sum:
-        from .packing import prefix_sum  # noqa: PLC0415
-
-        ranked = prefix_sum(
-            df.withColumn("__topic", F.col(topic_col)).withColumn("__one", F.lit(1)),
-            "__topic",
-            order_col,
-            "__one",
-            out_col="__rk0",
-        )
-        if base_offsets:
-            base = F.create_map(
-                *[x for kv in base_offsets.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
-            )
-            start = F.coalesce(base.getItem(F.col("__topic")), F.lit(0))
-        else:
-            start = F.lit(0)
-        new_off = start + F.col("__rk0")
-        return ranked.withColumn(
-            "kafka",
-            F.col("kafka").withField("offset", new_off.cast("long")),
-        ).drop("__topic", "__one", "__rk0")
-    w = Window.partitionBy(topic_col).orderBy(order_col)
+    The DEFAULT is the two-level distributed prefix sum
+    (operators/packing.prefix_sum): parallelism = #partitions, so a
+    backfill-scale batch where one topic's slice outgrows a task never
+    funnels through a single per-topic sort reducer.  The ranks are
+    bit-identical to the window form (exclusive prefix sum of 1s ==
+    row_number - 1) at the cost of the prefix sum's one-materialization
+    barrier.  ``via_prefix_sum=False`` keeps the single-shuffle window
+    form — marginally cheaper for a tiny bounded micro-batch, and the
+    only form that groups NULL topics (the prefix sum's equi-join drops
+    them; every producer in this repo assigns topics from declared
+    routes, so nulls cannot occur there)."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if base_offsets:
         base = F.create_map(
             *[x for kv in base_offsets.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
@@ -85,6 +65,24 @@ def assign_offsets(
         start = F.coalesce(base.getItem(F.col(topic_col)), F.lit(0))
     else:
         start = F.lit(0)
+    if via_prefix_sum:
+        from .packing import prefix_sum  # noqa: PLC0415
+
+        ranked = prefix_sum(
+            df.withColumn("__topic", F.col(topic_col)).withColumn("__one", F.lit(1)),
+            "__topic",
+            order_cols,
+            "__one",
+            out_col="__rk0",
+        )
+        new_off = F.coalesce(
+            base.getItem(F.col("__topic")) if base_offsets else F.lit(0), F.lit(0)
+        ) + F.col("__rk0")
+        return ranked.withColumn(
+            "kafka",
+            F.col("kafka").withField("offset", new_off.cast("long")),
+        ).drop("__topic", "__one", "__rk0")
+    w = Window.partitionBy(topic_col).orderBy(*order_cols)
     new_off = start + F.row_number().over(w) - 1
     return df.withColumn(
         "kafka",

@@ -587,7 +587,9 @@ class Pool:
             # is the normal producer of this case.)
             return commit_id
         with self.writer_lock():
-            self._log.append(f"commit-{commit_id}", add=adds)
+            self._log.append(
+                f"commit-{commit_id}", add=adds, schema_json=df.schema.json()
+            )
         return commit_id
 
     def _publish_commit(self, tmp: str, commit_id: str) -> None:
@@ -682,6 +684,42 @@ class Pool:
         )
         return 0 if row["mx"] is None else int(row["mx"]) + 1
 
+    def next_consumer_offsets_by_partition(self, topic: str) -> dict[int, int]:
+        """{partition: max stored offset + 1} for a topic — the
+        per-partition resume map for multi-partition ingest.
+
+        Beyond-reference: the reference pins partition 0
+        (fifo/consumer.go:59-63) because its pool key is the single
+        per-topic offset; Kafka's actual ordering contract is PER
+        PARTITION, so 100-TB ingest resumes each (topic, partition)
+        independently.  txlog metadata answers exactly when every live
+        file is single-(topic, partition); any mixed or statless file
+        falls back to one grouped scan (partial-agg max, no window)."""
+        if self.is_empty():
+            return {}
+        if self._log is not None:
+            files = list(self._log.snapshot()["files"].values())
+            out: dict[int, int] = {}
+            for f in files:
+                st = f.get("stats", {})
+                t = st.get("kafka.topic")
+                p = st.get("kafka.partition")
+                o = st.get("kafka.offset")
+                if not t or not p or not o or t[0] != t[1] or p[0] != p[1]:
+                    break  # mixed or statless file: metadata can't answer
+                if t[0] == topic:
+                    pid = int(p[0])
+                    out[pid] = max(out.get(pid, 0), int(o[1]) + 1)
+            else:
+                return out
+        rows = (
+            self.df(topic=topic)
+            .groupBy(F.col("kafka.partition").alias("p"))
+            .agg(F.max("kafka.offset").alias("mx"))
+            .collect()
+        )
+        return {int(r["p"]): int(r["mx"]) + 1 for r in rows if r["p"] is not None}
+
     def next_producer_offsets(self) -> dict[str, int]:
         """{topic: max offset + 1} over the pool (etl/pool.go:60-81).
 
@@ -737,6 +775,7 @@ class Pool:
         small_bytes: int | None = None,
         sort_by: list[str] | None = None,
         zorder: bool = False,
+        target_file_bytes: int | None = None,
     ) -> int:
         """Merge commit dirs into one (the Delta OPTIMIZE analog).
 
@@ -790,9 +829,13 @@ class Pool:
             )
         if self._log is not None:
             with self.writer_lock():
-                return self._compact_txlog(small_bytes, sort_by, zorder)
+                return self._compact_txlog(
+                    small_bytes, sort_by, zorder, target_file_bytes
+                )
         with self.writer_lock():
-            return self._compact_locked(small_bytes, sort_by, zorder)
+            return self._compact_locked(
+                small_bytes, sort_by, zorder, target_file_bytes
+            )
 
     def _commit_size(self, name: str) -> int:
         return sum(self._fs.tree_size(d) for d in self._commit_instances(name))
@@ -802,6 +845,7 @@ class Pool:
         small_bytes: int | None = None,
         sort_by: list[str] | None = None,
         zorder: bool = False,
+        target_file_bytes: int | None = None,
     ) -> int:
         old_names = self._commit_names()
         if len(old_names) <= 1:
@@ -824,7 +868,11 @@ class Pool:
         snapshot = self._read_commits(merged)
         # range exchange gives disjoint per-file value ranges; the
         # in-partition sort tightens row-group stats within a file
-        snapshot = self._cluster_for_write(snapshot, sort_by, zorder)
+        snapshot = self._cluster_for_write(
+            snapshot, sort_by, zorder,
+            input_bytes=sum(self._commit_size(n) for n in merged),
+            target_file_bytes=target_file_bytes,
+        )
         commit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         tmp = os.path.join(self.path, f".tmp-{commit_id}")
         if self.meta.get("partitioned"):
@@ -854,34 +902,54 @@ class Pool:
         )
         return len(merged)
 
+    #: Compaction's target output file size.  128 MiB parquet is the
+    #: classic scan-friendly size (one HDFS-era block / one comfortable
+    #: S3 range request; Delta OPTIMIZE targets 1 GiB, Spark's
+    #: maxPartitionBytes defaults to 128 MiB so one output file = one
+    #: read split).
+    COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
     def _cluster_for_write(
-        self, snapshot: DataFrame, sort_by: list[str] | None, zorder: bool
+        self,
+        snapshot: DataFrame,
+        sort_by: list[str] | None,
+        zorder: bool,
+        input_bytes: int | None = None,
+        target_file_bytes: int | None = None,
     ) -> DataFrame:
         """Shared compaction clustering: z-order key, linear range
-        clustering, or the default ingest-order offset sort."""
+        clustering, or the default ingest-order offset sort.
+
+        Output parallelism is SIZE-based: ceil(input bytes / 128 MiB),
+        so compacting N tiny commits actually coalesces to few
+        right-sized files instead of inheriting N input partitions —
+        the whole point of compaction is fewer, bigger files."""
+        target = target_file_bytes or self.COMPACT_TARGET_BYTES
+        nparts = max(1, -(-int(input_bytes) // target)) if input_bytes else 1
         if sort_by and zorder and len(sort_by) >= 2:
             from zinger_spark.functions.zorder import with_zorder_key  # noqa: PLC0415
 
             snapshot = with_zorder_key(snapshot, sort_by)
             return (
-                snapshot.repartitionByRange(
-                    max(snapshot.rdd.getNumPartitions(), 1), F.col("_zkey")
-                )
+                snapshot.repartitionByRange(nparts, F.col("_zkey"))
                 .sortWithinPartitions("_zkey")
                 .drop("_zkey")
             )
         if sort_by:
             cols = [F.col(c) for c in sort_by]
-            return snapshot.repartitionByRange(
-                max(snapshot.rdd.getNumPartitions(), 1), *cols
-            ).sortWithinPartitions(*cols)
-        return snapshot.sortWithinPartitions("kafka.offset")
+            return snapshot.repartitionByRange(nparts, *cols).sortWithinPartitions(
+                *cols
+            )
+        # no re-clustering asked: shuffle-free coalesce preserves the
+        # per-commit offset order within each merged file
+        return snapshot.coalesce(nparts).sortWithinPartitions("kafka.offset")
 
     def _compact_txlog(
         self,
         small_bytes: int | None = None,
         sort_by: list[str] | None = None,
         zorder: bool = False,
+        target_file_bytes: int | None = None,
     ) -> int:
         """txlog compaction: size-tier on PER-FILE sizes from the log's
         records (no filesystem stat pass), rewrite the merged set, and
@@ -917,7 +985,18 @@ class Pool:
                 return 0
         paths = [os.path.join(self.path, f["path"]) for f in merged]
         snapshot = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        snapshot = self._cluster_for_write(snapshot, sort_by, zorder)
+        snapshot = self._cluster_for_write(
+            snapshot, sort_by, zorder,
+            input_bytes=sum(
+                f["size"]
+                if f.get("size") is not None
+                else self._fs.tree_size(
+                    os.path.dirname(os.path.join(self.path, f["path"]))
+                )
+                for f in merged
+            ),
+            target_file_bytes=target_file_bytes,
+        )
         commit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         rel_dir = os.path.join("data", f"commit-{commit_id}")
         snapshot.write.mode("overwrite").parquet(os.path.join(self.path, rel_dir))
@@ -934,6 +1013,7 @@ class Pool:
             add=adds,
             remove=[f["path"] for f in merged],
             floor=f"commit-{commit_id}",
+            schema_json=snapshot.schema.json(),
         )
         return len(merged)
 

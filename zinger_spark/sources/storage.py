@@ -59,6 +59,15 @@ class PosixStorage:
         except FileNotFoundError:
             return None
 
+    def read_text(self, path: str) -> str | None:
+        """Raw small-file read (the Delta log is NDJSON, not one
+        object); None when absent."""
+        try:
+            with open(path) as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
     def write_json_atomic(self, path: str, obj: dict) -> None:
         """Readers see the old or the new content, never a torn write
         (tmp file + atomic rename within the same directory)."""
@@ -208,6 +217,11 @@ class MemoryObjectStorage:
         with self._lock:
             obj = self._objects.get(self._norm(path))
         return None if obj is None else json.loads(obj[0])
+
+    def read_text(self, path: str) -> str | None:
+        with self._lock:
+            obj = self._objects.get(self._norm(path))
+        return None if obj is None else obj[0].decode()
 
     def write_json_atomic(self, path: str, obj: dict) -> None:
         # a plain PUT: object stores are atomic per key, no tmp+rename

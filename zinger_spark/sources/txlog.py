@@ -1,11 +1,10 @@
-"""Transaction-log table format for pools (the Delta/Iceberg seam).
+"""Delta-format transaction log for pools (the interoperable seam).
 
 The default pool layout publishes whole COMMIT DIRECTORIES through a
 manifest; readers hand Spark directory paths and rely on parquet
 row-group stats for pruning only after file listing.  A 100-TB
-deployment uses a log of per-FILE actions instead (Delta's
-``_delta_log/N.json``, Iceberg's manifests): each committed data file
-is recorded with its row count and column min/max stats, so
+deployment uses a log of per-FILE actions instead: each committed data
+file is recorded with its row count and column min/max stats, so
 
   - visibility is one atomic log append (no rename of data bytes —
     object-store native, same win as the ``rename_is_copy`` path),
@@ -14,35 +13,68 @@ is recorded with its row count and column min/max stats, so
   - compaction/vacuum are log operations (add+remove actions) with the
     same read-isolation the manifest gives commit dirs.
 
-Format: ``_log/<20-digit version>.json``, one JSON object per entry:
+The on-disk format IS the open Delta Lake transaction-log wire format
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md):
+``_delta_log/<20-digit version>.json``, one JSON ACTION per line:
 
-    {"version": N, "commit": "commit-<ms>-<rand>", "ts": <epoch>,
-     "add": [{"path": "<pool-relative>", "records": n,
-              "stats": {"kafka.offset": [lo, hi],
-                        "kafka.topic":  [lo, hi], ...}}],
-     "remove": ["<pool-relative>", ...],
-     "floor": "commit-..."}        # optional: as-of floor (compaction)
+    {"protocol":  {"minReaderVersion": 1, "minWriterVersion": 2}}
+    {"metaData":  {"id": ..., "format": {"provider": "parquet", ...},
+                   "schemaString": <Spark StructType JSON>,
+                   "partitionColumns": [], ...}}
+    {"commitInfo": {"timestamp": ms, "operation": "WRITE", ...,
+                    "zinger": {"commit": "commit-<ms>-<rand>",
+                               "floor": ..., "retract": ...}}}
+    {"add":    {"path": <pool-relative>, "partitionValues": {},
+                "size": bytes, "modificationTime": ms,
+                "dataChange": true,
+                "stats": "{\"numRecords\": n, \"minValues\": {...},
+                           \"maxValues\": {...}}"}}
+    {"remove": {"path": ..., "deletionTimestamp": ms,
+                "dataChange": true}}
+
+so an EXTERNAL Delta reader (delta-rs, DuckDB delta_scan, a Spark
+Delta session) can open a txlog pool directly: protocol v1/v2, no
+deletion vectors, no column mapping, relative parquet paths,
+statistics in the standard per-file stats JSON.  Engine-specific
+bookkeeping the Delta spec has no slot for (the pool commit id, the
+as-of floor raised by compaction, commit retraction) rides inside
+``commitInfo`` — which the spec defines as free-form and every reader
+ignores for table state.
 
 Entries replay in version order; a file is live if added and not later
 removed.  Stats come from the parquet FOOTERS (pyarrow, driver-side —
 footer-only reads, no data IO; at real scale the executors that wrote
 the files report the same stats back through the commit service, which
-is exactly Delta's protocol).  Reference parity: the pool surface
-(LoadBatch / ordered reads / offset bookkeeping, fifo/lake.go:58-92)
-is unchanged — this module only swaps HOW bytes become visible.
+is exactly Delta's protocol).  Version claims are conditional PUTs
+(S3 If-None-Match / GCS generation-0) — Delta's putIfAbsent commit
+protocol, so contiguous versions survive racing writers.  Reference
+parity: the pool surface (LoadBatch / ordered reads / offset
+bookkeeping, fifo/lake.go:58-92) is unchanged — this module only swaps
+HOW bytes become visible.
+
+Not written (documented scale debt): periodic parquet checkpoints and
+``_last_checkpoint`` — every reader here replays the JSON entries,
+which is exact but O(log length); Delta readers fall back to the same
+replay when no checkpoint exists, so interop is unaffected.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import uuid
 
-LOG_DIR = "_log"
+LOG_DIR = "_delta_log"
 
-# stats columns recorded per file: the pool key (offset-range reads)
-# and the topic (topic-scoped reads).  Nested parquet paths.
-STATS_COLUMNS = ("kafka.offset", "kafka.topic")
+ENGINE_INFO = "zinger-spark"
+
+# stats columns recorded per file: the pool key (offset-range reads),
+# the topic (topic-scoped reads), and the partition (per-partition
+# resume maps for multi-partition ingest).  Nested parquet paths.
+STATS_COLUMNS = ("kafka.offset", "kafka.topic", "kafka.partition")
+
+_EMPTY_SCHEMA = '{"fields":[],"type":"struct"}'
 
 
 def collect_file_stats(root: str, rel_paths: list[str]) -> list[dict]:
@@ -98,8 +130,60 @@ def list_parquet_files(fs, root: str, rel_dir: str) -> list[str]:
     )
 
 
+def _delta_stats(a: dict) -> str:
+    """Internal dotted {col: [lo, hi]} stats -> the Delta per-file
+    stats JSON string (numRecords + NESTED minValues/maxValues)."""
+    minv: dict = {}
+    maxv: dict = {}
+    for dotted, (lo, hi) in (a.get("stats") or {}).items():
+        parts = dotted.split(".")
+        d1, d2 = minv, maxv
+        for p in parts[:-1]:
+            d1 = d1.setdefault(p, {})
+            d2 = d2.setdefault(p, {})
+        d1[parts[-1]] = lo
+        d2[parts[-1]] = hi
+    return json.dumps(
+        {"numRecords": a.get("records", 0), "minValues": minv, "maxValues": maxv},
+        sort_keys=True,
+    )
+
+
+def _flatten_minmax(minv: dict, maxv: dict, prefix: str = "") -> dict[str, list]:
+    """Inverse of _delta_stats: nested minValues/maxValues -> dotted
+    {col: [lo, hi]}, keeping only leaves present on BOTH sides."""
+    out: dict[str, list] = {}
+    for k, lo in (minv or {}).items():
+        if k not in (maxv or {}):
+            continue
+        hi = maxv[k]
+        dotted = f"{prefix}{k}"
+        if isinstance(lo, dict) and isinstance(hi, dict):
+            out.update(_flatten_minmax(lo, hi, prefix=f"{dotted}."))
+        elif not isinstance(lo, dict) and not isinstance(hi, dict):
+            out[dotted] = [lo, hi]
+    return out
+
+
+def _fuse_schema_json(cur: str | None, new: str | None) -> str | None:
+    """Widened union of two Spark StructType JSON strings (the Delta
+    ``schemaString``) — the table schema is the union across commits,
+    exactly what ``mergeSchema`` reads produce."""
+    if new is None:
+        return cur
+    if cur is None or cur == new or cur == _EMPTY_SCHEMA:
+        return new
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    from ..datamodel import fuse_type  # noqa: PLC0415
+
+    a = T.StructType.fromJson(json.loads(cur))
+    b = T.StructType.fromJson(json.loads(new))
+    return fuse_type(a, b).json()
+
+
 class TxLog:
-    """Reader/writer for a pool's ``_log/`` directory.
+    """Reader/writer for a pool's ``_delta_log/`` directory.
 
     All IO goes through the pool's storage backend; appends must run
     under the pool's writer lock (version = last + 1 read-modify-write,
@@ -108,6 +192,10 @@ class TxLog:
     def __init__(self, fs, pool_path: str):
         self._fs = fs
         self.path = os.path.join(pool_path, LOG_DIR)
+        # (replayed-up-to version, table id, schemaString): metaData is
+        # append-once-then-rarely, so appends reuse the cached identity
+        # instead of re-reading the log tail every commit
+        self._meta_cache: tuple[int, str | None, str | None] | None = None
 
     def _entry_path(self, version: int) -> str:
         return os.path.join(self.path, f"{version:020d}.json")
@@ -121,12 +209,93 @@ class TxLog:
             if f.endswith(".json") and f[:-5].isdigit()
         )
 
+    # -- action-file parsing -------------------------------------------------
+
+    def _read_entry(self, version: int) -> dict | None:
+        """Parse one NDJSON action file into the engine's entry shape:
+        {version, commit, ts, add[{path, records, size, stats}],
+        remove[paths], floor?, retract?, schema_string?}.  Unknown
+        actions (and a legacy racer's single-object content) are
+        ignored — Delta readers are required to do the same."""
+        txt = self._fs.read_text(self._entry_path(version))
+        if txt is None:
+            return None
+        e: dict = {"version": version, "commit": None, "ts": 0.0, "add": [], "remove": []}
+        for ln in txt.splitlines():
+            ln = ln.strip()
+            if not ln:
+                continue
+            try:
+                act = json.loads(ln)
+            except ValueError:
+                continue
+            if not isinstance(act, dict):
+                continue
+            # every Delta action wraps a single dict payload; anything
+            # else (e.g. a foreign writer's junk claim of a version
+            # slot) is skipped, as the Delta spec requires for unknown
+            # actions
+            act = {
+                k: v for k, v in act.items() if isinstance(v, dict)
+            }
+            if "commitInfo" in act:
+                ci = act["commitInfo"]
+                e["ts"] = ci.get("timestamp", 0) / 1000.0
+                z = ci.get("zinger", {})
+                if z.get("commit"):
+                    e["commit"] = z["commit"]
+                if z.get("floor"):
+                    e["floor"] = z["floor"]
+                if z.get("retract"):
+                    e["retract"] = z["retract"]
+            elif "add" in act:
+                a = act["add"]
+                try:
+                    st = json.loads(a.get("stats") or "{}")
+                except ValueError:
+                    st = {}
+                e["add"].append(
+                    {
+                        "path": a["path"],
+                        "records": st.get("numRecords", 0),
+                        "size": a.get("size"),
+                        "stats": _flatten_minmax(
+                            st.get("minValues"), st.get("maxValues")
+                        ),
+                    }
+                )
+            elif "remove" in act:
+                e["remove"].append(act["remove"]["path"])
+            elif "metaData" in act:
+                e["meta_id"] = act["metaData"].get("id")
+                e["schema_string"] = act["metaData"].get("schemaString")
+        return e
+
     def entries(self) -> list[dict]:
         return [
             e
             for v in self.versions()
-            if (e := self._fs.read_json(self._entry_path(v))) is not None
+            if (e := self._read_entry(v)) is not None
         ]
+
+    def _last_meta(self, vs: list[int]) -> tuple[str | None, str | None]:
+        """(table id, current schemaString) as of the given version
+        list, replaying only versions the cache hasn't seen."""
+        upto, mid, schema = self._meta_cache or (-1, None, None)
+        for v in vs:
+            if v <= upto:
+                continue
+            e = self._read_entry(v)
+            if e is None:
+                continue
+            if e.get("meta_id"):
+                mid = e["meta_id"]
+            if e.get("schema_string"):
+                schema = e["schema_string"]
+        self._meta_cache = (vs[-1] if vs else -1, mid, schema)
+        return mid, schema
+
+    # -- append ---------------------------------------------------------------
 
     def append(
         self,
@@ -135,6 +304,7 @@ class TxLog:
         remove: list[str] | None = None,
         floor: str | None = None,
         retract: str | None = None,
+        schema_json: str | None = None,
     ) -> int:
         """Write the next log entry (caller holds the writer lock).
 
@@ -144,28 +314,95 @@ class TxLog:
         protocol: even if two writers somehow shared the lock (broken
         clock on a stale-break, operator error), one of them LOSES the
         version slot and retries onto the next, instead of both
-        thinking they wrote version N."""
-        import json as _json  # noqa: PLC0415
+        thinking they wrote version N.
 
+        ``schema_json`` (Spark ``StructType.json()`` of the data being
+        added) keeps the Delta ``metaData.schemaString`` current: it is
+        fused into the table schema and a metaData action is emitted at
+        version 0 and whenever the union widens — external Delta
+        readers take the schema from metaData, not from footers."""
         self._fs.makedirs(self.path)
         vs = self.versions()
         version = (vs[-1] + 1) if vs else 0
         while True:
-            entry = {
-                "version": version,
-                "commit": commit,
-                "ts": time.time(),
-                "add": add or [],
-                "remove": remove or [],
-            }
+            meta_id, cur_schema = self._last_meta(vs)
+            fused = _fuse_schema_json(cur_schema, schema_json)
+            now_ms = int(time.time() * 1000)
+            lines: list[dict] = []
+            if version == 0:
+                lines.append(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
+            if version == 0 or (fused is not None and fused != cur_schema):
+                if meta_id is None:
+                    meta_id = str(uuid.uuid4())
+                lines.append(
+                    {
+                        "metaData": {
+                            "id": meta_id,
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": fused or _EMPTY_SCHEMA,
+                            "partitionColumns": [],
+                            "configuration": {},
+                            "createdTime": now_ms,
+                        }
+                    }
+                )
+            op = (
+                "OPTIMIZE"
+                if add and remove
+                else ("DELETE" if remove else "WRITE")
+            )
+            zinger: dict = {}
+            if commit is not None:
+                zinger["commit"] = commit
             if floor is not None:
-                entry["floor"] = floor
+                zinger["floor"] = floor
             if retract is not None:
-                entry["retract"] = retract
-            payload = _json.dumps(entry, sort_keys=True).encode()
+                zinger["retract"] = retract
+            lines.append(
+                {
+                    "commitInfo": {
+                        "timestamp": now_ms,
+                        "operation": op,
+                        "operationParameters": {},
+                        "engineInfo": ENGINE_INFO,
+                        "zinger": zinger,
+                    }
+                }
+            )
+            for a in add or []:
+                add_act = {
+                    "path": a["path"],
+                    "partitionValues": {},
+                    "size": a.get("size") or 0,
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": _delta_stats(a),
+                }
+                lines.append({"add": add_act})
+            for r in remove or []:
+                lines.append(
+                    {
+                        "remove": {
+                            "path": r,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            payload = (
+                "\n".join(json.dumps(ln, sort_keys=True) for ln in lines) + "\n"
+            ).encode()
             if self._fs.create_exclusive(self._entry_path(version), payload):
+                # our own entry is replayed-by-construction
+                self._meta_cache = (version, meta_id, fused or cur_schema)
                 return version
-            version += 1  # lost the slot to a racer: claim the next one
+            # lost the slot to a racer: re-list (their entry may carry
+            # protocol/metaData/schema we must not duplicate) and claim
+            # the next slot
+            vs = self.versions()
+            version = (vs[-1] + 1) if vs else version + 1
 
     # -- snapshot ----------------------------------------------------------
 
@@ -178,6 +415,7 @@ class TxLog:
         floor: str | None = None
         removed_ts: dict[str, float] = {}
         retracted: set[str] = set()
+        schema_string: str | None = None
         seen_asof = False
         for e in self.entries():
             for a in e.get("add", []):
@@ -197,6 +435,8 @@ class TxLog:
                 commits = [c for c in commits if c != e["retract"]]
             if e.get("floor"):
                 floor = max(floor, e["floor"]) if floor else e["floor"]
+            if e.get("schema_string"):
+                schema_string = e["schema_string"]
             if as_of_commit is not None and e.get("commit") == as_of_commit:
                 seen_asof = True
                 break
@@ -206,6 +446,7 @@ class TxLog:
             "floor": floor,
             "removed_ts": removed_ts,
             "retracted": retracted,
+            "schema_string": schema_string,
             "asof_found": seen_asof,
         }
 

@@ -52,15 +52,32 @@ def kafka_source(
     )
 
 
-def starting_offsets_from_pool(pool: Pool, topics: list[str]) -> dict:
-    """Resume point per topic: max stored offset + 1 (A9,
+def starting_offsets_from_pool(
+    pool: Pool,
+    topics: list[str],
+    partitions_by_topic: dict[str, list[int]] | None = None,
+) -> dict:
+    """Resume point per (topic, partition): max stored offset + 1 (A9,
     fifo/lake.go:62-82; run per topic like command.go:155-184).
-    -2 = earliest for topics never seen (Kafka convention, also the
-    reference's consume -offset default, cmd/zync/consume/command.go:57)."""
+    -2 = earliest for partitions never seen (Kafka convention, also the
+    reference's consume -offset default, cmd/zync/consume/command.go:57).
+
+    The reference pins partition 0 (fifo/consumer.go:59-63); Kafka
+    ordering is per partition, so multi-partition ingest resumes each
+    one independently: pass ``partitions_by_topic`` (from the broker's
+    topic metadata, kafka_admin) to cover partitions with no pool data
+    yet — partitions already stored resume from their own watermark
+    regardless.  Default [0] per topic = exact reference parity."""
     out: dict[str, dict[str, int]] = {}
     for topic in topics:
-        nxt = pool.next_consumer_offset(topic) if not pool.is_empty() else 0
-        out[topic] = {"0": nxt if nxt > 0 else -2}
+        declared = (partitions_by_topic or {}).get(topic, [0])
+        saved = (
+            {} if pool.is_empty() else pool.next_consumer_offsets_by_partition(topic)
+        )
+        out[topic] = {
+            str(p): saved[p] if saved.get(p, 0) > 0 else -2
+            for p in sorted(set(declared) | set(saved))
+        }
     return out
 
 
@@ -92,17 +109,25 @@ def envelope_stream(
 
 def monotonic_guard(batch: DataFrame, saved: dict[str, int]) -> None:
     """Offset-regression detector (A3, fifo/consumer.go:118-122): raise
-    if a batch contains an offset below the saved watermark per topic."""
+    if a batch contains an offset below the saved watermark.  Watermark
+    keys are ``"topic:partition"`` (multi-partition — ordering is per
+    partition) or plain ``topic`` (reference parity, partition 0); the
+    most specific one wins.  One partial-agg groupBy, bounded collect
+    (one row per (topic, partition) in the batch)."""
     rows = (
-        batch.groupBy(F.col("kafka.topic").alias("topic"))
+        batch.groupBy(
+            F.col("kafka.topic").alias("topic"),
+            F.col("kafka.partition").alias("part"),
+        )
         .agg(F.min("kafka.offset").alias("mn"))
         .collect()
     )
     for r in rows:
-        if r["topic"] in saved and r["mn"] < saved[r["topic"]]:
+        wm = saved.get(f"{r['topic']}:{r['part']}", saved.get(r["topic"]))
+        if wm is not None and r["mn"] < wm:
             raise RuntimeError(
-                f"topic {r['topic']}: received offset {r['mn']} < "
-                f"saved offset {saved[r['topic']]}"
+                f"topic {r['topic']} partition {r['part']}: received offset "
+                f"{r['mn']} < saved offset {wm}"
             )
 
 
