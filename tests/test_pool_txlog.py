@@ -486,3 +486,49 @@ def test_delta_log_external_reader_interop(spark, tmp_path):
         ).fetchall()
     )
     assert got == [0, 1, 2, 7]
+
+
+def test_delta_log_foreign_writer_entries_read_back(spark, tmp_path):
+    """Interop is bidirectional: an entry appended by an EXTERNAL Delta
+    writer (standard add action, no zinger commitInfo block) must
+    become visible through Pool.df(), and the offset-metadata fast
+    path must FALL BACK to the exact scan rather than trusting foreign
+    files without our stats columns."""
+    import json as _json
+
+    pool = _mk(spark, tmp_path)
+    pool.load_batch(spark.createDataFrame(env_rows("T", [0, 1]), _schema()))
+
+    # a foreign engine writes a data file + a minimal spec add action
+    foreign_rel = "data/foreign-0001"
+    spark.createDataFrame(env_rows("T", [2]), _schema()).coalesce(1).write.parquet(
+        os.path.join(pool.path, foreign_rel)
+    )
+    pfile = next(
+        f
+        for f in os.listdir(os.path.join(pool.path, foreign_rel))
+        if f.endswith(".parquet")
+    )
+    log = TxLog(pool._fs, pool.path)
+    v = log.versions()[-1] + 1
+    action = {
+        "add": {
+            "path": f"{foreign_rel}/{pfile}",
+            "partitionValues": {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": _json.dumps({"numRecords": 1, "minValues": {}, "maxValues": {}}),
+        }
+    }
+    commit_info = {"commitInfo": {"timestamp": 0, "operation": "WRITE", "engineInfo": "delta-rs/x"}}
+    payload = (_json.dumps(commit_info) + "\n" + _json.dumps(action) + "\n").encode()
+    assert pool._fs.create_exclusive(log._entry_path(v), payload)
+
+    # visible through the pool; no phantom commit in OUR history
+    assert sorted(r["kafka"]["offset"] for r in pool.df().collect()) == [0, 1, 2]
+    assert len(pool._commit_names()) == 1
+    # statless foreign file forces the exact-scan fallback — and it is exact
+    assert pool.next_consumer_offset("T") == 3
+    assert pool.next_producer_offsets() == {"T": 3}
+    assert pool.next_consumer_offsets_by_partition("T") == {0: 3}

@@ -137,6 +137,15 @@ def main() -> int:
               "unpartitioned Window.orderBy over the corpus")
         check(q, "percent_rank()" not in p and "ntile(" not in p,
               "no rank window function on the corpus — closed form in (rn, N)")
+    # r9: dense output-offset assignment runs on the same two-level
+    # prefix sum — the per-topic Window.orderBy sort reducer (the r8
+    # verdict's flagged serialization point) is gone from the plan
+    p = plan_of(qs["offset_assign"](spark, sf))
+    check("offset_assign", "hashpartitioning(_pid" in p,
+          "dense per-topic offsets via two-level prefix sum "
+          "(parallelism = #partitions)")
+    check("offset_assign", "row_number()" not in p,
+          "no per-topic row_number sort reducer in the plan")
     for q in ("contamination", "fuzzy_prefix_pairs"):
         p = plan_of(qs[q](spark, sf))
         check(q, "CartesianProduct" not in p, "candidates via equi-join, not cross join")

@@ -134,14 +134,25 @@ def sync_once(
     return int(obs.get["rows"])
 
 
-# Broker-free produce target for tests/demos: rows collected per
-# query_name, read back with ``memory_sink_rows``.
+# Broker-free produce target for tests/demos ONLY: rows collected per
+# query_name, read back with ``memory_sink_rows``.  Grows for the
+# process lifetime by design (a test inspects what was "produced"
+# after the stream stops) — production paths always pass ``brokers``
+# and never touch it; call ``clear_memory_sink`` between scenarios.
 _MEMORY_SINKS: dict[str, list] = {}
 
 
 def memory_sink_rows(query_name: str) -> list:
     """Rows produced by a broker-less continuous_sink (test mode)."""
     return _MEMORY_SINKS.get(query_name, [])
+
+
+def clear_memory_sink(query_name: str | None = None) -> None:
+    """Drop collected test-sink rows (one query's, or all)."""
+    if query_name is None:
+        _MEMORY_SINKS.clear()
+    else:
+        _MEMORY_SINKS.pop(query_name, None)
 
 
 def continuous_sink(
