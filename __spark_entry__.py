@@ -341,6 +341,30 @@ def _q_offset_assign(spark, sf):
     )
 
 
+def _q_offset_assign_dist(spark, sf):
+    """The backfill-scale strategy pinned on: dense per-topic output
+    offsets via the two-level distributed prefix sum (what
+    assign_offsets' "auto" switches to past PREFIX_SUM_CUTOVER_BYTES —
+    no per-topic sort reducer, parallelism = #partitions).  Same
+    semantics and oracle as offset_assign; registered separately so
+    the distributed form is driver-hash-checked and bench-tracked in
+    its own right."""
+    ev = _events(spark, sf)
+    env = dm.wrap_envelope(
+        ev,
+        topic=F.col("event_type"),
+        offset=F.col("event_id"),
+        key=F.struct(F.col("user_id").alias("user_id")),
+        value=F.struct(F.col("value").alias("value")),
+    ).withColumn("__in_offset", F.col("kafka.offset"))
+    out = zoff.assign_offsets(env, {"click": 1000, "view": 2000}, via_prefix_sum=True)
+    return out.select(
+        F.col("kafka.topic").alias("topic"),
+        F.col("__in_offset").alias("in_offset"),
+        F.col("kafka.offset").alias("out_offset"),
+    )
+
+
 def _q_cut_yield(spark, sf):
     """Projection + field assignment + cast + scalar funcs + JSON path
     (cut/yield/:=/cast/to_upper/split, SURVEY §2.B)."""
@@ -4286,6 +4310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": _q_ntile_deciles,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "offset_assign": _q_offset_assign,
+        "offset_assign_dist": _q_offset_assign_dist,
         "deterministic_shuffle": _q_deterministic_shuffle,
         "pack_sequences": _q_pack_sequences,
         # -- previously green (churn insurance, prior order) -------
@@ -4418,6 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # by the r9 full tools/compare.py sweep before this rotation).
 _R9_FRONT = [
     "offset_assign",
+    "offset_assign_dist",
     "tfidf_top_terms",
     "tpch_q8",
     "tpch_q15",
@@ -5668,6 +5694,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY (user_id % 50)
         """,
         "offset_assign": """
+            SELECT event_type AS topic, event_id AS in_offset,
+                   (CASE event_type WHEN 'click' THEN 1000 WHEN 'view' THEN 2000 ELSE 0 END
+                    + row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1)
+                   AS out_offset
+            FROM events
+        """,
+        "offset_assign_dist": """
             SELECT event_type AS topic, event_id AS in_offset,
                    (CASE event_type WHEN 'click' THEN 1000 WHEN 'view' THEN 2000 ELSE 0 END
                     + row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1)

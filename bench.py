@@ -31,6 +31,8 @@ HEADLINE = [
     "switch_route",
     "top1_per_group",
     "offset_assign",
+    # r9: the distributed (prefix-sum) form, the auto cutover's scale side
+    "offset_assign_dist",
     "asof_join",
     "sessionize",
     "tpch_q1",

@@ -532,3 +532,120 @@ def test_delta_log_foreign_writer_entries_read_back(spark, tmp_path):
     assert pool.next_consumer_offset("T") == 3
     assert pool.next_producer_offsets() == {"T": 3}
     assert pool.next_consumer_offsets_by_partition("T") == {0: 3}
+
+
+def test_delta_checkpoint_bounds_replay_and_is_exact(spark, tmp_path):
+    """Every CHECKPOINT_INTERVAL appends the log writes a spec
+    checkpoint parquet + _last_checkpoint.  A checkpoint-seeded
+    snapshot must be IDENTICAL to a full replay (files, commits,
+    floor, retractions), and a cold reader must actually start from
+    it (only post-checkpoint JSON entries replayed)."""
+    import glob as _glob
+
+    pool = _mk(spark, tmp_path)
+    log = TxLog(pool._fs, pool.path)
+    cids = []
+    for i in range(12):
+        cids.append(
+            pool.load_batch(spark.createDataFrame(env_rows("T", [i]), _schema()))
+        )
+    pool.drop_commit(cids[-1])  # a retraction after the 10th version
+    cps = _glob.glob(os.path.join(pool.path, "_delta_log", "*.checkpoint.parquet"))
+    assert cps, "auto-checkpoint at the interval"
+    assert pool._fs.read_json(
+        os.path.join(pool.path, "_delta_log", "_last_checkpoint")
+    )["version"] >= 10
+
+    fast = log.snapshot()
+    full = log.snapshot(use_checkpoint=False)
+    assert fast["files"].keys() == full["files"].keys()
+    for p in full["files"]:
+        assert fast["files"][p]["stats"] == full["files"][p]["stats"]
+        assert fast["files"][p]["records"] == full["files"][p]["records"]
+    assert fast["commits"] == full["commits"]
+    assert fast["retracted"] == full["retracted"]
+    assert fast["floor"] == full["floor"]
+    assert fast["schema_string"] == full["schema_string"]
+
+    # a COLD instance seeds from the checkpoint: only entries after the
+    # checkpoint version are read
+    cold = TxLog(pool._fs, pool.path)
+    reads = []
+    orig = cold._read_entry
+
+    def counting(v):
+        reads.append(v)
+        return orig(v)
+
+    cold._read_entry = counting
+    snap = cold.snapshot()
+    cp_version = pool._fs.read_json(
+        os.path.join(pool.path, "_delta_log", "_last_checkpoint")
+    )["version"]
+    assert reads and min(reads) > cp_version
+    assert snap["commits"] == full["commits"]
+    # reads through the pool agree
+    assert sorted(r["kafka"]["offset"] for r in pool.df().collect()) == list(range(11))
+    assert pool.next_producer_offsets() == {"T": 11}
+    # time travel (full replay path) still exact across the boundary
+    assert [r["kafka"]["offset"] for r in pool.df(as_of=cids[2]).collect()][-1] == 2
+
+
+def test_delta_checkpoint_external_reader_shape(spark, tmp_path):
+    """The checkpoint parquet is the spec shape an external reader
+    consumes: _last_checkpoint -> <V>.checkpoint.parquet (protocol +
+    metaData + add rows with standard stats JSON) + JSON entries after
+    V reproduce the live file set."""
+    import glob as _glob
+    import json as _json
+
+    import duckdb
+
+    pool = _mk(spark, tmp_path)
+    for i in range(11):
+        pool.load_batch(spark.createDataFrame(env_rows("T", [i]), _schema()))
+
+    log_dir = os.path.join(pool.path, "_delta_log")
+    lc = _json.load(open(os.path.join(log_dir, "_last_checkpoint")))
+    cp = os.path.join(log_dir, f"{lc['version']:020d}.checkpoint.parquet")
+    assert os.path.exists(cp)
+    con = duckdb.connect()
+    # external replay: checkpoint rows first...
+    rows = con.execute(
+        "SELECT protocol, metaData, add_, remove FROM "
+        "(SELECT protocol, metaData, \"add\" AS add_, remove FROM read_parquet(?))",
+        [cp],
+    ).fetchall()
+    live = {}
+    saw_protocol = saw_meta = False
+    for protocol, meta, add, remove in rows:
+        if protocol and protocol["minReaderVersion"] is not None:
+            saw_protocol = True
+        if meta and meta.get("id"):
+            saw_meta = True
+            assert meta["format"]["provider"] == "parquet"
+        if add and add.get("path"):
+            st = _json.loads(add["stats"])
+            assert st["numRecords"] > 0
+            live[add["path"]] = add
+        if remove and remove.get("path"):
+            live.pop(remove["path"], None)
+    assert saw_protocol and saw_meta and live
+    # ...then the JSON tail
+    for p in sorted(_glob.glob(os.path.join(log_dir, "*.json"))):
+        v = int(os.path.basename(p)[:-5])
+        if v <= lc["version"]:
+            continue
+        for ln in open(p):
+            if not ln.strip():
+                continue
+            act = _json.loads(ln)
+            if isinstance(act.get("add"), dict):
+                live[act["add"]["path"]] = act["add"]
+            elif isinstance(act.get("remove"), dict):
+                live.pop(act["remove"]["path"], None)
+    paths = [os.path.join(pool.path, p) for p in live]
+    n = con.execute(
+        "SELECT count(*) FROM read_parquet(?, union_by_name=true)", [paths]
+    ).fetchone()[0]
+    assert n == pool.df().count() == 11

@@ -137,15 +137,22 @@ def main() -> int:
               "unpartitioned Window.orderBy over the corpus")
         check(q, "percent_rank()" not in p and "ntile(" not in p,
               "no rank window function on the corpus — closed form in (rn, N)")
-    # r9: dense output-offset assignment runs on the same two-level
-    # prefix sum — the per-topic Window.orderBy sort reducer (the r8
-    # verdict's flagged serialization point) is gone from the plan
-    p = plan_of(qs["offset_assign"](spark, sf))
-    check("offset_assign", "hashpartitioning(_pid" in p,
+    # r9: dense output-offset assignment has both strategies.  The
+    # distributed form runs on the two-level prefix sum — the per-topic
+    # Window.orderBy sort reducer (the r8 verdict's flagged
+    # serialization point) is gone from its plan; the "auto" default
+    # must pick the cheap window at micro-batch scale (the adaptive
+    # cutover working) and the prefix sum past the size threshold.
+    p = plan_of(qs["offset_assign_dist"](spark, sf))
+    check("offset_assign_dist", "hashpartitioning(_pid" in p,
           "dense per-topic offsets via two-level prefix sum "
           "(parallelism = #partitions)")
-    check("offset_assign", "row_number()" not in p,
+    check("offset_assign_dist", "row_number()" not in p,
           "no per-topic row_number sort reducer in the plan")
+    p = plan_of(qs["offset_assign"](spark, sf))
+    check("offset_assign", "row_number()" in p and "hashpartitioning(_pid" not in p,
+          "auto strategy keeps the single-shuffle window for a "
+          "bounded micro-batch (no prefix-sum constant paid)")
     for q in ("contamination", "fuzzy_prefix_pairs"):
         p = plan_of(qs[q](spark, sf))
         check(q, "CartesianProduct" not in p, "candidates via equi-join, not cross join")

@@ -504,13 +504,14 @@ class EtlPipeline:
         high-water mark (etl/pipeline.go:127-164), ordered by original
         input offset (the trailing `sort kafka.offset`, etl/build.go:107).
 
-        Uses the two-level distributed prefix sum (assign_offsets
-        default) rather than a per-topic Window.orderBy: the window
-        form funnels each output topic through ONE sort reducer, which
-        is the serialization point of a backfill-scale batch — the
-        prefix sum produces bit-identical dense ranks with parallelism
-        = #partitions.  Output topics come from declared routes, so
-        the prefix sum's non-null-topic requirement always holds."""
+        Strategy is assign_offsets' "auto": the per-topic window for
+        the cursor-bounded micro-batch (one task sorts one bounded
+        batch — the common case), the two-level distributed prefix sum
+        once Catalyst's size estimate says a backfill-scale batch would
+        otherwise funnel each topic through one sort reducer.  Both
+        produce bit-identical dense ranks.  Output topics come from
+        declared routes, so the prefix sum's non-null-topic
+        requirement always holds."""
         from ..operators.offsets import assign_offsets  # noqa: PLC0415
 
         base = self.output_pool.next_producer_offsets()

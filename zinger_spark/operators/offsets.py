@@ -35,28 +35,63 @@ def next_producer_offsets(pool: DataFrame) -> dict[str, int]:
     return {r["topic"]: int(r["offset"]) + 1 for r in rows if r["topic"] is not None}
 
 
+#: assign_offsets "auto" cutover: below this plan-estimated input size
+#: the single-shuffle window form wins (one task sorts one bounded
+#: micro-batch topic); above it the distributed prefix sum's extra
+#: exchange + materialization pays for itself.  512 MiB ~= several
+#: million envelope rows — far past the from-kafka commit threshold,
+#: squarely backfill territory.
+PREFIX_SUM_CUTOVER_BYTES = 512 * 1024 * 1024
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's plan-time size estimate (file-stats based — free, no
+    action).  None when the estimate is unavailable (e.g. Connect)."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def assign_offsets(
     df: DataFrame,
     base_offsets: dict[str, int],
     topic_col: str = "kafka.topic",
     order_col: str | list = "__in_offset",
-    via_prefix_sum: bool = True,
+    via_prefix_sum: bool | str = "auto",
 ) -> DataFrame:
     """Dense per-topic sequential output offsets (insertOffsets,
     etl/pipeline.go:127-164): per-topic rank over the input order +
     the topic's current high-water mark.
 
-    The DEFAULT is the two-level distributed prefix sum
-    (operators/packing.prefix_sum): parallelism = #partitions, so a
-    backfill-scale batch where one topic's slice outgrows a task never
-    funnels through a single per-topic sort reducer.  The ranks are
-    bit-identical to the window form (exclusive prefix sum of 1s ==
-    row_number - 1) at the cost of the prefix sum's one-materialization
-    barrier.  ``via_prefix_sum=False`` keeps the single-shuffle window
-    form — marginally cheaper for a tiny bounded micro-batch, and the
-    only form that groups NULL topics (the prefix sum's equi-join drops
-    them; every producer in this repo assigns topics from declared
-    routes, so nulls cannot occur there)."""
+    Two physical strategies, IDENTICAL results (exclusive prefix sum
+    of 1s == row_number - 1):
+
+    * window form (``via_prefix_sum=False``): one shuffle on the topic
+      key, one sort task per topic — optimal for the bounded
+      micro-batch the reference's commit threshold guarantees (~1M
+      records), where the per-topic "serialization" is one task
+      sorting one small batch;
+    * two-level distributed prefix sum (``True``,
+      operators/packing.prefix_sum): parallelism = #partitions, so a
+      BACKFILL-scale batch where one topic's slice outgrows a task
+      never funnels through a single sort reducer — at the cost of a
+      range-sampling exchange + one materialization barrier (~0.5 s
+      constant, which would double a micro-batch's latency for
+      nothing).
+
+    The default ``"auto"`` picks by Catalyst's plan-time size estimate
+    (PREFIX_SUM_CUTOVER_BYTES), the same statistics AQE plans from:
+    micro-batches keep the cheap window, backfills get the distributed
+    rank; unknown size falls to the prefix sum (the scale-safe side).
+    NULL topics are only grouped by the window form (the prefix sum's
+    equi-join drops them; every producer in this repo assigns topics
+    from declared routes, so nulls cannot occur there)."""
+    if via_prefix_sum == "auto":
+        est = _estimated_bytes(df)
+        via_prefix_sum = est is None or est >= PREFIX_SUM_CUTOVER_BYTES
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if base_offsets:
         base = F.create_map(

@@ -445,9 +445,12 @@ class Pool:
         if not files:
             raise PoolError(f"pool {self.path} is empty")
         pruned = prune_files(files, topic=topic, offset_lo=offset_lo, offset_hi=offset_hi)
+        schema_string = snap.get("schema_string")
         if not pruned:
             # everything pruned: empty frame with the FULL pool schema
-            out = self.spark.createDataFrame([], self._txlog_schema(files))
+            out = self.spark.createDataFrame(
+                [], self._txlog_schema(files, schema_string)
+            )
         elif len(pruned) < len(files):
             # A partially-pruned read must still carry the FULL pool
             # schema: the schema is a union across commits, and a
@@ -457,9 +460,9 @@ class Pool:
             # Explicit schema on the parquet read null-fills missing
             # columns (standard parquet schema evolution) and pruning
             # stays IO-only, as the docstring promises.
-            out = self.spark.read.schema(self._txlog_schema(files)).parquet(
-                *[os.path.join(self.path, f["path"]) for f in pruned]
-            )
+            out = self.spark.read.schema(
+                self._txlog_schema(files, schema_string)
+            ).parquet(*[os.path.join(self.path, f["path"]) for f in pruned])
         else:
             out = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, f["path"]) for f in pruned]
@@ -472,13 +475,20 @@ class Pool:
             out = out.filter(F.col("kafka.offset") < offset_hi)
         return out
 
-    def _txlog_schema(self, files: list[dict]):
-        """Union schema over a txlog pool's live files, cached per file
-        set.  The mergeSchema footer pass is driver-side and O(live
-        files); scoped reads (read_batch resume, topic scans) happen
-        per micro-batch, so they must not repay it every call — the
-        cache key is the live path set, which changes exactly when a
-        commit/compaction/vacuum changes what the schema can be."""
+    def _txlog_schema(self, files: list[dict], schema_string: str | None = None):
+        """Union schema of a txlog pool.
+
+        Primary source: the log's own ``metaData.schemaString`` (Delta
+        semantics — readers take the schema from the log, not from
+        footers; it is maintained as the fused union on every append),
+        which costs ZERO additional IO since the snapshot was already
+        replayed.  Fallback for logs without metaData (foreign writers
+        that skipped it, pre-r9 logs): one mergeSchema footer pass over
+        the live files, cached per file set."""
+        if schema_string:
+            from pyspark.sql import types as T  # noqa: PLC0415
+
+            return T.StructType.fromJson(json.loads(schema_string))
         key = tuple(sorted(f["path"] for f in files))
         cached = self._schema_cache
         if cached is not None and cached[0] == key:

@@ -68,6 +68,23 @@ class PosixStorage:
         except FileNotFoundError:
             return None
 
+    def read_bytes(self, path: str) -> bytes | None:
+        """Raw bytes (checkpoint parquet); None when absent."""
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        """Old-or-new visibility for binary blobs (checkpoint parquet):
+        tmp + rename, same pattern as write_json_atomic."""
+        d, base = os.path.split(path)
+        tmp = os.path.join(d, f".{base}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
     def write_json_atomic(self, path: str, obj: dict) -> None:
         """Readers see the old or the new content, never a torn write
         (tmp file + atomic rename within the same directory)."""
@@ -222,6 +239,15 @@ class MemoryObjectStorage:
         with self._lock:
             obj = self._objects.get(self._norm(path))
         return None if obj is None else obj[0].decode()
+
+    def read_bytes(self, path: str) -> bytes | None:
+        with self._lock:
+            obj = self._objects.get(self._norm(path))
+        return None if obj is None else obj[0]
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        with self._lock:
+            self._put(self._norm(path), data)
 
     def write_json_atomic(self, path: str, obj: dict) -> None:
         # a plain PUT: object stores are atomic per key, no tmp+rename

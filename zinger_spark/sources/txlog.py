@@ -52,10 +52,12 @@ parity: the pool surface (LoadBatch / ordered reads / offset
 bookkeeping, fifo/lake.go:58-92) is unchanged — this module only swaps
 HOW bytes become visible.
 
-Not written (documented scale debt): periodic parquet checkpoints and
-``_last_checkpoint`` — every reader here replays the JSON entries,
-which is exact but O(log length); Delta readers fall back to the same
-replay when no checkpoint exists, so interop is unaffected.
+Checkpoints (r9): every CHECKPOINT_INTERVAL appends, the state is
+written as ``<version>.checkpoint.parquet`` + ``_last_checkpoint`` —
+the Delta checkpoint protocol — so plain snapshots replay O(interval)
+JSON entries instead of the whole history, and external readers can
+start from the checkpoint exactly as they would on any Delta table.
+As-of (time travel) snapshots still replay from version 0 by design.
 """
 
 from __future__ import annotations
@@ -187,7 +189,21 @@ class TxLog:
 
     All IO goes through the pool's storage backend; appends must run
     under the pool's writer lock (version = last + 1 read-modify-write,
-    same critical section as the manifest swap)."""
+    same critical section as the manifest swap).
+
+    Checkpoints: every CHECKPOINT_INTERVAL appends the full table
+    state is written as ``<version>.checkpoint.parquet`` + the
+    ``_last_checkpoint`` pointer (the Delta checkpoint protocol), so
+    ``snapshot()`` replays O(interval) JSON entries instead of the
+    whole history — the bound a pool with thousands of commits needs.
+    The parquet carries the spec action columns (protocol / metaData /
+    add / remove) for external readers; engine bookkeeping the spec
+    does not checkpoint (commit ids, as-of floor, retractions,
+    remove timestamps) rides a ``zinger`` key in ``_last_checkpoint``,
+    which readers ignore beyond version/size."""
+
+    #: write a checkpoint every N versions (Delta's own default cadence)
+    CHECKPOINT_INTERVAL = 10
 
     def __init__(self, fs, pool_path: str):
         self._fs = fs
@@ -280,7 +296,13 @@ class TxLog:
 
     def _last_meta(self, vs: list[int]) -> tuple[str | None, str | None]:
         """(table id, current schemaString) as of the given version
-        list, replaying only versions the cache hasn't seen."""
+        list, replaying only versions the cache hasn't seen.  A cold
+        instance seeds from the last checkpoint so its first append is
+        O(interval), not O(history)."""
+        if self._meta_cache is None:
+            cp = self._read_checkpoint()
+            if cp is not None and cp.get("meta_id"):
+                self._meta_cache = (cp["version"], cp["meta_id"], cp["schema_string"])
         upto, mid, schema = self._meta_cache or (-1, None, None)
         for v in vs:
             if v <= upto:
@@ -397,6 +419,15 @@ class TxLog:
             if self._fs.create_exclusive(self._entry_path(version), payload):
                 # our own entry is replayed-by-construction
                 self._meta_cache = (version, meta_id, fused or cur_schema)
+                if version > 0 and version % self.CHECKPOINT_INTERVAL == 0:
+                    # Delta cadence: checkpoint every N commits so
+                    # replay stays O(N).  Non-fatal by protocol — the
+                    # commit IS the log entry; a failed checkpoint only
+                    # leaves the old replay bound.
+                    try:
+                        self.write_checkpoint()
+                    except Exception:  # noqa: BLE001
+                        pass
                 return version
             # lost the slot to a racer: re-list (their entry may carry
             # protocol/metaData/schema we must not duplicate) and claim
@@ -404,12 +435,205 @@ class TxLog:
             vs = self.versions()
             version = (vs[-1] + 1) if vs else version + 1
 
+    # -- checkpoints --------------------------------------------------------
+
+    def _last_checkpoint_path(self) -> str:
+        return os.path.join(self.path, "_last_checkpoint")
+
+    def write_checkpoint(self) -> int | None:
+        """Materialize current state as ``<V>.checkpoint.parquet`` and
+        swing ``_last_checkpoint`` (caller holds the writer lock).
+        Returns the checkpointed version, or None for an empty log."""
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        vs = self.versions()
+        if not vs:
+            return None
+        version = vs[-1]
+        # seeding from the PREVIOUS checkpoint is exact by induction
+        # (checkpoint + replayed tail == full replay), so the periodic
+        # checkpoint write itself stays O(interval), not O(history)
+        snap = self.snapshot()
+        meta_id, schema = self._last_meta(vs)
+        rows: list[dict] = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        ]
+        if meta_id is not None:
+            rows.append(
+                {
+                    "metaData": {
+                        "id": meta_id,
+                        "format": {"provider": "parquet"},
+                        "schemaString": schema or _EMPTY_SCHEMA,
+                        "partitionColumns": [],
+                        "configuration": [],
+                        "createdTime": 0,
+                    }
+                }
+            )
+        for f in snap["files"].values():
+            rows.append(
+                {
+                    "add": {
+                        "path": f["path"],
+                        "partitionValues": [],
+                        "size": f.get("size") or 0,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": _delta_stats(f),
+                    }
+                }
+            )
+        # unexpired remove tombstones keep vacuum's orphan clock exact
+        # across the checkpoint boundary (spec: retained tombstones);
+        # tombstones past the retention window have long been vacuumed
+        # and are dropped here so the checkpoint cannot grow with
+        # delete history (the spec's tombstone retention)
+        retention = time.time() - 7 * 24 * 3600.0
+        snap["removed_ts"] = {
+            p: ts for p, ts in snap["removed_ts"].items() if ts >= retention
+        }
+        for path, ts in snap["removed_ts"].items():
+            rows.append(
+                {
+                    "remove": {
+                        "path": path,
+                        "deletionTimestamp": int(ts * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+        schema_pa = pa.schema(
+            [
+                (
+                    "protocol",
+                    pa.struct(
+                        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                    ),
+                ),
+                (
+                    "metaData",
+                    pa.struct(
+                        [
+                            ("id", pa.string()),
+                            ("format", pa.struct([("provider", pa.string())])),
+                            ("schemaString", pa.string()),
+                            ("partitionColumns", pa.list_(pa.string())),
+                            ("configuration", pa.map_(pa.string(), pa.string())),
+                            ("createdTime", pa.int64()),
+                        ]
+                    ),
+                ),
+                (
+                    "add",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("partitionValues", pa.map_(pa.string(), pa.string())),
+                            ("size", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                            ("dataChange", pa.bool_()),
+                            ("stats", pa.string()),
+                        ]
+                    ),
+                ),
+                (
+                    "remove",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("deletionTimestamp", pa.int64()),
+                            ("dataChange", pa.bool_()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        table = pa.Table.from_pylist(rows, schema=schema_pa)
+        buf = pa.BufferOutputStream()
+        pq.write_table(table, buf)
+        cp_path = os.path.join(self.path, f"{version:020d}.checkpoint.parquet")
+        self._fs.write_bytes_atomic(cp_path, buf.getvalue().to_pybytes())
+        self._fs.write_json_atomic(
+            self._last_checkpoint_path(),
+            {
+                "version": version,
+                "size": len(rows),
+                "zinger": {
+                    "commits": snap["commits"],
+                    "floor": snap["floor"],
+                    "retracted": sorted(snap["retracted"]),
+                    "removed_ts": snap["removed_ts"],
+                    "schemaString": schema,
+                },
+            },
+        )
+        return version
+
+    def _read_checkpoint(self) -> dict | None:
+        """Seed state from the last checkpoint: {version, files,
+        commits, floor, removed_ts, retracted, schema_string}.  None
+        when absent or unreadable (falls back to full replay)."""
+        lc = self._fs.read_json(self._last_checkpoint_path())
+        if not lc:
+            return None
+        try:
+            import pyarrow as pa  # noqa: PLC0415
+            import pyarrow.parquet as pq  # noqa: PLC0415
+
+            version = int(lc["version"])
+            data = self._fs.read_bytes(
+                os.path.join(self.path, f"{version:020d}.checkpoint.parquet")
+            )
+            if data is None:
+                return None
+            table = pq.read_table(pa.BufferReader(data))
+            live: dict[str, dict] = {}
+            meta_id = None
+            for row in table.to_pylist():
+                md = row.get("metaData")
+                if md:
+                    meta_id = md.get("id")
+                a = row.get("add")
+                if not a:
+                    continue
+                try:
+                    st = json.loads(a.get("stats") or "{}")
+                except ValueError:
+                    st = {}
+                live[a["path"]] = {
+                    "path": a["path"],
+                    "records": st.get("numRecords", 0),
+                    "size": a.get("size"),
+                    "stats": _flatten_minmax(st.get("minValues"), st.get("maxValues")),
+                }
+            z = lc.get("zinger", {})
+            return {
+                "version": version,
+                "meta_id": meta_id,
+                "files": live,
+                "commits": list(z.get("commits", [])),
+                "floor": z.get("floor"),
+                "removed_ts": dict(z.get("removed_ts", {})),
+                "retracted": set(z.get("retracted", [])),
+                "schema_string": z.get("schemaString"),
+            }
+        except Exception:  # noqa: BLE001 - torn/foreign checkpoint: replay is
+            # always available and always correct, the checkpoint only bounds it
+            return None
+
     # -- snapshot ----------------------------------------------------------
 
-    def snapshot(self, as_of_commit: str | None = None) -> dict:
+    def snapshot(
+        self, as_of_commit: str | None = None, use_checkpoint: bool = True
+    ) -> dict:
         """Replay the log: live file actions (per-file dicts with stats)
         plus bookkeeping.  ``as_of_commit`` stops replay after the entry
-        carrying that commit name (time travel)."""
+        carrying that commit name (time travel).  Plain snapshots seed
+        from the last checkpoint and replay only the entries after it;
+        as-of snapshots always replay from version 0 (the target may
+        predate the checkpoint)."""
         live: dict[str, dict] = {}
         commits: list[str] = []
         floor: str | None = None
@@ -417,7 +641,23 @@ class TxLog:
         retracted: set[str] = set()
         schema_string: str | None = None
         seen_asof = False
-        for e in self.entries():
+        start_after = -1
+        if as_of_commit is None and use_checkpoint:
+            cp = self._read_checkpoint()
+            if cp is not None:
+                live = cp["files"]
+                commits = cp["commits"]
+                floor = cp["floor"]
+                removed_ts = cp["removed_ts"]
+                retracted = cp["retracted"]
+                schema_string = cp["schema_string"]
+                start_after = cp["version"]
+        for v in self.versions():
+            if v <= start_after:
+                continue
+            e = self._read_entry(v)
+            if e is None:
+                continue
             for a in e.get("add", []):
                 live[a["path"]] = a
                 removed_ts.pop(a["path"], None)
