@@ -341,6 +341,24 @@ def _q_offset_assign(spark, sf):
     )
 
 
+_BM25_TERMS = ["hash", "join", "query"]
+
+
+def _q_bm25_topk(spark, sf):
+    """Okapi BM25 of a fixed 3-term query against every document, top
+    20 by score (functions/text.bm25_scores): one corpus-stats 1-row
+    broadcast + per-term JVM array filters, no explode, no joins.  The
+    idf ln() is decimal(28,12)-truncated on both engines (the
+    operators/lm idiom) so the hash compare is exact."""
+    docs = _t(spark, sf, "documents")
+    out = ztext.bm25_scores(docs, _BM25_TERMS)
+    return (
+        out.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "n_tokens", "bm25")
+    )
+
+
 def _q_offset_assign_dist(spark, sf):
     """The backfill-scale strategy pinned on: dense per-topic output
     offsets via the two-level distributed prefix sum (what
@@ -4311,6 +4329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "offset_assign": _q_offset_assign,
         "offset_assign_dist": _q_offset_assign_dist,
+        "bm25_topk": _q_bm25_topk,
         "deterministic_shuffle": _q_deterministic_shuffle,
         "pack_sequences": _q_pack_sequences,
         # -- previously green (churn insurance, prior order) -------
@@ -4444,6 +4463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R9_FRONT = [
     "offset_assign",
     "offset_assign_dist",
+    "bm25_topk",
     "tfidf_top_terms",
     "tpch_q8",
     "tpch_q15",
@@ -5699,6 +5719,41 @@ def oracle_sql() -> dict[str, str]:
                     + row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1)
                    AS out_offset
             FROM events
+        """,
+        "bm25_topk": """
+            WITH tokd AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents
+            ),
+            base AS (SELECT doc_id, toks, len(toks) AS dl FROM tokd),
+            stats AS (
+              SELECT count(*) AS n_docs, sum(dl) AS dl_sum,
+                     sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS df_0,
+                     sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df_1,
+                     sum(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS df_2
+              FROM base
+            ),
+            scored AS (
+              SELECT doc_id, dl AS n_tokens,
+                CAST(CAST(ln((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5) + 1.0) AS DECIMAL(28,12)) AS DOUBLE)
+                  * (CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) * 2.2
+                     / (CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(dl_sum AS DOUBLE) / n_docs)))) AS c0,
+                CAST(CAST(ln((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5) + 1.0) AS DECIMAL(28,12)) AS DOUBLE)
+                  * (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) * 2.2
+                     / (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(dl_sum AS DOUBLE) / n_docs)))) AS c1,
+                CAST(CAST(ln((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5) + 1.0) AS DECIMAL(28,12)) AS DOUBLE)
+                  * (CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) * 2.2
+                     / (CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(dl_sum AS DOUBLE) / n_docs)))) AS c2
+              FROM base, stats
+            )
+            SELECT doc_id, n_tokens,
+                   round(CAST(CAST(c0 AS DECIMAL(28,12)) + CAST(c1 AS DECIMAL(28,12)) + CAST(c2 AS DECIMAL(28,12)) AS DOUBLE), 6) AS bm25
+            FROM scored
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 20
         """,
         "offset_assign_dist": """
             SELECT event_type AS topic, event_id AS in_offset,

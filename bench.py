@@ -33,6 +33,8 @@ HEADLINE = [
     "offset_assign",
     # r9: the distributed (prefix-sum) form, the auto cutover's scale side
     "offset_assign_dist",
+    # r9: BM25 retrieval scorer (1-row stats broadcast + array-filter tf)
+    "bm25_topk",
     "asof_join",
     "sessionize",
     "tpch_q1",

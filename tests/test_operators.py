@@ -949,3 +949,32 @@ def test_kmeans_fixed_point_deterministic_and_improving(spark):
     assert abs(means[0] + 0.8) < 0.1
     assert abs(means[1]) < 0.1
     assert abs(means[2] - 0.8) < 0.1
+
+
+def test_bm25_scores_known_values(spark):
+    """BM25 against a tiny hand-checkable corpus: exact tf/df/avgdl
+    math, absent terms contribute 0, longer docs are length-penalized."""
+    import math
+
+    from zinger_spark.functions.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join"),
+            (2, "hash hash hash scan"),
+            (3, "sort merge scan filter group"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bm25_scores(docs, ["hash"]).collect()}
+    assert rows[3]["bm25"] == 0.0
+    # manual: N=3, df=2, idf=ln((3-2+0.5)/(2+0.5)+1); avgdl=11/3
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+
+    def score(tf, dl):
+        return idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (11 / 3))))
+
+    assert abs(rows[1]["bm25"] - round(score(1, 2), 6)) < 1e-6
+    assert abs(rows[2]["bm25"] - round(score(3, 4), 6)) < 1e-6
+    # higher tf with comparable length outranks
+    assert rows[2]["bm25"] > rows[1]["bm25"] > rows[3]["bm25"]

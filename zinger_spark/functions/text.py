@@ -411,3 +411,72 @@ def script_counts(text: Column) -> Column:
         cnt(r"[0-9]").alias("digit"),
         F.length(text).alias("n_chars"),
     )
+
+
+def bm25_scores(
+    docs,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    digits: int = 6,
+):
+    """Okapi BM25 of a fixed query against every document — the
+    retrieval scorer a curation pipeline uses for benchmark-targeted
+    selection, and the exact-rank baseline for the inverted-index path.
+
+    Physical shape (100-TB form): one tokenize projection, ONE 1-row
+    corpus-stats aggregate (N, total length, per-term document
+    frequencies — all partial-aggregated) broadcast back onto the
+    scan, then per-term tf as JVM array filters.  No per-term joins,
+    no explode: cost = one scan + |Q| array scans per row.  Engine
+    determinism: the only transcendental (ln in idf) is truncated to
+    decimal(28,12) and per-term contributions sum as decimals (the
+    operators/lm idiom), so scores are bit-stable across engines and
+    partitionings.
+    """
+    dec = "decimal(28,12)"
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__dl", F.size("__toks")
+    )
+    aggs = [F.count(F.lit(1)).alias("__n_docs"), F.sum("__dl").alias("__dl_sum")]
+    for i, t in enumerate(query_terms):
+        aggs.append(
+            F.sum(F.array_contains("__toks", t).cast("long")).alias(f"__df_{i}")
+        )
+    joined = base.crossJoin(F.broadcast(base.agg(*aggs)))
+    avgdl = F.col("__dl_sum").cast("double") / F.col("__n_docs")
+    dl_norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / avgdl
+    )
+
+    def term_eq(term):
+        # closure factory: a default-arg lambda would flip F.filter
+        # into its (element, index) form (arity is inspected)
+        return lambda x: x == F.lit(term)
+
+    contribs = []
+    for i, t in enumerate(query_terms):
+        tf = F.size(F.filter(F.col("__toks"), term_eq(t))).cast("double")
+        df_ = F.col(f"__df_{i}").cast("double")
+        idf = (
+            F.ln(
+                (F.col("__n_docs").cast("double") - df_ + F.lit(0.5))
+                / (df_ + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            .cast(dec)
+            .cast("double")
+        )
+        frac = tf * F.lit(k1 + 1.0) / (tf + dl_norm)
+        contribs.append((idf * frac).cast(dec))
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return joined.select(
+        F.col(id_col),
+        F.col("__dl").alias("n_tokens"),
+        F.round(total.cast("double"), digits).alias("bm25"),
+    )

@@ -57,7 +57,11 @@ written as ``<version>.checkpoint.parquet`` + ``_last_checkpoint`` —
 the Delta checkpoint protocol — so plain snapshots replay O(interval)
 JSON entries instead of the whole history, and external readers can
 start from the checkpoint exactly as they would on any Delta table.
-As-of (time travel) snapshots still replay from version 0 by design.
+As-of (time travel) snapshots still replay from version 0 by design,
+which is also why JSON entries are never deleted (Delta's 30-day log
+cleanup bounds its time travel; ours keeps the full history — the
+entries are a few hundred bytes per commit, and compaction's as-of
+floor already bounds how far back a read can reach).
 """
 
 from __future__ import annotations
