@@ -535,3 +535,70 @@ def test_avro_py_general_union_roundtrip_law(data, branches, with_null):
         value[f"b{idx}"] = data.draw(_avro_value_for(schema[idx]))
     back = avro_py.decode_value(schema, avro_py.encode_value(schema, value))
     assert back == value
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(st.integers(min_value=0, max_value=99), min_size=4, max_size=10))
+def test_pool_format_equivalence_random_ops(spark, tmp_path_factory, ops):
+    """The commit-dir manifest and the Delta txlog are two PHYSICAL
+    layouts of one logical pool contract: any op sequence
+    (load / drop-last / size-tiered compact / vacuum) must leave the
+    same visible rows, the same offsets bookkeeping, and the same
+    emptiness on both — including across checkpoint boundaries (>10
+    txlog versions)."""
+    from zinger_spark.sources.pool import Pool
+
+    base = tmp_path_factory.mktemp("fmteq")
+    pools = {
+        fmt: Pool.create(spark, str(base / fmt), table_format=fmt)
+        for fmt in ("commits", "txlog")
+    }
+
+    def mk(lo, n):
+        return spark.createDataFrame(
+            [(("T" if o % 3 else "U", 0, o), None, (o * 10,), "data")
+             for o in range(lo, lo + n)],
+            "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+            "key string, value struct<a:bigint>, _type string",
+        )
+
+    nxt = 0
+    last_ids: dict[str, str | None] = {"commits": None, "txlog": None}
+    for op in ops:
+        kind = op % 4
+        if kind in (0, 1):  # load (weighted: most common op)
+            n = 1 + op % 3
+            for fmt, pool in pools.items():
+                last_ids[fmt] = pool.load_batch(mk(nxt, n))
+            nxt += n
+        elif kind == 2 and last_ids["commits"]:  # retract the last commit
+            for fmt, pool in pools.items():
+                pool.drop_commit(last_ids[fmt])
+                last_ids[fmt] = None
+        else:  # compact small tail + vacuum with zero grace
+            for pool in pools.values():
+                pool.compact(small_bytes=1 << 30)
+                pool.vacuum(grace_seconds=0.0, unpublished_grace_seconds=1e9)
+                last_ids = {"commits": None, "txlog": None}
+        states = {}
+        for fmt, pool in pools.items():
+            if pool.is_empty():
+                states[fmt] = ("empty",)
+                continue
+            rows = sorted(
+                (r["kafka"]["topic"], r["kafka"]["offset"], r["value"]["a"])
+                for r in pool.df().collect()
+            )
+            states[fmt] = (
+                rows,
+                pool.next_producer_offsets(),
+                pool.next_consumer_offset("T"),
+                pool.next_consumer_offsets_by_partition("U"),
+            )
+        assert states["commits"] == states["txlog"], f"diverged after op {op}"
+    for pool in pools.values():
+        pool.delete()
