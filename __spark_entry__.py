@@ -359,6 +359,35 @@ def _q_bm25_topk(spark, sf):
     )
 
 
+def _q_minhash_lsh_recall(spark, sf):
+    """Candidate-recall AUDIT for banded MinHash LSH: the measurement a
+    curation team runs before trusting an LSH config at scale.  Exact
+    truth = recall-complete shared-shingle blocking (no df cap) at the
+    same shingle/threshold; output one row of counts + recall.  Both
+    sides are existing audited operators; the join/aggregate adds one
+    broadcast of three 1-row aggregates."""
+    docs = _t(spark, sf, "documents")
+    lsh = zdedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_k=5, jaccard_threshold=0.4,
+        parallelism=32,
+    ).select("doc_a", "doc_b")
+    exact = zdedup.ngram_jaccard_pairs(
+        docs, shingle_k=5, threshold=0.4, max_df=1_000_000_000, parallelism=32
+    ).select("doc_a", "doc_b")
+    hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    out = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(F.broadcast(lsh.agg(F.count(F.lit(1)).alias("n_lsh"))))
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+    )
+    return out.select(
+        "n_exact", "n_lsh", "n_hit",
+        F.round(F.lit(100.0) * F.col("n_hit") / F.col("n_exact"), 4).alias(
+            "recall_pct"
+        ),
+    )
+
+
 def _q_offset_assign_dist(spark, sf):
     """The backfill-scale strategy pinned on: dense per-topic output
     offsets via the two-level distributed prefix sum (what
@@ -4330,6 +4359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offset_assign": _q_offset_assign,
         "offset_assign_dist": _q_offset_assign_dist,
         "bm25_topk": _q_bm25_topk,
+        "minhash_lsh_recall": _q_minhash_lsh_recall,
         "deterministic_shuffle": _q_deterministic_shuffle,
         "pack_sequences": _q_pack_sequences,
         # -- previously green (churn insurance, prior order) -------
@@ -4464,6 +4494,7 @@ _R9_FRONT = [
     "offset_assign",
     "offset_assign_dist",
     "bm25_topk",
+    "minhash_lsh_recall",
     "tfidf_top_terms",
     "tpch_q8",
     "tpch_q15",
@@ -4556,6 +4587,40 @@ _R8_FRONT = [
 
 def _sql_md5h(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+
+def _sql_minhash_recall() -> str:
+    """Oracle for minhash_lsh_recall: exact truth = recall-complete
+    all-shared-shingle pairs at (k=5, thr=0.4); LSH side = the same
+    banded-signature query the dedup_minhash_lsh oracle uses."""
+    lsh_q = _sql_minhash_lsh(16, 4, 5, 0.4)
+    return f"""
+    WITH tokd AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents
+    ),
+    shx AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 5 THEN list_distinct([array_to_string(toks, ' ')])
+                  ELSE list_distinct(list_transform(
+                         generate_series(1, greatest(len(toks)-4,1)),
+                         i -> array_to_string(toks[i:i+4], ' ')))
+             END AS shingles
+      FROM tokd),
+    ex AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shx a JOIN shx b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+        AND len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE >= 0.4
+    ),
+    lsh AS (SELECT * FROM ({lsh_q})),
+    hit AS (SELECT e.doc_a FROM ex e JOIN lsh l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+    SELECT (SELECT count(*) FROM ex) AS n_exact,
+           (SELECT count(*) FROM lsh) AS n_lsh,
+           (SELECT count(*) FROM hit) AS n_hit,
+           round(100.0 * (SELECT count(*) FROM hit) / (SELECT count(*) FROM ex), 4) AS recall_pct
+    """
 
 
 def _sql_tokens(expr: str) -> str:
@@ -5720,6 +5785,7 @@ def oracle_sql() -> dict[str, str]:
                    AS out_offset
             FROM events
         """,
+        "minhash_lsh_recall": _sql_minhash_recall(),
         "bm25_topk": """
             WITH tokd AS (
               SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks

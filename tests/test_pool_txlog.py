@@ -649,3 +649,54 @@ def test_delta_checkpoint_external_reader_shape(spark, tmp_path):
         "SELECT count(*) FROM read_parquet(?, union_by_name=true)", [paths]
     ).fetchone()[0]
     assert n == pool.df().count() == 11
+
+
+def test_delta_checkpoint_retention(spark, tmp_path):
+    """Superseded checkpoints are pruned (keep the live one + one
+    predecessor); JSON entries all survive so as-of replay from v0
+    still works."""
+    import glob as _glob
+
+    pool = _mk(spark, tmp_path)
+    first = pool.load_batch(spark.createDataFrame(env_rows("T", [0]), _schema()))
+    for i in range(1, 31):
+        pool.load_batch(spark.createDataFrame(env_rows("T", [i]), _schema()))
+    log_dir = os.path.join(pool.path, "_delta_log")
+    cps = sorted(_glob.glob(os.path.join(log_dir, "*.checkpoint.parquet")))
+    assert len(cps) == 2, cps  # v20 fallback + v30 live
+    assert len(_glob.glob(os.path.join(log_dir, "*.json"))) == 31
+    assert pool.df().count() == 31
+    assert pool.df(as_of=first).count() == 1
+
+
+def test_txlog_two_threads_no_lost_commit(spark, tmp_path):
+    """Two writers loading concurrently must both land: the writer
+    lock serializes the version claim, the conditional PUT backstops
+    it, and the final state contains every row exactly once with
+    contiguous log versions."""
+    import threading
+
+    pool = _mk(spark, tmp_path)
+    errs = []
+
+    def worker(lo):
+        try:
+            for o in range(lo, lo + 8):
+                pool.load_batch(
+                    spark.createDataFrame(env_rows("T", [o]), _schema()).coalesce(1)
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(lo,)) for lo in (0, 100)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    got = sorted(r["kafka"]["offset"] for r in pool.df().collect())
+    assert got == list(range(8)) + list(range(100, 108))
+    log = TxLog(pool._fs, pool.path)
+    vs = log.versions()
+    assert vs == list(range(len(vs)))  # contiguous claims, no lost slots
+    assert pool.next_consumer_offset("T") == 108

@@ -573,6 +573,23 @@ class TxLog:
                 },
             },
         )
+        # superseded checkpoints are dead weight (readers always start
+        # from _last_checkpoint): keep one predecessor as a fallback
+        # for a reader that loaded _last_checkpoint just before this
+        # swap, drop the rest.  JSON entries are never deleted (as-of
+        # replays from v0).
+        cps = sorted(
+            int(f.split(".")[0])
+            for f in self._fs.listdir(self.path)
+            if f.endswith(".checkpoint.parquet") and f.split(".")[0].isdigit()
+        )
+        for old in cps[:-2]:
+            try:
+                self._fs.remove(
+                    os.path.join(self.path, f"{old:020d}.checkpoint.parquet")
+                )
+            except FileNotFoundError:
+                pass
         return version
 
     def _read_checkpoint(self) -> dict | None:
