@@ -35,6 +35,9 @@ HEADLINE = [
     "offset_assign_dist",
     # r9: BM25 retrieval scorer (1-row stats broadcast + array-filter tf)
     "bm25_topk",
+    # r9: LSH recall audit (uncapped exact side is the heavy leg; tracked
+    # because a recall regression from a cap/band change must be visible)
+    "minhash_lsh_recall",
     "asof_join",
     "sessionize",
     "tpch_q1",

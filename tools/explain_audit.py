@@ -153,6 +153,14 @@ def main() -> int:
     check("offset_assign", "row_number()" in p and "hashpartitioning(_pid" not in p,
           "auto strategy keeps the single-shuffle window for a "
           "bounded micro-batch (no prefix-sum constant paid)")
+    # r9: BM25 is scan-bound — the corpus-stats aggregate comes back as
+    # a broadcast (1-row cross), per-term tf is array filters in the
+    # projection; no keyed shuffle join anywhere
+    p = plan_of(qs["bm25_topk"](spark, sf))
+    check("bm25_topk", "SortMergeJoin" not in p and "ShuffledHashJoin" not in p,
+          "no keyed shuffle joins — stats ride a 1-row broadcast")
+    check("bm25_topk", "TakeOrderedAndProject" in p,
+          "top-20 via per-partition top-k, no global sort")
     for q in ("contamination", "fuzzy_prefix_pairs"):
         p = plan_of(qs[q](spark, sf))
         check(q, "CartesianProduct" not in p, "candidates via equi-join, not cross join")
