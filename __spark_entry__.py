@@ -4282,6 +4282,89 @@ _SQL_ROLLUP_CASCADE = """
     FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
 
 
+# ---------------------------------------------------------------------------
+# WARC ingestion (r9, beyond-reference: the Common Crawl entry point of
+# the 100-TB pipeline — sources/warc.py; the reference ingests Kafka
+# only, fifo/consumer.go).  The fixture is a deterministic 8-shard
+# .warc.gz rendering of the documents table, built once per SF
+# driver-side (DuckDB read, ordered by doc_id, byte-stable writer), so
+# the Spark side exercises the REAL streaming reader (per-record gzip
+# members, one task per shard) + the JVM HTML→text chain, while the
+# oracle recomputes the extraction directly from documents with the
+# RE2 mirror of the same regex chain.
+
+_WARC_FIX_DIR = "/tmp/zinger_spark_warc"
+
+
+def _warc_fixture(sf_dir: str) -> list[str]:
+    import hashlib
+
+    import duckdb
+
+    from zinger_spark.sources import warc as W
+
+    slug = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    outdir = os.path.join(_WARC_FIX_DIR, slug)
+    paths = [os.path.join(outdir, f"shard{j}.warc.gz") for j in range(8)]
+    marker = os.path.join(outdir, "_DONE")
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(outdir, exist_ok=True)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, coalesce(text, '') FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    shards: list[list[dict]] = [[] for _ in range(8)]
+    for doc_id, text in rows:
+        esc = (
+            text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+        html = (
+            f"<html><head><title>doc {doc_id}</title>"
+            f"<style>p{{margin:0}}</style></head>"
+            f"<body><!-- id {doc_id} --><p>{esc}</p>"
+            f"<script>var n={doc_id};</script></body></html>"
+        )
+        shards[doc_id % 8].append(
+            {"uri": f"https://corpus.local/{doc_id}", "body": html.encode()}
+        )
+    for j, p in enumerate(paths):
+        W.write_warc_gz(p, shards[j])
+    with open(marker, "w") as f:
+        f.write(str(len(rows)))
+    return paths
+
+
+def _q_warc_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from zinger_spark.sources import warc as W
+
+    paths = _warc_fixture(sf)
+    df = W.read_warc(spark, paths)
+    return df.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.col("http_status"),
+        W.html_to_text(F.col("body").cast("string")).alias("text_extract"),
+    )
+
+
+def _sql_warc_ingest() -> str:
+    from zinger_spark.sources.warc import sql_html_to_text
+
+    esc = "replace(replace(replace(coalesce(text,''),'&','&amp;'),'<','&lt;'),'>','&gt;')"
+    tpl = (
+        "'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title>"
+        "<style>p{margin:0}</style></head>"
+        "<body><!-- id ' || CAST(doc_id AS VARCHAR) || ' --><p>' || " + esc + " || '</p>"
+        "<script>var n=' || CAST(doc_id AS VARCHAR) || ';</script></body></html>'"
+    )
+    return f"""
+        SELECT doc_id,
+               CAST(200 AS INTEGER) AS http_status,
+               {sql_html_to_text(tpl)} AS text_extract
+        FROM documents"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that are new or were rewritten since their last
@@ -4360,6 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offset_assign_dist": _q_offset_assign_dist,
         "bm25_topk": _q_bm25_topk,
         "minhash_lsh_recall": _q_minhash_lsh_recall,
+        "warc_ingest": _q_warc_ingest,
         "deterministic_shuffle": _q_deterministic_shuffle,
         "pack_sequences": _q_pack_sequences,
         # -- previously green (churn insurance, prior order) -------
@@ -4495,6 +4579,7 @@ _R9_FRONT = [
     "offset_assign_dist",
     "bm25_topk",
     "minhash_lsh_recall",
+    "warc_ingest",
     "tfidf_top_terms",
     "tpch_q8",
     "tpch_q15",
@@ -5786,6 +5871,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "minhash_lsh_recall": _sql_minhash_recall(),
+        "warc_ingest": _sql_warc_ingest(),
         "bm25_topk": """
             WITH tokd AS (
               SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks

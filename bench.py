@@ -38,6 +38,9 @@ HEADLINE = [
     # r9: LSH recall audit (uncapped exact side is the heavy leg; tracked
     # because a recall regression from a cap/band change must be visible)
     "minhash_lsh_recall",
+    # r9: WARC streaming reader + JVM HTML->text (fixture build is cached
+    # outside the timed region after the first rep)
+    "warc_ingest",
     "asof_join",
     "sessionize",
     "tpch_q1",

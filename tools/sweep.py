@@ -75,6 +75,10 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "SWEEP_SF1.json"))
     ap.add_argument("--chunk", type=int, default=12)
     ap.add_argument("--only", default="")
+    ap.add_argument("--skip", default="",
+                    help="comma-separated keys to leave out of this run "
+                         "(e.g. the quadratic-oracle pair keys swept at a "
+                         "smaller SF instead)")
     ap.add_argument("--retry-fails", action="store_true",
                     help="re-run keys whose recorded status is not PASS/SKIP")
     ap.add_argument("--timeout", type=int, default=3600)
@@ -83,6 +87,9 @@ def main():
     keys, pinned = registry_keys()
     if args.only:
         keys = [k for k in keys if k in set(args.only.split(","))]
+    if args.skip:
+        skip = set(args.skip.split(","))
+        keys = [k for k in keys if k not in skip]
 
     state = {"sf_dir": args.sf_dir, "results": {}, "started": time.time()}
     if os.path.exists(args.out):
