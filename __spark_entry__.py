@@ -1783,7 +1783,12 @@ def _q_gopher_quality(spark, sf):
     expressions (functions/text.py) pipelined into the documents scan;
     the n-gram coverages are linear explode+partial-agg passes joined
     back on doc_id."""
-    docs = _t(spark, sf, "documents")
+    return _gopher_metrics(_t(spark, sf, "documents"))
+
+
+def _gopher_metrics(docs: DataFrame) -> DataFrame:
+    """Gopher metric pack over any (doc_id, text) frame — shared by the
+    documents-table key and the warc_curation crawl composite."""
     t = F.col("text")
     ls = ztext.line_shape_stats(t)
     base = docs.select(
@@ -4348,7 +4353,10 @@ def _q_warc_ingest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_warc_ingest() -> str:
+def _sql_warc_extract_expr() -> str:
+    """The oracle's re-derivation of what the Spark side reads back out
+    of the WARC fixture: the same HTML template rendered from documents
+    and pushed through the RE2 mirror of html_to_text."""
     from zinger_spark.sources.warc import sql_html_to_text
 
     esc = "replace(replace(replace(coalesce(text,''),'&','&amp;'),'<','&lt;'),'>','&gt;')"
@@ -4358,11 +4366,77 @@ def _sql_warc_ingest() -> str:
         "<body><!-- id ' || CAST(doc_id AS VARCHAR) || ' --><p>' || " + esc + " || '</p>"
         "<script>var n=' || CAST(doc_id AS VARCHAR) || ';</script></body></html>'"
     )
+    return sql_html_to_text(tpl)
+
+
+def _sql_warc_ingest() -> str:
     return f"""
         SELECT doc_id,
                CAST(200 AS INTEGER) AS http_status,
-               {sql_html_to_text(tpl)} AS text_extract
+               {_sql_warc_extract_expr()} AS text_extract
         FROM documents"""
+
+
+def _q_warc_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl→corpus end-to-end, the Common Crawl curation recipe as ONE
+    declarative plan: WARC streaming read → JVM HTML→text → Gopher
+    shape filter → stopword language id (en) → exact-dup collapse
+    (min doc_id per content fingerprint).  Composes the warc reader
+    with the documents-table operators unchanged — each stage keeps its
+    own 100-TB shape (per-file parallel read, shuffle-free metrics,
+    partial-agg n-gram passes, one groupBy on the fingerprint)."""
+    from zinger_spark.sources import warc as W
+
+    paths = _warc_fixture(sf)
+    raw = W.read_warc(spark, paths)
+    docs = raw.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        W.html_to_text(F.col("body").cast("string")).alias("text"),
+    )
+    metrics = _gopher_metrics(docs).select("doc_id", "passes")
+    kept = (
+        docs.join(metrics, "doc_id")
+        .where(F.col("passes") & (ztext.lang_id(F.col("text")) == "en"))
+    )
+    enr = kept.select(
+        "doc_id",
+        ztext.fingerprint(F.col("text")).alias("content_fp"),
+        ztext.token_count(F.col("text")).alias("n_tokens"),
+    )
+    canon = enr.groupBy("content_fp").agg(
+        F.min(F.struct("doc_id", "n_tokens")).alias("k")
+    )
+    return canon.select(
+        F.col("k.doc_id").alias("doc_id"),
+        "content_fp",
+        F.col("k.n_tokens").alias("n_tokens"),
+    )
+
+
+def _sql_warc_curation() -> str:
+    return f"""
+        WITH extracted AS (
+          SELECT doc_id, {_sql_warc_extract_expr()} AS text FROM documents
+        ),
+        {_sql_gopher_ctes(src="extracted")},
+        {_sql_lang_pred_ctes("extracted")},
+        kept AS (
+          SELECT e.doc_id, e.text
+          FROM extracted e
+          JOIN gq ON gq.doc_id = e.doc_id
+          JOIN langp lp ON lp.doc_id = e.doc_id
+          WHERE gq.passes AND lp.lang_pred = 'en'
+        ),
+        enr AS (
+          SELECT doc_id,
+                 {_SQL_CONTENT_FP} AS content_fp,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+          FROM kept
+        ),
+        canon AS (SELECT content_fp, min(doc_id) AS doc_id FROM enr GROUP BY 1)
+        SELECT e.doc_id, e.content_fp, e.n_tokens
+        FROM enr e JOIN canon c ON c.content_fp = e.content_fp AND c.doc_id = e.doc_id"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4444,6 +4518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "minhash_lsh_recall": _q_minhash_lsh_recall,
         "warc_ingest": _q_warc_ingest,
+        "warc_curation": _q_warc_curation,
         "deterministic_shuffle": _q_deterministic_shuffle,
         "pack_sequences": _q_pack_sequences,
         # -- previously green (churn insurance, prior order) -------
@@ -4580,6 +4655,7 @@ _R9_FRONT = [
     "bm25_topk",
     "minhash_lsh_recall",
     "warc_ingest",
+    "warc_curation",
     "tfidf_top_terms",
     "tpch_q8",
     "tpch_q15",
@@ -4725,12 +4801,14 @@ _SQL_SCRUB_FP = _sql_md5h(
 )
 
 
-def _sql_gopher_ctes() -> str:
+def _sql_gopher_ctes(src: str = "documents") -> str:
     """CTE chain computing the Gopher document-shape metrics, ending in
     ``gq`` (doc_id + all metrics + passes).  Shared by the
-    gopher_quality oracle and the curation_pipeline composite."""
+    gopher_quality oracle, the curation_pipeline composite, and (with
+    ``src`` pointing at the extracted-text CTE) the warc_curation
+    crawl pipeline."""
     return f"""tokd AS (
-              SELECT doc_id, text, {_sql_tokens("text")} AS toks FROM documents
+              SELECT doc_id, text, {_sql_tokens("text")} AS toks FROM {src}
             ),
             wstats AS (
               SELECT doc_id,
@@ -4751,7 +4829,7 @@ def _sql_gopher_ctes() -> str:
               SELECT doc_id,
                      list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
                                  l -> l <> '') AS ls
-              FROM documents
+              FROM {src}
             ),
             lstats AS (
               SELECT doc_id,
@@ -4779,7 +4857,7 @@ def _sql_gopher_ctes() -> str:
             b2 AS (SELECT r2.doc_id,
                           round(cnt * length(gram)
                                 / CAST(length(d.text) AS DOUBLE), 6) AS top_bigram_frac
-                   FROM r2 JOIN documents d ON d.doc_id = r2.doc_id WHERE rn = 1),
+                   FROM r2 JOIN {src} d ON d.doc_id = r2.doc_id WHERE rn = 1),
             g3 AS (
               SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
                                                    i -> toks[i] || ' ' || toks[i + 1]
@@ -4794,7 +4872,7 @@ def _sql_gopher_ctes() -> str:
             b3 AS (SELECT r3.doc_id,
                           round(cnt * length(gram)
                                 / CAST(length(d.text) AS DOUBLE), 6) AS top_trigram_frac
-                   FROM r3 JOIN documents d ON d.doc_id = r3.doc_id WHERE rn = 1),
+                   FROM r3 JOIN {src} d ON d.doc_id = r3.doc_id WHERE rn = 1),
             gq AS (
               SELECT w.doc_id, w.n_words, w.mean_word_len, w.alpha_ratio, w.symbol_ratio,
                      l.dup_line_frac, l.bullet_frac, l.ellipsis_frac,
@@ -4843,7 +4921,9 @@ def _sql_lang_scores() -> dict[str, str]:
     return out
 
 
-def _sql_langid_query() -> str:
+def _sql_lang_pred_parts() -> tuple[str, str, str]:
+    """(score column SQL, total expr, winner CASE) for the stopword
+    language id — shared by the langid oracle and warc_curation."""
     from zinger_spark.functions.text import LANG_ORDER
 
     scores = _sql_lang_scores()
@@ -4860,6 +4940,27 @@ def _sql_langid_query() -> str:
         conds.append(f"WHEN {' AND '.join(cs)} THEN '{lang}'")
     total = " + ".join(f"score_{lang}" for lang in LANG_ORDER)
     case = "CASE " + " ".join(conds) + " ELSE 'und' END"
+    return score_cols, total, case
+
+
+def _sql_lang_pred_ctes(src: str) -> str:
+    """CTE pair ending in ``langp`` (doc_id, lang_pred) over ``src``."""
+    score_cols, total, case = _sql_lang_pred_parts()
+    return f"""lsc AS (
+      SELECT doc_id, {score_cols}
+      FROM {src}
+    ),
+    langp AS (
+      SELECT doc_id,
+             CASE WHEN ({total}) = 0 THEN 'und' ELSE {case} END AS lang_pred
+      FROM lsc
+    )"""
+
+
+def _sql_langid_query() -> str:
+    from zinger_spark.functions.text import LANG_ORDER
+
+    score_cols, total, case = _sql_lang_pred_parts()
     return f"""
     WITH scored AS (
       SELECT doc_id,
@@ -5872,6 +5973,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_recall": _sql_minhash_recall(),
         "warc_ingest": _sql_warc_ingest(),
+        "warc_curation": _sql_warc_curation(),
         "bm25_topk": """
             WITH tokd AS (
               SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
