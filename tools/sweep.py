@@ -41,19 +41,23 @@ def registry_keys():
     return list(entrymod.queries()), getattr(entrymod, "ORACLE_SF_PINNED", {})
 
 
-def run_chunk(sf_dir, keys, timeout):
-    cmd = [sys.executable, os.path.join(REPO, "tools", "compare.py"), sf_dir, *keys]
+def run_chunk(sf_dir, keys, timeout, log_path=None):
+    """Run one compare.py subprocess; stdout streams to ``log_path`` so
+    a long-running heavy chunk is observable mid-flight."""
+    cmd = [sys.executable, "-u",
+           os.path.join(REPO, "tools", "compare.py"), sf_dir, *keys]
     t0 = time.time()
-    try:
-        proc = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=timeout, cwd=REPO
-        )
-        out = proc.stdout
-    except subprocess.TimeoutExpired as exc:
-        out = (exc.stdout or b"").decode() if isinstance(exc.stdout, bytes) else (
-            exc.stdout or ""
-        )
-        out += "\n# CHUNK TIMEOUT"
+    log_path = log_path or os.path.join("/tmp", "sweep_chunk.log")
+    with open(log_path, "w") as lf:
+        try:
+            subprocess.run(
+                cmd, stdout=lf, stderr=subprocess.STDOUT, text=True,
+                timeout=timeout, cwd=REPO,
+            )
+        except subprocess.TimeoutExpired:
+            lf.write("\n# CHUNK TIMEOUT")
+    with open(log_path) as lf:
+        out = lf.read()
     results = {}
     for line in out.splitlines():
         m = LINE.match(line)
@@ -110,7 +114,10 @@ def main():
     for i in range(0, len(todo), args.chunk):
         chunk = todo[i : i + args.chunk]
         print(f"--- chunk {i//args.chunk + 1}: {chunk[0]}..{chunk[-1]}", flush=True)
-        results, raw = run_chunk(args.sf_dir, chunk, args.timeout)
+        results, raw = run_chunk(
+            args.sf_dir, chunk, args.timeout,
+            log_path=args.out + f".chunk{i//args.chunk + 1}.log",
+        )
         state["results"].update(results)
         for k in chunk:
             r = state["results"][k]
