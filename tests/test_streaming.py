@@ -524,6 +524,62 @@ def test_continuous_sink_survives_compact(spark, tmp_path):
     assert len(tk.memory_sink_rows(name)) == 4
 
 
+def test_continuous_sink_txlog_pool(spark, tmp_path):
+    """continuous_sink over the Delta-format (txlog) pool: data lands
+    under data/commit-<id>/, published by one log append — the
+    file-source glob must follow that layout, new commits stream as
+    micro-batches, and the produced-offset watermark still makes
+    compaction (log-tombstoned rewrite into a new data dir) replay
+    zero rows.  Proves the A15 sync loop runs continuously on BOTH
+    pool formats."""
+    pool = Pool.create(spark, str(tmp_path / "ctx"), table_format="txlog")
+    env_schema = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint>, _type string"
+    )
+
+    def load(offs):
+        pool.load_batch(
+            spark.createDataFrame(
+                [(("T", 0, i), None, (i,), "data") for i in offs], env_schema
+            )
+        )
+
+    def sink(df):
+        return tk.kafka_sink_projection(
+            df,
+            value_encoder=lambda d: cj.encode(
+                F.col("value"), T.StructType.fromDDL("a bigint")
+            ),
+        )
+
+    load([0, 1])
+    name = "to_kafka_txlog_test"
+    tk._MEMORY_SINKS.pop(name, None)
+    q = tk.continuous_sink(
+        spark, pool, env_schema, str(tmp_path / "ck"), sink, topic="T",
+        query_name=name,
+    )
+    try:
+        q.processAllAvailable()
+        assert len(tk.memory_sink_rows(name)) == 2
+        load([2])  # a new log-published commit is discovered mid-stream
+        q.processAllAvailable()
+        assert len(tk.memory_sink_rows(name)) == 3
+        # compaction rewrites live rows into a fresh data/commit dir;
+        # the watermark must keep the broker duplicate-free (txlog
+        # compact returns FILES merged, >= the two commits' parts)
+        assert pool.compact() >= 2
+        load([3])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    offs = sorted(
+        json.loads(r["value"])["payload"]["a"] for r in tk.memory_sink_rows(name)
+    )
+    assert offs == [0, 1, 2, 3]
+
+
 def test_commit_batch_tracks_distinct_hll(spark, tmp_path):
     """track_distinct: the sidecar sketch estimates distincts across the
     whole ingest without rescanning the pool; merging is idempotent max,
