@@ -151,6 +151,44 @@ def test_html_to_text_matches_duckdb_mirror(spark, docs):
     assert [r.t for r in got] == [w[0] for w in want]
 
 
+def test_cli_warc_load_into_pool(spark, tmp_path, docs):
+    """zync-spark warc-load: crawl archives land in a pool as envelope
+    rows with dense per-topic offsets continuing the producer
+    watermark — a second load of MORE files appends at the next
+    offset, never overlaying."""
+    from zinger_spark.cli import main
+    from zinger_spark.sources.pool import Pool
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    Pool.create(spark, str(lake / "crawl"))
+    p1 = str(tmp_path / "a.warc.gz")
+    W.write_warc_gz(p1, docs[:4])
+    rc = main(
+        ["warc-load", p1, "--pool", "crawl", "--lake", str(lake),
+         "--topic", "cc", "--extract-text"]
+    )
+    assert rc == 0
+    pool = Pool(spark, str(lake / "crawl"))
+    rows = sorted(
+        (r["kafka"]["offset"], r["value"]["uri"], r["value"]["text"])
+        for r in pool.df().collect()
+    )
+    assert [r[0] for r in rows] == [0, 1, 2, 3]  # dense from 0
+    assert rows[0][1] == docs[0]["uri"]
+    assert "alpha beta & gamma 0" in rows[0][2]  # extraction applied
+    # second load continues the watermark
+    p2 = str(tmp_path / "b.warc.gz")
+    W.write_warc_gz(p2, docs[4:6])
+    assert main(
+        ["warc-load", p2, "--pool", "crawl", "--lake", str(lake),
+         "--topic", "cc", "--extract-text"]
+    ) == 0
+    offs = sorted(r["kafka"]["offset"] for r in pool.df().collect())
+    assert offs == [0, 1, 2, 3, 4, 5]
+    assert pool.df().count() == 6
+
+
 def test_streaming_member_iterator_bounded(tmp_path, docs):
     # the reader must yield member-by-member, not concatenate: 25
     # members in, 25 yields out

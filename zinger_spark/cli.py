@@ -223,6 +223,59 @@ def cmd_load(args) -> int:
     return 0
 
 
+def cmd_warc_load(args) -> int:
+    """Crawl->pool ingest (beyond-reference front door): WARC files ->
+    streaming per-record reader -> JVM HTML->text -> envelope rows
+    continuing the pool's per-topic producer watermark -> ONE atomic
+    commit.  The Common Crawl mirror of cmd_load, feeding the same
+    pool the Kafka paths feed, so every downstream operator (dedup,
+    quality, ETL) runs unchanged on crawl data."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from .operators import offsets as zoff
+    from .sources import warc as W
+    from .sources.pool import Pool
+
+    if not args.files:
+        print("no inputs provided", file=sys.stderr)
+        return 1
+    spark = _spark(args)
+    pool = Pool(spark, f"{args.lake}/{_pool_name(args.pool)}")
+    raw = W.read_warc(spark, args.files)
+    body_text = F.col("body").cast("string")
+    if args.extract_text:
+        body_text = W.html_to_text(body_text)
+    base = pool.next_producer_offsets().get(args.topic, 0)
+    env = raw.select(
+        F.struct(
+            F.lit(args.topic).alias("topic"),
+            F.lit(0).cast("long").alias("partition"),
+            F.lit(None).cast("long").alias("offset"),
+        ).alias("kafka"),
+        F.col("target_uri").alias("key"),
+        F.struct(
+            F.col("target_uri").alias("uri"),
+            F.col("warc_date").alias("date"),
+            F.col("http_status").alias("status"),
+            F.col("http_content_type").alias("content_type"),
+            body_text.alias("text"),
+        ).alias("value"),
+        F.lit("data").alias("_type"),
+        F.col("path").alias("__p"),
+        F.col("record_index").alias("__i"),
+    )
+    # dense offsets in (file, record) order from the producer watermark:
+    # a re-run of the same files lands at NEW offsets (a new commit), it
+    # never silently overlays the old one — dedup is a downstream stage
+    env = zoff.assign_offsets(
+        env, {args.topic: base}, order_col=["__p", "__i"]
+    ).drop("__p", "__i")
+    commit = pool.load_batch(env)
+    n = pool.df().filter(F.col("kafka.offset") >= base).count()
+    print(f"commit {commit} {n} records topic {args.topic} from offset {base}")
+    return 0
+
+
 def cmd_train_quality(args) -> int:
     """Train the fixed-point embedding probe (operators/classifier.py)
     and persist the integer-weight artifact; later jobs rebuild the
@@ -788,6 +841,17 @@ def main(argv: list[str] | None = None) -> int:
     ld.add_argument("--pool", required=True)
     ld.add_argument("--lake", default=".")
 
+    wl = sub.add_parser(
+        "warc-load", help="ingest WARC crawl archives into a pool"
+    )
+    wl.add_argument("files", nargs="*")
+    wl.add_argument("--pool", required=True)
+    wl.add_argument("--lake", default=".")
+    wl.add_argument("--topic", default="warc",
+                    help="kafka.topic the envelopes carry (default: warc)")
+    wl.add_argument("--extract-text", action="store_true",
+                    help="store HTML->text extraction instead of the raw body")
+
     cp = sub.add_parser("create-pool")
     cp.add_argument("name")
     cp.add_argument("--lake", default=".")
@@ -942,6 +1006,7 @@ def main(argv: list[str] | None = None) -> int:
         "query": cmd_query,
         "create-pool": cmd_create_pool,
         "load": cmd_load,
+        "warc-load": cmd_warc_load,
         "compact-pool": cmd_compact_pool,
         "vacuum-pool": cmd_vacuum_pool,
         "info": cmd_info,
