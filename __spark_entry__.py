@@ -4393,6 +4393,12 @@ def _q_warc_curation(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("bigint").alias("doc_id"),
         W.html_to_text(F.col("body").cast("string")).alias("text"),
     )
+    # materialize the parse+extraction ONCE: the metric pack's three
+    # consumers (scalar stats, 2-gram, 3-gram) plus the kept branch
+    # would otherwise re-run the Arrow record reader 4x over the crawl
+    # (fine for parquet scans, wrong for byte parsing) — same
+    # localCheckpoint cut the lateral-scope compiler uses
+    docs = docs.localCheckpoint(eager=True)
     metrics = _gopher_metrics(docs).select("doc_id", "passes")
     kept = (
         docs.join(metrics, "doc_id")

@@ -464,6 +464,24 @@ def main() -> int:
           "CartesianProduct" not in p and "partial_min" in p,
           "first-seen partial-aggregates; no cross products")
 
+    # r9: WARC ingest + crawl curation — byte parsing is ONE Arrow
+    # kernel (the mapInPandas record reader); everything downstream
+    # (HTML->text, gopher metrics, lang-id, dedup) must stay JVM: no
+    # row-at-a-time BatchEvalPython, no cross products, and only the
+    # reader's Arrow stage(s) in the plan.
+    p = plan_of(qs["warc_curation"](spark, sf))
+    check("warc_curation",
+          "BatchEvalPython" not in p and "CartesianProduct" not in p,
+          "no row-at-a-time Python, no cross products")
+    check("warc_curation",
+          p.count("MapInPandas") == 0,
+          "parse+extraction materialized once (localCheckpoint); the 4 "
+          "downstream consumers scan the cut, never re-run the reader")
+    p = plan_of(qs["warc_ingest"](spark, sf))
+    check("warc_ingest",
+          "BatchEvalPython" not in p and p.count("MapInPandas") == 1,
+          "one Arrow record-parse stage; extraction is JVM regexps")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0
