@@ -4316,9 +4316,13 @@ def _warc_fixture(sf_dir: str) -> list[str]:
         return paths
     os.makedirs(outdir, exist_ok=True)
     con = duckdb.connect()
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(src):
+        # Spark-written tables (tools/make_scale_data.py) are a
+        # directory of part files; driver testdata is a single file
+        src = f"{src}/*.parquet"
     rows = con.execute(
-        f"SELECT doc_id, coalesce(text, '') FROM '{sf_dir}/documents.parquet' "
-        "ORDER BY doc_id"
+        f"SELECT doc_id, coalesce(text, '') FROM '{src}' ORDER BY doc_id"
     ).fetchall()
     shards: list[list[dict]] = [[] for _ in range(8)]
     for doc_id, text in rows:
