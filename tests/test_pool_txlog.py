@@ -700,3 +700,52 @@ def test_txlog_two_threads_no_lost_commit(spark, tmp_path):
     vs = log.versions()
     assert vs == list(range(len(vs)))  # contiguous claims, no lost slots
     assert pool.next_consumer_offset("T") == 108
+
+
+def test_commitdir_empty_batch_is_noop_format_parity(spark, tmp_path):
+    """r9 review: the empty-batch no-op existed only on the txlog side,
+    so the same op sequence diverged between the two formats (commits
+    minted a hollow zero-row commit and flipped is_empty()).  Both
+    formats now treat an all-empty batch as 'no commit happened'."""
+    for fmt in ("commits", "txlog"):
+        pool = _mk(spark, tmp_path, name=f"eb_{fmt}", fmt=fmt)
+        pool.load_batch(spark.createDataFrame([], _schema()))
+        assert pool.is_empty(), fmt
+        with pytest.raises(PoolError, match="empty"):
+            pool.df()
+        # and on a non-empty pool: history + offsets unchanged
+        pool.load_batch(spark.createDataFrame(env_rows("T", [0]), _schema()))
+        commits_before = pool._commit_names()
+        pool.load_batch(spark.createDataFrame([], _schema()))
+        assert pool._commit_names() == commits_before, fmt
+        assert pool.next_producer_offsets() == {"T": 1}, fmt
+
+
+def test_legacy_log_layout_refused(spark, tmp_path):
+    """r9 review: a pool written under the pre-Delta `_log/` layout
+    must be REFUSED, not read as empty — an empty read would report no
+    data and let vacuum's dark-file sweep delete the live files."""
+    import os
+    import shutil
+
+    pool = _mk(spark, tmp_path, name="legacy")
+    pool.load_batch(spark.createDataFrame(env_rows("T", [0, 1]), _schema()))
+    shutil.move(
+        os.path.join(pool.path, "_delta_log"), os.path.join(pool.path, "_log")
+    )
+    with pytest.raises(RuntimeError, match="legacy _log/ layout"):
+        Pool(spark, pool.path)
+
+
+def test_vacuum_grace_capped_by_tombstone_retention(spark, tmp_path):
+    """r9 review: checkpoints drop remove tombstones older than
+    TOMBSTONE_RETENTION_S, so a vacuum reader grace past that window is
+    unenforceable (the orphan clock is forgotten and the file falls to
+    the shorter writer-grace mtime path).  vacuum refuses instead of
+    silently under-protecting."""
+    pool = _mk(spark, tmp_path, name="vg")
+    pool.load_batch(spark.createDataFrame(env_rows("T", [0]), _schema()))
+    with pytest.raises(ValueError, match="tombstone retention"):
+        pool.vacuum(grace_seconds=30 * 86400.0)
+    # at or below the retention: normal path still works
+    assert pool.vacuum(grace_seconds=3600.0) == 0

@@ -570,10 +570,13 @@ def test_pool_format_equivalence_random_ops(spark, tmp_path_factory, ops):
     last_ids: dict[str, str | None] = {"commits": None, "txlog": None}
     for op in ops:
         kind = op % 4
-        if kind in (0, 1):  # load (weighted: most common op)
-            n = 1 + op % 3
+        if kind in (0, 1):  # load (weighted; n==0 = empty micro-batch)
+            n = op % 3
             for fmt, pool in pools.items():
-                last_ids[fmt] = pool.load_batch(mk(nxt, n))
+                cid = pool.load_batch(mk(nxt, n))
+                # an all-empty batch is "no commit happened" on BOTH
+                # formats (r9 review): its id is not retractable
+                last_ids[fmt] = cid if n else None
             nxt += n
         elif kind == 2 and last_ids["commits"]:  # retract the last commit
             for fmt, pool in pools.items():

@@ -271,7 +271,11 @@ def cmd_warc_load(args) -> int:
         env, {args.topic: base}, order_col=["__p", "__i"]
     ).drop("__p", "__i")
     commit = pool.load_batch(env)
-    n = pool.df().filter(F.col("kafka.offset") >= base).count()
+    # count THIS load only: scope to the topic as well as the offset
+    # floor (another topic's rows past `base` must not be counted)
+    n = pool.df().filter(
+        (F.col("kafka.topic") == args.topic) & (F.col("kafka.offset") >= base)
+    ).count()
     print(f"commit {commit} {n} records topic {args.topic} from offset {base}")
     return 0
 

@@ -93,13 +93,17 @@ def assign_offsets(
         est = _estimated_bytes(df)
         via_prefix_sum = est is None or est >= PREFIX_SUM_CUTOVER_BYTES
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    if base_offsets:
+
+    def start_at(topic_expr):
+        # ONE definition of the base-offset lookup, shared by both
+        # physical strategies so their semantics cannot drift
+        if not base_offsets:
+            return F.lit(0)
         base = F.create_map(
             *[x for kv in base_offsets.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
         )
-        start = F.coalesce(base.getItem(F.col(topic_col)), F.lit(0))
-    else:
-        start = F.lit(0)
+        return F.coalesce(base.getItem(topic_expr), F.lit(0))
+
     if via_prefix_sum:
         from .packing import prefix_sum  # noqa: PLC0415
 
@@ -110,15 +114,13 @@ def assign_offsets(
             "__one",
             out_col="__rk0",
         )
-        new_off = F.coalesce(
-            base.getItem(F.col("__topic")) if base_offsets else F.lit(0), F.lit(0)
-        ) + F.col("__rk0")
+        new_off = start_at(F.col("__topic")) + F.col("__rk0")
         return ranked.withColumn(
             "kafka",
             F.col("kafka").withField("offset", new_off.cast("long")),
         ).drop("__topic", "__one", "__rk0")
     w = Window.partitionBy(topic_col).orderBy(*order_cols)
-    new_off = start + F.row_number().over(w) - 1
+    new_off = start_at(F.col(topic_col)) + F.row_number().over(w) - 1
     return df.withColumn(
         "kafka",
         F.col("kafka").withField("offset", new_off.cast("long")),

@@ -551,6 +551,16 @@ class Pool:
             df.write.mode("overwrite").partitionBy("_topic").parquet(tmp)
         else:
             df.write.mode("overwrite").parquet(tmp)
+        # All-empty batch = "no commit happened", SAME as the txlog
+        # path (the two formats are one logical pool contract): a
+        # zero-row commit would flip is_empty() and mint a hollow
+        # as_of target on one format but not the other.  Row counts
+        # come from parquet footers (short-circuits on the first
+        # non-empty file, so a normal batch pays ONE footer read);
+        # the dead dir is reclaimed by vacuum's unpublished sweep.
+        if self._written_rowcount_is_zero(tmp):
+            self._fs.rmtree(tmp)
+            return commit_id
         # drop spark's _SUCCESS etc? keep; parquet reader ignores non-parquet
         # Data write happens unlocked (it is slow and conflict-free: the
         # tmp dir is writer-unique); only the rename + manifest
@@ -566,6 +576,24 @@ class Pool:
             else:
                 self._publish_commit(tmp, commit_id)
         return commit_id
+
+    def _written_rowcount_is_zero(self, root: str) -> bool:
+        """True iff every parquet file under ``root`` (one level of
+        ``_topic=`` partitioning included) has zero rows.  Footer-only,
+        short-circuits on the first non-empty file."""
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        stack = [root]
+        while stack:
+            d = stack.pop()
+            for name in self._fs.listdir(d):
+                full = os.path.join(d, name)
+                if name.startswith("_topic=") and self._fs.isdir(full):
+                    stack.append(full)
+                elif name.endswith(".parquet"):
+                    if pq.ParquetFile(full).metadata.num_rows > 0:
+                        return False
+        return True
 
     def _load_batch_txlog(self, df: DataFrame, commit_id: str) -> str:
         """txlog commit: Spark writes parquet under ``data/<commit>/``
@@ -705,10 +733,14 @@ class Pool:
         independently.  txlog metadata answers exactly when every live
         file is single-(topic, partition); any mixed or statless file
         falls back to one grouped scan (partial-agg max, no window)."""
-        if self.is_empty():
-            return {}
         if self._log is not None:
+            # ONE log replay serves both the emptiness check and the
+            # stats walk (is_empty() would be a second full snapshot —
+            # O(interval) object-store GETs per stream start, found by
+            # the r9 review)
             files = list(self._log.snapshot()["files"].values())
+            if not files:
+                return {}
             out: dict[int, int] = {}
             for f in files:
                 st = f.get("stats", {})
@@ -722,6 +754,8 @@ class Pool:
                     out[pid] = max(out.get(pid, 0), int(o[1]) + 1)
             else:
                 return out
+        elif self.is_empty():  # commit-dir format: manifest read, cheap
+            return {}
         rows = (
             self.df(topic=topic)
             .groupBy(F.col("kafka.partition").alias("p"))
@@ -1126,6 +1160,19 @@ class Pool:
         an in-flight commit looks exactly like a crashed one until its
         log append lands.  Empty ``data/commit-*`` dirs are swept with
         their last file."""
+        if grace_seconds > self._log.TOMBSTONE_RETENTION_S:
+            # checkpoints drop tombstones past the retention window, so
+            # a longer reader grace is unenforceable: the orphaning
+            # time is forgotten and the file would fall to the shorter
+            # mtime/writer-grace clock — exactly the premature delete
+            # the grace exists to prevent.  Explicit error over silent
+            # under-protection.
+            raise ValueError(
+                f"vacuum grace {grace_seconds:.0f}s exceeds the log's "
+                f"tombstone retention {self._log.TOMBSTONE_RETENTION_S:.0f}s; "
+                "raise TxLog.TOMBSTONE_RETENTION_S (before tombstones "
+                "age out) instead"
+            )
         removed = 0
         with self.writer_lock():
             snap = self._log.snapshot()

@@ -209,6 +209,16 @@ class TxLog:
     #: write a checkpoint every N versions (Delta's own default cadence)
     CHECKPOINT_INTERVAL = 10
 
+    #: how long checkpoint-building keeps remove tombstones (Delta's
+    #: deletedFileRetentionDuration, same 7-day default).  Vacuum's
+    #: reader grace MUST NOT exceed this: once a checkpoint drops a
+    #: tombstone, the file's orphaning time is forgotten and it would
+    #: be mis-classed as a never-logged dark write under the (shorter)
+    #: writer grace — Pool.vacuum enforces the inequality.  Raise the
+    #: attribute BEFORE the tombstone ages past it if readers need a
+    #: longer window.
+    TOMBSTONE_RETENTION_S = 7 * 24 * 3600.0
+
     def __init__(self, fs, pool_path: str):
         self._fs = fs
         self.path = os.path.join(pool_path, LOG_DIR)
@@ -216,6 +226,21 @@ class TxLog:
         # append-once-then-rarely, so appends reuse the cached identity
         # instead of re-reading the log tail every commit
         self._meta_cache: tuple[int, str | None, str | None] | None = None
+        # Refuse, loudly, a pool written by the pre-Delta layout
+        # (entries under `_log/`, single-object JSON with add as a
+        # list).  Reading it as an empty `_delta_log/` would be silent
+        # data loss twice over: df() reports the pool empty, and
+        # vacuum's not-in-log sweep would DELETE the live data files
+        # as dark writes.  No migration shim is carried because no
+        # released pool used the old layout; the guard turns the
+        # upgrade hazard into an explicit error instead of a quiet one.
+        legacy = os.path.join(pool_path, "_log")
+        if not self._fs.isdir(self.path) and self._fs.isdir(legacy):
+            raise RuntimeError(
+                f"pool at {pool_path} uses the legacy _log/ layout; "
+                "rewrite it (read with the old build, load_batch into "
+                "a fresh txlog pool) before opening with this version"
+            )
 
     def _entry_path(self, version: int) -> str:
         return os.path.join(self.path, f"{version:020d}.json")
@@ -494,7 +519,7 @@ class TxLog:
         # tombstones past the retention window have long been vacuumed
         # and are dropped here so the checkpoint cannot grow with
         # delete history (the spec's tombstone retention)
-        retention = time.time() - 7 * 24 * 3600.0
+        retention = time.time() - self.TOMBSTONE_RETENTION_S
         snap["removed_ts"] = {
             p: ts for p, ts in snap["removed_ts"].items() if ts >= retention
         }

@@ -71,9 +71,9 @@ def starting_offsets_from_pool(
     out: dict[str, dict[str, int]] = {}
     for topic in topics:
         declared = (partitions_by_topic or {}).get(topic, [0])
-        saved = (
-            {} if pool.is_empty() else pool.next_consumer_offsets_by_partition(topic)
-        )
+        # emptiness is handled inside (one log snapshot serves both the
+        # check and the stats walk on txlog pools)
+        saved = pool.next_consumer_offsets_by_partition(topic)
         out[topic] = {
             str(p): saved[p] if saved.get(p, 0) > 0 else -2
             for p in sorted(set(declared) | set(saved))
