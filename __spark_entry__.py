@@ -4300,6 +4300,17 @@ _SQL_ROLLUP_CASCADE = """
 
 _WARC_FIX_DIR = "/tmp/zinger_spark_warc"
 
+#: deterministic host mix for the fixture: plain TLDs, two-level public
+#: suffixes, and three blocklisted sites — indexed by doc_id % 10 so
+#: the oracle can re-derive every URI from the documents table alone
+_WARC_DOMAINS = (
+    "texthub.com", "archive.org", "spamfarm.biz", "blog.co.uk",
+    "docs.io", "adsite.com", "paper.ac.uk", "wiki.net",
+    "track.co.uk", "mirror.com",
+)
+
+_WARC_BLOCKLIST = ("spamfarm.biz", "adsite.com", "track.co.uk")
+
 
 def _warc_fixture(sf_dir: str) -> list[str]:
     import hashlib
@@ -4308,7 +4319,11 @@ def _warc_fixture(sf_dir: str) -> list[str]:
 
     from zinger_spark.sources import warc as W
 
-    slug = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # v2: URIs carry deterministic host structure (subdomain +
+    # registered domain incl. two-level suffixes + blocklisted sites)
+    # so URL-curation operators have something real to cut on; the
+    # path still ends /<doc_id> for the ingest keys' id extraction
+    slug = hashlib.md5((os.path.abspath(sf_dir) + ":v2").encode()).hexdigest()[:10]
     outdir = os.path.join(_WARC_FIX_DIR, slug)
     paths = [os.path.join(outdir, f"shard{j}.warc.gz") for j in range(8)]
     marker = os.path.join(outdir, "_DONE")
@@ -4335,8 +4350,13 @@ def _warc_fixture(sf_dir: str) -> list[str]:
             f"<body><!-- id {doc_id} --><p>{esc}</p>"
             f"<script>var n={doc_id};</script></body></html>"
         )
+        dom = _WARC_DOMAINS[doc_id % len(_WARC_DOMAINS)]
+        sub = ("www", "cdn", "m")[doc_id % 3]
         shards[doc_id % 8].append(
-            {"uri": f"https://corpus.local/{doc_id}", "body": html.encode()}
+            {
+                "uri": f"https://{sub}.{dom}/p{doc_id % 5}/{doc_id}",
+                "body": html.encode(),
+            }
         )
     for j, p in enumerate(paths):
         W.write_warc_gz(p, shards[j])
@@ -4449,6 +4469,46 @@ def _sql_warc_curation() -> str:
         FROM enr e JOIN canon c ON c.content_fp = e.content_fp AND c.doc_id = e.doc_id"""
 
 
+def _q_warc_url_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """URL/domain curation over the crawl (the C4/RefinedWeb/FineWeb
+    blocklist stage): parse_uri on every record's target URI ->
+    registered domain (suffix-aware eTLD+1) -> per-domain doc counts +
+    blocklist flag.  All JVM expressions over the streaming reader's
+    output; the exchange is bounded by #domains whatever the crawl
+    size."""
+    from zinger_spark.functions import net as znet
+    from zinger_spark.sources import warc as W
+
+    paths = _warc_fixture(sf)
+    raw = W.read_warc(spark, paths)
+    host = znet.parse_uri(F.col("target_uri")).getField("host")
+    dom = znet.registered_domain(host)
+    return (
+        raw.select(dom.alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("blocked", F.col("domain").isin(*_WARC_BLOCKLIST))
+    )
+
+
+def _sql_warc_url_filter() -> str:
+    # the oracle re-derives each record's registered domain from the
+    # documents table via the same doc_id -> domain construction the
+    # fixture writer uses (the Spark side must recover it from the
+    # URI STRING through parse_uri + the suffix-aware label slice)
+    doms = ", ".join(f"'{d}'" for d in _WARC_DOMAINS)
+    blocked = ", ".join(f"'{d}'" for d in _WARC_BLOCKLIST)
+    return f"""
+        WITH dommap AS (
+          SELECT doc_id, ([{doms}])[(doc_id % 10) + 1] AS domain
+          FROM documents
+        )
+        SELECT domain,
+               count(*) AS n_docs,
+               domain IN ({blocked}) AS blocked
+        FROM dommap GROUP BY domain"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that are new or were rewritten since their last
@@ -4529,6 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_recall": _q_minhash_lsh_recall,
         "warc_ingest": _q_warc_ingest,
         "warc_curation": _q_warc_curation,
+        "warc_url_filter": _q_warc_url_filter,
         "deterministic_shuffle": _q_deterministic_shuffle,
         "pack_sequences": _q_pack_sequences,
         # -- previously green (churn insurance, prior order) -------
@@ -4666,6 +4727,7 @@ _R9_FRONT = [
     "minhash_lsh_recall",
     "warc_ingest",
     "warc_curation",
+    "warc_url_filter",
     "tfidf_top_terms",
     "tpch_q8",
     "tpch_q15",
@@ -5984,6 +6046,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_recall": _sql_minhash_recall(),
         "warc_ingest": _sql_warc_ingest(),
         "warc_curation": _sql_warc_curation(),
+        "warc_url_filter": _sql_warc_url_filter(),
         "bm25_topk": """
             WITH tokd AS (
               SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks

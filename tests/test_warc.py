@@ -199,3 +199,34 @@ def test_streaming_member_iterator_bounded(tmp_path, docs):
     assert len(members) == 25
     for m in members:
         assert m.lstrip(b"\r\n").startswith(b"WARC/1.0")
+
+
+def test_registered_domain_suffix_aware(spark):
+    """eTLD+1: last 2 labels normally, last 3 over a two-level public
+    suffix; bare domains and short hosts pass through."""
+    from zinger_spark.functions.net import registered_domain
+
+    cases = [
+        ("www.texthub.com", "texthub.com"),
+        ("cdn.blog.co.uk", "blog.co.uk"),
+        ("a.b.paper.ac.uk", "paper.ac.uk"),
+        ("archive.org", "archive.org"),
+        ("co.uk", "co.uk"),          # the suffix itself: nothing to cut
+        ("localhost", "localhost"),
+        ("deep.sub.mirror.com", "mirror.com"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [r.d for r in df.select(registered_domain(F.col("host")).alias("d")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_warc_url_filter_blocklist(spark):
+    """The URL-curation key flags exactly the blocklisted registered
+    domains, and every fixture record lands in some domain bucket."""
+    import __spark_entry__ as m
+
+    df = m.queries()["warc_url_filter"](spark, "/root/testdata/sf0.001")
+    rows = {r.domain: (r.n_docs, r.blocked) for r in df.collect()}
+    assert sum(n for n, _ in rows.values()) == 500  # sf0.001 documents
+    blocked = {d for d, (_, b) in rows.items() if b}
+    assert blocked == {"spamfarm.biz", "adsite.com", "track.co.uk"}

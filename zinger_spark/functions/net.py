@@ -131,3 +131,33 @@ def parse_uri(uri: Column) -> Column:
         part(7).alias("query"),
         part(9).alias("fragment"),
     )
+
+
+#: two-level public suffixes bundled for the registered-domain cut.
+#: Deliberately minimal: the MECHANISM (suffix-aware label slice, pure
+#: JVM) is the scale-relevant part — a deployment swaps in the full
+#: published PSL as this tuple without touching the plan shape.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "co.in", "co.kr", "co.nz",
+    "com.br", "com.cn", "com.mx",
+)
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 of a hostname — the key for domain-level blocklists and
+    quality priors in crawl curation (C4/RefinedWeb/FineWeb all filter
+    at the registered domain, not the full host).  Suffix-aware label
+    slice as pure JVM expressions: last 2 labels normally, last 3 when
+    the final 2 form a bundled two-level public suffix; hosts with no
+    more labels than the cut pass through unchanged."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    take = F.when(
+        (n >= 2) & last2.isin(*TWO_LEVEL_SUFFIXES), F.lit(3)
+    ).otherwise(F.lit(2))
+    return F.when(n <= take, host).otherwise(
+        F.concat_ws(".", F.slice(parts, n - take + 1, take))
+    )
