@@ -230,3 +230,21 @@ def test_warc_url_filter_blocklist(spark):
     assert sum(n for n, _ in rows.values()) == 500  # sf0.001 documents
     blocked = {d for d, (_, b) in rows.items() if b}
     assert blocked == {"spamfarm.biz", "adsite.com", "track.co.uk"}
+
+
+def test_malformed_warc_raises(tmp_path):
+    """A blob that is not a WARC record must raise, not silently parse
+    garbage; a truncated gzip member must raise, not yield a partial
+    record."""
+    bad = tmp_path / "bad.warc"
+    bad.write_bytes(b"HTTP/1.1 200 OK\r\n\r\nnot a warc")
+    with pytest.raises(ValueError, match="not a WARC record"):
+        list(W._parse_records(bad.read_bytes()))
+    import gzip as _g
+
+    blob = _g.compress(b"WARC/1.0\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n")
+    trunc = tmp_path / "t.warc.gz"
+    trunc.write_bytes(blob[: len(blob) // 2])
+    with open(trunc, "rb") as f:
+        with pytest.raises(ValueError, match="truncated gzip"):
+            list(W._iter_gzip_members(f))
