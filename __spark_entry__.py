@@ -6766,15 +6766,21 @@ def oracle_sql() -> dict[str, str]:
               AND {_sql_cosine("l.v", "r.v")} >= 0.40
         """,
         "mixture_sample": """
+            -- integer fixed-point thresholds (r9 sf3 finding: the
+            -- double rate*10000 form lands exactly ON integers at
+            -- round corpus sizes and the engines' association order
+            -- puts them on opposite sides — a whole hash bucket flips)
             WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-            w AS (SELECT source, n, pow(n::DOUBLE, 0.5) AS wt FROM sizes),
+            w AS (SELECT source, n,
+                         CAST(floor(sqrt(n::DOUBLE) * 1048576) AS BIGINT) AS wt
+                  FROM sizes),
             r AS (SELECT source,
-                         least(1.0, 120.0 * wt / (SELECT sum(wt) FROM w) / n) AS rate
+                         least(10000, ((120 * wt * 10000) // (SELECT sum(wt) FROM w)) // n) AS thr
                   FROM w)
             SELECT d.doc_id, d.source
             FROM documents d JOIN r USING(source)
-            WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000)::DOUBLE
-                  < rate * 10000
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+                  < thr
         """,
         "semantic_dedup": f"""
             WITH RECURSIVE cents AS (

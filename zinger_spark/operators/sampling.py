@@ -27,7 +27,21 @@ def mixture_sample(
 
     Per-source keep rate = min(1, target_total * w_i / n_i) with
     w_i = n_i^T / Σ n_j^T; a doc is kept when
-    md5(id) % 10000 < rate * 10000 — a pure per-row hash compare.
+    md5(id) % 10000 < thr_i — a pure per-row hash compare.
+
+    The threshold is INTEGER fixed point end-to-end:
+    W_i = floor(n_i^T · 2^20) as int64, thr_i = ((total·W_i·10000)
+    div ΣW) div n_i (nested int-div == one exact floor-div, no int128
+    needed).  The r9 sf3 sweep caught the double form flipping a whole
+    hash bucket (~n/10000 docs) against the oracle: with round-number
+    corpus sizes the exact threshold lands ON an integer, and
+    `a*(b/c)/d` vs `a*b/c/d` rounding puts the two engines on opposite
+    sides of it — a boundary no small-SF test can see, because there a
+    hash value is shared by <1 doc on average.  Only n^T itself stays
+    floating: for T=0.5 it is sqrt(), correctly rounded by IEEE 754 in
+    both engines, hence bit-identical; other T go through pow() where
+    libms may differ by 1 ulp — a ~2^-20-relative wobble on ONE
+    source's integer weight at worst, random rather than systematic.
 
     Scale shape: one partial-agg groupBy for source sizes (tiny — one
     row per source at any corpus size), broadcast back, then a
@@ -38,20 +52,30 @@ def mixture_sample(
     if temperature < 0:
         raise ValueError("temperature must be >= 0")
     sizes = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
-    weights = sizes.withColumn("__wt", F.pow(F.col("__n").cast("double"), F.lit(float(temperature))))
-    total_wt = weights.agg(F.sum("__wt").alias("__tw"))
+    nT = (
+        F.sqrt(F.col("__n").cast("double"))
+        if temperature == 0.5
+        else F.pow(F.col("__n").cast("double"), F.lit(float(temperature)))
+    )
+    weights = sizes.withColumn(
+        "__w", F.floor(nT * F.lit(float(1 << 20))).cast("long")
+    )
+    total_wt = weights.agg(F.sum("__w").alias("__tw"))
     rates = weights.crossJoin(F.broadcast(total_wt)).select(
         source_col,
         F.least(
-            F.lit(1.0),
-            F.lit(float(target_total)) * (F.col("__wt") / F.col("__tw")) / F.col("__n"),
-        ).alias("__rate"),
+            F.lit(10000).cast("long"),
+            F.expr(
+                f"(CAST({int(target_total)} AS BIGINT) * __w * 10000L) "
+                "div __tw div __n"
+            ),
+        ).alias("__thr"),
     )
     h = md5_hash60(F.col(id_col).cast("string"))
     return (
         df.join(F.broadcast(rates), source_col)
-        .filter((h % 10000).cast("double") < F.col("__rate") * 10000)
-        .drop("__rate")
+        .filter((h % 10000) < F.col("__thr"))
+        .drop("__thr")
     )
 
 
