@@ -140,6 +140,14 @@ HEADLINE = [
     # with the other exhaustive pins)
     "avro_union_roundtrip",
     "contamination_exact_fullprobe",
+    # r9 (late): directional containment dedup (same blocked shape as
+    # ngram_jaccard — tracked for the same hot-shingle-cap reasons),
+    # RRF hybrid retrieval (two bounded top-k runs + a ≤200-row fuse:
+    # must stay corpus-size-free past the retrievers), canonical-URL
+    # dedup (pure JVM regex/array normalization fused into the scan)
+    "dedup_ngram_containment",
+    "rrf_hybrid_topk",
+    "url_dedup_canonical",
 ]
 
 # Deliberately-exhaustive parity pins: correct by construction but

@@ -482,6 +482,25 @@ def main() -> int:
           "BatchEvalPython" not in p and p.count("MapInPandas") == 1,
           "one Arrow record-parse stage; extraction is JVM regexps")
 
+    # r9 (late): containment dedup shares ngram_jaccard's blocked shape;
+    # RRF fuses two ALREADY-BOUNDED top-k runs (the corpus reductions
+    # are TakeOrderedAndProject, fusion never sees corpus-sized input);
+    # canonical-URL dedup is pure JVM normalization + one groupBy.
+    p = plan_of(qs["dedup_ngram_containment"](spark, sf))
+    check("dedup_ngram_containment", "CartesianProduct" not in p,
+          "candidates via shingle equi-join under the max_df cap, not all-pairs")
+    p = plan_of(qs["rrf_hybrid_topk"](spark, sf))
+    check("rrf_hybrid_topk",
+          "TakeOrderedAndProject" in p and "CartesianProduct" not in p,
+          "both retrieval runs reduce via per-partition top-k before the fuse")
+    check("rrf_hybrid_topk", "BatchEvalPython" not in p,
+          "BM25 + cosine scoring all JVM expressions")
+    p = plan_of(qs["url_dedup_canonical"](spark, sf))
+    check("url_dedup_canonical",
+          "BatchEvalPython" not in p and "Join" not in p,
+          "canonicalization is regexp/array JVM expressions fused into "
+          "the scan; the only shuffle is the canonical-key groupBy")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0

@@ -145,6 +145,114 @@ TWO_LEVEL_SUFFIXES = (
 )
 
 
+#: query parameters stripped by canonical_url — click/campaign trackers
+#: that vary per impression while the landing page is identical (the
+#: standard crawl-dedup normalization list; utm_* is matched by prefix)
+TRACKING_PARAMS = (
+    "fbclid", "gclid", "dclid", "msclkid", "igshid",
+    "mc_cid", "mc_eid", "ref_src", "spm",
+)
+
+
+def canonical_url(uri: Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the normalization a
+    crawl pipeline applies BEFORE exact-URL dedup, so that the millions
+    of tracking-parameter / case / default-port / trailing-slash
+    variants of one landing page collapse to a single key.
+
+    Pure JVM expressions over the RFC 3986 appendix-B regex split
+    (same `_URI_RE` as parse_uri):
+      - scheme and host lowercased, trailing host dot stripped
+      - default ports dropped (http:80, https:443), others kept
+      - path: empty -> "/", trailing slashes stripped otherwise
+      - query: split on '&', tracking params removed (TRACKING_PARAMS
+        exact keys + the utm_ prefix), survivors sorted byte-wise and
+        rejoined — repeated keys preserved, order normalized
+      - fragment always dropped (never reaches the server)
+      - userinfo kept verbatim when present
+
+    Everything is regexp/array built-ins inside whole-stage codegen —
+    no UDF, no shuffle; at 100 TB this is a free map stage fused into
+    the scan.  `sql_canonical_url` is the byte-equivalent DuckDB
+    mirror used by the oracle."""
+    scheme = F.lower(F.regexp_extract(uri, _URI_RE, 2))
+    auth = F.regexp_extract(uri, _URI_RE, 4)
+    userinfo = F.regexp_extract(auth, r"^(([^@]*)@)?.*$", 2)
+    hostport = F.regexp_extract(auth, r"^(?:[^@]*@)?(.*)$", 1)
+    host = F.lower(F.regexp_replace(F.regexp_extract(hostport, r"^([^:]*)", 1), r"\.$", ""))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    raw_path = F.regexp_extract(uri, _URI_RE, 5)
+    query = F.regexp_extract(uri, _URI_RE, 7)
+
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    stripped = F.regexp_replace(raw_path, r"/+$", "")
+    path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+
+    def is_kept(kv: Column) -> Column:
+        key = F.substring_index(kv, "=", 1)
+        return (
+            (kv != "")
+            & ~key.startswith("utm_")
+            & ~key.isin(*TRACKING_PARAMS)
+        )
+
+    kvs = F.array_sort(F.filter(F.split(query, "&"), is_kept))
+    qcanon = F.array_join(kvs, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        F.when(userinfo != "", F.concat(userinfo, F.lit("@"))).otherwise(F.lit("")),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )
+
+
+def sql_canonical_url(expr: str) -> str:
+    """DuckDB mirror of canonical_url over the SQL expression ``expr``
+    — same regex split, same normalization steps, so the oracle checks
+    the ENGINE's canonicalization logic, not a restatement of it."""
+    # DuckDB single-quoted literals keep backslashes verbatim, so the
+    # shared pattern embeds as-is (it contains no single quotes)
+    re = _URI_RE
+    tracked = ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
+    scheme = f"lower(regexp_extract({expr}, '{re}', 2))"
+    auth = f"regexp_extract({expr}, '{re}', 4)"
+    userinfo = f"regexp_extract({auth}, '^(([^@]*)@)?.*$', 2)"
+    hostport = f"regexp_extract({auth}, '^(?:[^@]*@)?(.*)$', 1)"
+    host = f"lower(regexp_replace(regexp_extract({hostport}, '^([^:]*)', 1), '\\.$', ''))"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    raw_path = f"regexp_extract({expr}, '{re}', 5)"
+    query = f"regexp_extract({expr}, '{re}', 7)"
+    keep_port = (
+        f"({port} <> '' AND NOT ({scheme} = 'http' AND {port} = '80') "
+        f"AND NOT ({scheme} = 'https' AND {port} = '443'))"
+    )
+    path = (
+        f"CASE WHEN regexp_replace({raw_path}, '/+$', '') = '' THEN '/' "
+        f"ELSE regexp_replace({raw_path}, '/+$', '') END"
+    )
+    kept = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"x -> x <> '' AND NOT starts_with(split_part(x, '=', 1), 'utm_') "
+        f"AND split_part(x, '=', 1) NOT IN ({tracked})))"
+    )
+    qcanon = f"array_to_string({kept}, '&')"
+    return (
+        f"{scheme} || '://' "
+        f"|| (CASE WHEN {userinfo} <> '' THEN {userinfo} || '@' ELSE '' END) "
+        f"|| {host} "
+        f"|| (CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END) "
+        f"|| {path} "
+        f"|| (CASE WHEN {qcanon} <> '' THEN '?' || {qcanon} ELSE '' END)"
+    )
+
+
 def registered_domain(host: Column) -> Column:
     """eTLD+1 of a hostname — the key for domain-level blocklists and
     quality priors in crawl curation (C4/RefinedWeb/FineWeb all filter

@@ -426,6 +426,94 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+    parallelism: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT near-dup pairs — the subset/quote
+    detector symmetric Jaccard misses.
+
+    C(A->B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|: a short doc
+    quoted verbatim inside a long one has containment ~1.0 from the
+    short side while its Jaccard is tiny (the union is dominated by the
+    long doc).  Training-data curation uses this to drop documents
+    subsumed by others (boilerplate-wrapped mirrors, quote farms,
+    pages that embed a whole article) — the Broder (1997) "resemblance
+    vs containment" distinction, public literature.
+
+    Physical shape is ngram_jaccard_pairs' (blocked candidate
+    generation under the ``max_df`` hot-shingle cap, exact counts over
+    the UNCAPPED shingle sets, every corpus-sized join pinned to
+    shuffle-hash); only the final ratio differs: both directions are
+    emitted as columns and the pair survives if EITHER direction
+    clears ``threshold``.  Containment values are exact — the cap
+    bounds candidate generation only.
+    """
+    if parallelism and parallelism > 1:
+        df = df.repartition(parallelism, F.col(id_col))
+    exploded = exploded_shingles(df, text_col, id_col, shingle_k).select(
+        "id", F.xxhash64("s").alias("h")
+    )
+    if materialize:
+        exploded = _materialize(exploded)
+    hot = (
+        exploded.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") > max_df)
+        .select("h")
+    )
+    blocked = exploded.join(F.broadcast(hot), "h", "left_anti")
+    cand = (
+        blocked.alias("l")
+        .join(blocked.alias("r").hint("shuffle_hash"), "h")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    shared = (
+        cand.hint("shuffle_hash")
+        .join(exploded.select(F.col("id").alias("a"), "h"), "a")
+        .join(
+            exploded.select(F.col("id").alias("__bid"), F.col("h").alias("hb")).hint(
+                "shuffle_hash"
+            ),
+            (F.col("b") == F.col("__bid")) & (F.col("h") == F.col("hb")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    c_ab = F.col("shared").cast("double") / F.col("na").cast("double")
+    c_ba = F.col("shared").cast("double") / F.col("nb").cast("double")
+    return (
+        shared.join(
+            sizes.select(F.col("id").alias("a"), F.col("n").alias("na")).hint(
+                "shuffle_hash"
+            ),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")).hint(
+                "shuffle_hash"
+            ),
+            "b",
+        )
+        .filter(F.greatest(c_ab, c_ba) >= threshold)
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.round(c_ab, 6).alias("containment_ab"),
+            F.round(c_ba, 6).alias("containment_ba"),
+        )
+    )
+
+
 def edit_distance_join(
     df: DataFrame,
     key_col: str = "key",

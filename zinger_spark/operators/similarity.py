@@ -18,7 +18,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import pandas as pd  # module-level: string type hints in pandas UDFs
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.vector import as_double, cosine, dot, norm, sign_bucket
 
@@ -67,6 +67,59 @@ def probe_buckets(
             if len(probes) >= n_probe:
                 return probes
     return probes
+
+
+def rrf_fuse(
+    runs: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    k_const: int = 60,
+    topk: int = 20,
+    digits: int = 8,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N bounded retrieval runs (Cormack,
+    Clarke & Buettcher, SIGIR'09 — the standard hybrid lexical+dense
+    combiner): fused(d) = Σ_runs 1/(k + rank_run(d)), ids absent from a
+    run contribute 0.
+
+    Each run is a DataFrame with (id_col, ``rank``) where rank is the
+    1-based position in that run's ALREADY-BOUNDED candidate list (a
+    top-k from TakeOrderedAndProject, typically ≤ a few hundred rows) —
+    so every join here is over candidate lists, never the corpus: the
+    retrievers do the corpus-sized reduction, fusion is O(Σ|runs|)
+    whatever the index size.  Missing ranks surface as 0 in the
+    ``rank_i`` output columns (not NULL — keeps the cross-engine value
+    hash stable).  Contributions sum in fixed run order as plain double
+    expressions (1/(k+r) is a correctly-rounded IEEE division in any
+    engine), rounded to ``digits``; the final rank orders by the
+    ROUNDED score with id tie-break, so the output is bit-stable across
+    engines and partitionings.
+    """
+    fused = None
+    for i, run in enumerate(runs):
+        leg = run.select(
+            F.col(id_col), F.col("rank").alias(f"rank_{i}")
+        )
+        fused = leg if fused is None else fused.join(leg, id_col, "full_outer")
+    score = None
+    for i in range(len(runs)):
+        c = F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k_const)) + F.col(f"rank_{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+        score = c if score is None else score + c
+    scored = fused.select(
+        id_col,
+        *[
+            F.coalesce(F.col(f"rank_{i}"), F.lit(0)).alias(f"rank_{i}")
+            for i in range(len(runs))
+        ],
+        F.round(score, digits).alias("rrf_score"),
+    )
+    top = scored.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(topk)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    # the rank window runs over the already-reduced topk rows (bounded
+    # input — the ann_* keys' audited idiom), never the candidate union
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def lsh_topk(
