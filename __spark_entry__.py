@@ -4424,7 +4424,11 @@ def _warc_fixture(sf_dir: str) -> list[str]:
     # registered domain incl. two-level suffixes + blocklisted sites)
     # so URL-curation operators have something real to cut on; the
     # path still ends /<doc_id> for the ingest keys' id extraction
-    slug = hashlib.md5((os.path.abspath(sf_dir) + ":v2").encode()).hexdigest()[:10]
+    # v3: each page also carries doc_id % 3 EMPTY-ANCHOR outlinks
+    # (<a href="..."></a>) for the link-graph key — empty anchors are
+    # invariant under the tag-strip extraction (tags become spaces and
+    # collapse), so every text-extraction oracle is unchanged
+    slug = hashlib.md5((os.path.abspath(sf_dir) + ":v3").encode()).hexdigest()[:10]
     outdir = os.path.join(_WARC_FIX_DIR, slug)
     paths = [os.path.join(outdir, f"shard{j}.warc.gz") for j in range(8)]
     marker = os.path.join(outdir, "_DONE")
@@ -4445,10 +4449,16 @@ def _warc_fixture(sf_dir: str) -> list[str]:
         esc = (
             text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         )
+        links = "".join(
+            f'<a href="https://{("www", "cdn", "m")[(doc_id + j) % 3]}.'
+            f'{_WARC_DOMAINS[(doc_id + j + 1) % len(_WARC_DOMAINS)]}'
+            f'/ref/{doc_id}-{j}"></a>'
+            for j in range(doc_id % 3)
+        )
         html = (
             f"<html><head><title>doc {doc_id}</title>"
             f"<style>p{{margin:0}}</style></head>"
-            f"<body><!-- id {doc_id} --><p>{esc}</p>"
+            f"<body><!-- id {doc_id} --><p>{esc}</p>{links}"
             f"<script>var n={doc_id};</script></body></html>"
         )
         dom = _WARC_DOMAINS[doc_id % len(_WARC_DOMAINS)]
@@ -4485,11 +4495,26 @@ def _sql_warc_extract_expr() -> str:
     from zinger_spark.sources.warc import sql_html_to_text
 
     esc = "replace(replace(replace(coalesce(text,''),'&','&amp;'),'<','&lt;'),'>','&gt;')"
+    doms = ", ".join(f"'{d}'" for d in _WARC_DOMAINS)
+
+    def link(j: int) -> str:
+        # mirrors the fixture writer's v3 empty-anchor outlink for slot j
+        return (
+            f"'<a href=\"https://' || (['www','cdn','m'])[((doc_id + {j}) % 3) + 1]"
+            f" || '.' || ([{doms}])[((doc_id + {j} + 1) % 10) + 1]"
+            f" || '/ref/' || CAST(doc_id AS VARCHAR) || '-{j}\"></a>'"
+        )
+
+    links = (
+        f"(CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN {link(0)} "
+        f"ELSE {link(0)} || {link(1)} END)"
+    )
     tpl = (
         "'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title>"
         "<style>p{margin:0}</style></head>"
-        "<body><!-- id ' || CAST(doc_id AS VARCHAR) || ' --><p>' || " + esc + " || '</p>"
-        "<script>var n=' || CAST(doc_id AS VARCHAR) || ';</script></body></html>'"
+        "<body><!-- id ' || CAST(doc_id AS VARCHAR) || ' --><p>' || " + esc + " || '</p>' || "
+        + links
+        + " || '<script>var n=' || CAST(doc_id AS VARCHAR) || ';</script></body></html>'"
     )
     return sql_html_to_text(tpl)
 
@@ -4610,6 +4635,57 @@ def _sql_warc_url_filter() -> str:
         FROM dommap GROUP BY domain"""
 
 
+def _q_warc_link_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl link graph at the registered-domain level (the substrate
+    for domain PageRank / spam-neighborhood scoring in web curation):
+    extract every <a href> from each page body with ONE JVM
+    regexp_extract_all, explode, cut both endpoints to eTLD+1, count
+    edges.  Per-record byte parsing stays in the streaming reader's
+    single Arrow stage; everything after is JVM expressions and one
+    groupBy keyed by (src, dst) — bounded by #domain-pairs whatever
+    the crawl size."""
+    from zinger_spark.functions import net as znet
+    from zinger_spark.sources import warc as W
+
+    paths = _warc_fixture(sf)
+    raw = W.read_warc(spark, paths)
+    hrefs = F.regexp_extract_all(
+        F.col("body").cast("string"), F.lit(r'(?is)<a\s+href="([^"]*)"'), F.lit(1)
+    )
+    src = znet.registered_domain(
+        znet.parse_uri(F.col("target_uri")).getField("host")
+    )
+    exploded = raw.select(
+        src.alias("src_domain"), F.explode(hrefs).alias("href")
+    )
+    dst = znet.registered_domain(
+        znet.parse_uri(F.col("href")).getField("host")
+    )
+    return (
+        exploded.select("src_domain", dst.alias("dst_domain"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def _sql_warc_link_graph() -> str:
+    # the oracle re-derives each page's outlinks from the fixture
+    # writer's doc_id construction (doc_id % 3 links; link j points at
+    # domain (doc_id + j + 1) % 10) — the Spark side must recover them
+    # from the raw HTML bytes via regexp_extract_all + parse_uri +
+    # the suffix-aware registered-domain cut
+    doms = ", ".join(f"'{d}'" for d in _WARC_DOMAINS)
+    return f"""
+        WITH j AS (SELECT 0 AS j UNION ALL SELECT 1),
+        edges AS (
+          SELECT ([{doms}])[(doc_id % 10) + 1] AS src_domain,
+                 ([{doms}])[((doc_id + j + 1) % 10) + 1] AS dst_domain
+          FROM documents JOIN j ON j.j < doc_id % 3
+        )
+        SELECT src_domain, dst_domain, count(*) AS n_links
+        FROM edges GROUP BY 1, 2"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that are new or were rewritten since their last
@@ -4693,6 +4769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _q_warc_ingest,
         "warc_curation": _q_warc_curation,
         "warc_url_filter": _q_warc_url_filter,
+        "warc_link_graph": _q_warc_link_graph,
         "deterministic_shuffle": _q_deterministic_shuffle,
         "pack_sequences": _q_pack_sequences,
         # -- previously green (churn insurance, prior order) -------
@@ -4829,6 +4906,7 @@ _R9_FRONT = [
     "dedup_ngram_containment",
     "rrf_hybrid_topk",
     "url_dedup_canonical",
+    "warc_link_graph",
     "offset_assign",
     "offset_assign_dist",
     "bm25_topk",
@@ -6268,6 +6346,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": _sql_warc_ingest(),
         "warc_curation": _sql_warc_curation(),
         "warc_url_filter": _sql_warc_url_filter(),
+        "warc_link_graph": _sql_warc_link_graph(),
         "bm25_topk": """
             WITH tokd AS (
               SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks

@@ -148,6 +148,9 @@ HEADLINE = [
     "dedup_ngram_containment",
     "rrf_hybrid_topk",
     "url_dedup_canonical",
+    # r9 (late): crawl link graph — one Arrow parse stage + JVM href
+    # extraction; the edge groupBy is bounded by #domain-pairs
+    "warc_link_graph",
 ]
 
 # Deliberately-exhaustive parity pins: correct by construction but

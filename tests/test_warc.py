@@ -248,3 +248,43 @@ def test_malformed_warc_raises(tmp_path):
     with open(trunc, "rb") as f:
         with pytest.raises(ValueError, match="truncated gzip"):
             list(W._iter_gzip_members(f))
+
+
+def test_link_graph_extraction(spark, tmp_path):
+    """Empty-anchor outlinks are recovered from raw bytes via
+    regexp_extract_all and cut to eTLD+1; the tag-strip extraction is
+    INVARIANT to them (tags collapse to whitespace)."""
+    from pyspark.sql import functions as F
+
+    from zinger_spark.functions import net as znet
+
+    html = (
+        b'<html><body><p>hello world</p>'
+        b'<a href="https://cdn.blog.co.uk/ref/1-0"></a>'
+        b'<a href="https://www.wiki.net/ref/1-1"></a>'
+        b"<script>var n=1;</script></body></html>"
+    )
+    p = str(tmp_path / "one.warc.gz")
+    W.write_warc_gz(p, [{"uri": "https://m.texthub.com/p0/1", "body": html}])
+    raw = W.read_warc(spark, [p])
+    hrefs = F.regexp_extract_all(
+        F.col("body").cast("string"), F.lit(r'(?is)<a\s+href="([^"]*)"'), F.lit(1)
+    )
+    row = raw.select(
+        znet.registered_domain(
+            znet.parse_uri(F.col("target_uri")).getField("host")
+        ).alias("src"),
+        hrefs.alias("links"),
+        W.html_to_text(F.col("body").cast("string")).alias("text"),
+    ).collect()[0]
+    assert row.src == "texthub.com"
+    assert row.links == [
+        "https://cdn.blog.co.uk/ref/1-0",
+        "https://www.wiki.net/ref/1-1",
+    ]
+    # extraction unaffected by the empty anchors
+    assert row.text == "hello world"
+    dsts = spark.createDataFrame([(u,) for u in row.links], "href string").select(
+        znet.registered_domain(znet.parse_uri(F.col("href")).getField("host")).alias("d")
+    )
+    assert [r.d for r in dsts.collect()] == ["blog.co.uk", "wiki.net"]

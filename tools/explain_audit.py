@@ -481,6 +481,12 @@ def main() -> int:
     check("warc_ingest",
           "BatchEvalPython" not in p and p.count("MapInPandas") == 1,
           "one Arrow record-parse stage; extraction is JVM regexps")
+    p = plan_of(qs["warc_link_graph"](spark, sf))
+    check("warc_link_graph",
+          "BatchEvalPython" not in p and p.count("MapInPandas") == 1
+          and "CartesianProduct" not in p,
+          "href extraction + eTLD+1 cut are JVM expressions after the "
+          "single Arrow parse stage; only the edge groupBy shuffles")
 
     # r9 (late): containment dedup shares ngram_jaccard's blocked shape;
     # RRF fuses two ALREADY-BOUNDED top-k runs (the corpus reductions
