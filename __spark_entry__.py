@@ -4686,6 +4686,65 @@ def _sql_warc_link_graph() -> str:
         FROM edges GROUP BY 1, 2"""
 
 
+def _q_warc_domain_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-level PageRank over the crawl link graph — the link
+    quality prior web curation weights documents by (spam
+    neighborhoods score low, heavily-referenced archives score high).
+    Composes warc_link_graph's eTLD+1 edges (recovered from raw HTML
+    bytes) into operators/graph.pagerank_fixed_point: all-integer
+    fixed-point arithmetic, so ranks are bit-identical across engines
+    and partitionings; per round one hash join + one partial-agg
+    groupBy, lineage cut per round.  The graph is bounded by #domains
+    (tiny at any crawl size) while the edge DERIVATION scans the full
+    crawl once — the realistic cost split."""
+    from zinger_spark.operators.graph import pagerank_fixed_point
+
+    edges = (
+        _q_warc_link_graph(spark, sf)
+        .select(F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst"))
+        .distinct()
+    )
+    pr = pagerank_fixed_point(edges, iterations=4, dedup_edges=False)
+    return pr.select(F.col("node").alias("domain"), "rank")
+
+
+def _sql_warc_domain_rank(
+    iterations: int = 4, damping_pct: int = 85, scale: int = 1_000_000_000
+) -> str:
+    # same unrolled integer CTE chain as _sql_pagerank, over the
+    # doc_id-math re-derivation of the fixture's outlinks (directed,
+    # distinct) — the Spark side recovers the edges from page bytes
+    base = scale * (100 - damping_pct) // 100
+    doms = ", ".join(f"'{d}'" for d in _WARC_DOMAINS)
+    ctes = [f"""
+    j AS (SELECT 0 AS j UNION ALL SELECT 1),
+    edges AS (
+      SELECT DISTINCT ([{doms}])[(doc_id % 10) + 1] AS src,
+                      ([{doms}])[((doc_id + j + 1) % 10) + 1] AS dst
+      FROM documents JOIN j ON j.j < doc_id % 3
+    ),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT node FROM
+      (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"""]
+    for i in range(iterations):
+        ctes.append(f"""
+    c{i + 1} AS (
+      SELECT e.dst AS node,
+             SUM((r.rank * {damping_pct}) // (100 * o.outdeg)) AS in_sum
+      FROM r{i} r JOIN edges e ON r.node = e.src JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r{i + 1} AS (
+      SELECT n.node, CAST({base} + COALESCE(c.in_sum, 0) AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c{i + 1} c ON n.node = c.node
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\n    SELECT node AS domain, rank FROM r{iterations}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that are new or were rewritten since their last
@@ -4770,6 +4829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_curation": _q_warc_curation,
         "warc_url_filter": _q_warc_url_filter,
         "warc_link_graph": _q_warc_link_graph,
+        "warc_domain_rank": _q_warc_domain_rank,
         "deterministic_shuffle": _q_deterministic_shuffle,
         "pack_sequences": _q_pack_sequences,
         # -- previously green (churn insurance, prior order) -------
@@ -4907,6 +4967,7 @@ _R9_FRONT = [
     "rrf_hybrid_topk",
     "url_dedup_canonical",
     "warc_link_graph",
+    "warc_domain_rank",
     "offset_assign",
     "offset_assign_dist",
     "bm25_topk",
@@ -6347,6 +6408,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_curation": _sql_warc_curation(),
         "warc_url_filter": _sql_warc_url_filter(),
         "warc_link_graph": _sql_warc_link_graph(),
+        "warc_domain_rank": _sql_warc_domain_rank(),
         "bm25_topk": """
             WITH tokd AS (
               SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks

@@ -149,8 +149,11 @@ HEADLINE = [
     "rrf_hybrid_topk",
     "url_dedup_canonical",
     # r9 (late): crawl link graph — one Arrow parse stage + JVM href
-    # extraction; the edge groupBy is bounded by #domain-pairs
+    # extraction; the edge groupBy is bounded by #domain-pairs — and
+    # domain PageRank composed on top of it (fixed-point integer loop
+    # over the #domains-bounded graph; the crawl scan dominates)
     "warc_link_graph",
+    "warc_domain_rank",
 ]
 
 # Deliberately-exhaustive parity pins: correct by construction but
