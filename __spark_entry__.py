@@ -3641,6 +3641,50 @@ def _sql_bpe_vocab_tokens(merges: int = _BPE_MERGES) -> str:
     )
 
 
+def _q_bpe_doc_tokens(spark, sf):
+    """Per-document token counts under the LEARNED tokenizer — the
+    number a packing/budget pass actually needs (context-window quota
+    is in subword tokens, not words).  The corpus is never re-folded:
+    the merge fold runs once over the vocab frame (distinct words),
+    then per-word token lengths broadcast-join back onto one exploded
+    corpus pass — the word-level factorization real trainers use.
+    Top 50 docs by BPE token count (ties by doc_id) keeps the output
+    bounded for the hash gate."""
+    from zinger_spark.operators.bpe import bpe_learn, word_frequencies
+
+    docs = _t(spark, sf, "documents")
+    _, vocab = bpe_learn(word_frequencies(docs), merges=_BPE_MERGES)
+    wlen = vocab.select("word", F.size(F.split("s", " ")).alias("wtoks"))
+    words = docs.select(
+        "doc_id", F.explode(ztext.tokens(F.col("text"))).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.join(F.broadcast(wlen), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("wtoks").cast("long").alias("n_bpe_tokens"))
+        .orderBy(F.desc("n_bpe_tokens"), "doc_id")
+        .limit(50)
+    )
+
+
+def _sql_bpe_doc_tokens(merges: int = _BPE_MERGES) -> str:
+    # the vocab's word column is reconstructible from the spaced form
+    # (word = s minus the separator spaces), so the mapping join needs
+    # no extra carried column through the merge rounds
+    return (
+        "WITH " + ",".join(_sql_bpe_ctes(merges))
+        + f""",
+    wl AS (SELECT replace(s, ' ', '') AS word,
+                  len(split(s, ' ')) AS wtoks FROM v{merges}),
+    dw AS (SELECT doc_id, unnest({_sql_tokens("text")}) AS word FROM documents)
+    SELECT doc_id, CAST(SUM(w.wtoks) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN wl w ON dw.word = w.word
+    WHERE dw.word <> ''
+    GROUP BY doc_id
+    ORDER BY n_bpe_tokens DESC, doc_id LIMIT 50"""
+    )
+
+
 def _q_rollup_cascade(spark, sf):
     """Hypertable-style cascaded rollup (operators/rollup.py): hourly
     partials from ONE pass over events, daily merged from the hourly
@@ -4763,6 +4807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perceptron_threshold_sweep": _q_perceptron_sweep,
         "bpe_learn_merges": _q_bpe_learn,
         "bpe_vocab_tokens": _q_bpe_vocab_tokens,
+        "bpe_doc_token_counts": _q_bpe_doc_tokens,
         "rollup_cascade_daily": _q_rollup_cascade,
         "gap_fill_hourly": _q_gap_fill,
         "inverted_index_top": _q_inverted_index,
@@ -4968,6 +5013,7 @@ _R9_FRONT = [
     "url_dedup_canonical",
     "warc_link_graph",
     "warc_domain_rank",
+    "bpe_doc_token_counts",
     "offset_assign",
     "offset_assign_dist",
     "bm25_topk",
@@ -5808,6 +5854,7 @@ def oracle_sql() -> dict[str, str]:
         "perceptron_threshold_sweep": _sql_perceptron_sweep(),
         "bpe_learn_merges": _sql_bpe_learn(),
         "bpe_vocab_tokens": _sql_bpe_vocab_tokens(),
+        "bpe_doc_token_counts": _sql_bpe_doc_tokens(),
         "rollup_cascade_daily": _SQL_ROLLUP_CASCADE,
         "gap_fill_hourly": _SQL_GAP_FILL,
         "inverted_index_top": _sql_inverted_index(),

@@ -154,6 +154,10 @@ HEADLINE = [
     # over the #domains-bounded graph; the crawl scan dominates)
     "warc_link_graph",
     "warc_domain_rank",
+    # r9 (late): per-doc token counts under the LEARNED tokenizer —
+    # merge fold over the vocab frame only, word-length broadcast back
+    # onto one exploded corpus pass
+    "bpe_doc_token_counts",
 ]
 
 # Deliberately-exhaustive parity pins: correct by construction but
