@@ -97,3 +97,19 @@ def test_canonical_url_idempotent(spark):
     once = df.select(canonical_url(F.col("url")).alias("c"))
     twice = once.select(canonical_url(F.col("c")).alias("c"))
     assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
+
+
+def test_canonical_url_passthrough_unparseable(spark):
+    """Relative references and non-URLs come back unchanged — the
+    normalization must not mangle what it cannot parse."""
+    cases = ["not a url", "/relative/path?a=1", "mailto:x@y.com", ""]
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == cases
+
+
+def test_rrf_fuse_single_run(spark):
+    run = spark.createDataFrame([(7, 1), (9, 2)], "doc_id long, rank int")
+    got = rrf_fuse([run], topk=10).collect()
+    assert [(r.doc_id, r.rank) for r in got] == [(7, 1), (9, 2)]
+    assert got[0].rrf_score == round(1 / 61, 8)

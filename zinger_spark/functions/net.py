@@ -202,7 +202,7 @@ def canonical_url(uri: Column) -> Column:
 
     kvs = F.array_sort(F.filter(F.split(query, "&"), is_kept))
     qcanon = F.array_join(kvs, "&")
-    return F.concat(
+    assembled = F.concat(
         scheme,
         F.lit("://"),
         F.when(userinfo != "", F.concat(userinfo, F.lit("@"))).otherwise(F.lit("")),
@@ -211,6 +211,9 @@ def canonical_url(uri: Column) -> Column:
         path,
         F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
     )
+    # relative references and non-URL strings pass through unchanged —
+    # a curation pass must not mangle what it cannot parse
+    return F.when((scheme == "") | (host == ""), uri).otherwise(assembled)
 
 
 def sql_canonical_url(expr: str) -> str:
@@ -243,13 +246,17 @@ def sql_canonical_url(expr: str) -> str:
         f"AND split_part(x, '=', 1) NOT IN ({tracked})))"
     )
     qcanon = f"array_to_string({kept}, '&')"
-    return (
+    assembled = (
         f"{scheme} || '://' "
         f"|| (CASE WHEN {userinfo} <> '' THEN {userinfo} || '@' ELSE '' END) "
         f"|| {host} "
         f"|| (CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END) "
         f"|| {path} "
         f"|| (CASE WHEN {qcanon} <> '' THEN '?' || {qcanon} ELSE '' END)"
+    )
+    return (
+        f"(CASE WHEN {scheme} = '' OR {host} = '' THEN {expr} "
+        f"ELSE {assembled} END)"
     )
 
 
