@@ -3685,6 +3685,50 @@ def _sql_bpe_doc_tokens(merges: int = _BPE_MERGES) -> str:
     )
 
 
+def _q_salted_skew(spark, sf):
+    """The skew toolkit under the hash gate (operators/skew.py): a
+    90/10-hot key distribution is the norm at 100 TB, and AQE's skew
+    split only fires on sort-merge stages — these are the manual
+    levers.  salted_join spreads the big side over 16 salt shards
+    (small side replicated per shard — never a single melting reducer),
+    then salted_agg two-phases the group-by (partials on (key, salt),
+    merge on key).  Results must be IDENTICAL to the plain plan —
+    that's what the oracle checks; only min/max/count legs are used so
+    there is no float-sum order dependence."""
+    from zinger_spark.operators.skew import salted_agg, salted_join
+
+    ev = _events(spark, sf).select("event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    joined = salted_join(ev, dim, ["event_type"], how="left", salt=16)
+    out = salted_agg(
+        joined,
+        ["event_type"],
+        {
+            "n_rows": ("count", "value"),
+            "min_v": ("min", "value"),
+            "max_v": ("max", "value"),
+            "n_type": ("max", "n_type"),
+        },
+        salt=16,
+    )
+    return out.select("event_type", "n_rows", "min_v", "max_v", "n_type")
+
+
+_SQL_SALTED_SKEW = """
+    WITH dim AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(e.value) AS min_v,
+           max(e.value) AS max_v,
+           max(d.n_type) AS n_type
+    FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+"""
+
+
 def _q_rollup_cascade(spark, sf):
     """Hypertable-style cascaded rollup (operators/rollup.py): hourly
     partials from ONE pass over events, daily merged from the hourly
@@ -4808,6 +4852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn_merges": _q_bpe_learn,
         "bpe_vocab_tokens": _q_bpe_vocab_tokens,
         "bpe_doc_token_counts": _q_bpe_doc_tokens,
+        "salted_skew_agg": _q_salted_skew,
         "rollup_cascade_daily": _q_rollup_cascade,
         "gap_fill_hourly": _q_gap_fill,
         "inverted_index_top": _q_inverted_index,
@@ -5014,6 +5059,7 @@ _R9_FRONT = [
     "warc_link_graph",
     "warc_domain_rank",
     "bpe_doc_token_counts",
+    "salted_skew_agg",
     "offset_assign",
     "offset_assign_dist",
     "bm25_topk",
@@ -5855,6 +5901,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_learn_merges": _sql_bpe_learn(),
         "bpe_vocab_tokens": _sql_bpe_vocab_tokens(),
         "bpe_doc_token_counts": _sql_bpe_doc_tokens(),
+        "salted_skew_agg": _SQL_SALTED_SKEW,
         "rollup_cascade_daily": _SQL_ROLLUP_CASCADE,
         "gap_fill_hourly": _SQL_GAP_FILL,
         "inverted_index_top": _sql_inverted_index(),

@@ -158,6 +158,9 @@ HEADLINE = [
     # merge fold over the vocab frame only, word-length broadcast back
     # onto one exploded corpus pass
     "bpe_doc_token_counts",
+    # r9 (late): manual skew levers (salted replicate-join + two-phase
+    # salted agg) — results identical to the plain plan by construction
+    "salted_skew_agg",
 ]
 
 # Deliberately-exhaustive parity pins: correct by construction but

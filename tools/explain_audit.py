@@ -501,6 +501,13 @@ def main() -> int:
           "both retrieval runs reduce via per-partition top-k before the fuse")
     check("rrf_hybrid_topk", "BatchEvalPython" not in p,
           "BM25 + cosine scoring all JVM expressions")
+    p = plan_of(qs["salted_skew_agg"](spark, sf))
+    check("salted_skew_agg",
+          "__salt" in p and "partial_" in p,
+          "join and phase-1 agg keyed by (key, __salt) — hot keys spread "
+          "over salt shards, partials merge by key alone")
+    check("salted_skew_agg", "CartesianProduct" not in p,
+          "small side replicated via explode, not a cross join")
     p = plan_of(qs["url_dedup_canonical"](spark, sf))
     check("url_dedup_canonical",
           "BatchEvalPython" not in p and "Join" not in p,
