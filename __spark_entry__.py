@@ -359,6 +359,83 @@ def _q_bm25_topk(spark, sf):
     )
 
 
+def _messy_url_col() -> "F.Column":
+    """Deterministic messy-URL rendering of a documents row: 5 variants
+    by doc_id % 5 exercising case, default ports, tracking params,
+    unsorted query order, fragments, and trailing slashes — variants
+    0-3 share one canonical https form, variant 4 canonicalizes to the
+    http twin.  `_SQL_MESSY_URL` is the oracle-side mirror."""
+    g = (F.col("doc_id") % 40).cast("string")
+    p = (F.col("doc_id") % 7).cast("string")
+    v = F.col("doc_id") % 5
+    return (
+        F.when(v == 0, F.concat(F.lit("https://www.site"), g, F.lit(".com/page"), p, F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("HTTPS://WWW.SITE"), g, F.lit(".COM:443/page"), p, F.lit("?a=1&b=2&utm_source=feed")))
+        .when(v == 2, F.concat(F.lit("https://www.site"), g, F.lit(".com/page"), p, F.lit("?a=1&utm_medium=email&b=2#section")))
+        .when(v == 3, F.concat(F.lit("https://www.site"), g, F.lit(".com:443/page"), p, F.lit("/?b=2&a=1&gclid=XYZ")))
+        .otherwise(F.concat(F.lit("http://www.site"), g, F.lit(".com:80/page"), p, F.lit("?fbclid=123&a=1&b=2")))
+    )
+
+
+_SQL_MESSY_URL = """CASE doc_id % 5
+              WHEN 0 THEN 'https://www.site' || CAST(doc_id % 40 AS VARCHAR) || '.com/page' || CAST(doc_id % 7 AS VARCHAR) || '?b=2&a=1'
+              WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST(doc_id % 40 AS VARCHAR) || '.COM:443/page' || CAST(doc_id % 7 AS VARCHAR) || '?a=1&b=2&utm_source=feed'
+              WHEN 2 THEN 'https://www.site' || CAST(doc_id % 40 AS VARCHAR) || '.com/page' || CAST(doc_id % 7 AS VARCHAR) || '?a=1&utm_medium=email&b=2#section'
+              WHEN 3 THEN 'https://www.site' || CAST(doc_id % 40 AS VARCHAR) || '.com:443/page' || CAST(doc_id % 7 AS VARCHAR) || '/?b=2&a=1&gclid=XYZ'
+              ELSE 'http://www.site' || CAST(doc_id % 40 AS VARCHAR) || '.com:80/page' || CAST(doc_id % 7 AS VARCHAR) || '?fbclid=123&a=1&b=2'
+            END"""
+
+
+def _q_url_frontier_dedup(spark, sf):
+    """Recrawl frontier dedup — the incremental form of the canonical
+    pass: a new batch of (messy) URLs is admitted only if its CANONICAL
+    form is not already in the crawled corpus.  Batch = doc_id%5==0
+    rows, corpus = the rest; both canonicalize scan-side, the decision
+    is ONE left-anti join on the canonical key (shuffle-hash at corpus
+    scale — the same shape as dedup_incremental_exact).  Whether a
+    batch URL is new is data-dependent (it needs no corpus doc sharing
+    its (site, page) coordinates), so the oracle genuinely re-derives
+    the set."""
+    from zinger_spark.functions import net as znet
+
+    docs = _t(spark, sf, "documents")
+    urls = docs.select(
+        "doc_id", znet.canonical_url(_messy_url_col()).alias("canon_url")
+    )
+    batch = urls.where(F.col("doc_id") % 5 == 0)
+    corpus = urls.where(F.col("doc_id") % 5 != 0)
+    new = batch.join(
+        corpus.select("canon_url").distinct().hint("shuffle_hash"),
+        "canon_url",
+        "left_anti",
+    )
+    return new.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def _sql_url_frontier_dedup() -> str:
+    from zinger_spark.functions.net import sql_canonical_url
+
+    return f"""
+        WITH raws AS (
+          SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents
+        ),
+        canon AS (
+          SELECT doc_id, {sql_canonical_url('url')} AS canon_url FROM raws
+        ),
+        corpus AS (SELECT DISTINCT canon_url FROM canon WHERE doc_id % 5 <> 0)
+        SELECT c.canon_url,
+               CAST(count(*) AS BIGINT) AS n_batch,
+               min(c.doc_id) AS first_doc
+        FROM canon c
+        WHERE c.doc_id % 5 = 0
+          AND c.canon_url NOT IN (SELECT canon_url FROM corpus)
+        GROUP BY c.canon_url
+    """
+
+
 def _q_url_dedup(spark, sf):
     """Canonical-URL exact dedup (the crawl-frontier normalization
     pass): a deterministic messy-URL rendering of the documents table
@@ -373,18 +450,8 @@ def _q_url_dedup(spark, sf):
     from zinger_spark.functions import net as znet
 
     docs = _t(spark, sf, "documents")
-    g = (F.col("doc_id") % 40).cast("string")
-    p = (F.col("doc_id") % 7).cast("string")
-    v = F.col("doc_id") % 5
-    raw = (
-        F.when(v == 0, F.concat(F.lit("https://www.site"), g, F.lit(".com/page"), p, F.lit("?b=2&a=1")))
-        .when(v == 1, F.concat(F.lit("HTTPS://WWW.SITE"), g, F.lit(".COM:443/page"), p, F.lit("?a=1&b=2&utm_source=feed")))
-        .when(v == 2, F.concat(F.lit("https://www.site"), g, F.lit(".com/page"), p, F.lit("?a=1&utm_medium=email&b=2#section")))
-        .when(v == 3, F.concat(F.lit("https://www.site"), g, F.lit(".com:443/page"), p, F.lit("/?b=2&a=1&gclid=XYZ")))
-        .otherwise(F.concat(F.lit("http://www.site"), g, F.lit(".com:80/page"), p, F.lit("?fbclid=123&a=1&b=2")))
-    )
     return (
-        docs.select(F.col("doc_id"), znet.canonical_url(raw).alias("canon_url"))
+        docs.select(F.col("doc_id"), znet.canonical_url(_messy_url_col()).alias("canon_url"))
         .groupBy("canon_url")
         .agg(
             F.count(F.lit(1)).alias("n_raw"),
@@ -396,18 +463,9 @@ def _q_url_dedup(spark, sf):
 def _sql_url_dedup() -> str:
     from zinger_spark.functions.net import sql_canonical_url
 
-    d40 = "CAST(doc_id % 40 AS VARCHAR)"
-    d7 = "CAST(doc_id % 7 AS VARCHAR)"
     return f"""
         WITH raws AS (
-          SELECT doc_id,
-            CASE doc_id % 5
-              WHEN 0 THEN 'https://www.site' || {d40} || '.com/page' || {d7} || '?b=2&a=1'
-              WHEN 1 THEN 'HTTPS://WWW.SITE' || {d40} || '.COM:443/page' || {d7} || '?a=1&b=2&utm_source=feed'
-              WHEN 2 THEN 'https://www.site' || {d40} || '.com/page' || {d7} || '?a=1&utm_medium=email&b=2#section'
-              WHEN 3 THEN 'https://www.site' || {d40} || '.com:443/page' || {d7} || '/?b=2&a=1&gclid=XYZ'
-              ELSE 'http://www.site' || {d40} || '.com:80/page' || {d7} || '?fbclid=123&a=1&b=2'
-            END AS url
+          SELECT doc_id, {_SQL_MESSY_URL} AS url
           FROM documents
         )
         SELECT {sql_canonical_url('url')} AS canon_url,
@@ -4853,6 +4911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab_tokens": _q_bpe_vocab_tokens,
         "bpe_doc_token_counts": _q_bpe_doc_tokens,
         "salted_skew_agg": _q_salted_skew,
+        "url_frontier_dedup": _q_url_frontier_dedup,
         "rollup_cascade_daily": _q_rollup_cascade,
         "gap_fill_hourly": _q_gap_fill,
         "inverted_index_top": _q_inverted_index,
@@ -5060,6 +5119,7 @@ _R9_FRONT = [
     "warc_domain_rank",
     "bpe_doc_token_counts",
     "salted_skew_agg",
+    "url_frontier_dedup",
     "offset_assign",
     "offset_assign_dist",
     "bm25_topk",
@@ -5902,6 +5962,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab_tokens": _sql_bpe_vocab_tokens(),
         "bpe_doc_token_counts": _sql_bpe_doc_tokens(),
         "salted_skew_agg": _SQL_SALTED_SKEW,
+        "url_frontier_dedup": _sql_url_frontier_dedup(),
         "rollup_cascade_daily": _SQL_ROLLUP_CASCADE,
         "gap_fill_hourly": _SQL_GAP_FILL,
         "inverted_index_top": _sql_inverted_index(),

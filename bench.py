@@ -161,6 +161,9 @@ HEADLINE = [
     # r9 (late): manual skew levers (salted replicate-join + two-phase
     # salted agg) — results identical to the plain plan by construction
     "salted_skew_agg",
+    # r9 (late): recrawl frontier dedup — canonicalize scan-side, one
+    # left-anti join on the canonical key against the corpus
+    "url_frontier_dedup",
 ]
 
 # Deliberately-exhaustive parity pins: correct by construction but

@@ -513,6 +513,12 @@ def main() -> int:
           "BatchEvalPython" not in p and "Join" not in p,
           "canonicalization is regexp/array JVM expressions fused into "
           "the scan; the only shuffle is the canonical-key groupBy")
+    p = plan_of(qs["url_frontier_dedup"](spark, sf))
+    check("url_frontier_dedup",
+          "LeftAnti" in p and "CartesianProduct" not in p
+          and "BatchEvalPython" not in p,
+          "frontier admission is one left-anti join on the canonical "
+          "key (shuffle-hash pinned — corpus side grows with the crawl)")
 
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
