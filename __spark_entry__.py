@@ -2272,6 +2272,56 @@ def _q_source_quota_sample(spark, sf):
     )
 
 
+def _q_token_budget_select(spark, sf):
+    """Per-source TOKEN-budget selection — the step that turns mixture
+    weights into an actual training set: within each source, take docs
+    best-first (n_chars desc, doc_id tie-break) while the cumulative
+    token count stays under the source's budget.  The cumulative sum
+    rides the two-level distributed prefix sum (operators/packing.py)
+    keyed by (_pid, source) — parallelism = #partitions, never a
+    per-source single-reducer window — and the keep decision is a
+    per-row filter on the exclusive prefix (greedy-include at the
+    boundary), so the plan is one range exchange + one broadcast
+    join-back whatever the corpus size."""
+    from zinger_spark.operators.packing import prefix_sum
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        ztext.token_count(F.col("text")).alias("ntok"),
+    )
+    ps = prefix_sum(
+        docs,
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        "ntok",
+        out_col="tok_before",
+    )
+    return ps.where(F.col("tok_before") < 1000).select(
+        "doc_id", "source", "ntok", "tok_before"
+    )
+
+
+_SQL_TOKEN_BUDGET = """
+    WITH q AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, ntok,
+             CAST(coalesce(SUM(ntok) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tok_before
+      FROM q
+    )
+    SELECT doc_id, source, ntok, tok_before FROM c WHERE tok_before < 1000
+"""
+
+
 def _q_source_vocab_overlap(spark, sf):
     """Corpus-audit matrix: for every source pair, the shared distinct
     vocabulary and its Jaccard — the quick leakage/similarity screen
@@ -4912,6 +4962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_doc_token_counts": _q_bpe_doc_tokens,
         "salted_skew_agg": _q_salted_skew,
         "url_frontier_dedup": _q_url_frontier_dedup,
+        "token_budget_select": _q_token_budget_select,
         "rollup_cascade_daily": _q_rollup_cascade,
         "gap_fill_hourly": _q_gap_fill,
         "inverted_index_top": _q_inverted_index,
@@ -5120,6 +5171,7 @@ _R9_FRONT = [
     "bpe_doc_token_counts",
     "salted_skew_agg",
     "url_frontier_dedup",
+    "token_budget_select",
     "offset_assign",
     "offset_assign_dist",
     "bm25_topk",
@@ -5963,6 +6015,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_doc_token_counts": _sql_bpe_doc_tokens(),
         "salted_skew_agg": _SQL_SALTED_SKEW,
         "url_frontier_dedup": _sql_url_frontier_dedup(),
+        "token_budget_select": _SQL_TOKEN_BUDGET,
         "rollup_cascade_daily": _SQL_ROLLUP_CASCADE,
         "gap_fill_hourly": _SQL_GAP_FILL,
         "inverted_index_top": _sql_inverted_index(),

@@ -164,6 +164,9 @@ HEADLINE = [
     # r9 (late): recrawl frontier dedup — canonicalize scan-side, one
     # left-anti join on the canonical key against the corpus
     "url_frontier_dedup",
+    # r9 (late): per-source token-budget selection on the two-level
+    # prefix sum — mixture weights to an actual training set
+    "token_budget_select",
 ]
 
 # Deliberately-exhaustive parity pins: correct by construction but
