@@ -331,29 +331,29 @@ def simhash(
     return df.select(F.col(id_col), fp.alias("simhash"))
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_counts(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_k: int = 5,
-    threshold: float = 0.5,
-    max_df: int = 1000,
-    parallelism: int | None = None,
-    materialize: bool = True,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    max_df: int,
+    parallelism: int | None,
+    materialize: bool,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs, blocked by shared shingle.
+    """Shared core of the set-overlap dedup family: (a, b, shared, na,
+    nb) for every candidate pair — exact intersection and set sizes
+    over the FULL shingle sets, candidates blocked by shared shingle
+    under the ``max_df`` hot-shingle cap.  jaccard / containment are
+    ratio projections over this frame.
 
-    Explode distinct shingles -> DF-capped self-join on shingle ->
-    distinct candidate pairs -> exact jaccard over the FULL shingle
-    sets. ``max_df`` is the hot-bucket guard (same role as
-    ``max_bucket`` in minhash_lsh_pairs): a shingle shared by M docs
-    yields M^2 blocking-join rows, so one boilerplate phrase in a
-    skewed corpus is quadratic — shingles with document frequency
-    above the cap are excluded from CANDIDATE GENERATION only.
-    Verification still counts every shared shingle, so jaccard values
-    stay exact; the only loss is recall for pairs whose overlap is
-    exclusively ultra-common shingles (which near-always means
-    boilerplate, not duplication)."""
+    ``max_df`` is the hot-bucket guard (same role as ``max_bucket`` in
+    minhash_lsh_pairs): a shingle shared by M docs yields M^2
+    blocking-join rows, so one boilerplate phrase in a skewed corpus
+    is quadratic — shingles with document frequency above the cap are
+    excluded from CANDIDATE GENERATION only.  Verification still
+    counts every shared shingle, so the ratios stay exact; the only
+    loss is recall for pairs whose overlap is exclusively ultra-common
+    shingles (which near-always means boilerplate, not duplication)."""
     # Block on a 64-bit hash of the shingle, not the string: ~8 bytes vs
     # ~50 through the shuffle. Shingles are distinct per doc, so the
     # self-join emits exactly one row per shared shingle. (A 64-bit
@@ -403,20 +403,38 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    return shared.join(
+        sizes.select(F.col("id").alias("a"), F.col("n").alias("na")).hint(
+            "shuffle_hash"
+        ),
+        "a",
+    ).join(
+        sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")).hint(
+            "shuffle_hash"
+        ),
+        "b",
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+    parallelism: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked by shared shingle:
+    the symmetric ratio over `_shingle_pair_counts` (see its docstring
+    for the physical shape and the ``max_df`` cap semantics — jaccard
+    values are exact, the cap bounds candidate generation only)."""
+    counted = _shingle_pair_counts(
+        df, text_col, id_col, shingle_k, max_df, parallelism, materialize
+    )
     return (
-        shared.join(
-            sizes.select(F.col("id").alias("a"), F.col("n").alias("na")).hint(
-                "shuffle_hash"
-            ),
-            "a",
-        )
-        .join(
-            sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")).hint(
-                "shuffle_hash"
-            ),
-            "b",
-        )
-        .withColumn(
+        counted.withColumn(
             "jaccard",
             F.col("shared").cast("double")
             / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
@@ -447,70 +465,22 @@ def ngram_containment_pairs(
     pages that embed a whole article) — the Broder (1997) "resemblance
     vs containment" distinction, public literature.
 
-    Physical shape is ngram_jaccard_pairs' (blocked candidate
-    generation under the ``max_df`` hot-shingle cap, exact counts over
-    the UNCAPPED shingle sets, every corpus-sized join pinned to
-    shuffle-hash); only the final ratio differs: both directions are
-    emitted as columns and the pair survives if EITHER direction
-    clears ``threshold``.  Containment values are exact — the cap
-    bounds candidate generation only.
+    Physical shape is `_shingle_pair_counts` (ngram_jaccard_pairs'),
+    only the final ratio differs: both directions are emitted as
+    columns and the pair survives if EITHER direction clears
+    ``threshold``.  Containment values are exact — the cap bounds
+    candidate generation only.
     """
-    if parallelism and parallelism > 1:
-        df = df.repartition(parallelism, F.col(id_col))
-    exploded = exploded_shingles(df, text_col, id_col, shingle_k).select(
-        "id", F.xxhash64("s").alias("h")
+    counted = _shingle_pair_counts(
+        df, text_col, id_col, shingle_k, max_df, parallelism, materialize
     )
-    if materialize:
-        exploded = _materialize(exploded)
-    hot = (
-        exploded.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("__w"))
-        .filter(F.col("__w") > max_df)
-        .select("h")
-    )
-    blocked = exploded.join(F.broadcast(hot), "h", "left_anti")
-    cand = (
-        blocked.alias("l")
-        .join(blocked.alias("r").hint("shuffle_hash"), "h")
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
-    )
-    shared = (
-        cand.hint("shuffle_hash")
-        .join(exploded.select(F.col("id").alias("a"), "h"), "a")
-        .join(
-            exploded.select(F.col("id").alias("__bid"), F.col("h").alias("hb")).hint(
-                "shuffle_hash"
-            ),
-            (F.col("b") == F.col("__bid")) & (F.col("h") == F.col("hb")),
-        )
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     c_ab = F.col("shared").cast("double") / F.col("na").cast("double")
     c_ba = F.col("shared").cast("double") / F.col("nb").cast("double")
-    return (
-        shared.join(
-            sizes.select(F.col("id").alias("a"), F.col("n").alias("na")).hint(
-                "shuffle_hash"
-            ),
-            "a",
-        )
-        .join(
-            sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")).hint(
-                "shuffle_hash"
-            ),
-            "b",
-        )
-        .filter(F.greatest(c_ab, c_ba) >= threshold)
-        .select(
-            F.col("a").alias("doc_a"),
-            F.col("b").alias("doc_b"),
-            F.round(c_ab, 6).alias("containment_ab"),
-            F.round(c_ba, 6).alias("containment_ba"),
-        )
+    return counted.filter(F.greatest(c_ab, c_ba) >= threshold).select(
+        F.col("a").alias("doc_a"),
+        F.col("b").alias("doc_b"),
+        F.round(c_ab, 6).alias("containment_ab"),
+        F.round(c_ba, 6).alias("containment_ba"),
     )
 
 
