@@ -365,7 +365,12 @@ def _messy_url_col() -> "F.Column":
     unsorted query order, fragments, and trailing slashes — variants
     0-3 share one canonical https form, variant 4 canonicalizes to the
     http twin.  `_SQL_MESSY_URL` is the oracle-side mirror."""
-    g = (F.col("doc_id") % 40).cast("string")
+    # site modulus 39 is COPRIME WITH 5: the url_frontier_dedup split
+    # (batch = doc_id%5==0) then shares (site, page) coordinates with
+    # corpus rows, so the anti-join genuinely rejects re-fetches — with
+    # a multiple of 5 the batch could never collide and the key would
+    # pass even with a broken anti-join
+    g = (F.col("doc_id") % 39).cast("string")
     p = (F.col("doc_id") % 7).cast("string")
     v = F.col("doc_id") % 5
     return (
@@ -378,11 +383,11 @@ def _messy_url_col() -> "F.Column":
 
 
 _SQL_MESSY_URL = """CASE doc_id % 5
-              WHEN 0 THEN 'https://www.site' || CAST(doc_id % 40 AS VARCHAR) || '.com/page' || CAST(doc_id % 7 AS VARCHAR) || '?b=2&a=1'
-              WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST(doc_id % 40 AS VARCHAR) || '.COM:443/page' || CAST(doc_id % 7 AS VARCHAR) || '?a=1&b=2&utm_source=feed'
-              WHEN 2 THEN 'https://www.site' || CAST(doc_id % 40 AS VARCHAR) || '.com/page' || CAST(doc_id % 7 AS VARCHAR) || '?a=1&utm_medium=email&b=2#section'
-              WHEN 3 THEN 'https://www.site' || CAST(doc_id % 40 AS VARCHAR) || '.com:443/page' || CAST(doc_id % 7 AS VARCHAR) || '/?b=2&a=1&gclid=XYZ'
-              ELSE 'http://www.site' || CAST(doc_id % 40 AS VARCHAR) || '.com:80/page' || CAST(doc_id % 7 AS VARCHAR) || '?fbclid=123&a=1&b=2'
+              WHEN 0 THEN 'https://www.site' || CAST(doc_id % 39 AS VARCHAR) || '.com/page' || CAST(doc_id % 7 AS VARCHAR) || '?b=2&a=1'
+              WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST(doc_id % 39 AS VARCHAR) || '.COM:443/page' || CAST(doc_id % 7 AS VARCHAR) || '?a=1&b=2&utm_source=feed'
+              WHEN 2 THEN 'https://www.site' || CAST(doc_id % 39 AS VARCHAR) || '.com/page' || CAST(doc_id % 7 AS VARCHAR) || '?a=1&utm_medium=email&b=2#section'
+              WHEN 3 THEN 'https://www.site' || CAST(doc_id % 39 AS VARCHAR) || '.com:443/page' || CAST(doc_id % 7 AS VARCHAR) || '/?b=2&a=1&gclid=XYZ'
+              ELSE 'http://www.site' || CAST(doc_id % 39 AS VARCHAR) || '.com:80/page' || CAST(doc_id % 7 AS VARCHAR) || '?fbclid=123&a=1&b=2'
             END"""
 
 
@@ -4697,7 +4702,7 @@ def _sql_warc_extract_expr() -> str:
         # mirrors the fixture writer's v3 empty-anchor outlink for slot j
         return (
             f"'<a href=\"https://' || (['www','cdn','m'])[((doc_id + {j}) % 3) + 1]"
-            f" || '.' || ([{doms}])[((doc_id + {j} + 1) % 10) + 1]"
+            f" || '.' || ([{doms}])[((doc_id + {j} + 1) % {len(_WARC_DOMAINS)}) + 1]"
             f" || '/ref/' || CAST(doc_id AS VARCHAR) || '-{j}\"></a>'"
         )
 
@@ -4822,7 +4827,7 @@ def _sql_warc_url_filter() -> str:
     blocked = ", ".join(f"'{d}'" for d in _WARC_BLOCKLIST)
     return f"""
         WITH dommap AS (
-          SELECT doc_id, ([{doms}])[(doc_id % 10) + 1] AS domain
+          SELECT doc_id, ([{doms}])[(doc_id % {len(_WARC_DOMAINS)}) + 1] AS domain
           FROM documents
         )
         SELECT domain,
@@ -4874,8 +4879,8 @@ def _sql_warc_link_graph() -> str:
     return f"""
         WITH j AS (SELECT 0 AS j UNION ALL SELECT 1),
         edges AS (
-          SELECT ([{doms}])[(doc_id % 10) + 1] AS src_domain,
-                 ([{doms}])[((doc_id + j + 1) % 10) + 1] AS dst_domain
+          SELECT ([{doms}])[(doc_id % {len(_WARC_DOMAINS)}) + 1] AS src_domain,
+                 ([{doms}])[((doc_id + j + 1) % {len(_WARC_DOMAINS)}) + 1] AS dst_domain
           FROM documents JOIN j ON j.j < doc_id % 3
         )
         SELECT src_domain, dst_domain, count(*) AS n_links
@@ -4895,49 +4900,34 @@ def _q_warc_domain_rank(spark: SparkSession, sf: str) -> DataFrame:
     crawl once — the realistic cost split."""
     from zinger_spark.operators.graph import pagerank_fixed_point
 
-    edges = (
-        _q_warc_link_graph(spark, sf)
-        .select(F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst"))
-        .distinct()
+    # link_graph's groupBy already emits one row per (src, dst) —
+    # distinct BY CONSTRUCTION, so skip pagerank's internal edge dedup
+    # (an extra full exchange of the biggest frame) too
+    edges = _q_warc_link_graph(spark, sf).select(
+        F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
     )
     pr = pagerank_fixed_point(edges, iterations=4, dedup_edges=False)
     return pr.select(F.col("node").alias("domain"), "rank")
 
 
-def _sql_warc_domain_rank(
-    iterations: int = 4, damping_pct: int = 85, scale: int = 1_000_000_000
-) -> str:
-    # same unrolled integer CTE chain as _sql_pagerank, over the
+def _sql_warc_domain_rank(iterations: int = 4) -> str:
+    # the same iteration chain as pagerank_trade_graph (_sql_pagerank
+    # owns the integer arithmetic — single source), over the
     # doc_id-math re-derivation of the fixture's outlinks (directed,
     # distinct) — the Spark side recovers the edges from page bytes
-    base = scale * (100 - damping_pct) // 100
     doms = ", ".join(f"'{d}'" for d in _WARC_DOMAINS)
-    ctes = [f"""
+    nd = len(_WARC_DOMAINS)
+    edges = f"""
     j AS (SELECT 0 AS j UNION ALL SELECT 1),
     edges AS (
-      SELECT DISTINCT ([{doms}])[(doc_id % 10) + 1] AS src,
-                      ([{doms}])[((doc_id + j + 1) % 10) + 1] AS dst
+      SELECT DISTINCT ([{doms}])[(doc_id % {nd}) + 1] AS src,
+                      ([{doms}])[((doc_id + j + 1) % {nd}) + 1] AS dst
       FROM documents JOIN j ON j.j < doc_id % 3
-    ),
-    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
-    nodes AS (SELECT DISTINCT node FROM
-      (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
-    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"""]
-    for i in range(iterations):
-        ctes.append(f"""
-    c{i + 1} AS (
-      SELECT e.dst AS node,
-             SUM((r.rank * {damping_pct}) // (100 * o.outdeg)) AS in_sum
-      FROM r{i} r JOIN edges e ON r.node = e.src JOIN outdeg o ON e.src = o.src
-      GROUP BY e.dst
-    ),
-    r{i + 1} AS (
-      SELECT n.node, CAST({base} + COALESCE(c.in_sum, 0) AS BIGINT) AS rank
-      FROM nodes n LEFT JOIN c{i + 1} c ON n.node = c.node
-    )""")
-    return (
-        "WITH " + ",".join(ctes)
-        + f"\n    SELECT node AS domain, rank FROM r{iterations}"
+    )"""
+    return _sql_pagerank(
+        iterations=iterations,
+        edges_ctes=edges,
+        final_select=f"SELECT node AS domain, rank FROM r{iterations}",
     )
 
 
@@ -5560,8 +5550,42 @@ def _sql_ngram_jaccard(shingle_k: int, thr: float, max_df: int = 1000) -> str:
     """
 
 
+def _sql_bm25_scored_ctes() -> str:
+    """The decimal-truncated-idf BM25 mirror as a CTE chain ending in
+    ``scored`` (doc_id, n_tokens, c0..c2) — the SINGLE source for both
+    bm25_topk and rrf_hybrid_topk oracles, so a retuning of the mirror
+    (k1/b, the truncation idiom, the term list) cannot drift between
+    them.  Terms are pinned to _BM25_TERMS (hash, join, query)."""
+    term_df = ",\n                 ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    contribs = ",\n            ".join(
+        f"""CAST(CAST(ln((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0) AS DECIMAL(28,12)) AS DOUBLE)
+              * (CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) * 2.2
+                 / (CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(dl_sum AS DOUBLE) / n_docs)))) AS c{i}"""
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""tokd AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        base AS (SELECT doc_id, toks, len(toks) AS dl FROM tokd),
+        stats AS (
+          SELECT count(*) AS n_docs, sum(dl) AS dl_sum,
+                 {term_df}
+          FROM base
+        ),
+        scored AS (
+          SELECT doc_id, dl AS n_tokens,
+            {contribs}
+          FROM base, stats
+        )"""
+
+
 def _sql_rrf_hybrid(k_const: int = 60, run_k: int = 100, topk: int = 20) -> str:
-    """Oracle for rrf_hybrid_topk: the bm25_topk scored CTEs (same
+    """Oracle for rrf_hybrid_topk: the shared bm25 scored CTEs (same
     decimal-truncated idf) cut to a top-``run_k`` lexical run, the
     ann_brute cosine expression cut to a top-``run_k`` dense run, full
     outer join, 1/(k+rank) contributions summed in fixed run order,
@@ -5569,34 +5593,7 @@ def _sql_rrf_hybrid(k_const: int = 60, run_k: int = 100, topk: int = 20) -> str:
     qvec = _sql_query_vec()
     cos = _sql_cosine("v", "q")
     return f"""
-        WITH tokd AS (
-          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-          FROM documents
-        ),
-        base AS (SELECT doc_id, toks, len(toks) AS dl FROM tokd),
-        stats AS (
-          SELECT count(*) AS n_docs, sum(dl) AS dl_sum,
-                 sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS df_0,
-                 sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df_1,
-                 sum(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS df_2
-          FROM base
-        ),
-        scored AS (
-          SELECT doc_id,
-            CAST(CAST(ln((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5) + 1.0) AS DECIMAL(28,12)) AS DOUBLE)
-              * (CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) * 2.2
-                 / (CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE)
-                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(dl_sum AS DOUBLE) / n_docs)))) AS c0,
-            CAST(CAST(ln((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5) + 1.0) AS DECIMAL(28,12)) AS DOUBLE)
-              * (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) * 2.2
-                 / (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE)
-                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(dl_sum AS DOUBLE) / n_docs)))) AS c1,
-            CAST(CAST(ln((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5) + 1.0) AS DECIMAL(28,12)) AS DOUBLE)
-              * (CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) * 2.2
-                 / (CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE)
-                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(dl_sum AS DOUBLE) / n_docs)))) AS c2
-          FROM base, stats
-        ),
+        WITH {_sql_bm25_scored_ctes()},
         bm AS (
           SELECT doc_id,
                  round(CAST(CAST(c0 AS DECIMAL(28,12)) + CAST(c1 AS DECIMAL(28,12)) + CAST(c2 AS DECIMAL(28,12)) AS DOUBLE), 6) AS bm25
@@ -5932,19 +5929,37 @@ def _sql_hll_regs(hash_expr: str, p: int, from_clause: str, group_cols: str = ""
     )"""
 
 
-def _sql_pagerank(iterations: int = 4, damping_pct: int = 85, scale: int = 1_000_000_000) -> str:
+def _sql_pagerank(
+    iterations: int = 4,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+    edges_ctes: str | None = None,
+    final_select: str | None = None,
+) -> str:
     """Unrolled fixed-point PageRank CTE chain mirroring
     operators/graph.pagerank_fixed_point — all-integer per-iteration
-    arithmetic, so the chain is hash-exact against the Spark loop."""
+    arithmetic, so the chain is hash-exact against the Spark loop.
+
+    ``edges_ctes`` supplies the CTE text ending in an ``edges``
+    (src, dst) relation (default: the symmetrized trade graph);
+    ``final_select`` overrides the output projection.  The iteration
+    arithmetic lives HERE ONLY — warc_domain_rank reuses it with its
+    own edges, so the two oracles cannot drift."""
     base = scale * (100 - damping_pct) // 100
-    ctes = [f"""
+    if edges_ctes is None:
+        edges_ctes = """
     e0 AS (
       SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
              'c' || CAST(o_custkey AS VARCHAR) AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
     edges AS (SELECT DISTINCT * FROM
-      (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+      (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0))"""
+    if final_select is None:
+        final_select = (
+            f"SELECT node, rank FROM r{iterations} ORDER BY rank DESC, node LIMIT 20"
+        )
+    ctes = [f"""{edges_ctes},
     outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
     nodes AS (SELECT DISTINCT node FROM
       (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
@@ -5961,10 +5976,7 @@ def _sql_pagerank(iterations: int = 4, damping_pct: int = 85, scale: int = 1_000
       SELECT n.node, CAST({base} + COALESCE(c.in_sum, 0) AS BIGINT) AS rank
       FROM nodes n LEFT JOIN c{i + 1} c ON n.node = c.node
     )""")
-    return (
-        "WITH " + ",".join(ctes)
-        + f"\n    SELECT node, rank FROM r{iterations} ORDER BY rank DESC, node LIMIT 20"
-    )
+    return "WITH " + ",".join(ctes) + "\n    " + final_select
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6617,35 +6629,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_url_filter": _sql_warc_url_filter(),
         "warc_link_graph": _sql_warc_link_graph(),
         "warc_domain_rank": _sql_warc_domain_rank(),
-        "bm25_topk": """
-            WITH tokd AS (
-              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-              FROM documents
-            ),
-            base AS (SELECT doc_id, toks, len(toks) AS dl FROM tokd),
-            stats AS (
-              SELECT count(*) AS n_docs, sum(dl) AS dl_sum,
-                     sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS df_0,
-                     sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df_1,
-                     sum(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS df_2
-              FROM base
-            ),
-            scored AS (
-              SELECT doc_id, dl AS n_tokens,
-                CAST(CAST(ln((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5) + 1.0) AS DECIMAL(28,12)) AS DOUBLE)
-                  * (CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) * 2.2
-                     / (CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE)
-                        + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(dl_sum AS DOUBLE) / n_docs)))) AS c0,
-                CAST(CAST(ln((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5) + 1.0) AS DECIMAL(28,12)) AS DOUBLE)
-                  * (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) * 2.2
-                     / (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE)
-                        + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(dl_sum AS DOUBLE) / n_docs)))) AS c1,
-                CAST(CAST(ln((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5) + 1.0) AS DECIMAL(28,12)) AS DOUBLE)
-                  * (CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) * 2.2
-                     / (CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE)
-                        + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(dl_sum AS DOUBLE) / n_docs)))) AS c2
-              FROM base, stats
-            )
+        "bm25_topk": f"""
+            WITH {_sql_bm25_scored_ctes()}
             SELECT doc_id, n_tokens,
                    round(CAST(CAST(c0 AS DECIMAL(28,12)) + CAST(c1 AS DECIMAL(28,12)) + CAST(c2 AS DECIMAL(28,12)) AS DOUBLE), 6) AS bm25
             FROM scored

@@ -113,3 +113,12 @@ def test_rrf_fuse_single_run(spark):
     got = rrf_fuse([run], topk=10).collect()
     assert [(r.doc_id, r.rank) for r in got] == [(7, 1), (9, 2)]
     assert got[0].rrf_score == round(1 / 61, 8)
+
+
+def test_canonical_url_ipv6_passthrough(spark):
+    # bracketed IPv6 authorities defeat the host:port split — must pass
+    # through verbatim, and two distinct hosts must NOT collapse
+    urls = ["https://[2001:db8::1]/x", "https://[2001:db8::2]/x"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == urls

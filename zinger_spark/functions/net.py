@@ -211,9 +211,13 @@ def canonical_url(uri: Column) -> Column:
         path,
         F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
     )
-    # relative references and non-URL strings pass through unchanged —
-    # a curation pass must not mangle what it cannot parse
-    return F.when((scheme == "") | (host == ""), uri).otherwise(assembled)
+    # relative references, non-URL strings, and bracketed IPv6
+    # authorities (whose colons defeat the host:port split) pass
+    # through unchanged — a curation pass must not mangle what it
+    # cannot parse
+    return F.when(
+        (scheme == "") | (host == "") | hostport.startswith("["), uri
+    ).otherwise(assembled)
 
 
 def sql_canonical_url(expr: str) -> str:
@@ -255,7 +259,8 @@ def sql_canonical_url(expr: str) -> str:
         f"|| (CASE WHEN {qcanon} <> '' THEN '?' || {qcanon} ELSE '' END)"
     )
     return (
-        f"(CASE WHEN {scheme} = '' OR {host} = '' THEN {expr} "
+        f"(CASE WHEN {scheme} = '' OR {host} = '' "
+        f"OR starts_with({hostport}, '[') THEN {expr} "
         f"ELSE {assembled} END)"
     )
 
