@@ -5162,6 +5162,9 @@ _R9_FRONT = [
     "salted_skew_agg",
     "url_frontier_dedup",
     "token_budget_select",
+    # oracle text refactored late-r9 (shared PageRank CTE helper) —
+    # keep it in the checked window the round the text changed
+    "pagerank_trade_graph",
     "offset_assign",
     "offset_assign_dist",
     "bm25_topk",
