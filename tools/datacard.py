@@ -67,6 +67,20 @@ def build_card(spark, sf_dir: str) -> str:
         f"- exact (normalized-text) duplicates: **{n_docs - n_distinct}** "
         f"rows ({dup_pct:.2f}%)"
     )
+    # near-dup pressure: symmetric (Jaccard) and directional
+    # (containment — subset/quote) pairs over the same blocked core
+    from zinger_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    n_jac = ngram_jaccard_pairs(docs, shingle_k=8, threshold=0.4).count()
+    n_con = ngram_containment_pairs(docs, shingle_k=8, threshold=0.5).count()
+    lines.append(
+        f"- near-dup pairs: **{n_jac}** at jaccard ≥ 0.4, **{n_con}** at "
+        f"containment ≥ 0.5 (8-gram shingles; containment also catches "
+        f"subset/quote duplication)"
+    )
     lines.append("")
 
     lines += ["## Tokens", ""]
