@@ -400,7 +400,11 @@ def _q_url_frontier_dedup(spark, sf):
     scale — the same shape as dedup_incremental_exact).  Whether a
     batch URL is new is data-dependent (it needs no corpus doc sharing
     its (site, page) coordinates), so the oracle genuinely re-derives
-    the set."""
+    the set.  At sf0.01 the 546-form canonical space is sparse (both
+    admits and rejects occur — the discriminating gate); at sf >= 0.1
+    the space saturates and the frontier is correctly empty (both
+    engines agree on 0), which is the realistic recrawl-of-a-
+    saturated-space outcome."""
     from zinger_spark.functions import net as znet
 
     docs = _t(spark, sf, "documents")
