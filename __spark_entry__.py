@@ -5960,15 +5960,19 @@ def _sql_pagerank(
              'c' || CAST(o_custkey AS VARCHAR) AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
-    edges AS (SELECT DISTINCT * FROM
+    edges AS MATERIALIZED (SELECT DISTINCT * FROM
       (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0))"""
     if final_select is None:
         final_select = (
             f"SELECT node, rank FROM r{iterations} ORDER BY rank DESC, node LIMIT 20"
         )
+    # MATERIALIZED: DuckDB inlines plain CTEs, so without it the edge
+    # derivation re-executes inside every iteration's join — at sf3
+    # that recomputation spilled >79 GB of temp and died; materialized,
+    # each relation is built once and the chain is disk-feasible
     ctes = [f"""{edges_ctes},
-    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
-    nodes AS (SELECT DISTINCT node FROM
+    outdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    nodes AS MATERIALIZED (SELECT DISTINCT node FROM
       (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
     r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"""]
     for i in range(iterations):
@@ -5979,7 +5983,7 @@ def _sql_pagerank(
       FROM r{i} r JOIN edges e ON r.node = e.src JOIN outdeg o ON e.src = o.src
       GROUP BY e.dst
     ),
-    r{i + 1} AS (
+    r{i + 1} AS MATERIALIZED (
       SELECT n.node, CAST({base} + COALESCE(c.in_sum, 0) AS BIGINT) AS rank
       FROM nodes n LEFT JOIN c{i + 1} c ON n.node = c.node
     )""")
