@@ -2700,6 +2700,50 @@ def _q_dedup_incremental_exact(spark, sf):
     )
 
 
+def _q_containment_incremental(spark, sf):
+    """Directional containment of a NEW batch against the corpus — the
+    recrawl subset/quote check (operators/dedup.
+    incremental_containment_dups): a wrapped excerpt has a fresh exact
+    fingerprint and low symmetric Jaccard, but high containment from
+    the new side.  Candidates via a batch×corpus shingle equi-join
+    under the corpus-frequency cap; only the batch's shingle sets
+    drive the denominator."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return zdedup.incremental_containment_dups(
+        corpus, new, shingle_k=8, threshold=0.5
+    )
+
+
+def _sql_containment_incremental(shingle_k: int = 8, thr: float = 0.5, max_df: int = 1000) -> str:
+    return f"""
+    WITH {_sql_shingle_ctes(shingle_k)},
+    newex AS (
+      SELECT doc_id AS nid, unnest(shingles) AS s FROM sh WHERE doc_id % 5 = 0
+    ),
+    corpex AS (
+      SELECT doc_id AS cid, unnest(shingles) AS s FROM sh WHERE doc_id % 5 <> 0
+    ),
+    blocked AS (
+      SELECT cid, s FROM (
+        SELECT cid, s, count(*) OVER (PARTITION BY s) AS w FROM corpex
+      ) WHERE w <= {max_df}
+    ),
+    cand AS (SELECT DISTINCT n.nid, b.cid FROM newex n JOIN blocked b ON n.s = b.s),
+    scored AS (
+      SELECT c.nid, c.cid,
+             len(list_intersect(sn.shingles, sc.shingles))::DOUBLE AS shared,
+             len(sn.shingles)::DOUBLE AS nn
+      FROM cand c
+      JOIN sh sn ON sn.doc_id = c.nid
+      JOIN sh sc ON sc.doc_id = c.cid
+    )
+    SELECT nid AS new_id, cid AS corpus_id, round(shared / nn, 6) AS containment
+    FROM scored WHERE shared / nn >= {thr}
+    """
+
+
 def _q_dedup_incremental_minhash(spark, sf):
     """Near-dup pairs touching a NEW batch, via the persisted minhash
     index: candidates probe only the buckets the batch lands in, so
@@ -5029,6 +5073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- previously green (churn insurance, prior order) -------
         "dedup_incremental_exact": _q_dedup_incremental_exact,
         "dedup_incremental_minhash": _q_dedup_incremental_minhash,
+        "containment_incremental_dups": _q_containment_incremental,
         "embedding_incremental_dups": _q_embedding_incremental_dups,
         "semantic_dedup": _q_semantic_dedup,
         "mixture_sample": _q_mixture_sample,
@@ -5157,6 +5202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # by the r9 full tools/compare.py sweep before this rotation).
 _R9_FRONT = [
     # added in round 9 (this session): must sit in the driver's first-50
+    "containment_incremental_dups",
     "dedup_ngram_containment",
     "rrf_hybrid_topk",
     "url_dedup_canonical",
@@ -7202,6 +7248,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _sql_minhash_lsh(16, 4, 5, 0.4),
         "dedup_ngram_jaccard": _sql_ngram_jaccard(8, 0.4),
         "dedup_ngram_containment": _sql_ngram_containment(8, 0.5),
+        "containment_incremental_dups": _sql_containment_incremental(),
         "rrf_hybrid_topk": _sql_rrf_hybrid(),
         "url_dedup_canonical": _sql_url_dedup(),
         "simhash": _sql_simhash(16),

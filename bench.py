@@ -146,6 +146,7 @@ HEADLINE = [
     # must stay corpus-size-free past the retrievers), canonical-URL
     # dedup (pure JVM regex/array normalization fused into the scan)
     "dedup_ngram_containment",
+    "containment_incremental_dups",
     "rrf_hybrid_topk",
     "url_dedup_canonical",
     # r9 (late): crawl link graph — one Arrow parse stage + JVM href

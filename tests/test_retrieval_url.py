@@ -122,3 +122,25 @@ def test_canonical_url_ipv6_passthrough(spark):
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == urls
+
+
+def test_incremental_containment_detects_quote_of_corpus(spark):
+    """A new doc that is a verbatim excerpt of a corpus doc has high
+    containment from the new side — the recrawl subset check that
+    exact-fingerprint and symmetric-Jaccard incremental passes miss."""
+    from zinger_spark.operators.dedup import incremental_containment_dups
+
+    corpus_text = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(20, 30))
+    corpus = spark.createDataFrame(
+        [(1, corpus_text), (2, "unrelated corpus text a b c d e f")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, quote), (11, "fresh novel content x y z q r s")],
+        "doc_id long, text string",
+    )
+    got = incremental_containment_dups(corpus, new, shingle_k=5, threshold=0.9).collect()
+    assert len(got) == 1
+    assert (got[0].new_id, got[0].corpus_id) == (10, 1)
+    assert got[0].containment == 1.0

@@ -495,6 +495,11 @@ def main() -> int:
     p = plan_of(qs["dedup_ngram_containment"](spark, sf))
     check("dedup_ngram_containment", "CartesianProduct" not in p,
           "candidates via shingle equi-join under the max_df cap, not all-pairs")
+    p = plan_of(qs["containment_incremental_dups"](spark, sf))
+    check("containment_incremental_dups",
+          "CartesianProduct" not in p,
+          "batch-vs-corpus candidates via the capped shingle equi-join, "
+          "never all-pairs")
     p = plan_of(qs["rrf_hybrid_topk"](spark, sf))
     check("rrf_hybrid_topk",
           "TakeOrderedAndProject" in p and "CartesianProduct" not in p,

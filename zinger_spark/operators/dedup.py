@@ -939,6 +939,78 @@ def substring_dup_pairs(
     )
 
 
+def incremental_containment_dups(
+    corpus: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Batch-vs-corpus directional containment: for each NEW doc, the
+    corpus docs that contain ≥ ``threshold`` of its shingles — the
+    recrawl question "is this page substantially a quote/subset of
+    something already crawled?", which exact and Jaccard incremental
+    passes both miss (a wrapped excerpt has a new fingerprint and a
+    low symmetric overlap).
+
+    C(new→corpus) = |shingles(new) ∩ shingles(corpus)| / |shingles(new)|.
+
+    Physical shape: only the BATCH side's full shingle sets matter for
+    the denominator, and candidates come from a batch×corpus shingle
+    equi-join under the corpus-frequency ``max_df`` cap (a boilerplate
+    shingle shared by M corpus docs fans each batch shingle out M ways
+    otherwise).  Per step the corpus is touched by one exploded
+    projection — store it as the running (id, shingle-hash) index to
+    make this O(|new| + matches).  Containment values are exact: the
+    cap bounds candidate generation only, the shared counts use every
+    shingle."""
+    new_ex = exploded_shingles(new, text_col, id_col, shingle_k).select(
+        F.col("id").alias("nid"), F.xxhash64("s").alias("h")
+    )
+    new_ex = _materialize(new_ex)
+    corp_ex = exploded_shingles(corpus, text_col, id_col, shingle_k).select(
+        F.col("id").alias("cid"), F.xxhash64("s").alias("h")
+    )
+    corp_ex = _materialize(corp_ex)
+    hot = (
+        corp_ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") > max_df)
+        .select("h")
+    )
+    blocked_corp = corp_ex.join(F.broadcast(hot), "h", "left_anti")
+    cand = (
+        new_ex.join(blocked_corp.hint("shuffle_hash"), "h")
+        .select("nid", "cid")
+        .distinct()
+    )
+    shared = (
+        cand.hint("shuffle_hash")
+        .join(new_ex, "nid")
+        .join(
+            corp_ex.select(F.col("cid").alias("__c2"), F.col("h").alias("hc")).hint(
+                "shuffle_hash"
+            ),
+            (F.col("cid") == F.col("__c2")) & (F.col("h") == F.col("hc")),
+        )
+        .groupBy("nid", "cid")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = new_ex.groupBy("nid").agg(F.count(F.lit(1)).alias("nn"))
+    c = F.col("shared").cast("double") / F.col("nn").cast("double")
+    return (
+        shared.join(sizes.hint("shuffle_hash"), "nid")
+        .filter(c >= threshold)
+        .select(
+            F.col("nid").alias("new_id"),
+            F.col("cid").alias("corpus_id"),
+            F.round(c, 6).alias("containment"),
+        )
+    )
+
+
 def incremental_line_dedup(
     corpus: DataFrame,
     new: DataFrame,
