@@ -4979,6 +4979,144 @@ def _sql_warc_domain_rank(iterations: int = 4) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-output-topic ETL (r10 lift of the reference's single-output
+# limitation, etl/pipeline.go:66-68 panics on >1 output topic): one
+# cursor-bounded incremental window + one anti-join prelude fans out to
+# TWO output topics, each with its own dense offset sequence, all
+# committed in ONE atomic load.  The fixture runs the real pool +
+# EtlPipeline machinery once per SF under /tmp (idempotent: re-running
+# the pipeline over the same pool ETLs nothing), and the oracle
+# re-derives the expected pool contents from the events table with
+# per-topic ROW_NUMBER() offsets.
+
+_ETL_MULTI_DIR = "/tmp/zinger_spark_etl_multi"
+
+
+def _etl_multi_fixture(spark: SparkSession, sf: str) -> str:
+    """Build (once per SF) a lake under /tmp with a Raw pool holding
+    the events table as Kafka envelopes and a Staging pool produced by
+    a two-output-topic EtlPipeline run; returns the Staging path.
+
+    Concurrency-safe via build-in-tmp + atomic rename: a racing second
+    builder loses the rename and reuses the winner's directory.
+    """
+    import hashlib
+    import shutil
+
+    from zinger_spark.etl.config import Route, Rule, Transform
+    from zinger_spark.etl.planner import EtlPipeline
+    from zinger_spark.sources.pool import Pool
+
+    slug = hashlib.md5((os.path.abspath(sf) + ":v1").encode()).hexdigest()[:10]
+    outdir = os.path.join(_ETL_MULTI_DIR, slug)
+    staging = os.path.join(outdir, "Staging")
+    if os.path.exists(os.path.join(outdir, "_DONE")):
+        return staging
+    os.makedirs(_ETL_MULTI_DIR, exist_ok=True)
+    tmp = f"{outdir}.tmp.{os.getpid()}"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    pools = {
+        "Raw": Pool.create(spark, os.path.join(tmp, "Raw")),
+        "Staging": Pool.create(spark, os.path.join(tmp, "Staging")),
+    }
+    ev = _events(spark, sf)
+    env = ev.select(
+        F.struct(
+            F.lit("events").alias("topic"),
+            F.lit(0).cast("long").alias("partition"),
+            F.col("event_id").alias("offset"),
+        ).alias("kafka"),
+        F.struct(F.col("user_id").alias("user_id")).alias("key"),
+        F.struct(
+            F.col("event_type").alias("event_type"),
+            F.col("user_id").alias("user_id"),
+            F.col("value").alias("value"),
+        ).alias("value"),
+        F.lit("data").alias("_type"),
+    )
+    pools["Raw"].load_batch(env)
+    transform = Transform(
+        inputs=[Route("events", "Raw")],
+        output=None,
+        outputs=[Route("ClickFeed", "Staging"), Route("AccountFeed", "Staging")],
+        etls=[
+            Rule(
+                type="stateless",
+                where="value.event_type = 'click'",
+                in_topic="events",
+                out="ClickFeed",
+                zed="""named_struct('key', `in`.key, 'value', named_struct(
+                    'user_id', `in`.value.user_id,
+                    'amount', round(`in`.value.value, 2)))""",
+            ),
+            Rule(
+                type="stateless",
+                where="value.event_type IN ('signup', 'purchase')",
+                in_topic="events",
+                out="AccountFeed",
+                zed="""named_struct('key', `in`.key, 'value', named_struct(
+                    'user_id', `in`.value.user_id,
+                    'kind', `in`.value.event_type,
+                    'amount', round(`in`.value.value * 2, 2)))""",
+            ),
+        ],
+    )
+    EtlPipeline(spark, transform, lambda name: pools[name]).run()
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, outdir)
+    except OSError:
+        shutil.rmtree(tmp)  # lost the race: the winner's build is live
+    return staging
+
+
+def _q_etl_multi_output(spark: SparkSession, sf: str) -> DataFrame:
+    from zinger_spark.sources.pool import Pool
+
+    pool = Pool(spark, _etl_multi_fixture(spark, sf))
+    return pool.df().select(
+        F.col("kafka.topic").alias("topic"),
+        F.col("kafka.offset").alias("kafka_offset"),
+        F.col("_type"),
+        F.col("value.user_id").alias("user_id"),
+        F.col("value.kind").alias("kind"),
+        F.round(F.col("value.amount"), 2).alias("amount"),
+    )
+
+
+def _sql_etl_multi_output() -> str:
+    return """
+        WITH matched AS (
+            SELECT event_id, user_id, event_type, value,
+                   CASE WHEN event_type = 'click' THEN 'ClickFeed'
+                        ELSE 'AccountFeed' END AS topic
+            FROM events
+            WHERE event_type IN ('click', 'signup', 'purchase')
+        ),
+        data AS (
+            SELECT topic,
+                   ROW_NUMBER() OVER (PARTITION BY topic ORDER BY event_id) - 1
+                       AS kafka_offset,
+                   'data' AS _type,
+                   user_id,
+                   CASE WHEN topic = 'AccountFeed' THEN event_type END AS kind,
+                   ROUND(CASE WHEN topic = 'ClickFeed' THEN value
+                              ELSE value * 2 END, 2) AS amount
+            FROM matched
+        ),
+        done AS (
+            SELECT 'events' AS topic, event_id AS kafka_offset,
+                   'done' AS _type, CAST(NULL AS BIGINT) AS user_id,
+                   CAST(NULL AS VARCHAR) AS kind,
+                   CAST(NULL AS DOUBLE) AS amount
+            FROM matched
+        )
+        SELECT * FROM data UNION ALL SELECT * FROM done"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on dict order: the driver hash-verifies only the FIRST 50 keys
     # per round.  Keys that are new or were rewritten since their last
@@ -4990,6 +5128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # changed or added this round.  Keys pushed past 50 were all
     # verified by full local sweeps (tools/compare.py).
     reg = {
+        # -- round 10: multi-output-topic ETL (reference-limitation lift)
+        "etl_multi_output": _q_etl_multi_output,
         # -- round 7 (late): trainable fixed-point classifier --------
         "perceptron_train": _q_perceptron_train,
         "perceptron_score_topk": _q_perceptron_topk,
@@ -5200,7 +5340,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # whose most recent driver-green row is from rounds 2/4/5 — so the
 # sampled-coverage union keeps cycling (all 172 keys re-verified locally
 # by the r9 full tools/compare.py sweep before this rotation).
-_R9_FRONT = [
+_R10_FRONT = [
+    # added in round 10 (this session): must sit in the driver's first-50
+    "etl_multi_output",
+]
+
+_R9_FRONT = _R10_FRONT + [
     # added in round 9 (this session): must sit in the driver's first-50
     "containment_incremental_dups",
     "dedup_ngram_containment",
@@ -6074,6 +6219,8 @@ def oracle_sql() -> dict[str, str]:
             """,
         }
     return media_oracles | {
+        # -- round 10: multi-output-topic ETL ---------------------------
+        "etl_multi_output": _sql_etl_multi_output(),
         # -- round 7 (late): trainable fixed-point classifier ----------
         "perceptron_train": _sql_perceptron_train(),
         "perceptron_score_topk": _sql_perceptron_topk(),

@@ -636,3 +636,195 @@ def test_etl_demo_on_txlog_pools(spark, tmp_path):
         assert staging_flat(pools["Staging"]) == GOLDENS[i], f"batch {i + 1}"
     # idempotent re-run on the txlog layout too
     assert pipeline.run() == 0
+
+
+# ---------------------------------------------------------------------------
+# Multi-output-topic ETL (round-10 lift of the reference's single-output
+# limitation, etl/pipeline.go:66-68): the invoices demo with the
+# stateless op='u' status updates routed to a SECOND output topic.
+
+
+def make_transform_multi() -> Transform:
+    return Transform(
+        inputs=[Route("Invoices", "Raw"), Route("InvoiceStatus", "Raw")],
+        output=None,
+        outputs=[
+            Route("NewInvoices", "Staging"),
+            Route("StatusUpdates", "Staging"),
+        ],
+        etls=[
+            Rule(
+                type="denorm",
+                where="value.op IN ('c', 'r')",
+                left="Invoices",
+                right="InvoiceStatus",
+                join_on="left.value.after.ID=right.value.after.InvoiceID",
+                out="NewInvoices",
+                zed="""named_struct(
+                    'key', `left`.key,
+                    'value', named_struct(
+                        'ID', `left`.value.after.ID,
+                        'customer', `left`.value.after.customer,
+                        'item', `left`.value.after.item,
+                        'invoice_status', `right`.value.after.status))""",
+            ),
+            Rule(
+                type="stateless",
+                where="value.op = 'u'",
+                in_topic="InvoiceStatus",
+                out="StatusUpdates",
+                zed="""named_struct(
+                    'key', named_struct('ID', `in`.value.after.InvoiceID),
+                    'value', named_struct(
+                        'ID', `in`.value.after.InvoiceID,
+                        'invoice_status', `in`.value.after.status))""",
+            ),
+            Rule(
+                type="stateless",
+                where="value.op = 'u'",
+                in_topic="Invoices",
+                out="NewInvoices",
+                zed="named_struct('key', `in`.key, 'value', `in`.value.after)",
+            ),
+        ],
+    )
+
+
+# goldens: batches 1-2 identical to the single-output demo (no op='u'
+# records yet); from batch 3 the updates land in StatusUpdates with
+# their own dense offset sequence
+M1, M2 = D1, D2
+M3 = M2 | {
+    ("NewInvoices", 3, "data", 103, 103, "Dan", "beans", "pending"),
+    ("StatusUpdates", 0, "data", 100, 100, None, None, "closed"),
+    ("Invoices", 4, "done", None, None, None, None, None),
+    ("InvoiceStatus", 4, "done", None, None, None, None, None),
+    ("InvoiceStatus", 5, "done", None, None, None, None, None),
+}
+M4 = M3 | {
+    ("StatusUpdates", 1, "data", 103, 103, None, None, "collections"),
+    ("StatusUpdates", 2, "data", 102, 102, None, None, "paid"),
+    ("StatusUpdates", 3, "data", 101, 101, None, None, "paid"),
+    ("InvoiceStatus", 6, "done", None, None, None, None, None),
+    ("InvoiceStatus", 7, "done", None, None, None, None, None),
+    ("InvoiceStatus", 8, "done", None, None, None, None, None),
+}
+MULTI_GOLDENS = [M1, M2, M3, M4]
+
+
+def test_etl_multi_output_four_batches(spark, pools):
+    """One incremental window, one anti-join prelude, two output
+    topics' data rows + shared done markers in ONE atomic commit; each
+    output topic gets its own dense offset sequence."""
+    transform = make_transform_multi()
+    pipeline = EtlPipeline(spark, transform, lambda name: pools[name])
+    assert sorted(pipeline.output_topics) == ["NewInvoices", "StatusUpdates"]
+    for i, (invoices, statuses) in enumerate(BATCHES):
+        if invoices:
+            pools["Raw"].load_batch(
+                spark.createDataFrame(invoices, envelope_schema(AFTER_INV))
+            )
+        if statuses:
+            pools["Raw"].load_batch(
+                spark.createDataFrame(statuses, envelope_schema(AFTER_IS))
+            )
+        n = pipeline.run()
+        assert n == ETLD[i], f"batch {i + 1}: ETL'd {n}, want {ETLD[i]}"
+        assert staging_flat(pools["Staging"]) == MULTI_GOLDENS[i], f"batch {i + 1}"
+    # idempotent re-run: the shared done-marker set drops everything
+    assert pipeline.run() == 0
+    assert staging_flat(pools["Staging"]) == MULTI_GOLDENS[3]
+
+
+def test_etl_multi_output_yaml_and_sidecar(spark, pools):
+    """`outputs:` YAML list parses; the cursor sidecar is keyed by the
+    output-topic SET (single-output names unchanged); cursors advance."""
+    import yaml as _yaml
+
+    from zinger_spark.etl.config import transform_from_dict
+
+    raw = _yaml.safe_load(
+        """
+inputs:
+  - topic: Invoices
+    pool: Raw
+  - topic: InvoiceStatus
+    pool: Raw
+outputs:
+  - topic: NewInvoices
+    pool: Staging
+  - topic: StatusUpdates
+    pool: Staging
+transforms:
+  - type: stateless
+    where: value.op = 'u'
+    in: InvoiceStatus
+    out: StatusUpdates
+    zed: >
+      named_struct('key', named_struct('ID', `in`.value.after.InvoiceID),
+                   'value', named_struct('ID', `in`.value.after.InvoiceID,
+                                         'invoice_status', `in`.value.after.status))
+  - type: stateless
+    where: value.op = 'c'
+    in: Invoices
+    out: NewInvoices
+    zed: "named_struct('key', `in`.key, 'value', `in`.value.after)"
+"""
+    )
+    transform = transform_from_dict(raw)
+    assert [r.topic for r in transform.outputs] == ["NewInvoices", "StatusUpdates"]
+    pipeline = EtlPipeline(spark, transform, lambda name: pools[name])
+    assert pipeline._cursor_sidecar() == "_etl_cursors_NewInvoices+StatusUpdates.json"
+    pools["Raw"].load_batch(
+        spark.createDataFrame(
+            [inv(1, 100, "Alice", "taco", "c")], envelope_schema(AFTER_INV)
+        )
+    )
+    pools["Raw"].load_batch(
+        spark.createDataFrame(
+            [ist(1, 80, 100, "paid", "u")], envelope_schema(AFTER_IS)
+        )
+    )
+    assert pipeline.run() == 4
+    assert pipeline._read_cursors() == {"Invoices": 1, "InvoiceStatus": 1}
+    assert staging_flat(pools["Staging"]) == {
+        ("NewInvoices", 0, "data", 100, 100, "Alice", "taco", None),
+        ("StatusUpdates", 0, "data", 100, 100, None, None, "paid"),
+        ("Invoices", 1, "done", None, None, None, None, None),
+        ("InvoiceStatus", 1, "done", None, None, None, None, None),
+    }
+
+
+def test_etl_multi_output_cross_pool_rejected(spark, tmp_path):
+    """Outputs in different pools can't share the atomic commit: the
+    pipeline must refuse at plan time, not corrupt at run time."""
+    from zinger_spark.etl.config import ConfigError
+
+    transform = Transform(
+        inputs=[Route("Invoices", "Raw"), Route("InvoiceStatus", "Raw")],
+        output=None,
+        outputs=[Route("A", "Staging"), Route("B", "Other")],
+        etls=[
+            Rule(
+                type="stateless",
+                in_topic="Invoices",
+                out="A",
+                zed="named_struct('key', `in`.key, 'value', `in`.value.after)",
+            ),
+            Rule(
+                type="stateless",
+                in_topic="InvoiceStatus",
+                out="B",
+                zed="named_struct('key', `in`.key, 'value', `in`.value.after)",
+            ),
+        ],
+    )
+    made = {}
+
+    def open_pool(name):
+        if name not in made:
+            made[name] = Pool.create(spark, str(tmp_path / name))
+        return made[name]
+
+    with pytest.raises(ConfigError, match="share one pool"):
+        EtlPipeline(spark, transform, open_pool)

@@ -68,14 +68,25 @@ def build_card(spark, sf_dir: str) -> str:
         f"rows ({dup_pct:.2f}%)"
     )
     # near-dup pressure: symmetric (Jaccard) and directional
-    # (containment — subset/quote) pairs over the same blocked core
-    from zinger_spark.operators.dedup import (
-        ngram_containment_pairs,
-        ngram_jaccard_pairs,
-    )
+    # (containment — subset/quote) pairs, both projected from ONE
+    # shingle-blocked pair-counts pass (the candidate/verify core is
+    # the heaviest job in the card — pay it once, not per ratio)
+    from zinger_spark.operators.dedup import _shingle_pair_counts
 
-    n_jac = ngram_jaccard_pairs(docs, shingle_k=8, threshold=0.4).count()
-    n_con = ngram_containment_pairs(docs, shingle_k=8, threshold=0.5).count()
+    counted = _shingle_pair_counts(
+        docs, "text", "doc_id", shingle_k=8, max_df=1000,
+        parallelism=None, materialize=True,
+    ).persist()
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    ).cast("double")
+    con = F.greatest(
+        F.col("shared").cast("double") / F.col("na").cast("double"),
+        F.col("shared").cast("double") / F.col("nb").cast("double"),
+    )
+    n_jac = counted.filter(jac >= 0.4).count()
+    n_con = counted.filter(con >= 0.5).count()
+    counted.unpersist()
     lines.append(
         f"- near-dup pairs: **{n_jac}** at jaccard ≥ 0.4, **{n_con}** at "
         f"containment ≥ 0.5 (8-gram shingles; containment also catches "

@@ -59,7 +59,8 @@ def cmd_etl(args) -> int:
         return 0
     if getattr(args, "continuous", False):
         q = pipeline.run_stream(
-            args.checkpoint or f"{args.lake}/.etl_ck_{pipeline.output_topic}",
+            args.checkpoint
+            or f"{args.lake}/.etl_ck_{'+'.join(sorted(pipeline.output_topics))}",
             on_batch=lambda n: print(f"ETL'd {n} record{'s' if n != 1 else ''}"),
         )
         q.awaitTermination()

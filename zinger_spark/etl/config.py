@@ -44,12 +44,31 @@ class Rule:
 
 @dataclass
 class Transform:
+    """``output`` is the reference's single output route (etl/yaml.go:12);
+    ``outputs`` is this engine's lift of the reference's one-output-topic
+    limitation (etl/pipeline.go:66-68 panics on more) — a transform may
+    declare N output routes and its rules may fan the SAME incremental
+    input window out to any of them.  Passing only ``output`` keeps the
+    reference-compatible single-output form; ``outputs`` supersedes it."""
+
     inputs: list[Route]
-    output: Route
+    output: Route | None
     etls: list[Rule]
+    outputs: list[Route] = field(default_factory=list)
     routes: "Routes" = field(init=False)
 
     def __post_init__(self):
+        if not self.outputs:
+            if self.output is None:
+                raise ConfigError("transform needs at least one output route")
+            self.outputs = [self.output]
+        seen = set()
+        for r in self.outputs:
+            if r.topic in seen:
+                raise ConfigError(f"duplicate output route for topic {r.topic!r}")
+            seen.add(r.topic)
+        if self.output is None:
+            self.output = self.outputs[0]
         self.routes = _plan_routes(self)
 
 
@@ -90,7 +109,7 @@ class Routes:
 
 def _plan_routes(t: Transform) -> Routes:
     pools: dict[str, str] = {}
-    for route in [*t.inputs, t.output]:
+    for route in [*t.inputs, *t.outputs]:
         if route.topic in pools and pools[route.topic] != route.pool:
             raise ConfigError(
                 f"route for topic {route.topic!r} points to multiple pools"
@@ -129,7 +148,14 @@ def load_transform(path: str) -> Transform:
 
 def transform_from_dict(raw: dict) -> Transform:
     inputs = [Route(d["topic"], d["pool"]) for d in raw.get("inputs", [])]
-    output = Route(raw["output"]["topic"], raw["output"]["pool"])
+    # reference form: `output:` (one route, etl/yaml.go:12); extension:
+    # `outputs:` (a list) or `output:` given as a list — multi-output
+    out_raw = raw.get("outputs", raw.get("output"))
+    if out_raw is None:
+        raise ConfigError("transform needs an 'output' or 'outputs' block")
+    if isinstance(out_raw, dict):
+        out_raw = [out_raw]
+    outputs = [Route(d["topic"], d["pool"]) for d in out_raw]
     etls = [
         Rule(
             type=d.get("type", ""),
@@ -143,4 +169,4 @@ def transform_from_dict(raw: dict) -> Transform:
         )
         for d in raw.get("transforms", [])
     ]
-    return Transform(inputs=inputs, output=output, etls=etls)
+    return Transform(inputs=inputs, output=None, etls=etls, outputs=outputs)

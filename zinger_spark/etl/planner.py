@@ -118,31 +118,66 @@ def _done_of(kafka_col: str) -> list[Column]:
 
 
 class EtlPipeline:
-    """One runnable ETL (single output topic, like the reference —
-    etl/pipeline.go:66-68 panics on multiple)."""
+    """One runnable ETL over N output topics in ONE output pool.
+
+    The reference supports a single output topic (etl/pipeline.go:66-68
+    panics on more); this engine lifts that limitation: the rules of one
+    transform may fan out to multiple output topics, and the pipeline
+    still does ONE cursor-bounded incremental scan per input topic, ONE
+    anti-join prelude, per-topic offset assignment (assign_offsets is
+    already per-topic), and ONE atomic commit of all outputs' data rows
+    plus the done markers.  First-match switch semantics make the shared
+    done-marker set unambiguous: each input record matches at most one
+    rule, so "done" means "consumed by this transform", whichever output
+    topic the matching rule targets.
+
+    All output topics must share one pool — that is the reference's own
+    routing constraint (etl/routes.go:64-69: every output of a given
+    input lands in the input's output pool) and what makes the single
+    atomic commit possible.
+    """
 
     def __init__(self, spark: SparkSession, transform: Transform, open_pool):
         """``open_pool(name) -> Pool`` keeps this module storage-agnostic."""
         self.spark = spark
         self.transform = transform
         outputs = transform.routes.output_topics()
-        if len(outputs) != 1:
-            raise ConfigError(f"exactly one output topic supported, got {outputs}")
+        if not outputs:
+            raise ConfigError("transform declares no output topics")
+        pools = {transform.routes.lookup_pool(t) for t in outputs}
+        if len(pools) != 1:
+            raise ConfigError(
+                f"all output topics must share one pool for the atomic "
+                f"commit, got {sorted(pools)}"
+            )
+        self.output_topics = outputs
+        # single-output attribute kept for callers/sidecars of the
+        # reference-compatible form
         self.output_topic = outputs[0]
-        self.output_pool = open_pool(transform.output.pool)
+        self.output_pool = open_pool(pools.pop())
         self.input_pools = {}
         for route in transform.inputs:
             if route.pool not in self.input_pools:
                 self.input_pools[route.pool] = open_pool(route.pool)
 
+    def _input_topics(self) -> list[str]:
+        """Input topics across ALL output topics, order-stable dedup —
+        one scan per input topic however many outputs it feeds."""
+        seen: dict[str, None] = {}
+        for out in self.output_topics:
+            for topic in self.transform.routes.inputs_of(out):
+                seen.setdefault(topic)
+        return list(seen)
+
     # -- cursor bookkeeping --------------------------------------------------
 
     def _cursor_sidecar(self) -> str:
-        # One sidecar file PER OUTPUT TOPIC: two pipelines driving
+        # One sidecar file PER OUTPUT-TOPIC SET: two pipelines driving
         # different output topics on the same pool (the documented
         # parallel-across-topics deployment) never read-modify-write
-        # each other's cursor state.
-        return f"_etl_cursors_{self.output_topic}.json"
+        # each other's cursor state.  A single-output pipeline keeps the
+        # pre-r10 `_etl_cursors_{topic}.json` name unchanged.
+        return f"_etl_cursors_{'+'.join(sorted(self.output_topics))}.json"
 
     def _read_cursors(self) -> dict[str, int]:
         """{input topic: low-water offset} for this output topic.  Every
@@ -165,7 +200,7 @@ class EtlPipeline:
         cursors = self._read_cursors()
         routes = self.transform.routes
         data_legs, done_legs = [], []
-        for topic in routes.inputs_of(self.output_topic):
+        for topic in self._input_topics():
             pool = self.input_pools[routes.lookup_pool(topic)]
             if pool.is_empty():
                 continue
@@ -253,7 +288,7 @@ class EtlPipeline:
         routes = self.transform.routes
         lags: dict[str, int] = {}
         legs = []
-        for topic in routes.inputs_of(self.output_topic):
+        for topic in self._input_topics():
             pool = self.input_pools[routes.lookup_pool(topic)]
             if pool.is_empty():
                 continue
@@ -362,7 +397,7 @@ class EtlPipeline:
         routes = self.transform.routes
         cursors = self._read_cursors()
         legs = []
-        for topic in routes.inputs_of(self.output_topic):
+        for topic in self._input_topics():
             pool = self.input_pools[routes.lookup_pool(topic)]
             if pool.is_empty():
                 continue
@@ -578,9 +613,20 @@ def _strip(path: str) -> str:
 def explain(transform: Transform) -> str:
     """Deterministic plan text (the `zync etl -zed` analog,
     cmd/zync/etl/command.go:64-71) for golden tests."""
-    lines = [f"output topic: {transform.output.topic} (pool {transform.output.pool})"]
     routes = transform.routes
-    for topic in routes.inputs_of(transform.output.topic):
+    if len(transform.outputs) == 1:
+        out = transform.outputs[0]
+        lines = [f"output topic: {out.topic} (pool {out.pool})"]
+    else:
+        lines = [
+            "output topics: "
+            + ", ".join(f"{r.topic} (pool {r.pool})" for r in transform.outputs)
+        ]
+    seen: dict[str, None] = {}
+    for out in transform.outputs:
+        for topic in routes.inputs_of(out.topic):
+            seen.setdefault(topic)
+    for topic in seen:
         lines.append(
             f"from pool {routes.lookup_pool(topic)}: topic=={topic!r}"
             f" offset>cursor ANTI JOIN done({topic!r}, offset>cursor)"

@@ -94,6 +94,14 @@ def rrf_fuse(
     ROUNDED score with id tie-break, so the output is bit-stable across
     engines and partitionings.
     """
+    if not runs:
+        raise ValueError("rrf_fuse: runs is empty — need at least one retrieval run")
+    for i, run in enumerate(runs):
+        if "rank" not in run.columns or id_col not in run.columns:
+            raise ValueError(
+                f"rrf_fuse: run {i} must have columns ({id_col!r}, 'rank'); "
+                f"got {run.columns}"
+            )
     fused = None
     for i, run in enumerate(runs):
         leg = run.select(

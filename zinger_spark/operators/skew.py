@@ -31,16 +31,23 @@ def salted_agg(
 
     Phase 1 groups by (keys, random salt) — hot keys spread over
     ``salt`` reducers; phase 2 merges partials by key alone.
+
+    ``count`` follows SQL semantics: ``("count", col)`` skips nulls in
+    ``col`` (count(col)); pass ``None`` or ``"*"`` as the column for a
+    row count (count(*)).
     """
     for fn, _ in aggs.values():
         if fn not in _MERGE:
             raise ValueError(f"{fn}: not decomposable (use sum/count/min/max)")
     salted = df.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
+
+    def _partial(fn: str, col):
+        if fn == "count":
+            return F.count(F.lit(1)) if col in (None, "*") else F.count(col)
+        return getattr(F, fn)(col)
+
     partial = salted.groupBy(*keys, "__salt").agg(
-        *[
-            (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)).alias(name)
-            for name, (fn, col) in aggs.items()
-        ]
+        *[_partial(fn, col).alias(name) for name, (fn, col) in aggs.items()]
     )
     return partial.groupBy(*keys).agg(
         *[_MERGE[fn](name).alias(name) for name, (fn, _) in aggs.items()]
