@@ -633,11 +633,20 @@ def cmd_to_kafka(args) -> int:
     else:
         encode = cj.encode
 
+    transport = getattr(args, "transport", "spark")
+
     def produce(df):
         value_dt = df.schema["value"].dataType
         out = tk.kafka_sink_projection(
             df, value_encoder=lambda d: encode(F.col("value"), value_dt)
         )
+        if transport == "wire":
+            # dependency-free bounded produce (kafka_wire): no JVM
+            # spark-sql-kafka jar or kafka-python needed
+            from .kafka_wire import wire_produce_df
+
+            wire_produce_df(out, args.brokers, args.topic)
+            return
         (
             out.write.format("kafka")
             .option("kafka.bootstrap.servers", args.brokers)
@@ -646,6 +655,13 @@ def cmd_to_kafka(args) -> int:
         )
 
     start = resolve_start_offset(args.resume, args.start_offset, args.topic, admin)
+    if transport == "wire" and getattr(args, "continuous", False):
+        print(
+            "--transport wire supports bounded sync only (continuous "
+            "needs the JVM Kafka sink)",
+            file=sys.stderr,
+        )
+        return 1
     if getattr(args, "continuous", False):
         # Continuous mode (reference's stated future direction,
         # README.md:175-177): file-source stream over the pool's commit
@@ -715,13 +731,21 @@ def cmd_produce(args) -> int:
     else:
         encode = cj.encode
     out = produce_projection(df, encode)
-    (
-        out.write.format("kafka")
-        .option("kafka.bootstrap.servers", args.brokers)
-        .option("topic", args.topic)
-        .option("kafka.allow.auto.create.topics", "true")
-        .save()
-    )
+    if getattr(args, "transport", "spark") == "wire":
+        from .kafka_admin import WireTopicAdmin
+        from .kafka_wire import wire_produce_df
+
+        # parity with the JVM sink's allow.auto.create.topics
+        WireTopicAdmin(args.brokers).create_missing_topics([args.topic])
+        wire_produce_df(out, args.brokers, args.topic)
+    else:
+        (
+            out.write.format("kafka")
+            .option("kafka.bootstrap.servers", args.brokers)
+            .option("topic", args.topic)
+            .option("kafka.allow.auto.create.topics", "true")
+            .save()
+        )
     print(f"messages produced to topic {args.topic!r}")
     return 0
 
@@ -759,13 +783,25 @@ def cmd_consume(args) -> int:
         registry = SchemaRegistry(args.registry)
 
     def _read(starting: str):
-        df = (
-            spark.read.format("kafka")
-            .option("kafka.bootstrap.servers", args.brokers)
-            .option("subscribe", args.topic)
-            .option("startingOffsets", starting)
-            .load()
-        )
+        if getattr(args, "transport", "spark") == "wire":
+            from .kafka_wire import EARLIEST, wire_read_topic
+
+            start = (
+                EARLIEST
+                if starting == "earliest"
+                else int(json.loads(starting)[args.topic]["0"])
+            )
+            df = wire_read_topic(
+                spark, args.brokers, args.topic, starting_offset=start
+            )
+        else:
+            df = (
+                spark.read.format("kafka")
+                .option("kafka.bootstrap.servers", args.brokers)
+                .option("subscribe", args.topic)
+                .option("startingOffsets", starting)
+                .load()
+            )
         if registry is not None:
             from .codecs.avro import decode_by_schema_id
 
@@ -941,6 +977,8 @@ def main(argv: list[str] | None = None) -> int:
     tkp.add_argument("--pool", required=True)
     tkp.add_argument("--lake", default=".")
     tkp.add_argument("--batch-size", type=int, default=200)
+    tkp.add_argument("--transport", choices=["spark", "wire"], default="spark",
+                     help="Kafka transport: the JVM spark-sql-kafka source/sink (default) or the dependency-free wire client (kafka_wire; bounded reads/produces, no extra jars)")
     tkp.add_argument("--shaper", help="path of optional Zed script for shaping")
     tkp.add_argument("--format", default="json", choices=["json", "avro"])
     tkp.add_argument("--registry", help="schema registry URL (avro format)")
@@ -966,6 +1004,8 @@ def main(argv: list[str] | None = None) -> int:
     cons.add_argument("--offset", type=int, default=-2,
                       help="-2 earliest, -1 latest, or a concrete offset "
                       "(cmd/zync/consume/command.go:57)")
+    cons.add_argument("--transport", choices=["spark", "wire"], default="spark",
+                      help="Kafka transport: the JVM spark-sql-kafka source/sink (default) or the dependency-free wire client (kafka_wire; bounded reads/produces, no extra jars)")
     cons.add_argument("--format", default="json", choices=["json", "avro"])
     cons.add_argument("-Z", "--zson", action="store_true",
                       help="print values as compact ZSON (the reference's "
@@ -981,6 +1021,9 @@ def main(argv: list[str] | None = None) -> int:
     prod.add_argument("--topic", required=True)
     prod.add_argument("--format", default="json", choices=["json", "avro"])
     prod.add_argument("--registry", help="schema registry URL (avro format)")
+    prod.add_argument("--transport", choices=["spark", "wire"], default="spark",
+                      help="Kafka transport: the JVM spark-sql-kafka sink "
+                      "(default) or the dependency-free wire client")
 
     ver = sub.add_parser("version")
 

@@ -180,10 +180,65 @@ class KafkaTopicAdmin(TopicAdmin):
             consumer.close()
 
 
+class WireTopicAdmin(TopicAdmin):
+    """Broker admin over the dependency-free wire client
+    (kafka_wire.KafkaWireClient) — the fallback when kafka-python is
+    absent, and the adapter the stub-broker tests drive end-to-end
+    over a real socket."""
+
+    def __init__(self, brokers: str):
+        from .kafka_wire import KafkaWireClient  # noqa: PLC0415
+
+        self._client = KafkaWireClient(brokers)
+
+    def create_topic(self, topic, partitions=1, replication=1, configs=None):
+        from .kafka_wire import ERR_TOPIC_ALREADY_EXISTS, KafkaWireError  # noqa: PLC0415
+
+        try:
+            self._client.create_topic(
+                topic, partitions=partitions, replication=replication,
+                configs=configs,
+            )
+        except KafkaWireError as e:
+            if e.code == ERR_TOPIC_ALREADY_EXISTS:
+                raise TopicExists(topic) from None
+            raise TopicAdminError(f"creating topic {topic}: {e}") from e
+
+    def watermarks(self, topic):
+        from .kafka_wire import KafkaWireError  # noqa: PLC0415
+
+        try:
+            per_part = [
+                self._client.watermarks(topic, p) for p in self.partitions(topic)
+            ]
+            return (
+                min(lo for lo, _ in per_part),
+                max(hi for _, hi in per_part),
+            )
+        except KafkaWireError as e:
+            raise TopicAdminError(f"watermarks for {topic}: {e}") from e
+
+    def partitions(self, topic):
+        from .kafka_wire import KafkaWireError  # noqa: PLC0415
+
+        try:
+            metas = self._client.metadata([topic])
+        except KafkaWireError as e:
+            raise TopicAdminError(f"metadata for {topic}: {e}") from e
+        if not metas or metas[0].error:
+            raise TopicAdminError(f"unknown topic {topic!r}")
+        return [p.partition for p in metas[0].partitions]
+
+    def close(self):
+        self._client.close()
+
+
 def open_admin(brokers: str | None) -> TopicAdmin | None:
-    """CLI helper: a real admin when brokers are given and a client
-    library exists, else None (callers degrade like the reference does
-    when its flags are 0)."""
+    """CLI helper: a real admin when brokers are given, else None
+    (callers degrade like the reference does when its flags are 0).
+    kafka-python when importable; otherwise the dependency-free wire
+    adapter, probed with one ApiVersions round trip so an unreachable
+    broker still degrades to None instead of failing later."""
     if not brokers:
         return None
     try:
@@ -192,4 +247,10 @@ def open_admin(brokers: str | None) -> TopicAdmin | None:
         # client-library constructor errors (e.g. NoBrokersAvailable):
         # open_admin is best-effort; callers that REQUIRE an admin
         # (resolve_start_offset --resume) raise their own clear error
+        pass
+    try:
+        admin = WireTopicAdmin(brokers)
+        admin._client.api_versions()
+        return admin
+    except Exception:  # noqa: BLE001
         return None

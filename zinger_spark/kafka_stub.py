@@ -1,0 +1,355 @@
+"""In-process Kafka broker stub speaking the public wire protocol.
+
+Closes the only untested leg of the Kafka seams: the sandbox has no
+broker (the reference gates the same tests behind a ``kafka`` build
+tag, ztests/from-kafka.yaml), so the admin/produce/consume adapters
+were exercised against in-memory fakes only.  This stub is a real TCP
+server implementing the same frozen protocol surface the wire client
+pins (kafka_wire module docstring):
+
+  ApiVersions v0-v0, Metadata v0-v1, ListOffsets v0-v1,
+  Produce v0-v2 (MessageSet v0/v1), Fetch v0-v2, CreateTopics v0
+
+so any client of those versions — kafka_wire.KafkaWireClient here,
+kafka-python on hosts that have it — can create topics, produce,
+fetch, and probe watermarks against it end-to-end over a socket.
+
+Single node, node_id 0, leads every partition.  The log is in-memory:
+{(topic, partition): [(key, value, timestamp_ms), ...]}, list index ==
+offset (no compaction, so offsets are dense — fine for a test double;
+the engine itself never assumes density, see planner cursor notes).
+
+Usage:
+    with StubBroker() as broker:           # binds 127.0.0.1, free port
+        client = KafkaWireClient(broker.bootstrap)
+        ...
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+
+from .kafka_wire import (
+    API_API_VERSIONS,
+    API_CREATE_TOPICS,
+    API_FETCH,
+    API_LIST_OFFSETS,
+    API_METADATA,
+    API_PRODUCE,
+    EARLIEST,
+    ERR_NONE,
+    ERR_OFFSET_OUT_OF_RANGE,
+    ERR_TOPIC_ALREADY_EXISTS,
+    ERR_UNKNOWN_TOPIC_OR_PARTITION,
+    ERR_UNSUPPORTED_VERSION,
+    _Reader,
+    _Writer,
+    decode_message_set,
+    encode_message_set,
+)
+
+#: (min, max) supported per api key — what ApiVersions advertises and
+#: the dispatcher enforces
+_SUPPORTED = {
+    API_PRODUCE: (0, 2),
+    API_FETCH: (0, 2),
+    API_LIST_OFFSETS: (0, 1),
+    API_METADATA: (0, 1),
+    API_API_VERSIONS: (0, 0),
+    API_CREATE_TOPICS: (0, 0),
+}
+
+
+class StubBroker:
+    """Threaded single-node broker double over a real socket."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self._lock = threading.RLock()
+        # topic -> {"partitions": n, "configs": {...}}
+        self.topics: dict[str, dict] = {}
+        # (topic, partition) -> [(key, value, ts_ms)]
+        self.logs: dict[tuple[str, int], list[tuple[bytes | None, bytes | None, int]]] = {}
+        broker = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                try:
+                    while True:
+                        hdr = self._recv_exact(4)
+                        if hdr is None:
+                            return
+                        size = struct.unpack(">i", hdr)[0]
+                        frame = self._recv_exact(size)
+                        if frame is None:
+                            return
+                        resp = broker._handle_frame(frame)
+                        self.request.sendall(struct.pack(">i", len(resp)) + resp)
+                except (ConnectionError, OSError):
+                    return
+
+            def _recv_exact(self, n: int) -> bytes | None:
+                buf = bytearray()
+                while len(buf) < n:
+                    try:
+                        chunk = self.request.recv(n - len(buf))
+                    except OSError:
+                        return None
+                    if not chunk:
+                        return None
+                    buf.extend(chunk)
+                return bytes(buf)
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.host, self.port = self._server.server_address
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="kafka-stub", daemon=True
+        )
+        self._thread.start()
+
+    @property
+    def bootstrap(self) -> str:
+        return f"{self.host}:{self.port}"
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self) -> "StubBroker":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- test conveniences -------------------------------------------------
+
+    def seed(self, topic: str, partitions: int = 1) -> None:
+        """Create a topic directly (no wire round trip)."""
+        with self._lock:
+            self._create(topic, partitions, {})
+
+    def log(self, topic: str, partition: int = 0):
+        return list(self.logs.get((topic, partition), []))
+
+    # -- request dispatch ----------------------------------------------------
+
+    def _handle_frame(self, frame: bytes) -> bytes:
+        r = _Reader(frame)
+        api_key = r.int16()
+        api_version = r.int16()
+        corr = r.int32()
+        r.string()  # client_id
+        out = _Writer().int32(corr)
+        lo_hi = _SUPPORTED.get(api_key)
+        if lo_hi is None or not (lo_hi[0] <= api_version <= lo_hi[1]):
+            # minimal well-formed error response per API so a modern
+            # client fails with a clear code instead of a parse error
+            return self._unsupported(out, api_key, api_version)
+        with self._lock:
+            if api_key == API_API_VERSIONS:
+                return self._api_versions(out)
+            if api_key == API_METADATA:
+                return self._metadata(out, r)
+            if api_key == API_CREATE_TOPICS:
+                return self._create_topics(out, r)
+            if api_key == API_LIST_OFFSETS:
+                return self._list_offsets(out, r, api_version)
+            if api_key == API_PRODUCE:
+                return self._produce(out, r, api_version)
+            return self._fetch(out, r, api_version)
+
+    def _unsupported(self, out: _Writer, api_key: int, _v: int) -> bytes:
+        if api_key == API_API_VERSIONS:
+            return out.int16(ERR_UNSUPPORTED_VERSION).int32(0).done()
+        # all the others: empty arrays after an error is not expressible
+        # uniformly pre-flexible; close enough for a double — top-level
+        # empty body (clients surface it as a protocol error)
+        return out.int16(ERR_UNSUPPORTED_VERSION).done()
+
+    def _api_versions(self, out: _Writer) -> bytes:
+        out.int16(ERR_NONE).int32(len(_SUPPORTED))
+        for key, (mn, mx) in sorted(_SUPPORTED.items()):
+            out.int16(key).int16(mn).int16(mx)
+        return out.done()
+
+    def _metadata(self, out: _Writer, r: _Reader) -> bytes:
+        n = r.int32()
+        names = (
+            sorted(self.topics)
+            if n < 0
+            else [r.string() or "" for _ in range(n)] or sorted(self.topics)
+        )
+        # brokers: just this node
+        out.int32(1).int32(0).string(self.host).int32(self.port).string(None)
+        out.int32(0)  # controller_id
+        out.int32(len(names))
+        for name in names:
+            meta = self.topics.get(name)
+            if meta is None:
+                out.int16(ERR_UNKNOWN_TOPIC_OR_PARTITION).string(name).int8(0).int32(0)
+                continue
+            out.int16(ERR_NONE).string(name).int8(0)
+            out.int32(meta["partitions"])
+            for p in range(meta["partitions"]):
+                out.int16(ERR_NONE).int32(p).int32(0)  # leader node 0
+                out.int32(1).int32(0)  # replicas [0]
+                out.int32(1).int32(0)  # isr [0]
+        return out.done()
+
+    def _create(self, topic: str, partitions: int, configs: dict) -> int:
+        if topic in self.topics:
+            return ERR_TOPIC_ALREADY_EXISTS
+        self.topics[topic] = {"partitions": partitions, "configs": configs}
+        for p in range(partitions):
+            self.logs[(topic, p)] = []
+        return ERR_NONE
+
+    def _create_topics(self, out: _Writer, r: _Reader) -> bytes:
+        results: list[tuple[str, int]] = []
+        for _ in range(r.int32()):
+            topic = r.string() or ""
+            partitions = r.int32()
+            r.int16()  # replication_factor (single node: recorded only)
+            for _ in range(r.int32()):  # replica assignments
+                r.int32()
+                r.array(lambda rr: rr.int32())
+            configs = {}
+            for _ in range(r.int32()):
+                k, v = r.string(), r.string()
+                configs[k] = v
+            results.append((topic, self._create(topic, max(partitions, 1), configs)))
+        r.int32()  # timeout_ms
+        out.int32(len(results))
+        for topic, err in results:
+            out.string(topic).int16(err)
+        return out.done()
+
+    def _list_offsets(self, out: _Writer, r: _Reader, version: int) -> bytes:
+        r.int32()  # replica_id
+        topics = []
+        for _ in range(r.int32()):
+            topic = r.string() or ""
+            parts = []
+            for _ in range(r.int32()):
+                partition = r.int32()
+                ts = r.int64()
+                if version == 0:
+                    r.int32()  # max_num_offsets (v0 only)
+                parts.append((partition, ts))
+            topics.append((topic, parts))
+        out.int32(len(topics))
+        for topic, parts in topics:
+            out.string(topic).int32(len(parts))
+            for partition, ts in parts:
+                log = self.logs.get((topic, partition))
+                if log is None:
+                    err, off = ERR_UNKNOWN_TOPIC_OR_PARTITION, -1
+                else:
+                    err = ERR_NONE
+                    off = 0 if ts == EARLIEST else len(log)
+                out.int32(partition).int16(err)
+                if version == 0:
+                    out.int32(1).int64(max(off, 0))
+                else:
+                    out.int64(-1).int64(off)  # timestamp, offset
+        return out.done()
+
+    def _produce(self, out: _Writer, r: _Reader, version: int) -> bytes:
+        if version >= 3:
+            r.string()  # transactional_id (never reached: max pinned at 2)
+        r.int16()  # acks
+        r.int32()  # timeout
+        topics = []
+        for _ in range(r.int32()):
+            topic = r.string() or ""
+            parts = []
+            for _ in range(r.int32()):
+                partition = r.int32()
+                data = r.bytes_() or b""
+                parts.append((partition, data))
+            topics.append((topic, parts))
+        out.int32(len(topics))
+        for topic, parts in topics:
+            out.string(topic).int32(len(parts))
+            for partition, data in parts:
+                log = self.logs.get((topic, partition))
+                if log is None:
+                    out.int32(partition).int16(ERR_UNKNOWN_TOPIC_OR_PARTITION)
+                    out.int64(-1)
+                    if version >= 2:
+                        out.int64(-1)
+                    continue
+                msgs = decode_message_set(data)
+                base = len(log)
+                for m in msgs:
+                    log.append((m.key, m.value, m.timestamp_ms))
+                out.int32(partition).int16(ERR_NONE).int64(base)
+                if version >= 2:
+                    out.int64(-1)  # log_append_time: CreateTime batches
+        if version >= 1:
+            out.int32(0)  # throttle_time_ms
+        return out.done()
+
+    def _fetch(self, out: _Writer, r: _Reader, version: int) -> bytes:
+        r.int32()  # replica_id
+        r.int32()  # max_wait_ms (in-memory log: never blocks)
+        r.int32()  # min_bytes
+        topics = []
+        for _ in range(r.int32()):
+            topic = r.string() or ""
+            parts = []
+            for _ in range(r.int32()):
+                partition = r.int32()
+                offset = r.int64()
+                max_bytes = r.int32()
+                parts.append((partition, offset, max_bytes))
+            topics.append((topic, parts))
+        if version >= 1:
+            out.int32(0)  # throttle_time_ms
+        out.int32(len(topics))
+        for topic, parts in topics:
+            out.string(topic).int32(len(parts))
+            for partition, offset, max_bytes in parts:
+                log = self.logs.get((topic, partition))
+                if log is None:
+                    out.int32(partition).int16(ERR_UNKNOWN_TOPIC_OR_PARTITION)
+                    out.int64(-1).bytes_(b"")
+                    continue
+                hw = len(log)
+                if offset > hw or offset < 0:
+                    out.int32(partition).int16(ERR_OFFSET_OUT_OF_RANGE)
+                    out.int64(hw).bytes_(b"")
+                    continue
+                # re-encode the stored slice; honor max_bytes by cutting
+                # whole messages (a real broker may cut mid-message;
+                # clients must cope — decode_message_set drops partials)
+                batch: list[tuple[bytes | None, bytes | None]] = []
+                size = 0
+                for i in range(offset, hw):
+                    key, value, _ts = log[i]
+                    entry = 26 + (len(key) if key else 0) + (len(value) if value else 0)
+                    if batch and size + entry > max_bytes:
+                        break
+                    batch.append((key, value))
+                    size += entry
+                ms = _encode_with_offsets(batch, offset, log)
+                out.int32(partition).int16(ERR_NONE).int64(hw).bytes_(ms)
+        return out.done()
+
+
+def _encode_with_offsets(batch, base_offset: int, log) -> bytes:
+    """MessageSet where each message carries its REAL log offset and
+    stored timestamp (encode_message_set writes producer placeholders)."""
+    out = b""
+    for i, (key, value) in enumerate(batch):
+        ts = log[base_offset + i][2]
+        one = encode_message_set([(key, value)], timestamp_ms=ts)
+        # patch the leading placeholder offset (int64 at byte 0)
+        out += struct.pack(">q", base_offset + i) + one[8:]
+    return out
