@@ -661,3 +661,108 @@ def test_ingest_stream_commits_to_txlog_pool(spark, tmp_path):
 
     entries = TxLog(pool._fs, pool.path).entries()
     assert len(entries) == 1 and entries[0]["add"], "one micro-batch = one log append"
+
+
+def test_ingest_mid_stream_kill_recovers_exactly_once(spark, tmp_path):
+    """Kill a checkpointed ingest BETWEEN micro-batches (q.stop() while
+    files remain), restart on the same checkpoint: the stream resumes
+    from the checkpointed source position and the txn sidecar swallows
+    any replayed batch — the pool converges to exactly one copy of
+    every record (the reference's restart-from-max claim,
+    README.md:140-156, under an actual kill)."""
+    import time as _time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    n_files, rows_per = 6, 10
+    for i in range(n_files):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                f'{{"topic":"T","partition":0,"offset":{i * rows_per + j},"a":{j}}}'
+                for j in range(rows_per)
+            )
+        )
+    schema = T.StructType.fromDDL(
+        "topic string, partition int, offset bigint, a bigint"
+    )
+
+    def env():
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        return s.select(
+            F.struct(
+                F.col("topic"),
+                F.col("partition").cast("long").alias("partition"),
+                F.col("offset"),
+            ).alias("kafka"),
+            F.lit(None).cast("string").alias("key"),
+            F.struct(F.col("a")).alias("value"),
+            F.lit("data").alias("_type"),
+        )
+
+    pool = Pool.create(spark, str(tmp_path / "pool"))
+    ckpt = str(tmp_path / "ckpt")
+    q = fk.run_ingest(env(), pool, ckpt, interval="0 seconds")
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        if len([p for p in q.recentProgress if p.get("numInputRows", 0) > 0]) >= 2:
+            break
+        _time.sleep(0.05)
+    q.stop()  # the kill
+    q.awaitTermination()
+    partial = pool.df().count()
+    assert 0 < partial < n_files * rows_per or partial == n_files * rows_per
+
+    q = fk.run_ingest(env(), pool, ckpt, available_now=True)
+    q.awaitTermination(120)
+    total = n_files * rows_per
+    assert pool.df().count() == total
+    assert (
+        pool.df().select("kafka.topic", "kafka.offset").distinct().count() == total
+    )
+
+
+def test_continuous_sink_wire_transport(spark, tmp_path):
+    """Streaming egress through the wire stub broker: pool commits ->
+    continuous_sink(transport='wire') -> real socket produce; the
+    broker log holds every data record exactly once, markers excluded."""
+    from zinger_spark.kafka_stub import StubBroker
+    from zinger_spark.kafka_wire import KafkaWireClient
+    from zinger_spark.streaming import to_kafka as tk
+
+    pool = Pool.create(spark, str(tmp_path / "p"))
+    env_schema = T.StructType.fromDDL(
+        "kafka struct<topic:string,partition:bigint,offset:bigint>, "
+        "key string, value struct<a:bigint>, _type string"
+    )
+    rows = [(("OUT", 0, i), None, (i * 10,), "data") for i in range(7)]
+    rows.append((("OUT", 0, 7), None, None, "done"))  # marker: must not egress
+    pool.load_batch(spark.createDataFrame(rows, env_schema))
+
+    with StubBroker() as broker:
+        with KafkaWireClient(broker.bootstrap) as c:
+            c.create_topic("OUT")
+            q = tk.continuous_sink(
+                spark,
+                pool,
+                pool.df().schema,
+                str(tmp_path / "ck"),
+                lambda df: df.select(
+                    F.col("key"), F.to_json(F.col("value")).alias("value")
+                ),
+                brokers=broker.bootstrap,
+                topic="OUT",
+                available_now=True,
+                transport="wire",
+                query_name="wire_egress_test",
+            )
+            q.awaitTermination(120)
+            msgs = c.fetch_all("OUT", 0, 0)
+    import json as _json
+
+    assert sorted(_json.loads(m.value)["a"] for m in msgs) == [
+        i * 10 for i in range(7)
+    ]

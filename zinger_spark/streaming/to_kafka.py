@@ -167,6 +167,7 @@ def continuous_sink(
     start_offset: int = 0,
     max_files_per_trigger: int | None = None,
     query_name: str = "to_kafka_test",
+    transport: str = "spark",
 ):
     """Continuous pool->Kafka (the reference's stated future direction,
     README.md:175-177): a file-source readStream over the pool's commit
@@ -245,7 +246,16 @@ def continuous_sink(
             if not maxes:
                 return
             out = sink_builder(batch)
-            if brokers:
+            if brokers and transport == "wire":
+                # dependency-free produce (kafka_wire) — needs a single
+                # destination topic (the wire producer appends to one
+                # partition log per call)
+                from ..kafka_wire import wire_produce_df  # noqa: PLC0415
+
+                if topic is None:
+                    raise ValueError("transport='wire' requires topic=")
+                wire_produce_df(out, brokers, topic)
+            elif brokers:
                 (
                     out.write.format("kafka")
                     .option("kafka.bootstrap.servers", brokers)
