@@ -1,0 +1,118 @@
+"""Public Suffix List machinery: parser, rule grammar (normal /
+wildcard / exception, longest match), private domains, punycode, and
+the registered_domain column function over it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zinger_spark.functions.net import registered_domain
+from zinger_spark.functions.psl import (
+    BUNDLED_PSL,
+    get_psl,
+    idna_ascii,
+    parse_psl,
+    take_expr,
+)
+
+
+def _cut(spark, hosts: list[str]) -> list[str]:
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    return [
+        r["d"]
+        for r in df.select(registered_domain(F.col("host")).alias("d")).collect()
+    ]
+
+
+CASES = [
+    # plain TLDs (implicit default rule)
+    ("www.example.com", "example.com"),
+    ("a.b.c.example.org", "example.org"),
+    ("example.io", "example.io"),
+    # multi-level ICANN suffixes
+    ("www.bbc.co.uk", "bbc.co.uk"),
+    ("news.bbc.co.uk", "bbc.co.uk"),
+    ("example.ac.uk", "example.ac.uk"),
+    ("shop.example.com.au", "example.com.au"),
+    ("www.city.example.co.jp", "example.co.jp"),
+    # 3-label suffix (k12 hierarchy)
+    ("www.school.k12.ma.us", "school.k12.ma.us"),
+    # wildcard rule *.ck: any 2nd level is a suffix
+    ("www.example.foo.ck", "example.foo.ck"),
+    # exception !www.ck beats the wildcard
+    ("www.ck", "www.ck"),
+    ("sub.www.ck", "www.ck"),
+    # jp geographic wildcard + city exception
+    ("blog.example.chuo.kawasaki.jp", "example.chuo.kawasaki.jp"),
+    ("www.city.kawasaki.jp", "city.kawasaki.jp"),
+    # private domains: each tenant is a publisher
+    ("alice.github.io", "alice.github.io"),
+    ("www.alice.github.io", "alice.github.io"),
+    ("myblog.blogspot.com", "myblog.blogspot.com"),
+    ("shard7.s3.amazonaws.com", "shard7.s3.amazonaws.com"),
+    # punycode TLD (рф)
+    ("xn--e1afmkfd.xn--p1ai", "xn--e1afmkfd.xn--p1ai"),
+    ("www.xn--e1afmkfd.xn--p1ai", "xn--e1afmkfd.xn--p1ai"),
+    # host IS a public suffix: unchanged
+    ("co.uk", "co.uk"),
+    ("com", "com"),
+    ("github.io", "github.io"),
+]
+
+
+def test_registered_domain_psl_cases(spark):
+    hosts = [h for h, _ in CASES]
+    want = [w for _, w in CASES]
+    assert _cut(spark, hosts) == want
+
+
+def test_parser_sections_and_kinds():
+    psl = parse_psl(BUNDLED_PSL)
+    assert "co.uk" in psl.normals[2]
+    assert "k12.ma.us" in psl.normals[3]
+    assert "ck" in psl.wildcards[1]
+    assert "kawasaki.jp" in psl.wildcards[2]
+    assert "www.ck" in psl.exceptions[2]
+    assert "github.io" in psl.normals[2]  # private section included
+    no_private = parse_psl(BUNDLED_PSL, include_private=False)
+    assert "github.io" not in no_private.normals.get(2, frozenset())
+    assert "co.uk" in no_private.normals[2]
+
+
+def test_parser_idna_lines():
+    # unicode rules in the file are matched in punycode form
+    psl = parse_psl("// x\n中国\n")
+    assert "xn--fiqs8s" in psl.normals[1]
+    assert idna_ascii("пример.рф") == "xn--e1afmkfd.xn--p1ai"
+    assert idna_ascii("Example.COM.") == "example.com"
+
+
+def test_env_file_override(spark, tmp_path, monkeypatch):
+    """$ZINGER_PSL_FILE swaps in a full published list without code
+    changes — the mechanism the full-PSL deployment uses."""
+    custom = tmp_path / "psl.dat"
+    custom.write_text("// custom\nzz\nfoo.zz\n")
+    monkeypatch.setenv("ZINGER_PSL_FILE", str(custom))
+    psl = get_psl()
+    assert "foo.zz" in psl.normals[2]
+    df = spark.createDataFrame([("a.b.foo.zz",), ("www.bbc.co.uk",)], "host string")
+    got = [
+        r["d"]
+        for r in df.select(registered_domain(F.col("host")).alias("d")).collect()
+    ]
+    # co.uk is NOT in the custom list -> the default '*' rule applies
+    # and the 2-label cut lands on co.uk itself
+    assert got == ["b.foo.zz", "co.uk"]
+
+
+def test_take_expr_is_pure_jvm(spark):
+    """The PSL cut must stay inside whole-stage codegen: no UDF, no
+    exchange in the plan."""
+    df = spark.range(100).selectExpr(
+        "concat('host', id % 7, '.example.co.uk') AS host"
+    )
+    out = df.select(registered_domain(F.col("host")).alias("d"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

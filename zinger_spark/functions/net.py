@@ -133,10 +133,11 @@ def parse_uri(uri: Column) -> Column:
     )
 
 
-#: two-level public suffixes bundled for the registered-domain cut.
-#: Deliberately minimal: the MECHANISM (suffix-aware label slice, pure
-#: JVM) is the scale-relevant part — a deployment swaps in the full
-#: published PSL as this tuple without touching the plan shape.
+#: legacy alias (pre-r10): the registered-domain cut now runs on the
+#: full Public Suffix List machinery in functions/psl.py (bundled
+#: snapshot incl. wildcards/exceptions/private domains; the real
+#: published file drops in via $ZINGER_PSL_FILE).  Kept because the
+#: two-level heuristic remains a documented fallback shape.
 TWO_LEVEL_SUFFIXES = (
     "co.uk", "ac.uk", "gov.uk", "org.uk",
     "com.au", "net.au", "org.au",
@@ -268,16 +269,21 @@ def sql_canonical_url(expr: str) -> str:
 def registered_domain(host: Column) -> Column:
     """eTLD+1 of a hostname — the key for domain-level blocklists and
     quality priors in crawl curation (C4/RefinedWeb/FineWeb all filter
-    at the registered domain, not the full host).  Suffix-aware label
-    slice as pure JVM expressions: last 2 labels normally, last 3 when
-    the final 2 form a bundled two-level public suffix; hosts with no
-    more labels than the cut pass through unchanged."""
+    at the registered domain, not the full host).
+
+    Backed by the Public Suffix List machinery (functions/psl.py):
+    normal + wildcard + exception rules with longest-match semantics,
+    private-domain suffixes included (two github.io tenants are
+    different publishers), compiled into one JVM CASE over literal rule
+    sets — whole-stage codegen, no UDF, no shuffle.  The bundled
+    snapshot is swappable for the full published file via
+    $ZINGER_PSL_FILE.  Hosts with no more labels than the suffix cut
+    (i.e. the host IS a public suffix) pass through unchanged."""
+    from .psl import get_psl, take_expr  # noqa: PLC0415
+
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    take = F.when(
-        (n >= 2) & last2.isin(*TWO_LEVEL_SUFFIXES), F.lit(3)
-    ).otherwise(F.lit(2))
+    take = take_expr(host, get_psl())
     return F.when(n <= take, host).otherwise(
         F.concat_ws(".", F.slice(parts, n - take + 1, take))
     )
