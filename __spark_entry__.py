@@ -3466,6 +3466,260 @@ def _sql_kmeans(iterations: int = 2, k: int = 8, quant: int = 1000, cscale: int 
 
 
 # ---------------------------------------------------------------------------
+# round 10: IVF-PQ (Jégou, Douze & Schmid, TPAMI 2011) — the persisted
+# ANN index compressed with product quantization: M=8 sub-codebooks of
+# ksub=16 centroids over 8-dim subvectors (32 bits/vector), codes
+# instead of vectors in
+# the cells (serving memory M small ints vs D floats per vector), query
+# answered by integer ADC over only the probed cells' files.  All
+# training/encoding/ADC arithmetic is fixed-point int64 (the
+# kmeans_fixed_point discipline), so codes and distances are
+# bit-identical across engines — the oracle retrains the codebooks,
+# re-encodes, and recomputes ADC in pure SQL.
+
+_PQ_M = 8
+_PQ_KSUB = 16
+_PQ_ITER = 2
+_PQ_DIMS = 64
+_PQ_QUANT = 1000
+_PQ_CSCALE = 1024
+
+
+def _ivfpq_index(spark, sf: str) -> str:
+    import os as _os
+
+    from zinger_spark.operators.similarity import build_ivfpq_index, pq_train
+
+    emb = _t(spark, sf, "embeddings")
+    idx = f"/tmp/zinger_ivfpq_idx_{_os.path.basename(_os.path.normpath(sf))}"
+    if not _os.path.exists(f"{idx}/codes/_SUCCESS"):
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ]
+        books = pq_train(
+            emb, m=_PQ_M, ksub=_PQ_KSUB, iterations=_PQ_ITER, dims=_PQ_DIMS,
+            quant=_PQ_QUANT, cscale=_PQ_CSCALE,
+        )
+        build_ivfpq_index(
+            emb, cents, books, idx, m=_PQ_M, dims=_PQ_DIMS, quant=_PQ_QUANT
+        )
+    return idx
+
+
+def _q_ann_ivfpq(spark, sf):
+    """ANN over the persisted IVF-PQ index: coarse probe (2 of 8 cells,
+    partition-pruned scan of the CODE files — M ints per vector, never
+    the vectors), broadcast ADC table (m*ksub rows), one partial-agg
+    groupBy(id), TakeOrdered 20 by exact integer ADC distance."""
+    from zinger_spark.operators.similarity import ivfpq_index_topk
+
+    idx = _ivfpq_index(spark, sf)
+    return ivfpq_index_topk(
+        spark, idx, _query_vec(), k=20, n_probe=2,
+        m=_PQ_M, dims=_PQ_DIMS, quant=_PQ_QUANT,
+    )
+
+
+def _q_ivfpq_recall(spark, sf):
+    """The quantization-audit key (minhash_lsh_recall's analog for PQ):
+    recall@20 of the IVF-PQ answer against the exact brute-force cosine
+    top-20 over the SAME corpus, both computed in-engine.  One bounded
+    row out — k, hit count, recall — so the compression's accuracy cost
+    is measured, not asserted."""
+    from zinger_spark.operators.similarity import brute_force_topk, ivfpq_index_topk
+
+    emb = _t(spark, sf, "embeddings")
+    idx = _ivfpq_index(spark, sf)
+    approx = ivfpq_index_topk(
+        spark, idx, _query_vec(), k=20, n_probe=2,
+        m=_PQ_M, dims=_PQ_DIMS, quant=_PQ_QUANT,
+    )
+    truth = brute_force_topk(emb, _query_vec(), k=20)
+    hits = approx.select("vec_id").join(truth.select("vec_id"), "vec_id")
+    return hits.agg(
+        F.lit(20).alias("k"),
+        F.count(F.lit(1)).alias("hits"),
+        F.round(F.count(F.lit(1)) / 20.0, 4).alias("recall"),
+    )
+
+
+def _q_ann_ivfpq_rerank(spark, sf):
+    """The production IVF-PQ serving shape: integer-ADC candidates
+    (top-100 from the probed cells' CODE files) re-ranked exactly on
+    the full vectors of just those 100 — a broadcast semi-join fetch,
+    never a corpus shuffle.  Recovers the quantization recall
+    (ivfpq_recall measures the no-rerank floor)."""
+    from zinger_spark.operators.similarity import ivfpq_rerank_topk
+
+    emb = _t(spark, sf, "embeddings")
+    idx = _ivfpq_index(spark, sf)
+    out = ivfpq_rerank_topk(
+        spark, idx, emb, _query_vec(), k=20, n_candidates=100, n_probe=2,
+        m=_PQ_M, dims=_PQ_DIMS, quant=_PQ_QUANT,
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    return out.select("vec_id", F.row_number().over(w).alias("rank"))
+
+
+def _sql_pq_ctes() -> str:
+    """Codebook-training + encoding CTE chain mirroring pq_train /
+    pq_encode: the _sql_kmeans unroll with a subspace key m."""
+    sub = _PQ_DIMS // _PQ_M
+    q, cs = _PQ_QUANT, _PQ_CSCALE
+    ctes = [f"""
+    ppts AS (
+      SELECT vec_id AS id,
+             CAST(r // {sub} AS INT) AS m,
+             CAST(r % {sub} AS INT) AS d,
+             CAST(floor(CAST(embedding[CAST(r AS INT) + 1] AS DOUBLE) * {q}) AS BIGINT) AS x
+      FROM embeddings, (SELECT unnest(range({_PQ_DIMS})) AS r)
+    ),
+    pseed AS (
+      SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster
+      FROM (SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT {_PQ_KSUB})
+    ),
+    cb0 AS (
+      SELECT p.m, s.cluster, p.d, p.x * {cs} AS c
+      FROM ppts p JOIN pseed s USING (id)
+    )"""]
+    for i in range(_PQ_ITER):
+        ctes.append(f"""
+    pd{i + 1} AS (
+      SELECT p.id, p.m, c.cluster,
+             SUM((p.x * {cs} - c.c) * (p.x * {cs} - c.c)) AS dist
+      FROM ppts p JOIN cb{i} c ON p.m = c.m AND p.d = c.d
+      GROUP BY p.id, p.m, c.cluster
+    ),
+    pa{i + 1} AS (
+      SELECT id, m, cluster FROM (
+        SELECT id, m, cluster,
+               row_number() OVER (PARTITION BY id, m ORDER BY dist, cluster) AS rn
+        FROM pd{i + 1}
+      ) WHERE rn = 1
+    ),
+    cb{i + 1} AS (
+      SELECT a.m, a.cluster, p.d,
+             CAST(SUM(p.x) * {cs} // COUNT(*) AS BIGINT) AS c
+      FROM ppts p JOIN pa{i + 1} a ON p.id = a.id AND p.m = a.m
+      GROUP BY a.m, a.cluster, p.d
+    )""")
+    # final encode against the trained codebooks + the query-side table
+    ctes.append(f"""
+    cdist AS (
+      SELECT p.id, p.m, c.cluster,
+             SUM((p.x * {cs} - c.c) * (p.x * {cs} - c.c)) AS dist
+      FROM ppts p JOIN cb{_PQ_ITER} c ON p.m = c.m AND p.d = c.d
+      GROUP BY p.id, p.m, c.cluster
+    ),
+    codes AS (
+      SELECT id, m, cluster AS code FROM (
+        SELECT id, m, cluster,
+               row_number() OVER (PARTITION BY id, m ORDER BY dist, cluster) AS rn
+        FROM cdist
+      ) WHERE rn = 1
+    ),
+    qpts AS (
+      SELECT CAST(r // {sub} AS INT) AS m, CAST(r % {sub} AS INT) AS d,
+             CAST(floor(CAST(qv.q[CAST(r AS INT) + 1] AS DOUBLE) * {q}) AS BIGINT) AS qx
+      FROM (SELECT {_sql_query_vec()} AS q) qv, (SELECT unnest(range({_PQ_DIMS})) AS r)
+    ),
+    adc AS (
+      SELECT c.m, c.cluster AS code,
+             SUM((s.qx * {cs} - c.c) * (s.qx * {cs} - c.c)) AS t
+      FROM cb{_PQ_ITER} c JOIN qpts s ON c.m = s.m AND c.d = s.d
+      GROUP BY c.m, c.cluster
+    ),
+    adcdist AS (
+      SELECT id, CAST(SUM(t) AS BIGINT) AS adc_dist
+      FROM codes JOIN adc USING (m, code)
+      GROUP BY id
+    )""")
+    return ",".join(ctes)
+
+
+def _sql_ivfpq_coarse() -> str:
+    """Coarse IVF legs (same construction as the ann_ivf_topk oracle):
+    cells = embeddings of vec_id < 8, probe the 2 nearest by cosine,
+    assign every vector to its argmax-cosine cell."""
+    qvec = _sql_query_vec()
+    return f"""
+    cents AS (
+      SELECT vec_id AS cell, embedding::DOUBLE[] AS c
+      FROM embeddings WHERE vec_id < 8
+    ),
+    probe AS (
+      SELECT cell FROM (
+        SELECT cell, {_sql_cosine("c", f"({qvec})")} AS s FROM cents
+      ) ORDER BY s DESC, cell LIMIT 2
+    ),
+    cpairs AS (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_sql_cosine("c.c", "(e.embedding::DOUBLE[])")} DESC, c.cell) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cassigned AS (SELECT vec_id, cell AS ivf_cell FROM cpairs WHERE rn = 1)"""
+
+
+def _sql_ann_ivfpq() -> str:
+    return f"""
+        WITH {_sql_ivfpq_coarse()},
+        {_sql_pq_ctes()}
+        SELECT d.id AS vec_id, d.adc_dist
+        FROM adcdist d
+        JOIN cassigned a ON a.vec_id = d.id
+        WHERE a.ivf_cell IN (SELECT cell FROM probe)
+        ORDER BY d.adc_dist, d.id LIMIT 20"""
+
+
+def _sql_ann_ivfpq_rerank() -> str:
+    qvec = _sql_query_vec()
+    cos = _sql_cosine("(e.embedding::DOUBLE[])", f"({qvec})")
+    return f"""
+        WITH {_sql_ivfpq_coarse()},
+        {_sql_pq_ctes()},
+        cand AS (
+          SELECT d.id
+          FROM adcdist d
+          JOIN cassigned a ON a.vec_id = d.id
+          WHERE a.ivf_cell IN (SELECT cell FROM probe)
+          ORDER BY d.adc_dist, d.id LIMIT 100
+        ),
+        rer AS (
+          SELECT e.vec_id, round({cos}, 8) AS score
+          FROM embeddings e JOIN cand c ON c.id = e.vec_id
+          ORDER BY score DESC, e.vec_id LIMIT 20
+        )
+        SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+        FROM rer"""
+
+
+def _sql_ivfpq_recall() -> str:
+    qvec = _sql_query_vec()
+    cos = _sql_cosine("(embedding::DOUBLE[])", f"({qvec})")
+    return f"""
+        WITH {_sql_ivfpq_coarse()},
+        {_sql_pq_ctes()},
+        approx AS (
+          SELECT d.id AS vec_id
+          FROM adcdist d
+          JOIN cassigned a ON a.vec_id = d.id
+          WHERE a.ivf_cell IN (SELECT cell FROM probe)
+          ORDER BY d.adc_dist, d.id LIMIT 20
+        ),
+        truth AS (
+          SELECT vec_id FROM (
+            SELECT vec_id, round({cos}, 8) AS score FROM embeddings
+          ) ORDER BY score DESC, vec_id LIMIT 20
+        )
+        SELECT CAST(20 AS INTEGER) AS k,
+               CAST(count(*) AS BIGINT) AS hits,
+               round(CAST(count(*) AS DOUBLE) / 20, 4) AS recall
+        FROM approx JOIN truth USING (vec_id)"""
+
+
+# ---------------------------------------------------------------------------
 # round 7 (late): fixed-point perceptron — a TRAINABLE quality
 # classifier (operators/classifier.py), demonstrated as the canonical
 # linear probe over document embeddings (y = "is cluster 0").  The
@@ -5130,6 +5384,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = {
         # -- round 10: multi-output-topic ETL (reference-limitation lift)
         "etl_multi_output": _q_etl_multi_output,
+        # -- round 10: IVF-PQ quantized ANN serving + recall audit ----
+        "ann_ivfpq_topk": _q_ann_ivfpq,
+        "ann_ivfpq_rerank": _q_ann_ivfpq_rerank,
+        "ivfpq_recall": _q_ivfpq_recall,
         # -- round 7 (late): trainable fixed-point classifier --------
         "perceptron_train": _q_perceptron_train,
         "perceptron_score_topk": _q_perceptron_topk,
@@ -5343,6 +5601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R10_FRONT = [
     # added in round 10 (this session): must sit in the driver's first-50
     "etl_multi_output",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_rerank",
+    "ivfpq_recall",
 ]
 
 _R9_FRONT = _R10_FRONT + [
@@ -6221,6 +6482,10 @@ def oracle_sql() -> dict[str, str]:
     return media_oracles | {
         # -- round 10: multi-output-topic ETL ---------------------------
         "etl_multi_output": _sql_etl_multi_output(),
+        # -- round 10: IVF-PQ ------------------------------------------
+        "ann_ivfpq_topk": _sql_ann_ivfpq(),
+        "ann_ivfpq_rerank": _sql_ann_ivfpq_rerank(),
+        "ivfpq_recall": _sql_ivfpq_recall(),
         # -- round 7 (late): trainable fixed-point classifier ----------
         "perceptron_train": _sql_perceptron_train(),
         "perceptron_score_topk": _sql_perceptron_topk(),

@@ -822,3 +822,294 @@ def kmeans_fixed_point(
             .localCheckpoint(eager=True)
         )
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid, TPAMI 2011 — public
+# literature): split each D-dim vector into M subvectors, learn a
+# per-subspace codebook with k-means, store each vector as M small
+# codes, and answer queries with asymmetric distance computation (ADC):
+# per-subspace lookup tables against the RAW query, summed over M.
+# Serving memory per vector drops from D floats to M bytes (~16-32x for
+# D=64, M=4-8) — the shape that makes 100 TB vector serving fit.
+#
+# Same fixed-point discipline as kmeans_fixed_point: all training,
+# encoding, and ADC arithmetic is exact int64, so codebooks, codes, and
+# distances are bit-identical across engines and partitionings.
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iterations: int = 2,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+    cscale: int = 1024,
+) -> DataFrame:
+    """Train all M sub-codebooks in ONE Lloyd's chain: points live long
+    as (id, m, d, x) with m = the subspace and d the within-subspace
+    dim, and every per-iteration shuffle is keyed by (id, m) / (m,
+    cluster, d) — cost is one k-means pass over the corpus however many
+    subspaces, not M passes.  Centroid tables stay m*ksub*subdim rows
+    (broadcast).  Init mirrors kmeans_fixed_point: the ksub smallest
+    ids seed every subspace; argmin ties break on the smaller code.
+
+    Returns the codebook frame (m, cluster, d, c) with c at scale
+    ``quant * cscale``."""
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m} subspaces")
+    pts = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.transform(
+                    as_double(F.col(vec_col)),
+                    lambda x: F.floor(x * quant).cast("long"),
+                )
+            ).alias("pos", "x"),
+        )
+        .select(
+            "id",
+            (F.col("pos") / (dims // m)).cast("int").alias("m"),
+            (F.col("pos") % (dims // m)).cast("int").alias("d"),
+            "x",
+        )
+        .localCheckpoint(eager=True)
+    )
+    seed_ids = [
+        r["id"]
+        for r in df.select(F.col(id_col).alias("id"))
+        .orderBy("id")
+        .limit(ksub)
+        .collect()
+    ]
+    seed = df.sparkSession.createDataFrame(
+        [(i, c) for c, i in enumerate(seed_ids)], "id LONG, cluster INT"
+    )
+    cents = (
+        pts.join(F.broadcast(seed), "id")
+        .select("m", "cluster", "d", (F.col("x") * cscale).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        assign = _pq_assign(pts, cents, cscale=cscale).withColumnRenamed(
+            "code", "cluster"
+        )
+        cents = (
+            pts.join(assign, ["id", "m"])
+            .groupBy("m", "cluster", "d")
+            .agg(F.expr(f"sum(x) * {cscale} div count(1)").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def _pq_assign(pts: DataFrame, cents: DataFrame, cscale: int = 1024) -> DataFrame:
+    """(id, m) -> nearest sub-centroid under exact integer L2 (points
+    lifted to the centroids' fixed-point scale); ties break to the
+    smaller cluster id (struct-min, same rule as kmeans_fixed_point)."""
+    diff = F.col("x") * F.lit(cscale) - F.col("c")
+    per = (
+        pts.join(F.broadcast(cents), ["m", "d"])
+        .groupBy("id", "m", "cluster")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    return per.groupBy("id", "m").agg(
+        F.min(F.struct("dist", "cluster")).getField("cluster").alias("code")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+    cscale: int = 1024,
+) -> DataFrame:
+    """Vectors -> (id, m, code): one broadcast join against the
+    codebooks + one argmin — M small ints per vector out."""
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                as_double(F.col(vec_col)),
+                lambda x: F.floor(x * quant).cast("long"),
+            )
+        ).alias("pos", "x"),
+    ).select(
+        "id",
+        (F.col("pos") / (dims // m)).cast("int").alias("m"),
+        (F.col("pos") % (dims // m)).cast("int").alias("d"),
+        "x",
+    )
+    return _pq_assign(pts, codebooks, cscale=cscale)
+
+
+def pq_adc_table(
+    spark: SparkSession,
+    codebooks: DataFrame,
+    query_vec: Sequence[float],
+    m: int = 4,
+    dims: int = 64,
+    quant: int = 1000,
+    cscale: int = 1024,
+) -> DataFrame:
+    """The ADC lookup table (m, code, t): exact integer squared L2
+    between the RAW (uncompressed) query subvector and each
+    sub-centroid — m*ksub rows, computed once per query."""
+    sub = dims // m
+    q = spark.createDataFrame(
+        [
+            (pos // sub, pos % sub, int(__import__("math").floor(float(x) * quant)))
+            for pos, x in enumerate(query_vec)
+        ],
+        "m INT, d INT, qx BIGINT",
+    )
+    return (
+        codebooks.join(F.broadcast(q), ["m", "d"])
+        .groupBy("m", "cluster")
+        .agg(
+            F.sum(
+                (F.col("qx") * F.lit(cscale) - F.col("c"))
+                * (F.col("qx") * F.lit(cscale) - F.col("c"))
+            ).alias("t")
+        )
+        .withColumnRenamed("cluster", "code")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    adc: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by ADC distance: broadcast the m*ksub table onto the codes,
+    one partial-aggregated groupBy(id), TakeOrdered k by (dist asc,
+    id).  The only corpus-sized frame is the codes — M ints per vector."""
+    return (
+        codes.join(F.broadcast(adc), ["m", "code"])
+        .groupBy("id")
+        .agg(F.sum("t").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "adc_dist")
+    )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    coarse_centroids: Sequence[Sequence[float]],
+    codebooks: DataFrame,
+    path: str,
+    m: int = 4,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+) -> None:
+    """Persist the IVF-PQ serving layout: per-vector (id, m, code) rows
+    partitioned by coarse cell + the codebook and coarse-centroid
+    tables.  vs build_ivf_index the assignments hold M small ints per
+    vector instead of D floats — the 16-32x serving-memory cut — and a
+    probe still opens only its n_probe cells' files (hive partition
+    pruning on ivf_cell)."""
+    assigned = ivf_assign(df, coarse_centroids, vec_col).select(
+        F.col(id_col).alias("id"), "ivf_cell"
+    )
+    codes = pq_encode(df, codebooks, m=m, dims=dims, vec_col=vec_col, id_col=id_col)
+    (
+        codes.join(assigned, "id")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(f"{path}/codes")
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(coarse_centroids)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivfpq_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 1,
+    m: int = 4,
+    dims: int = 64,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query the persisted IVF-PQ index: rank coarse centroids
+    driver-side (bounded table), compute the ADC table from the
+    codebook parquet, scan ONLY the probed cells' code files
+    (partition filter) and fold M lookups per vector."""
+    cents = sorted(
+        (r["cell"], r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    sims = [
+        (
+            i,
+            sum(float(a) * float(b) for a, b in zip(c, query_vec))
+            / (
+                (sum(float(a) ** 2 for a in c) ** 0.5)
+                * (sum(float(b) ** 2 for b in query_vec) ** 0.5)
+            ),
+        )
+        for i, c in cents
+    ]
+    probe = [i for i, _ in sorted(sims, key=lambda t: (-t[1], t[0]))[:n_probe]]
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    adc = pq_adc_table(spark, codebooks, query_vec, m=m, dims=dims, quant=quant)
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("ivf_cell").isin(probe)
+    )
+    return pq_adc_topk(codes, adc, k=k, id_col=id_col)
+
+
+def ivfpq_rerank_topk(
+    spark: SparkSession,
+    path: str,
+    base: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_candidates: int = 100,
+    n_probe: int = 1,
+    m: int = 4,
+    dims: int = 64,
+    quant: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ with exact re-ranking — the standard production serving
+    shape (Jégou'11 §IV): the compressed index (codes in fast storage)
+    nominates ``n_candidates`` by integer ADC from only the probed
+    cells, then the FULL vectors of just those candidates are fetched
+    from the base table and re-scored with exact cosine for the final
+    top-k.  Recovers most of the quantization's recall loss while the
+    full-vector reads stay bounded by n_candidates per query — the
+    base table can live on cold storage.
+
+    The candidate fetch is a broadcast semi-join (n_candidates ids)
+    against the base table, so the exact re-rank never shuffles the
+    corpus."""
+    cand = ivfpq_index_topk(
+        spark, path, query_vec, k=n_candidates, n_probe=n_probe,
+        m=m, dims=dims, quant=quant, id_col=id_col,
+    ).select(id_col)
+    fetched = base.join(F.broadcast(cand), id_col)
+    scored = fetched.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 8).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
