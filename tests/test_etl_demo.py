@@ -828,3 +828,119 @@ def test_etl_multi_output_cross_pool_rejected(spark, tmp_path):
 
     with pytest.raises(ConfigError, match="share one pool"):
         EtlPipeline(spark, transform, open_pool)
+
+
+def test_etl_denorm_salted_matches_goldens(spark, pools):
+    """salt: N on the denorm rule must not change results — one salt
+    value per left row keeps inner-join semantics exactly; only the
+    physical exchange changes (sharded hot keys)."""
+    transform = make_transform()
+    transform.etls[0].salt = 4
+    pipeline = EtlPipeline(spark, transform, lambda name: pools[name])
+    for i, (invoices, statuses) in enumerate(BATCHES):
+        if invoices:
+            pools["Raw"].load_batch(
+                spark.createDataFrame(invoices, envelope_schema(AFTER_INV))
+            )
+        if statuses:
+            pools["Raw"].load_batch(
+                spark.createDataFrame(statuses, envelope_schema(AFTER_IS))
+            )
+        n = pipeline.run()
+        assert n == ETLD[i], f"batch {i + 1}: ETL'd {n}, want {ETLD[i]}"
+        assert staging_flat(pools["Staging"]) == GOLDENS[i], f"batch {i + 1}"
+
+
+def test_etl_denorm_salt_spreads_hot_key(spark, pools):
+    """90/10 hot-key demo: one join key holds 90% of the left side.
+    Unsalted, every hot-key pair lands on ONE shuffle partition
+    (max-task = ~whole join); salted, the hot key spreads over the salt
+    shards.  Asserts (a) the __salt exchange is in the executed plan,
+    (b) the busiest output partition's share drops, (c) results match
+    the unsalted plan exactly."""
+    import yaml as _yaml
+
+    from zinger_spark.etl.config import transform_from_dict
+
+    n_rows, hot = 2000, 7
+    rows = [
+        inv(i, hot if i % 10 < 9 else i, f"c{i}", "x", "c") for i in range(1, n_rows + 1)
+    ]
+    pools["Raw"].load_batch(spark.createDataFrame(rows, envelope_schema(AFTER_INV)))
+    pools["Raw"].load_batch(
+        spark.createDataFrame(
+            [ist(1, 80, hot, "paid", "c"), ist(2, 81, 55, "paid", "c")],
+            envelope_schema(AFTER_IS),
+        )
+    )
+
+    def mk(salt: int):
+        raw = _yaml.safe_load(
+            f"""
+inputs:
+  - topic: Invoices
+    pool: Raw
+  - topic: InvoiceStatus
+    pool: Raw
+output:
+  topic: Joined
+  pool: Staging
+transforms:
+  - type: denorm
+    left: Invoices
+    right: InvoiceStatus
+    join-on: left.value.after.ID=right.value.after.InvoiceID
+    out: Joined
+    salt: {salt}
+    zed: >
+      named_struct('key', `left`.key,
+                   'value', named_struct('ID', `left`.value.after.ID,
+                                         'status', `right`.value.after.status))
+"""
+        )
+        return transform_from_dict(raw)
+
+    salted = EtlPipeline(spark, mk(8), lambda n: pools[n])
+    data, _markers = salted.build()
+    plan = data._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, "salted exchange missing from the audited plan"
+
+    # distribution evidence: partition the JOIN INPUT by its shuffle
+    # key — unsalted the hot key is one group (one reducer gets ~90%),
+    # salted it is `salt` groups
+    from pyspark.sql import functions as F
+
+    left = pools["Raw"].df(topic="Invoices").select(
+        F.col("value.after.ID").alias("k")
+    )
+    unsalted_max = (
+        left.groupBy("k").count().agg(F.max("count")).collect()[0][0]
+    )
+    salted_max = (
+        left.withColumn("__salt", (F.rand(seed=0) * 8).cast("int"))
+        .groupBy("k", "__salt")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert unsalted_max >= n_rows * 0.9
+    assert salted_max < unsalted_max / 3  # hot key genuinely sharded
+
+    got_salted = {
+        tuple(r)
+        for r in data.select(
+            "kafka.offset", "value.ID", "value.status"
+        ).collect()
+    }
+    salted._persisted.unpersist()
+    plain = EtlPipeline(spark, mk(0), lambda n: pools[n])
+    data0, _m0 = plain.build()
+    got_plain = {
+        tuple(r)
+        for r in data0.select(
+            "kafka.offset", "value.ID", "value.status"
+        ).collect()
+    }
+    plain._persisted.unpersist()
+    assert got_salted == got_plain
+    assert len(got_salted) == int(n_rows * 0.9)  # hot matches only

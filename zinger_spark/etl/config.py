@@ -40,6 +40,13 @@ class Rule:
     left: str = ""
     right: str = ""
     join_on: str = ""  # "left.<path>=right.<path>"
+    # skew knob for denorm joins: shard the LEFT side's rows over this
+    # many salt values and replicate the right side per shard
+    # (operators/skew.salted_join) — for CDC keys hot enough that AQE's
+    # post-hoc skew split doesn't kick in (e.g. the skew only
+    # materializes after the anti-join prelude filters, which AQE's
+    # size statistics don't see).  0 = off (plain equi-join + AQE).
+    salt: int = 0
 
 
 @dataclass
@@ -127,6 +134,8 @@ def _plan_routes(t: Transform) -> Routes:
             routes.enter(etl.left, etl.out)
             routes.enter(etl.right, etl.out)
         elif etl.type == "stateless":
+            if etl.salt:
+                raise ConfigError("'salt' applies to denorm ETL joins only")
             if not etl.in_topic:
                 raise ConfigError("'in' topic must be specified for stateless ETL")
             if etl.left or etl.right:
@@ -166,6 +175,7 @@ def transform_from_dict(raw: dict) -> Transform:
             left=d.get("left", ""),
             right=d.get("right", ""),
             join_on=d.get("join-on", ""),
+            salt=int(d.get("salt", 0)),
         )
         for d in raw.get("transforms", [])
     ]

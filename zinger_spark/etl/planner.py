@@ -474,9 +474,30 @@ class EtlPipeline:
         right = subset.filter(F.col("kafka.topic") == rule.right).select(
             F.struct("*").alias("right")
         )
-        joined = left.join(
-            right, F.expr(f"`left`.{_strip(left_key)} = `right`.{_strip(right_key)}"), "inner"
-        )
+        if rule.salt > 0:
+            # Explicit skew handling (rule's `salt:` knob): shard the
+            # left (driving) side over `salt` random shards, replicate
+            # the right side per shard, equi-join on (key, __salt) —
+            # operators/skew.salted_join.  For CDC keys so hot that one
+            # reducer melts and AQE's split doesn't engage because the
+            # skew only appears after the anti-join prelude (post-scan
+            # statistics).  Inner join + one salt per left row = no
+            # duplicate or lost pairs, so goldens are unchanged.
+            from ..operators.skew import salted_join  # noqa: PLC0415
+
+            joined = salted_join(
+                left.withColumn("__jk", F.expr(f"`left`.{_strip(left_key)}")),
+                right.withColumn("__jk", F.expr(f"`right`.{_strip(right_key)}")),
+                ["__jk"],
+                "inner",
+                salt=rule.salt,
+            ).drop("__jk")
+        else:
+            joined = left.join(
+                right,
+                F.expr(f"`left`.{_strip(left_key)} = `right`.{_strip(right_key)}"),
+                "inner",
+            )
         out = self._rule_out(joined, rule).select(
             "out",
             F.col("left.kafka").alias("__l_kafka"),
@@ -641,7 +662,10 @@ def explain(transform: Transform) -> str:
         if rule.type == "stateless":
             lines.append(f"    in: {rule.in_topic}")
         else:
-            lines.append(f"    left: {rule.left} right: {rule.right} on {rule.join_on}")
+            line = f"    left: {rule.left} right: {rule.right} on {rule.join_on}"
+            if rule.salt:
+                line += f" (salted x{rule.salt})"
+            lines.append(line)
         zed = " ".join(rule.zed.split())
         lines.append(f"    out := {zed}")
         lines.append(f"    + done marker(s)")
