@@ -693,6 +693,141 @@ def cmd_to_kafka(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Dedup-index lifecycle (`index build|update|merge --kind
+    minhash|winnow|url`): the maintained-index near-dup operators
+    (operators/dedup.build/save/load/merge_minhash_index,
+    winnow_fingerprints, canonical-URL frontier) as CLI verbs — the
+    daily-batch workflow an operator runs at scale.
+
+      build   corpus parquet -> fresh index directory
+      update  probe a NEW batch against the index (emit/count the dup
+              pairs touching the batch), then APPEND the batch's index
+              rows — each step costs O(batch), never a corpus rescan
+      merge   fold another index directory in (append union — all
+              three kinds' indexes are running unions)
+
+    Index layouts (plain parquet, engine-readable anywhere):
+      minhash  {bands,shingles,sizes}/  (build_minhash_index frames)
+      winnow   fps/        (id, fp) winnowing fingerprints
+      url      urls/       (canon_url) distinct crawled canonical URLs
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .functions import net as znet
+    from .operators import dedup as zdd
+
+    spark = _spark(args)
+    kind, verb = args.kind, args.verb
+
+    def read_input():
+        if not args.input:
+            raise SystemExit(f"index {verb}: --input required")
+        return spark.read.parquet(args.input)
+
+    def url_col(df):
+        return F.col(args.url_col or args.text_col)
+
+    mh_params = dict(
+        text_col=args.text_col,
+        id_col=args.id_col,
+        num_hashes=args.num_hashes,
+        bands=args.bands,
+        shingle_k=args.shingle_k,
+    )
+
+    if verb == "build":
+        df = read_input()
+        if kind == "minhash":
+            zdd.save_minhash_index(zdd.build_minhash_index(df, **mh_params), args.index)
+        elif kind == "winnow":
+            zdd.winnow_fingerprints(
+                df, args.text_col, args.id_col, args.winnow_k, args.winnow_w
+            ).write.mode("overwrite").parquet(f"{args.index}/fps")
+        else:  # url
+            df.select(
+                znet.canonical_url(url_col(df)).alias("canon_url")
+            ).distinct().write.mode("overwrite").parquet(f"{args.index}/urls")
+        print(f"index built: {args.index} ({kind})")
+        return 0
+
+    if verb == "merge":
+        if not args.other:
+            raise SystemExit("index merge: --other required")
+        parts = {
+            "minhash": ("bands", "shingles", "sizes"),
+            "winnow": ("fps",),
+            "url": ("urls",),
+        }[kind]
+        for name in parts:
+            spark.read.parquet(f"{args.other}/{name}").write.mode("append").parquet(
+                f"{args.index}/{name}"
+            )
+        if kind == "url":
+            # re-distinct the running union (idempotent admission set)
+            merged = spark.read.parquet(f"{args.index}/urls").distinct()
+            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                f"{args.index}/urls"
+            )
+        print(f"index merged: {args.other} -> {args.index}")
+        return 0
+
+    # update: probe the batch, report pairs, append the batch's rows
+    batch = read_input()
+    if kind == "minhash":
+        index = zdd.load_minhash_index(spark, args.index)
+        pairs, new_index = zdd.incremental_minhash_pairs(
+            index, batch, jaccard_threshold=args.jaccard, **mh_params
+        )
+        _pairs, n = _emit_pairs(pairs, args.pairs_out)
+        for name, df in new_index.items():
+            df.write.mode("append").parquet(f"{args.index}/{name}")
+    elif kind == "winnow":
+        fps = spark.read.parquet(f"{args.index}/fps")
+        pairs = zdd.incremental_substring_dups_indexed(
+            fps, batch, args.text_col, args.id_col,
+            args.winnow_k, args.winnow_w, args.min_shared,
+        )
+        _pairs, n = _emit_pairs(pairs, args.pairs_out)
+        zdd.winnow_fingerprints(
+            batch, args.text_col, args.id_col, args.winnow_k, args.winnow_w
+        ).write.mode("append").parquet(f"{args.index}/fps")
+    else:  # url: admitted = batch urls NOT in the index (frontier dedup)
+        urls = spark.read.parquet(f"{args.index}/urls")
+        canon = batch.select(
+            F.col(args.id_col),
+            znet.canonical_url(url_col(batch)).alias("canon_url"),
+        )
+        admitted = canon.join(
+            urls.hint("shuffle_hash"), "canon_url", "left_anti"
+        ).groupBy("canon_url").agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.min(args.id_col).alias("first_doc"),
+        )
+        admitted, n = _emit_pairs(admitted, args.pairs_out)
+        # append from the CHECKPOINTED frame: the lineage is cut, so
+        # this write cannot re-run the anti-join against the very
+        # directory it is appending to
+        admitted.select("canon_url").write.mode("append").parquet(
+            f"{args.index}/urls"
+        )
+    print(f"index updated: {n} row{'s' if n != 1 else ''} emitted")
+    return 0
+
+
+def _emit_pairs(pairs, out: str | None):
+    """Checkpoint the probe result, optionally write it, return
+    (checkpointed frame, count).  The checkpoint cuts lineage so the
+    caller's index-append can't recompute the probe AFTER its own rows
+    landed in the index (self-read hazard)."""
+    pairs = pairs.localCheckpoint(eager=True)
+    if out:
+        pairs.write.mode("overwrite").parquet(out)
+    return pairs, pairs.count()
+
+
 def cmd_produce(args) -> int:
     """files -> Kafka (cmd/zync/produce/command.go:20-81): plain copy,
     no sync bookkeeping ("no effort is made to provide synchronization",
@@ -1048,9 +1183,36 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--merges", type=int, default=32)
     tb.add_argument("--text-col", default="text")
 
+    ix = sub.add_parser(
+        "index",
+        help="dedup-index lifecycle: build/update/merge a maintained "
+             "near-dup index (minhash LSH postings, winnowing "
+             "fingerprints, or canonical-URL frontier)",
+    )
+    ix.add_argument("verb", choices=["build", "update", "merge"])
+    ix.add_argument("--kind", required=True, choices=["minhash", "winnow", "url"])
+    ix.add_argument("--index", required=True, help="index directory")
+    ix.add_argument("--input", help="build: corpus parquet; update: batch parquet")
+    ix.add_argument("--other", help="merge: second index directory to fold in")
+    ix.add_argument("--pairs-out", default=None,
+                    help="update: write the batch's dup pairs here "
+                         "(parquet); default prints the count only")
+    ix.add_argument("--text-col", default="text")
+    ix.add_argument("--id-col", default="doc_id")
+    ix.add_argument("--url-col", default=None,
+                    help="url kind: the URL column (default: --text-col)")
+    ix.add_argument("--num-hashes", type=int, default=16)
+    ix.add_argument("--bands", type=int, default=4)
+    ix.add_argument("--shingle-k", type=int, default=5)
+    ix.add_argument("--jaccard", type=float, default=0.5)
+    ix.add_argument("--winnow-k", type=int, default=5)
+    ix.add_argument("--winnow-w", type=int, default=4)
+    ix.add_argument("--min-shared", type=int, default=1)
+
     args = p.parse_args(argv)
     handler = {
         "etl": cmd_etl,
+        "index": cmd_index,
         "query": cmd_query,
         "create-pool": cmd_create_pool,
         "load": cmd_load,

@@ -1249,8 +1249,29 @@ def incremental_substring_dups(
     each step hashes only the batch and probes the index with one
     equi-join (never re-fingerprinting the corpus).
     """
-    new_fps = winnow_fingerprints(new, text_col, id_col, k, w)
     corpus_fps = winnow_fingerprints(corpus, text_col, id_col, k, w)
+    return incremental_substring_dups_indexed(
+        corpus_fps, new, text_col, id_col, k, w, min_shared, max_df
+    )
+
+
+def incremental_substring_dups_indexed(
+    corpus_fps: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+    max_df: int = 1000,
+) -> DataFrame:
+    """incremental_substring_dups against a MAINTAINED (id, fp) index —
+    the shape the docstring above prescribes: each step hashes only the
+    batch and probes the stored fingerprints with one equi-join,
+    never re-fingerprinting the corpus.  ``corpus_fps`` is the running
+    union of accepted batches' winnow_fingerprints output (the
+    ``index update --kind winnow`` CLI maintains it)."""
+    new_fps = winnow_fingerprints(new, text_col, id_col, k, w)
     hot = (
         corpus_fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") > max_df)
