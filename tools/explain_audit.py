@@ -525,6 +525,36 @@ def main() -> int:
           "frontier admission is one left-anti join on the canonical "
           "key (shuffle-hash pinned — corpus side grows with the crawl)")
 
+    # round 10: IVF-PQ serving — the probe must open only the probed
+    # cells' CODE files (partition pruning) and the ADC fold must be a
+    # broadcast of the m*ksub table + a partial-agg groupBy(id)
+    p = plan_of(qs["ann_ivfpq_topk"](spark, sf))
+    check("ann_ivfpq_topk",
+          any(
+              seg.lstrip().startswith("[ivf_cell")
+              for seg in p.split("PartitionFilters:")[1:]
+          ),
+          "IVF-PQ probe prunes to the probed cells' code partitions")
+    check("ann_ivfpq_topk",
+          "BroadcastHashJoin" in p and "partial_sum" in p
+          and "TakeOrderedAndProject" in p,
+          "ADC table broadcast, per-id fold partial-aggregates, "
+          "top-k is TakeOrdered — never a global sort")
+    p = plan_of(qs["ann_ivfpq_rerank"](spark, sf))
+    check("ann_ivfpq_rerank",
+          "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+          "exact re-rank fetches candidates via a broadcast semi-join; "
+          "the corpus never shuffles")
+
+    # round 10: multi-output ETL — the pool read underlying the key must
+    # keep the anti-join shape (no cartesian, no Python) and the offset
+    # assignment its per-topic form
+    p = plan_of(qs["etl_multi_output"](spark, sf))
+    check("etl_multi_output",
+          "CartesianProduct" not in p and "BatchEvalPython" not in p,
+          "multi-output pool contents read back clean (declarative "
+          "scan; the fan-out happened in one atomic commit)")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0
