@@ -209,6 +209,16 @@ def pagerank_fixed_point(
     edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if dedup_edges:
         edges = edges.distinct()
+    if checkpoint:
+        # Materialize the EDGE frame itself before anything derives
+        # from it: outdeg, nodes (two legs), and ej each re-run the
+        # whole upstream otherwise — for a crawl-derived edge list that
+        # meant ~4 full crawl parses before the first iteration (caught
+        # by the r10 sf10 sweep: warc_domain_rank's last-decade
+        # exponent was 1.5 purely from re-parsing).  One upstream pass,
+        # then every derived frame reads the cache.
+        edges = edges.persist()
+        edges.count()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = edges.select(F.col("src").alias("node")).unionByName(
         edges.select(F.col("dst").alias("node"))
@@ -251,4 +261,5 @@ def pagerank_fixed_point(
         # so the loop-invariant caches can be released
         ej.unpersist(blocking=False)
         nodes.unpersist(blocking=False)
+        edges.unpersist(blocking=False)
     return ranks
