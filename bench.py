@@ -168,6 +168,16 @@ HEADLINE = [
     # r9 (late): per-source token-budget selection on the two-level
     # prefix sum — mixture weights to an actual training set
     "token_budget_select",
+    # r10: multi-output-topic ETL read-back (fixture pool built once
+    # per SF; the measured cost is the pool scan + flatten)
+    "etl_multi_output",
+    # r10: IVF-PQ serving — partition-pruned code scan + integer-ADC
+    # broadcast fold, the exact re-rank over a bounded candidate fetch,
+    # and the recall audit (embeds a brute-force side by definition,
+    # same class as minhash_lsh_recall above)
+    "ann_ivfpq_topk",
+    "ann_ivfpq_rerank",
+    "ivfpq_recall",
 ]
 
 # Deliberately-exhaustive parity pins: correct by construction but

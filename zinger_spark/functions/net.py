@@ -274,16 +274,12 @@ def registered_domain(host: Column) -> Column:
     Backed by the Public Suffix List machinery (functions/psl.py):
     normal + wildcard + exception rules with longest-match semantics,
     private-domain suffixes included (two github.io tenants are
-    different publishers), compiled into one JVM CASE over literal rule
-    sets — whole-stage codegen, no UDF, no shuffle.  The bundled
-    snapshot is swappable for the full published file via
-    $ZINGER_PSL_FILE.  Hosts with no more labels than the suffix cut
-    (i.e. the host IS a public suffix) pass through unchanged."""
-    from .psl import get_psl, take_expr  # noqa: PLC0415
+    different publishers), compiled into one flat JVM when-chain of
+    substring_index + literal-set membership — whole-stage codegen, no
+    UDF, no shuffle, no array ops (psl.cut_expr).  The bundled snapshot
+    is swappable for the full published file via $ZINGER_PSL_FILE.
+    Hosts with no more labels than the suffix cut (i.e. the host IS a
+    public suffix) pass through unchanged."""
+    from .psl import cut_expr, get_psl  # noqa: PLC0415
 
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-    take = take_expr(host, get_psl())
-    return F.when(n <= take, host).otherwise(
-        F.concat_ws(".", F.slice(parts, n - take + 1, take))
-    )
+    return cut_expr(host, get_psl())
