@@ -363,3 +363,49 @@ def test_cli_wire_produce_consume_to_kafka(spark, tmp_path, broker, capsys, monk
          "--continuous"]
     )
     assert rc == 1
+
+
+def test_cli_from_kafka_wire_two_round_ingest(spark, tmp_path, broker, capsys, monkeypatch):
+    """`from-kafka --transport wire`: the ztests/from-kafka.yaml shape
+    as a CLI round trip — produce {a:1}, ingest (1 record), produce
+    {b:2} {c:3}, ingest resumes from the pool watermark (2 records),
+    third run ingests nothing."""
+    from zinger_spark import cli as climod
+    from zinger_spark.sources.pool import Pool
+
+    monkeypatch.setattr(climod, "_spark", lambda a: spark)
+    topic = "FromKafkaCli"
+    with KafkaWireClient(broker.bootstrap) as c:
+        c.create_topic(topic)
+        lake = tmp_path
+        Pool.create(spark, str(lake / topic))
+        args = ["from-kafka", "--brokers", broker.bootstrap, "--topics", topic,
+                "--pool", topic, "--lake", str(lake), "--transport", "wire",
+                "--exitafter"]
+
+        c.produce(topic, 0, [(None, json.dumps({"a": 1}).encode())])
+        assert climod.main(args) == 0
+        out = capsys.readouterr().out
+        assert "1 record" in out and "commit" in out
+
+        c.produce(topic, 0, [
+            (None, json.dumps({"b": 2}).encode()),
+            (None, json.dumps({"c": 3}).encode()),
+        ])
+        assert climod.main(args) == 0
+        assert "2 records" in capsys.readouterr().out
+
+        assert climod.main(args) == 0
+        assert "nothing new to ingest" in capsys.readouterr().out
+
+        pool = Pool(spark, str(lake / topic))
+        rows = {
+            (r["kafka"]["offset"], r["value"])
+            for r in pool.df().collect()
+        }
+        assert rows == {
+            (0, '{"a": 1}'),
+            (1, '{"b": 2}'),
+            (2, '{"c": 3}'),
+        }
+        assert pool.next_consumer_offset(topic) == 3

@@ -533,7 +533,9 @@ def cmd_from_kafka(args) -> int:
     offsets = fk.starting_offsets_from_pool(
         pool, topics, partitions_by_topic=parts_by_topic or None
     )
-    src = fk.kafka_source(spark, args.brokers, topics, offsets, args.thresh)
+    src = None
+    if getattr(args, "transport", "spark") != "wire":
+        src = fk.kafka_source(spark, args.brokers, topics, offsets, args.thresh)
     transform = None
     if args.format == "avro":
         # Mixed-schema Avro topic: keep the framed bytes through the
@@ -563,6 +565,50 @@ def cmd_from_kafka(args) -> int:
             shape = zedql.zed_transform(fh.read())
         decode = transform
         transform = (lambda b: shape(decode(b))) if decode else shape
+    if getattr(args, "transport", "spark") == "wire":
+        # bounded one-shot ingest over the wire client (no JVM Kafka
+        # source, no kafka-python): resume per (topic, partition) from
+        # the pool, fetch [start, min(head, start + thresh)), envelope,
+        # decode, ONE atomic commit.  Idempotent across runs because
+        # the next run resumes past the stored max — the exactly-once
+        # contract the streaming path gets from its txn sidecar.
+        from .datamodel import fuse
+        from .kafka_wire import EARLIEST, wire_read_topic
+
+        frames = []
+        for topic, parts in offsets.items():
+            for part, start in parts.items():
+                raw = wire_read_topic(
+                    spark,
+                    args.brokers,
+                    topic,
+                    starting_offset=EARLIEST if start < 0 else int(start),
+                    partitions=[int(part)],
+                )
+                if args.thresh:
+                    raw = raw.orderBy("offset").limit(args.thresh)
+                frames.append(raw)
+        batch = frames[0] if len(frames) == 1 else fuse(*frames)
+        env = fk.envelope_stream(batch, value_decoder=decoder)
+        if transform is not None:
+            env = transform(env)
+        env = env.localCheckpoint(eager=True)
+        n = env.count()
+        if n == 0:
+            print("nothing new to ingest")
+            return 0
+        fk.monotonic_guard(
+            env,
+            {
+                f"{t}:{p}": int(s)
+                for t, ps in offsets.items()
+                for p, s in ps.items()
+                if int(s) >= 0
+            },
+        )
+        commit_id = pool.load_batch(env)
+        print(f"pool {args.pool} commit {commit_id} {n} record{'s' if n != 1 else ''}")
+        return 0
     env = fk.envelope_stream(src, value_decoder=decoder)
     q = fk.run_ingest(
         env,
@@ -1100,6 +1146,10 @@ def main(argv: list[str] | None = None) -> int:
                           "column across the whole ingest in a pool "
                           "sidecar (read back with ingest_distinct_estimate)")
     fkp.add_argument("--exitafter", action="store_true", help="drain then exit")
+    fkp.add_argument("--transport", choices=["spark", "wire"], default="spark",
+                     help="Kafka transport: the JVM streaming source "
+                     "(default) or the dependency-free wire client "
+                     "(bounded one-shot ingest, resume-from-pool)")
     fkp.add_argument(
         "--kafka-replicas", type=int, default=0,
         help="create missing topics with this replication (0 = don't; "
