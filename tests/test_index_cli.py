@@ -143,3 +143,48 @@ def test_index_cli_url_frontier_two_batches(spark, tmp_path, monkeypatch, capsys
     # c.com/new was admitted by batch 1 -> now in the index -> rejected
     adm2 = {r["canon_url"] for r in spark.read.parquet(out2).collect()}
     assert adm2 == {"https://d.com/d"}
+
+
+def test_index_cli_embedding_two_batch_round_trip(spark, tmp_path, monkeypatch):
+    """--kind embedding: the maintained (id, v, nv, bucket) index; the
+    two-batch probe matches the in-process incremental operator and the
+    stored layout stays bucket-partitioned (probe pruning)."""
+    import os
+
+    from zinger_spark.operators.similarity import incremental_embedding_dups
+
+    monkeypatch.setattr(climod, "_spark", lambda a: spark)
+    # vectors with real near-dups: pairs i and i+100 nearly parallel
+    df = spark.range(40).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 7), j -> CAST(sin((id % 20) * 3 + j) "
+        "+ CASE WHEN id >= 20 THEN 0.001 * j ELSE 0.0 END AS DOUBLE)) AS embedding",
+    )
+    corpus = df.filter("vec_id < 20")
+    batch = df.filter("vec_id >= 20")
+    cp, bp = str(tmp_path / "c.pq"), str(tmp_path / "b.pq")
+    corpus.write.parquet(cp)
+    batch.write.parquet(bp)
+    idx = str(tmp_path / "emb_idx")
+    out = str(tmp_path / "epairs.pq")
+
+    assert climod.main(
+        ["index", "build", "--kind", "embedding", "--index", idx,
+         "--input", cp, "--id-col", "vec_id", "--cosine", "0.99"]
+    ) == 0
+    assert os.path.isdir(f"{idx}/vectors") and any(
+        d.startswith("bucket=") for d in os.listdir(f"{idx}/vectors")
+    )
+    assert climod.main(
+        ["index", "update", "--kind", "embedding", "--index", idx,
+         "--input", bp, "--pairs-out", out, "--id-col", "vec_id",
+         "--cosine", "0.99"]
+    ) == 0
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {
+        tuple(r)
+        for r in incremental_embedding_dups(corpus, batch, threshold=0.99).collect()
+    }
+    assert got == want and got  # non-degenerate
+    # index now holds corpus + batch rows
+    assert spark.read.parquet(f"{idx}/vectors").count() == 40

@@ -792,10 +792,19 @@ def cmd_index(args) -> int:
             zdd.winnow_fingerprints(
                 df, args.text_col, args.id_col, args.winnow_k, args.winnow_w
             ).write.mode("overwrite").parquet(f"{args.index}/fps")
-        else:  # url
+        elif kind == "url":
             df.select(
                 znet.canonical_url(url_col(df)).alias("canon_url")
             ).distinct().write.mode("overwrite").parquet(f"{args.index}/urls")
+        else:  # embedding: (id, v, nv, bucket) partitioned by bucket so
+            # batch probes prune to the matched buckets' files
+            from .operators.similarity import embedding_index_frame
+
+            embedding_index_frame(
+                df, args.vec_col, args.id_col
+            ).write.mode("overwrite").partitionBy("bucket").parquet(
+                f"{args.index}/vectors"
+            )
         print(f"index built: {args.index} ({kind})")
         return 0
 
@@ -806,11 +815,15 @@ def cmd_index(args) -> int:
             "minhash": ("bands", "shingles", "sizes"),
             "winnow": ("fps",),
             "url": ("urls",),
+            "embedding": ("vectors",),
         }[kind]
         for name in parts:
-            spark.read.parquet(f"{args.other}/{name}").write.mode("append").parquet(
-                f"{args.index}/{name}"
-            )
+            src = spark.read.parquet(f"{args.other}/{name}")
+            w = src.write.mode("append")
+            if kind == "embedding":
+                # keep the bucket-partitioned layout (probe pruning)
+                w = w.partitionBy("bucket")
+            w.parquet(f"{args.index}/{name}")
         if kind == "url":
             # re-distinct the running union (idempotent admission set)
             merged = spark.read.parquet(f"{args.index}/urls").distinct()
@@ -840,6 +853,23 @@ def cmd_index(args) -> int:
         zdd.winnow_fingerprints(
             batch, args.text_col, args.id_col, args.winnow_k, args.winnow_w
         ).write.mode("append").parquet(f"{args.index}/fps")
+    elif kind == "embedding":
+        from .operators.similarity import (
+            embedding_index_frame,
+            incremental_embedding_dups_indexed,
+        )
+
+        idx = spark.read.parquet(f"{args.index}/vectors")
+        pairs = incremental_embedding_dups_indexed(
+            idx, batch, threshold=args.cosine,
+            vec_col=args.vec_col, id_col=args.id_col,
+        )
+        _pairs, n = _emit_pairs(pairs, args.pairs_out)
+        embedding_index_frame(
+            batch, args.vec_col, args.id_col
+        ).write.mode("append").partitionBy("bucket").parquet(
+            f"{args.index}/vectors"
+        )
     else:  # url: admitted = batch urls NOT in the index (frontier dedup)
         urls = spark.read.parquet(f"{args.index}/urls")
         canon = batch.select(
@@ -1240,7 +1270,8 @@ def main(argv: list[str] | None = None) -> int:
              "fingerprints, or canonical-URL frontier)",
     )
     ix.add_argument("verb", choices=["build", "update", "merge"])
-    ix.add_argument("--kind", required=True, choices=["minhash", "winnow", "url"])
+    ix.add_argument("--kind", required=True,
+                    choices=["minhash", "winnow", "url", "embedding"])
     ix.add_argument("--index", required=True, help="index directory")
     ix.add_argument("--input", help="build: corpus parquet; update: batch parquet")
     ix.add_argument("--other", help="merge: second index directory to fold in")
@@ -1258,6 +1289,9 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--winnow-k", type=int, default=5)
     ix.add_argument("--winnow-w", type=int, default=4)
     ix.add_argument("--min-shared", type=int, default=1)
+    ix.add_argument("--vec-col", default="embedding")
+    ix.add_argument("--cosine", type=float, default=0.99,
+                    help="embedding kind: near-dup cosine threshold")
 
     args = p.parse_args(argv)
     handler = {

@@ -333,7 +333,9 @@ class StubBroker:
                 size = 0
                 for i in range(offset, hw):
                     key, value, _ts = log[i]
-                    entry = 26 + (len(key) if key else 0) + (len(value) if value else 0)
+                    # MessageSet v1 framing: offset(8) size(4) crc(4)
+                    # magic(1) attrs(1) timestamp(8) keylen(4) vallen(4)
+                    entry = 34 + (len(key) if key else 0) + (len(value) if value else 0)
                     if batch and size + entry > max_bytes:
                         break
                     batch.append((key, value))

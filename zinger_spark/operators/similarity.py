@@ -558,21 +558,63 @@ def incremental_embedding_dups(
     exhaustive oracle-parity form.
     """
 
-    def prep(df: DataFrame, flag: bool) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("id"),
-            as_double(F.col(vec_col)).alias("v"),
-            norm(F.col(vec_col)).alias("nv"),
-            sign_bucket(F.col(vec_col), dims).alias("bucket"),
-            F.lit(flag).alias("is_new"),
-        )
+    return incremental_embedding_dups_indexed(
+        embedding_index_frame(corpus, vec_col, id_col, dims),
+        new,
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        dims=dims,
+        max_bucket=max_bucket,
+        parallelism=parallelism,
+    )
 
-    allv = prep(corpus, False).unionByName(prep(new, True))
+
+def embedding_index_frame(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: tuple[int, ...] = (0, 1, 2, 3),
+) -> DataFrame:
+    """The maintained embedding-dup index rows: (id, v, nv, bucket) —
+    pure per-row projections of the vectors (double cast, norm, sign
+    bucket).  Store partitioned by ``bucket`` so batch probes prune to
+    the matched buckets' files; the ``index --kind embedding`` CLI
+    maintains it as the running union of accepted batches."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+
+
+def incremental_embedding_dups_indexed(
+    corpus_idx: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: tuple[int, ...] = (0, 1, 2, 3),
+    max_bucket: int | None = 1000,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """incremental_embedding_dups against a MAINTAINED (id, v, nv,
+    bucket) index frame (embedding_index_frame) — each step projects
+    only the batch and probes the stored postings."""
+
+    allv = corpus_idx.withColumn("is_new", F.lit(False)).unionByName(
+        embedding_index_frame(new, vec_col, id_col, dims).withColumn(
+            "is_new", F.lit(True)
+        )
+    )
     # restrict the corpus postings to buckets the batch touches BEFORE
     # any counting: the hot-bucket width check must not scan the whole
     # corpus per batch (bucket-partitioned storage prunes this
     # semi-join to the matched buckets' files)
-    touched = prep(new, True).select("bucket").distinct()
+    touched = embedding_index_frame(new, vec_col, id_col, dims).select(
+        "bucket"
+    ).distinct()
     allv = allv.join(touched, "bucket", "left_semi")
     if max_bucket is not None:
         hot = (
@@ -963,10 +1005,12 @@ def pq_adc_table(
     """The ADC lookup table (m, code, t): exact integer squared L2
     between the RAW (uncompressed) query subvector and each
     sub-centroid — m*ksub rows, computed once per query."""
+    import math  # noqa: PLC0415
+
     sub = dims // m
     q = spark.createDataFrame(
         [
-            (pos // sub, pos % sub, int(__import__("math").floor(float(x) * quant)))
+            (pos // sub, pos % sub, int(math.floor(float(x) * quant)))
             for pos, x in enumerate(query_vec)
         ],
         "m INT, d INT, qx BIGINT",
