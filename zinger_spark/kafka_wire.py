@@ -219,7 +219,16 @@ def decode_message_set(data: bytes, check_crc: bool = True) -> list[FetchedMessa
         magic = msg.int8()
         if magic not in (0, 1):
             raise KafkaWireError(f"unsupported message magic {magic}")
-        msg.int8()  # attributes (compression unsupported: stub/tests use none)
+        attrs = msg.int8()
+        if attrs & 0x07:
+            # a compressed wrapper message would silently parse as
+            # garbage bytes — fail loud (this client produces
+            # uncompressed sets; point compressed topics at the
+            # kafka-python / JVM adapters)
+            raise KafkaWireError(
+                f"compressed message set (codec {attrs & 0x07}) not "
+                f"supported by the wire client"
+            )
         ts = msg.int64() if magic == 1 else -1
         key = msg.bytes_()
         value = msg.bytes_()
