@@ -3479,6 +3479,7 @@ def _sql_kmeans(iterations: int = 2, k: int = 8, quant: int = 1000, cscale: int 
 
 _PQ_M = 8
 _PQ_KSUB = 16
+_IVFPQ_VERSION = "v1"  # bump when pq_train / build_ivfpq_index change
 _PQ_ITER = 2
 _PQ_DIMS = 64
 _PQ_QUANT = 1000
@@ -3486,24 +3487,47 @@ _PQ_CSCALE = 1024
 
 
 def _ivfpq_index(spark, sf: str) -> str:
+    """Deterministic IVF-PQ index fixture, cached under /tmp.
+
+    Keyed on md5(absolute sf path + version tag) — not the SF dir's
+    basename — so two SF dirs sharing a basename, or a pq_train code
+    change (bump _IVFPQ_VERSION), never serve a stale index; built in
+    a tmp dir and atomically renamed (same pattern as
+    _etl_multi_fixture) so concurrent builders can't expose a
+    partially-written index.
+    """
+    import hashlib as _hashlib
     import os as _os
+    import shutil as _shutil
 
     from zinger_spark.operators.similarity import build_ivfpq_index, pq_train
 
     emb = _t(spark, sf, "embeddings")
-    idx = f"/tmp/zinger_ivfpq_idx_{_os.path.basename(_os.path.normpath(sf))}"
-    if not _os.path.exists(f"{idx}/codes/_SUCCESS"):
-        cents = [
-            [float(x) for x in r["embedding"]]
-            for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
-        ]
-        books = pq_train(
-            emb, m=_PQ_M, ksub=_PQ_KSUB, iterations=_PQ_ITER, dims=_PQ_DIMS,
-            quant=_PQ_QUANT, cscale=_PQ_CSCALE,
-        )
-        build_ivfpq_index(
-            emb, cents, books, idx, m=_PQ_M, dims=_PQ_DIMS, quant=_PQ_QUANT
-        )
+    slug = _hashlib.md5(
+        (_os.path.abspath(sf) + ":" + _IVFPQ_VERSION).encode()
+    ).hexdigest()[:10]
+    idx = f"/tmp/zinger_ivfpq_idx_{slug}"
+    if _os.path.exists(f"{idx}/_DONE"):
+        return idx
+    tmp = f"{idx}.tmp.{_os.getpid()}"
+    if _os.path.exists(tmp):
+        _shutil.rmtree(tmp)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    books = pq_train(
+        emb, m=_PQ_M, ksub=_PQ_KSUB, iterations=_PQ_ITER, dims=_PQ_DIMS,
+        quant=_PQ_QUANT, cscale=_PQ_CSCALE,
+    )
+    build_ivfpq_index(
+        emb, cents, books, tmp, m=_PQ_M, dims=_PQ_DIMS, quant=_PQ_QUANT
+    )
+    open(_os.path.join(tmp, "_DONE"), "w").close()
+    try:
+        _os.rename(tmp, idx)
+    except OSError:
+        _shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
     return idx
 
 

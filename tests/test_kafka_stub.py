@@ -60,13 +60,90 @@ def test_message_set_round_trip_and_crc():
     assert [(m.key, m.value) for m in decode_message_set(data[:-3])] == msgs[:2]
 
 
+def test_message_set_gzip_round_trip():
+    """Compressed MessageSet v1: one wrapper message, relative inner
+    offsets (wrapper carries the last absolute offset)."""
+    msgs = [(b"k1", b"v1" * 100), (None, b"v2"), (b"k3", None)]
+    data = encode_message_set(msgs, timestamp_ms=7, compression="gzip")
+    # exactly one top-level (wrapper) message on the wire
+    import struct as _struct
+
+    assert _struct.unpack(">q", data[:8])[0] == len(msgs) - 1  # last inner
+    out = decode_message_set(data)
+    assert [(m.key, m.value) for m in out] == msgs
+    assert [m.offset for m in out] == [0, 1, 2]
+
+
+def test_record_batch_v2_round_trip_crc32c_and_headers():
+    from zinger_spark.kafka_wire import (
+        crc32c,
+        decode_records,
+        encode_record_batch,
+    )
+
+    # CRC-32C known-answer vectors (public check values)
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    assert crc32c(b"a" * 32) == crc32c(b"a" * 32)
+
+    msgs = [
+        (b"k0", b"v0", (("h1", b"x"), ("h2", None))),
+        (None, b"v1"),
+        (b"k2", None),
+    ]
+    data = encode_record_batch(msgs, base_offset=41, timestamp_ms=99)
+    out = decode_records(data)
+    assert [(m.key, m.value) for m in out] == [(m[0], m[1]) for m in msgs]
+    assert [m.offset for m in out] == [41, 42, 43]
+    assert all(m.timestamp_ms == 99 for m in out)
+    assert out[0].headers == (("h1", b"x"), ("h2", None))
+    assert out[1].headers == ()
+    # CRC-32C catches corruption
+    corrupted = data[:-1] + bytes([data[-1] ^ 0xFF])
+    with pytest.raises(KafkaWireError, match="CRC-32C"):
+        decode_records(corrupted)
+    # per-record timestamps become deltas
+    data = encode_record_batch(msgs, timestamps=[10, 20, 35])
+    assert [m.timestamp_ms for m in decode_records(data)] == [10, 20, 35]
+
+
+def test_record_batch_v2_gzip_and_mixed_generations():
+    from zinger_spark.kafka_wire import decode_records, encode_record_batch
+
+    msgs = [(b"k", bytes([i]) * 50) for i in range(20)]
+    plain = encode_record_batch(msgs, base_offset=5)
+    packed = encode_record_batch(msgs, base_offset=5, compression="gzip")
+    assert len(packed) < len(plain)  # the records section really compressed
+    assert [(m.offset, m.value) for m in decode_records(packed)] == [
+        (5 + i, v) for i, (_k, v) in enumerate(msgs)
+    ]
+    # a log with a magic-1 set followed by a magic-2 batch (in-place
+    # broker upgrade) decodes as one stream
+    legacy = encode_message_set([(b"a", b"1")])
+    mixed = legacy + encode_record_batch([(b"b", b"2")], base_offset=1)
+    out = decode_records(mixed)
+    assert [(m.offset, m.key) for m in out] == [(0, b"a"), (1, b"b")]
+    # trailing partial v2 batch is dropped
+    assert [(m.key) for m in decode_records(mixed[:-4])] == [b"a"]
+
+
+def test_snappy_lz4_zstd_gated():
+    """Codecs without their optional packages fail loud, not garbage."""
+    from zinger_spark.kafka_wire import _decompress
+
+    for codec, name in ((2, "snappy"), (3, "lz4"), (4, "zstd")):
+        with pytest.raises(KafkaWireError, match=name):
+            _decompress(codec, b"\x00\x01\x02")
+
+
 # ---------------------------------------------------------------------------
 # client <-> stub over the socket
 
 
 def test_api_versions_handshake(client):
     vers = client.api_versions()
-    assert vers[0] == (0, 2)  # Produce
+    assert vers[0] == (0, 3)  # Produce (v3 = RecordBatch v2)
+    assert vers[1] == (0, 4)  # Fetch (v4 = RecordBatch v2)
     assert vers[19] == (0, 0)  # CreateTopics
 
 
@@ -132,6 +209,55 @@ def test_multi_partition_produce(client):
     assert client.watermarks("mp", 0) == (0, 1)
     assert client.watermarks("mp", 1) == (0, 0)
     assert client.watermarks("mp", 2) == (0, 2)
+
+
+def test_negotiated_v3_v4_headers_and_both_produce_generations(client):
+    """Against a (0,3)/(0,4) broker the client negotiates Produce v3 /
+    Fetch v4 — RecordBatch v2 both directions, headers intact; a forced
+    Produce v2 (MessageSet v1) interleaves in the same log and one
+    Fetch v4 returns both generations' records."""
+    client.create_topic("gen")
+    client.produce(
+        "gen", 0, [(b"k0", b"v0", (("trace", b"abc"),)), (None, b"v1")]
+    )
+    # same topic, legacy generation (as an old client would write)
+    assert client.produce("gen", 0, [(b"k2", b"v2")], api_version=2) == 2
+    hw, msgs = client.fetch("gen", 0, 0)
+    assert hw == 3
+    assert [(m.offset, m.key, m.value) for m in msgs] == [
+        (0, b"k0", b"v0"),
+        (1, None, b"v1"),
+        (2, b"k2", b"v2"),
+    ]
+    assert msgs[0].headers == (("trace", b"abc"),)
+
+
+def test_gzip_produce_and_compressed_fetch_serving():
+    """gzip-compressed produce of BOTH generations lands intact, and a
+    broker configured to serve compressed Fetch responses round-trips
+    through the client's decompress path."""
+    with StubBroker(fetch_compression="gzip") as b:
+        with KafkaWireClient(b.bootstrap) as c:
+            c.create_topic("gz")
+            msgs = [(None, bytes([i]) * 64) for i in range(10)]
+            # negotiated v3: compressed RecordBatch v2
+            assert c.produce("gz", 0, msgs[:5], compression="gzip") == 0
+            # forced v2: compressed MessageSet v1 wrapper
+            assert c.produce("gz", 0, msgs[5:], compression="gzip",
+                             api_version=2) == 5
+            assert [(m.offset, m.value) for m in c.fetch_all("gz", 0, 0)] == [
+                (i, v) for i, (_k, v) in enumerate(msgs)
+            ]
+
+
+def test_acks_zero_is_fire_and_forget(client):
+    """acks=0 gets NO response frame; the client must not block on one,
+    and the connection stays usable for the next request."""
+    client.create_topic("a0")
+    assert client.produce("a0", 0, [(None, b"x")], acks=0) == -1
+    # next request on the same socket still correlates correctly
+    assert client.watermarks("a0") == (0, 1)
+    assert client.produce("a0", 0, [(None, b"y")]) == 1
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +479,7 @@ def test_cli_wire_produce_consume_to_kafka(spark, tmp_path, broker, capsys, monk
     # values are Connect-JSON framed (schema + payload), per the
     # reference's producer contract
     assert [
-        json.loads(v)["payload"]["n"] for _k, v, _t in broker.log("CliWireOut")
+        json.loads(v)["payload"]["n"] for _k, v, *_ in broker.log("CliWireOut")
     ] == [0, 1, 2]
 
     # continuous + wire is an explicit, clear error
@@ -409,3 +535,73 @@ def test_cli_from_kafka_wire_two_round_ingest(spark, tmp_path, broker, capsys, m
             (2, '{"c": 3}'),
         }
         assert pool.next_consumer_offset(topic) == 3
+
+
+def test_cli_from_kafka_wire_dedup_and_track_distinct(
+    spark, tmp_path, broker, capsys, monkeypatch
+):
+    """--dedup-values and --track-distinct with --transport wire: the
+    streaming path's semantics (value-content anti-join against the
+    pool, HLL sidecar merge) apply to the bounded one-shot ingest too."""
+    from zinger_spark import cli as climod
+    from zinger_spark.sources.pool import Pool
+    from zinger_spark.streaming.from_kafka import ingest_distinct_estimate
+
+    monkeypatch.setattr(climod, "_spark", lambda a: spark)
+    topic = "FromKafkaDedup"
+    with KafkaWireClient(broker.bootstrap) as c:
+        c.create_topic(topic)
+        Pool.create(spark, str(tmp_path / topic))
+        args = ["from-kafka", "--brokers", broker.bootstrap, "--topics", topic,
+                "--pool", topic, "--lake", str(tmp_path), "--transport", "wire",
+                "--exitafter", "--dedup-values", "--track-distinct", "value"]
+
+        c.produce(topic, 0, [
+            (None, json.dumps({"a": 1}).encode()),
+            (None, json.dumps({"a": 1}).encode()),  # in-batch dup
+        ])
+        assert climod.main(args) == 0
+        assert "1 record" in capsys.readouterr().out  # dup dropped
+
+        # a re-send of the same value in a later batch is dropped
+        # against the pool; a new value lands
+        c.produce(topic, 0, [
+            (None, json.dumps({"a": 1}).encode()),
+            (None, json.dumps({"b": 2}).encode()),
+        ])
+        assert climod.main(args) == 0
+        assert "1 record" in capsys.readouterr().out
+
+        pool = Pool(spark, str(tmp_path / topic))
+        assert pool.df().count() == 2
+        # HLL sidecar tracked 2 distinct values across both commits
+        assert ingest_distinct_estimate(pool) == 2
+
+
+def test_cli_consume_wire_multi_partition_concrete_offset(
+    spark, broker, capsys, monkeypatch
+):
+    """consume --transport wire with a concrete --offset on a
+    multi-partition topic: the start resolves PER PARTITION from the
+    startingOffsets map (regression: partition 0's offset was applied
+    to every partition)."""
+    from zinger_spark import cli as climod
+
+    monkeypatch.setattr(climod, "_spark", lambda a: spark)
+    topic = "ConsumeWireMP"
+    with KafkaWireClient(broker.bootstrap) as c:
+        c.create_topic(topic, partitions=2)
+        c.produce(topic, 0, [(None, b'{"p": 0, "i": %d}' % i) for i in range(3)])
+        c.produce(topic, 1, [(None, b'{"p": 1, "i": %d}' % i) for i in range(2)])
+
+    rc = climod.main(
+        ["consume", "--brokers", broker.bootstrap, "--topic", topic,
+         "--offset", "1", "--transport", "wire"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [json.loads(line) for line in out.strip().splitlines() if line]
+    # offset 1 applies only to partition 0 (the startingOffsets map the
+    # reference's single-partition -offset flag produces); partition 1
+    # is not covered by the map, hence not read at a wrong range
+    assert [(li["partition"], li["offset"]) for li in lines] == [(0, 1), (0, 2)]

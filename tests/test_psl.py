@@ -67,6 +67,17 @@ def test_registered_domain_psl_cases(spark):
     assert _cut(spark, hosts) == want
 
 
+def test_registered_domain_case_insensitive(spark):
+    """Hostnames are case-insensitive (RFC 4343): a mixed-case host
+    must hit the same rules as its lowercase form and come back as the
+    canonical lowercase registered domain (regression: mixed case fell
+    through every rule to the default 2-label cut)."""
+    assert _cut(
+        spark,
+        ["WWW.Example.CO.UK", "Alice.GitHub.IO", "WWW.CK", "News.BBC.co.uk"],
+    ) == ["example.co.uk", "alice.github.io", "www.ck", "bbc.co.uk"]
+
+
 def test_parser_sections_and_kinds():
     psl = parse_psl(BUNDLED_PSL)
     assert "co.uk" in psl.normals[2]

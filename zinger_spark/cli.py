@@ -606,7 +606,19 @@ def cmd_from_kafka(args) -> int:
                 if int(s) >= 0
             },
         )
-        commit_id = pool.load_batch(env)
+        # --dedup-values / --track-distinct: same semantics as the
+        # streaming path's commit_batch, inside the writer lock so the
+        # anti-join / HLL merge can't race another writer
+        with pool.writer_lock():
+            if getattr(args, "dedup_values", False):
+                env = fk._dedup_against_pool(pool, env).localCheckpoint(eager=True)
+                n = env.count()
+                if n == 0:
+                    print("nothing new to ingest")
+                    return 0
+            commit_id = pool.load_batch(env)
+            if getattr(args, "track_distinct", None):
+                fk._merge_hll_sidecar(pool, env, args.track_distinct)
         print(f"pool {args.pool} commit {commit_id} {n} record{'s' if n != 1 else ''}")
         return 0
     env = fk.envelope_stream(src, value_decoder=decoder)
@@ -997,14 +1009,21 @@ def cmd_consume(args) -> int:
         if getattr(args, "transport", "spark") == "wire":
             from .kafka_wire import EARLIEST, wire_read_topic
 
-            start = (
-                EARLIEST
-                if starting == "earliest"
-                else int(json.loads(starting)[args.topic]["0"])
-            )
-            df = wire_read_topic(
-                spark, args.brokers, args.topic, starting_offset=start
-            )
+            if starting == "earliest":
+                df = wire_read_topic(
+                    spark, args.brokers, args.topic, starting_offset=EARLIEST
+                )
+            else:
+                # concrete startingOffsets JSON: resolve PER PARTITION
+                # (a single offset applied across partitions would read
+                # wrong ranges on a multi-partition topic)
+                per_part = {
+                    int(p): int(o)
+                    for p, o in json.loads(starting)[args.topic].items()
+                }
+                df = wire_read_topic(
+                    spark, args.brokers, args.topic, starting_offsets=per_part
+                )
         else:
             df = (
                 spark.read.format("kafka")

@@ -570,8 +570,13 @@ def cut_expr(host: Column, psl: PSL | None = None) -> Column:
     ARE a public suffix (registered_domain('co.uk') = 'co.uk').  Branch
     order implements longest-match-wins: exception rules first (they
     beat wildcards at any length), then suffix lengths descending, then
-    the implicit default rule '*' (bare TLD -> last 2 labels)."""
+    the implicit default rule '*' (bare TLD -> last 2 labels).
+
+    Hostnames are case-insensitive (RFC 4343) and the rule sets are
+    stored lowercased, so the host is lowercased once up front — the
+    returned registered domain is the canonical lowercase form."""
     psl = psl or get_psl()
+    host = F.lower(host)
 
     def tail(k: int) -> Column:
         return F.substring_index(host, ".", -k)
@@ -613,6 +618,8 @@ def take_expr(host: Column, psl: PSL | None = None) -> Column:
     the cut runs inside whole-stage codegen — no UDF, no broadcast, no
     shuffle."""
     psl = psl or get_psl()
+    # case-insensitive match against the lowercased rule sets (RFC 4343)
+    host = F.lower(host)
     parts = F.split(host, r"\.")
 
     def tail(k: int) -> Column:

@@ -14,10 +14,20 @@ so any client of those versions — kafka_wire.KafkaWireClient here,
 kafka-python on hosts that have it — can create topics, produce,
 fetch, and probe watermarks against it end-to-end over a socket.
 
+Both record generations are spoken (like a 3.x broker): Produce v0-v2
+carries magic 0/1 MessageSets, v3 a magic-2 RecordBatch; Fetch v0-v3
+responses re-encode as MessageSet v1, v4 as RecordBatch v2.
+gzip-compressed producer payloads of either generation are accepted
+(decode_records handles the codec bits), and ``fetch_compression=
+'gzip'`` makes Fetch responses compressed too, so the client's
+decompress paths can be driven over the socket.  Produce with acks=0
+gets NO response frame, per the protocol.
+
 Single node, node_id 0, leads every partition.  The log is in-memory:
-{(topic, partition): [(key, value, timestamp_ms), ...]}, list index ==
-offset (no compaction, so offsets are dense — fine for a test double;
-the engine itself never assumes density, see planner cursor notes).
+{(topic, partition): [(key, value, timestamp_ms, headers), ...]}, list
+index == offset (no compaction, so offsets are dense — fine for a test
+double; the engine itself never assumes density, see planner cursor
+notes).
 
 Usage:
     with StubBroker() as broker:           # binds 127.0.0.1, free port
@@ -47,15 +57,16 @@ from .kafka_wire import (
     ERR_UNSUPPORTED_VERSION,
     _Reader,
     _Writer,
-    decode_message_set,
+    decode_records,
     encode_message_set,
+    encode_record_batch,
 )
 
 #: (min, max) supported per api key — what ApiVersions advertises and
 #: the dispatcher enforces
 _SUPPORTED = {
-    API_PRODUCE: (0, 2),
-    API_FETCH: (0, 2),
+    API_PRODUCE: (0, 3),
+    API_FETCH: (0, 4),
     API_LIST_OFFSETS: (0, 1),
     API_METADATA: (0, 1),
     API_API_VERSIONS: (0, 0),
@@ -66,12 +77,18 @@ _SUPPORTED = {
 class StubBroker:
     """Threaded single-node broker double over a real socket."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        fetch_compression: str = "none",
+    ):
         self._lock = threading.RLock()
+        self.fetch_compression = fetch_compression
         # topic -> {"partitions": n, "configs": {...}}
         self.topics: dict[str, dict] = {}
-        # (topic, partition) -> [(key, value, ts_ms)]
-        self.logs: dict[tuple[str, int], list[tuple[bytes | None, bytes | None, int]]] = {}
+        # (topic, partition) -> [(key, value, ts_ms, headers)]
+        self.logs: dict[tuple[str, int], list[tuple]] = {}
         broker = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -86,6 +103,8 @@ class StubBroker:
                         if frame is None:
                             return
                         resp = broker._handle_frame(frame)
+                        if resp is None:
+                            continue  # acks=0 Produce: no response frame
                         self.request.sendall(struct.pack(">i", len(resp)) + resp)
                 except (ConnectionError, OSError):
                     return
@@ -139,7 +158,7 @@ class StubBroker:
 
     # -- request dispatch ----------------------------------------------------
 
-    def _handle_frame(self, frame: bytes) -> bytes:
+    def _handle_frame(self, frame: bytes) -> bytes | None:
         r = _Reader(frame)
         api_key = r.int16()
         api_version = r.int16()
@@ -260,10 +279,10 @@ class StubBroker:
                     out.int64(-1).int64(off)  # timestamp, offset
         return out.done()
 
-    def _produce(self, out: _Writer, r: _Reader, version: int) -> bytes:
+    def _produce(self, out: _Writer, r: _Reader, version: int) -> bytes | None:
         if version >= 3:
-            r.string()  # transactional_id (never reached: max pinned at 2)
-        r.int16()  # acks
+            r.string()  # transactional_id (ignored: no txn support)
+        acks = r.int16()
         r.int32()  # timeout
         topics = []
         for _ in range(r.int32()):
@@ -285,13 +304,17 @@ class StubBroker:
                     if version >= 2:
                         out.int64(-1)
                     continue
-                msgs = decode_message_set(data)
+                # either generation, compressed or not (a real broker
+                # accepts magic <= its produce version's maximum)
+                msgs = decode_records(data)
                 base = len(log)
                 for m in msgs:
-                    log.append((m.key, m.value, m.timestamp_ms))
+                    log.append((m.key, m.value, m.timestamp_ms, m.headers))
                 out.int32(partition).int16(ERR_NONE).int64(base)
                 if version >= 2:
                     out.int64(-1)  # log_append_time: CreateTime batches
+        if acks == 0:
+            return None  # fire-and-forget: the protocol sends no response
         if version >= 1:
             out.int32(0)  # throttle_time_ms
         return out.done()
@@ -300,6 +323,10 @@ class StubBroker:
         r.int32()  # replica_id
         r.int32()  # max_wait_ms (in-memory log: never blocks)
         r.int32()  # min_bytes
+        if version >= 3:
+            r.int32()  # top-level max_bytes (per-partition cap suffices here)
+        if version >= 4:
+            r.int8()  # isolation_level (no transactions: all committed)
         topics = []
         for _ in range(r.int32()):
             topic = r.string() or ""
@@ -319,39 +346,86 @@ class StubBroker:
                 log = self.logs.get((topic, partition))
                 if log is None:
                     out.int32(partition).int16(ERR_UNKNOWN_TOPIC_OR_PARTITION)
-                    out.int64(-1).bytes_(b"")
+                    out.int64(-1)
+                    if version >= 4:
+                        out.int64(-1).int32(0)
+                    out.bytes_(b"")
                     continue
                 hw = len(log)
                 if offset > hw or offset < 0:
                     out.int32(partition).int16(ERR_OFFSET_OUT_OF_RANGE)
-                    out.int64(hw).bytes_(b"")
+                    out.int64(hw)
+                    if version >= 4:
+                        out.int64(hw).int32(0)
+                    out.bytes_(b"")
                     continue
                 # re-encode the stored slice; honor max_bytes by cutting
                 # whole messages (a real broker may cut mid-message;
-                # clients must cope — decode_message_set drops partials)
-                batch: list[tuple[bytes | None, bytes | None]] = []
+                # clients must cope — the decoders drop partials)
+                batch: list[tuple] = []
                 size = 0
                 for i in range(offset, hw):
-                    key, value, _ts = log[i]
-                    # MessageSet v1 framing: offset(8) size(4) crc(4)
-                    # magic(1) attrs(1) timestamp(8) keylen(4) vallen(4)
-                    entry = 34 + (len(key) if key else 0) + (len(value) if value else 0)
+                    key, value, _ts, headers = log[i]
+                    # conservative per-entry framing estimate (v1 shape;
+                    # v2 is denser so the cap still holds)
+                    entry = (
+                        34
+                        + (len(key) if key else 0)
+                        + (len(value) if value else 0)
+                        + sum(len(h[0]) + len(h[1] or b"") + 8 for h in headers)
+                    )
                     if batch and size + entry > max_bytes:
                         break
-                    batch.append((key, value))
+                    batch.append((key, value, headers))
                     size += entry
-                ms = _encode_with_offsets(batch, offset, log)
-                out.int32(partition).int16(ERR_NONE).int64(hw).bytes_(ms)
+                # Fetch >= v4 clients understand RecordBatch v2 (that is
+                # the version that introduced it); older ones get
+                # MessageSet v1, like a real mixed-era broker
+                if version >= 4:
+                    ms = _encode_v2_with_offsets(
+                        batch, offset, log, self.fetch_compression
+                    )
+                else:
+                    ms = _encode_v1_with_offsets(
+                        batch, offset, log, self.fetch_compression
+                    )
+                out.int32(partition).int16(ERR_NONE).int64(hw)
+                if version >= 4:
+                    out.int64(hw).int32(0)  # last_stable_offset, no aborted txns
+                out.bytes_(ms)
         return out.done()
 
 
-def _encode_with_offsets(batch, base_offset: int, log) -> bytes:
-    """MessageSet where each message carries its REAL log offset and
-    stored timestamp (encode_message_set writes producer placeholders)."""
+def _encode_v1_with_offsets(batch, base_offset: int, log, compression: str) -> bytes:
+    """MessageSet v1 where each message carries its REAL log offset and
+    stored timestamp (encode_message_set writes producer placeholders).
+    Headers are dropped — magic 1 cannot carry them."""
+    if compression != "none" and batch:
+        # compressed serving: ONE wrapper whose inner offsets are
+        # relative, wrapper offset = last absolute (magic-1 convention)
+        inner = encode_message_set(
+            [(k, v) for k, v, _h in batch],
+            timestamp_ms=log[base_offset][2],
+            compression=compression,
+        )
+        return struct.pack(">q", base_offset + len(batch) - 1) + inner[8:]
     out = b""
-    for i, (key, value) in enumerate(batch):
+    for i, (key, value, _headers) in enumerate(batch):
         ts = log[base_offset + i][2]
         one = encode_message_set([(key, value)], timestamp_ms=ts)
         # patch the leading placeholder offset (int64 at byte 0)
         out += struct.pack(">q", base_offset + i) + one[8:]
     return out
+
+
+def _encode_v2_with_offsets(batch, base_offset: int, log, compression: str) -> bytes:
+    """One RecordBatch v2 for the slice, baseOffset = first real log
+    offset (offset deltas are 0..n-1 by construction), headers intact."""
+    if not batch:
+        return b""
+    return encode_record_batch(
+        batch,
+        base_offset=base_offset,
+        compression=compression,
+        timestamps=[log[base_offset + i][2] for i in range(len(batch))],
+    )

@@ -10,28 +10,43 @@ seams can run end-to-end against ANY broker — including the in-process
 stub broker (kafka_stub.StubBroker) used by the tests, which implements
 the same public wire format.
 
-Pinned API versions — deliberately old, non-"flexible" (pre-KIP-482)
-encodings, the simplest stable wire shapes:
+Supported API versions — non-"flexible" (pre-KIP-482) encodings, the
+simplest stable wire shapes, NEGOTIATED per broker via ApiVersions:
 
   ApiVersions v0 (key 18)   handshake / capability probe
   Metadata    v1 (key  3)   brokers + topics + partitions
   CreateTopics v0 (key 19)  fifo/admin.go:12-31 parity
   ListOffsets v1 (key  2)   watermarks (fifo/consumer.go:184-196)
-  Produce     v2 (key  0)   MessageSet v1 (magic 1, CRC32, no varints)
-  Fetch       v2 (key  1)   MessageSet v1 decode
+  Produce  v2 / v3 (key 0)  MessageSet v1 / RecordBatch v2 (magic 2)
+  Fetch    v2 / v4 (key 1)  decodes BOTH record generations
 
-MessageSet v1 (magic 1) rather than RecordBatch v2: CRC is plain
-CRC-32 (zlib.crc32) over [magic..value], no varint/zigzag encoding, and
-every Kafka broker through the 3.x line accepts it.  Brokers that have
-dropped pre-v3 Produce (Kafka 4.0, KIP-896) need the kafka-python /
-JVM adapters instead — this client raises a clear UnsupportedVersion
-in that case (the ApiVersions handshake reveals it).
+Two on-wire record generations are implemented (kafka.apache.org/
+protocol, KIP-98 for magic 2):
 
-No external dependencies: sockets + struct + zlib only.
+  * MessageSet v0/v1 (magic 0/1): plain CRC-32 (zlib.crc32) over
+    [magic..value], fixed-width fields; Produce <= v2 / Fetch <= v3.
+  * RecordBatch v2 (magic 2): CRC-32C (Castagnoli) over
+    [attributes..end], zigzag-varint record fields, per-record
+    headers; REQUIRED by Produce >= v3 / Fetch >= v4 and the only
+    format Kafka 4.0 brokers accept (KIP-896 removed pre-v3 Produce).
+
+Compression: gzip is implemented for both generations with the stdlib
+(compressed wrapper message for magic <= 1, compressed records section
+for magic 2); snappy / lz4 / zstd decode through the optional
+python-snappy / lz4 / zstandard packages when installed and raise a
+clear KafkaWireError otherwise.  The produce side emits gzip or
+uncompressed.
+
+The client picks the highest mutually-supported Produce/Fetch version
+from the handshake, so it speaks RecordBatch v2 to 3.x/4.x brokers and
+falls back to MessageSet v1 against older ones.
+
+No required external dependencies: sockets + struct + zlib + gzip.
 """
 
 from __future__ import annotations
 
+import gzip
 import socket
 import struct
 import threading
@@ -111,6 +126,28 @@ class _Writer:
             enc(self, it)
         return self
 
+    # RecordBatch v2 (magic 2) primitives: unsigned LEB128 varints with
+    # zigzag encoding for the signed record fields (protocol "varint")
+
+    def uvarint(self, v: int) -> "_Writer":
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return self.raw(bytes(out))
+
+    def varint(self, v: int) -> "_Writer":
+        return self.uvarint(((v << 1) ^ (v >> 63)) & 0xFFFFFFFFFFFFFFFF)
+
+    def vbytes(self, b: bytes | None) -> "_Writer":
+        if b is None:
+            return self.varint(-1)
+        return self.varint(len(b)).raw(b)
+
     def done(self) -> bytes:
         return b"".join(self._parts)
 
@@ -160,39 +197,205 @@ class _Reader:
             return []
         return [dec(self) for _ in range(n)]
 
+    def uvarint(self) -> int:
+        shift, out = 0, 0
+        while True:
+            if shift > 63:
+                raise KafkaWireError("varint overruns 64 bits")
+            b = self._take(1)[0]
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    def varint(self) -> int:
+        z = self.uvarint()
+        return (z >> 1) ^ -(z & 1)
+
+    def vbytes(self) -> bytes | None:
+        n = self.varint()
+        if n < 0:
+            return None
+        return self._take(n)
+
     def remaining(self) -> int:
         return len(self.data) - self.pos
 
 
 # ---------------------------------------------------------------------------
-# MessageSet v1 (magic 1): the on-wire record encoding for Produce
+# CRC-32C (Castagnoli, reflected poly 0x82F63B78): the checksum
+# RecordBatch v2 mandates over [attributes..end].  Pure-Python
+# slicing-by-8 (the standard public table technique) — no C extension
+# is guaranteed in this environment; throughput is bounded by produce
+# batch sizes (a few KB per call), not corpus scans.
+
+def _build_crc32c_tables() -> list[list[int]]:
+    poly = 0x82F63B78
+    t0 = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
+        t0.append(crc)
+    tables = [t0]
+    for _ in range(7):
+        prev = tables[-1]
+        tables.append([(prev[i] >> 8) ^ t0[prev[i] & 0xFF] for i in range(256)])
+    return tables
+
+
+_CRC32C = _build_crc32c_tables()
+
+
+def crc32c(data: bytes, value: int = 0) -> int:
+    t0, t1, t2, t3, t4, t5, t6, t7 = _CRC32C
+    crc = value ^ 0xFFFFFFFF
+    n = len(data)
+    i, end8 = 0, n - (n % 8)
+    while i < end8:
+        b0, b1, b2, b3, b4, b5, b6, b7 = data[i : i + 8]
+        crc ^= b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+        crc = (
+            t7[crc & 0xFF]
+            ^ t6[(crc >> 8) & 0xFF]
+            ^ t5[(crc >> 16) & 0xFF]
+            ^ t4[(crc >> 24) & 0xFF]
+            ^ t3[b4]
+            ^ t2[b5]
+            ^ t1[b6]
+            ^ t0[b7]
+        )
+        i += 8
+    while i < n:
+        crc = (crc >> 8) ^ t0[(crc ^ data[i]) & 0xFF]
+        i += 1
+    return crc ^ 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# compression codecs (attributes bits 0-2, both record generations):
+# 0 none | 1 gzip | 2 snappy | 3 lz4 | 4 zstd.  gzip is stdlib and
+# fully supported; the others decode through optional packages when
+# installed (import-gated) and raise a clear error otherwise.
+
+COMPRESSION_CODECS = {"none": 0, "gzip": 1, "snappy": 2, "lz4": 3, "zstd": 4}
+_CODEC_NAMES = {v: k for k, v in COMPRESSION_CODECS.items()}
+_XERIAL_MAGIC = b"\x82SNAPPY\x00"
+
+
+def _compress(codec: int, data: bytes) -> bytes:
+    if codec == 1:
+        return gzip.compress(data, mtime=0)  # mtime=0: deterministic bytes
+    if codec == 2:
+        import snappy  # noqa: PLC0415
+
+        return snappy.compress(data)
+    if codec == 3:
+        import lz4.frame  # noqa: PLC0415
+
+        return lz4.frame.compress(data)
+    if codec == 4:
+        import zstandard  # noqa: PLC0415
+
+        return zstandard.ZstdCompressor().compress(data)
+    raise KafkaWireError(f"unknown compression codec {codec}")
+
+
+def _decompress(codec: int, data: bytes) -> bytes:
+    name = _CODEC_NAMES.get(codec, str(codec))
+    try:
+        if codec == 1:
+            return gzip.decompress(data)
+        if codec == 2:
+            import snappy  # noqa: PLC0415
+
+            if data[:8] == _XERIAL_MAGIC:
+                # xerial block framing (java snappy's message-set form):
+                # 8-byte magic, two int32 version fields, then
+                # length-prefixed raw-snappy blocks
+                r = _Reader(data)
+                r._take(8)
+                r.int32()
+                r.int32()
+                out = []
+                while r.remaining():
+                    out.append(snappy.decompress(r._take(r.int32())))
+                return b"".join(out)
+            return snappy.decompress(data)
+        if codec == 3:
+            import lz4.frame  # noqa: PLC0415
+
+            return lz4.frame.decompress(data)
+        if codec == 4:
+            import zstandard  # noqa: PLC0415
+
+            return zstandard.ZstdDecompressor().decompress(data)
+    except ImportError as e:
+        raise KafkaWireError(
+            f"{name}-compressed records need the optional {e.name} package "
+            f"(gzip is built in); or point this topic at the kafka-python / "
+            f"JVM adapters"
+        ) from e
+    raise KafkaWireError(f"unknown compression codec {codec}")
+
+
+# ---------------------------------------------------------------------------
+# MessageSet v0/v1 (magic 0/1): the on-wire record encoding for Produce
 # v0-v2 / Fetch v0-v3.  Per message:
-#   offset int64 | size int32 | crc uint32 | magic int8=1 | attrs int8
-#   | timestamp int64 | key bytes | value bytes
+#   offset int64 | size int32 | crc uint32 | magic int8 | attrs int8
+#   | timestamp int64 (magic 1) | key bytes | value bytes
 # crc = CRC-32 (IEEE, zlib.crc32) over everything after the crc field.
+# A compressed set is ONE wrapper message whose value is the compressed
+# inner set; magic-1 inner offsets are RELATIVE (0..n-1) with the
+# wrapper carrying the absolute offset of the LAST inner message.
+
+
+def _encode_one_message(
+    offset: int,
+    key: bytes | None,
+    value: bytes | None,
+    timestamp_ms: int,
+    attrs: int = 0,
+) -> bytes:
+    body = (
+        _Writer()
+        .int8(1)  # magic
+        .int8(attrs)
+        .int64(timestamp_ms)
+        .bytes_(key)
+        .bytes_(value)
+        .done()
+    )
+    crc = zlib.crc32(body) & 0xFFFFFFFF
+    msg = struct.pack(">I", crc) + body
+    return _Writer().int64(offset).int32(len(msg)).raw(msg).done()
 
 
 def encode_message_set(
-    messages: list[tuple[bytes | None, bytes | None]],
+    messages: list[tuple],
     timestamp_ms: int = 0,
+    compression: str = "none",
 ) -> bytes:
-    out = _Writer()
-    for i, (key, value) in enumerate(messages):
-        body = (
-            _Writer()
-            .int8(1)  # magic
-            .int8(0)  # attributes: no compression, CreateTime
-            .int64(timestamp_ms)
-            .bytes_(key)
-            .bytes_(value)
-            .done()
-        )
-        crc = zlib.crc32(body) & 0xFFFFFFFF
-        msg = struct.pack(">I", crc) + body
-        # producer-side offsets are placeholders (0,1,2,...); the broker
-        # assigns real ones and returns base_offset
-        out.int64(i).int32(len(msg)).raw(msg)
-    return out.done()
+    """Magic-1 MessageSet.  Messages are (key, value) pairs — a third
+    headers element, if present, is rejected (headers need magic 2).
+    Producer-side offsets are placeholders (0..n-1); the broker assigns
+    real ones and returns base_offset.  With compression, the inner set
+    keeps those relative offsets and the single wrapper message carries
+    the last one, per the magic-1 convention."""
+    parts = []
+    for i, msg in enumerate(messages):
+        if len(msg) > 2 and msg[2]:
+            raise KafkaWireError(
+                "record headers need RecordBatch v2 (Produce >= v3)"
+            )
+        parts.append(_encode_one_message(i, msg[0], msg[1], timestamp_ms))
+    raw = b"".join(parts)
+    codec = COMPRESSION_CODECS[compression]
+    if not codec:
+        return raw
+    return _encode_one_message(
+        len(messages) - 1, None, _compress(codec, raw), timestamp_ms, attrs=codec
+    )
 
 
 @dataclass
@@ -201,45 +404,217 @@ class FetchedMessage:
     timestamp_ms: int
     key: bytes | None
     value: bytes | None
+    headers: tuple = ()  # ((name, bytes|None), ...) — magic 2 only
+
+
+def _decode_one_message(r: _Reader, check_crc: bool) -> list[FetchedMessage] | None:
+    """One MessageSet entry starting at ``r.pos`` (12-byte prefix
+    already verified available); None = trailing partial entry."""
+    offset = r.int64()
+    size = r.int32()
+    if size < 0 or r.remaining() < size:
+        return None  # trailing partial message
+    msg = _Reader(r._take(size))
+    crc = msg.int32() & 0xFFFFFFFF
+    body_start = msg.pos
+    magic = msg.int8()
+    if magic not in (0, 1):
+        raise KafkaWireError(f"unsupported message magic {magic}")
+    attrs = msg.int8()
+    ts = msg.int64() if magic == 1 else -1
+    key = msg.bytes_()
+    value = msg.bytes_()
+    if check_crc:
+        actual = zlib.crc32(msg.data[body_start:]) & 0xFFFFFFFF
+        if actual != crc:
+            raise KafkaWireError(
+                f"message at offset {offset}: CRC mismatch "
+                f"(wire {crc:#x}, computed {actual:#x})"
+            )
+    codec = attrs & 0x07
+    if not codec:
+        return [FetchedMessage(offset, ts, key, value)]
+    # compressed wrapper: value holds an inner MessageSet
+    inner = decode_message_set(_decompress(codec, value or b""), check_crc)
+    if magic == 1 and inner:
+        # inner offsets are relative; wrapper offset = absolute offset
+        # of the LAST inner message
+        delta = offset - inner[-1].offset
+        inner = [
+            FetchedMessage(m.offset + delta, m.timestamp_ms, m.key, m.value)
+            for m in inner
+        ]
+    return inner
 
 
 def decode_message_set(data: bytes, check_crc: bool = True) -> list[FetchedMessage]:
-    """Decode a MessageSet; a trailing partial message (the broker may
-    cut at max_bytes mid-message) is dropped, per the protocol."""
+    """Decode a magic 0/1 MessageSet (compressed wrappers included); a
+    trailing partial message (the broker may cut at max_bytes
+    mid-message) is dropped, per the protocol."""
     out: list[FetchedMessage] = []
     r = _Reader(data)
     while r.remaining() >= 12:
-        offset = r.int64()
-        size = r.int32()
-        if size < 0 or r.remaining() < size:
-            break  # trailing partial message
-        msg = _Reader(r._take(size))
-        crc = msg.int32() & 0xFFFFFFFF
-        body_start = msg.pos
-        magic = msg.int8()
-        if magic not in (0, 1):
-            raise KafkaWireError(f"unsupported message magic {magic}")
-        attrs = msg.int8()
-        if attrs & 0x07:
-            # a compressed wrapper message would silently parse as
-            # garbage bytes — fail loud (this client produces
-            # uncompressed sets; point compressed topics at the
-            # kafka-python / JVM adapters)
+        msgs = _decode_one_message(r, check_crc)
+        if msgs is None:
+            break
+        out.extend(msgs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# RecordBatch v2 (magic 2, KIP-98): the record format Produce >= v3 /
+# Fetch >= v4 require and 4.0 brokers mandate (KIP-896).  Layout:
+#   baseOffset int64 | batchLength int32 | partitionLeaderEpoch int32
+#   | magic int8=2 | crc uint32 (CRC-32C over attributes..end)
+#   | attributes int16 | lastOffsetDelta int32 | baseTimestamp int64
+#   | maxTimestamp int64 | producerId int64 | producerEpoch int16
+#   | baseSequence int32 | recordCount int32 | records
+# Each record is varint-length-prefixed with zigzag-varint fields and
+# per-record headers; only the records section is compressed.
+
+
+def encode_record_batch(
+    messages: list[tuple],
+    base_offset: int = 0,
+    timestamp_ms: int = 0,
+    compression: str = "none",
+    producer_id: int = -1,
+    producer_epoch: int = -1,
+    base_sequence: int = -1,
+    timestamps: list[int] | None = None,
+) -> bytes:
+    """One RecordBatch from (key, value) or (key, value, headers)
+    tuples; headers are ((name, bytes|None), ...).  ``timestamps``
+    gives per-record timestamps (encoded as deltas from the first);
+    otherwise every record carries ``timestamp_ms``."""
+    base_ts = timestamps[0] if timestamps else timestamp_ms
+    max_ts = max(timestamps) if timestamps else timestamp_ms
+    body = _Writer()
+    for i, msg in enumerate(messages):
+        key, value = msg[0], msg[1]
+        headers = msg[2] if len(msg) > 2 else ()
+        rec = (
+            _Writer()
+            .int8(0)  # record attributes (unused)
+            .varint((timestamps[i] - base_ts) if timestamps else 0)
+            .varint(i)  # offsetDelta
+            .vbytes(key)
+            .vbytes(value)
+            .varint(len(headers))
+        )
+        for name, hval in headers:
+            nb = name.encode("utf-8")
+            rec.varint(len(nb)).raw(nb).vbytes(hval)
+        rb = rec.done()
+        body.varint(len(rb)).raw(rb)
+    payload = body.done()
+    codec = COMPRESSION_CODECS[compression]
+    if codec:
+        payload = _compress(codec, payload)
+    after_crc = (
+        _Writer()
+        .int16(codec)  # attributes: CreateTime, not transactional/control
+        .int32(len(messages) - 1)  # lastOffsetDelta
+        .int64(base_ts)  # baseTimestamp
+        .int64(max_ts)  # maxTimestamp
+        .int64(producer_id)
+        .int16(producer_epoch)
+        .int32(base_sequence)
+        .int32(len(messages))
+        .raw(payload)
+        .done()
+    )
+    return (
+        _Writer()
+        .int64(base_offset)
+        .int32(9 + len(after_crc))  # partitionLeaderEpoch+magic+crc+rest
+        .int32(-1)  # partitionLeaderEpoch (client produce)
+        .int8(2)  # magic
+        .raw(struct.pack(">I", crc32c(after_crc)))
+        .raw(after_crc)
+        .done()
+    )
+
+
+def _decode_record_batch(
+    base_offset: int, batch: _Reader, check_crc: bool
+) -> list[FetchedMessage]:
+    batch.int32()  # partitionLeaderEpoch
+    magic = batch.int8()
+    if magic != 2:
+        raise KafkaWireError(f"record batch with magic {magic} (want 2)")
+    crc = batch.int32() & 0xFFFFFFFF
+    rest = batch.data[batch.pos :]
+    if check_crc:
+        actual = crc32c(rest)
+        if actual != crc:
             raise KafkaWireError(
-                f"compressed message set (codec {attrs & 0x07}) not "
-                f"supported by the wire client"
+                f"record batch at offset {base_offset}: CRC-32C mismatch "
+                f"(wire {crc:#x}, computed {actual:#x})"
             )
-        ts = msg.int64() if magic == 1 else -1
-        key = msg.bytes_()
-        value = msg.bytes_()
-        if check_crc:
-            actual = zlib.crc32(msg.data[body_start:]) & 0xFFFFFFFF
-            if actual != crc:
-                raise KafkaWireError(
-                    f"message at offset {offset}: CRC mismatch "
-                    f"(wire {crc:#x}, computed {actual:#x})"
-                )
-        out.append(FetchedMessage(offset, ts, key, value))
+    attrs = batch.int16()
+    batch.int32()  # lastOffsetDelta
+    base_ts = batch.int64()
+    batch.int64()  # maxTimestamp
+    batch.int64()  # producerId
+    batch.int16()  # producerEpoch
+    batch.int32()  # baseSequence
+    count = batch.int32()
+    payload = batch.data[batch.pos :]
+    codec = attrs & 0x07
+    if codec:
+        payload = _decompress(codec, payload)
+    if attrs & 0x20:
+        return []  # control batch (txn markers): not user records
+    out: list[FetchedMessage] = []
+    rr = _Reader(payload)
+    for _ in range(count):
+        rec = _Reader(rr._take(rr.varint()))
+        rec.int8()  # record attributes
+        ts_delta = rec.varint()
+        off_delta = rec.varint()
+        key = rec.vbytes()
+        value = rec.vbytes()
+        headers = []
+        for _ in range(rec.varint()):
+            nlen = rec.varint()
+            name = rec._take(nlen).decode("utf-8")
+            headers.append((name, rec.vbytes()))
+        out.append(
+            FetchedMessage(
+                base_offset + off_delta,
+                base_ts + ts_delta,
+                key,
+                value,
+                tuple(headers),
+            )
+        )
+    return out
+
+
+def decode_records(data: bytes, check_crc: bool = True) -> list[FetchedMessage]:
+    """Decode a Fetch/Produce record section of EITHER generation —
+    magic 0/1 MessageSet entries and magic-2 RecordBatches can be
+    interleaved in one topic's log (a broker upgraded in place serves
+    both).  Both framings put the magic byte at entry offset 16, which
+    is how the dispatch peeks the generation.  A trailing partial entry
+    (cut at max_bytes) is dropped."""
+    out: list[FetchedMessage] = []
+    r = _Reader(data)
+    while r.remaining() >= 12:
+        if r.remaining() >= 17 and r.data[r.pos + 16] == 2:
+            base_offset = r.int64()
+            length = r.int32()
+            if length < 0 or r.remaining() < length:
+                break  # trailing partial batch
+            out.extend(
+                _decode_record_batch(base_offset, _Reader(r._take(length)), check_crc)
+            )
+        else:
+            msgs = _decode_one_message(r, check_crc)
+            if msgs is None:
+                break
+            out.extend(msgs)
     return out
 
 
@@ -270,6 +645,10 @@ class KafkaWireClient:
     reports it).  Thread-safe: one in-flight request at a time.
     """
 
+    #: client-implemented versions per negotiable API, best last
+    _PRODUCE_VERSIONS = (2, 3)
+    _FETCH_VERSIONS = (2, 4)
+
     def __init__(self, bootstrap: str, client_id: str = "zinger-wire", timeout: float = 30.0):
         host, _, port = bootstrap.rpartition(":")
         self._addr = (host or "localhost", int(port))
@@ -278,6 +657,7 @@ class KafkaWireClient:
         self._sock: socket.socket | None = None
         self._corr = 0
         self._lock = threading.Lock()
+        self._broker_versions: dict[int, tuple[int, int]] | None = None
 
     # -- plumbing --
 
@@ -311,7 +691,13 @@ class KafkaWireClient:
             buf.extend(chunk)
         return bytes(buf)
 
-    def _request(self, api_key: int, api_version: int, body: bytes) -> _Reader:
+    def _request(
+        self,
+        api_key: int,
+        api_version: int,
+        body: bytes,
+        expect_response: bool = True,
+    ) -> _Reader | None:
         with self._lock:
             self._corr += 1
             corr = self._corr
@@ -327,6 +713,11 @@ class KafkaWireClient:
             sock = self._connect()
             try:
                 sock.sendall(struct.pack(">i", len(frame)) + frame)
+                if not expect_response:
+                    # Produce with acks=0: the broker sends NO response
+                    # (kafka.apache.org/protocol) — reading would block
+                    # until the socket timeout
+                    return None
                 size = struct.unpack(">i", self._recv_exact(sock, 4))[0]
                 payload = self._recv_exact(sock, size)
             except (OSError, KafkaWireError):
@@ -353,7 +744,25 @@ class KafkaWireClient:
         for _ in range(r.int32()):
             key, mn, mx = r.int16(), r.int16(), r.int16()
             out[key] = (mn, mx)
+        self._broker_versions = out
         return out
+
+    def _negotiate(self, api_key: int, ours: tuple[int, ...]) -> int:
+        """Highest client-implemented version inside the broker's
+        advertised range (one cached ApiVersions round trip)."""
+        if self._broker_versions is None:
+            self.api_versions()
+        lo_hi = (self._broker_versions or {}).get(api_key)
+        if lo_hi is None:
+            return ours[0]  # broker didn't advertise: try the oldest
+        picks = [v for v in ours if lo_hi[0] <= v <= lo_hi[1]]
+        if not picks:
+            raise UnsupportedVersion(
+                f"broker supports api {api_key} versions "
+                f"{lo_hi[0]}-{lo_hi[1]}; client implements {ours}",
+                ERR_UNSUPPORTED_VERSION,
+            )
+        return picks[-1]
 
     def metadata(self, topics: list[str] | None = None) -> list[TopicMeta]:
         body = _Writer()
@@ -447,25 +856,44 @@ class KafkaWireClient:
         self,
         topic: str,
         partition: int,
-        messages: list[tuple[bytes | None, bytes | None]],
+        messages: list[tuple],
         acks: int = -1,
         timeout_ms: int = 30_000,
         timestamp_ms: int = 0,
+        compression: str = "none",
+        api_version: int | None = None,
     ) -> int:
-        """Append messages; returns the base offset the broker assigned."""
-        ms = encode_message_set(messages, timestamp_ms=timestamp_ms)
-        body = (
-            _Writer()
-            .int16(acks)
-            .int32(timeout_ms)
-            .int32(1)
-            .string(topic)
-            .int32(1)
-            .int32(partition)
-            .bytes_(ms)
-            .done()
+        """Append messages — (key, value) or (key, value, headers)
+        tuples; returns the base offset the broker assigned (-1 with
+        acks=0, which gets no response per the protocol).
+
+        The wire generation follows the negotiated version: v3+ sends
+        a RecordBatch v2 (what 3.x/4.x brokers require, KIP-896), v2
+        a magic-1 MessageSet.  ``compression`` ('none' or 'gzip'
+        without optional packages) applies to either generation."""
+        version = (
+            self._negotiate(API_PRODUCE, self._PRODUCE_VERSIONS)
+            if api_version is None
+            else api_version
         )
-        r = self._request(API_PRODUCE, 2, body)
+        if version >= 3:
+            ms = encode_record_batch(
+                messages, timestamp_ms=timestamp_ms, compression=compression
+            )
+        else:
+            ms = encode_message_set(
+                messages, timestamp_ms=timestamp_ms, compression=compression
+            )
+        body = _Writer()
+        if version >= 3:
+            body.string(None)  # transactional_id
+        body.int16(acks).int32(timeout_ms)
+        body.int32(1).string(topic).int32(1).int32(partition).bytes_(ms)
+        r = self._request(
+            API_PRODUCE, version, body.done(), expect_response=acks != 0
+        )
+        if r is None:
+            return -1  # acks=0: fire-and-forget
         base = -1
         for _ in range(r.int32()):
             r.string()
@@ -473,12 +901,14 @@ class KafkaWireClient:
                 r.int32()  # partition
                 err = r.int16()
                 base = r.int64()
-                r.int64()  # log_append_time (v2)
+                if version >= 2:
+                    r.int64()  # log_append_time
                 if err:
                     raise KafkaWireError(
                         f"Produce {topic}[{partition}]: error {err}", err
                     )
-        r.int32()  # throttle_time_ms
+        if version >= 1:
+            r.int32()  # throttle_time_ms
         return base
 
     def fetch(
@@ -492,22 +922,21 @@ class KafkaWireClient:
     ) -> tuple[int, list[FetchedMessage]]:
         """One Fetch round trip: (high_watermark, messages from offset).
         Messages below the requested offset (the broker may return a
-        whole stored batch) are filtered out, per client convention."""
-        body = (
-            _Writer()
-            .int32(-1)  # replica_id
-            .int32(max_wait_ms)
-            .int32(min_bytes)
-            .int32(1)
-            .string(topic)
-            .int32(1)
-            .int32(partition)
-            .int64(offset)
-            .int32(max_bytes)
-            .done()
-        )
-        r = self._request(API_FETCH, 2, body)
-        r.int32()  # throttle_time_ms
+        whole stored batch) are filtered out, per client convention.
+        v4 is used when the broker supports it (RecordBatch v2 decode,
+        READ_UNCOMMITTED isolation); the decoder handles both record
+        generations and gzip compression either way."""
+        version = self._negotiate(API_FETCH, self._FETCH_VERSIONS)
+        body = _Writer().int32(-1).int32(max_wait_ms).int32(min_bytes)
+        if version >= 3:
+            body.int32(max_bytes)  # top-level response cap
+        if version >= 4:
+            body.int8(0)  # isolation_level: READ_UNCOMMITTED
+        body.int32(1).string(topic).int32(1)
+        body.int32(partition).int64(offset).int32(max_bytes)
+        r = self._request(API_FETCH, version, body.done())
+        if version >= 1:
+            r.int32()  # throttle_time_ms
         hw, msgs = -1, []
         for _ in range(r.int32()):
             r.string()
@@ -515,12 +944,17 @@ class KafkaWireClient:
                 r.int32()  # partition
                 err = r.int16()
                 hw = r.int64()
+                if version >= 4:
+                    r.int64()  # last_stable_offset
+                    for _ in range(max(r.int32(), 0)):  # aborted_transactions
+                        r.int64()  # producer_id
+                        r.int64()  # first_offset
                 data = r.bytes_() or b""
                 if err:
                     raise KafkaWireError(
                         f"Fetch {topic}[{partition}]@{offset}: error {err}", err
                     )
-                msgs = [m for m in decode_message_set(data) if m.offset >= offset]
+                msgs = [m for m in decode_records(data) if m.offset >= offset]
         return hw, msgs
 
     def fetch_all(
@@ -558,11 +992,17 @@ def wire_read_topic(
     starting_offset: int = EARLIEST,
     ending_offset: int | None = None,
     partitions: list[int] | None = None,
+    starting_offsets: dict[int, int] | None = None,
 ):
     """Bounded read -> DataFrame with the Spark Kafka source's columns
     (key/value binary, topic, partition, offset, timestamp ms).  The
     fetch itself is driver-side (the wire client is one connection);
-    bounded use only — backfills at scale go through the JVM source."""
+    bounded use only — backfills at scale go through the JVM source.
+
+    ``starting_offsets`` maps partition -> concrete start offset (the
+    Spark source's startingOffsets-JSON shape) and overrides both
+    ``starting_offset`` and ``partitions``; a single ``starting_offset``
+    (EARLIEST/LATEST or concrete) applies to every covered partition."""
     from pyspark.sql import types as T  # noqa: PLC0415
 
     schema = T.StructType(
@@ -575,6 +1015,8 @@ def wire_read_topic(
             T.StructField("timestamp_ms", T.LongType()),
         ]
     )
+    if starting_offsets is not None:
+        partitions = sorted(starting_offsets)
     with KafkaWireClient(brokers) as c:
         if partitions is None:
             metas = c.metadata([topic])
@@ -583,10 +1025,12 @@ def wire_read_topic(
             partitions = [p.partition for p in metas[0].partitions]
         rows = []
         for p in partitions:
-            start = (
-                c.list_offset(topic, p, starting_offset)
-                if starting_offset < 0
+            per_part = (
+                starting_offsets[p] if starting_offsets is not None
                 else starting_offset
+            )
+            start = (
+                c.list_offset(topic, p, per_part) if per_part < 0 else per_part
             )
             for m in c.fetch_all(topic, p, start, ending_offset):
                 rows.append((m.key, m.value, topic, p, m.offset, m.timestamp_ms))
@@ -599,6 +1043,7 @@ def wire_produce_df(
     topic: str,
     partition: int = 0,
     batch_size: int = 200,
+    compression: str = "none",
 ) -> int:
     """Produce a (key binary/string, value binary/string) DataFrame —
     the kafka_sink_projection shape — through the wire client in
@@ -627,10 +1072,10 @@ def wire_produce_df(
         for row in df.select(key_col, "value").toLocalIterator():
             buf.append((_b(row["key"]), _b(row["value"])))
             if len(buf) >= batch_size:
-                c.produce(topic, partition, buf)
+                c.produce(topic, partition, buf, compression=compression)
                 n += len(buf)
                 buf = []
         if buf:
-            c.produce(topic, partition, buf)
+            c.produce(topic, partition, buf, compression=compression)
             n += len(buf)
     return n

@@ -149,16 +149,28 @@ def _dedup_against_pool(pool: Pool, batch: DataFrame) -> DataFrame:
     path."""
     from pyspark.sql import Window  # noqa: PLC0415
 
-    fp = F.xxhash64(F.to_json(F.col("value")))
+    def fp(df: DataFrame):
+        # canonical content hash: JSON for struct values, raw text for
+        # string values (the wire path without --value-schema keeps the
+        # value as a string column)
+        vtype = dict(df.dtypes).get("value", "string")
+        col = (
+            F.to_json(F.col("value"))
+            if vtype.startswith("struct")
+            else F.col("value").cast("string")
+        )
+        return F.xxhash64(col)
+
     w = Window.partitionBy("__fp").orderBy(F.col("kafka.offset"))
     batch = (
-        batch.withColumn("__fp", fp)
+        batch.withColumn("__fp", fp(batch))
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .drop("__rk")
     )
     if not pool.is_empty():
-        seen = pool.df().select(fp.alias("__fp")).distinct()
+        pool_df = pool.df()
+        seen = pool_df.select(fp(pool_df).alias("__fp")).distinct()
         batch = batch.join(seen, "__fp", "left_anti")
     return batch.drop("__fp")
 
