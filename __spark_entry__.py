@@ -3005,6 +3005,36 @@ _q_zq_over_scope = _zq(
     '=> ( where value != "" | toks := count(), first := min(value) by d, l )'
 )
 
+# inner sort in a lateral scope (r11: the last over-scope gate closed):
+# per-parent element order pinned by a pid-partitioned row_number —
+# bounded by the array length, shuffled on the same parent key the
+# lateral aggregate needs anyway — and preserved by collect() via an
+# ordered array collect (sort_array of (rank, value) pairs, pure column
+# algebra).  Zed `over ... => ( sort ... | collect ... )`.
+_q_zq_over_sort_collect = _zq(
+    "from documents "
+    '| over split(text, " ") with d = doc_id '
+    '=> ( where value != "" | sort -r value | toks := collect(value) by d ) '
+    "| sort d | head 50"
+)
+
+# unflatten with a static key set (r11: the other declared zedql gate):
+# the idiomatic dynamic-leaf rewrite — flatten a record, filter leaves
+# in the lateral scope, unflatten the survivors.  The key set comes
+# from the program's flatten() (compiler._FLATTEN_SRC), so the rebuild
+# is map_from_entries + one map access per statically-known leaf; the
+# filtered-out leaf (event_type='click') comes back null.
+_q_zq_unflatten_filter = _zq(
+    "from events "
+    "| over flatten({id: event_id, et: event_type, u: user_id, v: value}) "
+    "with k = event_id "
+    '=> ( where value != "click" '
+    "| lv := collect({key: key, value: value}) by k ) "
+    "| u := unflatten(lv) "
+    "| uid := u.id | et := u.et | uu := u.u | uv := u.v "
+    "| cut k, uid, et, uu, uv"
+)
+
 _q_zq_sample = _zq(
     # sample/shapes: one deterministic representative per shape (struct-
     # min over the data columns; a single static shape here, so one row)
@@ -5518,6 +5548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zq_grok": _q_zq_grok,
         "zq_sample": _q_zq_sample,
         "zq_over_scope": _q_zq_over_scope,
+        "zq_over_sort_collect": _q_zq_over_sort_collect,
+        "zq_unflatten_filter": _q_zq_unflatten_filter,
         "lm_quality_unigram": _q_lm_quality_unigram,
         "lm_quality_bigram": _q_lm_quality_bigram,
         "sessionize": _q_sessionize,
@@ -5622,8 +5654,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # whose most recent driver-green row is from rounds 2/4/5 — so the
 # sampled-coverage union keeps cycling (all 172 keys re-verified locally
 # by the r9 full tools/compare.py sweep before this rotation).
-_R10_FRONT = [
-    # added in round 10 (this session): must sit in the driver's first-50
+# Round-11 driver-window rotation: the keys added/changed this round
+# first (the zedql gates closed this session), then the r10 additions.
+_R11_FRONT = [
+    # added in round 11 (this session): must sit in the driver's first-50
+    "zq_over_sort_collect",
+    "zq_unflatten_filter",
+]
+
+_R10_FRONT = _R11_FRONT + [
+    # added in round 10: keep in the driver's first-50
     "etl_multi_output",
     "ann_ivfpq_topk",
     "ann_ivfpq_rerank",
@@ -6931,6 +6971,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w
                 FROM documents
             ) WHERE w <> '' GROUP BY 1, 2
+        """,
+        "zq_over_sort_collect": """
+            SELECT doc_id AS d, list(w ORDER BY w DESC) AS toks
+            FROM (
+                SELECT doc_id, unnest(str_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY doc_id ORDER BY d LIMIT 50
+        """,
+        "zq_unflatten_filter": """
+            SELECT event_id AS k, event_id AS uid,
+                   CASE WHEN event_type <> 'click' THEN event_type END AS et,
+                   user_id AS uu, value AS uv
+            FROM events
         """,
         "lm_quality_unigram": """
             WITH tok AS (

@@ -1154,6 +1154,46 @@ def test_unflatten_dynamic_keys_gate(spark):
         zed_transform("u := unflatten(a) | cut u")(df)
 
 
+def test_unflatten_filtered_leaves_static_keys(spark):
+    """The idiomatic dynamic-leaf rewrite: flatten a record, filter its
+    leaves in a lateral scope, unflatten the survivors.  The key set is
+    static (it comes from the program's flatten()), so the output
+    record keeps the flattened shape with dropped leaves as null."""
+    df = spark.createDataFrame(
+        [(1, "x", 2.5), (2, "secret", 7.0)], "a long, b string, c double"
+    )
+    out = zed_transform(
+        "over flatten({a: a, b: b, c: c}) with id = a "
+        '=> ( where value != "secret" '
+        "| lv := collect({key: key, value: value}) by id ) "
+        "| u := unflatten(lv) | cut id, u"
+    )(df)
+    got = {r["id"]: r["u"].asDict() for r in out.collect()}
+    # row 1 keeps every leaf (types restored from the widened strings);
+    # row 2's b was filtered out -> null, other leaves survive
+    assert got[1] == {"a": 1, "b": "x", "c": 2.5}
+    assert got[2] == {"a": 2, "b": None, "c": 7.0}
+    # rebuilt types are the flattened record's, not the widened ones
+    u_t = out.schema["u"].dataType
+    assert u_t["a"].dataType == T.LongType()
+    assert u_t["c"].dataType == T.DoubleType()
+
+
+def test_unflatten_nested_rebuild(spark):
+    """Nested records rebuild through the same static key walk."""
+    df = spark.createDataFrame(
+        [((1, ("n", 9)),)],
+        "r struct<id:long,sub:struct<name:string,score:long>>",
+    )
+    out = zed_transform(
+        "over flatten(r) with k = r.id "
+        "=> ( where value != \"n\" | lv := collect({key: key, value: value}) by k ) "
+        "| u := unflatten(lv) | cut u"
+    )(df).collect()[0]
+    assert out["u"]["id"] == 1
+    assert out["u"]["sub"]["name"] is None and out["u"]["sub"]["score"] == 9
+
+
 def test_grok_extracts_named_fields(spark):
     df = spark.createDataFrame(
         [
@@ -1290,10 +1330,42 @@ def test_over_scope_where_only_hides_bindings(spark):
     assert out.columns == ["value"] and out.count() == 2
 
 
-def test_over_scope_rejects_sort_inside(spark):
+def test_over_scope_inner_sort_orders_collect(spark):
+    """Inner `sort` in a lateral scope pins the per-parent element
+    order; a downstream collect() preserves it — sort key independent
+    of the collected value (r10 gate, now implemented: pid-partitioned
+    row_number + ordered array collect)."""
+    df = spark.createDataFrame(
+        [
+            (1, [("b", 5), ("a", 9), ("c", 1)]),
+            (2, [("x", 2), ("y", 8)]),
+        ],
+        "id long, items array<struct<item:string,price:long>>",
+    )
+    out = zed_transform(
+        "over items with d = id => ( sort -r price | names := collect(item) by d )"
+    )(df)
+    got = {r["d"]: list(r["names"]) for r in out.collect()}
+    assert got == {1: ["a", "b", "c"], 2: ["y", "x"]}
+    # internal order column never leaks
+    assert set(out.columns) == {"d", "names"}
+
+
+def test_over_scope_inner_sort_ascending_expression_key(spark):
+    df = spark.createDataFrame([(1, "bb a ccc")], "id long, text string")
+    out = zed_transform(
+        'over split(text, " ") with d = id '
+        "=> ( sort len(value) | toks := collect(value) by d )"
+    )(df)
+    assert list(out.collect()[0]["toks"]) == ["a", "bb", "ccc"]
+
+
+def test_over_scope_sort_then_where_unsupported_op_still_errors(spark):
     df = spark.createDataFrame([(7, "x")], "id long, text string")
     with pytest.raises(ZedCompileError, match="over-scope"):
-        zed_transform('over split(text, " ") with d = id => ( sort value )')(df)
+        zed_transform(
+            'over split(text, " ") with d = id => ( head 1 )'
+        )(df)
 
 
 def test_over_with_without_scope_is_error():

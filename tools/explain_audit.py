@@ -555,6 +555,25 @@ def main() -> int:
           "multi-output pool contents read back clean (declarative "
           "scan; the fan-out happened in one atomic commit)")
 
+    # round 11: over-scope inner sort — the per-parent rank must be a
+    # PARTITIONED window (partitionBy __over_pid), never a global one,
+    # and the ordered collect stays column algebra (no Python)
+    p = plan_of(qs["zq_over_sort_collect"](spark, sf))
+    check("zq_over_sort_collect",
+          "BatchEvalPython" not in p and "CartesianProduct" not in p
+          and "TakeOrderedAndProject" in p,
+          "ordered collect is pure column algebra; head 50 is TakeOrdered")
+    # the window spec itself: partition expression present on __over_pid
+    w = qs["zq_over_sort_collect"](spark, sf)
+    opt = w._jdf.queryExecution().optimizedPlan().toString()
+    check("zq_over_sort_collect",
+          "windowspecdefinition(__over_pid" in opt,
+          "row_number window is partitioned by the lateral parent id")
+    p = plan_of(qs["zq_unflatten_filter"](spark, sf))
+    check("zq_unflatten_filter",
+          "BatchEvalPython" not in p and "CartesianProduct" not in p,
+          "map_from_entries rebuild stays in whole-stage codegen")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0

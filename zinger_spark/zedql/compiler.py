@@ -66,6 +66,13 @@ _CONSTS: contextvars.ContextVar[dict] = contextvars.ContextVar(
     "zedql_consts", default={}
 )
 
+#: schema of the record most recently flattened IN THIS PROGRAM —
+#: unflatten() derives its static key set from it (reset per compile
+#: entry point so one program's schema can't leak into the next)
+_FLATTEN_SRC: contextvars.ContextVar = contextvars.ContextVar(
+    "zedql_flatten_src", default=None
+)
+
 
 def looks_like_zed(text: str) -> bool:
     """Dialect sniff for YAML `zed:` rule blocks: Zed rule blocks assign
@@ -87,7 +94,14 @@ class Ctx:
 
 
 def _data_cols(df: DataFrame) -> list[str]:
-    return [c for c in df.columns if c not in META_COLS]
+    # `this` excludes the engine's meta column and the lateral scope's
+    # internal parent-id/order columns (__over_pid/__over_ord) — they
+    # are plumbing, not fields of the element record
+    return [
+        c
+        for c in df.columns
+        if c not in META_COLS and not c.startswith("__over_")
+    ]
 
 
 def _col_type(df: DataFrame | None, col: Column) -> T.DataType:
@@ -702,23 +716,69 @@ def _call(e: ast.Call, df: DataFrame) -> Column:
             raise ZedCompileError(
                 f"flatten() needs a record, got {t.simpleString()}"
             )
+        _FLATTEN_SRC.set(t)  # unflatten()'s static key set, see below
         return datamodel.flatten_record(col, t)
     if name == "unflatten":
-        # Zed unflatten() rebuilds a record from data-dependent keys —
-        # impossible under a static schema unless the key set is known
-        # at compile time.  The supported form is the round-trip
-        # unflatten(flatten(r)) (the shape Zed test suites exercise);
-        # anything else is a declared gate, not a silent wrong answer.
-        if (
-            len(args) == 1
-            and isinstance(args[0], ast.Call)
-            and args[0].name == "flatten"
-        ):
+        # Zed unflatten() rebuilds a record from data-dependent keys.
+        # A static Spark schema needs a static KEY SET, which is
+        # available whenever the leaves came from a flatten() in the
+        # same program (the idiomatic use: filter/rewrite the flattened
+        # leaves, then unflatten — over flatten(this) => (...) |
+        # unflatten(...)).  The rebuilt record has the flattened
+        # record's shape with absent keys as null.  Fully dynamic keys
+        # (no upstream flatten) remain a declared gate.
+        if len(args) != 1:
+            raise ZedCompileError("unflatten() takes one argument")
+        if isinstance(args[0], ast.Call) and args[0].name == "flatten":
+            # exact round trip: unflatten(flatten(r)) == r
             return compile_expr(args[0].args[0], df)
-        raise ZedCompileError(
-            "unflatten() supports only the unflatten(flatten(r)) round "
-            "trip: dynamic keys cannot produce a static Spark schema"
+        entries = compile_expr(args[0], df)
+        et = _col_type(df, entries)
+        if not (
+            isinstance(et, T.ArrayType)
+            and isinstance(et.elementType, T.StructType)
+            and [f.name for f in et.elementType.fields] == ["key", "value"]
+        ):
+            raise ZedCompileError(
+                "unflatten() needs an array of {key, value} leaves "
+                "(the flatten() shape)"
+            )
+        src = _FLATTEN_SRC.get()
+        if src is None:
+            raise ZedCompileError(
+                "unflatten(): the output record's key set must be "
+                "static — derive the leaves from a flatten() upstream "
+                "in the same program (filtered/transformed subsets are "
+                "fine); fully dynamic keys cannot produce a Spark schema"
+            )
+        # map_from_entries keyed by the joined path, then one map
+        # access per statically-known leaf — pure column algebra
+        # inside whole-stage codegen, no UDF, no shuffle
+        sep = "\x1f"  # cannot occur in Zed field names
+        m = F.map_from_entries(
+            F.transform(
+                entries,
+                lambda s: F.struct(
+                    F.array_join(s["key"], sep).alias("k"),
+                    s["value"].alias("v"),
+                ),
+            )
         )
+
+        def _rebuild(t: T.StructType, path: list[str]) -> Column:
+            fields = []
+            for f in t.fields:
+                p = path + [f.name]
+                if isinstance(f.dataType, T.StructType):
+                    fields.append(_rebuild(f.dataType, p).alias(f.name))
+                else:
+                    # cast back from flatten's widened value type
+                    fields.append(
+                        m[F.lit(sep.join(p))].cast(f.dataType).alias(f.name)
+                    )
+            return F.struct(*fields)
+
+        return _rebuild(src, [])
     if name == "grok":
         from ..functions import grok as zgrok
 
@@ -838,7 +898,9 @@ _AGGS: dict[str, Callable[[Column], Column]] = {
 }
 
 
-def _agg_col(spec: ast.AggSpec, df: DataFrame) -> Column:
+def _agg_col(
+    spec: ast.AggSpec, df: DataFrame, order_col: Column | None = None
+) -> Column:
     name = spec.name or spec.func
     arg = compile_expr(spec.arg, df) if spec.arg is not None else None
     if spec.where is not None:
@@ -849,6 +911,20 @@ def _agg_col(spec: ast.AggSpec, df: DataFrame) -> Column:
         return col.alias(name)
     if arg is None:
         raise ZedCompileError(f"{spec.func}() needs an argument")
+    if spec.func == "collect" and order_col is not None:
+        # an upstream sort pinned an explicit element order (over-scope
+        # inner sort): collect (order, value) pairs, sort by the order
+        # column, strip it — Zed's collect preserves the sorted
+        # sequence.  Still one partial-aggregated collect_list; the
+        # sort is per-group array algebra, not a shuffle.
+        pair = F.struct(order_col.alias("o"), arg.alias("v"))
+        col = F.transform(
+            F.array_sort(
+                F.filter(F.collect_list(pair), lambda s: s["v"].isNotNull())
+            ),
+            lambda s: s["v"],
+        )
+        return col.alias(name)
     if spec.func == "collect" and isinstance(spec.arg, ast.Path) and not spec.arg.parts:
         # collect(this): collect the whole record (design.md txn bundles)
         pass
@@ -1080,21 +1156,39 @@ def _over(df: DataFrame, op: ast.OpOver, ctx: Ctx) -> DataFrame:
     cur = datamodel.fuse(*legs) if len(legs) > 1 else legs[0]
 
     hidden = {n for n, _ in bindings}
+    ord_name = "__over_ord"
+    ord_col: Column | None = None
     ops = op.seq.ops
     for i, sub in enumerate(ops):
         last = i == len(ops) - 1
         if isinstance(sub, ast.OpWhere):
             cur = cur.filter(compile_expr(sub.expr, cur))
+        elif isinstance(sub, ast.OpSort):
+            # inner sort: pin each element's rank WITHIN its parent
+            # scope (a pid-partitioned window — bounded by the array
+            # length, shuffled on the same pid key the lateral
+            # aggregate needs anyway).  The rank feeds order-sensitive
+            # aggregates (collect) downstream; row order of the flat
+            # output still needs an outer sort, as ever.
+            from pyspark.sql import Window  # noqa: PLC0415
+
+            w = Window.partitionBy(pid).orderBy(
+                *[_sort_col(k, cur) for k in sub.keys]
+            )
+            cur = cur.withColumn(ord_name, F.row_number().over(w))
+            ord_col = F.col(ord_name)
+            hidden.add(ord_name)
         elif isinstance(sub, ast.OpPut):
             cur = _put(cur, sub.assignments)
             hidden -= {a[0][0] for a in sub.assignments}
         elif isinstance(sub, ast.OpSummarize):
-            aggs = [_agg_col(a, cur) for a in sub.aggs]
+            aggs = [_agg_col(a, cur, order_col=ord_col) for a in sub.aggs]
             keys = [F.col(f"`{pid}`")] + [
                 compile_expr(e, cur).alias(n) for n, e in (sub.by or [])
             ]
             cur = cur.groupBy(*keys).agg(*aggs)
             hidden = set()  # groupBy output carries only keys + aggs
+            ord_col = None
         elif isinstance(sub, (ast.OpCut, ast.OpYield)) and last:
             # terminal projection: selects exactly what it names, so pid
             # and unused bindings fall away with it
@@ -1104,9 +1198,9 @@ def _over(df: DataFrame, op: ast.OpOver, ctx: Ctx) -> DataFrame:
             return outs[0] if len(outs) == 1 else datamodel.fuse(*outs)
         else:
             raise ZedCompileError(
-                "over-scope supports where / put / aggregation, with cut "
-                "or yield as the final operator (inter-element order "
-                "inside a lateral scope needs an explicit outer sort)"
+                "over-scope supports where / sort / put / aggregation, "
+                "with cut or yield as the final operator (row order of "
+                "the flat output needs an explicit outer sort)"
             )
     return cur.drop(pid, *hidden)
 
@@ -1399,9 +1493,11 @@ def compile_query(
     ctx = Ctx(spark, source, decls)
     token = _DECLS.set(decls)
     ctok = _CONSTS.set({c.name: c.expr for c in prog.consts})
+    ftok = _FLATTEN_SRC.set(None)
     try:
         return compile_seq(df, prog.seq, ctx)
     finally:
+        _FLATTEN_SRC.reset(ftok)
         _CONSTS.reset(ctok)
         _DECLS.reset(token)
 
@@ -1425,9 +1521,11 @@ def zed_transform(text: str) -> Callable[[DataFrame], DataFrame]:
         )
         token = _DECLS.set(decls)
         ctok = _CONSTS.set({c.name: c.expr for c in prog.consts})
+        ftok = _FLATTEN_SRC.set(None)
         try:
             return compile_seq(df, prog.seq, ctx)
         finally:
+            _FLATTEN_SRC.reset(ftok)
             _CONSTS.reset(ctok)
             _DECLS.reset(token)
 
@@ -1459,8 +1557,10 @@ def compile_rule_seq(
     ), decls or {})
     token = _DECLS.set(decls or {})
     ctok = _CONSTS.set({c.name: c.expr for c in prog.consts})
+    ftok = _FLATTEN_SRC.set(None)
     try:
         return compile_seq(df, prog.seq, ctx)
     finally:
+        _FLATTEN_SRC.reset(ftok)
         _CONSTS.reset(ctok)
         _DECLS.reset(token)
