@@ -126,12 +126,15 @@ def test_read_zson_type_field(spark):
 
 
 def test_zson_line_golden_shape(spark):
+    """Load staging-1.zson and print it back: with order-preserving
+    inference (r11) the round trip reproduces the reference's own
+    compact text verbatim, field order included."""
     df = zson.read_zson(spark, str(DEMO / "staging-1.zson"), type_field="_type")
     lines = {r[0] for r in df.select(zson.zson_line(df)).collect()}
     assert "{seqno:2}(=cursor)" in lines
     assert (
-        "{kafka:{offset:1,topic:\"order\"},row:{customerID:1,menuID:200,qty:2,"
-        "total:3.98},seqno:3}" in lines
+        '{seqno:3,kafka:{topic:"order",offset:1},'
+        "row:{customerID:1,menuID:200,qty:2,total:3.98}}" in lines
     )
 
 

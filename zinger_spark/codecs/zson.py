@@ -379,9 +379,12 @@ def to_json_rows(text: str, type_field: str | None = None) -> list[str]:
 
 
 def _infer_type(v):
-    """Spark type of one parsed ZSON value, mirroring spark.read.json
-    inference: ints are long, floats double, struct fields SORTED by
-    name, and anything non-JSON-typed (str, None, bytes) is string."""
+    """Spark type of one parsed ZSON value: ints are long, floats
+    double, anything non-JSON-typed (str, None, bytes) is string —
+    spark.read.json's widening rules, EXCEPT that struct fields keep
+    the ZSON record's field ORDER (Zed records are ordered and the
+    engine's collect()/sample()/fuse semantics are order-sensitive;
+    the reference's `zed load` preserves it, so this reader must)."""
     from pyspark.sql import types as T
 
     if isinstance(v, bool):
@@ -392,7 +395,7 @@ def _infer_type(v):
         return T.DoubleType()
     if isinstance(v, dict):
         return T.StructType(
-            [T.StructField(k, _infer_type(x), True) for k, x in sorted(v.items())]
+            [T.StructField(k, _infer_type(x), True) for k, x in v.items()]
         )
     if isinstance(v, (list, tuple)):
         el = None
@@ -404,10 +407,10 @@ def _infer_type(v):
 
 
 def _merge_inferred(a, b):
-    """Fuse two inferred types the way spark.read.json does: numeric
-    widening long->double, struct field union (sorted), array element
-    merge, and STRING for any other conflict (bool vs long, struct vs
-    atom, ...)."""
+    """Fuse two inferred types: numeric widening long->double, struct
+    field union (first-seen order — a's fields, then b's new ones, the
+    same first-wins order fuse() uses), array element merge, and STRING
+    for any other conflict (bool vs long, struct vs atom, ...)."""
     from pyspark.sql import types as T
 
     if a == b:
@@ -418,6 +421,7 @@ def _merge_inferred(a, b):
     if isinstance(a, T.StructType) and isinstance(b, T.StructType):
         am = {f.name: f.dataType for f in a.fields}
         bm = {f.name: f.dataType for f in b.fields}
+        names = list(am) + [n for n in bm if n not in am]
         return T.StructType(
             [
                 T.StructField(
@@ -427,7 +431,7 @@ def _merge_inferred(a, b):
                     else (am.get(n) or bm[n]),
                     True,
                 )
-                for n in sorted(set(am) | set(bm))
+                for n in names
             ]
         )
     if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
