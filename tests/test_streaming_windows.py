@@ -121,6 +121,29 @@ def test_salted_agg_matches_plain(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_salted_agg_count_null_semantics(spark):
+    """SQL count semantics under salting: ('count', col) skips nulls in
+    col, ('count', None) / ('count', '*') counts rows — both must match
+    the plain groupBy exactly (r9 advice, formalized)."""
+    rows = [(i % 3, float(i) if i % 4 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    salted = salted_agg(
+        df,
+        ["k"],
+        {"nv": ("count", "v"), "nrows": ("count", None), "nstar": ("count", "*")},
+        salt=8,
+    )
+    plain = df.groupBy("k").agg(
+        F.count("v").alias("nv"),
+        F.count(F.lit(1)).alias("nrows"),
+        F.count(F.lit(1)).alias("nstar"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # the two spellings really differ on nullable input
+    got = {r["k"]: (r["nv"], r["nrows"]) for r in salted.collect()}
+    assert all(nv < nrows for nv, nrows in got.values())
+
+
 def test_salted_join_matches_plain(spark):
     """salted_join == plain join on a skewed key distribution (90% of
     big rows share one key), for inner and left, incl. unmatched left

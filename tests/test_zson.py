@@ -125,6 +125,30 @@ def test_read_zson_type_field(spark):
     assert got == {"data", "cursor"}
 
 
+def test_read_zson_many_files_bounded_driver_fold(spark, tmp_path):
+    """Schema inference over MANY files: the per-file schemas fold
+    distributedly (range-partitioned by path, <= 32 partials reach the
+    driver), and the result is byte-identical to a sequential
+    path-ordered merge — first-seen field order across ascending file
+    paths, heterogeneous fields fused with nulls."""
+    n = 120
+    for i in range(n):
+        # zero-padded names: path order == numeric order
+        extra = f", x{i % 7}: {i}" if i % 3 == 0 else ""
+        (tmp_path / f"f{i:04d}.zson").write_text(
+            f"{{id: {i}, name: \"d{i}\"{extra}}}\n"
+        )
+    df = zson.read_zson(spark, str(tmp_path / "*.zson"))
+    assert df.count() == n
+    # field order: id/name from file 0, then x0..x6 in first-seen
+    # (path-ascending) order — x0 (f0000), x3 (f0003), x6, x2, x5, x1, x4
+    assert df.columns == ["id", "name", "x0", "x3", "x6", "x2", "x5", "x1", "x4"]
+    got = {r["id"]: r for r in df.collect()}
+    assert got[0]["x0"] == 0 and got[0]["x3"] is None
+    assert got[99]["x1"] == 99  # 99 % 3 == 0, 99 % 7 == 1
+    assert got[1]["name"] == "d1" and got[1]["x0"] is None
+
+
 def test_zson_line_golden_shape(spark):
     """Load staging-1.zson and print it back: with order-preserving
     inference (r11) the round trip reproduces the reference's own
