@@ -117,6 +117,39 @@ def test_env_file_override(spark, tmp_path, monkeypatch):
     assert got == ["b.foo.zz", "co.uk"]
 
 
+def test_large_list_sql_function_path(spark, tmp_path, monkeypatch):
+    """Above _SQL_FN_THRESHOLD rules the matcher compiles through a
+    once-per-session SQL scalar function (the full-published-list
+    path): identical results to the column form on the grammar cases,
+    no Python in the plan, and the registration is cached."""
+    from zinger_spark.functions import psl as pslmod
+
+    # the bundled rules (grammar coverage) + enough synthetic ones to
+    # cross the threshold
+    synth = "\n".join(f"co{i:04d}.zz" for i in range(400))
+    custom = tmp_path / "big_psl.dat"
+    custom.write_text(pslmod.BUNDLED_PSL + "\n// synth\nzz\n" + synth + "\n")
+    monkeypatch.setenv("ZINGER_PSL_FILE", str(custom))
+    pslmod._load_file.cache_clear()
+    psl = pslmod.get_psl()
+    assert pslmod._psl_size(psl) > pslmod._SQL_FN_THRESHOLD
+
+    hosts = [h for h, _ in CASES] + ["a.b.co0042.zz", "WWW.Example.CO.UK"]
+    want = [w for _, w in CASES] + ["b.co0042.zz", "example.co.uk"]
+    assert _cut(spark, hosts) == want
+
+    # plan stays JVM-only (the SQL function inlines, no Python UDF)
+    df = spark.createDataFrame([("x.co0001.zz",)], "host string")
+    out = df.select(registered_domain(F.col("host")).alias("d"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # second build reuses the registered function (cache hit)
+    before = len(pslmod._SQL_FN_REGISTERED)
+    df.select(registered_domain(F.col("host")).alias("d")).collect()
+    assert len(pslmod._SQL_FN_REGISTERED) == before
+
+
 def test_take_expr_is_pure_jvm(spark):
     """The PSL cut must stay inside whole-stage codegen: no UDF, no
     exchange in the plan."""

@@ -543,6 +543,95 @@ def _bundled() -> PSL:
     return parse_psl(BUNDLED_PSL)
 
 
+# ---------------------------------------------------------------------------
+# Full-published-list scale path.  The column-algebra chain below builds
+# its literal sets through per-element py4j calls — fine for the bundled
+# subset (~250 rules), but the full public_suffix_list.dat is ~15k rules
+# and the per-element conversion costs seconds of DRIVER time per query.
+# Above _SQL_FN_THRESHOLD rules the matcher is instead registered ONCE
+# per session as a SQL scalar function (CREATE TEMPORARY FUNCTION ...
+# RETURN CASE ...): one py4j round trip carrying the whole rule text,
+# Catalyst inlines the body at each call site (still no Python UDF, no
+# shuffle), and the big IN lists become hash-set InSet lookups exactly
+# like the isin form.  Measured at sf0.1 (tools/psl_scale_probe.py):
+# 13.8k synthetic rules run within ~1.5x of the bundled subset vs ~13x
+# through the per-element isin path.
+
+_SQL_FN_THRESHOLD = 256
+_SQL_FN_REGISTERED: set[tuple[int, str]] = set()
+
+
+def _psl_size(psl: PSL) -> int:
+    return sum(
+        len(s)
+        for group in (psl.normals, psl.wildcards, psl.exceptions)
+        for s in group.values()
+    )
+
+
+def _sql_in(vals: frozenset[str]) -> str:
+    return ",".join("'" + v.replace("'", "''") + "'" for v in sorted(vals))
+
+
+def _cut_sql_body(psl: PSL) -> str:
+    """The cut_expr when-chain as SQL text over a pre-lowercased
+    parameter ``h`` — the same branch order as the column form below
+    (exceptions, then lengths descending, then the default rule)."""
+
+    def tail(k: int) -> str:
+        return f"substring_index(h, '.', -{k})"
+
+    branches = []
+    for k in sorted(psl.exceptions, reverse=True):
+        branches.append(
+            f"WHEN {tail(k)} IN ({_sql_in(psl.exceptions[k])}) THEN {tail(k)}"
+        )
+    for length in (lg for lg in psl.suffix_lengths() if lg > 1):
+        conds = []
+        if length in psl.normals:
+            conds.append(f"{tail(length)} IN ({_sql_in(psl.normals[length])})")
+        if length - 1 in psl.wildcards:
+            conds.append(
+                f"{tail(length - 1)} IN ({_sql_in(psl.wildcards[length - 1])})"
+            )
+        branches.append(f"WHEN {' OR '.join(conds)} THEN {tail(length + 1)}")
+    if not branches:
+        return tail(2)
+    return "CASE " + " ".join(branches) + f" ELSE {tail(2)} END"
+
+
+def _psl_digest(psl: PSL) -> str:
+    import hashlib  # noqa: PLC0415
+
+    h = hashlib.md5()
+    for group in (psl.normals, psl.wildcards, psl.exceptions):
+        for k in sorted(group):
+            h.update(str(k).encode())
+            for rule in sorted(group[k]):
+                h.update(rule.encode())
+    return h.hexdigest()[:12]
+
+
+def _ensure_cut_fn(psl: PSL) -> str | None:
+    """Register (once per session per rule set) the SQL scalar function
+    and return its name; None when no session is active (the caller
+    falls back to the column form)."""
+    from pyspark.sql import SparkSession  # noqa: PLC0415
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    name = f"zinger_psl_cut_{_psl_digest(psl)}"
+    key = (id(spark), name)
+    if key not in _SQL_FN_REGISTERED:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(h STRING) "
+            f"RETURNS STRING RETURN {_cut_sql_body(psl)}"
+        )
+        _SQL_FN_REGISTERED.add(key)
+    return name
+
+
 def get_psl() -> PSL:
     """The active PSL: $ZINGER_PSL_FILE (the full published
     ``public_suffix_list.dat``) when set, else the bundled snapshot."""
@@ -574,9 +663,19 @@ def cut_expr(host: Column, psl: PSL | None = None) -> Column:
 
     Hostnames are case-insensitive (RFC 4343) and the rule sets are
     stored lowercased, so the host is lowercased once up front — the
-    returned registered domain is the canonical lowercase form."""
+    returned registered domain is the canonical lowercase form.
+
+    Full-published-list rule sets (> _SQL_FN_THRESHOLD rules, e.g. the
+    real public_suffix_list.dat via $ZINGER_PSL_FILE) compile through a
+    once-per-session SQL scalar function instead — same semantics,
+    Catalyst-inlined, without the per-literal py4j build cost (see the
+    scale-path note above)."""
     psl = psl or get_psl()
     host = F.lower(host)
+    if _psl_size(psl) > _SQL_FN_THRESHOLD:
+        fn = _ensure_cut_fn(psl)
+        if fn is not None:
+            return F.call_function(fn, host)
 
     def tail(k: int) -> Column:
         return F.substring_index(host, ".", -k)
