@@ -2773,6 +2773,38 @@ def _q_embedding_incremental_dups(spark, sf):
     )
 
 
+def _q_dsir_select(spark, sf):
+    """DSIR data selection (Xie et al. 2023): importance-weight every
+    document toward the lang='en' target slice over hashed
+    unigram+bigram buckets, take the top 50 by weight (the
+    deterministic resample).  Feature space is FIXED (4096 buckets) so
+    both models broadcast at any corpus size; per-gram log terms sum
+    in exact decimals; the only doc-keyed shuffle is the final
+    per-document groupBy — operators/dsir.py for the 100 TB shape."""
+    from zinger_spark.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf, "documents")
+    w = dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    return w.orderBy(F.col("w").desc(), "doc_id").limit(50)
+
+
+def _q_dsir_gumbel(spark, sf):
+    """DSIR proper samples WITHOUT replacement via the Gumbel-top-k
+    trick; the noise here derives from a seeded md5 hash of the doc id,
+    so the draw is reproducible run-to-run and engine-to-engine (the
+    oracle draws the identical noise)."""
+    from zinger_spark.operators import dsir
+
+    docs = _t(spark, sf, "documents")
+    w = dsir.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    key = dsir.gumbel_key(F.col("w"), F.col("doc_id"), seed=7)
+    return (
+        w.select("doc_id", "w", F.round(key, 6).alias("gkey"))
+        .orderBy(F.col("gkey").desc(), "doc_id")
+        .limit(30)
+    )
+
+
 def _q_lm_quality_unigram(spark, sf):
     """CCNet-style LM quality scoring (Wenzek et al. 2020): train a
     unigram LM on the trusted slice (lang='en' stands in for Wikipedia),
@@ -5550,6 +5582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zq_over_scope": _q_zq_over_scope,
         "zq_over_sort_collect": _q_zq_over_sort_collect,
         "zq_unflatten_filter": _q_zq_unflatten_filter,
+        "dsir_select": _q_dsir_select,
+        "dsir_gumbel_sample": _q_dsir_gumbel,
         "lm_quality_unigram": _q_lm_quality_unigram,
         "lm_quality_bigram": _q_lm_quality_bigram,
         "sessionize": _q_sessionize,
@@ -5660,6 +5694,8 @@ _R11_FRONT = [
     # added in round 11 (this session): must sit in the driver's first-50
     "zq_over_sort_collect",
     "zq_unflatten_filter",
+    "dsir_select",
+    "dsir_gumbel_sample",
 ]
 
 _R10_FRONT = _R11_FRONT + [
@@ -6506,6 +6542,49 @@ def _sql_pagerank(
     return "WITH " + ",".join(ctes) + "\n    " + final_select
 
 
+# DSIR weights (operators/dsir.py mirror): hashed unigram+bigram
+# buckets (md5-based, 4096), add-one-smoothed target (lang='en') and
+# raw bucket models, per-gram log-ratio summed in exact decimals.
+_SQL_DSIR_W = """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, lang,
+                     list_concat(
+                       toks,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(
+                                   generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])
+                            ELSE [] END
+                     ) AS gs
+              FROM tok
+            ), feat AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS b
+              FROM (SELECT doc_id, lang, unnest(gs) AS g FROM grams)
+            ), tmodel AS (
+              SELECT b, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY b
+            ), rmodel AS (
+              SELECT b, count(*) AS cr FROM feat GROUP BY b
+            ), ts AS (SELECT sum(ct) + 4096 AS nt FROM tmodel),
+               rs AS (SELECT sum(cr) + 4096 AS nr FROM rmodel),
+            wtab AS (
+              SELECT f.doc_id, count(*) AS n_grams,
+                     round(CAST(sum(CAST(
+                       ln((coalesce(t.ct, 0) + 1)::DOUBLE / ts.nt)
+                       - ln((coalesce(r.cr, 0) + 1)::DOUBLE / rs.nr)
+                     AS DECIMAL(28,12))) AS DOUBLE), 6) AS w
+              FROM feat f
+              LEFT JOIN tmodel t USING (b)
+              LEFT JOIN rmodel r USING (b), ts, rs
+              GROUP BY f.doc_id
+            )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     qvec = _sql_query_vec()
     cos = _sql_cosine("v", "q")
@@ -6984,6 +7063,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_type <> 'click' THEN event_type END AS et,
                    user_id AS uu, value AS uv
             FROM events
+        """,
+        "dsir_select": f"""
+            {_SQL_DSIR_W}
+            SELECT doc_id, n_grams, w FROM wtab
+            ORDER BY w DESC, doc_id LIMIT 50
+        """,
+        "dsir_gumbel_sample": f"""
+            {_SQL_DSIR_W}
+            SELECT doc_id, w,
+                   round(w + -ln(-ln(greatest(
+                       CAST(('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15))
+                            AS BIGINT)::DOUBLE / 1152921504606846976.0,
+                       1e-18))), 6) AS gkey
+            FROM wtab ORDER BY gkey DESC, doc_id LIMIT 30
         """,
         "lm_quality_unigram": """
             WITH tok AS (

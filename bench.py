@@ -499,6 +499,178 @@ def streaming_bench(spark) -> dict:
         _shutil.rmtree(base, ignore_errors=True)
 
 
+def soak_bench(spark, n_commits: int = 520, rows_per: int = 2000) -> dict:
+    """Steady-state streaming soak (r10 verdict ask #5): ``n_commits``
+    micro-commits (sf1-scale total volume) through the REAL commit path
+    — commit_batch's writer lock + txn sidecar into a txlog pool — with
+    an incremental ETL run every 10 commits, a size-tiered compaction +
+    vacuum at the halfway mark, and a final wire-socket egress of the
+    whole staging pool.  Records commit-latency DRIFT (p50/p95 of the
+    first vs last 100 commits) and COLD snapshot-replay time at
+    increasing commit depths: both must stay flat — replay is
+    O(checkpoint-interval) by the txlog design (sources/txlog.py), not
+    O(commit count), and this measures that claim at 50x the depth the
+    per-round streaming bench reaches.
+
+    Gated behind SPARK_GRAFT_SOAK=1 (several minutes of wall clock);
+    the recorded block lives in BENCH_LOCAL.json.
+    """
+    import shutil as _shutil
+    import statistics as _stats
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from zinger_spark.etl.config import Route, Rule, Transform
+    from zinger_spark.etl.planner import EtlPipeline
+    from zinger_spark.kafka_stub import StubBroker
+    from zinger_spark.kafka_wire import KafkaWireClient
+    from zinger_spark.sources.pool import Pool
+    from zinger_spark.streaming import from_kafka as fk
+    from zinger_spark.streaming import to_kafka as tk
+
+    base = _tempfile.mkdtemp(prefix="bench_soak_")
+    out: dict = {}
+    try:
+        raw = Pool.create(spark, f"{base}/Raw", table_format="txlog")
+        staging = Pool.create(spark, f"{base}/Staging", table_format="txlog")
+        pools = {"Raw": raw, "Staging": staging}
+        transform = Transform(
+            inputs=[Route("T", "Raw")],
+            output=Route("OUT", "Staging"),
+            etls=[
+                Rule(
+                    type="stateless",
+                    where="value.v >= 0",
+                    in_topic="T",
+                    out="OUT",
+                    zed="named_struct('key', `in`.key, 'value', `in`.value)",
+                )
+            ],
+        )
+        pipe = EtlPipeline(spark, transform, lambda n: pools[n])
+
+        def batch(i: int):
+            # one output file per micro-commit, like a real micro-batch
+            return (
+                spark.range(i * rows_per, (i + 1) * rows_per)
+                .coalesce(1)
+                .select(
+                    F.struct(
+                        F.lit("T").alias("topic"),
+                        F.lit(0).cast("long").alias("partition"),
+                        F.col("id").alias("offset"),
+                    ).alias("kafka"),
+                    F.struct((F.col("id") % 1000).alias("ID")).alias("key"),
+                    F.struct(
+                        (F.col("id") % 1000).alias("uid"),
+                        (F.col("id") * 2).alias("v"),
+                    ).alias("value"),
+                    F.lit("data").alias("_type"),
+                )
+            )
+
+        commit_sec: list[float] = []
+        etl_sec: list[float] = []
+        replay_sec: dict[str, float] = {}
+        compaction: dict = {}
+
+        def probe_replay(label: str) -> None:
+            # COLD replay: a fresh Pool instance sees only the on-disk
+            # log (no cached snapshot) — time to a ready scan plan
+            t0 = time.time()
+            fresh = Pool(spark, f"{base}/Raw")
+            fresh.df()
+            replay_sec[label] = round(time.time() - t0, 3)
+
+        for i in range(n_commits):
+            t0 = time.time()
+            fk.commit_batch(raw, batch(i), batch_id=i, app_id="soak")
+            commit_sec.append(time.time() - t0)
+            if (i + 1) % 10 == 0:
+                t0 = time.time()
+                pipe.run()
+                etl_sec.append(time.time() - t0)
+            if i + 1 == 50 or i + 1 == n_commits // 2 or i + 1 == n_commits:
+                probe_replay(f"depth_{i + 1}")
+            if i + 1 == n_commits // 2:
+                # mid-run maintenance, like a nightly job against a
+                # live stream: size-tiered compaction + vacuum
+                t0 = time.time()
+                merged = raw.compact(small_bytes=512 * 1024 * 1024)
+                t1 = time.time()
+                removed = raw.vacuum(
+                    grace_seconds=0.0, unpublished_grace_seconds=0.0
+                )
+                compaction = {
+                    "at_commit": i + 1,
+                    "merged": int(merged),  # files for txlog pools
+                    "compact_sec": round(t1 - t0, 3),
+                    "vacuum_dirs_removed": int(removed),
+                    "vacuum_sec": round(time.time() - t1, 3),
+                }
+                probe_replay("post_compaction")
+
+        total_rows = n_commits * rows_per
+        assert raw.df().count() == total_rows
+        assert staging.df().filter(F.col("_type") == "data").count() == total_rows
+
+        # final egress: the whole staging pool out over the wire socket
+        with StubBroker() as broker:
+            with KafkaWireClient(broker.bootstrap) as c:
+                c.create_topic("OUT")
+                t0 = time.time()
+                q = tk.continuous_sink(
+                    spark,
+                    staging,
+                    staging.df().schema,
+                    f"{base}/ck_egress",
+                    lambda df: df.select(
+                        F.to_json(F.col("key")).alias("key"),
+                        F.to_json(F.col("value")).alias("value"),
+                    ),
+                    brokers=broker.bootstrap,
+                    topic="OUT",
+                    available_now=True,
+                    transport="wire",
+                    query_name="soak_egress",
+                )
+                q.awaitTermination()
+                t_egress = time.time() - t0
+                produced = c.list_offset("OUT", 0, -1)
+        assert produced == total_rows
+
+        def pct(xs: list[float], p: float) -> float:
+            s = sorted(xs)
+            return round(s[min(len(s) - 1, int(p * len(s)))], 3)
+
+        first, last = commit_sec[:100], commit_sec[-100:]
+        out.update(
+            {
+                "commits": n_commits,
+                "rows_per_commit": rows_per,
+                "total_rows": total_rows,
+                "commit_p50_first100": pct(first, 0.5),
+                "commit_p50_last100": pct(last, 0.5),
+                "commit_p95_first100": pct(first, 0.95),
+                "commit_p95_last100": pct(last, 0.95),
+                "commit_drift_ratio": round(
+                    pct(last, 0.5) / max(pct(first, 0.5), 1e-9), 3
+                ),
+                "etl_runs": len(etl_sec),
+                "etl_p50_sec": round(_stats.median(etl_sec), 3),
+                "etl_first_sec": round(etl_sec[0], 3),
+                "etl_last_sec": round(etl_sec[-1], 3),
+                "snapshot_replay_sec": replay_sec,
+                "compaction": compaction,
+                "egress_rows_per_sec": round(produced / t_egress),
+            }
+        )
+        return out
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -579,6 +751,14 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         streaming = {"err": f"{type(exc).__name__}: {exc}"[:500]}
         print(f"# streaming: ERROR {streaming['err']}", file=sys.stderr)
+    soak: dict | None = None
+    if os.environ.get("SPARK_GRAFT_SOAK"):
+        try:
+            soak = soak_bench(spark)
+            print(f"# soak: {soak}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            soak = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+            print(f"# soak: ERROR {soak['err']}", file=sys.stderr)
     sf = sf_name
     payload = json.dumps(
         {
@@ -599,6 +779,7 @@ def main() -> None:
             "errors": errors,
             "etl_incremental": etl_inc,
             "streaming": streaming,
+            **({"soak": soak} if soak is not None else {}),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

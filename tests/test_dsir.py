@@ -1,0 +1,83 @@
+"""DSIR importance resampling (operators/dsir.py — Xie et al. 2023):
+hashed n-gram featurization, smoothed bucket models, exact-decimal
+log-importance weights, and the deterministic Gumbel-top-k sample."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zinger_spark.operators import dsir
+
+
+def test_hashed_grams_unigrams_plus_bigrams(spark):
+    df = spark.createDataFrame([("a b c",), ("solo",), ("",)], "text string")
+    got = [
+        list(r["g"])
+        for r in df.select(dsir.hashed_grams(F.col("text")).alias("g")).collect()
+    ]
+    assert got[0] == ["a", "b", "c", "a b", "b c"]
+    assert got[1] == ["solo"]
+    assert got[2] == []
+
+
+def test_weights_prefer_target_like_docs(spark):
+    target = spark.createDataFrame(
+        [(100 + i, "quantum physics lecture notes") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "quantum physics problem set"),
+            (2, "cheap flights hotel deals booking"),
+            (3, "physics lecture on quantum fields"),
+            (4, "celebrity gossip news today"),
+        ],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r["w"] for r in dsir.dsir_weights(raw, target).collect()}
+    # target-like docs outscore off-domain ones
+    assert min(w[1], w[3]) > max(w[2], w[4])
+
+
+def test_weights_exact_and_partitioning_independent(spark):
+    rows = [(i, f"tok{i % 5} tok{(i * 3) % 7} common word") for i in range(40)]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = raw.filter(F.col("doc_id") % 4 == 0)
+    a = {r["doc_id"]: r["w"] for r in dsir.dsir_weights(raw, target).collect()}
+    b = {
+        r["doc_id"]: r["w"]
+        for r in dsir.dsir_weights(raw.repartition(13), target).collect()
+    }
+    assert a == b  # decimal sums: no float-order dependence
+    assert len(a) == 40
+
+
+def test_gumbel_key_deterministic_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(50)], "doc_id long, w double"
+    )
+    key = dsir.gumbel_key(F.col("w"), F.col("doc_id"), seed=7)
+    k1 = [r["k"] for r in df.select(key.alias("k")).orderBy("doc_id").collect()]
+    k2 = [r["k"] for r in df.select(key.alias("k")).orderBy("doc_id").collect()]
+    assert k1 == k2  # seeded hash noise: reproducible
+    assert len(set(k1)) == len(k1)  # ties broken by noise
+    # a different seed reshuffles the sample
+    k3 = [
+        r["k"]
+        for r in df.select(
+            dsir.gumbel_key(F.col("w"), F.col("doc_id"), seed=8).alias("k")
+        ).orderBy("doc_id").collect()
+    ]
+    assert k1 != k3
+
+
+def test_weight_plan_is_broadcast_no_doc_shuffle_beyond_group(spark):
+    raw = spark.createDataFrame(
+        [(i, "a b c d") for i in range(20)], "doc_id long, text string"
+    )
+    out = dsir.dsir_weights(raw, raw.limit(5))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # both models broadcast
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -574,6 +574,15 @@ def main() -> int:
           "BatchEvalPython" not in p and "CartesianProduct" not in p,
           "map_from_entries rebuild stays in whole-stage codegen")
 
+    # round 11: DSIR — both bucket models must BROADCAST (fixed |B|
+    # feature space), never sort-merge against the corpus, and the
+    # top-k select is TakeOrdered, not a global sort
+    p = plan_of(qs["dsir_select"](spark, sf))
+    check("dsir_select",
+          "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+          and "TakeOrderedAndProject" in p and "BatchEvalPython" not in p,
+          "bucket models broadcast; weight top-k is TakeOrdered")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0
