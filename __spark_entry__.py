@@ -3050,6 +3050,17 @@ _q_zq_over_sort_collect = _zq(
     "| sort d | head 50"
 )
 
+# per-parent top-k inside the lateral scope (r11: sort | head N over
+# the pid-ranked elements — the lateral form of `top`); collect
+# preserves the ranked order via the ordered array collect
+_q_zq_over_topk = _zq(
+    "from documents "
+    '| over split(text, " ") with d = doc_id '
+    '=> ( where value != "" | sort -r value | head 3 '
+    "| top3 := collect(value) by d ) "
+    "| sort d | head 100"
+)
+
 # unflatten with a static key set (r11: the other declared zedql gate):
 # the idiomatic dynamic-leaf rewrite — flatten a record, filter leaves
 # in the lateral scope, unflatten the survivors.  The key set comes
@@ -5581,6 +5592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zq_sample": _q_zq_sample,
         "zq_over_scope": _q_zq_over_scope,
         "zq_over_sort_collect": _q_zq_over_sort_collect,
+        "zq_over_topk": _q_zq_over_topk,
         "zq_unflatten_filter": _q_zq_unflatten_filter,
         "dsir_select": _q_dsir_select,
         "dsir_gumbel_sample": _q_dsir_gumbel,
@@ -5693,6 +5705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R11_FRONT = [
     # added in round 11 (this session): must sit in the driver's first-50
     "zq_over_sort_collect",
+    "zq_over_topk",
     "zq_unflatten_filter",
     "dsir_select",
     "dsir_gumbel_sample",
@@ -7057,6 +7070,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(str_split(text, ' ')) AS w
                 FROM documents
             ) WHERE w <> '' GROUP BY doc_id ORDER BY d LIMIT 50
+        """,
+        "zq_over_topk": """
+            SELECT doc_id AS d,
+                   list_sort(
+                       list_filter(string_split(text, ' '), t -> t <> ''),
+                       'DESC')[1:3] AS top3
+            FROM documents ORDER BY d LIMIT 100
         """,
         "zq_unflatten_filter": """
             SELECT event_id AS k, event_id AS uid,

@@ -1360,12 +1360,61 @@ def test_over_scope_inner_sort_ascending_expression_key(spark):
     assert list(out.collect()[0]["toks"]) == ["a", "bb", "ccc"]
 
 
-def test_over_scope_sort_then_where_unsupported_op_still_errors(spark):
+def test_over_scope_unsupported_op_still_errors(spark):
     df = spark.createDataFrame([(7, "x")], "id long, text string")
     with pytest.raises(ZedCompileError, match="over-scope"):
         zed_transform(
-            'over split(text, " ") with d = id => ( head 1 )'
+            'over split(text, " ") with d = id => ( sample )'
         )(df)
+
+
+def test_over_scope_head_and_tail_in_array_order(spark):
+    """head/tail inside a lateral scope cut on the element's ARRAY
+    position (posexplode order — Zed's nested sequence is ordered), and
+    head counts SURVIVORS after an in-scope where."""
+    df = spark.createDataFrame(
+        [(1, "a  b c d"), (2, "x y")], "id long, text string"
+    )
+    out = zed_transform(
+        'over split(text, " ") with d = id '
+        '=> ( where value != "" | head 2 | toks := collect(value) by d )'
+    )(df)
+    got = {r["d"]: list(r["toks"]) for r in out.collect()}
+    # parent 1 has an empty token between a and b: head 2 takes the
+    # first two NON-EMPTY tokens, in array order
+    assert got == {1: ["a", "b"], 2: ["x", "y"]}
+
+    out = zed_transform(
+        'over split(text, " ") with d = id '
+        '=> ( where value != "" | tail 2 | toks := collect(value) by d )'
+    )(df)
+    got = {r["d"]: list(r["toks"]) for r in out.collect()}
+    assert got == {1: ["c", "d"], 2: ["x", "y"]}
+
+
+def test_over_scope_sort_then_head_topk_per_parent(spark):
+    """sort | head N inside the scope = per-parent top-N, the lateral
+    form of the top operator."""
+    df = spark.createDataFrame(
+        [(1, [("b", 5), ("a", 9), ("c", 1)]), (2, [("x", 2), ("y", 8)])],
+        "id long, items array<struct<item:string,price:long>>",
+    )
+    out = zed_transform(
+        "over items with d = id "
+        "=> ( sort -r price | head 2 | names := collect(item) by d )"
+    )(df)
+    got = {r["d"]: list(r["names"]) for r in out.collect()}
+    assert got == {1: ["a", "b"], 2: ["y", "x"]}
+
+
+def test_over_scope_collect_preserves_array_order(spark):
+    """collect() with no in-scope sort preserves the ARRAY order, not
+    the natural value order (Zed's collect is order-preserving)."""
+    df = spark.createDataFrame([(1, "c a b")], "id long, text string")
+    out = zed_transform(
+        'over split(text, " ") with d = id => ( toks := collect(value) by d )'
+    )(df)
+    assert list(out.collect()[0]["toks"]) == ["c", "a", "b"]
 
 
 def test_over_with_without_scope_is_error():

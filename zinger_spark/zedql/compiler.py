@@ -1141,43 +1141,75 @@ def _over(df: DataFrame, op: ast.OpOver, ctx: Ctx) -> DataFrame:
     # columns, so both binding names and original paths resolve); keep
     # pid and binding columns through the explode
     keep = [F.col(f"`{pid}`")] + [F.col(f"`{n}`") for n, _ in bindings]
+    ord_name = "__over_ord"
     legs = []
-    for e in op.exprs:
+    for li, e in enumerate(op.exprs):
         col = compile_expr(e, parent)
         t = _col_type(parent, col)
         if not isinstance(t, T.ArrayType):
             raise ZedCompileError("over needs array-valued expressions")
-        elem = parent.select(*keep, F.explode(col).alias("__elem"))
+        # posexplode: the element's ARRAY POSITION is the scope's
+        # initial element order (Zed's nested sequence is ordered; a
+        # later `sort` re-ranks, `head` cuts on it, and collect()
+        # preserves it).  Multiple over-expressions concatenate, so a
+        # leg offset keeps leg 2 after leg 1 (1-based overall).
+        elem = parent.select(
+            *keep, F.posexplode(col).alias("__over_pos", "__elem")
+        )
+        ordc = (F.col("__over_pos") + 1 + li * (1 << 40)).alias(ord_name)
         if isinstance(t.elementType, T.StructType):
-            legs.append(elem.select(pid, *[n for n, _ in bindings], "__elem.*"))
+            legs.append(
+                elem.select(pid, ordc, *[n for n, _ in bindings], "__elem.*")
+            )
         else:
             name = e.parts[-1] if isinstance(e, ast.Path) and e.parts else "value"
-            legs.append(elem.select(pid, *[n for n, _ in bindings], F.col("__elem").alias(name)))
+            legs.append(
+                elem.select(
+                    pid, ordc, *[n for n, _ in bindings],
+                    F.col("__elem").alias(name),
+                )
+            )
     cur = datamodel.fuse(*legs) if len(legs) > 1 else legs[0]
 
     hidden = {n for n, _ in bindings}
-    ord_name = "__over_ord"
-    ord_col: Column | None = None
+    hidden.add(ord_name)
+    ord_col: Column | None = F.col(ord_name)
+
+    def _rerank(df: DataFrame, order_by: list[Column]) -> DataFrame:
+        # per-parent rank: a pid-partitioned window — bounded by the
+        # array length, shuffled on the same pid key the lateral
+        # aggregate needs anyway
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        w = Window.partitionBy(pid).orderBy(*order_by)
+        return df.withColumn(ord_name, F.row_number().over(w).cast("long"))
+
     ops = op.seq.ops
     for i, sub in enumerate(ops):
         last = i == len(ops) - 1
         if isinstance(sub, ast.OpWhere):
             cur = cur.filter(compile_expr(sub.expr, cur))
         elif isinstance(sub, ast.OpSort):
-            # inner sort: pin each element's rank WITHIN its parent
-            # scope (a pid-partitioned window — bounded by the array
-            # length, shuffled on the same pid key the lateral
-            # aggregate needs anyway).  The rank feeds order-sensitive
-            # aggregates (collect) downstream; row order of the flat
-            # output still needs an outer sort, as ever.
-            from pyspark.sql import Window  # noqa: PLC0415
-
-            w = Window.partitionBy(pid).orderBy(
-                *[_sort_col(k, cur) for k in sub.keys]
-            )
-            cur = cur.withColumn(ord_name, F.row_number().over(w))
-            ord_col = F.col(ord_name)
-            hidden.add(ord_name)
+            # inner sort: re-rank WITHIN the parent scope; the rank
+            # feeds head/collect downstream.  Row order of the flat
+            # output still needs an explicit outer sort, as ever.
+            cur = _rerank(cur, [_sort_col(k, cur) for k in sub.keys])
+        elif isinstance(sub, (ast.OpHead, ast.OpTail)):
+            if ord_col is None:
+                raise ZedCompileError(
+                    f"{'head' if isinstance(sub, ast.OpHead) else 'tail'} "
+                    "after an in-scope aggregation is not supported"
+                )
+            # first/last N SURVIVORS per parent in the current element
+            # order: re-rank over the live rows, then cut
+            desc = isinstance(sub, ast.OpTail)
+            cur = _rerank(
+                cur,
+                [F.col(ord_name).desc() if desc else F.col(ord_name).asc()],
+            ).filter(F.col(ord_name) <= sub.n)
+            if desc:
+                # restore ascending element order for later stages
+                cur = _rerank(cur, [F.col(ord_name).desc()])
         elif isinstance(sub, ast.OpPut):
             cur = _put(cur, sub.assignments)
             hidden -= {a[0][0] for a in sub.assignments}
@@ -1198,9 +1230,10 @@ def _over(df: DataFrame, op: ast.OpOver, ctx: Ctx) -> DataFrame:
             return outs[0] if len(outs) == 1 else datamodel.fuse(*outs)
         else:
             raise ZedCompileError(
-                "over-scope supports where / sort / put / aggregation, "
-                "with cut or yield as the final operator (row order of "
-                "the flat output needs an explicit outer sort)"
+                "over-scope supports where / sort / head / tail / put / "
+                "aggregation, with cut or yield as the final operator "
+                "(row order of the flat output needs an explicit outer "
+                "sort)"
             )
     return cur.drop(pid, *hidden)
 
