@@ -178,6 +178,14 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "ann_ivfpq_rerank",
     "ivfpq_recall",
+    # r11: lateral-scope ordered aggregates (pid-partitioned rank +
+    # ordered array collect), per-parent top-k, the static-key
+    # unflatten rebuild, and DSIR importance weights (broadcast bucket
+    # models + exact decimal log-sums, TakeOrdered select)
+    "zq_over_sort_collect",
+    "zq_over_topk",
+    "zq_unflatten_filter",
+    "dsir_select",
 ]
 
 # Deliberately-exhaustive parity pins: correct by construction but
