@@ -1407,6 +1407,17 @@ def test_over_scope_sort_then_head_topk_per_parent(spark):
     assert got == {1: ["a", "b"], 2: ["y", "x"]}
 
 
+def test_over_scope_yield_this_hides_plumbing(spark):
+    """`yield this` as the scope's terminal op emits the element record
+    only — no __over_pid/__over_ord, no unsurfaced bindings."""
+    df = spark.createDataFrame([(7, "x y")], "id long, text string")
+    out = zed_transform(
+        'over split(text, " ") with d = id => ( head 1 | yield this )'
+    )(df)
+    assert out.columns == ["value"]
+    assert [r["value"] for r in out.collect()] == ["x"]
+
+
 def test_over_scope_collect_preserves_array_order(spark):
     """collect() with no in-scope sort preserves the ARRAY order, not
     the natural value order (Zed's collect is order-preserving)."""

@@ -1226,7 +1226,16 @@ def _over(df: DataFrame, op: ast.OpOver, ctx: Ctx) -> DataFrame:
             # and unused bindings fall away with it
             if isinstance(sub, ast.OpCut):
                 return _cut(cur, sub)
-            outs = [_yield_one(cur, e, ctx) for e in sub.exprs]
+            outs = []
+            for e in sub.exprs:
+                if isinstance(e, ast.Path) and not e.parts:
+                    # `yield this`: the element record — plumbing
+                    # columns and unsurfaced bindings must not leak
+                    outs.append(
+                        _yield_one(cur.drop(pid, ord_name, *hidden), e, ctx)
+                    )
+                else:
+                    outs.append(_yield_one(cur, e, ctx))
             return outs[0] if len(outs) == 1 else datamodel.fuse(*outs)
         else:
             raise ZedCompileError(
