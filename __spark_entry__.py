@@ -1258,6 +1258,31 @@ def _q_dedup_clusters(spark, sf):
     ).withColumnRenamed("id", "doc_id")
 
 
+def _q_leakage_safe_split(spark, sf):
+    """Leakage-guarded train/valid split: near-dup CLUSTERS (the fuzzy
+    prefix-pair graph through connected components — the dedup_clusters
+    plan) get ONE split each, assigned by hashing the cluster
+    representative rather than the document — so near-duplicates can
+    never straddle the boundary (the eval-contamination guard a
+    benchmark-safe corpus split needs; splitting on doc hashes leaks a
+    paraphrase of every valid doc into train).  80/20 by md5 bucket:
+    deterministic, no RNG, reproducible across engines and runs.  Cost
+    on top of clustering = one per-row hash expression; the split is
+    assignable at 100 TB with zero additional shuffles."""
+    clusters = _q_dedup_clusters(spark, sf)  # doc_id, cluster_id
+    bucket = F.pmod(
+        ztext.md5_hash60(
+            F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
+        ),
+        F.lit(10),
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 8, F.lit("train")).otherwise(F.lit("valid")).alias("split"),
+    )
+
+
 def _q_stratified_sample(spark, sf):
     """Deterministic proportional stratified sampling: downsample every
     source to ~15 docs by hashing the doc id — the source-rebalancing
@@ -5629,6 +5654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_prefix_pairs": _q_fuzzy_prefix_pairs,
         "stratified_sample": _q_stratified_sample,
         "dedup_clusters": _q_dedup_clusters,
+        "leakage_safe_split": _q_leakage_safe_split,
         "knn_join": _q_knn_join,
         "embedding_dup_pairs_multiprobe": _q_embedding_dups_multiprobe,
         "doc_chunks": _q_doc_chunks,
@@ -5709,6 +5735,7 @@ _R11_FRONT = [
     "zq_unflatten_filter",
     "dsir_select",
     "dsir_gumbel_sample",
+    "leakage_safe_split",
 ]
 
 _R10_FRONT = _R11_FRONT + [
@@ -7538,6 +7565,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.v
             )
             SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
+        """,
+        "leakage_safe_split": r"""
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id, source,
+                     substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 16) AS pfx
+              FROM documents
+            ),
+            pairs AS (
+              SELECT l.doc_id AS a, r.doc_id AS b
+              FROM d l JOIN d r ON l.source = r.source AND l.doc_id < r.doc_id
+              WHERE levenshtein(l.pfx, r.pfx) <= 4
+            ),
+            edges AS (SELECT a AS s, b AS t FROM pairs UNION SELECT b, a FROM pairs),
+            reach AS (
+              SELECT doc_id AS v, doc_id AS l FROM documents
+              UNION
+              SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.v
+            ),
+            lab AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v)
+            SELECT doc_id, cluster_id,
+                   CASE WHEN CAST(('0x' || substr(md5('split:' || cluster_id::VARCHAR), 1, 15)) AS BIGINT) % 10 < 8
+                        THEN 'train' ELSE 'valid' END AS split
+            FROM lab
         """,
         "deterministic_shuffle": f"""
             WITH h AS (

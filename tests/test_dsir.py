@@ -72,6 +72,49 @@ def test_gumbel_key_deterministic_and_distinct(spark):
     assert k1 != k3
 
 
+def test_cli_select_dsir(spark, tmp_path, capsys, monkeypatch):
+    """select-dsir as a pipeline verb: weight toward --target-where,
+    write the top-k subset; --gumbel-seed draws a reproducible sample."""
+    from zinger_spark import cli as climod
+
+    monkeypatch.setattr(climod, "_spark", lambda a: spark)
+    rows = [(i, "quantum physics notes" if i % 3 == 0 else "celebrity gossip now")
+            for i in range(30)]
+    src = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(str(src))
+
+    out = tmp_path / "sel.parquet"
+    rc = climod.main([
+        "select-dsir", str(src), "--target-where", "doc_id % 3 = 0",
+        "--top-k", "10", "--out", str(out),
+    ])
+    assert rc == 0
+    picked = spark.read.parquet(str(out))
+    assert picked.count() == 10
+    # top-k by weight lands entirely on the target-like docs
+    assert all(r["doc_id"] % 3 == 0 for r in picked.collect())
+    assert "selected 10 of 30" in capsys.readouterr().out
+
+    # gumbel sampling: deterministic for a seed, different across seeds
+    outs = []
+    for seed in (7, 7, 8):
+        o = tmp_path / f"sel_{seed}_{len(outs)}.parquet"
+        rc = climod.main([
+            "select-dsir", str(src), "--target-where", "doc_id % 3 = 0",
+            "--top-k", "5", "--gumbel-seed", str(seed), "--out", str(o),
+        ])
+        assert rc == 0
+        outs.append(sorted(r["doc_id"] for r in spark.read.parquet(str(o)).collect()))
+    assert outs[0] == outs[1]
+
+    # empty target slice is a clear error
+    rc = climod.main([
+        "select-dsir", str(src), "--target-where", "doc_id < 0",
+        "--out", str(tmp_path / "nope.parquet"),
+    ])
+    assert rc == 1
+
+
 def test_weight_plan_is_broadcast_no_doc_shuffle_beyond_group(spark):
     raw = spark.createDataFrame(
         [(i, "a b c d") for i in range(20)], "doc_id long, text string"

@@ -978,3 +978,49 @@ def test_bm25_scores_known_values(spark):
     assert abs(rows[2]["bm25"] - round(score(3, 4), 6)) < 1e-6
     # higher tf with comparable length outranks
     assert rows[2]["bm25"] > rows[1]["bm25"] > rows[3]["bm25"]
+
+
+def test_leakage_safe_split_property(spark):
+    """The split entry's invariant, on synthetic clusters: every member
+    of a near-dup cluster gets the SAME split (no leakage across the
+    boundary), proportions land near 80/20, and a doc-hash split (the
+    naive form) would have straddled."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    from zinger_spark.functions.text import md5_hash60
+
+    out = m.queries()["leakage_safe_split"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) > 0
+    # leakage guard: one split per cluster
+    per_cluster = {}
+    for r in rows:
+        per_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_cluster.values())
+    # proportions: clusters hash ~80/20
+    splits = {c: next(iter(s)) for c, s in per_cluster.items()}
+    frac = sum(1 for v in splits.values() if v == "train") / len(splits)
+    assert 0.6 < frac < 0.95
+    # negative control: at least one multi-doc cluster exists whose
+    # members' DOC-hash buckets disagree — the naive split would leak
+    multi = [r for r in rows if sum(
+        1 for x in rows if x["cluster_id"] == r["cluster_id"]) > 1]
+    if multi:
+        df = spark.createDataFrame(
+            [(r["doc_id"], r["cluster_id"]) for r in multi],
+            "doc_id long, cluster_id long",
+        ).withColumn(
+            "doc_bucket",
+            F.pmod(md5_hash60(F.concat(F.lit("split:"),
+                                       F.col("doc_id").cast("string"))), F.lit(10)),
+        )
+        n_buckets = (
+            df.groupBy("cluster_id")
+            .agg(F.countDistinct("doc_bucket").alias("nb"))
+            .agg(F.max("nb")).first()[0]
+        )
+        assert n_buckets >= 2  # doc-hash splitting WOULD straddle

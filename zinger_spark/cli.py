@@ -281,6 +281,47 @@ def cmd_warc_load(args) -> int:
     return 0
 
 
+def cmd_select_dsir(args) -> int:
+    """DSIR data selection as a pipeline verb (operators/dsir.py — Xie
+    et al. 2023): weight every raw document toward the --target-where
+    slice over hashed n-gram bucket models, keep the top-k (or a
+    Gumbel-top-k sample with --gumbel-seed), write the selected rows
+    as parquet.  Both models broadcast at any corpus size; the only
+    doc-keyed shuffle is the per-doc weight groupBy."""
+    from pyspark.sql import functions as F
+
+    from .operators import dsir
+
+    spark = _spark(args)
+    raw = spark.read.parquet(args.parquet)
+    target = raw.filter(args.target_where)
+    if target.isEmpty():
+        print(f"--target-where {args.target_where!r} selects nothing",
+              file=sys.stderr)
+        return 1
+    w = dsir.dsir_weights(
+        raw, target, text_col=args.text_col, id_col=args.id_col,
+        n_buckets=args.buckets,
+    )
+    key = (
+        dsir.gumbel_key(F.col("w"), F.col(args.id_col), seed=args.gumbel_seed)
+        if args.gumbel_seed is not None
+        else F.col("w")
+    )
+    picked = (
+        w.select(args.id_col, "w", key.alias("__k"))
+        .orderBy(F.col("__k").desc(), args.id_col)
+        .limit(args.top_k)
+        .drop("__k")
+    )
+    out = raw.join(F.broadcast(picked), args.id_col)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    mode = f"gumbel seed {args.gumbel_seed}" if args.gumbel_seed is not None else "top-k by weight"
+    print(f"selected {n} of {raw.count()} docs ({mode}) -> {args.out}")
+    return 0
+
+
 def cmd_train_quality(args) -> int:
     """Train the fixed-point embedding probe (operators/classifier.py)
     and persist the integer-weight artifact; later jobs rebuild the
@@ -1272,6 +1313,25 @@ def main(argv: list[str] | None = None) -> int:
     tq.add_argument("--rounds", type=int, default=8)
     tq.add_argument("--dims", type=int, default=64)
 
+    sd = sub.add_parser(
+        "select-dsir",
+        help="DSIR data selection: importance-weight a raw documents "
+             "parquet toward a target slice and write the top-k "
+             "(or Gumbel-sampled) subset",
+    )
+    sd.add_argument("parquet", help="parquet with (id, text) columns")
+    sd.add_argument("--target-where", required=True,
+                    help="SQL predicate defining the target slice, "
+                         "e.g. \"lang = 'en'\"")
+    sd.add_argument("--out", required=True, help="output parquet path")
+    sd.add_argument("--top-k", type=int, default=1000)
+    sd.add_argument("--text-col", default="text")
+    sd.add_argument("--id-col", default="doc_id")
+    sd.add_argument("--buckets", type=int, default=4096)
+    sd.add_argument("--gumbel-seed", type=int, default=None,
+                    help="sample WITHOUT replacement via deterministic "
+                         "Gumbel-top-k instead of plain top-k")
+
     tb = sub.add_parser(
         "train-bpe",
         help="learn a BPE merge table from a documents parquet table "
@@ -1330,6 +1390,7 @@ def main(argv: list[str] | None = None) -> int:
         "produce": cmd_produce,
         "version": lambda a: (print(__version__), 0)[1],
         "train-quality": cmd_train_quality,
+        "select-dsir": cmd_select_dsir,
         "train-bpe": cmd_train_bpe,
     }[args.cmd]
     return handler(args)
