@@ -1283,6 +1283,44 @@ def _q_leakage_safe_split(spark, sf):
     )
 
 
+def _q_split_leakage_audit(spark, sf):
+    """The audit FOR leakage_safe_split (same pattern as
+    minhash_lsh_recall: the guarantee is measured, not asserted): count
+    near-dup pairs whose endpoints straddle the train/valid boundary
+    under (a) the cluster-keyed split — zero BY CONSTRUCTION, and this
+    key proves it on the data — and (b) the naive doc-hash split, the
+    leak count a doc-keyed 80/20 would actually ship.  Both counts are
+    1-row aggregates over the bounded pair set; the crossJoin is
+    1-row x 1-row."""
+    pairs = _q_fuzzy_prefix_pairs(spark, sf).select("a", "b")
+    split = _q_leakage_safe_split(spark, sf)
+    sa = split.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b"))
+    cluster_leaks = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .agg(
+            F.count(
+                F.when(F.col("split_a") != F.col("split_b"), F.lit(1))
+            ).alias("cluster_split_leaks")
+        )
+    )
+
+    def naive(c):
+        b = F.pmod(
+            ztext.md5_hash60(F.concat(F.lit("split:"), c.cast("string"))),
+            F.lit(10),
+        )
+        return F.when(b < 8, F.lit("train")).otherwise(F.lit("valid"))
+
+    naive_leaks = pairs.agg(
+        F.count(
+            F.when(naive(F.col("a")) != naive(F.col("b")), F.lit(1))
+        ).alias("naive_split_leaks")
+    )
+    return cluster_leaks.crossJoin(naive_leaks)
+
+
 def _q_stratified_sample(spark, sf):
     """Deterministic proportional stratified sampling: downsample every
     source to ~15 docs by hashing the doc id — the source-rebalancing
@@ -5655,6 +5693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "dedup_clusters": _q_dedup_clusters,
         "leakage_safe_split": _q_leakage_safe_split,
+        "split_leakage_audit": _q_split_leakage_audit,
         "knn_join": _q_knn_join,
         "embedding_dup_pairs_multiprobe": _q_embedding_dups_multiprobe,
         "doc_chunks": _q_doc_chunks,
@@ -5736,6 +5775,7 @@ _R11_FRONT = [
     "dsir_select",
     "dsir_gumbel_sample",
     "leakage_safe_split",
+    "split_leakage_audit",
 ]
 
 _R10_FRONT = _R11_FRONT + [
@@ -7589,6 +7629,45 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN CAST(('0x' || substr(md5('split:' || cluster_id::VARCHAR), 1, 15)) AS BIGINT) % 10 < 8
                         THEN 'train' ELSE 'valid' END AS split
             FROM lab
+        """,
+        "split_leakage_audit": r"""
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id, source,
+                     substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 16) AS pfx
+              FROM documents
+            ),
+            pairs AS (
+              SELECT l.doc_id AS a, r.doc_id AS b
+              FROM d l JOIN d r ON l.source = r.source AND l.doc_id < r.doc_id
+              WHERE levenshtein(l.pfx, r.pfx) <= 4
+            ),
+            edges AS (SELECT a AS s, b AS t FROM pairs UNION SELECT b, a FROM pairs),
+            reach AS (
+              SELECT doc_id AS v, doc_id AS l FROM documents
+              UNION
+              SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.v
+            ),
+            lab AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+            sp AS (
+              SELECT doc_id,
+                     CASE WHEN CAST(('0x' || substr(md5('split:' || cluster_id::VARCHAR), 1, 15)) AS BIGINT) % 10 < 8
+                          THEN 'train' ELSE 'valid' END AS split
+              FROM lab
+            ),
+            nv AS (
+              SELECT doc_id,
+                     CASE WHEN CAST(('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 10 < 8
+                          THEN 'train' ELSE 'valid' END AS split
+              FROM documents
+            )
+            SELECT
+              (SELECT count(*) FROM pairs p JOIN sp l ON l.doc_id = p.a
+               JOIN sp r ON r.doc_id = p.b WHERE l.split <> r.split)
+              AS cluster_split_leaks,
+              (SELECT count(*) FROM pairs p JOIN nv l ON l.doc_id = p.a
+               JOIN nv r ON r.doc_id = p.b WHERE l.split <> r.split)
+              AS naive_split_leaks
         """,
         "deterministic_shuffle": f"""
             WITH h AS (
