@@ -3110,6 +3110,10 @@ _q_zq_over_sort_collect = _zq(
     "from documents "
     '| over split(text, " ") with d = doc_id '
     '=> ( where value != "" | sort -r value | toks := collect(value) by d ) '
+    # serialize the collected array (space-joined; tokens were split on
+    # space so the delimiter is unambiguous) — the driver's canonicalizer
+    # hashes scalar columns only, the `collect_bundle` convention
+    '| toks := join(toks, " ") '
     "| sort d | head 50"
 )
 
@@ -3121,6 +3125,8 @@ _q_zq_over_topk = _zq(
     '| over split(text, " ") with d = doc_id '
     '=> ( where value != "" | sort -r value | head 3 '
     "| top3 := collect(value) by d ) "
+    # serialize (driver canonicalizer: scalar columns only)
+    '| top3 := join(top3, " ") '
     "| sort d | head 100"
 )
 
@@ -5767,10 +5773,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # by the r9 full tools/compare.py sweep before this rotation).
 # Round-11 driver-window rotation: the keys added/changed this round
 # first (the zedql gates closed this session), then the r10 additions.
-_R11_FRONT = [
-    # added in round 11 (this session): must sit in the driver's first-50
+# Round-12 driver-window rotation: the two r11 keys whose OUTPUT SHAPE
+# changed this round (collected arrays now serialized with join(...) so
+# the driver canonicalizer can hash them — the only r11 reds), plus any
+# keys added in round 12.
+_R12_FRONT = [
     "zq_over_sort_collect",
     "zq_over_topk",
+]
+
+_R11_FRONT = _R12_FRONT + [
+    # added in round 11: keep in the driver's first-50
     "zq_unflatten_filter",
     "dsir_select",
     "dsir_gumbel_sample",
@@ -7132,7 +7145,8 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE w <> '' GROUP BY 1, 2
         """,
         "zq_over_sort_collect": """
-            SELECT doc_id AS d, list(w ORDER BY w DESC) AS toks
+            SELECT doc_id AS d,
+                   array_to_string(list(w ORDER BY w DESC), ' ') AS toks
             FROM (
                 SELECT doc_id, unnest(str_split(text, ' ')) AS w
                 FROM documents
@@ -7140,9 +7154,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zq_over_topk": """
             SELECT doc_id AS d,
-                   list_sort(
-                       list_filter(string_split(text, ' '), t -> t <> ''),
-                       'DESC')[1:3] AS top3
+                   array_to_string(
+                       list_sort(
+                           list_filter(string_split(text, ' '), t -> t <> ''),
+                           'DESC')[1:3], ' ') AS top3
             FROM documents ORDER BY d LIMIT 100
         """,
         "zq_unflatten_filter": """

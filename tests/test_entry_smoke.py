@@ -40,6 +40,23 @@ def test_registry_query_runs(spark, key):
     df = entrymod.queries()[key](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+    # Registry lint (round-12, from the r11 verdict): the DRIVER's
+    # canonicalizer pandas-sorts every output column and can only hash
+    # scalars — an array/map/struct column errors the key before any
+    # comparison happens (r11: zq_over_sort_collect / zq_over_topk).
+    # Serialize complex values (array_join / concat_ws, the
+    # collect_bundle convention) before returning them from queries().
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{key} returns non-scalar columns the driver cannot hash: "
+        f"{complex_cols}"
+    )
 
 
 def test_entry_runs(spark):

@@ -162,6 +162,20 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        # registry lint (r12): the DRIVER canonicalizer can only hash
+        # scalar columns — an array/map/struct output errs the key there
+        # even when values match here (r11: zq_over_sort_collect).
+        # Fail locally so a driver-unhashable key shape can never ship.
+        complex_cols = [
+            c for c, k in skinds.items() if k in ("list", "struct", "map")
+        ]
+        if complex_cols:
+            print(
+                f"FAIL {name}: non-scalar output columns the driver "
+                f"canonicalizer cannot hash: {complex_cols}"
+            )
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only) rows={len(srows)}")
             continue
