@@ -26,6 +26,21 @@ from .session import get_spark
 __version__ = "0.2.0"
 
 
+def _wire_security() -> dict:
+    """kafka.json security settings for the --transport wire paths
+    (reference parity: cli/flags.go LoadKafkaConfig maps
+    security_protocol/sasl_* onto its franz-go dialer).  No config file
+    = plaintext; an unknown protocol/mechanism value errors loudly,
+    same as the reference."""
+    from .config import ConfigMissing, kafka_config, wire_security
+
+    try:
+        cfg = kafka_config()
+    except ConfigMissing:
+        return {}
+    return wire_security(cfg)
+
+
 def _spark(args):
     return get_spark(f"zync-{args.cmd}")
 
@@ -617,6 +632,7 @@ def cmd_from_kafka(args) -> int:
         from .kafka_wire import EARLIEST, wire_read_topic
 
         frames = []
+        security = _wire_security()
         for topic, parts in offsets.items():
             for part, start in parts.items():
                 raw = wire_read_topic(
@@ -625,6 +641,7 @@ def cmd_from_kafka(args) -> int:
                     topic,
                     starting_offset=EARLIEST if start < 0 else int(start),
                     partitions=[int(part)],
+                    security=security,
                 )
                 if args.thresh:
                     raw = raw.orderBy("offset").limit(args.thresh)
@@ -744,7 +761,8 @@ def cmd_to_kafka(args) -> int:
             # spark-sql-kafka jar or kafka-python needed
             from .kafka_wire import wire_produce_df
 
-            wire_produce_df(out, args.brokers, args.topic)
+            wire_produce_df(out, args.brokers, args.topic,
+                            security=_wire_security())
             return
         (
             out.write.format("kafka")
@@ -1000,8 +1018,11 @@ def cmd_produce(args) -> int:
         from .kafka_wire import wire_produce_df
 
         # parity with the JVM sink's allow.auto.create.topics
-        WireTopicAdmin(args.brokers).create_missing_topics([args.topic])
-        wire_produce_df(out, args.brokers, args.topic)
+        security = _wire_security()
+        WireTopicAdmin(args.brokers, security=security).create_missing_topics(
+            [args.topic]
+        )
+        wire_produce_df(out, args.brokers, args.topic, security=security)
     else:
         (
             out.write.format("kafka")
@@ -1052,7 +1073,8 @@ def cmd_consume(args) -> int:
 
             if starting == "earliest":
                 df = wire_read_topic(
-                    spark, args.brokers, args.topic, starting_offset=EARLIEST
+                    spark, args.brokers, args.topic,
+                    starting_offset=EARLIEST, security=_wire_security(),
                 )
             else:
                 # concrete startingOffsets JSON: resolve PER PARTITION
@@ -1063,7 +1085,8 @@ def cmd_consume(args) -> int:
                     for p, o in json.loads(starting)[args.topic].items()
                 }
                 df = wire_read_topic(
-                    spark, args.brokers, args.topic, starting_offsets=per_part
+                    spark, args.brokers, args.topic,
+                    starting_offsets=per_part, security=_wire_security(),
                 )
         else:
             df = (

@@ -186,10 +186,10 @@ class WireTopicAdmin(TopicAdmin):
     absent, and the adapter the stub-broker tests drive end-to-end
     over a real socket."""
 
-    def __init__(self, brokers: str):
+    def __init__(self, brokers: str, security: dict | None = None):
         from .kafka_wire import KafkaWireClient  # noqa: PLC0415
 
-        self._client = KafkaWireClient(brokers)
+        self._client = KafkaWireClient(brokers, **(security or {}))
 
     def create_topic(self, topic, partitions=1, replication=1, configs=None):
         from .kafka_wire import ERR_TOPIC_ALREADY_EXISTS, KafkaWireError  # noqa: PLC0415
@@ -249,7 +249,13 @@ def open_admin(brokers: str | None) -> TopicAdmin | None:
         # (resolve_start_offset --resume) raise their own clear error
         pass
     try:
-        admin = WireTopicAdmin(brokers)
+        from .config import ConfigMissing, kafka_config, wire_security  # noqa: PLC0415
+
+        try:
+            security = wire_security(kafka_config())
+        except ConfigMissing:
+            security = {}
+        admin = WireTopicAdmin(brokers, security=security)
         admin._client.api_versions()
         return admin
     except Exception:  # noqa: BLE001

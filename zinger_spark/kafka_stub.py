@@ -49,11 +49,16 @@ from .kafka_wire import (
     API_LIST_OFFSETS,
     API_METADATA,
     API_PRODUCE,
+    API_SASL_AUTHENTICATE,
+    API_SASL_HANDSHAKE,
     EARLIEST,
+    ERR_ILLEGAL_SASL_STATE,
     ERR_NONE,
     ERR_OFFSET_OUT_OF_RANGE,
+    ERR_SASL_AUTHENTICATION_FAILED,
     ERR_TOPIC_ALREADY_EXISTS,
     ERR_UNKNOWN_TOPIC_OR_PARTITION,
+    ERR_UNSUPPORTED_SASL_MECHANISM,
     ERR_UNSUPPORTED_VERSION,
     _Reader,
     _Writer,
@@ -69,8 +74,10 @@ _SUPPORTED = {
     API_FETCH: (0, 4),
     API_LIST_OFFSETS: (0, 1),
     API_METADATA: (0, 1),
+    API_SASL_HANDSHAKE: (0, 1),
     API_API_VERSIONS: (0, 0),
     API_CREATE_TOPICS: (0, 0),
+    API_SASL_AUTHENTICATE: (0, 0),
 }
 
 
@@ -82,9 +89,19 @@ class StubBroker:
         host: str = "127.0.0.1",
         port: int = 0,
         fetch_compression: str = "none",
+        ssl_context=None,
+        sasl_plain: dict[str, str] | None = None,
     ):
+        """``ssl_context``: a server-side ``ssl.SSLContext`` (cert+key
+        loaded) — every connection is TLS-wrapped, like a broker
+        listener on SSL:// .  ``sasl_plain``: {username: password} of
+        accepted credentials; when set, connections must complete
+        SaslHandshake(+Authenticate) before any other API (the broker's
+        pre-auth gate; ApiVersions alone is allowed first, per the
+        protocol)."""
         self._lock = threading.RLock()
         self.fetch_compression = fetch_compression
+        self.sasl_plain = sasl_plain
         # topic -> {"partitions": n, "configs": {...}}
         self.topics: dict[str, dict] = {}
         # (topic, partition) -> [(key, value, ts_ms, headers)]
@@ -93,6 +110,12 @@ class StubBroker:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
+                # per-connection SASL session state
+                state = {
+                    "authed": broker.sasl_plain is None,
+                    "handshook": False,
+                    "raw_token": False,  # v0 handshake: next frame is bare
+                }
                 try:
                     while True:
                         hdr = self._recv_exact(4)
@@ -102,10 +125,23 @@ class StubBroker:
                         frame = self._recv_exact(size)
                         if frame is None:
                             return
-                        resp = broker._handle_frame(frame)
-                        if resp is None:
-                            continue  # acks=0 Produce: no response frame
-                        self.request.sendall(struct.pack(">i", len(resp)) + resp)
+                        if state["raw_token"]:
+                            # legacy SaslHandshake v0 token: no request
+                            # header; success = empty response frame,
+                            # failure = close (what a real broker does)
+                            state["raw_token"] = False
+                            if broker._check_token(frame):
+                                state["authed"] = True
+                                self.request.sendall(struct.pack(">i", 0))
+                                continue
+                            return
+                        resp, keep = broker._handle_frame(frame, state)
+                        if resp is not None:
+                            self.request.sendall(
+                                struct.pack(">i", len(resp)) + resp
+                            )
+                        if not keep:
+                            return
                 except (ConnectionError, OSError):
                     return
 
@@ -124,6 +160,12 @@ class StubBroker:
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
+
+            def get_request(self):
+                sock, addr = super().get_request()
+                if ssl_context is not None:
+                    sock = ssl_context.wrap_socket(sock, server_side=True)
+                return sock, addr
 
         self._server = Server((host, port), Handler)
         self.host, self.port = self._server.server_address
@@ -158,7 +200,11 @@ class StubBroker:
 
     # -- request dispatch ----------------------------------------------------
 
-    def _handle_frame(self, frame: bytes) -> bytes | None:
+    def _handle_frame(
+        self, frame: bytes, state: dict | None = None
+    ) -> tuple[bytes | None, bool]:
+        """-> (response bytes | None, keep_connection)."""
+        state = state if state is not None else {"authed": True}
         r = _Reader(frame)
         api_key = r.int16()
         api_version = r.int16()
@@ -169,19 +215,78 @@ class StubBroker:
         if lo_hi is None or not (lo_hi[0] <= api_version <= lo_hi[1]):
             # minimal well-formed error response per API so a modern
             # client fails with a clear code instead of a parse error
-            return self._unsupported(out, api_key, api_version)
+            return self._unsupported(out, api_key, api_version), True
+        if not state["authed"] and api_key not in (
+            API_API_VERSIONS,
+            API_SASL_HANDSHAKE,
+            API_SASL_AUTHENTICATE,
+        ):
+            # pre-auth gate: a real broker kills the connection on any
+            # other API before SASL completes
+            return None, False
         with self._lock:
             if api_key == API_API_VERSIONS:
-                return self._api_versions(out)
+                return self._api_versions(out), True
+            if api_key == API_SASL_HANDSHAKE:
+                return self._sasl_handshake(out, r, api_version, state)
+            if api_key == API_SASL_AUTHENTICATE:
+                return self._sasl_authenticate(out, r, state)
             if api_key == API_METADATA:
-                return self._metadata(out, r)
+                return self._metadata(out, r), True
             if api_key == API_CREATE_TOPICS:
-                return self._create_topics(out, r)
+                return self._create_topics(out, r), True
             if api_key == API_LIST_OFFSETS:
-                return self._list_offsets(out, r, api_version)
+                return self._list_offsets(out, r, api_version), True
             if api_key == API_PRODUCE:
-                return self._produce(out, r, api_version)
-            return self._fetch(out, r, api_version)
+                return self._produce(out, r, api_version), True
+            return self._fetch(out, r, api_version), True
+
+    # -- SASL ---------------------------------------------------------------
+
+    def _check_token(self, token: bytes) -> bool:
+        """RFC 4616 PLAIN: [authzid] NUL authcid NUL passwd."""
+        parts = token.split(b"\x00")
+        if len(parts) != 3 or self.sasl_plain is None:
+            return False
+        user = parts[1].decode("utf-8", "replace")
+        pw = parts[2].decode("utf-8", "replace")
+        return self.sasl_plain.get(user) == pw
+
+    def _sasl_handshake(
+        self, out: _Writer, r: _Reader, version: int, state: dict
+    ) -> tuple[bytes, bool]:
+        mech = r.string() or ""
+        if self.sasl_plain is None:
+            # SASL not enabled on this listener
+            return out.int16(ERR_ILLEGAL_SASL_STATE).int32(0).done(), True
+        if mech != "PLAIN":
+            return (
+                out.int16(ERR_UNSUPPORTED_SASL_MECHANISM)
+                .int32(1)
+                .string("PLAIN")
+                .done(),
+                True,
+            )
+        state["handshook"] = True
+        if version == 0:
+            state["raw_token"] = True  # next frame: bare token
+        return out.int16(ERR_NONE).int32(1).string("PLAIN").done(), True
+
+    def _sasl_authenticate(
+        self, out: _Writer, r: _Reader, state: dict
+    ) -> tuple[bytes, bool]:
+        if self.sasl_plain is None or not state.get("handshook"):
+            out.int16(ERR_ILLEGAL_SASL_STATE)
+            out.string("SaslAuthenticate before SaslHandshake")
+            return out.bytes_(b"").done(), False
+        token = r.bytes_() or b""
+        if self._check_token(token):
+            state["authed"] = True
+            return out.int16(ERR_NONE).string(None).bytes_(b"").done(), True
+        out.int16(ERR_SASL_AUTHENTICATION_FAILED)
+        out.string("Authentication failed: Invalid username or password")
+        # a real broker closes the connection after a failed auth
+        return out.bytes_(b"").done(), False
 
     def _unsupported(self, out: _Writer, api_key: int, _v: int) -> bytes:
         if api_key == API_API_VERSIONS:
@@ -402,11 +507,12 @@ def _encode_v1_with_offsets(batch, base_offset: int, log, compression: str) -> b
     Headers are dropped — magic 1 cannot carry them."""
     if compression != "none" and batch:
         # compressed serving: ONE wrapper whose inner offsets are
-        # relative, wrapper offset = last absolute (magic-1 convention)
+        # relative, wrapper offset = last absolute (magic-1 convention);
+        # each inner message keeps its own stored CreateTime
         inner = encode_message_set(
             [(k, v) for k, v, _h in batch],
-            timestamp_ms=log[base_offset][2],
             compression=compression,
+            timestamps=[log[base_offset + i][2] for i in range(len(batch))],
         )
         return struct.pack(">q", base_offset + len(batch) - 1) + inner[8:]
     out = b""

@@ -41,7 +41,14 @@ The client picks the highest mutually-supported Produce/Fetch version
 from the handshake, so it speaks RecordBatch v2 to 3.x/4.x brokers and
 falls back to MessageSet v1 against older ones.
 
-No required external dependencies: sockets + struct + zlib + gzip.
+Security (reference parity: cli/flags.go:64-117 dials TLS and SASL
+PLAIN through franz-go): pass ``ssl_context`` to wrap the connection in
+TLS and/or ``sasl_plain=(user, password)`` to authenticate via
+SaslHandshake v0/v1 + SaslAuthenticate (keys 17/36) before any other
+request; config.wire_security() maps a kafka.json onto these kwargs.
+
+No required external dependencies: sockets + struct + zlib + gzip
+(+ stdlib ssl when TLS is configured).
 """
 
 from __future__ import annotations
@@ -57,17 +64,22 @@ API_PRODUCE = 0
 API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_SASL_HANDSHAKE = 17
 API_API_VERSIONS = 18
 API_CREATE_TOPICS = 19
+API_SASL_AUTHENTICATE = 36
 
 # error codes (subset; kafka.apache.org/protocol#protocol_error_codes)
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_NOT_LEADER = 6
+ERR_UNSUPPORTED_SASL_MECHANISM = 33
+ERR_ILLEGAL_SASL_STATE = 34
 ERR_TOPIC_ALREADY_EXISTS = 36
 ERR_INVALID_REQUEST = 42
 ERR_UNSUPPORTED_VERSION = 35
+ERR_SASL_AUTHENTICATION_FAILED = 58
 
 EARLIEST = -2
 LATEST = -1
@@ -158,6 +170,11 @@ class _Reader:
         self.pos = 0
 
     def _take(self, n: int) -> bytes:
+        if n < 0:
+            # a malformed zigzag varint (negative header-name or record
+            # length) must fail loudly like the CRC path, not slice
+            # backward and yield garbage
+            raise KafkaWireError(f"negative length {n} at {self.pos}")
         if self.pos + n > len(self.data):
             raise KafkaWireError(
                 f"truncated frame: need {n} bytes at {self.pos}, "
@@ -375,26 +392,31 @@ def encode_message_set(
     messages: list[tuple],
     timestamp_ms: int = 0,
     compression: str = "none",
+    timestamps: list[int] | None = None,
 ) -> bytes:
     """Magic-1 MessageSet.  Messages are (key, value) pairs — a third
     headers element, if present, is rejected (headers need magic 2).
     Producer-side offsets are placeholders (0..n-1); the broker assigns
     real ones and returns base_offset.  With compression, the inner set
     keeps those relative offsets and the single wrapper message carries
-    the last one, per the magic-1 convention."""
+    the last one, per the magic-1 convention.  ``timestamps`` overrides
+    the single ``timestamp_ms`` per message (broker re-encode path,
+    where each stored message keeps its own CreateTime)."""
     parts = []
     for i, msg in enumerate(messages):
         if len(msg) > 2 and msg[2]:
             raise KafkaWireError(
                 "record headers need RecordBatch v2 (Produce >= v3)"
             )
-        parts.append(_encode_one_message(i, msg[0], msg[1], timestamp_ms))
+        ts = timestamps[i] if timestamps is not None else timestamp_ms
+        parts.append(_encode_one_message(i, msg[0], msg[1], ts))
     raw = b"".join(parts)
     codec = COMPRESSION_CODECS[compression]
     if not codec:
         return raw
+    wrapper_ts = timestamps[-1] if timestamps else timestamp_ms
     return _encode_one_message(
-        len(messages) - 1, None, _compress(codec, raw), timestamp_ms, attrs=codec
+        len(messages) - 1, None, _compress(codec, raw), wrapper_ts, attrs=codec
     )
 
 
@@ -649,11 +671,26 @@ class KafkaWireClient:
     _PRODUCE_VERSIONS = (2, 3)
     _FETCH_VERSIONS = (2, 4)
 
-    def __init__(self, bootstrap: str, client_id: str = "zinger-wire", timeout: float = 30.0):
+    def __init__(
+        self,
+        bootstrap: str,
+        client_id: str = "zinger-wire",
+        timeout: float = 30.0,
+        ssl_context=None,
+        sasl_plain: tuple[str, str] | None = None,
+    ):
+        """``ssl_context``: an ``ssl.SSLContext`` to wrap the connection
+        (kafka.json security_protocol SSL / SASL_SSL — the reference
+        dials TLS via franz-go, cli/flags.go:92-99).  ``sasl_plain``:
+        (username, password) for the SASL PLAIN handshake (RFC 4616;
+        cli/flags.go:101-112) run immediately after connect, before any
+        other request."""
         host, _, port = bootstrap.rpartition(":")
         self._addr = (host or "localhost", int(port))
         self._client_id = client_id
         self._timeout = timeout
+        self._ssl_context = ssl_context
+        self._sasl_plain = sasl_plain
         self._sock: socket.socket | None = None
         self._corr = 0
         self._lock = threading.Lock()
@@ -665,16 +702,107 @@ class KafkaWireClient:
         if self._sock is None:
             s = socket.create_connection(self._addr, timeout=self._timeout)
             s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            if self._ssl_context is not None:
+                s = self._ssl_context.wrap_socket(
+                    s, server_hostname=self._addr[0]
+                )
             self._sock = s
+            if self._sasl_plain is not None:
+                try:
+                    self._sasl_authenticate(s)
+                except Exception:
+                    try:
+                        s.close()
+                    finally:
+                        self._sock = None
+                    raise
         return self._sock
+
+    def _raw_roundtrip(
+        self, sock: socket.socket, api_key: int, api_version: int, body: bytes
+    ) -> _Reader:
+        """One request/response on an already-open socket — used by the
+        pre-auth SASL exchange, which cannot go through _request (that
+        would re-enter _connect)."""
+        self._corr += 1
+        corr = self._corr
+        header = (
+            _Writer()
+            .int16(api_key)
+            .int16(api_version)
+            .int32(corr)
+            .string(self._client_id)
+            .done()
+        )
+        frame = header + body
+        sock.sendall(struct.pack(">i", len(frame)) + frame)
+        size = struct.unpack(">i", self._recv_exact(sock, 4))[0]
+        r = _Reader(self._recv_exact(sock, size))
+        got = r.int32()
+        if got != corr:
+            raise KafkaWireError(f"correlation id mismatch: sent {corr}, got {got}")
+        return r
+
+    def _sasl_authenticate(self, sock: socket.socket) -> None:
+        """SASL PLAIN per the public protocol: ApiVersions (allowed
+        pre-auth) -> SaslHandshake -> token exchange.  Handshake v1
+        wraps the token in SaslAuthenticate requests (KIP-152); v0
+        sends it as a bare length-prefixed frame with no header."""
+        user, password = self._sasl_plain  # type: ignore[misc]
+        # capability probe on the raw socket (fills the version cache
+        # the post-auth negotiation reuses)
+        r = self._raw_roundtrip(sock, API_API_VERSIONS, 0, b"")
+        err = r.int16()
+        versions: dict[int, tuple[int, int]] = {}
+        if not err:
+            for _ in range(r.int32()):
+                key, mn, mx = r.int16(), r.int16(), r.int16()
+                versions[key] = (mn, mx)
+            self._broker_versions = versions
+        hs_lo, hs_hi = versions.get(API_SASL_HANDSHAKE, (0, 0))
+        hs_version = 1 if hs_lo <= 1 <= hs_hi else 0
+        r = self._raw_roundtrip(
+            sock, API_SASL_HANDSHAKE, hs_version, _Writer().string("PLAIN").done()
+        )
+        err = r.int16()
+        if err:
+            mechs = r.array(lambda rr: rr.string())
+            raise KafkaWireError(
+                f"SaslHandshake: error {err} (broker mechanisms: {mechs})", err
+            )
+        token = b"\x00" + user.encode() + b"\x00" + password.encode()
+        if hs_version >= 1:
+            # KIP-152: token rides in a SaslAuthenticate request so auth
+            # failures come back as a proper error code + message
+            r = self._raw_roundtrip(
+                sock, API_SASL_AUTHENTICATE, 0, _Writer().bytes_(token).done()
+            )
+            err = r.int16()
+            msg = r.string()
+            if err:
+                raise KafkaWireError(
+                    f"SASL authentication failed: {msg or f'error {err}'}", err
+                )
+        else:
+            # legacy v0: bare length-prefixed token, success = empty
+            # response frame, failure = broker closes the connection
+            sock.sendall(struct.pack(">i", len(token)) + token)
+            size = struct.unpack(">i", self._recv_exact(sock, 4))[0]
+            self._recv_exact(sock, size)
+
+    def _close_locked(self) -> None:
+        """Close the socket; caller must hold self._lock (the lock is
+        non-reentrant — calling close() from inside _request would
+        deadlock)."""
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
 
     def close(self) -> None:
         with self._lock:
-            if self._sock is not None:
-                try:
-                    self._sock.close()
-                finally:
-                    self._sock = None
+            self._close_locked()
 
     def __enter__(self):
         return self
@@ -721,12 +849,12 @@ class KafkaWireClient:
                 size = struct.unpack(">i", self._recv_exact(sock, 4))[0]
                 payload = self._recv_exact(sock, size)
             except (OSError, KafkaWireError):
-                self.close()
+                self._close_locked()
                 raise
             r = _Reader(payload)
             got_corr = r.int32()
             if got_corr != corr:
-                self.close()
+                self._close_locked()
                 raise KafkaWireError(
                     f"correlation id mismatch: sent {corr}, got {got_corr}"
                 )
@@ -993,6 +1121,7 @@ def wire_read_topic(
     ending_offset: int | None = None,
     partitions: list[int] | None = None,
     starting_offsets: dict[int, int] | None = None,
+    security: dict | None = None,
 ):
     """Bounded read -> DataFrame with the Spark Kafka source's columns
     (key/value binary, topic, partition, offset, timestamp ms).  The
@@ -1017,7 +1146,7 @@ def wire_read_topic(
     )
     if starting_offsets is not None:
         partitions = sorted(starting_offsets)
-    with KafkaWireClient(brokers) as c:
+    with KafkaWireClient(brokers, **(security or {})) as c:
         if partitions is None:
             metas = c.metadata([topic])
             if not metas or metas[0].error:
@@ -1044,6 +1173,7 @@ def wire_produce_df(
     partition: int = 0,
     batch_size: int = 200,
     compression: str = "none",
+    security: dict | None = None,
 ) -> int:
     """Produce a (key binary/string, value binary/string) DataFrame —
     the kafka_sink_projection shape — through the wire client in
@@ -1066,7 +1196,7 @@ def wire_produce_df(
         else F.lit(None).cast("binary").alias("key")
     )
     n = 0
-    with KafkaWireClient(brokers) as c:
+    with KafkaWireClient(brokers, **(security or {})) as c:
         buf: list[tuple[bytes | None, bytes | None]] = []
         # toLocalIterator: one partition at a time on the driver
         for row in df.select(key_col, "value").toLocalIterator():
