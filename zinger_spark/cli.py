@@ -762,6 +762,7 @@ def cmd_to_kafka(args) -> int:
             from .kafka_wire import wire_produce_df
 
             wire_produce_df(out, args.brokers, args.topic,
+                            compression=getattr(args, "compression", "none"),
                             security=_wire_security())
             return
         (
@@ -1022,7 +1023,9 @@ def cmd_produce(args) -> int:
         WireTopicAdmin(args.brokers, security=security).create_missing_topics(
             [args.topic]
         )
-        wire_produce_df(out, args.brokers, args.topic, security=security)
+        wire_produce_df(out, args.brokers, args.topic,
+                        compression=getattr(args, "compression", "none"),
+                        security=security)
     else:
         (
             out.write.format("kafka")
@@ -1277,6 +1280,12 @@ def main(argv: list[str] | None = None) -> int:
     tkp.add_argument("--batch-size", type=int, default=200)
     tkp.add_argument("--transport", choices=["spark", "wire"], default="spark",
                      help="Kafka transport: the JVM spark-sql-kafka source/sink (default) or the dependency-free wire client (kafka_wire; bounded reads/produces, no extra jars)")
+    tkp.add_argument("--compression",
+                     choices=["none", "gzip", "snappy", "lz4", "zstd"],
+                     default="none",
+                     help="wire-transport produce compression (all four "
+                     "codecs; stdlib fallbacks when the optional packages "
+                     "are absent)")
     tkp.add_argument("--shaper", help="path of optional Zed script for shaping")
     tkp.add_argument("--format", default="json", choices=["json", "avro"])
     tkp.add_argument("--registry", help="schema registry URL (avro format)")
@@ -1322,6 +1331,10 @@ def main(argv: list[str] | None = None) -> int:
     prod.add_argument("--transport", choices=["spark", "wire"], default="spark",
                       help="Kafka transport: the JVM spark-sql-kafka sink "
                       "(default) or the dependency-free wire client")
+    prod.add_argument("--compression",
+                      choices=["none", "gzip", "snappy", "lz4", "zstd"],
+                      default="none",
+                      help="wire-transport produce compression")
 
     ver = sub.add_parser("version")
 

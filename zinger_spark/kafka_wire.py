@@ -30,12 +30,15 @@ protocol, KIP-98 for magic 2):
     headers; REQUIRED by Produce >= v3 / Fetch >= v4 and the only
     format Kafka 4.0 brokers accept (KIP-896 removed pre-v3 Produce).
 
-Compression: gzip is implemented for both generations with the stdlib
-(compressed wrapper message for magic <= 1, compressed records section
-for magic 2); snappy / lz4 / zstd decode through the optional
-python-snappy / lz4 / zstandard packages when installed and raise a
-clear KafkaWireError otherwise.  The produce side emits gzip or
-uncompressed.
+Compression: all four Kafka codecs work in BOTH directions for both
+record generations (compressed wrapper message for magic <= 1,
+compressed records section for magic 2).  gzip is stdlib; snappy /
+lz4 / zstd prefer the optional python-snappy / lz4 / zstandard
+packages when installed and otherwise fall back to the pure-stdlib
+implementations in zinger_spark.compress (full decoders — except
+zstd entropy-coded blocks, which raise a clear error naming the
+package — and valid literal/raw-block encoders with no size
+reduction).
 
 The client picks the highest mutually-supported Produce/Fetch version
 from the handshake, so it speaks RecordBatch v2 to 3.x/4.x brokers and
@@ -301,58 +304,93 @@ _XERIAL_MAGIC = b"\x82SNAPPY\x00"
 
 
 def _compress(codec: int, data: bytes) -> bytes:
+    """Optional packages when installed (real compression ratios);
+    pure-stdlib fallbacks otherwise (zinger_spark.compress — valid
+    streams of literal/raw blocks, any decoder accepts them)."""
     if codec == 1:
         return gzip.compress(data, mtime=0)  # mtime=0: deterministic bytes
     if codec == 2:
-        import snappy  # noqa: PLC0415
+        try:
+            import snappy  # noqa: PLC0415
 
-        return snappy.compress(data)
+            return snappy.compress(data)
+        except ImportError:
+            from .compress import snappy_compress  # noqa: PLC0415
+
+            return snappy_compress(data)
     if codec == 3:
-        import lz4.frame  # noqa: PLC0415
+        try:
+            import lz4.frame  # noqa: PLC0415
 
-        return lz4.frame.compress(data)
+            return lz4.frame.compress(data)
+        except ImportError:
+            from .compress import lz4_frame_compress  # noqa: PLC0415
+
+            return lz4_frame_compress(data)
     if codec == 4:
-        import zstandard  # noqa: PLC0415
+        try:
+            import zstandard  # noqa: PLC0415
 
-        return zstandard.ZstdCompressor().compress(data)
+            return zstandard.ZstdCompressor().compress(data)
+        except ImportError:
+            from .compress import zstd_frame_compress  # noqa: PLC0415
+
+            return zstd_frame_compress(data)
     raise KafkaWireError(f"unknown compression codec {codec}")
 
 
+def _snappy_unframe(data: bytes, one_shot) -> bytes:
+    """Strip the xerial block framing (java snappy's message-set form:
+    8-byte magic, two int32 version fields, then length-prefixed
+    raw-snappy blocks) around ``one_shot`` raw-snappy decodes."""
+    if data[:8] != _XERIAL_MAGIC:
+        return one_shot(data)
+    r = _Reader(data)
+    r._take(8)
+    r.int32()
+    r.int32()
+    out = []
+    while r.remaining():
+        out.append(one_shot(r._take(r.int32())))
+    return b"".join(out)
+
+
 def _decompress(codec: int, data: bytes) -> bytes:
+    from .compress import CompressError  # noqa: PLC0415
+
     name = _CODEC_NAMES.get(codec, str(codec))
     try:
         if codec == 1:
             return gzip.decompress(data)
         if codec == 2:
-            import snappy  # noqa: PLC0415
+            try:
+                import snappy  # noqa: PLC0415
 
-            if data[:8] == _XERIAL_MAGIC:
-                # xerial block framing (java snappy's message-set form):
-                # 8-byte magic, two int32 version fields, then
-                # length-prefixed raw-snappy blocks
-                r = _Reader(data)
-                r._take(8)
-                r.int32()
-                r.int32()
-                out = []
-                while r.remaining():
-                    out.append(snappy.decompress(r._take(r.int32())))
-                return b"".join(out)
-            return snappy.decompress(data)
+                return _snappy_unframe(data, snappy.decompress)
+            except ImportError:
+                from .compress import snappy_decompress  # noqa: PLC0415
+
+                return _snappy_unframe(data, snappy_decompress)
         if codec == 3:
-            import lz4.frame  # noqa: PLC0415
+            try:
+                import lz4.frame  # noqa: PLC0415
 
-            return lz4.frame.decompress(data)
+                return lz4.frame.decompress(data)
+            except ImportError:
+                from .compress import lz4_frame_decompress  # noqa: PLC0415
+
+                return lz4_frame_decompress(data)
         if codec == 4:
-            import zstandard  # noqa: PLC0415
+            try:
+                import zstandard  # noqa: PLC0415
 
-            return zstandard.ZstdDecompressor().decompress(data)
-    except ImportError as e:
-        raise KafkaWireError(
-            f"{name}-compressed records need the optional {e.name} package "
-            f"(gzip is built in); or point this topic at the kafka-python / "
-            f"JVM adapters"
-        ) from e
+                return zstandard.ZstdDecompressor().decompress(data)
+            except ImportError:
+                from .compress import zstd_frame_decompress  # noqa: PLC0415
+
+                return zstd_frame_decompress(data)
+    except CompressError as e:
+        raise KafkaWireError(f"{name} decode failed: {e}") from e
     raise KafkaWireError(f"unknown compression codec {codec}")
 
 
@@ -1047,14 +1085,19 @@ class KafkaWireClient:
         max_bytes: int = 4 * 1024 * 1024,
         max_wait_ms: int = 100,
         min_bytes: int = 0,
+        api_version: int | None = None,
     ) -> tuple[int, list[FetchedMessage]]:
         """One Fetch round trip: (high_watermark, messages from offset).
         Messages below the requested offset (the broker may return a
         whole stored batch) are filtered out, per client convention.
         v4 is used when the broker supports it (RecordBatch v2 decode,
         READ_UNCOMMITTED isolation); the decoder handles both record
-        generations and gzip compression either way."""
-        version = self._negotiate(API_FETCH, self._FETCH_VERSIONS)
+        generations and every codec either way."""
+        version = (
+            self._negotiate(API_FETCH, self._FETCH_VERSIONS)
+            if api_version is None
+            else api_version
+        )
         body = _Writer().int32(-1).int32(max_wait_ms).int32(min_bytes)
         if version >= 3:
             body.int32(max_bytes)  # top-level response cap
