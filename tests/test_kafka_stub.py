@@ -605,3 +605,42 @@ def test_cli_consume_wire_multi_partition_concrete_offset(
     # reference's single-partition -offset flag produces); partition 1
     # is not covered by the map, hence not read at a wrong range
     assert [(li["partition"], li["offset"]) for li in lines] == [(0, 1), (0, 2)]
+
+
+def test_cli_consume_no_meta_shape(spark, broker, capsys, monkeypatch):
+    """--no-meta emits {key, value} records with NO kafka meta field —
+    the reference's consume output (cmd/zync/consume/command.go:89
+    passes meta=false; fifo/consumer.go:164-170 drops the kafka field
+    and keeps key + value)."""
+    from zinger_spark import cli as climod
+
+    monkeypatch.setattr(climod, "_spark", lambda a: spark)
+    topic = "ConsumeNoMeta"
+    with KafkaWireClient(broker.bootstrap) as c:
+        c.create_topic(topic)
+        c.produce(topic, 0, [
+            (b"k0", json.dumps({"seqno": 1}).encode()),
+            (None, json.dumps({"seqno": 2}).encode()),
+        ])
+
+    rc = climod.main(
+        ["consume", "--brokers", broker.bootstrap, "--topic", topic,
+         "--offset", "-2", "--transport", "wire", "--no-meta"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [json.loads(line) for line in out.strip().splitlines() if line]
+    # exactly the reference shape: key + value, nothing else, in order
+    assert [sorted(li) for li in lines] == [["key", "value"], ["key", "value"]]
+    assert lines[0]["key"] == "k0"
+    assert lines[1]["key"] is None
+    assert [json.loads(li["value"])["seqno"] for li in lines] == [1, 2]
+
+    # and the ZSON form decodes the value in place
+    rc = climod.main(
+        ["consume", "--brokers", broker.bootstrap, "--topic", topic,
+         "--offset", "-2", "--transport", "wire", "--no-meta", "-Z"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.splitlines()[0] == '{key:"k0",value:{seqno:1}}'

@@ -1117,13 +1117,32 @@ def cmd_consume(args) -> int:
     while True:
         df = _read(starting)
         mx = None
+        no_meta = getattr(args, "no_meta", False)
         # toLocalIterator streams one partition at a time to the driver —
         # an unbounded topic never materializes in driver memory.
         for r in df.select(
-            "topic", "partition", "offset", df.value.cast("string").alias("value")
+            "topic", "partition", "offset",
+            df.key.cast("string").alias("key"),
+            df.value.cast("string").alias("value"),
         ).toLocalIterator():
             if not suppress_output:
-                if getattr(args, "zson", False):
+                if no_meta:
+                    # reference consume shape: {key, value} with no
+                    # kafka meta field (fifo/consumer.go:164-170 builds
+                    # fields[1:] when metaType is nil;
+                    # cmd/zync/consume/command.go:89 passes meta=false)
+                    rec = {"key": r["key"], "value": r["value"]}
+                    if getattr(args, "zson", False):
+                        from .codecs import zson as zs
+
+                        try:
+                            rec["value"] = json.loads(r["value"])
+                        except (ValueError, TypeError):
+                            pass
+                        print(zs.dumps(rec))
+                    else:
+                        print(json.dumps(rec))
+                elif getattr(args, "zson", False):
                     # transcode the decoded value to compact ZSON — the
                     # reference's consume output format (demo/consume-1.zson)
                     from .codecs import zson as zs
@@ -1133,7 +1152,9 @@ def cmd_consume(args) -> int:
                     except (ValueError, TypeError):
                         print(zs.dumps(r["value"]))
                 else:
-                    print(json.dumps(r.asDict()))
+                    rec = r.asDict()
+                    del rec["key"]  # meta shape predates the key column
+                    print(json.dumps(rec))
             mx = r["offset"] if mx is None else max(mx, r["offset"])
         if mx is not None:
             last_next = mx + 1
@@ -1317,6 +1338,10 @@ def main(argv: list[str] | None = None) -> int:
     cons.add_argument("-Z", "--zson", action="store_true",
                       help="print values as compact ZSON (the reference's "
                       "consume output, demo/consume-1.zson)")
+    cons.add_argument("--no-meta", action="store_true", dest="no_meta",
+                      help="emit {key, value} records with no kafka meta "
+                      "field — the reference's consume shape "
+                      "(fifo/consumer.go:164-170 with meta=false)")
     cons.add_argument("--registry", help="schema registry URL (avro format)")
     cons.add_argument("--timeout", type=float, default=None,
                       help="seconds to keep polling at the head before "
