@@ -1548,3 +1548,38 @@ def test_regex_infrastructure_errors_propagate():
     )
     with pytest.raises(ConnectionError, match="gateway dropped"):
         _java_regex_groups(fake_df, r"(valid)", "regexp")
+
+
+def test_unflatten_two_flatten_schemas_is_ambiguous(spark):
+    """r11 advice: two flatten() calls over DIFFERENT records in one
+    program made unflatten rebuild against whichever compiled last
+    (silent wrong shape).  Now it errors loudly."""
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    with pytest.raises(ZedCompileError, match="ambiguous"):
+        zed_transform(
+            "f1 := flatten({a: a}) | f2 := flatten({b: b}) "
+            "| u := unflatten(f1) | cut u"
+        )(df)
+    # same schema flattened twice stays unambiguous
+    out = zed_transform(
+        "f1 := flatten({a: a}) | f2 := flatten({a: a}) "
+        "| u := unflatten(f1) | cut u"
+    )(df)
+    assert out.collect()[0]["u"].asDict() == {"a": 1}
+
+
+def test_over_scope_inner_sort_stable_on_ties(spark):
+    """r11 advice: inner sort ranked ties nondeterministically (bare
+    row_number over only the user keys).  Zed's sort is stable — equal
+    keys keep their prior element order, so collecting a DIFFERENT
+    field than the sort key is deterministic."""
+    df = spark.createDataFrame(
+        [(1, [("a", 5), ("b", 5), ("c", 5), ("d", 1)])],
+        "id long, items array<struct<item:string,price:long>>",
+    )
+    out = zed_transform(
+        "over items with d = id "
+        "=> ( sort -r price | names := collect(item) by d )"
+    )(df)
+    # all three price-5 ties keep array order; price-1 sorts last
+    assert list(out.collect()[0]["names"]) == ["a", "b", "c", "d"]

@@ -43,6 +43,7 @@ driver-side inputs like blocklist entries.
 from __future__ import annotations
 
 import os
+import weakref
 from dataclasses import dataclass, field
 from functools import lru_cache
 
@@ -558,7 +559,11 @@ def _bundled() -> PSL:
 # through the per-element isin path.
 
 _SQL_FN_THRESHOLD = 256
-_SQL_FN_REGISTERED: set[tuple[int, str]] = set()
+# per-session registered-function names, keyed by the LIVE session
+# object (WeakKeyDictionary, not id(): CPython recycles ids after GC,
+# so an id key could make a NEW session skip registration and fail at
+# first call with an unresolved function)
+_SQL_FN_REGISTERED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _psl_size(psl: PSL) -> int:
@@ -622,13 +627,13 @@ def _ensure_cut_fn(psl: PSL) -> str | None:
     if spark is None:
         return None
     name = f"zinger_psl_cut_{_psl_digest(psl)}"
-    key = (id(spark), name)
-    if key not in _SQL_FN_REGISTERED:
+    names = _SQL_FN_REGISTERED.setdefault(spark, set())
+    if name not in names:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(h STRING) "
             f"RETURNS STRING RETURN {_cut_sql_body(psl)}"
         )
-        _SQL_FN_REGISTERED.add(key)
+        names.add(name)
     return name
 
 

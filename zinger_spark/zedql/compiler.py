@@ -66,9 +66,12 @@ _CONSTS: contextvars.ContextVar[dict] = contextvars.ContextVar(
     "zedql_consts", default={}
 )
 
-#: schema of the record most recently flattened IN THIS PROGRAM —
-#: unflatten() derives its static key set from it (reset per compile
-#: entry point so one program's schema can't leak into the next)
+#: DISTINCT schemas flattened IN THIS PROGRAM (a tuple of StructTypes)
+#: — unflatten() derives its static key set from the single one; two
+#: different flatten() schemas in one program (e.g. fork branches) make
+#: unflatten ambiguous and error rather than silently rebuilding
+#: against whichever compiled last.  Reset per compile entry point so
+#: one program's schemas can't leak into the next.
 _FLATTEN_SRC: contextvars.ContextVar = contextvars.ContextVar(
     "zedql_flatten_src", default=None
 )
@@ -716,7 +719,9 @@ def _call(e: ast.Call, df: DataFrame) -> Column:
             raise ZedCompileError(
                 f"flatten() needs a record, got {t.simpleString()}"
             )
-        _FLATTEN_SRC.set(t)  # unflatten()'s static key set, see below
+        seen = _FLATTEN_SRC.get() or ()
+        if not any(t == s for s in seen):
+            _FLATTEN_SRC.set(seen + (t,))  # unflatten() key set, below
         return datamodel.flatten_record(col, t)
     if name == "unflatten":
         # Zed unflatten() rebuilds a record from data-dependent keys.
@@ -743,14 +748,22 @@ def _call(e: ast.Call, df: DataFrame) -> Column:
                 "unflatten() needs an array of {key, value} leaves "
                 "(the flatten() shape)"
             )
-        src = _FLATTEN_SRC.get()
-        if src is None:
+        srcs = _FLATTEN_SRC.get() or ()
+        if not srcs:
             raise ZedCompileError(
                 "unflatten(): the output record's key set must be "
                 "static — derive the leaves from a flatten() upstream "
                 "in the same program (filtered/transformed subsets are "
                 "fine); fully dynamic keys cannot produce a Spark schema"
             )
+        if len(srcs) > 1:
+            raise ZedCompileError(
+                "unflatten(): ambiguous — this program flattens "
+                f"{len(srcs)} different record schemas "
+                f"({', '.join(s.simpleString() for s in srcs)}); "
+                "unflatten cannot tell which one to rebuild"
+            )
+        src = srcs[0]
         # map_from_entries keyed by the joined path, then one map
         # access per statically-known leaf — pure column algebra
         # inside whole-stage codegen, no UDF, no shuffle
@@ -1193,7 +1206,15 @@ def _over(df: DataFrame, op: ast.OpOver, ctx: Ctx) -> DataFrame:
             # inner sort: re-rank WITHIN the parent scope; the rank
             # feeds head/collect downstream.  Row order of the flat
             # output still needs an explicit outer sort, as ever.
-            cur = _rerank(cur, [_sort_col(k, cur) for k in sub.keys])
+            # The prior element order breaks ties (a bare row_number
+            # over only the user keys would rank equal elements
+            # nondeterministically across runs/partitionings — Zed's
+            # sort is stable, and the hash-exact oracle discipline
+            # needs determinism even for fields collect() never sees).
+            cur = _rerank(
+                cur,
+                [_sort_col(k, cur) for k in sub.keys] + [F.col(ord_name).asc()],
+            )
         elif isinstance(sub, (ast.OpHead, ast.OpTail)):
             if ord_col is None:
                 raise ZedCompileError(
