@@ -186,6 +186,14 @@ HEADLINE = [
     "zq_over_topk",
     "zq_unflatten_filter",
     "dsir_select",
+    # r12: the rest of the r11 additions, timed like everything else —
+    # the lateral scope aggregate, the Gumbel top-k sample (same DSIR
+    # weights plan + one projection), and the leakage-safe split pair
+    # (components + hash assign; the audit embeds the split itself)
+    "zq_over_scope",
+    "dsir_gumbel_sample",
+    "leakage_safe_split",
+    "split_leakage_audit",
 ]
 
 # Deliberately-exhaustive parity pins: correct by construction but

@@ -142,8 +142,9 @@ def test_snappy_lz4_zstd_gated():
 
 def test_api_versions_handshake(client):
     vers = client.api_versions()
-    assert vers[0] == (0, 3)  # Produce (v3 = RecordBatch v2)
-    assert vers[1] == (0, 4)  # Fetch (v4 = RecordBatch v2)
+    assert vers[0] == (0, 9)  # Produce (v3 = RecordBatch v2, v9 flexible)
+    assert vers[1] == (0, 12)  # Fetch (v4 = RecordBatch v2, v12 flexible)
+    assert vers[3] == (0, 9)  # Metadata (v9 flexible)
     assert vers[19] == (0, 0)  # CreateTopics
 
 

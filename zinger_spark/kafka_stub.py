@@ -65,19 +65,31 @@ from .kafka_wire import (
     decode_records,
     encode_message_set,
     encode_record_batch,
+    is_flexible,
 )
 
 #: (min, max) supported per api key — what ApiVersions advertises and
-#: the dispatcher enforces
+#: the dispatcher enforces.  The gaps are real (like a broker that
+#: skipped generations): Produce 4-8 / Fetch 5-11 / Metadata 2-8 are
+#: NOT served; clients negotiate either the legacy or the flexible
+#: (KIP-482) generation.
 _SUPPORTED = {
-    API_PRODUCE: (0, 3),
-    API_FETCH: (0, 4),
+    API_PRODUCE: (0, 9),
+    API_FETCH: (0, 12),
     API_LIST_OFFSETS: (0, 1),
-    API_METADATA: (0, 1),
+    API_METADATA: (0, 9),
     API_SASL_HANDSHAKE: (0, 1),
-    API_API_VERSIONS: (0, 0),
+    API_API_VERSIONS: (0, 3),
     API_CREATE_TOPICS: (0, 0),
     API_SASL_AUTHENTICATE: (0, 0),
+}
+
+#: versions the stub actually implements per api (see gap note above)
+_IMPLEMENTED = {
+    API_PRODUCE: (0, 1, 2, 3, 9),
+    API_FETCH: (0, 1, 2, 3, 4, 12),
+    API_METADATA: (0, 1, 9),
+    API_API_VERSIONS: (0, 3),
 }
 
 
@@ -209,10 +221,20 @@ class StubBroker:
         api_key = r.int16()
         api_version = r.int16()
         corr = r.int32()
-        r.string()  # client_id
+        r.string()  # client_id (legacy string even in header v2)
+        flexible = is_flexible(api_key, api_version)
+        if flexible:
+            r.tags()  # request header v2 trailing tagged fields
         out = _Writer().int32(corr)
+        if flexible and api_key != API_API_VERSIONS:
+            out.tags()  # response header v1 (ApiVersions pins v0, KIP-511)
         lo_hi = _SUPPORTED.get(api_key)
-        if lo_hi is None or not (lo_hi[0] <= api_version <= lo_hi[1]):
+        impl = _IMPLEMENTED.get(api_key)
+        if (
+            lo_hi is None
+            or not (lo_hi[0] <= api_version <= lo_hi[1])
+            or (impl is not None and api_version not in impl)
+        ):
             # minimal well-formed error response per API so a modern
             # client fails with a clear code instead of a parse error
             return self._unsupported(out, api_key, api_version), True
@@ -226,13 +248,13 @@ class StubBroker:
             return None, False
         with self._lock:
             if api_key == API_API_VERSIONS:
-                return self._api_versions(out), True
+                return self._api_versions(out, api_version), True
             if api_key == API_SASL_HANDSHAKE:
                 return self._sasl_handshake(out, r, api_version, state)
             if api_key == API_SASL_AUTHENTICATE:
                 return self._sasl_authenticate(out, r, state)
             if api_key == API_METADATA:
-                return self._metadata(out, r), True
+                return self._metadata(out, r, api_version), True
             if api_key == API_CREATE_TOPICS:
                 return self._create_topics(out, r), True
             if api_key == API_LIST_OFFSETS:
@@ -296,13 +318,27 @@ class StubBroker:
         # empty body (clients surface it as a protocol error)
         return out.int16(ERR_UNSUPPORTED_VERSION).done()
 
-    def _api_versions(self, out: _Writer) -> bytes:
+    def _api_versions(self, out: _Writer, version: int = 0) -> bytes:
+        if version >= 3:
+            # flexible response BODY (header stays v0, KIP-511)
+            out.int16(ERR_NONE)
+            out.compact_array(
+                sorted(_SUPPORTED.items()),
+                lambda w, kv: w.int16(kv[0])
+                .int16(kv[1][0])
+                .int16(kv[1][1])
+                .tags(),
+            )
+            out.int32(0)  # throttle_time_ms
+            return out.tags().done()
         out.int16(ERR_NONE).int32(len(_SUPPORTED))
         for key, (mn, mx) in sorted(_SUPPORTED.items()):
             out.int16(key).int16(mn).int16(mx)
         return out.done()
 
-    def _metadata(self, out: _Writer, r: _Reader) -> bytes:
+    def _metadata(self, out: _Writer, r: _Reader, version: int = 1) -> bytes:
+        if version >= 9:
+            return self._metadata_flexible(out, r)
         n = r.int32()
         names = (
             sorted(self.topics)
@@ -325,6 +361,55 @@ class StubBroker:
                 out.int32(1).int32(0)  # replicas [0]
                 out.int32(1).int32(0)  # isr [0]
         return out.done()
+
+    def _metadata_flexible(self, out: _Writer, r: _Reader) -> bytes:
+        """Metadata v9 (flexible): compact request/response shapes."""
+        n = r.uvarint()
+        if n == 0:
+            names = sorted(self.topics)  # null = all topics
+        else:
+            names = []
+            for _ in range(n - 1):
+                names.append(r.compact_string() or "")
+                r.tags()
+            names = names or sorted(self.topics)
+        r.int8()  # allow_auto_topic_creation
+        r.int8()  # include_cluster_authorized_operations
+        r.int8()  # include_topic_authorized_operations
+        r.tags()
+        out.int32(0)  # throttle_time_ms
+        out.compact_array(
+            [(0, self.host, self.port)],
+            lambda w, b: w.int32(b[0])
+            .compact_string(b[1])
+            .int32(b[2])
+            .compact_string(None)  # rack
+            .tags(),
+        )
+        out.compact_string("zinger-stub")  # cluster_id
+        out.int32(0)  # controller_id
+        out.uvarint(len(names) + 1)
+        for name in names:
+            meta = self.topics.get(name)
+            if meta is None:
+                out.int16(ERR_UNKNOWN_TOPIC_OR_PARTITION)
+                out.compact_string(name).int8(0)
+                out.uvarint(1)  # no partitions
+                out.int32(-2147483648)  # topic_authorized_operations
+                out.tags()
+                continue
+            out.int16(ERR_NONE).compact_string(name).int8(0)
+            out.uvarint(meta["partitions"] + 1)
+            for p in range(meta["partitions"]):
+                out.int16(ERR_NONE).int32(p).int32(0).int32(0)
+                out.compact_array([0], lambda w, nid: w.int32(nid))  # replicas
+                out.compact_array([0], lambda w, nid: w.int32(nid))  # isr
+                out.compact_array([], lambda w, nid: w.int32(nid))  # offline
+                out.tags()
+            out.int32(-2147483648)  # topic_authorized_operations
+            out.tags()
+        out.int32(-2147483648)  # cluster_authorized_operations
+        return out.tags().done()
 
     def _create(self, topic: str, partitions: int, configs: dict) -> int:
         if topic in self.topics:
@@ -385,36 +470,83 @@ class StubBroker:
         return out.done()
 
     def _produce(self, out: _Writer, r: _Reader, version: int) -> bytes | None:
-        if version >= 3:
-            r.string()  # transactional_id (ignored: no txn support)
-        acks = r.int16()
-        r.int32()  # timeout
-        topics = []
-        for _ in range(r.int32()):
-            topic = r.string() or ""
-            parts = []
+        # request parse: flexible (v9+) vs legacy shapes
+        if version >= 9:
+            r.compact_string()  # transactional_id
+            acks = r.int16()
+            r.int32()  # timeout
+            topics = []
+            for _ in range(max(r.uvarint() - 1, 0)):
+                topic = r.compact_string() or ""
+                parts = []
+                for _ in range(max(r.uvarint() - 1, 0)):
+                    partition = r.int32()
+                    data = r.compact_bytes() or b""
+                    r.tags()
+                    parts.append((partition, data))
+                r.tags()
+                topics.append((topic, parts))
+            r.tags()
+        else:
+            if version >= 3:
+                r.string()  # transactional_id (ignored: no txn support)
+            acks = r.int16()
+            r.int32()  # timeout
+            topics = []
             for _ in range(r.int32()):
-                partition = r.int32()
-                data = r.bytes_() or b""
-                parts.append((partition, data))
-            topics.append((topic, parts))
+                topic = r.string() or ""
+                parts = []
+                for _ in range(r.int32()):
+                    partition = r.int32()
+                    data = r.bytes_() or b""
+                    parts.append((partition, data))
+                topics.append((topic, parts))
+
+        def _append(topic: str, partition: int, data: bytes) -> int | None:
+            """-> base offset, or None for unknown topic/partition."""
+            log = self.logs.get((topic, partition))
+            if log is None:
+                return None
+            # either generation, compressed or not (a real broker
+            # accepts magic <= its produce version's maximum)
+            msgs = decode_records(data)
+            base = len(log)
+            for m in msgs:
+                log.append((m.key, m.value, m.timestamp_ms, m.headers))
+            return base
+
+        if version >= 9:
+            out.uvarint(len(topics) + 1)
+            for topic, parts in topics:
+                out.compact_string(topic).uvarint(len(parts) + 1)
+                for partition, data in parts:
+                    base = _append(topic, partition, data)
+                    out.int32(partition)
+                    if base is None:
+                        out.int16(ERR_UNKNOWN_TOPIC_OR_PARTITION).int64(-1)
+                    else:
+                        out.int16(ERR_NONE).int64(base)
+                    out.int64(-1)  # log_append_time: CreateTime batches
+                    out.int64(0)  # log_start_offset
+                    out.uvarint(1)  # record_errors: none
+                    out.compact_string(None)  # error_message
+                    out.tags()
+                out.tags()
+            if acks == 0:
+                return None
+            out.int32(0)  # throttle_time_ms
+            return out.tags().done()
         out.int32(len(topics))
         for topic, parts in topics:
             out.string(topic).int32(len(parts))
             for partition, data in parts:
-                log = self.logs.get((topic, partition))
-                if log is None:
+                base = _append(topic, partition, data)
+                if base is None:
                     out.int32(partition).int16(ERR_UNKNOWN_TOPIC_OR_PARTITION)
                     out.int64(-1)
                     if version >= 2:
                         out.int64(-1)
                     continue
-                # either generation, compressed or not (a real broker
-                # accepts magic <= its produce version's maximum)
-                msgs = decode_records(data)
-                base = len(log)
-                for m in msgs:
-                    log.append((m.key, m.value, m.timestamp_ms, m.headers))
                 out.int32(partition).int16(ERR_NONE).int64(base)
                 if version >= 2:
                     out.int64(-1)  # log_append_time: CreateTime batches
@@ -424,6 +556,51 @@ class StubBroker:
             out.int32(0)  # throttle_time_ms
         return out.done()
 
+    def _fetch_respond_flexible(self, out: _Writer, topics: list) -> bytes:
+        """Fetch v12 response: flexible shapes, RecordBatch v2 records."""
+        out.int32(0)  # throttle_time_ms
+        out.int16(ERR_NONE)  # top-level error
+        out.int32(0)  # session_id (sessionless)
+        out.uvarint(len(topics) + 1)
+        for topic, parts in topics:
+            out.compact_string(topic).uvarint(len(parts) + 1)
+            for partition, offset, max_bytes in parts:
+                log = self.logs.get((topic, partition))
+                if log is None:
+                    err, hw, ms = ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, b""
+                elif offset > len(log) or offset < 0:
+                    err, hw, ms = ERR_OFFSET_OUT_OF_RANGE, len(log), b""
+                else:
+                    err, hw = ERR_NONE, len(log)
+                    batch, size = [], 0
+                    for i in range(offset, hw):
+                        key, value, _ts, headers = log[i]
+                        entry = (
+                            34
+                            + (len(key) if key else 0)
+                            + (len(value) if value else 0)
+                            + sum(
+                                len(h[0]) + len(h[1] or b"") + 8
+                                for h in headers
+                            )
+                        )
+                        if batch and size + entry > max_bytes:
+                            break
+                        batch.append((key, value, headers))
+                        size += entry
+                    ms = _encode_v2_with_offsets(
+                        batch, offset, log, self.fetch_compression
+                    )
+                out.int32(partition).int16(err).int64(hw)
+                out.int64(hw)  # last_stable_offset
+                out.int64(0)  # log_start_offset
+                out.uvarint(1)  # aborted_transactions: none
+                out.int32(-1)  # preferred_read_replica
+                out.compact_bytes(ms)
+                out.tags()
+            out.tags()
+        return out.tags().done()
+
     def _fetch(self, out: _Writer, r: _Reader, version: int) -> bytes:
         r.int32()  # replica_id
         r.int32()  # max_wait_ms (in-memory log: never blocks)
@@ -432,6 +609,31 @@ class StubBroker:
             r.int32()  # top-level max_bytes (per-partition cap suffices here)
         if version >= 4:
             r.int8()  # isolation_level (no transactions: all committed)
+        if version >= 12:
+            r.int32()  # session_id (sessionless: 0)
+            r.int32()  # session_epoch (-1)
+            topics = []
+            for _ in range(max(r.uvarint() - 1, 0)):
+                topic = r.compact_string() or ""
+                parts = []
+                for _ in range(max(r.uvarint() - 1, 0)):
+                    partition = r.int32()
+                    r.int32()  # current_leader_epoch
+                    offset = r.int64()
+                    r.int32()  # last_fetched_epoch
+                    r.int64()  # log_start_offset
+                    max_bytes = r.int32()
+                    r.tags()
+                    parts.append((partition, offset, max_bytes))
+                r.tags()
+                topics.append((topic, parts))
+            for _ in range(max(r.uvarint() - 1, 0)):  # forgotten topics
+                r.compact_string()
+                r.compact_array(lambda rr: rr.int32())
+                r.tags()
+            r.compact_string()  # rack_id
+            r.tags()
+            return self._fetch_respond_flexible(out, topics)
         topics = []
         for _ in range(r.int32()):
             topic = r.string() or ""

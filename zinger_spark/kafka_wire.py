@@ -72,6 +72,25 @@ API_API_VERSIONS = 18
 API_CREATE_TOPICS = 19
 API_SASL_AUTHENTICATE = 36
 
+#: first flexible (KIP-482) version per API — flexible requests use
+#: header v2 (tagged fields after client_id) and compact encodings;
+#: None = the API never went flexible.  Public protocol tables.
+FLEXIBLE_FROM = {
+    API_PRODUCE: 9,
+    API_FETCH: 12,
+    API_LIST_OFFSETS: 6,
+    API_METADATA: 9,
+    API_SASL_HANDSHAKE: None,
+    API_API_VERSIONS: 3,
+    API_CREATE_TOPICS: 5,
+    API_SASL_AUTHENTICATE: 2,
+}
+
+
+def is_flexible(api_key: int, api_version: int) -> bool:
+    fv = FLEXIBLE_FROM.get(api_key)
+    return fv is not None and api_version >= fv
+
 # error codes (subset; kafka.apache.org/protocol#protocol_error_codes)
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
@@ -163,6 +182,33 @@ class _Writer:
             return self.varint(-1)
         return self.varint(len(b)).raw(b)
 
+    # KIP-482 flexible-version ("compact") primitives: lengths are
+    # uvarint(n + 1) with 0 = null, and every flexible struct ends
+    # with a tagged-field section (this client sends none)
+
+    def compact_string(self, s: str | None) -> "_Writer":
+        if s is None:
+            return self.uvarint(0)
+        b = s.encode("utf-8")
+        return self.uvarint(len(b) + 1).raw(b)
+
+    def compact_bytes(self, b: bytes | None) -> "_Writer":
+        if b is None:
+            return self.uvarint(0)
+        return self.uvarint(len(b) + 1).raw(b)
+
+    def compact_array(self, items, enc) -> "_Writer":
+        if items is None:
+            return self.uvarint(0)
+        self.uvarint(len(items) + 1)
+        for it in items:
+            enc(self, it)
+        return self
+
+    def tags(self) -> "_Writer":
+        """Empty tagged-field section."""
+        return self.uvarint(0)
+
     def done(self) -> bytes:
         return b"".join(self._parts)
 
@@ -231,6 +277,33 @@ class _Reader:
     def varint(self) -> int:
         z = self.uvarint()
         return (z >> 1) ^ -(z & 1)
+
+    # KIP-482 flexible-version ("compact") primitives
+
+    def compact_string(self) -> str | None:
+        n = self.uvarint()
+        if n == 0:
+            return None
+        return self._take(n - 1).decode("utf-8")
+
+    def compact_bytes(self) -> bytes | None:
+        n = self.uvarint()
+        if n == 0:
+            return None
+        return self._take(n - 1)
+
+    def compact_array(self, dec) -> list:
+        n = self.uvarint()
+        if n == 0:
+            return []
+        return [dec(self) for _ in range(n - 1)]
+
+    def tags(self) -> None:
+        """Skip a tagged-field section (unknown tags are ignorable by
+        design, KIP-482)."""
+        for _ in range(self.uvarint()):
+            self.uvarint()  # tag id
+            self._take(self.uvarint())
 
     def vbytes(self) -> bytes | None:
         n = self.varint()
@@ -705,9 +778,11 @@ class KafkaWireClient:
     reports it).  Thread-safe: one in-flight request at a time.
     """
 
-    #: client-implemented versions per negotiable API, best last
-    _PRODUCE_VERSIONS = (2, 3)
-    _FETCH_VERSIONS = (2, 4)
+    #: client-implemented versions per negotiable API, best last —
+    #: v9/v12/v9 are the flexible (KIP-482) generations
+    _PRODUCE_VERSIONS = (2, 3, 9)
+    _FETCH_VERSIONS = (2, 4, 12)
+    _METADATA_VERSIONS = (1, 9)
 
     def __init__(
         self,
@@ -764,22 +839,38 @@ class KafkaWireClient:
         would re-enter _connect)."""
         self._corr += 1
         corr = self._corr
-        header = (
-            _Writer()
-            .int16(api_key)
-            .int16(api_version)
-            .int32(corr)
-            .string(self._client_id)
-            .done()
-        )
-        frame = header + body
+        frame = self._header(api_key, api_version, corr) + body
         sock.sendall(struct.pack(">i", len(frame)) + frame)
         size = struct.unpack(">i", self._recv_exact(sock, 4))[0]
         r = _Reader(self._recv_exact(sock, size))
         got = r.int32()
         if got != corr:
             raise KafkaWireError(f"correlation id mismatch: sent {corr}, got {got}")
+        self._response_tags(r, api_key, api_version)
         return r
+
+    def _header(self, api_key: int, api_version: int, corr: int) -> bytes:
+        """Request header: v2 (trailing tagged fields) for flexible
+        versions, v1 otherwise — client_id stays a legacy string in
+        both (KIP-482 kept it for bootstrap compatibility)."""
+        w = (
+            _Writer()
+            .int16(api_key)
+            .int16(api_version)
+            .int32(corr)
+            .string(self._client_id)
+        )
+        if is_flexible(api_key, api_version):
+            w.tags()
+        return w.done()
+
+    @staticmethod
+    def _response_tags(r: _Reader, api_key: int, api_version: int) -> None:
+        """Flexible responses use header v1 (tagged fields after the
+        correlation id) — EXCEPT ApiVersions, which pins header v0 at
+        every version so old clients can parse the error (KIP-511)."""
+        if api_key != API_API_VERSIONS and is_flexible(api_key, api_version):
+            r.tags()
 
     def _sasl_authenticate(self, sock: socket.socket) -> None:
         """SASL PLAIN per the public protocol: ApiVersions (allowed
@@ -867,15 +958,7 @@ class KafkaWireClient:
         with self._lock:
             self._corr += 1
             corr = self._corr
-            header = (
-                _Writer()
-                .int16(api_key)
-                .int16(api_version)
-                .int32(corr)
-                .string(self._client_id)
-                .done()
-            )
-            frame = header + body
+            frame = self._header(api_key, api_version, corr) + body
             sock = self._connect()
             try:
                 sock.sendall(struct.pack(">i", len(frame)) + frame)
@@ -896,6 +979,7 @@ class KafkaWireClient:
                 raise KafkaWireError(
                     f"correlation id mismatch: sent {corr}, got {got_corr}"
                 )
+            self._response_tags(r, api_key, api_version)
             return r
 
     # -- APIs --
@@ -931,6 +1015,9 @@ class KafkaWireClient:
         return picks[-1]
 
     def metadata(self, topics: list[str] | None = None) -> list[TopicMeta]:
+        version = self._negotiate(API_METADATA, self._METADATA_VERSIONS)
+        if version >= 9:
+            return self._metadata_flexible(topics, version)
         body = _Writer()
         if topics is None:
             body.int32(-1)  # all topics
@@ -958,6 +1045,51 @@ class KafkaWireClient:
                 r.array(lambda rr: rr.int32())  # isr
                 parts.append(PartitionMeta(pid, leader, perr))
             out.append(TopicMeta(name, terr, sorted(parts, key=lambda p: p.partition)))
+        return out
+
+    def _metadata_flexible(
+        self, topics: list[str] | None, version: int
+    ) -> list[TopicMeta]:
+        """Metadata v9 (flexible): compact encodings + tagged fields."""
+        body = _Writer()
+        body.compact_array(
+            topics if topics is None else list(topics),
+            lambda w, t: w.compact_string(t).tags(),
+        )
+        body.int8(1)  # allow_auto_topic_creation (broker decides)
+        body.int8(0).int8(0)  # cluster/topic authorized operations
+        body.tags()
+        r = self._request(API_METADATA, version, body.done())
+        r.int32()  # throttle_time_ms
+        for _ in range(max(r.uvarint() - 1, 0)):  # brokers
+            r.int32()  # node_id
+            r.compact_string()  # host
+            r.int32()  # port
+            r.compact_string()  # rack
+            r.tags()
+        r.compact_string()  # cluster_id
+        r.int32()  # controller_id
+        out: list[TopicMeta] = []
+        for _ in range(max(r.uvarint() - 1, 0)):  # topics
+            terr = r.int16()
+            name = r.compact_string() or ""
+            r.int8()  # is_internal
+            parts: list[PartitionMeta] = []
+            for _ in range(max(r.uvarint() - 1, 0)):
+                perr = r.int16()
+                pid = r.int32()
+                leader = r.int32()
+                r.int32()  # leader_epoch
+                r.compact_array(lambda rr: rr.int32())  # replicas
+                r.compact_array(lambda rr: rr.int32())  # isr
+                r.compact_array(lambda rr: rr.int32())  # offline
+                r.tags()
+                parts.append(PartitionMeta(pid, leader, perr))
+            r.int32()  # topic_authorized_operations
+            r.tags()
+            out.append(TopicMeta(name, terr, sorted(parts, key=lambda p: p.partition)))
+        r.int32()  # cluster_authorized_operations
+        r.tags()
         return out
 
     def create_topic(
@@ -1035,8 +1167,9 @@ class KafkaWireClient:
 
         The wire generation follows the negotiated version: v3+ sends
         a RecordBatch v2 (what 3.x/4.x brokers require, KIP-896), v2
-        a magic-1 MessageSet.  ``compression`` ('none' or 'gzip'
-        without optional packages) applies to either generation."""
+        a magic-1 MessageSet; v9+ is the flexible (KIP-482) encoding
+        of the same RecordBatch payload.  ``compression`` (all four
+        codecs; stdlib fallbacks) applies to either generation."""
         version = (
             self._negotiate(API_PRODUCE, self._PRODUCE_VERSIONS)
             if api_version is None
@@ -1051,16 +1184,55 @@ class KafkaWireClient:
                 messages, timestamp_ms=timestamp_ms, compression=compression
             )
         body = _Writer()
-        if version >= 3:
-            body.string(None)  # transactional_id
-        body.int16(acks).int32(timeout_ms)
-        body.int32(1).string(topic).int32(1).int32(partition).bytes_(ms)
+        if version >= 9:
+            body.compact_string(None)  # transactional_id
+            body.int16(acks).int32(timeout_ms)
+            body.compact_array(
+                [topic],
+                lambda w, t: w.compact_string(t)
+                .compact_array(
+                    [partition],
+                    lambda pw, p: pw.int32(p).compact_bytes(ms).tags(),
+                )
+                .tags(),
+            )
+            body.tags()
+        else:
+            if version >= 3:
+                body.string(None)  # transactional_id
+            body.int16(acks).int32(timeout_ms)
+            body.int32(1).string(topic).int32(1).int32(partition).bytes_(ms)
         r = self._request(
             API_PRODUCE, version, body.done(), expect_response=acks != 0
         )
         if r is None:
             return -1  # acks=0: fire-and-forget
         base = -1
+        if version >= 9:
+            for _ in range(max(r.uvarint() - 1, 0)):  # responses
+                r.compact_string()  # topic
+                for _ in range(max(r.uvarint() - 1, 0)):  # partitions
+                    r.int32()  # index
+                    err = r.int16()
+                    base = r.int64()
+                    r.int64()  # log_append_time
+                    r.int64()  # log_start_offset
+                    for _ in range(max(r.uvarint() - 1, 0)):  # record_errors
+                        r.int32()  # batch_index
+                        r.compact_string()  # batch_index_error_message
+                        r.tags()
+                    emsg = r.compact_string()  # error_message
+                    r.tags()
+                    if err:
+                        raise KafkaWireError(
+                            f"Produce {topic}[{partition}]: error {err}"
+                            + (f" ({emsg})" if emsg else ""),
+                            err,
+                        )
+                r.tags()
+            r.int32()  # throttle_time_ms
+            r.tags()
+            return base
         for _ in range(r.int32()):
             r.string()
             for _ in range(r.int32()):
@@ -1098,6 +1270,11 @@ class KafkaWireClient:
             if api_version is None
             else api_version
         )
+        if version >= 12:
+            return self._fetch_flexible(
+                topic, partition, offset, max_bytes, max_wait_ms, min_bytes,
+                version,
+            )
         body = _Writer().int32(-1).int32(max_wait_ms).int32(min_bytes)
         if version >= 3:
             body.int32(max_bytes)  # top-level response cap
@@ -1126,6 +1303,70 @@ class KafkaWireClient:
                         f"Fetch {topic}[{partition}]@{offset}: error {err}", err
                     )
                 msgs = [m for m in decode_records(data) if m.offset >= offset]
+        return hw, msgs
+
+    def _fetch_flexible(
+        self,
+        topic: str,
+        partition: int,
+        offset: int,
+        max_bytes: int,
+        max_wait_ms: int,
+        min_bytes: int,
+        version: int,
+    ) -> tuple[int, list[FetchedMessage]]:
+        """Fetch v12 (flexible, KIP-482): sessionless (session_id=0,
+        epoch=-1 — the stateless per-request mode brokers must support),
+        no leader-epoch fencing (-1 sentinels)."""
+
+        def _part(w: _Writer, p: int) -> None:
+            w.int32(p).int32(-1)  # partition, current_leader_epoch
+            w.int64(offset).int32(-1)  # fetch_offset, last_fetched_epoch
+            w.int64(-1).int32(max_bytes)  # log_start_offset, part max
+            w.tags()
+
+        body = _Writer().int32(-1).int32(max_wait_ms).int32(min_bytes)
+        body.int32(max_bytes).int8(0)  # top cap, READ_UNCOMMITTED
+        body.int32(0).int32(-1)  # session_id, session_epoch
+        body.compact_array(
+            [topic],
+            lambda w, t: w.compact_string(t)
+            .compact_array([partition], _part)
+            .tags(),
+        )
+        body.compact_array([], lambda w, _: None)  # forgotten_topics_data
+        body.compact_string("")  # rack_id
+        body.tags()
+        r = self._request(API_FETCH, version, body.done())
+        r.int32()  # throttle_time_ms
+        top_err = r.int16()
+        r.int32()  # session_id
+        if top_err:
+            raise KafkaWireError(f"Fetch: error {top_err}", top_err)
+        hw, msgs = -1, []
+        for _ in range(max(r.uvarint() - 1, 0)):  # responses
+            r.compact_string()  # topic
+            for _ in range(max(r.uvarint() - 1, 0)):  # partitions
+                r.int32()  # partition_index
+                err = r.int16()
+                hw = r.int64()
+                r.int64()  # last_stable_offset
+                r.int64()  # log_start_offset
+                for _ in range(max(r.uvarint() - 1, 0)):  # aborted txns
+                    r.int64()  # producer_id
+                    r.int64()  # first_offset
+                    r.tags()
+                r.int32()  # preferred_read_replica
+                data = r.compact_bytes() or b""
+                r.tags()
+                if err:
+                    raise KafkaWireError(
+                        f"Fetch {topic}[{partition}]@{offset}: error {err}",
+                        err,
+                    )
+                msgs = [m for m in decode_records(data) if m.offset >= offset]
+            r.tags()
+        r.tags()
         return hw, msgs
 
     def fetch_all(
