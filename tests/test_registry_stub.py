@@ -201,3 +201,112 @@ def test_union_roundtrip_over_http(spark, stub):
     assert got[1]["tag"] == 1 and got[1]["b1"] == 42
     assert got[2]["tag"] == 2 and got[2]["b2"] == "hi"
     assert stub.get_count() == 1
+
+
+# ---------------------------------------------------------------------------
+# r12: basic auth + /config (the managed-registry deployment the
+# reference's schema_registry.json user/password fields pair with,
+# cli/flags.go:34-46)
+
+
+def test_registry_basic_auth_round_trip():
+    from zinger_spark.codecs.avro import SchemaRegistry
+
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "a", "type": "long"}]}
+    with RegistryStub(auth=("svc", "hunter2")) as stub:
+        client = SchemaRegistry(stub.url, user="svc", password="hunter2")
+        sid = client.register("r-value", schema)
+        assert client.schema_by_id(sid)["name"] == "R"
+        assert client.subjects() == ["r-value"]
+
+
+def test_registry_rejects_missing_or_wrong_credentials():
+    import urllib.error
+
+    from zinger_spark.codecs.avro import SchemaRegistry
+
+    with RegistryStub(auth=("svc", "hunter2")) as stub:
+        for client in (
+            SchemaRegistry(stub.url),  # no credentials
+            SchemaRegistry(stub.url, user="svc", password="wrong"),
+        ):
+            try:
+                client.subjects()
+                raise AssertionError("expected HTTP 401")
+            except urllib.error.HTTPError as e:
+                assert e.code == 401
+                assert e.headers.get("WWW-Authenticate", "").startswith("Basic")
+
+
+def test_registry_config_endpoints():
+    import urllib.error
+    import urllib.request
+
+    from zinger_spark.codecs.avro import SchemaRegistry
+
+    with RegistryStub(compatibility="FULL") as stub:
+        client = SchemaRegistry(stub.url)
+        assert client.compatibility() == "FULL"
+        # subject-level: 40408 until a PUT sets an override
+        try:
+            client.compatibility("orders-value")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        req = urllib.request.Request(
+            stub.url + "/config/orders-value",
+            data=json.dumps({"compatibility": "NONE"}).encode(),
+            method="PUT",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert json.loads(resp.read())["compatibility"] == "NONE"
+        assert client.compatibility("orders-value") == "NONE"
+        # global PUT
+        req = urllib.request.Request(
+            stub.url + "/config",
+            data=json.dumps({"compatibility": "FORWARD"}).encode(),
+            method="PUT",
+        )
+        urllib.request.urlopen(req).read()
+        assert client.compatibility() == "FORWARD"
+
+
+def test_cli_registry_credentials_from_config(tmp_path, monkeypatch):
+    """_registry() pulls url + basic-auth creds from
+    $ZYNC_CONFIG_DIR/schema_registry.json; the --registry flag
+    overrides the URL but keeps the creds."""
+    import argparse
+
+    from zinger_spark.cli import _registry
+
+    monkeypatch.setenv("ZYNC_CONFIG_DIR", str(tmp_path))
+    (tmp_path / "schema_registry.json").write_text(json.dumps(
+        {"url": "http://cfg:8081", "user": "svc", "password": "pw"}
+    ))
+    args = argparse.Namespace(registry=None)
+    client = _registry(args)
+    assert client.url == "http://cfg:8081"
+    assert client._auth is not None
+    args = argparse.Namespace(registry="http://flag:8081")
+    assert _registry(args).url == "http://flag:8081"
+    # neither flag nor config: loud error
+    monkeypatch.setenv("ZYNC_CONFIG_DIR", str(tmp_path / "missing"))
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="registry"):
+        _registry(argparse.Namespace(registry=None))
+
+
+def test_registry_auth_end_to_end_register_and_fetch():
+    """Authed stub + authed client through the register/decode cache
+    path (one GET per distinct ID even with auth headers)."""
+    from zinger_spark.codecs.avro import SchemaRegistry
+
+    schema = {"type": "record", "name": "E",
+              "fields": [{"name": "x", "type": "string"}]}
+    with RegistryStub(auth=("u", "p")) as stub:
+        client = SchemaRegistry(stub.url, user="u", password="p")
+        sid = client.register("e-value", schema)
+        for _ in range(5):
+            client.schema_by_id(sid)
+        assert stub.get_count() == 1  # ID cache intact under auth

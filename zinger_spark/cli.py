@@ -41,6 +41,30 @@ def _wire_security() -> dict:
     return wire_security(cfg)
 
 
+def _registry(args):
+    """SchemaRegistry from --registry plus schema_registry.json
+    credentials (reference parity: cli/flags.go:34-46 — the URL and
+    basic-auth user/password live in $ZYNC_CONFIG_DIR/
+    schema_registry.json; srclient gets SetCredentials).  The flag
+    overrides the config URL; the config supplies the URL when the
+    flag is omitted."""
+    from .codecs.avro import SchemaRegistry
+    from .config import ConfigMissing, schema_registry_config
+
+    try:
+        cfg = schema_registry_config()
+    except ConfigMissing:
+        cfg = {}
+    url = getattr(args, "registry", None) or cfg.get("url")
+    if not url:
+        raise SystemExit(
+            "no schema registry: pass --registry or create "
+            "schema_registry.json (see the reference template)"
+        )
+    return SchemaRegistry(url, user=cfg.get("user"),
+                          password=cfg.get("password"))
+
+
 def _spark(args):
     return get_spark(f"zync-{args.cmd}")
 
@@ -550,10 +574,8 @@ def cmd_ls(args) -> int:
         if not found:
             print(f"no pools in {args.lake_dir}", file=sys.stderr)
         return 0
-    from .codecs.avro import SchemaRegistry
-
     try:
-        for s in SchemaRegistry(args.registry).subjects():
+        for s in _registry(args).subjects():
             print(s)
         return 0
     except Exception as e:  # noqa: BLE001
@@ -597,12 +619,9 @@ def cmd_from_kafka(args) -> int:
         # Mixed-schema Avro topic: keep the framed bytes through the
         # envelope, then decode per wire schema ID inside each
         # micro-batch (zavro/decoder.go:54-72 semantics).
-        from .codecs.avro import SchemaRegistry, decode_by_schema_id
+        from .codecs.avro import decode_by_schema_id
 
-        if not args.registry:
-            print("--format avro requires --registry", file=sys.stderr)
-            return 1
-        registry = SchemaRegistry(args.registry)
+        registry = _registry(args)  # --registry or schema_registry.json
         decoder = lambda c: c  # noqa: E731 - binary passthrough
         transform = lambda batch: decode_by_schema_id(batch, "value", registry)  # noqa: E731
     else:
@@ -740,12 +759,9 @@ def cmd_to_kafka(args) -> int:
 
     if getattr(args, "format", "json") == "avro":
         # fifo.NewProducer(format) parity (to-kafka/command.go:98)
-        if not args.registry:
-            print("--format avro requires --registry", file=sys.stderr)
-            return 1
-        from .codecs.avro import SchemaRegistry, avro_encoder
+        from .codecs.avro import avro_encoder
 
-        encode = avro_encoder(SchemaRegistry(args.registry))
+        encode = avro_encoder(_registry(args))
     else:
         encode = cj.encode
 
@@ -989,9 +1005,6 @@ def cmd_produce(args) -> int:
     if not args.files:
         print("no inputs provided", file=sys.stderr)  # command.go:52-54
         return 1
-    if args.format == "avro" and not args.registry:
-        print("--format avro requires --registry", file=sys.stderr)
-        return 1
     parquet = [f for f in args.files if f.endswith(".parquet")]
     if parquet and len(parquet) != len(args.files):
         # a mixed list silently read as all-JSON would push parquet
@@ -1008,9 +1021,9 @@ def cmd_produce(args) -> int:
     if args.format == "avro":
         # Confluent-framed Avro, schemas registered per
         # RecordNameStrategy (fifo/producer.go:23-45)
-        from .codecs.avro import SchemaRegistry, avro_encoder
+        from .codecs.avro import avro_encoder
 
-        encode = avro_encoder(SchemaRegistry(args.registry))
+        encode = avro_encoder(_registry(args))
     else:
         encode = cj.encode
     out = produce_projection(df, encode)
@@ -1063,12 +1076,9 @@ def cmd_consume(args) -> int:
         # "Consume reads each record as Avro and transcodes it"
         # (cmd/zync/consume/command.go:30-32) — decode per wire schema
         # id against the registry, print as JSON
-        if not args.registry:
-            print("--format avro requires --registry", file=sys.stderr)
-            return 1
-        from .codecs.avro import SchemaRegistry
-
-        registry = SchemaRegistry(args.registry)
+        # URL from --registry or schema_registry.json (reference
+        # parity: the config file is the only source there)
+        registry = _registry(args)
 
     def _read(starting: str):
         if getattr(args, "transport", "spark") == "wire":

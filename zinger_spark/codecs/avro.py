@@ -353,24 +353,51 @@ def from_avro_body(col: Column, avro_schema: dict | str) -> Column:
 
 class SchemaRegistry:
     """Minimal Confluent registry client with the reference's ID cache.
-    Driver-side only: schema lookup happens at plan time, never per row."""
+    Driver-side only: schema lookup happens at plan time, never per row.
 
-    def __init__(self, url: str):
+    ``user``/``password``: HTTP basic auth on every request — the
+    reference reads the same credentials from schema_registry.json and
+    sets them on srclient (cli/flags.go:34-46, consume/command.go:83)."""
+
+    def __init__(self, url: str, user: str | None = None,
+                 password: str | None = None):
         self.url = url.rstrip("/")
         self._by_id: dict[int, dict] = {}
+        self._auth: str | None = None
+        if user or password:
+            import base64  # noqa: PLC0415
+
+            token = base64.b64encode(
+                f"{user or ''}:{password or ''}".encode()
+            ).decode()
+            self._auth = f"Basic {token}"
+
+    def _headers(self) -> dict[str, str]:
+        h = {"Content-Type": "application/vnd.schemaregistry.v1+json"}
+        if self._auth:
+            h["Authorization"] = self._auth
+        return h
 
     def _get(self, path: str) -> dict:
-        with urllib.request.urlopen(self.url + path) as resp:  # noqa: S310
+        req = urllib.request.Request(self.url + path, headers=self._headers())
+        with urllib.request.urlopen(req) as resp:  # noqa: S310
             return json.loads(resp.read())
 
     def _post(self, path: str, body: dict) -> dict:
         req = urllib.request.Request(
             self.url + path,
             data=json.dumps(body).encode(),
-            headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
+            headers=self._headers(),
         )
         with urllib.request.urlopen(req) as resp:  # noqa: S310
             return json.loads(resp.read())
+
+    def compatibility(self, subject: str | None = None) -> str:
+        """Global (or per-subject) compatibility mode — GET /config
+        (Confluent API; the knob next to the credentials in a managed
+        registry)."""
+        path = "/config" if subject is None else f"/config/{subject}"
+        return self._get(path)["compatibilityLevel"]
 
     def schema_by_id(self, schema_id: int) -> dict:
         if schema_id not in self._by_id:

@@ -18,6 +18,13 @@ zavro/encoder.go:29-51 boundary) uses:
   GET  /subjects/{subject}/versions   [1, ...] (version list)
   GET  /subjects/{subject}/versions/latest
                                       {"subject","version","id","schema"}
+  GET  /config[/{subject}]            {"compatibilityLevel": "..."}
+                                      (40408 when no subject override)
+  PUT  /config[/{subject}]            set the compatibility mode
+
+Basic auth (``auth=(user, password)``) gates every route with 401 —
+the managed-registry deployment the reference's schema_registry.json
+user/password fields pair with (cli/flags.go:34-46).
 
 Errors use the registry's JSON shape: 404 + {"error_code": 40403}
 (schema not found) / 40401 (subject not found).
@@ -41,16 +48,37 @@ _CONTENT_TYPE = "application/vnd.schemaregistry.v1+json"
 
 
 class RegistryStub:
-    """Threaded single-process Confluent-registry double over HTTP."""
+    """Threaded single-process Confluent-registry double over HTTP.
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    ``auth=(user, password)``: require HTTP basic auth on every route
+    (401 + WWW-Authenticate otherwise) — the managed-registry setup the
+    reference's schema_registry.json credentials exist for.
+    ``compatibility``: the global mode served by GET /config."""
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        auth: tuple[str, str] | None = None,
+        compatibility: str = "BACKWARD",
+    ):
         self._lock = threading.RLock()
         self._by_id: dict[int, str] = {}  # id -> canonical schema json
         self._canon_to_id: dict[str, int] = {}
         self._subjects: dict[str, list[int]] = {}  # subject -> [id per version]
+        self._subject_compat: dict[str, str] = {}
         self._next = 1
+        self.compatibility = compatibility
         self.requests: list[tuple[str, str]] = []
         stub = self
+        if auth is not None:
+            import base64
+
+            expect_auth = "Basic " + base64.b64encode(
+                f"{auth[0]}:{auth[1]}".encode()
+            ).decode()
+        else:
+            expect_auth = None
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # silence default stderr access log
@@ -60,6 +88,10 @@ class RegistryStub:
                 data = json.dumps(body).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", _CONTENT_TYPE)
+                if code == 401:
+                    self.send_header(
+                        "WWW-Authenticate", 'Basic realm="registry"'
+                    )
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
@@ -67,10 +99,35 @@ class RegistryStub:
             def _error(self, http_code: int, error_code: int, msg: str) -> None:
                 self._reply(http_code, {"error_code": error_code, "message": msg})
 
+            def _authorized(self) -> bool:
+                if expect_auth is None:
+                    return True
+                if self.headers.get("Authorization") == expect_auth:
+                    return True
+                self._error(401, 401, "Unauthorized")
+                return False
+
             def do_GET(self):
                 with stub._lock:
                     stub.requests.append(("GET", self.path))
+                    if not self._authorized():
+                        return None
                     parts = [p for p in self.path.split("/") if p]
+                    if parts == ["config"]:
+                        return self._reply(
+                            200, {"compatibilityLevel": stub.compatibility}
+                        )
+                    if len(parts) == 2 and parts[0] == "config":
+                        level = stub._subject_compat.get(parts[1])
+                        if level is None:
+                            # per the API: no subject-level override
+                            return self._error(
+                                404, 40408,
+                                "Subject compatibility not configured",
+                            )
+                        return self._reply(
+                            200, {"compatibilityLevel": level}
+                        )
                     if parts == ["subjects"]:
                         return self._reply(200, sorted(stub._subjects))
                     if len(parts) == 3 and parts[:2] == ["schemas", "ids"]:
@@ -111,9 +168,28 @@ class RegistryStub:
                         )
                     return self._error(404, 404, f"no route {self.path}")
 
+            def do_PUT(self):
+                with stub._lock:
+                    stub.requests.append(("PUT", self.path))
+                    if not self._authorized():
+                        return None
+                    parts = [p for p in self.path.split("/") if p]
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(n)) if n else {}
+                    level = body.get("compatibility", "BACKWARD")
+                    if parts == ["config"]:
+                        stub.compatibility = level
+                        return self._reply(200, {"compatibility": level})
+                    if len(parts) == 2 and parts[0] == "config":
+                        stub._subject_compat[parts[1]] = level
+                        return self._reply(200, {"compatibility": level})
+                    return self._error(404, 404, f"no route {self.path}")
+
             def do_POST(self):
                 with stub._lock:
                     stub.requests.append(("POST", self.path))
+                    if not self._authorized():
+                        return None
                     parts = [p for p in self.path.split("/") if p]
                     if (
                         len(parts) == 3
