@@ -5775,11 +5775,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first (the zedql gates closed this session), then the r10 additions.
 # Round-12 driver-window rotation: the two r11 keys whose OUTPUT SHAPE
 # changed this round (collected arrays now serialized with join(...) so
-# the driver canonicalizer can hash them — the only r11 reds), plus any
-# keys added in round 12.
+# the driver canonicalizer can hash them — the only r11 reds), then the
+# three media keys whose ORACLE changed (fixtures un-pinned from
+# sf0.01, now derived per-SF), then the longest-unsampled keys — the
+# whole registry is hash-exact under the local r12 full sweep; these
+# are the ones whose most recent DRIVER-green row is from rounds 4/5/6
+# (dup entries later in the chain are harmless: first position wins).
 _R12_FRONT = [
     "zq_over_sort_collect",
     "zq_over_topk",
+    "image_dup_pairs",
+    "audio_dup_pairs",
+    "video_dup_pairs",
+    # rotation: last driver-green r4
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    # rotation: last driver-green r5
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "doc_chunks",
+    "embedding_dup_pairs",
+    "embedding_dup_pairs_multiprobe",
+    "knn_join",
+    "pii_scrub",
+    "quantize_embeddings",
+    "repetition_flags",
+    "session_window_stats",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q9",
+    # rotation: last driver-green r6
+    "asof_join",
+    "collect_bundle",
+    "const_map_lookup",
 ]
 
 _R11_FRONT = _R12_FRONT + [
@@ -6404,11 +6438,11 @@ _MEDIA_FP_DIR = "/tmp/zinger_spark_oracle_fps"
 #: the DRIVER's correctness SF.  Comparison harnesses running at a
 #: different SF must SKIP these instead of reporting a guaranteed
 #: mismatch (tools/compare.py consults this).
-ORACLE_SF_PINNED = {
-    "image_dup_pairs": "sf0.01",
-    "audio_dup_pairs": "sf0.01",
-    "video_dup_pairs": "sf0.01",
-}
+# r12: the media keys are no longer SF-pinned — _materialize_media_fps
+# derives the oracle fingerprints from the comparison's own sf_dir
+# ($SPARK_GRAFT_ORACLE_SF_DIR, set by tools/compare.py; the driver sets
+# nothing and gets its correctness SF by default).
+ORACLE_SF_PINNED: dict[str, str] = {}
 
 
 def _materialize_media_fps() -> tuple[str, str, str] | None:
@@ -6420,13 +6454,19 @@ def _materialize_media_fps() -> tuple[str, str, str] | None:
 
     Pure Python (pyarrow + numpy + codecs/media), NO Spark: the
     synthesis replicates the queries' mapInPandas generators over the
-    sf0.01 embeddings (the driver's correctness SF).  The image side
-    fingerprints the PRE-ENCODE pixel array, so the Spark side's
-    PNG encode->decode round trip is inside the verified surface; the
-    audio side keeps the WAV round trip on both sides because 16-bit
-    PCM quantization is inherent to the format.  Regenerated on every
-    oracle_sql() call (<1 s for ~550 rows); returns None when the
-    testdata is unavailable so the other oracle keys never break."""
+    embeddings table of ``$SPARK_GRAFT_ORACLE_SF_DIR`` (default the
+    driver's correctness SF, /root/testdata/sf0.01 — tools/compare.py
+    points it at the sweep's corpus, which un-pins the media keys from
+    sf0.01).  The image side fingerprints the PRE-ENCODE pixel array,
+    so the Spark side's PNG encode->decode round trip is inside the
+    verified surface; the audio side keeps the WAV round trip on both
+    sides because 16-bit PCM quantization is inherent to the format.
+    Cached per-SF under /tmp with the repo's fixture convention
+    (md5(abs sf_dir + version) slug, _DONE marker, atomic renames);
+    returns None when the testdata is unavailable so the other oracle
+    keys never break."""
+    import hashlib  # noqa: PLC0415
+
     import numpy as np  # noqa: PLC0415
 
     try:
@@ -6435,10 +6475,22 @@ def _materialize_media_fps() -> tuple[str, str, str] | None:
 
         from zinger_spark.codecs import media  # noqa: PLC0415
 
-        tbl = pq.read_table(
-            "/root/testdata/sf0.01/embeddings.parquet",
-            columns=["vec_id", "embedding"],
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
         )
+        slug = hashlib.md5(
+            (os.path.abspath(sf_dir) + ":media-v1").encode()
+        ).hexdigest()[:10]
+        outdir = os.path.join(_MEDIA_FP_DIR, slug)
+        img_path = os.path.join(outdir, "image_fps.parquet")
+        aud_path = os.path.join(outdir, "audio_fps.parquet")
+        vid_path = os.path.join(outdir, "video_fps.parquet")
+        marker = os.path.join(outdir, "_DONE")
+        if os.path.exists(marker):
+            return img_path, aud_path, vid_path
+
+        src = f"{sf_dir}/embeddings.parquet"
+        tbl = pq.read_table(src, columns=["vec_id", "embedding"])
         vec_ids = tbl.column("vec_id").to_pylist()
         vecs = tbl.column("embedding").to_pylist()
 
@@ -6501,10 +6553,7 @@ def _materialize_media_fps() -> tuple[str, str, str] | None:
                 clip_ids.append(int(vid) + 1_000_000)
                 afps.append(_afp(0.5 * sig))
 
-        os.makedirs(_MEDIA_FP_DIR, exist_ok=True)
-        img_path = os.path.join(_MEDIA_FP_DIR, "image_fps_sf001.parquet")
-        aud_path = os.path.join(_MEDIA_FP_DIR, "audio_fps_sf001.parquet")
-        vid_path = os.path.join(_MEDIA_FP_DIR, "video_fps_sf001.parquet")
+        os.makedirs(outdir, exist_ok=True)
         # write-tmp + atomic replace: concurrent compare/pytest runs
         # share this path, and a reader must never see a torn file
         pid = os.getpid()
@@ -6520,6 +6569,8 @@ def _materialize_media_fps() -> tuple[str, str, str] | None:
             tmp = f"{path}.{pid}.tmp"
             pq.write_table(tbl, tmp)
             os.replace(tmp, path)
+        with open(marker, "w") as f:
+            f.write(str(len(vec_ids)))
         return img_path, aud_path, vid_path
     except Exception as e:  # pragma: no cover - environment-dependent
         # surface the reason: a silent None here quietly downgrades

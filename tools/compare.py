@@ -139,6 +139,9 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs = entrymod.queries()
+    # SF-parameterized oracle fixtures (media fingerprints) derive from
+    # the comparison's own corpus — this is what un-pins the media keys
+    _os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = _os.path.abspath(sf_dir)
     oracles = entrymod.oracle_sql()
     sf_pinned = getattr(entrymod, "ORACLE_SF_PINNED", {})
     n_pass = n_fail = 0
