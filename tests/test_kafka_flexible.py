@@ -189,3 +189,19 @@ def test_unimplemented_gap_version_rejected(client):
     client.create_topic("gap", partitions=1)
     with pytest.raises(KafkaWireError):
         client.produce("gap", 0, [(None, b"v")], api_version=5)
+
+
+def test_list_offsets_flexible(client):
+    """ListOffsets v6 (flexible) is the negotiated default; watermarks
+    resolve through it end-to-end."""
+    from zinger_spark.kafka_wire import API_LIST_OFFSETS
+
+    assert client._negotiate(
+        API_LIST_OFFSETS, client._LIST_OFFSETS_VERSIONS
+    ) == 6
+    client.create_topic("flexlo", partitions=1)
+    client.produce("flexlo", 0, [(None, b"a"), (None, b"b")])
+    assert client.watermarks("flexlo", 0) == (0, 2)
+    from zinger_spark.kafka_wire import KafkaWireError
+    with pytest.raises(KafkaWireError):
+        client.list_offset("missing-topic", 0, -1)

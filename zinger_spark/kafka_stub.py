@@ -76,7 +76,7 @@ from .kafka_wire import (
 _SUPPORTED = {
     API_PRODUCE: (0, 9),
     API_FETCH: (0, 12),
-    API_LIST_OFFSETS: (0, 1),
+    API_LIST_OFFSETS: (0, 6),
     API_METADATA: (0, 9),
     API_SASL_HANDSHAKE: (0, 1),
     API_API_VERSIONS: (0, 3),
@@ -88,6 +88,7 @@ _SUPPORTED = {
 _IMPLEMENTED = {
     API_PRODUCE: (0, 1, 2, 3, 9),
     API_FETCH: (0, 1, 2, 3, 4, 12),
+    API_LIST_OFFSETS: (0, 1, 6),
     API_METADATA: (0, 1, 9),
     API_API_VERSIONS: (0, 3),
 }
@@ -441,27 +442,58 @@ class StubBroker:
 
     def _list_offsets(self, out: _Writer, r: _Reader, version: int) -> bytes:
         r.int32()  # replica_id
-        topics = []
-        for _ in range(r.int32()):
-            topic = r.string() or ""
-            parts = []
+        if version >= 6:
+            r.int8()  # isolation_level
+            topics = []
+            for _ in range(max(r.uvarint() - 1, 0)):
+                topic = r.compact_string() or ""
+                parts = []
+                for _ in range(max(r.uvarint() - 1, 0)):
+                    partition = r.int32()
+                    r.int32()  # current_leader_epoch
+                    ts = r.int64()
+                    r.tags()
+                    parts.append((partition, ts))
+                r.tags()
+                topics.append((topic, parts))
+            r.tags()
+        else:
+            topics = []
             for _ in range(r.int32()):
-                partition = r.int32()
-                ts = r.int64()
-                if version == 0:
-                    r.int32()  # max_num_offsets (v0 only)
-                parts.append((partition, ts))
-            topics.append((topic, parts))
+                topic = r.string() or ""
+                parts = []
+                for _ in range(r.int32()):
+                    partition = r.int32()
+                    ts = r.int64()
+                    if version == 0:
+                        r.int32()  # max_num_offsets (v0 only)
+                    parts.append((partition, ts))
+                topics.append((topic, parts))
+
+        def _resolve(topic: str, partition: int, ts: int) -> tuple[int, int]:
+            log = self.logs.get((topic, partition))
+            if log is None:
+                return ERR_UNKNOWN_TOPIC_OR_PARTITION, -1
+            return ERR_NONE, (0 if ts == EARLIEST else len(log))
+
+        if version >= 6:
+            out.int32(0)  # throttle_time_ms
+            out.uvarint(len(topics) + 1)
+            for topic, parts in topics:
+                out.compact_string(topic).uvarint(len(parts) + 1)
+                for partition, ts in parts:
+                    err, off = _resolve(topic, partition, ts)
+                    out.int32(partition).int16(err)
+                    out.int64(-1).int64(off)  # timestamp, offset
+                    out.int32(-1)  # leader_epoch
+                    out.tags()
+                out.tags()
+            return out.tags().done()
         out.int32(len(topics))
         for topic, parts in topics:
             out.string(topic).int32(len(parts))
             for partition, ts in parts:
-                log = self.logs.get((topic, partition))
-                if log is None:
-                    err, off = ERR_UNKNOWN_TOPIC_OR_PARTITION, -1
-                else:
-                    err = ERR_NONE
-                    off = 0 if ts == EARLIEST else len(log)
+                err, off = _resolve(topic, partition, ts)
                 out.int32(partition).int16(err)
                 if version == 0:
                     out.int32(1).int64(max(off, 0))

@@ -1116,9 +1116,52 @@ class KafkaWireClient:
             if name == topic and err:
                 raise KafkaWireError(f"CreateTopics {topic!r}: error {err}", err)
 
+    #: client-implemented ListOffsets versions (v6 = flexible)
+    _LIST_OFFSETS_VERSIONS = (1, 6)
+
     def list_offset(self, topic: str, partition: int, timestamp: int) -> int:
-        """ListOffsets v1: timestamp LATEST (-1) -> end offset,
-        EARLIEST (-2) -> start offset."""
+        """ListOffsets: timestamp LATEST (-1) -> end offset,
+        EARLIEST (-2) -> start offset.  v6 (flexible) when the broker
+        offers it, v1 otherwise."""
+        version = self._negotiate(
+            API_LIST_OFFSETS, self._LIST_OFFSETS_VERSIONS
+        )
+        if version >= 6:
+            body = _Writer().int32(-1).int8(0)  # replica_id, isolation
+            body.compact_array(
+                [topic],
+                lambda w, t: w.compact_string(t)
+                .compact_array(
+                    [partition],
+                    lambda pw, p: pw.int32(p)
+                    .int32(-1)  # current_leader_epoch
+                    .int64(timestamp)
+                    .tags(),
+                )
+                .tags(),
+            )
+            body.tags()
+            r = self._request(API_LIST_OFFSETS, version, body.done())
+            r.int32()  # throttle_time_ms
+            for _ in range(max(r.uvarint() - 1, 0)):
+                r.compact_string()  # topic
+                for _ in range(max(r.uvarint() - 1, 0)):
+                    r.int32()  # partition
+                    err = r.int16()
+                    r.int64()  # timestamp
+                    off = r.int64()
+                    r.int32()  # leader_epoch
+                    r.tags()
+                    if err:
+                        raise KafkaWireError(
+                            f"ListOffsets {topic}[{partition}]: error {err}",
+                            err,
+                        )
+                    return off
+                r.tags()
+            raise KafkaWireError(
+                f"ListOffsets: no result for {topic}[{partition}]"
+            )
         body = (
             _Writer()
             .int32(-1)  # replica_id: ordinary client
