@@ -645,3 +645,23 @@ def test_cli_consume_no_meta_shape(spark, broker, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert rc == 0
     assert out.splitlines()[0] == '{key:"k0",value:{seqno:1}}'
+
+
+def test_wire_produce_df_pipelined(spark, broker):
+    """Pipelined produce (acks=0 batches + one high-watermark barrier)
+    appends the same log as the synchronous mode, in order."""
+    from zinger_spark.kafka_wire import wire_produce_df
+
+    broker.seed("PipeT", 1)
+    df = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(500)], "key string, value string"
+    )
+    n = wire_produce_df(df, broker.bootstrap, "PipeT", pipelined=True)
+    assert n == 500
+    log = broker.log("PipeT")
+    assert len(log) == 500
+    assert [e[1] for e in log[:3]] == [b"v0", b"v1", b"v2"]
+    # a second pipelined call verifies against the NEW baseline
+    assert wire_produce_df(df.limit(7), broker.bootstrap, "PipeT",
+                           pipelined=True) == 7
+    assert len(broker.log("PipeT")) == 507

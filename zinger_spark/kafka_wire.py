@@ -1501,11 +1501,25 @@ def wire_produce_df(
     batch_size: int = 200,
     compression: str = "none",
     security: dict | None = None,
+    pipelined: bool = False,
 ) -> int:
     """Produce a (key binary/string, value binary/string) DataFrame —
     the kafka_sink_projection shape — through the wire client in
     batches of ``batch_size`` (the reference's to-kafka produce loop
     batches 200, fifo/to.go:63-81).  Returns the record count.
+
+    ``pipelined=True`` streams every batch with acks=0 (the protocol's
+    fire-and-forget: the broker sends no response, so batches pipeline
+    through the TCP window instead of paying a round trip each) and
+    then BARRIERS: one ListOffsets probe verifies the partition's high
+    watermark advanced by exactly the produced count, raising
+    KafkaWireError otherwise.  Same failure semantics as the
+    synchronous mode — a mid-stream crash leaves earlier batches
+    appended either way, and callers already handle that with produced-
+    offset watermarks (continuous_sink's sidecar) — but ~an order of
+    magnitude fewer round trips.  Assumes this producer is the
+    partition's only writer during the call, which is the sync loop's
+    ordering assumption anyway.
 
     Driver-side by design: the bounded to-kafka sync is a tail read of
     the pool (ordered_batch), not a corpus scan.
@@ -1522,17 +1536,29 @@ def wire_produce_df(
         F.col("key") if "key" in df.columns
         else F.lit(None).cast("binary").alias("key")
     )
+    acks = 0 if pipelined else -1
     n = 0
     with KafkaWireClient(brokers, **(security or {})) as c:
+        start_hw = c.list_offset(topic, partition, LATEST) if pipelined else 0
         buf: list[tuple[bytes | None, bytes | None]] = []
         # toLocalIterator: one partition at a time on the driver
         for row in df.select(key_col, "value").toLocalIterator():
             buf.append((_b(row["key"]), _b(row["value"])))
             if len(buf) >= batch_size:
-                c.produce(topic, partition, buf, compression=compression)
+                c.produce(topic, partition, buf,
+                          acks=acks, compression=compression)
                 n += len(buf)
                 buf = []
         if buf:
-            c.produce(topic, partition, buf, compression=compression)
+            c.produce(topic, partition, buf,
+                      acks=acks, compression=compression)
             n += len(buf)
+        if pipelined:
+            end_hw = c.list_offset(topic, partition, LATEST)
+            if end_hw - start_hw != n:
+                raise KafkaWireError(
+                    f"pipelined produce verification failed: "
+                    f"{topic}[{partition}] high watermark advanced "
+                    f"{end_hw - start_hw}, expected {n}"
+                )
     return n

@@ -254,7 +254,12 @@ def continuous_sink(
 
                 if topic is None:
                     raise ValueError("transport='wire' requires topic=")
-                wire_produce_df(out, brokers, topic)
+                # pipelined: acks=0 batches + one high-watermark
+                # barrier — safe here because the produced-offset
+                # sidecar makes any crash-replay idempotent (rows below
+                # the watermark are dropped on retry), and the sink is
+                # the partition's only writer by the ordering contract
+                wire_produce_df(out, brokers, topic, pipelined=True)
             elif brokers:
                 (
                     out.write.format("kafka")
