@@ -2078,6 +2078,28 @@ def _q_line_dedup(spark, sf):
     )
 
 
+def _q_dedup_duplicate_spans(spark, sf):
+    """EXACT duplicated token spans with positions (Lee et al. 2022's
+    ExactSubstr at word granularity, operators/dedup.duplicate_spans):
+    gram-hash matches consolidated into maximal runs at constant
+    alignment diff via gaps-and-islands — each shared >=12-token span
+    reported once with (start_a, start_b, span_len).  The corpus
+    carries natural long spans (24 at sf0.01, up to 83 tokens), so no
+    augmentation is needed.  Positions cast long for oracle parity
+    (DuckDB generate_series is BIGINT)."""
+    from zinger_spark.operators.dedup import duplicate_spans
+
+    docs = _t(spark, sf, "documents")
+    out = duplicate_spans(docs, k=8, min_len=12)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("start_a").cast("long").alias("start_a"),
+        F.col("start_b").cast("long").alias("start_b"),
+        "span_len",
+    )
+
+
 def _q_substring_dups(spark, sf):
     """Substring-level duplicate pairs via winnowing fingerprints
     (Schleimer et al. 2003 / the repeated-span dedup of Lee et al.
@@ -5600,6 +5622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "dsir_affinity": _q_dsir_affinity,
         "substring_dups": _q_substring_dups,
+        "dedup_duplicate_spans": _q_dedup_duplicate_spans,
         "substring_dups_incremental": _q_substring_dups_incremental,
         "line_dedup_incremental": _q_line_dedup_incremental,
         "source_vocab_overlap": _q_source_vocab_overlap,
@@ -5782,6 +5805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # are the ones whose most recent DRIVER-green row is from rounds 4/5/6
 # (dup entries later in the chain are harmless: first position wins).
 _R12_FRONT = [
+    # added in round 12
+    "dedup_duplicate_spans",
     "zq_over_sort_collect",
     "zq_over_topk",
     "image_dup_pairs",
@@ -8508,6 +8533,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS shared_fps
             FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        "dedup_duplicate_spans": f"""
+            WITH tokd AS (
+              SELECT doc_id, {_sql_tokens("text")} AS toks FROM documents
+            ),
+            gram0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 7),
+                            i -> struct_pack(pos := i - 1,
+                                 h := {_sql_md5h("array_to_string(list_slice(toks, i, i + 7), ' ')")}
+                            ))) AS u
+              FROM tokd WHERE len(toks) >= 8
+            ),
+            grams AS (SELECT doc_id AS id, u.pos AS pos, u.h AS h FROM gram0),
+            hot AS (
+              SELECT h FROM (SELECT h, count(DISTINCT id) AS df
+                             FROM grams GROUP BY h) WHERE df > 1000
+            ),
+            cold AS (SELECT * FROM grams WHERE h NOT IN (SELECT h FROM hot)),
+            m AS (
+              SELECT a.id AS doc_a, b.id AS doc_b, a.pos AS pa, b.pos AS pb,
+                     a.pos - b.pos AS diff
+              FROM cold a JOIN cold b ON a.h = b.h AND a.id < b.id
+            ),
+            runs AS (
+              SELECT doc_a, doc_b, diff, pa, pb,
+                     pa - row_number() OVER (PARTITION BY doc_a, doc_b, diff
+                                             ORDER BY pa) AS isl
+              FROM m
+            )
+            SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+                   count(*) + 7 AS span_len
+            FROM runs GROUP BY doc_a, doc_b, diff, isl
+            HAVING count(*) + 7 >= 12
         """,
         "substring_dups_incremental": f"""
             WITH aug AS (

@@ -194,6 +194,9 @@ HEADLINE = [
     "dsir_gumbel_sample",
     "leakage_safe_split",
     "split_leakage_audit",
+    # r12: exact duplicate-span detection (ExactSubstr at word
+    # granularity — gram join + gaps-and-islands run consolidation)
+    "dedup_duplicate_spans",
 ]
 
 # Deliberately-exhaustive parity pins: correct by construction but

@@ -186,3 +186,71 @@ def test_incremental_hamming_matches_full_restricted(spark):
         ).collect()
     }
     assert inc == full and full  # non-vacuous
+
+
+# ---------------------------------------------------------------------------
+# r12: exact duplicate-span detection (ExactSubstr at word granularity)
+
+
+def _spans(spark, docs, **kw):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_len)
+        for r in zd.duplicate_spans(df, **kw).collect()
+    }
+
+
+def test_duplicate_spans_exact_position_and_length(spark):
+    """A 14-token span shared mid-document is reported once, maximal,
+    with the right 0-based offsets in each doc."""
+    shared = " ".join(f"s{i}" for i in range(14))
+    docs = [
+        (1, "a1 a2 a3 " + shared + " a4"),
+        (2, "b1 " + shared + " b2 b3 b4 b5"),
+    ]
+    assert _spans(spark, docs, k=8, min_len=12) == {(1, 2, 3, 1, 14)}
+
+
+def test_duplicate_spans_min_len_filter(spark):
+    """An 11-token shared run stays below min_len=12."""
+    shared = " ".join(f"s{i}" for i in range(11))
+    docs = [(1, shared + " x1 x2"), (2, "y1 " + shared)]
+    assert _spans(spark, docs, k=8, min_len=12) == set()
+    # the same corpus at min_len=11 reports it
+    assert _spans(spark, docs, k=8, min_len=11) == {(1, 2, 0, 1, 11)}
+
+
+def test_duplicate_spans_gap_splits_runs(spark):
+    """Two shared spans separated by a mismatch are two islands, not
+    one merged run."""
+    s1 = " ".join(f"p{i}" for i in range(12))
+    s2 = " ".join(f"q{i}" for i in range(13))
+    docs = [
+        (1, s1 + " mid1 " + s2),
+        (2, s1 + " DIFFERENT " + s2),
+    ]
+    got = _spans(spark, docs, k=8, min_len=12)
+    assert got == {(1, 2, 0, 0, 12), (1, 2, 13, 13, 13)}
+
+
+def test_duplicate_spans_repeated_span_both_alignments(spark):
+    """doc 2 contains the span twice: one span row per alignment."""
+    s = " ".join(f"r{i}" for i in range(12))
+    docs = [(1, s), (2, s + " z1 z2 " + s)]
+    got = _spans(spark, docs, k=8, min_len=12)
+    assert got == {(1, 2, 0, 0, 12), (1, 2, 0, 14, 12)}
+
+
+def test_duplicate_spans_max_df_cap_drops_boilerplate(spark):
+    """A span present in MORE than max_df docs generates no pairs (the
+    boilerplate guard); raising the cap restores them."""
+    s = " ".join(f"c{i}" for i in range(12))
+    docs = [(i, f"u{i} " + s) for i in range(1, 5)]  # span in 4 docs
+    assert _spans(spark, docs, k=8, min_len=12, max_df=3) == set()
+    assert len(_spans(spark, docs, k=8, min_len=12, max_df=10)) == 6  # C(4,2)
+
+
+def test_duplicate_spans_min_len_below_k_rejected(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_len"):
+        zd.duplicate_spans(df, k=8, min_len=7)

@@ -583,6 +583,21 @@ def main() -> int:
           and "TakeOrderedAndProject" in p and "BatchEvalPython" not in p,
           "bucket models broadcast; weight top-k is TakeOrdered")
 
+    # round 12: exact duplicate spans — gram match must be an equi-join
+    # on the hash (never cartesian), the island window partitioned by
+    # the pair+diff (never global), all column algebra (no Python)
+    w = qs["dedup_duplicate_spans"](spark, sf)
+    p = plan_of(w)
+    check("dedup_duplicate_spans",
+          "CartesianProduct" not in p and "BatchEvalPython" not in p,
+          "gram match is a hash equi-join; run consolidation is pure "
+          "column algebra")
+    opt = w._jdf.queryExecution().optimizedPlan().toString()
+    check("dedup_duplicate_spans",
+          "windowspecdefinition(doc_a" in opt,
+          "gaps-and-islands row_number window is partitioned by "
+          "(doc_a, doc_b, diff), bounded by one pair's overlap")
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()
     return 1 if failures else 0

@@ -904,6 +904,96 @@ def winnow_fingerprints(
     return fps
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_len: int = 12,
+    max_df: int = 1000,
+) -> DataFrame:
+    """EXACT duplicated token spans between document pairs — the
+    ExactSubstr criterion of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") at word granularity: every
+    maximal run of >= ``min_len`` consecutive tokens appearing verbatim
+    in both documents, WITH its position in each.  Where
+    ``substring_dup_pairs`` (winnowing) answers "do these docs share a
+    span?", this answers "which span, where, how long" — the shape the
+    cut-the-span-out-of-one-copy dedup treatment needs.
+
+    -> (doc_a, doc_b, start_a, start_b, span_len), doc_a < doc_b,
+    positions 0-based token offsets.
+
+    Plan (no suffix array needed — the paper's suffix-array machinery
+    is for sub-token granularity over one giant concatenation; at word
+    granularity the same maximal spans fall out of pure relational
+    algebra):
+      1. one posexplode+lead pass hashes every k-gram with its POSITION
+         (the winnow_fingerprints gram stage, minus the rolling min);
+      2. gram matches from a position-carrying equi-join on the hash,
+         under the usual ``max_df`` document-frequency cap (a gram in M
+         docs is M^2 join rows — boilerplate never generates spans
+         worth keeping anyway);
+      3. a shared span of L tokens == a run of L-k+1 consecutive
+         matches at CONSTANT alignment diff = pos_a - pos_b, so runs
+         consolidate with gaps-and-islands (pa - row_number() per
+         (pair, diff) group) and one groupBy emits each maximal span
+         exactly once: span_len = run_count + k - 1.
+
+    100 TB shape: the gram pass shuffles per doc id (window state
+    bounded by the longest doc); the match join shuffles on the gram
+    hash with the hot keys capped; the island window partitions by
+    (doc_a, doc_b, diff) — bounded by a single pair's overlap, never
+    the corpus.  No cartesian products, no driver state.
+    """
+    if min_len < k:
+        raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ex = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    wn = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(wn) for j in range(1, k)]
+    grams = (
+        ex.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *leads).alias("g"),
+            leads[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("id", "pos", md5_hash60(F.col("g")).alias("h"))
+    )
+    hot = (
+        grams.select("id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("h")
+    )
+    cold = grams.join(F.broadcast(hot), "h", "left_anti")
+    a = cold.select(F.col("id").alias("doc_a"), F.col("pos").alias("pa"), "h")
+    b = cold.select(F.col("id").alias("doc_b"), F.col("pos").alias("pb"), "h")
+    m = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diff"))
+    )
+    iw = Window.partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
+    return (
+        m.withColumn("__isl", F.col("pa") - F.row_number().over(iw))
+        .groupBy("doc_a", "doc_b", "diff", "__isl")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+    )
+
+
 def substring_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
