@@ -2100,6 +2100,33 @@ def _q_dedup_duplicate_spans(spark, sf):
     )
 
 
+def _q_dedup_span_removal(spark, sf):
+    """The cut-the-span treatment (Lee et al. 2022) applied to the
+    corpus's natural duplicate spans: merged b-side ranges removed,
+    docs rebuilt from their original tokens.  Emits the AFFECTED docs
+    as scalars — removed-token count + a 60-bit fingerprint of the
+    rebuilt text (registry lint: no array columns) — against an oracle
+    that re-derives the spans, re-merges the intervals, and rebuilds
+    via position anti-semantics in pure SQL."""
+    from zinger_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+    from zinger_spark.functions.text import md5_hash60
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    spans = duplicate_spans(docs, k=8, min_len=12)
+    out = remove_duplicate_spans(docs, spans)
+    return (
+        out.filter(F.col("removed_tokens") > 0)
+        .select(
+            "doc_id",
+            "removed_tokens",
+            md5_hash60(F.col("text")).alias("fp"),
+        )
+    )
+
+
 def _q_substring_dups(spark, sf):
     """Substring-level duplicate pairs via winnowing fingerprints
     (Schleimer et al. 2003 / the repeated-span dedup of Lee et al.
@@ -5623,6 +5650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_affinity": _q_dsir_affinity,
         "substring_dups": _q_substring_dups,
         "dedup_duplicate_spans": _q_dedup_duplicate_spans,
+        "dedup_span_removal": _q_dedup_span_removal,
         "substring_dups_incremental": _q_substring_dups_incremental,
         "line_dedup_incremental": _q_line_dedup_incremental,
         "source_vocab_overlap": _q_source_vocab_overlap,
@@ -5807,6 +5835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R12_FRONT = [
     # added in round 12
     "dedup_duplicate_spans",
+    "dedup_span_removal",
     "zq_over_sort_collect",
     "zq_over_topk",
     "image_dup_pairs",
@@ -6010,6 +6039,50 @@ def _sql_minhash_recall() -> str:
 
 def _sql_tokens(expr: str) -> str:
     return f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+
+
+def _sql_dup_spans_ctes() -> str:
+    """CTE chain re-deriving operators/dedup.duplicate_spans (k=8,
+    min_len=12, max_df=1000) over ``documents``, ending in ``spansq``
+    (doc_a, doc_b, start_a, start_b, span_len).  Shared by the
+    detection key and the span-removal treatment key."""
+    gram_h = _sql_md5h("array_to_string(list_slice(toks, i, i + 7), ' ')")
+    return f"""tokd AS (
+              SELECT doc_id, {_sql_tokens("text")} AS toks FROM documents
+            ),
+            gram0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 7),
+                            i -> struct_pack(pos := i - 1, h := {gram_h})))
+                       AS u
+              FROM tokd WHERE len(toks) >= 8
+            ),
+            grams AS (SELECT doc_id AS id, u.pos AS pos, u.h AS h FROM gram0),
+            hot AS (
+              SELECT h FROM (SELECT h, count(DISTINCT id) AS df
+                             FROM grams GROUP BY h) WHERE df > 1000
+            ),
+            cold AS (SELECT * FROM grams WHERE h NOT IN (SELECT h FROM hot)),
+            mm AS (
+              SELECT a.id AS doc_a, b.id AS doc_b, a.pos AS pa, b.pos AS pb,
+                     a.pos - b.pos AS diff
+              FROM cold a JOIN cold b ON a.h = b.h AND a.id < b.id
+            ),
+            runs AS (
+              SELECT doc_a, doc_b, diff, pa, pb,
+                     pa - row_number() OVER (PARTITION BY doc_a, doc_b, diff
+                                             ORDER BY pa) AS isl
+              FROM mm
+            ),
+            spansq AS (
+              SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+                     count(*) + 7 AS span_len
+              FROM runs GROUP BY doc_a, doc_b, diff, isl
+              HAVING count(*) + 7 >= 12
+            )"""
+
+
+_SQL_DUP_SPANS_CTES = _sql_dup_spans_ctes()
 
 
 # Pre-built SQL fragments for the curation composite (hoisted: f-string
@@ -8535,38 +8608,61 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "dedup_duplicate_spans": f"""
-            WITH tokd AS (
-              SELECT doc_id, {_sql_tokens("text")} AS toks FROM documents
+            WITH {_SQL_DUP_SPANS_CTES}
+            SELECT doc_a, doc_b, start_a, start_b, span_len FROM spansq
+        """,
+        "dedup_span_removal": f"""
+            WITH {_SQL_DUP_SPANS_CTES},
+            ranges AS (
+              SELECT doc_b AS id, start_b AS s, start_b + span_len AS e
+              FROM spansq
             ),
-            gram0 AS (
+            marked AS (
+              SELECT id, s, e,
+                     CASE WHEN max(e) OVER (PARTITION BY id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            IS NULL
+                          OR s > max(e) OVER (PARTITION BY id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS newgrp
+              FROM ranges
+            ),
+            grp AS (
+              SELECT id, s, e,
+                     sum(newgrp) OVER (PARTITION BY id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM marked
+            ),
+            mergedr AS (
+              SELECT id, min(s) AS s, max(e) AS e FROM grp GROUP BY id, g
+            ),
+            otoks AS (
               SELECT doc_id,
-                     unnest(list_transform(generate_series(1, len(toks) - 7),
-                            i -> struct_pack(pos := i - 1,
-                                 h := {_sql_md5h("array_to_string(list_slice(toks, i, i + 7), ' ')")}
-                            ))) AS u
-              FROM tokd WHERE len(toks) >= 8
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE doc_id IN (SELECT id FROM mergedr)
             ),
-            grams AS (SELECT doc_id AS id, u.pos AS pos, u.h AS h FROM gram0),
-            hot AS (
-              SELECT h FROM (SELECT h, count(DISTINCT id) AS df
-                             FROM grams GROUP BY h) WHERE df > 1000
+            pos AS (
+              SELECT doc_id, i - 1 AS pos, toks[i] AS tok, len(toks) AS n
+              FROM otoks, LATERAL unnest(generate_series(1, len(toks))) t(i)
             ),
-            cold AS (SELECT * FROM grams WHERE h NOT IN (SELECT h FROM hot)),
-            m AS (
-              SELECT a.id AS doc_a, b.id AS doc_b, a.pos AS pa, b.pos AS pb,
-                     a.pos - b.pos AS diff
-              FROM cold a JOIN cold b ON a.h = b.h AND a.id < b.id
+            kept AS (
+              SELECT p.* FROM pos p
+              WHERE NOT EXISTS (SELECT 1 FROM mergedr m
+                                WHERE m.id = p.doc_id
+                                  AND p.pos >= m.s AND p.pos < m.e)
             ),
-            runs AS (
-              SELECT doc_a, doc_b, diff, pa, pb,
-                     pa - row_number() OVER (PARTITION BY doc_a, doc_b, diff
-                                             ORDER BY pa) AS isl
-              FROM m
+            rebuilt AS (
+              SELECT doc_id,
+                     array_to_string(array_agg(tok ORDER BY pos), ' ') AS t2,
+                     count(*) AS keptn
+              FROM kept GROUP BY doc_id
             )
-            SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
-                   count(*) + 7 AS span_len
-            FROM runs GROUP BY doc_a, doc_b, diff, isl
-            HAVING count(*) + 7 >= 12
+            -- LEFT JOIN so a WHOLLY-removed doc still appears (empty
+            -- rebuilt text), matching the engine's pass-through shape
+            SELECT o.doc_id,
+                   len(o.toks) - coalesce(r.keptn, 0) AS removed_tokens,
+                   {_sql_md5h("coalesce(r.t2, '')")} AS fp
+            FROM otoks o LEFT JOIN rebuilt r ON r.doc_id = o.doc_id
         """,
         "substring_dups_incremental": f"""
             WITH aug AS (

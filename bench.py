@@ -196,7 +196,9 @@ HEADLINE = [
     "split_leakage_audit",
     # r12: exact duplicate-span detection (ExactSubstr at word
     # granularity — gram join + gaps-and-islands run consolidation)
+    # and its cut-the-span treatment
     "dedup_duplicate_spans",
+    "dedup_span_removal",
 ]
 
 # Deliberately-exhaustive parity pins: correct by construction but

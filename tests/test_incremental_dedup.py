@@ -254,3 +254,58 @@ def test_duplicate_spans_min_len_below_k_rejected(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="min_len"):
         zd.duplicate_spans(df, k=8, min_len=7)
+
+
+def _removal(spark, docs, **kw):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = zd.duplicate_spans(df, **kw)
+    return {
+        r.doc_id: (r.text, r.removed_tokens)
+        for r in zd.remove_duplicate_spans(df, spans).collect()
+    }
+
+
+def test_remove_duplicate_spans_cuts_later_copy_only(spark):
+    shared = " ".join(f"s{i}" for i in range(14))
+    docs = [
+        (1, "a1 a2 a3 " + shared + " a4"),
+        (2, "b1 " + shared + " b2"),
+    ]
+    got = _removal(spark, docs, k=8, min_len=12)
+    # the earliest copy (doc 1) survives verbatim
+    assert got[1] == ("a1 a2 a3 " + shared + " a4", 0)
+    # doc 2's copy is cut, surrounding tokens intact
+    assert got[2] == ("b1 b2", 14)
+
+
+def test_remove_duplicate_spans_merges_overlapping_ranges(spark):
+    """doc 3 shares overlapping spans with docs 1 AND 2; the cut ranges
+    merge, so overlapped tokens are removed once, not double-counted."""
+    words = [f"w{i}" for i in range(20)]
+    docs = [
+        (1, " ".join(words[:14])),       # matches doc 3 positions 0..13
+        (2, " ".join(words[6:20])),      # matches doc 3 positions 6..19
+        (3, " ".join(words)),            # victim: both spans overlap
+    ]
+    got = _removal(spark, docs, k=8, min_len=12)
+    assert got[1][1] == 0 and got[2][1] == 0
+    # ranges [0,14) and [6,20) merge to [0,20): the whole doc goes
+    assert got[3] == ("", 20)
+
+
+def test_remove_duplicate_spans_untouched_docs_pass_verbatim(spark):
+    docs = [(1, "only   doc with   odd spacing")]
+    got = _removal(spark, docs, k=8, min_len=12)
+    # no spans -> byte-identical pass-through (whitespace untouched)
+    assert got[1] == ("only   doc with   odd spacing", 0)
+
+
+def test_remove_duplicate_spans_converges(spark):
+    """Re-detecting on the treated corpus finds nothing (one-pass
+    convergence when each span has one survivor)."""
+    s = " ".join(f"t{i}" for i in range(13))
+    docs = [(1, s + " x"), (2, "y " + s), (3, s + " z1 z2")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = zd.duplicate_spans(df, k=8, min_len=12)
+    treated = zd.remove_duplicate_spans(df, spans).select("doc_id", "text")
+    assert zd.duplicate_spans(treated, k=8, min_len=12).count() == 0

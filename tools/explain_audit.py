@@ -597,6 +597,11 @@ def main() -> int:
           "windowspecdefinition(doc_a" in opt,
           "gaps-and-islands row_number window is partitioned by "
           "(doc_a, doc_b, diff), bounded by one pair's overlap")
+    p = plan_of(qs["dedup_span_removal"](spark, sf))
+    check("dedup_span_removal",
+          "CartesianProduct" not in p and "BatchEvalPython" not in p,
+          "interval merge + token filter rebuild stay in column "
+          "algebra; cut list joined back by doc id")
 
     print(f"\n{'PASS' if not failures else 'FAIL'}: {len(failures)} violations")
     spark.stop()

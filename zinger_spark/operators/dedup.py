@@ -994,6 +994,77 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The TREATMENT side of exact-substring dedup (Lee et al. 2022:
+    "remove one copy of each duplicated span"): given
+    ``duplicate_spans`` output, cut every b-side span out of its
+    document (doc_a < doc_b, so the EARLIEST copy survives — the
+    keep-canonical convention the exact-dedup keeper uses too) and
+    rebuild the text.
+
+    -> every input row as (doc_id, text, removed_tokens):
+    untouched docs pass through verbatim; cut docs are rebuilt from
+    their original-case tokens minus the removed positions (positions
+    are case-insensitive-match positions, but '\\s+' tokenization is
+    case-independent, so they index the original tokens exactly;
+    inter-token whitespace is normalized to single spaces in rebuilt
+    docs — the same normalization every downstream tokenizer applies).
+
+    Plan: spans' (start, end) ranges per victim doc are merged with the
+    classic intervals window (running max of ``e`` over the sorted
+    ranges; both windows partition by doc id), collected to a per-doc
+    array (bounded by spans-per-doc, not the corpus), joined back on the
+    doc id (AQE broadcasts the usually-tiny cut list and falls back to
+    a shuffle join on pathological span volume), and the rebuild is one
+    ``filter(tokens, (t, i) -> ...)`` —
+    pure column algebra inside codegen, no explode of untouched docs.
+    """
+    ranges = spans.select(
+        F.col("doc_b").alias("id"),
+        F.col("start_b").cast("long").alias("s"),
+        (F.col("start_b") + F.col("span_len")).cast("long").alias("e"),
+    )
+    w = Window.partitionBy("id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        ranges.withColumn(
+            "__new",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+        )
+        .withColumn(
+            "__grp", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("id", "__grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    per_doc = merged.groupBy("id").agg(
+        F.collect_list(F.struct("s", "e")).alias("__cuts")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def _kept(t, i):
+        return ~F.exists(
+            F.col("__cuts"), lambda c: (i >= c["s"]) & (i < c["e"])
+        )
+
+    joined = docs.join(per_doc, docs[id_col] == per_doc["id"], "left")
+    kept_toks = F.filter(toks, _kept)
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("__cuts").isNull(), F.col(text_col))
+        .otherwise(F.concat_ws(" ", kept_toks))
+        .alias(text_col),
+        F.when(F.col("__cuts").isNull(), F.lit(0).cast("long"))
+        .otherwise((F.size(toks) - F.size(kept_toks)).cast("long"))
+        .alias("removed_tokens"),
+    )
+
+
 def substring_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
