@@ -2942,6 +2942,42 @@ def _q_lm_quality_bigram(spark, sf):
     )
 
 
+def _q_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.4): the
+    corpus ranked by unigram cross-entropy under the trusted-slice LM
+    splits into terciles — head = lowest perplexity — with ``kept``
+    marking CCNet's default head+middle retention.  Rank-based, not
+    sketch-based: the global rank rides the two-level distributed
+    prefix sum over the (xent, doc_id) total order (the
+    quality_quantile_filter scale path — parallelism scales with
+    partitions, never one ntile reducer), and the tercile boundary is
+    exact integer arithmetic ((rn*3) div N), hash-exact under DuckDB's
+    row_number re-derivation."""
+    from zinger_spark.operators import lm as zlm
+    from zinger_spark.operators import packing as zpack
+
+    docs = _t(spark, sf, "documents")
+    scored = zlm.cross_entropy_unigram(
+        docs, zlm.train_unigram(docs.filter(F.col("lang") == "en"))
+    )
+    n = scored.count()  # one scalar aggregate, bounded driver cost
+    ranked = zpack.prefix_sum(
+        scored.withColumn("_one", F.lit(1)).withColumn("_g", F.lit(1)),
+        "_g",
+        [F.col("xent"), F.col("doc_id")],
+        "_one",
+        out_col="_rn0",
+    )
+    bucket = F.expr(f"CAST((_rn0 * 3) DIV {n} AS INT) + 1")
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "xent",
+        bucket.alias("bucket"),
+        (bucket <= 2).alias("kept"),
+    )
+
+
 def _q_mixture_sample(spark, sf):
     """Temperature-weighted source mixture (T=0.5 upweights small
     sources — the multilingual rebalance): deterministic hash keep,
@@ -5717,6 +5753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "dsir_gumbel_sample": _q_dsir_gumbel,
         "lm_quality_unigram": _q_lm_quality_unigram,
+        "ccnet_buckets": _q_ccnet_buckets,
         "lm_quality_bigram": _q_lm_quality_bigram,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
@@ -5836,6 +5873,7 @@ _R12_FRONT = [
     # added in round 12
     "dedup_duplicate_spans",
     "dedup_span_removal",
+    "ccnet_buckets",
     "zq_over_sort_collect",
     "zq_over_topk",
     "image_dup_pairs",
@@ -7328,6 +7366,35 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT)::DOUBLE / 1152921504606846976.0,
                        1e-18))), 6) AS gkey
             FROM wtab ORDER BY gkey DESC, doc_id LIMIT 30
+        """,
+        "ccnet_buckets": """
+            WITH tok AS (
+                SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w
+                FROM documents
+            ), tok2 AS (
+                SELECT * FROM tok WHERE w <> ''
+            ), model AS (
+                SELECT w, count(*) AS c FROM tok2 WHERE lang = 'en' GROUP BY w
+            ), stats AS (
+                SELECT sum(c) AS n, count(*) AS v FROM model
+            ), scored AS (
+                SELECT t.doc_id, count(*) AS n_tokens,
+                       round(
+                           CAST(-sum(CAST(ln((coalesce(m.c, 0) + 1)
+                                             / (s.n + s.v))
+                                          AS DECIMAL(28,12))) AS DOUBLE)
+                           / count(*), 6) AS xent
+                FROM tok2 t LEFT JOIN model m USING (w), stats s
+                GROUP BY t.doc_id
+            ), r AS (
+                SELECT *, row_number() OVER (ORDER BY xent, doc_id) - 1 AS rn0,
+                       count(*) OVER () AS nn
+                FROM scored
+            )
+            SELECT doc_id, n_tokens, xent,
+                   CAST((rn0 * 3) // nn + 1 AS INT) AS bucket,
+                   (rn0 * 3) // nn + 1 <= 2 AS kept
+            FROM r
         """,
         "lm_quality_unigram": """
             WITH tok AS (
