@@ -605,3 +605,70 @@ def test_pool_format_equivalence_random_ops(spark, tmp_path_factory, ops):
         assert states["commits"] == states["txlog"], f"diverged after op {op}"
     for pool in pools.values():
         pool.delete()
+
+
+# ---------------------------------------------------------------------------
+# r12: pure-stdlib compression fallbacks — property round trips
+
+
+@given(st.binary(max_size=300_000))
+@settings(max_examples=60, deadline=None)
+def test_prop_snappy_round_trip(data):
+    from zinger_spark.compress import snappy_compress, snappy_decompress
+
+    assert snappy_decompress(snappy_compress(data)) == data
+
+
+@given(st.binary(max_size=300_000))
+@settings(max_examples=60, deadline=None)
+def test_prop_lz4_frame_round_trip(data):
+    from zinger_spark.compress import lz4_frame_compress, lz4_frame_decompress
+
+    assert lz4_frame_decompress(lz4_frame_compress(data)) == data
+
+
+@given(st.binary(max_size=300_000))
+@settings(max_examples=60, deadline=None)
+def test_prop_zstd_frame_round_trip(data):
+    from zinger_spark.compress import zstd_frame_compress, zstd_frame_decompress
+
+    assert zstd_frame_decompress(zstd_frame_compress(data)) == data
+
+
+@given(st.binary(max_size=4096), st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=100, deadline=None)
+def test_prop_xxh32_stability(data, seed):
+    """Same input+seed -> same digest; digest fits 32 bits; single-byte
+    perturbation changes the digest (collision odds 2^-32 per example —
+    treat a hit as a real failure)."""
+    from zinger_spark.compress import xxh32
+
+    h = xxh32(data, seed)
+    assert 0 <= h <= 0xFFFFFFFF
+    assert xxh32(data, seed) == h
+    if data:
+        flipped = bytes([data[0] ^ 0x01]) + data[1:]
+        assert xxh32(flipped, seed) != h
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.binary(max_size=64)),
+            st.one_of(st.none(), st.binary(max_size=2048)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from(["none", "gzip", "snappy", "lz4", "zstd"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_prop_record_batch_all_codecs(msgs, compression):
+    """RecordBatch v2 encode->decode with every codec over arbitrary
+    key/value byte payloads (incl. None)."""
+    from zinger_spark.kafka_wire import decode_records, encode_record_batch
+
+    data = encode_record_batch(msgs, base_offset=7, compression=compression)
+    out = decode_records(data)
+    assert [(m.key, m.value) for m in out] == msgs
+    assert [m.offset for m in out] == list(range(7, 7 + len(msgs)))
