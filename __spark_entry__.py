@@ -2127,6 +2127,30 @@ def _q_dedup_span_removal(spark, sf):
     )
 
 
+def _q_decontaminate_spans(spark, sf):
+    """Span-level benchmark decontamination (the FineWeb/Lee-et-al
+    treatment for eval leakage: CUT the overlapping span instead of
+    dropping the whole doc): duplicate_spans in cross-corpus mode —
+    benchmark slice (doc_id % 40 == 0, the contamination key's
+    convention) vs the training corpus — then remove_duplicate_spans
+    cuts every benchmark-overlapping >=12-token span out of the corpus
+    side only.  Emits the affected corpus docs as scalars."""
+    from zinger_spark.functions.text import md5_hash60
+    from zinger_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    corpus = docs.filter(F.col("doc_id") % 40 != 0)
+    spans = duplicate_spans(corpus, k=8, min_len=12, against=bench)
+    out = remove_duplicate_spans(corpus, spans)
+    return out.filter(F.col("removed_tokens") > 0).select(
+        "doc_id", "removed_tokens", md5_hash60(F.col("text")).alias("fp")
+    )
+
+
 def _q_substring_dups(spark, sf):
     """Substring-level duplicate pairs via winnowing fingerprints
     (Schleimer et al. 2003 / the repeated-span dedup of Lee et al.
@@ -5687,6 +5711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dups": _q_substring_dups,
         "dedup_duplicate_spans": _q_dedup_duplicate_spans,
         "dedup_span_removal": _q_dedup_span_removal,
+        "decontaminate_spans": _q_decontaminate_spans,
         "substring_dups_incremental": _q_substring_dups_incremental,
         "line_dedup_incremental": _q_line_dedup_incremental,
         "source_vocab_overlap": _q_source_vocab_overlap,
@@ -5873,6 +5898,7 @@ _R12_FRONT = [
     # added in round 12
     "dedup_duplicate_spans",
     "dedup_span_removal",
+    "decontaminate_spans",
     "ccnet_buckets",
     "zq_over_sort_collect",
     "zq_over_topk",
@@ -6121,6 +6147,112 @@ def _sql_dup_spans_ctes() -> str:
 
 
 _SQL_DUP_SPANS_CTES = _sql_dup_spans_ctes()
+
+
+def _sql_decon_spans_ctes() -> str:
+    """Cross-corpus variant of the span CTEs: doc_a grams from the
+    benchmark slice (doc_id % 40 = 0), doc_b grams from the corpus,
+    df cap on the corpus side, no ordering filter — mirrors
+    duplicate_spans(corpus, against=bench)."""
+    gram_h = _sql_md5h("array_to_string(list_slice(toks, i, i + 7), ' ')")
+    return f"""tokd AS (
+              SELECT doc_id, {_sql_tokens("text")} AS toks FROM documents
+            ),
+            gram0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 7),
+                            i -> struct_pack(pos := i - 1, h := {gram_h})))
+                       AS u
+              FROM tokd WHERE len(toks) >= 8
+            ),
+            gramsall AS (SELECT doc_id AS id, u.pos AS pos, u.h AS h FROM gram0),
+            gcorp AS (SELECT * FROM gramsall WHERE id % 40 <> 0),
+            gbench AS (SELECT * FROM gramsall WHERE id % 40 = 0),
+            hot AS (
+              SELECT h FROM (SELECT h, count(DISTINCT id) AS df
+                             FROM gcorp GROUP BY h) WHERE df > 1000
+            ),
+            coldc AS (SELECT * FROM gcorp WHERE h NOT IN (SELECT h FROM hot)),
+            coldb AS (SELECT * FROM gbench WHERE h NOT IN (SELECT h FROM hot)),
+            mm AS (
+              SELECT a.id AS doc_a, b.id AS doc_b, a.pos AS pa, b.pos AS pb,
+                     a.pos - b.pos AS diff
+              FROM coldb a JOIN coldc b ON a.h = b.h
+            ),
+            runs AS (
+              SELECT doc_a, doc_b, diff, pa, pb,
+                     pa - row_number() OVER (PARTITION BY doc_a, doc_b, diff
+                                             ORDER BY pa) AS isl
+              FROM mm
+            ),
+            spansq AS (
+              SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+                     count(*) + 7 AS span_len
+              FROM runs GROUP BY doc_a, doc_b, diff, isl
+              HAVING count(*) + 7 >= 12
+            )"""
+
+
+_SQL_DECON_SPANS_CTES = _sql_decon_spans_ctes()
+
+
+def _sql_span_removal_tail() -> str:
+    """CTE tail + final SELECT applying the span-removal treatment to
+    a preceding ``spansq`` CTE: b-side ranges merged with the intervals
+    window, rebuild via position anti-join, LEFT JOIN so a WHOLLY
+    removed doc still appears (empty rebuilt text) — mirrors
+    operators/dedup.remove_duplicate_spans over the affected docs."""
+    return f"""ranges AS (
+              SELECT doc_b AS id, start_b AS s, start_b + span_len AS e
+              FROM spansq
+            ),
+            marked AS (
+              SELECT id, s, e,
+                     CASE WHEN max(e) OVER (PARTITION BY id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            IS NULL
+                          OR s > max(e) OVER (PARTITION BY id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS newgrp
+              FROM ranges
+            ),
+            grp AS (
+              SELECT id, s, e,
+                     sum(newgrp) OVER (PARTITION BY id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM marked
+            ),
+            mergedr AS (
+              SELECT id, min(s) AS s, max(e) AS e FROM grp GROUP BY id, g
+            ),
+            otoks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE doc_id IN (SELECT id FROM mergedr)
+            ),
+            posx AS (
+              SELECT doc_id, i - 1 AS pos, toks[i] AS tok, len(toks) AS n
+              FROM otoks, LATERAL unnest(generate_series(1, len(toks))) t(i)
+            ),
+            kept AS (
+              SELECT p.* FROM posx p
+              WHERE NOT EXISTS (SELECT 1 FROM mergedr m
+                                WHERE m.id = p.doc_id
+                                  AND p.pos >= m.s AND p.pos < m.e)
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     array_to_string(array_agg(tok ORDER BY pos), ' ') AS t2,
+                     count(*) AS keptn
+              FROM kept GROUP BY doc_id
+            )
+            SELECT o.doc_id,
+                   len(o.toks) - coalesce(r.keptn, 0) AS removed_tokens,
+                   {_sql_md5h("coalesce(r.t2, '')")} AS fp
+            FROM otoks o LEFT JOIN rebuilt r ON r.doc_id = o.doc_id"""
+
+
+_SQL_SPAN_REMOVAL_TAIL = _sql_span_removal_tail()
 
 
 # Pre-built SQL fragments for the curation composite (hoisted: f-string
@@ -8680,56 +8812,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_span_removal": f"""
             WITH {_SQL_DUP_SPANS_CTES},
-            ranges AS (
-              SELECT doc_b AS id, start_b AS s, start_b + span_len AS e
-              FROM spansq
-            ),
-            marked AS (
-              SELECT id, s, e,
-                     CASE WHEN max(e) OVER (PARTITION BY id ORDER BY s, e
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                            IS NULL
-                          OR s > max(e) OVER (PARTITION BY id ORDER BY s, e
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                          THEN 1 ELSE 0 END AS newgrp
-              FROM ranges
-            ),
-            grp AS (
-              SELECT id, s, e,
-                     sum(newgrp) OVER (PARTITION BY id ORDER BY s, e
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-              FROM marked
-            ),
-            mergedr AS (
-              SELECT id, min(s) AS s, max(e) AS e FROM grp GROUP BY id, g
-            ),
-            otoks AS (
-              SELECT doc_id,
-                     regexp_split_to_array(trim(text), '\\s+') AS toks
-              FROM documents WHERE doc_id IN (SELECT id FROM mergedr)
-            ),
-            pos AS (
-              SELECT doc_id, i - 1 AS pos, toks[i] AS tok, len(toks) AS n
-              FROM otoks, LATERAL unnest(generate_series(1, len(toks))) t(i)
-            ),
-            kept AS (
-              SELECT p.* FROM pos p
-              WHERE NOT EXISTS (SELECT 1 FROM mergedr m
-                                WHERE m.id = p.doc_id
-                                  AND p.pos >= m.s AND p.pos < m.e)
-            ),
-            rebuilt AS (
-              SELECT doc_id,
-                     array_to_string(array_agg(tok ORDER BY pos), ' ') AS t2,
-                     count(*) AS keptn
-              FROM kept GROUP BY doc_id
-            )
-            -- LEFT JOIN so a WHOLLY-removed doc still appears (empty
-            -- rebuilt text), matching the engine's pass-through shape
-            SELECT o.doc_id,
-                   len(o.toks) - coalesce(r.keptn, 0) AS removed_tokens,
-                   {_sql_md5h("coalesce(r.t2, '')")} AS fp
-            FROM otoks o LEFT JOIN rebuilt r ON r.doc_id = o.doc_id
+            {_SQL_SPAN_REMOVAL_TAIL}
+        """,
+        "decontaminate_spans": f"""
+            WITH {_SQL_DECON_SPANS_CTES},
+            {_SQL_SPAN_REMOVAL_TAIL}
         """,
         "substring_dups_incremental": f"""
             WITH aug AS (

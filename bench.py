@@ -199,6 +199,7 @@ HEADLINE = [
     # and its cut-the-span treatment
     "dedup_duplicate_spans",
     "dedup_span_removal",
+    "decontaminate_spans",
     # r12: CCNet head/middle/tail perplexity terciles (rank-exact via
     # the distributed prefix sum; LM scoring reuses the lm_quality plan)
     "ccnet_buckets",

@@ -309,3 +309,34 @@ def test_remove_duplicate_spans_converges(spark):
     spans = zd.duplicate_spans(df, k=8, min_len=12)
     treated = zd.remove_duplicate_spans(df, spans).select("doc_id", "text")
     assert zd.duplicate_spans(treated, k=8, min_len=12).count() == 0
+
+
+def test_duplicate_spans_cross_corpus_decontamination(spark):
+    """`against=` mode: spans come only from benchmark x corpus
+    matches (never corpus-internal ones), and the removal treatment
+    cuts the corpus side while the benchmark stays whole."""
+    bench_span = " ".join(f"b{i}" for i in range(13))
+    corpus_span = " ".join(f"c{i}" for i in range(13))  # corpus-internal dup
+    bench = spark.createDataFrame(
+        [(1000, "q " + bench_span)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_span + " tail1"),       # leaks the benchmark span
+            (2, corpus_span + " x"),           # internal dup pair (2,3):
+            (3, "y " + corpus_span),           # must NOT appear in cross mode
+        ],
+        "doc_id long, text string",
+    )
+    spans = zd.duplicate_spans(corpus, k=8, min_len=12, against=bench)
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_len)
+        for r in spans.collect()
+    }
+    assert got == {(1000, 1, 1, 0, 13)}
+    treated = {
+        r.doc_id: (r.text, r.removed_tokens)
+        for r in zd.remove_duplicate_spans(corpus, spans).collect()
+    }
+    assert treated[1] == ("tail1", 13)       # benchmark span cut
+    assert treated[2][1] == 0 and treated[3][1] == 0  # internal dups kept

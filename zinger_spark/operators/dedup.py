@@ -911,6 +911,7 @@ def duplicate_spans(
     k: int = 8,
     min_len: int = 12,
     max_df: int = 1000,
+    against: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT duplicated token spans between document pairs — the
     ExactSubstr criterion of Lee et al. 2022 ("Deduplicating Training
@@ -940,6 +941,12 @@ def duplicate_spans(
          (pair, diff) group) and one groupBy emits each maximal span
          exactly once: span_len = run_count + k - 1.
 
+    ``against``: a second corpus (same schema) switches to CROSS-corpus
+    mode — doc_a comes from ``against`` (the reference/benchmark side),
+    doc_b from ``docs`` — which is the decontamination form: feed the
+    result to ``remove_duplicate_spans`` to cut benchmark-overlapping
+    spans out of the training corpus while the benchmark stays intact.
+
     100 TB shape: the gram pass shuffles per doc id (window state
     bounded by the longest doc); the match join shuffles on the gram
     hash with the hot keys capped; the island window partitions by
@@ -948,22 +955,31 @@ def duplicate_spans(
     """
     if min_len < k:
         raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    ex = docs.select(
-        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
-    )
-    wn = Window.partitionBy("id").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", j).over(wn) for j in range(1, k)]
-    grams = (
-        ex.select(
-            "id",
-            "pos",
-            F.concat_ws(" ", *leads).alias("g"),
-            leads[-1].alias("__last"),
+
+    def _grams(frame: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ex = frame.select(
+            F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
         )
-        .filter(F.col("__last").isNotNull())
-        .select("id", "pos", md5_hash60(F.col("g")).alias("h"))
-    )
+        wn = Window.partitionBy("id").orderBy("pos")
+        leads = [F.col("tok")] + [
+            F.lead("tok", j).over(wn) for j in range(1, k)
+        ]
+        return (
+            ex.select(
+                "id",
+                "pos",
+                F.concat_ws(" ", *leads).alias("g"),
+                leads[-1].alias("__last"),
+            )
+            .filter(F.col("__last").isNotNull())
+            .select("id", "pos", md5_hash60(F.col("g")).alias("h"))
+        )
+
+    grams = _grams(docs)
+    # boilerplate cap by document frequency on the (large) docs side —
+    # in cross-corpus mode the `against` side is the small benchmark,
+    # whose grams never blow the join up on their own
     hot = (
         grams.select("id", "h")
         .distinct()
@@ -973,13 +989,37 @@ def duplicate_spans(
         .select("h")
     )
     cold = grams.join(F.broadcast(hot), "h", "left_anti")
-    a = cold.select(F.col("id").alias("doc_a"), F.col("pos").alias("pa"), "h")
-    b = cold.select(F.col("id").alias("doc_b"), F.col("pos").alias("pb"), "h")
-    m = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diff"))
-    )
+    if against is not None:
+        # cross-corpus: doc_a from `against` (the reference/benchmark
+        # side that survives), doc_b from `docs` (the side
+        # remove_duplicate_spans cuts); id spaces are distinct, so no
+        # ordering filter — every cross match is a real pair
+        a_side = _grams(against).join(F.broadcast(hot), "h", "left_anti")
+        a = a_side.select(
+            F.col("id").alias("doc_a"), F.col("pos").alias("pa"), "h"
+        )
+        b = cold.select(
+            F.col("id").alias("doc_b"), F.col("pos").alias("pb"), "h"
+        )
+        m = a.join(b, "h").select(
+            "doc_a", "doc_b", "pa", "pb",
+            (F.col("pa") - F.col("pb")).alias("diff"),
+        )
+    else:
+        a = cold.select(
+            F.col("id").alias("doc_a"), F.col("pos").alias("pa"), "h"
+        )
+        b = cold.select(
+            F.col("id").alias("doc_b"), F.col("pos").alias("pb"), "h"
+        )
+        m = (
+            a.join(b, "h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a", "doc_b", "pa", "pb",
+                (F.col("pa") - F.col("pb")).alias("diff"),
+            )
+        )
     iw = Window.partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
     return (
         m.withColumn("__isl", F.col("pa") - F.row_number().over(iw))
