@@ -2576,11 +2576,25 @@ def _q_dsir_affinity(spark, sf):
     table (broadcast), then one narrow join per token — no shuffle
     grows with corpus size beyond the token explode."""
     docs = _t(spark, sf, "documents")
-    tok = docs.select(
-        "doc_id",
-        (F.col("source") == "src0").alias("is_tgt"),
-        F.explode(ztext.tokens(F.col("text"))).alias("t"),
-    ).withColumn("bucket", F.pmod(ztext.md5_hash60(F.col("t")), F.lit(4096)))
+    # tokenize ONCE: tok feeds the bucket-stats build (twice, via the
+    # nested totals broadcast) AND the per-doc probe side — without the
+    # persist the explode+md5 pass runs 3x per action (r12
+    # optimization, same fix as operators/dsir.dsir_weights).  The
+    # token string itself is projected away so the cache holds only
+    # (doc_id, is_tgt, int bucket).
+    tok = (
+        docs.select(
+            "doc_id",
+            (F.col("source") == "src0").alias("is_tgt"),
+            F.explode(ztext.tokens(F.col("text"))).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "is_tgt",
+            F.pmod(ztext.md5_hash60(F.col("t")), F.lit(4096)).alias("bucket"),
+        )
+        .persist()
+    )
     stats = tok.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("t_cnt"),
         F.sum(F.when(F.col("is_tgt"), 0).otherwise(1)).alias("r_cnt"),

@@ -94,11 +94,25 @@ def dsir_weights(
     (exact decimal summation underneath).  Add-one smoothing on both
     models, so unseen buckets contribute the same finite floor to both
     sides."""
-    feats = feature_buckets(raw, text_col, id_col, n_buckets)
-    t_model = bucket_model(feature_buckets(target, text_col, id_col, n_buckets))
+    # Featurize each corpus ONCE.  Without the persist, the raw-corpus
+    # explode+hash (the expensive pass) runs 3x per action — as the
+    # final join's probe side, inside the broadcast r_model build, and
+    # for the n_r scalar — and the target explode runs twice (r12
+    # optimization: plans/r12/dsir_select_before.txt shows all three
+    # Generate subtrees).  feats is (id, int bucket) — narrow rows, one
+    # per gram occurrence — so the cache is a small fraction of the
+    # input corpus; t_model is <= n_buckets rows.  The persists are
+    # within-query reuse (every action still computes from the parquet
+    # inputs); blocks are released by the session's cache cleaner.
+    feats = feature_buckets(raw, text_col, id_col, n_buckets).persist()
+    t_model = bucket_model(
+        feature_buckets(target, text_col, id_col, n_buckets)
+    ).persist()
     r_model = bucket_model(feats)
     n_t = (t_model.agg(F.sum("c")).first()[0] or 0) + n_buckets
-    n_r = (r_model.agg(F.sum("c")).first()[0] or 0) + n_buckets
+    # sum of per-bucket counts == number of feature rows: count() the
+    # (now cached) feats directly instead of re-aggregating them
+    n_r = feats.count() + n_buckets
     joined = (
         feats.join(F.broadcast(t_model.withColumnRenamed("c", "ct")), "b", "left")
         .join(F.broadcast(r_model.withColumnRenamed("c", "cr")), "b", "left")
