@@ -1270,6 +1270,13 @@ def _q_leakage_safe_split(spark, sf):
     on top of clustering = one per-row hash expression; the split is
     assignable at 100 TB with zero additional shuffles."""
     clusters = _q_dedup_clusters(spark, sf)  # doc_id, cluster_id
+    return _leakage_split_assign(clusters)
+
+
+def _leakage_split_assign(clusters):
+    """The 80/20 md5-bucket assignment keyed on the cluster
+    representative (shared by leakage_safe_split and the audit, which
+    builds its clusters from an already-materialized pair set)."""
     bucket = F.pmod(
         ztext.md5_hash60(
             F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
@@ -1292,8 +1299,25 @@ def _q_split_leakage_audit(spark, sf):
     leak count a doc-keyed 80/20 would actually ship.  Both counts are
     1-row aggregates over the bounded pair set; the crossJoin is
     1-row x 1-row."""
-    pairs = _q_fuzzy_prefix_pairs(spark, sf).select("a", "b")
-    split = _q_leakage_safe_split(spark, sf)
+    # ONE pair-graph computation for the whole audit (r12
+    # optimization): before, `pairs` and the split's cluster edges each
+    # re-ran the full PassJoin edit-distance join — the most expensive
+    # leg of the query — because _q_leakage_safe_split rebuilds its own
+    # pair set internally.  Materialize the (tiny: one row per near-dup
+    # pair) edge list once and derive BOTH the clusters and the
+    # straddle-count legs from it.
+    from zinger_spark.operators.graph import connected_components
+
+    pairs = (
+        _q_fuzzy_prefix_pairs(spark, sf)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    verts = _t(spark, sf, "documents").select(F.col("doc_id").alias("id"))
+    clusters = connected_components(
+        verts, pairs, "id", "a", "b", algorithm="star"
+    ).withColumnRenamed("id", "doc_id")
+    split = _leakage_split_assign(clusters)
     sa = split.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a"))
     sb = split.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b"))
     cluster_leaks = (

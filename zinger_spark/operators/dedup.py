@@ -542,12 +542,36 @@ def edit_distance_join(
         *blk,
         F.explode(seg_expr).alias("s"),
     ).select("a", "ka", "la", *blk, F.col("s.idx").alias("idx"), F.col("s.seg").alias("seg"))
-    # Probes: for every plausible partner length l (|l - L| <= k) and
-    # segment idx, every substring of THIS key with segment-i-of-l's
-    # length, starting within +-k of segment i's home position.
+    # Probes: for every plausible partner length l and segment idx,
+    # every substring of THIS key with segment-i-of-l's length,
+    # starting within +-k of segment i's home position.
     # sequence() reverses when hi < lo, so guard with an empty array.
+    #
+    # Direction restriction (r12 optimization): probe only partners
+    # with l <= __len.  PassJoin's pigeonhole guarantee is directional
+    # -- if ed(x, y) <= k then y contains one of x's k+1 segments
+    # verbatim within shift k -- so ONE direction per pair suffices for
+    # recall: index every key's segments, and let the longer key of
+    # each pair probe the shorter's length (equal lengths probe each
+    # other both ways; the distinct collapses them).  The symmetric
+    # l in [len-k, len+k] window generated both directions for every
+    # pair: 2x the probe rows and 2x the join candidates for zero
+    # recall gain.  Pair orientation is normalized AFTER the join
+    # (least/greatest) instead of relying on seg-side id < probe-side
+    # id, which one-directional generation no longer implies.
+    # Only lengths that EXIST in the data are probed: the length is a
+    # join key, so a probe at an absent partner length can never match
+    # — it only pays explode + substring cost.  The distinct-length set
+    # is bounded by the max key length (short-key contract of this
+    # operator), so the driver collect is O(max_len) at any corpus
+    # size.  With uniform-length keys (the fuzzy-prefix case: every
+    # full-length doc yields exactly 16 chars) this cuts probe rows ~5x.
+    lens = sorted(
+        r[0] for r in base.select("__len").distinct().collect() if r[0] is not None
+    )
+    lens_arr = "CAST(array(" + ",".join(str(x) for x in lens) + ") AS array<int>)"
     probe_expr = F.expr(
-        f"""flatten(transform(sequence(greatest(__len - {k}, 0), __len + {k}), l ->
+        f"""flatten(transform(filter({lens_arr}, l -> l >= greatest(__len - {k}, 0) AND l <= __len), l ->
               flatten(transform(sequence(0, {k}), i ->
                 CASE WHEN least((i * l) div {k1} + {k},
                               __len - (((i + 1) * l) div {k1} - (i * l) div {k1}))
@@ -571,16 +595,24 @@ def edit_distance_join(
         F.col("p.l").alias("la"), F.col("p.idx").alias("idx"), F.col("p.seg").alias("seg"),
     )
     join_keys = ["la", "idx", "seg", *blk]
-    cand = (
-        segs.join(probes, join_keys)
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "ka", "kb")
-        .distinct()
-    )
+    # Verify BEFORE the distinct (r12 optimization): levenshtein on a
+    # <=16-char pair is a few ns of codegen per candidate, while the
+    # distinct is a shuffle -- filtering first means the exchange
+    # carries only true pairs (585 rows vs 85k candidate rows at
+    # sf0.1), and duplicate candidates (one per shared bucket) cost a
+    # cheap recomputation instead of a wide shuffle row.  levenshtein
+    # is symmetric, so the least/greatest normalization can follow it.
     return (
-        cand.withColumn("dist", F.levenshtein("ka", "kb"))
+        segs.join(probes, join_keys)
+        .filter(F.col("a") != F.col("b"))
+        .withColumn("dist", F.levenshtein("ka", "kb"))
         .filter(F.col("dist") <= k)
-        .select("a", "b", "dist")
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            "dist",
+        )
+        .distinct()
     )
 
 

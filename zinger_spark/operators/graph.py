@@ -120,6 +120,61 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return rewired.union(centers).distinct()
 
 
+def _contract_partitions(edges: DataFrame) -> DataFrame:
+    """Per-partition union-find contraction (the standard 'local
+    aggregation' pre-pass of distributed CC): each task collapses the
+    edges IT holds into a star forest rooted at the partition-local
+    minimum, in one pass, with no shuffle.  Output edges satisfy
+    u > v and preserve exactly the original connectivity (every
+    non-root node gets one edge to its local root), so the global
+    star loop sees an equivalent but massively path-contracted graph
+    — dense dup-blob graphs typically converge in 1-2 global rounds
+    after this instead of 4+ (r12 optimization: the loop's per-round
+    cost is ~4 tiny shuffles + 2 driver jobs, which dominated
+    dedup-cluster queries at bench scale).  Memory per task is one
+    dict entry per distinct vertex IN THAT PARTITION — bounded by the
+    partition's edge count, the same bound the join shuffles already
+    impose."""
+
+    def fn(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                u, v = int(u), int(v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+                parent.setdefault(u, find(u))
+                parent.setdefault(v, find(v))
+        out_u, out_v = [], []
+        for x in parent:
+            r = find(x)
+            if r != x:
+                out_u.append(x)
+                out_v.append(r)
+        yield pd.DataFrame(
+            {
+                "u": pd.Series(out_u, dtype="int64"),
+                "v": pd.Series(out_v, dtype="int64"),
+            }
+        )
+
+    return edges.mapInPandas(fn, "u long, v long")
+
+
 def connected_components_star(
     vertices: DataFrame,
     edges: DataFrame,
@@ -133,12 +188,19 @@ def connected_components_star(
     regardless of diameter — the scale-safe choice when components may
     be long chains rather than dense dup blobs. At convergence the
     edge set is a star forest (node -> component minimum); singletons
-    come back labeled with themselves. Returns (id_col, cluster_id)."""
+    come back labeled with themselves. Returns (id_col, cluster_id).
+
+    A per-partition union-find contraction (``_contract_partitions``)
+    runs once before the loop: results are identical (connectivity and
+    component minima are preserved), the global rounds just start from
+    a star-contracted graph."""
     cur = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .distinct()
+        _contract_partitions(
+            edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
