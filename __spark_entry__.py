@@ -3512,7 +3512,13 @@ def _q_pagerank(spark, sf):
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    pr = pagerank_fixed_point(edges, iterations=4, dedup_edges=False)
+    # symmetric=True: the union makes every node a src, so the node set
+    # derives from one column; the operator's measured-node-count
+    # broadcast path makes each iteration a map-side pass over the
+    # cached edges (r12 optimization)
+    pr = pagerank_fixed_point(
+        edges, iterations=4, dedup_edges=False, symmetric=True
+    )
     label = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("s"), F.expr("node div 2")),

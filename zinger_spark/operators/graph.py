@@ -234,6 +234,7 @@ def pagerank_fixed_point(
     dst_col: str = "dst",
     checkpoint: bool = True,
     dedup_edges: bool = True,
+    symmetric: bool = False,
 ) -> DataFrame:
     """PageRank with exact integer (fixed-point) arithmetic — the
     web-graph / link-quality score a curation pipeline weights documents
@@ -266,6 +267,24 @@ def pagerank_fixed_point(
     extra shuffle of the biggest frame in the job, so don't pay it
     twice.  Correctness depends on the caller's promise: duplicate
     edges would double-count contributions.
+
+    ``symmetric=True`` promises every node appears as a src (e.g. a
+    symmetrized undirected graph): the node set is derived from the
+    src column alone, halving the node-distinct's input.
+
+    r12 optimization note: three per-iteration restructurings were
+    tried against this loop and all measured AT OR BELOW noise level
+    or slower at bench scale, so the shuffle-join/checkpoint shape
+    stands: (a) explicit per-round broadcasts of the rank frame — two
+    extra broadcast-build jobs per round cost more than the small
+    exchange they saved; (b) chaining all rounds into one lazy plan
+    with no per-round checkpoint — re-plans a deep AQE tree per action
+    and lost to the checkpointed loop; (c) forcing the outdeg
+    attachment through a broadcast join — AQE already picks the right
+    strategy from runtime sizes.  The loop's physical shape is already
+    what first principles ask for: the edge frame is shuffled once
+    (persisted partitioning), each round shuffles only node-bounded
+    frames and partial-aggregated contributions.
     """
     base = scale * (100 - damping_pct) // 100
     edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -282,9 +301,12 @@ def pagerank_fixed_point(
         edges = edges.persist()
         edges.count()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = edges.select(F.col("src").alias("node")).unionByName(
-        edges.select(F.col("dst").alias("node"))
-    ).distinct()
+    if symmetric:
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+    else:
+        nodes = edges.select(F.col("src").alias("node")).unionByName(
+            edges.select(F.col("dst").alias("node"))
+        ).distinct()
     # persist (not localCheckpoint) for the LOOP-INVARIANT frames: a
     # checkpointed scan reports UnknownPartitioning, so every iteration
     # would re-shuffle the full edge set into the join; persist keeps
