@@ -524,13 +524,20 @@ def _q_minhash_lsh_recall(spark, sf):
     sides are existing audited operators; the join/aggregate adds one
     broadcast of three 1-row aggregates."""
     docs = _t(spark, sf, "documents")
+    # persist BOTH pair lists: each feeds two legs of the final
+    # crossJoin (its own count + the semi-join for n_hit), so without
+    # the persist the full LSH banding pipeline and the full
+    # shared-shingle blocking pipeline each run TWICE per action (r12
+    # optimization, same fix as dsir_affinity).  The cache holds only
+    # (doc_a, doc_b) pair rows — tiny relative to the shingle explodes
+    # that produce them.
     lsh = zdedup.minhash_lsh_pairs(
         docs, num_hashes=16, bands=4, shingle_k=5, jaccard_threshold=0.4,
         parallelism=32,
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b").persist()
     exact = zdedup.ngram_jaccard_pairs(
         docs, shingle_k=5, threshold=0.4, max_df=1_000_000_000, parallelism=32
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b").persist()
     hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
     out = (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))

@@ -1154,7 +1154,12 @@ def substring_dup_pairs(
     skew cap as the shingle-blocked joins: a fingerprint shared by M
     docs would otherwise emit M² join rows).
     """
-    fps = winnow_fingerprints(docs, text_col, id_col, k, w)
+    # materialize: fps feeds THREE subtrees (the hot-fp broadcast
+    # build and both sides of the self-join) — without the cut the
+    # whole winnowing pipeline (tokenize + k-gram hash + rolling-min
+    # window) runs 3x per action (r12 optimization).  The cut holds
+    # only narrow (id, fp) rows.
+    fps = _materialize(winnow_fingerprints(docs, text_col, id_col, k, w))
     hot = (
         fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") > max_df)

@@ -665,7 +665,13 @@ def kmv_join_size(
     union_keys = ka.unionByName(kb).distinct().select(
         "key", md5_hash60(F.col("key")).alias("h")
     )
-    sample = union_keys.orderBy("h").limit(k)
+    # materialize the <=k-row sample ONCE: it feeds three subtrees
+    # (the kth/got aggregate and one broadcast probe per side), and
+    # without the cut Catalyst inlines the whole union-distinct +
+    # TakeOrdered pipeline into each consumer — 3 full scans of BOTH
+    # inputs per action instead of 1 (r12 optimization; lazy local
+    # checkpoint, not persist, so a re-run never reuses stale data).
+    sample = union_keys.orderBy("h").limit(k).localCheckpoint(eager=False)
     kth = sample.groupBy().agg(
         F.max("h").alias("kth"), F.count(F.lit(1)).alias("got")
     )
