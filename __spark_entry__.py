@@ -2666,11 +2666,20 @@ def _q_curation_pipeline(spark, sf):
     shapes beyond its parts, so it composes at 100 TB exactly like the
     individual operators do."""
     docs = _t(spark, sf, "documents")
-    metrics = _q_gopher_quality(spark, sf).select("doc_id", "passes")
-    kept = (
-        docs.join(metrics, "doc_id")
-        .where(F.col("passes") & (F.col("lang") == "en"))
-    )
+    # r12 optimization (guide §2.3 filter-before-the-work): the inner
+    # join on doc_id drops every non-English row anyway, but Catalyst
+    # cannot push the docs-side lang filter into the metrics subtree
+    # (it does not know both derive from the same table) — so compute
+    # the Gopher metric pack over the en-filtered scan only, and
+    # materialize that filtered projection ONCE: it feeds 4 text
+    # passes (scalar metrics, 2-gram + 3-gram coverage, and the
+    # fingerprint/scrub enrichment below) that each re-decoded the
+    # parquet text column otherwise.
+    en = docs.filter(F.col("lang") == "en").select(
+        "doc_id", "text", "source"
+    ).localCheckpoint(eager=False)
+    metrics = _gopher_metrics(en).select("doc_id", "passes")
+    kept = en.join(metrics, "doc_id").where(F.col("passes"))
     enr = kept.select(
         "doc_id",
         "source",
