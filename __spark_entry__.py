@@ -5097,6 +5097,13 @@ def _q_quality_blend(spark, sf):
             " div size(split(trim(lower(text)), '\\\\s+'))"
         ).alias("s3"),
     )
+    # r12: materialize the narrow (doc_id, s1, s2, s3) projection ONCE
+    # (lazy localCheckpoint) — the three chained global_row_number
+    # calls each range-SAMPLE their input before shuffling it, so the
+    # text-splitting signal expressions were otherwise evaluated twice
+    # by the first rank pass (guide §5: cache a reused intermediate;
+    # the cut holds 4 longs/row).
+    base = base.localCheckpoint(eager=False)
     # n stays IN the plan (1-row agg broadcast-cross-joined) instead of
     # a base.count() driver action: the blend is one job, and the base
     # projection is not computed twice (r7 advice #6).
@@ -5171,6 +5178,10 @@ def _q_token_cooccurrence(spark, sf):
         )
         .where(F.col("t") != "")
         .distinct()
+        # r12: three consumers (dfreq, both self-join sides) otherwise
+        # each re-run the explode + distinct exchange; the cut holds
+        # narrow (doc_id, token) rows (guide §5)
+        .localCheckpoint(eager=False)
     )
     ndocs = docs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("nd"))
     dfreq = pairs_src.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -83,9 +83,15 @@ def prefix_sum(
     )
 
     # tiny: one row per (partition, group) pair; a group covers only
-    # adjacent range partitions, so this is <= num_partitions + n_groups
-    partials = local.groupBy("_pid", group_col).agg(
-        F.max("_local_end").alias("_part_total")
+    # adjacent range partitions, so this is <= num_partitions + n_groups.
+    # Summed straight off the checkpointed ranged frame — the per-group
+    # partition total is sum(weight), identically max(_local_end), and
+    # deriving it from `local` would re-run the full-frame hash
+    # exchange + sort + window a second time (the window has two
+    # consumers and Catalyst inlines it into each); a partial-aggregated
+    # groupBy ships only the tiny (pid, group) totals.
+    partials = ranged.groupBy("_pid", group_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_part_total")
     )
     w_prior = (
         Window.partitionBy(group_col)
