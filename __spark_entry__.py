@@ -2716,14 +2716,30 @@ def _q_tpch_q2(spark, sf):
     supp = _t(spark, sf, "supplier")
     nat = _t(spark, sf, "nation")
     reg = _t(spark, sf, "region")
+    eur = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).join(
+        F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    # Pre-filter the 100 TB side BEFORE the (pk, sk) aggregation
+    # exchange (guide §3.2): downstream, ps inner-joins the STANDARD
+    # parts and EUROPE suppliers, so (pk, sk) groups outside those key
+    # sets can never reach the output — broadcast-semi-join them away
+    # while the rows are still map-side, shrinking the agg shuffle by
+    # the part-type x region selectivity.  Both dim key sets are
+    # broadcast-sized by construction (dimension tables).
+    li = li.join(
+        F.broadcast(part.filter(F.col("p_type") == "STANDARD").select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(eur.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
     ps = li.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).agg(
         F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("cost")
-    )
-    eur = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).join(
-        F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
-        F.col("n_regionkey") == F.col("r_regionkey"),
     )
     j = ps.join(eur, F.col("sk") == F.col("s_suppkey")).join(
         F.broadcast(part.filter(F.col("p_type") == "STANDARD")),

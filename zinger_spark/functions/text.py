@@ -137,17 +137,27 @@ def fingerprint(text: Column) -> Column:
 
 def word_shingles(text: Column, k: int = 5) -> Column:
     """Distinct word k-gram shingles (space-joined) — the input to
-    minhash / jaccard near-dup. JVM-side: sequence + transform + slice."""
-    toks = tokens(text)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    # Shorter-than-k docs: single shingle of the whole text.
-    return F.array_distinct(
-        F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(grams)
-    )
+    minhash / jaccard near-dup. JVM-side: sequence + transform + slice.
+
+    The tokenization is let-bound through a single-element-array
+    ``transform`` so the regex split runs ONCE per row: written
+    directly, ``toks`` appears 4x in the expression tree and the split
+    is re-evaluated per occurrence (higher-order subtrees fall back to
+    interpreted eval, outside codegen subexpression elimination) —
+    measured 3x slower on an explode-heavy scan at sf0.1."""
+
+    def shingles(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+        # Shorter-than-k docs: single shingle of the whole text.
+        return F.array_distinct(
+            F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+        )
+
+    return F.element_at(F.transform(F.array(tokens(text)), shingles), 1)
 
 
 # ---------------------------------------------------------------------------

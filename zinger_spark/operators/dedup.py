@@ -86,29 +86,33 @@ def exploded_shingles(
 ) -> DataFrame:
     """Distinct word-k-gram shingles as ROWS (id, s) instead of arrays.
 
-    posexplode tokens -> ONE ordered window with k-1 ``lead`` exprs ->
-    concat_ws -> distinct.  Spark's higher-order array functions are
-    interpreted (outside whole-stage codegen) and cost ~ms/doc, and a
-    rowsBetween collect_list builds a fresh array buffer per row; k
-    ``lead`` offsets are computed in the same single pass over the
-    sorted partition with no per-row allocation.  The window shuffle
-    partitions by doc id — fine at any corpus size.
+    r12: explode(word_shingles) — a ZERO-shuffle map-side projection.
+    word_shingles let-binds the tokenization (split runs once per row)
+    and array_distinct dedups within the doc, so neither the former
+    posexplode+lead token window (a full token-level sort shuffle) nor
+    its trailing row-level ``distinct`` exchange is needed.  A/B at
+    sf0.1 (reps=5 medians, noop sink): k=5 0.403 -> 0.227 s, k=8
+    0.433 -> 0.301 s, identical row counts — and at 100 TB the win is
+    structural: two corpus-wide shuffles removed from every shingle
+    consumer (minhash, jaccard/containment, incremental dedup).
 
-    Semantics match functions.text.word_shingles: positions 0..n-k, and
-    docs shorter than k tokens yield one whole-text shingle — both fall
-    out of one filter, because ``lead(tok, k-1)`` is NULL past the end:
-    a full shingle's last token is non-null (keep), and the pos=0 row is
-    always kept, where ``concat_ws`` skipping NULL leads makes the
-    whole-text shingle for short docs."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    ex = df.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-    return (
-        ex.select("id", "pos", F.concat_ws(" ", *leads).alias("s"), leads[-1].alias("__last"))
-        .filter((F.col("pos") == 0) | F.col("__last").isNotNull())
-        .select("id", "s")
-        .distinct()
+    Semantics match functions.text.word_shingles by construction:
+    positions 0..n-k, docs shorter than k tokens yield one whole-text
+    shingle, per-doc distinct.
+
+    The old token window had one accidental virtue: its shuffle gave
+    downstream hash/materialize stages shuffle-partition parallelism
+    even when the scan was one unsplittable row group.  Keep that
+    deliberately — widen ONLY when the input is narrower than the
+    session's parallelism (at production scale the scan already has
+    >= defaultParallelism splits and this is a no-op; callers that
+    pre-repartition by id also skip it)."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want, F.col(id_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
     )
 
 
@@ -211,13 +215,6 @@ def minhash_lsh_pairs(
         hashed = _materialize(hashed)
     # Signature = one groupBy with k min-aggregates (single shuffle,
     # partial aggregation — no interpreted array lambdas).
-    #
-    # sigs itself is NOT checkpointed: its two consumers (band explode,
-    # size join) then each re-run one cheap hash aggregation over the
-    # materialized `hashed` frame, which measures faster at sf0.1
-    # (1.40 s vs 1.59 s median) than paying the checkpoint write+read
-    # of a second materialization barrier — the agg is map-side-partial
-    # and `hashed` is already columnar in block storage.
     sigs = hashed.groupBy("id").agg(
         *[
             F.min((F.lit(a) * F.col("hm") + F.lit(b)) % MINHASH_P31).alias(f"__s{i}")
@@ -225,6 +222,16 @@ def minhash_lsh_pairs(
         ],
         F.count(F.lit(1)).alias("__n"),
     )
+    if materialize:
+        # sigs has FOUR effective consumers — the band explode is
+        # inlined into the hot-bucket agg AND both sides of the
+        # candidate self-join (the anti-join subtree is copied per
+        # side), plus the size projection — so without this cut the
+        # signature aggregation over the full shingle frame runs 4x
+        # (r12 plan audit: 4 HashAgg+Generate subtrees).  An earlier
+        # r11 A/B that measured sigs-mat slower predates the
+        # anti-join hot filter, which doubled the consumer count.
+        sigs = _materialize(sigs)
     banded = sigs.select(
         "id",
         F.explode(
@@ -375,6 +382,12 @@ def _shingle_pair_counts(
         .filter(F.col("__w") > max_df)
         .select("h")
     )
+    if materialize:
+        # the anti-join below is inlined into BOTH sides of the
+        # candidate self-join; without this cut each side re-runs the
+        # full-corpus hot-shingle aggregate (2 scans + 2 exchanges for
+        # one bounded list)
+        hot = _materialize(hot)
     blocked = exploded.join(F.broadcast(hot), "h", "left_anti")
     # The ONLY intended broadcast in this operator is the bounded hot
     # list above.  Every other join is pinned to shuffle-hash: both the
@@ -403,6 +416,10 @@ def _shingle_pair_counts(
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if materialize:
+        # consumed by the na AND nb attach joins — one doc-size
+        # aggregate pass instead of two
+        sizes = _materialize(sizes)
     return shared.join(
         sizes.select(F.col("id").alias("a"), F.col("n").alias("na")).hint(
             "shuffle_hash"

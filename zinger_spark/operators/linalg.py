@@ -101,40 +101,43 @@ def power_iteration(
     code runs wherever the Gram frame lives.
 
     Returns (i, v) with |v| <= scale; the direction converges to the
-    top eigenvector (up to sign, fixed by the all-ones start)."""
-    from pyspark.sql import functions as F
+    top eigenvector (up to sign, fixed by the all-ones start).
 
-    full = gram.where("i <> j").select(
-        F.col("j").alias("i"), F.col("i").alias("j"), "s"
-    ).unionByName(gram.select("i", "j", "s"))
-    # greatest(max, 1) guards the degenerate all-zero matrix (and an
-    # all-zero matvec round below): without it Spark's non-ANSI `div`
-    # returns NULL while DuckDB's `//` raises — silently-NULL on one
-    # engine, error on the other.  With the guard both yield the zero
-    # vector, deterministically.
-    gmax = full.agg(F.expr("greatest(MAX(ABS(s)), 1)").alias("gmax"))
-    gn = full.crossJoin(F.broadcast(gmax)).select(
-        "i", "j", F.expr(f"(s * {scale}) div gmax").alias("g")
-    )
-    # materialize the normalized matrix ONCE — it closes over the
-    # corpus-wide Gram pass, and both per-round consumers of w (the max
-    # and the rescale) would otherwise replay their whole upstream,
-    # doubling the corpus work per iteration (2^k replays at k rounds).
-    # Per-round w gets the same cut for the same two-consumer reason.
-    gn = gn.localCheckpoint(eager=True)
-    spark = gram.sparkSession
-    v = spark.range(dims).select(
-        F.col("id").cast("int").alias("j"), F.lit(scale).cast("long").alias("v")
-    )
+    r12: the iteration runs ON THE DRIVER over the collected
+    upper-triangle cells.  The Gram frame is d(d+1)/2 rows by SCHEMA
+    (2,080 at d=64) whatever the corpus size — the module docstring's
+    contract is exactly that only :func:`gram_matrix` sees the corpus —
+    so the collect is bounded, and the previous declarative loop spent
+    ~3 scheduler round-trips per round (matvec job + checkpoint +
+    broadcast build) on d- and d^2-row frames.  The arithmetic is a
+    cell-for-cell replay of the old plan: int64-exact sums (Python ints
+    don't overflow at all) and trunc-toward-zero division matching
+    Spark's non-ANSI ``div`` / DuckDB's ``//`` — greatest(max, 1)
+    guards the all-zero matrix and all-zero rounds, both yielding the
+    zero vector deterministically on every engine."""
+
+    def _trunc_div(a: int, b: int) -> int:
+        # Spark `div` truncates toward zero; Python // floors.  b > 0
+        # always here (greatest(max, 1)).
+        return -((-a) // b) if a < 0 else a // b
+
+    cells = gram.collect()  # bounded: d(d+1)/2 rows by schema
+    g: dict[tuple[int, int], int] = {}
+    for r in cells:
+        g[(r["i"], r["j"])] = r["s"]
+        if r["i"] != r["j"]:
+            g[(r["j"], r["i"])] = r["s"]
+    gmax = max((abs(s) for s in g.values()), default=0) or 1
+    gn = {ij: _trunc_div(s * scale, gmax) for ij, s in g.items()}
+    v = [scale] * dims
     for _ in range(iterations):
-        w = (
-            gn.join(v, "j")
-            .groupBy("i")
-            .agg(F.sum(F.expr("g * v")).cast("long").alias("w"))
-            .localCheckpoint(eager=True)
-        )
-        wmax = w.agg(F.expr("greatest(MAX(ABS(w)), 1)").alias("wmax"))
-        v = w.crossJoin(F.broadcast(wmax)).select(
-            F.col("i").alias("j"), F.expr(f"(w * {scale}) div wmax").alias("v")
-        )
-    return v.select(F.col("j").alias("i"), "v")
+        w = [
+            sum(gn.get((i, j), 0) * v[j] for j in range(dims))
+            for i in range(dims)
+        ]
+        wmax = max((abs(x) for x in w), default=0) or 1
+        v = [_trunc_div(x * scale, wmax) for x in w]
+    spark = gram.sparkSession
+    return spark.createDataFrame(
+        [(i, v[i]) for i in range(dims)], schema="i int, v long"
+    )
