@@ -4844,6 +4844,10 @@ def _q_inverted_index(spark, sf):
         .where(F.col("token") != "")
         .distinct()
     )
+    # pairs feeds BOTH the df aggregate and the posting-sample window —
+    # cut the plan so the explode + distinct runs once, not twice (r12,
+    # guide §5); the cut holds narrow (doc_id, token) rows
+    pairs = pairs.localCheckpoint(eager=False)
     dfreq = pairs.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     from pyspark.sql import Window
 

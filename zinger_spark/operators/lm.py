@@ -80,6 +80,10 @@ def cross_entropy_unigram(
     Returns DataFrame[id_col, n_tokens, xent] with xent rounded to
     `digits` (exact decimal summation underneath — see module doc).
     """
+    # |V|-bounded; consumed by the scalar (N, V) aggregate AND the
+    # broadcast score join — cut the plan so the training pass over the
+    # trusted slice runs once, not once per consumer (r12, guide §5)
+    model = model.localCheckpoint(eager=False)
     n_total, v_size = model.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).first()[:2]
@@ -172,6 +176,10 @@ def cross_entropy_bigram(
     interpolation, so unseen histories score finite.  Both model sides
     broadcast; the corpus is never shuffled on token.
     """
+    # the unigram model has THREE consumers (the scalar (N, V)
+    # aggregate and the w1/w2 broadcast legs) — without this cut each
+    # re-runs the trusted-slice training pass (r12 plan audit, guide §5)
+    unigram = unigram.localCheckpoint(eager=False)
     n_total, v_size = unigram.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).first()[:2]

@@ -20,7 +20,16 @@ from typing import Sequence
 import pandas as pd  # module-level: string type hints in pandas UDFs
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.vector import as_double, cosine, dot, norm, sign_bucket
+from ..functions.vector import (
+    as_double,
+    cosine,
+    cosine_lit,
+    dot,
+    fold_norm,
+    let,
+    norm,
+    sign_bucket,
+)
 
 
 def _query_lit(query_vec: Sequence[float]):
@@ -39,7 +48,7 @@ def brute_force_topk(
     corpus size. Ties broken by id for determinism."""
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 8).alias("score"),
+        F.round(cosine_lit(F.col(vec_col), query_vec), 8).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -155,7 +164,7 @@ def lsh_topk(
     ).filter(F.col("bucket").isin(probes))
     scored = bucketed.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 8).alias("score"),
+        F.round(cosine_lit(F.col(vec_col), query_vec), 8).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -178,16 +187,41 @@ def ivf_assign(
     # cosine expression is referenced exactly ONCE — a when-chain would
     # duplicate subtrees exponentially (and Catalyst's CollapseProject
     # re-inlines named columns, so projecting scores first doesn't help).
-    best = F.greatest(
-        *[
-            F.struct(
-                cosine(F.col(vec_col), _query_lit(c)).alias("s"),
-                F.lit(-i).alias("negi"),
+    #
+    # r12: the row-invariant factors are let-bound (functions.vector.let)
+    # — the embedding cast and its norm each evaluate ONCE per row
+    # instead of once per centroid, and the centroid norms fold at plan
+    # time (fold_norm: bit-identical sequential fold) — k+1 O(d) passes
+    # per row instead of 3k, same float ops in the same order.
+    cnorms = [fold_norm(c) for c in centroids]
+
+    def _best(v: Column) -> Column:
+        nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+        def _argmax(nvb: Column) -> Column:
+            best = F.greatest(
+                *[
+                    F.struct(
+                        (
+                            F.aggregate(
+                                F.zip_with(v, _query_lit(c), lambda x, y: x * y),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            )
+                            / (nvb * F.lit(cn))
+                        ).alias("s"),
+                        F.lit(-i).alias("negi"),
+                    )
+                    for i, (c, cn) in enumerate(zip(centroids, cnorms))
+                ]
             )
-            for i, c in enumerate(centroids)
-        ]
+            return -best.getField("negi")
+
+        return let(nv, _argmax)
+
+    return df.withColumn(
+        "ivf_cell", let(as_double(F.col(vec_col)), _best).cast("int")
     )
-    return df.withColumn("ivf_cell", (-best.getField("negi")).cast("int"))
 
 
 def ivf_assign_numpy(
@@ -241,7 +275,7 @@ def ivf_topk(
     assigned = ivf_assign(df, centroids, vec_col)
     scored = assigned.filter(F.col("ivf_cell").isin(probe)).select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 8).alias("score"),
+        F.round(cosine_lit(F.col(vec_col), query_vec), 8).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -779,7 +813,7 @@ def ivf_index_topk(
     )
     scored = scan.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 8).alias("score"),
+        F.round(cosine_lit(F.col(vec_col), query_vec), 8).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -1154,6 +1188,6 @@ def ivfpq_rerank_topk(
     fetched = base.join(F.broadcast(cand), id_col)
     scored = fetched.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 8).alias("score"),
+        F.round(cosine_lit(F.col(vec_col), query_vec), 8).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -550,6 +550,11 @@ def hdr_quantiles(hist: DataFrame, qs: list[float]) -> DataFrame:
     1-row broadcast.  Returns (q, estimate) per requested quantile.
     """
     spark = hist.sparkSession
+    # hist is sketch-bounded (<= ~64 * 2^mb rows) but computing it is a
+    # full corpus aggregation; it has TWO consumers here (the total and
+    # the cumulative walk), so cut the plan to run that pass once
+    # (r12, guide §5)
+    hist = hist.localCheckpoint(eager=False)
     # NB: Spark resolution is case-insensitive by default, so the
     # total's column must not be spelled `N` next to the buckets' `n`
     total = hist.groupBy().agg(F.sum("n").alias("total_n"))
