@@ -3444,6 +3444,10 @@ def _q_countmin_heavy_hitters(spark, sf):
         .agg(F.count(F.lit(1)).alias("true_count"))
         .orderBy(F.desc("true_count"), "token")
         .limit(20)
+        # r12 tried-and-rejected: localCheckpoint here (two consumers)
+        # measured 1.28 -> 1.45 s interleaved at sf0.1 — the duplicate
+        # TakeOrdered legs run in parallel on idle cores while the
+        # checkpoint serializes the action behind a barrier.
     )
     return (
         zsk.countmin_estimates(sketch, true_top, "token", d=D, w=W)
@@ -4735,6 +4739,14 @@ def _q_centroid_drift(spark, sf):
     # fixed-point means: (s * 2^10) trunc-div n (both engines truncate;
     # s may be negative, and Spark's integral `div` truncates like
     # DuckDB's `//`)
+    #
+    # r12 tried-and-rejected: (a) checkpointing `per` and (b) deriving
+    # glob as a rollup of per's sums — both measured SLOWER at sf0.1
+    # (0.52 -> 0.81 / 0.87 s interleaved A/B): the two explode legs run
+    # in parallel inside one job on idle cores, while a checkpoint
+    # serializes them behind a barrier and the rollup form duplicates
+    # the heavier (label, pos) agg into both consumers.  On a saturated
+    # cluster the 1-pass form wins; see OPTIMIZATION_r12.md.
     mean_l = per.select(
         "label", "pos", F.expr(f"(s * {_PERC_SCALE}) div n").alias("m")
     )

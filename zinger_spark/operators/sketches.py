@@ -616,6 +616,11 @@ def kmv_pairwise_jaccard(sigs: DataFrame, group_col: str, k: int = 256) -> DataF
     source_vocab_overlap matrix: signatures build in one pass, overlap
     costs sketch-sized work per pair.
     """
+    # sigs is sketch-bounded (one <= k-long row per group) but BUILDING
+    # it is a corpus pass (distinct + per-group top-k window); both
+    # sides of the pairwise join inline it, so cut the plan to build
+    # once (r12, guide §5)
+    sigs = sigs.localCheckpoint(eager=False)
     a = sigs.select(F.col(group_col).alias("ga"), F.col("sig").alias("sa"))
     b = sigs.select(F.col(group_col).alias("gb"), F.col("sig").alias("sb"))
     pairs = a.join(b, F.col("ga") < F.col("gb"))
