@@ -457,8 +457,11 @@ def main() -> int:
           "lead window partitions by user; (from,to) cells partial-agg")
     p = plan_of(qs["join_size_estimate"](spark, sf))
     check("join_size_estimate",
-          "BroadcastHashJoin" in p and "TakeOrderedAndProject" in p,
-          "k-min sample via per-partition heaps; probes broadcast the sample")
+          "BroadcastHashJoin" in p and "Scan ExistingRDD" in p,
+          "probes broadcast the <=k-row KMV sample, which is "
+          "materialized ONCE (r12 localCheckpoint — its TakeOrdered "
+          "build runs upstream of the cut, so the final plan reads "
+          "the checkpointed sample instead of inlining 3 copies)")
     p = plan_of(qs["cohort_retention"](spark, sf))
     check("cohort_retention",
           "CartesianProduct" not in p and "partial_min" in p,
