@@ -37,6 +37,7 @@ import re
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.text import fingerprint, md5_hash60, word_shingles
+from ..functions.vector import let as _let
 
 
 def dedup_exact(
@@ -920,37 +921,44 @@ def winnow_fingerprints(
     fingerprint, REGARDLESS of where the substring sits in each doc —
     the alignment-robustness that fixed-stride chunk hashing lacks.
 
-    Returns (id, fp) distinct rows.  Plan: the posexplode+lead gram
-    pass (same shape as exploded_shingles), one per-doc ordered window
-    for the rolling min — partitioned by doc id, so state is bounded by
-    the longest document, never the corpus.
+    Returns (id, fp) distinct rows.
+
+    r12: the whole pipeline is a ZERO-shuffle map-side projection
+    (the exploded_shingles treatment): gram hashes as a per-doc array
+    (tokenization let-bound, split runs once), the rolling min as
+    array_min over slices, per-doc distinct via array_distinct —
+    replacing the former posexplode + per-doc token sort window +
+    rolling-min window + count window + global distinct (one
+    token-level shuffle plus a distinct exchange).  Values and the
+    position cutoff (windows that would run past the last gram are
+    excluded: fingerprints at gram positions 0..m-w) are identical by
+    construction.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    ex = docs.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok"))
-    wn = Window.partitionBy("id").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", j).over(wn) for j in range(1, k)]
-    grams = (
-        ex.select(
-            "id",
-            "pos",
-            F.concat_ws(" ", *leads).alias("g"),
-            leads[-1].alias("__last"),
+
+    def fps_of(toks: Column) -> Column:
+        n = F.size(toks)
+        gram_hashes = F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: md5_hash60(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+            % MINHASH_P30,
         )
-        .filter(F.col("__last").isNotNull())
-        .select("id", "pos", (md5_hash60(F.col("g")) % MINHASH_P30).alias("h"))
+        empty = F.expr("CAST(array() AS ARRAY<BIGINT>)")
+
+        def mins_of(hs: Column) -> Column:
+            m = F.size(hs)
+            rolled = F.transform(
+                F.sequence(F.lit(0), m - w),
+                lambda i: F.array_min(F.slice(hs, i + 1, w)),
+            )
+            return F.array_distinct(F.when(m < w, empty).otherwise(rolled))
+
+        return F.when(n < k, empty).otherwise(_let(gram_hashes, mins_of))
+
+    toks_col = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_let(toks_col, fps_of)).alias("fp"),
     )
-    # forward-window min over w gram hashes; windows that would run past
-    # the last gram are excluded by bounding pos
-    roll = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
-    n_g = Window.partitionBy("id")
-    fps = (
-        grams.withColumn("__fp", F.min("h").over(roll))
-        .withColumn("__ng", F.count(F.lit(1)).over(n_g))
-        .filter(F.col("pos") <= F.col("__ng") - w)
-        .select("id", F.col("__fp").alias("fp"))
-        .distinct()
-    )
-    return fps
 
 
 def duplicate_spans(
@@ -1006,26 +1014,43 @@ def duplicate_spans(
         raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
 
     def _grams(frame: DataFrame) -> DataFrame:
-        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ex = frame.select(
-            F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
-        )
-        wn = Window.partitionBy("id").orderBy("pos")
-        leads = [F.col("tok")] + [
-            F.lead("tok", j).over(wn) for j in range(1, k)
-        ]
-        return (
-            ex.select(
-                "id",
-                "pos",
-                F.concat_ws(" ", *leads).alias("g"),
-                leads[-1].alias("__last"),
+        # r12: array-based gram builder — a zero-shuffle map-side
+        # projection (the exploded_shingles treatment): the former
+        # posexplode + per-doc ordered window with k-1 leads shuffled
+        # and sorted every TOKEN of the corpus just to pair adjacent
+        # words.  Tokenization is let-bound so the regex split runs
+        # once per row; positions and the short-doc cutoff (< k tokens
+        # -> no grams) are identical to the window form by
+        # construction.
+        def build(toks: Column) -> Column:
+            n = F.size(toks)
+            grams_arr = F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.concat_ws(" ", F.slice(toks, i + 1, k)).alias("g"),
+                ),
             )
-            .filter(F.col("__last").isNotNull())
-            .select("id", "pos", md5_hash60(F.col("g")).alias("h"))
+            empty = F.expr("CAST(array() AS ARRAY<STRUCT<pos:INT, g:STRING>>)")
+            return F.when(n < k, empty).otherwise(grams_arr)
+
+        toks_col = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ex = frame.select(
+            F.col(id_col).alias("id"),
+            F.explode(_let(toks_col, build)).alias("pg"),
+        )
+        return ex.select(
+            "id",
+            F.col("pg.pos").alias("pos"),
+            md5_hash60(F.col("pg.g")).alias("h"),
         )
 
     grams = _grams(docs)
+    # grams is consumed by the hot-gram aggregate AND the anti-join
+    # that feeds BOTH match sides — without this cut the corpus gram
+    # pass runs up to 4x (r12, guide §5; the narrow (id, pos, h) rows
+    # spill if needed)
+    grams = _materialize(grams)
     # boilerplate cap by document frequency on the (large) docs side —
     # in cross-corpus mode the `against` side is the small benchmark,
     # whose grams never blow the join up on their own
@@ -1037,6 +1062,8 @@ def duplicate_spans(
         .filter(F.col("__df") > max_df)
         .select("h")
     )
+    # bounded over-cap list, broadcast into BOTH match sides' anti-joins
+    hot = _materialize(hot)
     cold = grams.join(F.broadcast(hot), "h", "left_anti")
     if against is not None:
         # cross-corpus: doc_a from `against` (the reference/benchmark
