@@ -235,6 +235,7 @@ def pagerank_fixed_point(
     checkpoint: bool = True,
     dedup_edges: bool = True,
     symmetric: bool = False,
+    local_threshold: int = 50_000,
 ) -> DataFrame:
     """PageRank with exact integer (fixed-point) arithmetic — the
     web-graph / link-quality score a curation pipeline weights documents
@@ -299,7 +300,50 @@ def pagerank_fixed_point(
         # exponent was 1.5 purely from re-parsing).  One upstream pass,
         # then every derived frame reads the cache.
         edges = edges.persist()
-        edges.count()
+        n_edges = edges.count()
+        # r12: driver-sized graphs iterate ON THE DRIVER (the
+        # gram_power_iteration treatment).  The edge count is already
+        # in hand from the persist above; below ``local_threshold``
+        # edges the whole graph is a few MB — bounded by the SAME
+        # driver-memory argument as bloom_bitmap's O(m) collect, and
+        # independent of cluster size — while the distributed loop
+        # pays iterations x (join job + partial agg + eager checkpoint)
+        # in scheduler round-trips on node-bounded frames.  The Python
+        # arithmetic replays the distributed plan exactly: integer
+        # sums (order-free), trunc division on positive values, same
+        # base/teleport fold, so results are bit-identical.  Above the
+        # threshold (any real web/domain graph) nothing changes.
+        if n_edges <= local_threshold:
+            rows = edges.collect()
+            edge_list = [(r["src"], r["dst"]) for r in rows]
+            out_deg: dict = {}
+            for u, _ in edge_list:
+                out_deg[u] = out_deg.get(u, 0) + 1
+            if symmetric:
+                node_set = set(out_deg)
+            else:
+                node_set = set(out_deg) | {v for _, v in edge_list}
+            rank = {v: scale for v in node_set}
+            for _ in range(iterations):
+                in_sum: dict = {}
+                for u, v in edge_list:
+                    c = (rank[u] * damping_pct) // (100 * out_deg[u])
+                    in_sum[v] = in_sum.get(v, 0) + c
+                rank = {v: base + in_sum.get(v, 0) for v in node_set}
+            edges.unpersist(blocking=False)
+            spark = edges.sparkSession
+            node_type = edges.schema["src"].dataType
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            return spark.createDataFrame(
+                [(v, rank[v]) for v in sorted(node_set)],
+                StructType(
+                    [
+                        StructField("node", node_type),
+                        StructField("rank", LongType()),
+                    ]
+                ),
+            )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     if symmetric:
         nodes = edges.select(F.col("src").alias("node")).distinct()
