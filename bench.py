@@ -827,20 +827,54 @@ def main() -> None:
         separators=(",", ":"),
     )
     if len(compact) > 1900:
-        # never let the safety line itself outgrow the tail: shed the
-        # per-query detail before precision (the full record is already
-        # on disk and printed above)
-        compact = json.dumps(
+        # Never let the safety line itself outgrow the tail — but never
+        # shed ALL per-query detail either (r12 verdict #1: the empty
+        # "queries" dict left the driver's PERF per_query/scaling blind
+        # for two rounds).  The full dict can NEVER fit: the 103 key
+        # names alone are ~1.6k chars before values/syntax, so emit the
+        # HEAVIEST keys first (where regressions matter and noise is
+        # smallest relative to the value) and summarize the omitted
+        # sub-second tail as a count + sum so value stays auditable.
+        # The complete record is on disk (BENCH_LOCAL.json) and in the
+        # full payload line above.
+        ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+
+        def _line(head: dict) -> str:
+            return json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": round(total, 2),
+                    "unit": "sec",
+                    "reps": reps,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    **head,
+                    "full_record": "BENCH_LOCAL.json",
+                },
+                separators=(",", ":"),
+            )
+
+        kept: dict[str, float] = {}
+        for name, t in ranked:
+            trial = dict(kept)
+            trial[name] = round(t, 2)
+            omitted = [v for k, v in ranked if k not in trial]
+            cand = _line(
+                {
+                    "queries": trial,
+                    "queries_omitted": len(omitted),
+                    "omitted_sum": round(sum(omitted), 2),
+                }
+            )
+            if len(cand) > 1870:
+                break
+            kept = trial
+        omitted = [v for k, v in ranked if k not in kept]
+        compact = _line(
             {
-                "metric": "headline_queries_total",
-                "value": round(total, 2),
-                "unit": "sec",
-                "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "queries": {},
-                "full_record": "BENCH_LOCAL.json",
-            },
-            separators=(",", ":"),
+                "queries": kept,
+                "queries_omitted": len(omitted),
+                "omitted_sum": round(sum(omitted), 2),
+            }
         )
     print(compact)
     # Always persist the complete JSON next to the repo so every
