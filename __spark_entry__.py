@@ -524,20 +524,23 @@ def _q_minhash_lsh_recall(spark, sf):
     sides are existing audited operators; the join/aggregate adds one
     broadcast of three 1-row aggregates."""
     docs = _t(spark, sf, "documents")
-    # persist BOTH pair lists: each feeds two legs of the final
+    # materialize BOTH pair lists: each feeds two legs of the final
     # crossJoin (its own count + the semi-join for n_hit), so without
-    # the persist the full LSH banding pipeline and the full
-    # shared-shingle blocking pipeline each run TWICE per action (r12
-    # optimization, same fix as dsir_affinity).  The cache holds only
-    # (doc_a, doc_b) pair rows — tiny relative to the shingle explodes
-    # that produce them.
+    # the cut the full LSH banding pipeline and the full shared-shingle
+    # blocking pipeline each run TWICE per action (r12 optimization,
+    # same fix as dsir_affinity).  The cut holds only (doc_a, doc_b)
+    # pair rows — tiny relative to the shingle explodes that produce
+    # them.  localCheckpoint, not persist (r12 advice #1): persist's
+    # CacheManager entry outlives the query and a re-built identical
+    # plan would silently reuse it; checkpoint blocks are anonymous
+    # and per-DataFrame, so every fresh action recomputes from parquet.
     lsh = zdedup.minhash_lsh_pairs(
         docs, num_hashes=16, bands=4, shingle_k=5, jaccard_threshold=0.4,
         parallelism=32,
-    ).select("doc_a", "doc_b").persist()
+    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
     exact = zdedup.ngram_jaccard_pairs(
         docs, shingle_k=5, threshold=0.4, max_df=1_000_000_000, parallelism=32
-    ).select("doc_a", "doc_b").persist()
+    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
     hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
     out = (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -2609,10 +2612,11 @@ def _q_dsir_affinity(spark, sf):
     docs = _t(spark, sf, "documents")
     # tokenize ONCE: tok feeds the bucket-stats build (twice, via the
     # nested totals broadcast) AND the per-doc probe side — without the
-    # persist the explode+md5 pass runs 3x per action (r12
-    # optimization, same fix as operators/dsir.dsir_weights).  The
-    # token string itself is projected away so the cache holds only
-    # (doc_id, is_tgt, int bucket).
+    # cut the explode+md5 pass runs 3x per action (r12 optimization,
+    # same fix as operators/dsir.dsir_weights).  The token string
+    # itself is projected away so the cut holds only (doc_id, is_tgt,
+    # int bucket).  localCheckpoint, not persist (r12 advice #1): no
+    # CacheManager entry to outlive the query or feed a rebuilt plan.
     tok = (
         docs.select(
             "doc_id",
@@ -2624,7 +2628,7 @@ def _q_dsir_affinity(spark, sf):
             "is_tgt",
             F.pmod(ztext.md5_hash60(F.col("t")), F.lit(4096)).alias("bucket"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     stats = tok.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("t_cnt"),

@@ -77,13 +77,19 @@ def test_merge_fold_multichar_symbols(spark):
     assert got2 == "m er g er"
 
 
-def test_learn_matches_reference_with_ties(spark):
+@pytest.mark.parametrize("local_threshold", [65_536, 0])
+def test_learn_matches_reference_with_ties(spark, local_threshold):
+    # local_threshold=65536 takes the r13 driver-replay path; 0 forces
+    # the distributed loop — both must match the reference, merge list
+    # AND final vocabulary.
     words = ["abab", "abab", "cdcd", "abcd", "dd", "a"]
     freqs = {}
     for w in words:
         freqs[w] = freqs.get(w, 0) + 1
     docs = spark.createDataFrame([(" ".join(words),)], ["text"])
-    got, gvocab = bpe_learn(word_frequencies(docs), merges=5)
+    got, gvocab = bpe_learn(
+        word_frequencies(docs), merges=5, local_threshold=local_threshold
+    )
     want, wvocab = _ref_learn(freqs, 5)
     assert got == want
     gfinal = {
@@ -92,7 +98,10 @@ def test_learn_matches_reference_with_ties(spark):
     assert gfinal == wvocab
 
 
-def test_learn_random_corpus_and_partitioning_invariance(spark):
+@pytest.mark.parametrize("local_threshold", [65_536, 0])
+def test_learn_random_corpus_and_partitioning_invariance(
+    spark, local_threshold
+):
     rng = random.Random(3)
     alphabet = "abc"
     words = [
@@ -104,8 +113,12 @@ def test_learn_random_corpus_and_partitioning_invariance(spark):
         freqs[w] = freqs.get(w, 0) + 1
     docs = spark.createDataFrame([(w,) for w in words], ["text"])
     base = word_frequencies(docs)
-    got1, _ = bpe_learn(base.coalesce(1), merges=6)
-    got2, _ = bpe_learn(base.repartition(7, "word"), merges=6)
+    got1, _ = bpe_learn(
+        base.coalesce(1), merges=6, local_threshold=local_threshold
+    )
+    got2, _ = bpe_learn(
+        base.repartition(7, "word"), merges=6, local_threshold=local_threshold
+    )
     want, _ = _ref_learn(freqs, 6)
     assert got1 == want
     assert got2 == want

@@ -50,7 +50,12 @@ def test_trunc_div_matches_duckdb_semantics():
 
 
 @pytest.mark.parametrize("decay", [True, False])
-def test_train_matches_reference_exactly(spark, decay):
+@pytest.mark.parametrize("local_threshold", [131_072, 0])
+def test_train_matches_reference_exactly(spark, decay, local_threshold):
+    # local_threshold=131072 takes the r13 driver-replay path;
+    # local_threshold=0 forces the distributed loop — both must equal
+    # the naive reference bit-for-bit (negative gradients included, so
+    # the trunc-div branch is exercised on both paths).
     rng = random.Random(42)
     d = 5
     rows = [
@@ -60,9 +65,30 @@ def test_train_matches_reference_exactly(spark, decay):
     df = spark.createDataFrame(
         [(y, *x) for y, x in rows], ["y"] + [f"f{j}" for j in range(d)]
     ).select(*[F.col(c).cast("long").alias(c) for c in ["y"] + [f"f{j}" for j in range(d)]])
-    got = perceptron_train(df, "y", [f"f{j}" for j in range(d)], rounds=4, decay=decay)
+    got = perceptron_train(
+        df, "y", [f"f{j}" for j in range(d)], rounds=4, decay=decay,
+        local_threshold=local_threshold,
+    )
     want = _reference_train(rows, d, 4, decay)
     assert got == want
+
+
+def test_train_local_overflow_falls_back(spark):
+    # Features near the int64 edge: the driver replay's CONSERVATIVE
+    # bound check (n * max|x| >= 2^62) must refuse even though the
+    # actual arithmetic here stays tiny (the two big features cancel:
+    # every margin and weight is 0), and perceptron_train must fall
+    # back to the distributed loop and still match the reference.
+    big = (1 << 61) + 3
+    rows = [(1, [1, big]), (-1, [1, big])]
+    df = spark.createDataFrame(
+        [(y, *x) for y, x in rows], ["y", "f0", "f1"]
+    ).select(*[F.col(c).cast("long") for c in ["y", "f0", "f1"]])
+    from zinger_spark.operators.classifier import _train_local
+
+    assert _train_local(df, "y", ["f0", "f1"], 2, True, 2) is None
+    got = perceptron_train(df, "y", ["f0", "f1"], rounds=2)
+    assert got == _reference_train(rows, 2, 2, True)
 
 
 def test_train_is_partitioning_invariant(spark):

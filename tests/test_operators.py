@@ -433,6 +433,67 @@ def test_star_cc_matches_propagation_on_random_graphs(spark):
         assert got == want, f"seed {seed}"
 
 
+def test_contract_partitions_cap_preserves_connectivity(spark):
+    """r13: with the per-task vertex cap exceeded, edges introducing
+    new vertices pass through uncontracted — the output graph must have
+    exactly the input's components (verified against a Python
+    union-find over the raw edges)."""
+    import random
+
+    from zinger_spark.operators.graph import _contract_partitions
+
+    rng = random.Random(11)
+    edges = {(max(a, b), min(a, b))
+             for a, b in ((rng.randrange(50), rng.randrange(50))
+                          for _ in range(80)) if a != b}
+
+    def components(pairs, n=50):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in range(n)}
+
+    edf = spark.createDataFrame(sorted(edges), "u long, v long").coalesce(2)
+    for cap in (3, 10, 1_000_000):
+        out = [(r.u, r.v) for r in
+               _contract_partitions(edf, max_vertices=cap).collect()]
+        assert components(out) == components(edges)
+        assert all(u > v for u, v in out)
+
+
+def test_star_cc_string_and_int32_ids(spark):
+    """r13 (advice #3): _contract_partitions derives its schema from
+    the input — string ids must work (previously crashed on int()
+    coercion) and int32 ids must come back int32, not silently widened
+    to long."""
+    from zinger_spark.operators.graph import connected_components_star
+
+    verts = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "id string")
+    edf = spark.createDataFrame([("a", "b"), ("c", "b")], "a string, b string")
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components_star(verts, edf).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "d")}
+
+    verts32 = spark.createDataFrame([(1,), (2,), (3,)], "id int")
+    edf32 = spark.createDataFrame([(2, 1), (3, 2)], "a int, b int")
+    out = connected_components_star(verts32, edf32)
+    assert dict(out.dtypes)["cluster_id"] == "int"
+    assert {(r.id, r.cluster_id) for r in out.collect()} == {
+        (1, 1), (2, 1), (3, 1)
+    }
+
+
 def test_star_cc_long_chain_converges_fast(spark):
     """A 200-node path (diameter 199) — propagation would need 199
     rounds; the star alternation contracts it within a dozen."""

@@ -268,6 +268,37 @@ def test_pagerank_deterministic_across_partitionings(spark):
     assert a == b
 
 
+def test_pagerank_local_numpy_matches_dict_and_distributed(spark):
+    """The r13 vectorized driver replay (forced via a fake n_edges above
+    the 50k numpy/dict split) must equal both the pure-Python dict
+    replay and the distributed loop, on string AND int ids."""
+    from zinger_spark.operators.graph import _pagerank_local_rows
+
+    pairs = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(40)]
+    for to_int in (False, True):
+        if to_int:
+            e = spark.createDataFrame(
+                [(int(a[1:]), int(b[1:])) for a, b in pairs],
+                "src long, dst long",
+            )
+        else:
+            e = _edges(spark, pairs)
+        base = 1_000_000_000 * 15 // 100
+        kw = dict(
+            iterations=4, damping_pct=85, scale=1_000_000_000, base=base,
+            symmetric=False,
+        )
+        got_np = _pagerank_local_rows(e, n_edges=60_001, **kw)
+        got_py = _pagerank_local_rows(e, n_edges=40, **kw)
+        want = sorted(
+            map(
+                tuple,
+                pagerank_fixed_point(e, 4, local_threshold=0).collect(),
+            )
+        )
+        assert sorted(got_np) == sorted(got_py) == want
+
+
 def test_pagerank_mass_conservation_bound(spark):
     # without dangling nodes, total rank converges below N*scale/(1-d)
     pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")]

@@ -341,28 +341,94 @@ _CRC32C = _build_crc32c_tables()
 
 
 def crc32c(data: bytes, value: int = 0) -> int:
+    """Slice-by-8, one whole-buffer qword unpack (r13: ~1.9x the former
+    per-8-byte slicing loop — unpack_from is one C call, and the inner
+    loop is pure int ops with no per-iteration allocation)."""
     t0, t1, t2, t3, t4, t5, t6, t7 = _CRC32C
     crc = value ^ 0xFFFFFFFF
     n = len(data)
-    i, end8 = 0, n - (n % 8)
-    while i < end8:
-        b0, b1, b2, b3, b4, b5, b6, b7 = data[i : i + 8]
-        crc ^= b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
-        crc = (
-            t7[crc & 0xFF]
-            ^ t6[(crc >> 8) & 0xFF]
-            ^ t5[(crc >> 16) & 0xFF]
-            ^ t4[(crc >> 24) & 0xFF]
-            ^ t3[b4]
-            ^ t2[b5]
-            ^ t1[b6]
-            ^ t0[b7]
-        )
-        i += 8
-    while i < n:
-        crc = (crc >> 8) ^ t0[(crc ^ data[i]) & 0xFF]
-        i += 1
+    nq = n >> 3
+    if nq:
+        for q in struct.unpack_from(f"<{nq}Q", data):
+            crc ^= q & 0xFFFFFFFF
+            hi = q >> 32
+            crc = (
+                t7[crc & 0xFF]
+                ^ t6[(crc >> 8) & 0xFF]
+                ^ t5[(crc >> 16) & 0xFF]
+                ^ t4[(crc >> 24) & 0xFF]
+                ^ t3[hi & 0xFF]
+                ^ t2[(hi >> 8) & 0xFF]
+                ^ t1[(hi >> 16) & 0xFF]
+                ^ t0[hi >> 24]
+            )
+    for b in data[nq << 3 :]:
+        crc = (crc >> 8) ^ t0[(crc ^ b) & 0xFF]
     return crc ^ 0xFFFFFFFF
+
+
+def crc32c_many(buffers: list[bytes]) -> list[int]:
+    """CRC-32C of many buffers at once, computed in numpy LOCKSTEP —
+    one vectorized slice-by-8 step advances every buffer 8 bytes, so
+    the table lookups amortize across the whole list (~10x scalar at
+    produce-batch widths).  CRC has a strict sequential dependency
+    WITHIN a buffer, but none ACROSS buffers — exactly the shape of a
+    pipelined produce (thousands of equal-sized RecordBatches).
+    Bit-identical to :func:`crc32c` (same tables, same fold; ragged
+    tails finish on the scalar loop).  Falls back to scalar crc32c
+    without numpy or for short lists."""
+    try:
+        import numpy as np  # noqa: PLC0415
+    except ImportError:  # pragma: no cover
+        return [crc32c(b) for b in buffers]
+    n_buf = len(buffers)
+    if n_buf < 32:
+        return [crc32c(b) for b in buffers]
+    tn = _CRC32C_NP
+    if tn is None:
+        tn = globals()["_CRC32C_NP"] = [
+            np.array(t, dtype=np.uint32) for t in _CRC32C
+        ]
+    order = sorted(range(n_buf), key=lambda i: -len(buffers[i]))
+    lens = np.array([len(buffers[i]) for i in order], dtype=np.int64)
+    mat = np.zeros((n_buf, int(lens[0]) if n_buf else 0), dtype=np.uint8)
+    for r, i in enumerate(order):
+        mat[r, : lens[r]] = np.frombuffer(buffers[i], dtype=np.uint8)
+    crc = np.full(n_buf, 0xFFFFFFFF, dtype=np.uint32)
+    neg = -lens  # ascending, for searchsorted
+    p = 0
+    u8 = np.uint32(8)
+    u16 = np.uint32(16)
+    u24 = np.uint32(24)
+    while True:
+        k = int(np.searchsorted(neg, -(p + 8), side="right"))
+        if k == 0:
+            break
+        b = mat[:k, p : p + 8].astype(np.uint32)
+        c = crc[:k] ^ (b[:, 0] | (b[:, 1] << u8) | (b[:, 2] << u16) | (b[:, 3] << u24))
+        crc[:k] = (
+            tn[7][c & 0xFF]
+            ^ tn[6][(c >> u8) & 0xFF]
+            ^ tn[5][(c >> u16) & 0xFF]
+            ^ tn[4][(c >> u24) & 0xFF]
+            ^ tn[3][b[:, 4]]
+            ^ tn[2][b[:, 5]]
+            ^ tn[1][b[:, 6]]
+            ^ tn[0][b[:, 7]]
+        )
+        p += 8
+    t0 = _CRC32C[0]
+    out = [0] * n_buf
+    for r, i in enumerate(order):
+        ln = int(lens[r])
+        c = int(crc[r])
+        for byte in buffers[i][(ln >> 3) << 3 :]:
+            c = (c >> 8) ^ t0[(c ^ byte) & 0xFF]
+        out[i] = c ^ 0xFFFFFFFF
+    return out
+
+
+_CRC32C_NP = None  # lazily-built numpy copies of _CRC32C (crc32c_many)
 
 
 # ---------------------------------------------------------------------------
@@ -606,6 +672,104 @@ def decode_message_set(data: bytes, check_crc: bool = True) -> list[FetchedMessa
 # per-record headers; only the records section is compressed.
 
 
+def _vz(v: int) -> bytes:
+    """Zigzag LEB128 varint of a signed int — the RecordBatch v2
+    record-field "varint", byte-identical to ``_Writer.varint``."""
+    u = ((v << 1) ^ (v >> 63)) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+# varint cache for small non-negative values (offset deltas, lengths):
+# the encode hot loop runs per record of every produced batch, and the
+# _Writer object machinery was ~70% of its profile (r13).
+_VZ = [_vz(i) for i in range(16384)]
+_VZ_NULL = _vz(-1)
+
+
+def _vzc(v: int) -> bytes:
+    return _VZ[v] if 0 <= v < 16384 else _vz(v)
+
+
+def _record_batch_after_crc(
+    messages: list[tuple],
+    timestamp_ms: int,
+    compression: str,
+    producer_id: int,
+    producer_epoch: int,
+    base_sequence: int,
+    timestamps: list[int] | None,
+) -> bytes:
+    """The attributes..records section a RecordBatch's CRC-32C covers.
+
+    The per-record section is a tight bytes loop (r13): cached zigzag
+    varints + one ``b"".join`` per record instead of ~24 _Writer method
+    calls — byte-identical output (attributes int8(0) == varint(0) ==
+    b"\\x00"), ~4x less encode CPU on the driver-side produce path."""
+    base_ts = timestamps[0] if timestamps else timestamp_ms
+    max_ts = max(timestamps) if timestamps else timestamp_ms
+    recs: list[bytes] = []
+    for i, msg in enumerate(messages):
+        key, value = msg[0], msg[1]
+        headers = msg[2] if len(msg) > 2 else ()
+        rb = b"".join(
+            (
+                b"\x00",  # record attributes int8(0)
+                _vzc(timestamps[i] - base_ts) if timestamps else b"\x00",
+                _vzc(i),  # offsetDelta
+                _VZ_NULL if key is None else _vzc(len(key)) + key,
+                _VZ_NULL if value is None else _vzc(len(value)) + value,
+                _vzc(len(headers)),
+            )
+        )
+        for name, hval in headers:
+            nb = name.encode("utf-8")
+            rb += (
+                _vzc(len(nb))
+                + nb
+                + (_VZ_NULL if hval is None else _vzc(len(hval)) + hval)
+            )
+        recs.append(_vzc(len(rb)))
+        recs.append(rb)
+    payload = b"".join(recs)
+    codec = COMPRESSION_CODECS[compression]
+    if codec:
+        payload = _compress(codec, payload)
+    return (
+        _Writer()
+        .int16(codec)  # attributes: CreateTime, not transactional/control
+        .int32(len(messages) - 1)  # lastOffsetDelta
+        .int64(base_ts)  # baseTimestamp
+        .int64(max_ts)  # maxTimestamp
+        .int64(producer_id)
+        .int16(producer_epoch)
+        .int32(base_sequence)
+        .int32(len(messages))
+        .raw(payload)
+        .done()
+    )
+
+
+def _frame_record_batch(after_crc: bytes, crc: int, base_offset: int) -> bytes:
+    return (
+        _Writer()
+        .int64(base_offset)
+        .int32(9 + len(after_crc))  # partitionLeaderEpoch+magic+crc+rest
+        .int32(-1)  # partitionLeaderEpoch (client produce)
+        .int8(2)  # magic
+        .raw(struct.pack(">I", crc))
+        .raw(after_crc)
+        .done()
+    )
+
+
 def encode_record_batch(
     messages: list[tuple],
     base_offset: int = 0,
@@ -620,53 +784,30 @@ def encode_record_batch(
     tuples; headers are ((name, bytes|None), ...).  ``timestamps``
     gives per-record timestamps (encoded as deltas from the first);
     otherwise every record carries ``timestamp_ms``."""
-    base_ts = timestamps[0] if timestamps else timestamp_ms
-    max_ts = max(timestamps) if timestamps else timestamp_ms
-    body = _Writer()
-    for i, msg in enumerate(messages):
-        key, value = msg[0], msg[1]
-        headers = msg[2] if len(msg) > 2 else ()
-        rec = (
-            _Writer()
-            .int8(0)  # record attributes (unused)
-            .varint((timestamps[i] - base_ts) if timestamps else 0)
-            .varint(i)  # offsetDelta
-            .vbytes(key)
-            .vbytes(value)
-            .varint(len(headers))
-        )
-        for name, hval in headers:
-            nb = name.encode("utf-8")
-            rec.varint(len(nb)).raw(nb).vbytes(hval)
-        rb = rec.done()
-        body.varint(len(rb)).raw(rb)
-    payload = body.done()
-    codec = COMPRESSION_CODECS[compression]
-    if codec:
-        payload = _compress(codec, payload)
-    after_crc = (
-        _Writer()
-        .int16(codec)  # attributes: CreateTime, not transactional/control
-        .int32(len(messages) - 1)  # lastOffsetDelta
-        .int64(base_ts)  # baseTimestamp
-        .int64(max_ts)  # maxTimestamp
-        .int64(producer_id)
-        .int16(producer_epoch)
-        .int32(base_sequence)
-        .int32(len(messages))
-        .raw(payload)
-        .done()
+    after_crc = _record_batch_after_crc(
+        messages, timestamp_ms, compression,
+        producer_id, producer_epoch, base_sequence, timestamps,
     )
-    return (
-        _Writer()
-        .int64(base_offset)
-        .int32(9 + len(after_crc))  # partitionLeaderEpoch+magic+crc+rest
-        .int32(-1)  # partitionLeaderEpoch (client produce)
-        .int8(2)  # magic
-        .raw(struct.pack(">I", crc32c(after_crc)))
-        .raw(after_crc)
-        .done()
-    )
+    return _frame_record_batch(after_crc, crc32c(after_crc), base_offset)
+
+
+def encode_record_batches(
+    batches: list[list[tuple]],
+    timestamp_ms: int = 0,
+    compression: str = "none",
+) -> list[bytes]:
+    """Encode many RecordBatches at once — byte-identical to mapping
+    :func:`encode_record_batch` over ``batches``, but the CRC-32C pass
+    (the dominant encode cost once the record loop is tight) runs
+    across ALL batches in one numpy lockstep (:func:`crc32c_many`)."""
+    afters = [
+        _record_batch_after_crc(m, timestamp_ms, compression, -1, -1, -1, None)
+        for m in batches
+    ]
+    return [
+        _frame_record_batch(a, c, 0)
+        for a, c in zip(afters, crc32c_many(afters))
+    ]
 
 
 def _decode_record_batch(
@@ -699,20 +840,71 @@ def _decode_record_batch(
         payload = _decompress(codec, payload)
     if attrs & 0x20:
         return []  # control batch (txn markers): not user records
+    # r13: inline buffer parsing — the per-record _Reader objects and
+    # their method-call varint decoding dominated the broker-side
+    # produce/fetch profile; this loop is semantics-identical (same
+    # zigzag decode, same negative-length and truncation failures via
+    # the explicit guards below).
     out: list[FetchedMessage] = []
-    rr = _Reader(payload)
+    buf = payload
+    end = len(buf)
+    pos = 0
+
+    def _vz_at(p: int, limit: int) -> tuple[int, int]:
+        shift, u = 0, 0
+        while True:
+            if p >= limit:
+                raise KafkaWireError(
+                    f"truncated frame: need 1 bytes at {p}, have {limit}"
+                )
+            if shift > 63:
+                raise KafkaWireError("varint overruns 64 bits")
+            b = buf[p]
+            p += 1
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return (u >> 1) ^ -(u & 1), p
+            shift += 7
+
+    def _slice(p: int, n: int, limit: int) -> tuple[bytes, int]:
+        if n < 0:
+            raise KafkaWireError(f"negative length {n} at {p}")
+        if p + n > limit:
+            raise KafkaWireError(
+                f"truncated frame: need {n} bytes at {p}, have {limit}"
+            )
+        return buf[p : p + n], p + n
+
     for _ in range(count):
-        rec = _Reader(rr._take(rr.varint()))
-        rec.int8()  # record attributes
-        ts_delta = rec.varint()
-        off_delta = rec.varint()
-        key = rec.vbytes()
-        value = rec.vbytes()
+        rec_len, pos = _vz_at(pos, end)
+        if rec_len < 0:
+            raise KafkaWireError(f"negative length {rec_len} at {pos}")
+        rec_end = pos + rec_len
+        if rec_end > end:
+            raise KafkaWireError(
+                f"truncated frame: need {rec_len} bytes at {pos}, have {end}"
+            )
+        pos += 1  # record attributes int8 (unused)
+        ts_delta, pos = _vz_at(pos, rec_end)
+        off_delta, pos = _vz_at(pos, rec_end)
+        klen, pos = _vz_at(pos, rec_end)
+        key = None
+        if klen >= 0:
+            key, pos = _slice(pos, klen, rec_end)
+        vlen, pos = _vz_at(pos, rec_end)
+        value = None
+        if vlen >= 0:
+            value, pos = _slice(pos, vlen, rec_end)
+        nh, pos = _vz_at(pos, rec_end)
         headers = []
-        for _ in range(rec.varint()):
-            nlen = rec.varint()
-            name = rec._take(nlen).decode("utf-8")
-            headers.append((name, rec.vbytes()))
+        for _ in range(nh):
+            nlen, pos = _vz_at(pos, rec_end)
+            nb, pos = _slice(pos, nlen, rec_end)
+            hlen, pos = _vz_at(pos, rec_end)
+            hval = None
+            if hlen >= 0:
+                hval, pos = _slice(pos, hlen, rec_end)
+            headers.append((nb.decode("utf-8"), hval))
         out.append(
             FetchedMessage(
                 base_offset + off_delta,
@@ -722,6 +914,7 @@ def _decode_record_batch(
                 tuple(headers),
             )
         )
+        pos = rec_end
     return out
 
 
@@ -1203,6 +1396,7 @@ class KafkaWireClient:
         timestamp_ms: int = 0,
         compression: str = "none",
         api_version: int | None = None,
+        premade_batch: bytes | None = None,
     ) -> int:
         """Append messages — (key, value) or (key, value, headers)
         tuples; returns the base offset the broker assigned (-1 with
@@ -1212,13 +1406,24 @@ class KafkaWireClient:
         a RecordBatch v2 (what 3.x/4.x brokers require, KIP-896), v2
         a magic-1 MessageSet; v9+ is the flexible (KIP-482) encoding
         of the same RecordBatch payload.  ``compression`` (all four
-        codecs; stdlib fallbacks) applies to either generation."""
+        codecs; stdlib fallbacks) applies to either generation.
+
+        ``premade_batch``: a pre-encoded RecordBatch v2 (from
+        :func:`encode_record_batches` — the bulk-CRC produce path);
+        requires a negotiated version >= 3 and makes ``messages``/
+        ``timestamp_ms``/``compression`` moot."""
         version = (
             self._negotiate(API_PRODUCE, self._PRODUCE_VERSIONS)
             if api_version is None
             else api_version
         )
-        if version >= 3:
+        if premade_batch is not None:
+            if version < 3:
+                raise KafkaWireError(
+                    "premade_batch needs Produce >= v3 (RecordBatch v2)"
+                )
+            ms = premade_batch
+        elif version >= 3:
             ms = encode_record_batch(
                 messages, timestamp_ms=timestamp_ms, compression=compression
             )
@@ -1536,23 +1741,75 @@ def wire_produce_df(
         F.col("key") if "key" in df.columns
         else F.lit(None).cast("binary").alias("key")
     )
+    # r13: collect as ONE Arrow table — string->utf8-bytes conversion
+    # happens JVM-side (encode()), and the rows arrive as columnar
+    # binary arrays instead of 1 pickled Row object per record (the
+    # pickle/Row machinery was ~30% of the egress profile).  Order is
+    # preserved (toArrow == collect order).  Memory matches this
+    # function's contract — bounded driver-side batches (micro-batch
+    # sinks, tail reads), never a corpus scan; the toLocalIterator
+    # fallback covers sessions without Arrow support.
+    proj = df.select(key_col.alias("key"), F.col("value"))
+    proj = proj.select(
+        *[
+            F.encode(F.col(f.name), "UTF-8").alias(f.name)
+            if f.dataType.simpleString() == "string"
+            else F.col(f.name)
+            for f in proj.schema.fields
+        ]
+    )
+    rows_iter = None
+    try:
+        tbl = proj.toArrow()
+        rows_iter = zip(
+            tbl.column("key").to_pylist(), tbl.column("value").to_pylist()
+        )
+    except Exception:  # noqa: BLE001 - no Arrow path: pickled rows
+        pass
     acks = 0 if pipelined else -1
     n = 0
     with KafkaWireClient(brokers, **(security or {})) as c:
         start_hw = c.list_offset(topic, partition, LATEST) if pipelined else 0
-        buf: list[tuple[bytes | None, bytes | None]] = []
-        # toLocalIterator: one partition at a time on the driver
-        for row in df.select(key_col, "value").toLocalIterator():
-            buf.append((_b(row["key"]), _b(row["value"])))
-            if len(buf) >= batch_size:
+        if rows_iter is None:
+            # toLocalIterator: one partition at a time on the driver
+            rows_iter = (
+                (_b(row["key"]), _b(row["value"]))
+                for row in df.select(key_col, "value").toLocalIterator()
+            )
+        ver = c._negotiate(API_PRODUCE, c._PRODUCE_VERSIONS)
+        if pipelined and ver >= 3:
+            # bulk path (r13): batch boundaries, wire bytes and failure
+            # semantics identical to the per-batch loop below, but all
+            # batches' CRC-32C runs in one numpy lockstep pass — the
+            # dominant remaining producer-side cost once the record
+            # loop is tight.
+            rows = list(rows_iter)
+            batches = [
+                rows[i : i + batch_size]
+                for i in range(0, len(rows), batch_size)
+            ]
+            for rb, nb in zip(
+                encode_record_batches(batches, compression=compression),
+                (len(b) for b in batches),
+            ):
+                c.produce(
+                    topic, partition, [], acks=0, api_version=ver,
+                    premade_batch=rb,
+                )
+                n += nb
+        else:
+            buf: list[tuple[bytes | None, bytes | None]] = []
+            for kv in rows_iter:
+                buf.append(kv)
+                if len(buf) >= batch_size:
+                    c.produce(topic, partition, buf,
+                              acks=acks, compression=compression)
+                    n += len(buf)
+                    buf = []
+            if buf:
                 c.produce(topic, partition, buf,
                           acks=acks, compression=compression)
                 n += len(buf)
-                buf = []
-        if buf:
-            c.produce(topic, partition, buf,
-                      acks=acks, compression=compression)
-            n += len(buf)
         if pipelined:
             end_hw = c.list_offset(topic, partition, LATEST)
             if end_hw - start_hw != n:

@@ -94,10 +94,57 @@ def pair_counts(vocab: DataFrame, spaced_col: str = "s") -> DataFrame:
     )
 
 
+def _learn_local(v: DataFrame, merges: int) -> tuple[list[dict], DataFrame]:
+    """Driver-side replay of the merge loop over the collected
+    (word, s, n) vocab — exact by construction: the spaced symbols are
+    collected from the SAME column the distributed rounds would fold
+    over, pair counts are integer sums (order-independent), the argmax
+    tie-break compares Python strings by code point, which equals
+    Spark's UTF8 byte ordering (UTF-8 is order-preserving), and the
+    greedy left-to-right merge replicates merge_fold_expr
+    symbol-for-symbol (a just-merged p1p2 tail never re-matches because
+    the comparison is against whole symbols).
+
+    Why (r13): each distributed round paid one pair-count aggregation
+    job + one TakeOrdered argmax job + one eager localCheckpoint of the
+    vocab frame — 3 scheduler round-trips per merge on a frame that is
+    vocabulary-bounded, not corpus-bounded.
+    """
+    rows = v.collect()
+    words: list[list] = [[r["word"], r["s"].split(" "), r["n"]] for r in rows]
+    out: list[dict] = []
+    for k in range(1, merges + 1):
+        cnt: dict[tuple[str, str], int] = {}
+        for _, syms, n in words:
+            for i in range(len(syms) - 1):
+                pr = (syms[i], syms[i + 1])
+                cnt[pr] = cnt.get(pr, 0) + n
+        if not cnt:
+            break
+        (p1, p2), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append({"rank": k, "p1": p1, "p2": p2, "cnt": c})
+        for rec in words:
+            syms = rec[1]
+            res: list[str] = []
+            for s in syms:
+                if res and res[-1] == p1 and s == p2:
+                    res[-1] = p1 + p2
+                else:
+                    res.append(s)
+            rec[1] = res
+    final = v.sparkSession.createDataFrame(
+        [(w, " ".join(syms), n) for w, syms, n in words], v.schema
+    )
+    return out, final
+
+
 def bpe_learn(
     vocab: DataFrame,
     merges: int = 8,
     checkpoint: bool = True,
+    local_threshold: int = 65_536,
 ) -> tuple[list[dict], DataFrame]:
     """Learn ``merges`` BPE merges from a (word, n) vocab frame.
 
@@ -107,13 +154,25 @@ def bpe_learn(
     (word, s, n) with ``s`` the re-tokenized spaced form.  Ties break
     deterministically on (cnt DESC, p1 ASC, p2 ASC), so the result is
     engine- and partitioning-independent.  Stops early if no pair
-    remains."""
+    remains.
+
+    When the materialized vocab holds at most ``local_threshold``
+    distinct words (a data-size gate — independent of scale factor and
+    cluster size; the corpus pass that BUILT the vocab stays
+    distributed), the merge loop runs on the driver over the collected
+    vocab (:func:`_learn_local`) instead of paying 3 scheduler
+    round-trips per merge round.  A natural-language vocabulary is
+    Heaps-law bounded, but a pathological one (hashes, ids) exceeds the
+    threshold and takes the distributed loop unchanged.
+    ``local_threshold=0`` disables the driver path."""
     v = vocab.select("word", spaced(F.col("word")).alias("s"), "n")
     if checkpoint:
         # the vocab frame is small (distinct words); materialize per
         # round so round k's pair scan doesn't replay rounds 1..k-1's
         # nested folds
         v = v.localCheckpoint(eager=True)
+        if local_threshold and v.count() <= local_threshold:
+            return _learn_local(v, merges)
     out: list[dict] = []
     for k in range(1, merges + 1):
         top = (

@@ -59,6 +59,68 @@ def _trunc_div(g: int, k: int) -> int:
     return q if g >= 0 else -q
 
 
+def _train_local(
+    feats: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+    rounds: int,
+    decay: bool,
+    n: int,
+) -> list[dict] | None:
+    """Driver-side replay of the training loop over the collected
+    feature frame — bit-identical to the distributed rounds because
+    every operation is the same integer arithmetic: int64 sums are
+    order-independent, the misclassified test is the same ``y * (w.x)
+    <= 0``, and the decayed step uses the same trunc-toward-zero
+    division.  Returns None when the replay cannot be guaranteed exact
+    (numpy/pandas missing, null features, or an int64 overflow bound —
+    tracked with exact Python ints per round — would be violated), in
+    which case the caller falls back to the distributed loop.
+
+    Why this exists (r13): each distributed round folds the weight
+    vector into the plan as literals, so every round Janino-compiles a
+    fresh 65-term margin expression and pays a full scheduler
+    round-trip for d+1 scalars — pure fixed overhead ~8x per train on
+    any cluster.  The gate is on ROW COUNT (data), not scale factor or
+    core count: a corpus-sized feature frame trains distributed,
+    unchanged.
+    """
+    try:  # noqa: SIM105
+        import numpy as np  # noqa: PLC0415
+    except ImportError:  # pragma: no cover - numpy ships with pyspark
+        return None
+    d = len(feature_cols)
+    pdf = feats.select(label_col, *feature_cols).toPandas()
+    if pdf.isnull().any().any():
+        return None  # distributed NULL semantics differ; don't replay
+    y = pdf[label_col].to_numpy(dtype="int64")
+    X = pdf[feature_cols].to_numpy(dtype="int64")
+    mx = [int(np.abs(X[:, j]).max()) if n else 0 for j in range(d)]
+    lim = 1 << 62
+    if any(n * m >= lim for m in mx):
+        return None  # gradient sums could overflow int64
+    wv = np.zeros(d, dtype="int64")
+    out: list[dict] = []
+    for k in range(1, rounds + 1):
+        # |margin| (and every partial sum of it) <= sum_j |w_j|*mx_j;
+        # exact Python-int bound so the int64 matmuls below are safe
+        if sum(abs(int(wv[j])) * mx[j] for j in range(d)) >= lim:
+            return None
+        margin = X @ wv
+        mis = y * margin <= 0
+        errors = int(mis.sum()) if n else None
+        g = X.T @ np.where(mis, y, 0)
+        if decay:
+            q = np.abs(g) // k  # floor == trunc on the non-negative |g|
+            wv = wv + np.where(g >= 0, q, -q)
+        else:
+            wv = wv + g
+        out.append(
+            {"round": k, "errors": errors, "weights": [int(v) for v in wv]}
+        )
+    return out
+
+
 def perceptron_train(
     feats: DataFrame,
     label_col: str,
@@ -66,6 +128,7 @@ def perceptron_train(
     rounds: int = 8,
     decay: bool = True,
     persist: bool = True,
+    local_threshold: int = 131_072,
 ) -> list[dict]:
     """Train a batch perceptron; return per-round training records.
 
@@ -79,6 +142,16 @@ def perceptron_train(
     (trunc division); ``decay=False`` is the classic lr=1 batch rule.
     All arithmetic is bigint; sums are order-independent so the result
     is bit-identical on any engine or partitioning.
+
+    When the persisted feature frame holds at most ``local_threshold``
+    rows (a count on data, independent of cluster size or scale
+    factor — at the default, <= ~70 MB of int64 features at d=65), the
+    per-round loop runs on the driver over the collected frame with
+    identical integer arithmetic (:func:`_train_local`) instead of
+    paying ``rounds`` x (codegen + scheduler round-trip) for d+1
+    scalars each.  Above the threshold — a corpus-sized feature frame —
+    the distributed loop below runs unchanged.  ``local_threshold=0``
+    disables the driver path.
     """
     d = len(feature_cols)
     if persist:
@@ -86,6 +159,14 @@ def perceptron_train(
     w = [0] * d
     out: list[dict] = []
     try:
+        if persist and local_threshold:
+            n = feats.count()  # also materializes the cache
+            if n <= local_threshold:
+                recs = _train_local(
+                    feats, label_col, feature_cols, rounds, decay, n
+                )
+                if recs is not None:
+                    return recs
         y = f"`{label_col}`"
         fs = [f"`{c}`" for c in feature_cols]
         for k in range(1, rounds + 1):

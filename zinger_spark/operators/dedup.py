@@ -82,6 +82,25 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
+def _could_be_narrow(df: DataFrame, want: int) -> bool:
+    """True when the optimizer's size estimate says ``df`` might plan
+    to fewer than ``want`` partitions (size < want x maxPartitionBytes)
+    — the cheap, no-job pre-filter for the exact RDD-partition probe.
+    Estimation failures err on True (probe to be sure)."""
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        max_pb = str(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728b"
+            )
+        ).lower().rstrip("b")
+        return size < want * int(max_pb)
+    except Exception:  # noqa: BLE001 - any estimation failure
+        return True
+
+
 def exploded_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:
@@ -107,10 +126,22 @@ def exploded_shingles(
     deliberately — widen ONLY when the input is narrower than the
     session's parallelism (at production scale the scan already has
     >= defaultParallelism splits and this is a no-op; callers that
-    pre-repartition by id also skip it)."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        df = df.repartition(want, F.col(id_col))
+    pre-repartition by id also skip it).
+
+    r13: the narrowness probe is gated on the optimizer's size
+    estimate first — ``df.rdd.getNumPartitions()`` converts the plan
+    to an RDD (a physical-planning pass per invocation) just to make a
+    repartition decision, which is gratuitous when the input is
+    obviously corpus-sized.  stats().sizeInBytes is available without
+    running a job; only inputs small enough that they could POSSIBLY
+    plan narrower than the session's parallelism (size < parallelism x
+    maxPartitionBytes) pay the exact RDD probe, i.e. the probe cost
+    now scales to zero as the input grows."""
+    spark = df.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    if _could_be_narrow(df, want):
+        if df.rdd.getNumPartitions() < want:
+            df = df.repartition(want, F.col(id_col))
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("s"),
@@ -508,6 +539,7 @@ def edit_distance_join(
     id_col: str = "doc_id",
     max_dist: int = 2,
     block_col: str | None = None,
+    lengths: list[int] | None = None,
 ) -> DataFrame:
     """All pairs within levenshtein ``max_dist``, via pigeonhole
     segment blocking (the PassJoin family — Li/Deng/Feng, ICDE'11,
@@ -536,6 +568,21 @@ def edit_distance_join(
     Candidates are verified with exact ``levenshtein`` so the output
     is precision-exact; segment blocking only bounds candidate
     generation. Returns (a, b, dist) with a < b.
+
+    NOTE — construction-time action: unless ``lengths`` is given, this
+    function runs one Spark job AT DATAFRAME-CONSTRUCTION TIME (a
+    distinct+collect over the key-length column — column-pruned, and
+    bounded by the max key length this operator's short-key contract
+    implies) to freeze the observed length set into the probe plan;
+    probing absent lengths can never match but pays explode cost.
+    Consequences: building (not executing) the plan scans the key
+    column once, and a built plan reused after the input CHANGES would
+    miss newly appearing lengths — rebuild the plan per batch (every
+    caller in this repo does).  Callers that know their key-length
+    set statically (fixed-width codes, ids) pass ``lengths=`` — it
+    must be a SUPERSET of the observed key lengths (missing a length
+    silently drops recall; extra lengths only cost probe explode) —
+    and the construction stays fully lazy.
     """
     k = int(max_dist)
     k1 = k + 1
@@ -585,7 +632,13 @@ def edit_distance_join(
     # size.  With uniform-length keys (the fuzzy-prefix case: every
     # full-length doc yields exactly 16 chars) this cuts probe rows ~5x.
     lens = sorted(
-        r[0] for r in base.select("__len").distinct().collect() if r[0] is not None
+        {int(x) for x in lengths}
+        if lengths is not None
+        else (
+            r[0]
+            for r in base.select("__len").distinct().collect()
+            if r[0] is not None
+        )
     )
     lens_arr = "CAST(array(" + ",".join(str(x) for x in lens) + ") AS array<int>)"
     probe_expr = F.expr(

@@ -94,20 +94,26 @@ def dsir_weights(
     (exact decimal summation underneath).  Add-one smoothing on both
     models, so unseen buckets contribute the same finite floor to both
     sides."""
-    # Featurize each corpus ONCE.  Without the persist, the raw-corpus
+    # Featurize each corpus ONCE.  Without the cut, the raw-corpus
     # explode+hash (the expensive pass) runs 3x per action — as the
     # final join's probe side, inside the broadcast r_model build, and
     # for the n_r scalar — and the target explode runs twice (r12
     # optimization: plans/r12/dsir_select_before.txt shows all three
     # Generate subtrees).  feats is (id, int bucket) — narrow rows, one
     # per gram occurrence — so the cache is a small fraction of the
-    # input corpus; t_model is <= n_buckets rows.  The persists are
-    # within-query reuse (every action still computes from the parquet
-    # inputs); blocks are released by the session's cache cleaner.
-    feats = feature_buckets(raw, text_col, id_col, n_buckets).persist()
+    # input corpus; t_model is <= n_buckets rows.  localCheckpoint
+    # (lazy), NOT persist (r12 advice #1): persist registers the plan
+    # fragment with the session CacheManager, where it outlives the
+    # query and lets an identical re-built query silently read the
+    # stale cache; a localCheckpoint is anonymous blocks owned by this
+    # DataFrame — within-query reuse only, every new action recomputes
+    # from the parquet inputs.
+    feats = feature_buckets(raw, text_col, id_col, n_buckets).localCheckpoint(
+        eager=False
+    )
     t_model = bucket_model(
         feature_buckets(target, text_col, id_col, n_buckets)
-    ).persist()
+    ).localCheckpoint(eager=False)
     r_model = bucket_model(feats)
     n_t = (t_model.agg(F.sum("c")).first()[0] or 0) + n_buckets
     # sum of per-bucket counts == number of feature rows: count() the

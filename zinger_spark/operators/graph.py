@@ -30,6 +30,7 @@ cut per round with localCheckpoint so plans don't nest.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def connected_components(
@@ -120,7 +121,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return rewired.union(centers).distinct()
 
 
-def _contract_partitions(edges: DataFrame) -> DataFrame:
+def _contract_partitions(
+    edges: DataFrame, max_vertices: int = 1_000_000
+) -> DataFrame:
     """Per-partition union-find contraction (the standard 'local
     aggregation' pre-pass of distributed CC): each task collapses the
     edges IT holds into a star forest rooted at the partition-local
@@ -131,17 +134,34 @@ def _contract_partitions(edges: DataFrame) -> DataFrame:
     — dense dup-blob graphs typically converge in 1-2 global rounds
     after this instead of 4+ (r12 optimization: the loop's per-round
     cost is ~4 tiny shuffles + 2 driver jobs, which dominated
-    dedup-cluster queries at bench scale).  Memory per task is one
-    dict entry per distinct vertex IN THAT PARTITION — bounded by the
-    partition's edge count, the same bound the join shuffles already
-    impose."""
+    dedup-cluster queries at bench scale).
+
+    r13 hardening (r12 verdict #4 + advice #3):
+
+    * The per-task union-find dict is capped at ``max_vertices``
+      distinct vertices: once a skewed partition exceeds the cap,
+      edges introducing NEW vertices pass through uncontracted (edges
+      whose endpoints are already tracked still contract).  The union
+      of the contracted star forest and the passed-through edges has
+      exactly the original connectivity — contracting a subgraph and
+      leaving the rest verbatim preserves components — so results are
+      identical; only the degree of pre-contraction degrades.  Task
+      memory is now bounded unconditionally (~100 MB of dict at the
+      default), not by the partition's edge count.
+    * The schema is derived from the input edge columns (ids keep
+      their type — previously hardcoded ``u long, v long``, which
+      crashed string ids and silently widened int32 ids)."""
+    id_type = edges.schema["u"].dataType
+    out_schema = StructType(
+        [StructField("u", id_type), StructField("v", id_type)]
+    )
 
     def fn(batches):
         import pandas as pd  # noqa: PLC0415
 
-        parent: dict[int, int] = {}
+        parent: dict = {}
 
-        def find(x: int) -> int:
+        def find(x):
             r = x
             while parent.get(r, r) != r:
                 r = parent[r]
@@ -149,9 +169,15 @@ def _contract_partitions(edges: DataFrame) -> DataFrame:
                 parent[x], x = r, parent[x]
             return r
 
+        raw_u, raw_v = [], []  # pass-through beyond the vertex cap
         for pdf in batches:
             for u, v in zip(pdf["u"], pdf["v"]):
-                u, v = int(u), int(v)
+                if len(parent) >= max_vertices and not (
+                    u in parent and v in parent
+                ):
+                    raw_u.append(u)
+                    raw_v.append(v)
+                    continue
                 ru, rv = find(u), find(v)
                 if ru != rv:
                     if rv < ru:
@@ -165,14 +191,11 @@ def _contract_partitions(edges: DataFrame) -> DataFrame:
             if r != x:
                 out_u.append(x)
                 out_v.append(r)
-        yield pd.DataFrame(
-            {
-                "u": pd.Series(out_u, dtype="int64"),
-                "v": pd.Series(out_v, dtype="int64"),
-            }
-        )
+        out_u.extend(raw_u)
+        out_v.extend(raw_v)
+        yield pd.DataFrame({"u": out_u, "v": out_v})
 
-    return edges.mapInPandas(fn, "u long, v long")
+    return edges.mapInPandas(fn, out_schema)
 
 
 def connected_components_star(
@@ -225,6 +248,89 @@ def connected_components_star(
     )
 
 
+def _pagerank_local_rows(
+    edges: DataFrame,
+    iterations: int,
+    damping_pct: int,
+    scale: int,
+    base: int,
+    symmetric: bool,
+    n_edges: int,
+) -> list[tuple] | None:
+    """Driver-side replay of the PageRank loop over the collected edge
+    list, vectorized (numpy int64) — bit-identical to the distributed
+    loop: integer sums are order-independent, the per-edge contribution
+    is the same ``(rank * d) // (100 * outdeg)`` on non-negative
+    values (floor == trunc), and the node set / teleport fold are the
+    same.  Returns None when exactness cannot be guaranteed (numpy
+    missing and the graph is too big for the pure-Python dict loop, or
+    the exact Python-int overflow bound for int64 would be violated) —
+    the caller then runs the distributed loop unchanged.
+
+    Why vectorized (r13): the r12 dict loop replays ~iterations x
+    n_edges Python dict operations — fine at the 50k-edge gate, ~50x
+    too slow at the 10^6-edge graphs where the distributed loop's
+    per-round scheduler cost still dominates the actual arithmetic.
+    """
+    try:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+    except ImportError:  # pragma: no cover - ship with pyspark extras
+        np = None
+    if np is None or n_edges <= 50_000:
+        # pure-Python exact loop (r12 path): any id type, bigint-exact
+        if np is None and n_edges > 50_000:
+            return None
+        rows = edges.collect()
+        edge_list = [(r["src"], r["dst"]) for r in rows]
+        out_deg: dict = {}
+        for u, _ in edge_list:
+            out_deg[u] = out_deg.get(u, 0) + 1
+        if symmetric:
+            node_set = set(out_deg)
+        else:
+            node_set = set(out_deg) | {v for _, v in edge_list}
+        rank = {v: scale for v in node_set}
+        for _ in range(iterations):
+            in_sum: dict = {}
+            for u, v in edge_list:
+                c = (rank[u] * damping_pct) // (100 * out_deg[u])
+                in_sum[v] = in_sum.get(v, 0) + c
+            rank = {v: base + in_sum.get(v, 0) for v in node_set}
+        return [(v, rank[v]) for v in sorted(node_set)]
+    pdf = edges.toPandas()
+    codes, uniques = pd.factorize(
+        pd.concat([pdf["src"], pdf["dst"]], ignore_index=True), sort=True
+    )
+    m = len(pdf)
+    s_codes, d_codes = codes[:m], codes[m:]
+    n_all = len(uniques)
+    outdeg = np.bincount(s_codes, minlength=n_all).astype("int64")
+    has_out = outdeg > 0
+    # exact overflow bound (Python ints): total rank mass is bounded by
+    # n*scale*sum(0.85^t) < 7*n*scale, and the widest intermediate is
+    # rank*damping_pct — guard it against int64 before trusting numpy
+    if 7 * n_all * int(scale) * 100 >= 1 << 63:
+        return None
+    rank = np.full(n_all, int(scale), dtype="int64")
+    contrib = np.zeros(n_all, dtype="int64")
+    for _ in range(iterations):
+        contrib[:] = 0
+        contrib[has_out] = (rank[has_out] * damping_pct) // (
+            100 * outdeg[has_out]
+        )
+        in_sum = np.zeros(n_all, dtype="int64")
+        np.add.at(in_sum, d_codes, contrib[s_codes])
+        rank = base + in_sum
+    keep = has_out if symmetric else np.ones(n_all, dtype=bool)
+    items = (
+        uniques.tolist() if hasattr(uniques, "tolist") else list(uniques)
+    )
+    return [
+        (items[i], int(rank[i])) for i in np.flatnonzero(keep)
+    ]
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     iterations: int = 5,
@@ -235,7 +341,7 @@ def pagerank_fixed_point(
     checkpoint: bool = True,
     dedup_edges: bool = True,
     symmetric: bool = False,
-    local_threshold: int = 50_000,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """PageRank with exact integer (fixed-point) arithmetic — the
     web-graph / link-quality score a curation pipeline weights documents
@@ -301,49 +407,45 @@ def pagerank_fixed_point(
         # then every derived frame reads the cache.
         edges = edges.persist()
         n_edges = edges.count()
-        # r12: driver-sized graphs iterate ON THE DRIVER (the
+        # r12/r13: driver-sized graphs iterate ON THE DRIVER (the
         # gram_power_iteration treatment).  The edge count is already
         # in hand from the persist above; below ``local_threshold``
-        # edges the whole graph is a few MB — bounded by the SAME
+        # edges the whole graph is tens of MB — bounded by the SAME
         # driver-memory argument as bloom_bitmap's O(m) collect, and
         # independent of cluster size — while the distributed loop
         # pays iterations x (join job + partial agg + eager checkpoint)
-        # in scheduler round-trips on node-bounded frames.  The Python
-        # arithmetic replays the distributed plan exactly: integer
-        # sums (order-free), trunc division on positive values, same
-        # base/teleport fold, so results are bit-identical.  Above the
-        # threshold (any real web/domain graph) nothing changes.
+        # in scheduler round-trips on node-bounded frames.  The driver
+        # replay is exact (see _pagerank_local_rows: integer sums,
+        # trunc division on positive values, same base/teleport fold,
+        # int64 overflow guarded with exact Python-int bounds) so
+        # results are bit-identical.  Above the threshold (any real
+        # web graph) nothing changes.  The r13 default of 2M edges
+        # (vs r12's 50k) rides the vectorized replay: ~32 MB of int64
+        # edge arrays, the bloom_bitmap memory class.
         if n_edges <= local_threshold:
-            rows = edges.collect()
-            edge_list = [(r["src"], r["dst"]) for r in rows]
-            out_deg: dict = {}
-            for u, _ in edge_list:
-                out_deg[u] = out_deg.get(u, 0) + 1
-            if symmetric:
-                node_set = set(out_deg)
-            else:
-                node_set = set(out_deg) | {v for _, v in edge_list}
-            rank = {v: scale for v in node_set}
-            for _ in range(iterations):
-                in_sum: dict = {}
-                for u, v in edge_list:
-                    c = (rank[u] * damping_pct) // (100 * out_deg[u])
-                    in_sum[v] = in_sum.get(v, 0) + c
-                rank = {v: base + in_sum.get(v, 0) for v in node_set}
-            edges.unpersist(blocking=False)
-            spark = edges.sparkSession
-            node_type = edges.schema["src"].dataType
-            from pyspark.sql.types import LongType, StructField, StructType
-
-            return spark.createDataFrame(
-                [(v, rank[v]) for v in sorted(node_set)],
-                StructType(
-                    [
-                        StructField("node", node_type),
-                        StructField("rank", LongType()),
-                    ]
-                ),
+            out_rows = _pagerank_local_rows(
+                edges, iterations, damping_pct, scale, base, symmetric,
+                n_edges,
             )
+            if out_rows is not None:
+                edges.unpersist(blocking=False)
+                spark = edges.sparkSession
+                node_type = edges.schema["src"].dataType
+                from pyspark.sql.types import (  # noqa: PLC0415
+                    LongType,
+                    StructField,
+                    StructType,
+                )
+
+                return spark.createDataFrame(
+                    out_rows,
+                    StructType(
+                        [
+                            StructField("node", node_type),
+                            StructField("rank", LongType()),
+                        ]
+                    ),
+                )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     if symmetric:
         nodes = edges.select(F.col("src").alias("node")).distinct()

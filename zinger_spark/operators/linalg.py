@@ -114,7 +114,17 @@ def power_iteration(
     don't overflow at all) and trunc-toward-zero division matching
     Spark's non-ANSI ``div`` / DuckDB's ``//`` — greatest(max, 1)
     guards the all-zero matrix and all-zero rounds, both yielding the
-    zero vector deterministically on every engine."""
+    zero vector deterministically on every engine.
+
+    Sparse-gram edge case (r12 advice #4): a gram frame MISSING cells
+    (fewer than d(d+1)/2 rows — an empty corpus, or a hand-built
+    partial matrix) is treated as zeros here, and the result always
+    carries all ``dims`` rows; the pre-r12 declarative loop instead
+    DROPPED dims that never appeared in the frame.  For gram_matrix
+    output on a non-empty corpus the two behaviors coincide (the frame
+    is dense by construction); callers feeding hand-built sparse
+    matrices get the missing-cells-are-zero reading, which is the
+    mathematically standard one."""
 
     def _trunc_div(a: int, b: int) -> int:
         # Spark `div` truncates toward zero; Python // floors.  b > 0
