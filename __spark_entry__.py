@@ -2615,8 +2615,14 @@ def _q_dsir_affinity(spark, sf):
     # cut the explode+md5 pass runs 3x per action (r12 optimization,
     # same fix as operators/dsir.dsir_weights).  The token string
     # itself is projected away so the cut holds only (doc_id, is_tgt,
-    # int bucket).  localCheckpoint, not persist (r12 advice #1): no
-    # CacheManager entry to outlive the query or feed a rebuilt plan.
+    # int bucket).  persist(), not localCheckpoint (r13, measured): the
+    # advice-suggested checkpoint swap was tried and rejected — the tok
+    # frame is token-occurrence-sized and the SQL cache's compressed
+    # columnar batches beat row-serialized checkpoint blocks ~1.9x on
+    # this key (same-session A/B: 0.47 s vs 0.89 s); see
+    # operators/dsir.dsir_weights for the full numbers.  Dropped blocks
+    # recompute (never stale), and the bench releases blocks between
+    # timed actions.
     tok = (
         docs.select(
             "doc_id",
@@ -2628,7 +2634,7 @@ def _q_dsir_affinity(spark, sf):
             "is_tgt",
             F.pmod(ztext.md5_hash60(F.col("t")), F.lit(4096)).alias("bucket"),
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
     stats = tok.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("t_cnt"),
